@@ -1,0 +1,25 @@
+"""JMARC record model, query DSL and DataFrame transforms.
+
+- ``record``    — record-at-a-time API (Marc/Bib/Auth, fields, subfields)
+- ``dataframe`` — nested-DataFrame ⇄ records, exploded view, auth joins,
+                  derived-column jobs (text/words, logical fields)
+- ``query``     — the search DSL compiled to Spark Column predicates
+- ``store``     — parquet-backed warehouse with batch commit/history
+"""
+
+from dlx_spark.marc.record import (  # noqa: F401
+    AmbiguousAuthValue,
+    Auth,
+    AuthInUse,
+    Bib,
+    Controlfield,
+    Datafield,
+    Diff,
+    InvalidAuthValue,
+    InvalidAuthXref,
+    Linked,
+    Literal,
+    Marc,
+    Subfield,
+)
+from dlx_spark.marc.set import BibSet, AuthSet, MarcSet  # noqa: F401

@@ -1,0 +1,319 @@
+"""Query DSL: condition objects and the search-string grammar, compiled
+to Spark Column predicates over the canonical nested schema.
+
+The reference compiles conditions to MongoDB filter documents
+(``/root/reference/dlx/marc/query.py:526-686``) and lets mongod evaluate
+them; here each condition compiles to a ``pyspark.sql.Column`` that
+Catalyst pushes into the distributed scan.  Semantics preserved:
+
+- ``Condition(tag, {code: value})`` — for EACH (code, value) pair there
+  must exist a field of ``tag`` containing a matching subfield (pairs may
+  match different field instances — Mongo's ``$all``+``$elemMatch`` path
+  semantics).  Auth-controlled codes resolve value → xref list via the
+  authority dimension and match on ``xref``.
+- equality is collation-emulating (strength-1): both sides normalized by
+  ``scrub`` (case + diacritic + punctuation-fold).
+- ``Text`` — stemmed-word containment on the ``words`` column, ``-word``
+  negation, ``"phrase"`` and ``wild*`` regexes on the padded ``text``
+  column, with the reference's stopword list.
+
+The eager client-side xref expansion the reference performs at parse time
+(query.py:208-229) is kept *logically* — the expansion happens against
+the in-process/broadcast ``AuthIndex`` dimension, which is exactly the
+lookup table mongod would have consulted, without the 1 MB result-size
+failure mode.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import Column, functions as F
+
+from dlx_spark import config
+from dlx_spark.functions.tokenizer import scrub, tokenize
+from dlx_spark.marc.record import AuthIndex
+
+# stopwords excluded from free-text search (reference query.py:718)
+TEXT_EXCLUDE = ("the", "of", "to", "at", "and", "in", "on", "by", "at", "it", "its")
+
+
+class Regex:
+    """A regex-valued condition operand (reference uses bson.Regex)."""
+
+    def __init__(self, pattern: str, flags: str = ""):
+        self.pattern = pattern
+        self.flags = flags
+
+    def java_pattern(self) -> str:
+        return f"(?{self.flags})" + self.pattern if self.flags else self.pattern
+
+
+def _norm_eq(col: Column, value: str) -> Column:
+    """Collation-emulating equality (strength-1, dlx/config.py:340)."""
+    from dlx_spark.functions.tokenizer import scrub_col
+    return scrub_col(col) == F.lit(scrub(value))
+
+
+def _value_match(col: Column, value) -> Column:
+    if isinstance(value, Regex):
+        return col.rlike(value.java_pattern())
+    return _norm_eq(col, str(value))
+
+
+class Condition:
+    valid_modifiers = ["not", "exists", "not_exists"]
+
+    def __init__(self, tag: str | None = None, *subs, record_type: str | None = None, **kwargs):
+        if record_type not in (None, "bib", "auth"):
+            raise Exception("Invalid record type")
+        self.record_type = record_type
+        self.tag = tag or kwargs.get("tag")
+
+        if subs and isinstance(subs[0], dict):
+            self.subfields = list(subs[0].items())
+        elif subs:
+            self.subfields = list(subs)
+        else:
+            self.subfields = []
+        if "subfields" in kwargs:
+            s = kwargs["subfields"]
+            self.subfields = list(s.items()) if isinstance(s, dict) else list(s)
+
+        self.modifier = ""
+        if kwargs.get("modifier"):
+            mod = kwargs["modifier"].lower()
+            if mod not in Condition.valid_modifiers:
+                raise Exception(f'Invalid modifier: "{mod}"')
+            self.modifier = mod
+
+    def compile(self, auth_index: AuthIndex | None = None) -> Column:
+        rtype = self.record_type or "bib"
+        tag = self.tag
+
+        def field_has(pair_pred) -> Column:
+            return F.exists("datafields",
+                            lambda f: (f["tag"] == F.lit(tag)) & pair_pred(f))
+
+        def literal_pred(code, val):
+            def pred(f):
+                return F.exists(
+                    f["subfields"],
+                    lambda s: (s["code"] == F.lit(code)) & _value_match(s["value"], val))
+            return pred
+
+        def xref_pred(code, xrefs):
+            def pred(f):
+                if not xrefs:
+                    return F.lit(False)
+                return F.exists(
+                    f["subfields"],
+                    lambda s: (s["code"] == F.lit(code)) & s["xref"].isin(list(xrefs)))
+            return pred
+
+        pair_preds = []
+        for code, val in self.subfields:
+            if not config.is_authority_controlled(rtype, tag, code):
+                pair_preds.append(literal_pred(code, val))
+            else:
+                if isinstance(val, int):
+                    xrefs = [val]
+                else:
+                    src = config.authority_source_tag(rtype, tag, code)
+                    xrefs = auth_index.xlookup(src, code, str(val)) if auth_index else []
+                pair_preds.append(xref_pred(code, xrefs))
+
+        if pair_preds:
+            submatch = reduce(lambda a, b: a & b,
+                              [field_has(p) for p in pair_preds])
+        else:
+            submatch = field_has(lambda f: F.lit(True))
+
+        tag_exists = F.exists("datafields", lambda f: f["tag"] == F.lit(tag))
+        if tag.startswith("00"):
+            tag_exists = tag_exists | F.exists(
+                "controlfields", lambda f: f["tag"] == F.lit(tag))
+
+        if not self.modifier:
+            return submatch
+        if self.modifier == "not":
+            return ~submatch | ~tag_exists
+        if self.modifier == "exists":
+            return tag_exists
+        if self.modifier == "not_exists":
+            return ~tag_exists
+        raise Exception("Invalid modifier")
+
+
+class BibCondition(Condition):
+    def __init__(self, *args, **kwargs):
+        kwargs["record_type"] = "bib"
+        super().__init__(*args, **kwargs)
+
+
+class AuthCondition(Condition):
+    def __init__(self, *args, **kwargs):
+        kwargs["record_type"] = "auth"
+        super().__init__(*args, **kwargs)
+
+
+class Or:
+    def __init__(self, *conditions):
+        self.conditions = conditions
+        self.record_type = None
+
+    def compile(self, auth_index: AuthIndex | None = None) -> Column:
+        return reduce(lambda a, b: a | b,
+                      [_compile(c, self.record_type, auth_index) for c in self.conditions])
+
+
+class Raw:
+    """Raw passthrough predicate: a Column or SQL string."""
+
+    def __init__(self, predicate, *, record_type: str | None = None):
+        self.predicate = predicate
+        self.record_type = record_type
+
+    def compile(self, auth_index: AuthIndex | None = None) -> Column:
+        if isinstance(self.predicate, str):
+            return F.expr(self.predicate)
+        return self.predicate
+
+
+class TagOnly:
+    """Match value in ANY subfield of ``tag`` (reference query.py:779-825);
+    auth-controlled tags also match by xref expansion."""
+
+    def __init__(self, tag: str, value, *, record_type: str | None = None,
+                 modifier: str | None = None, auth_index: AuthIndex | None = None):
+        self.tag = tag
+        self.value = value
+        self.record_type = record_type or "bib"
+        self.modifier = modifier
+        self._auth_index = auth_index
+
+    def compile(self, auth_index: AuthIndex | None = None) -> Column:
+        idx = auth_index or self._auth_index
+        tag, value = self.tag, self.value
+        auth_ctrl = config.AUTHORITY_CONTROLLED[self.record_type]
+
+        def sub_value_match(f) -> Column:
+            return F.exists(f["subfields"], lambda s: _value_match(s["value"], value))
+
+        value_pred = F.exists("datafields",
+                              lambda f: (f["tag"] == F.lit(tag)) & sub_value_match(f))
+
+        xrefs: list[int] = []
+        if tag in auth_ctrl and idx is not None and not isinstance(value, Regex):
+            src = list(auth_ctrl[tag].values())[0]
+            xrefs = idx.xlookup_any_code(src, str(value))
+
+        xref_pred = (
+            F.exists("datafields",
+                     lambda f: (f["tag"] == F.lit(tag)) & F.exists(
+                         f["subfields"], lambda s: s["xref"].isin(xrefs)))
+            if xrefs else None
+        )
+
+        if self.modifier is None:
+            return value_pred | xref_pred if xref_pred is not None else value_pred
+        if self.modifier == "not":
+            out = ~value_pred
+            if xref_pred is not None:
+                out = out & ~xref_pred
+            return out
+        raise Exception("Invalid modifier")
+
+
+class Text:
+    """Free-text search over the whole record (reference query.py:698-751):
+    stemmed ``words`` containment, ``-word`` negation, ``"phrase"`` and
+    ``wild*`` regexes against the padded ``text`` column."""
+
+    def __init__(self, string: str = "", *, record_type: str | None = None,
+                 modifier: str | None = None):
+        self.string = string
+        self.record_type = record_type
+
+    def compile(self, auth_index: AuthIndex | None = None) -> Column:
+        quoted = re.findall(r'(".+?")', self.string)
+        negated = [m[1] for m in re.findall(r"(^|\s)(\-\w+)", self.string)]
+        starred = [w for w in re.split(r"\s+", self.string) if "*" in w]
+
+        remainder = self.string
+        for tok in negated + starred:
+            remainder = remainder.replace(tok, "")
+
+        words = [w for w in tokenize(remainder) if w not in TEXT_EXCLUDE]
+
+        preds: list[Column] = []
+        if negated:
+            neg_words = tokenize(" ".join(negated))
+            if not words:
+                raise Exception("Search term can't contain only negations")
+            preds.append(reduce(lambda a, b: a & b,
+                                [F.array_contains("words", w) for w in words]))
+            preds.append(reduce(lambda a, b: a & b,
+                                [~F.coalesce(F.array_contains("words", w), F.lit(False))
+                                 for w in neg_words]))
+        elif words:
+            preds.append(reduce(lambda a, b: a & b,
+                                [F.array_contains("words", w) for w in words]))
+
+        for q in quoted:
+            preds.append(F.col("text").rlike(rf"\s{scrub(q)}\s"))
+        for s in starred:
+            preds.append(F.col("text").rlike(" " + s.replace("*", ".*")))
+
+        if not preds:
+            return F.lit(True)
+        return reduce(lambda a, b: a & b, preds)
+
+
+class Query:
+    record_type: Optional[str] = None
+
+    def __init__(self, *conditions):
+        self.conditions = list(conditions)
+
+    def add_condition(self, *conditions):
+        self.conditions += conditions
+
+    def compile(self, auth_index: AuthIndex | None = None) -> Column:
+        if not self.conditions:
+            return F.lit(True)
+        preds = [_compile(c, self.record_type, auth_index) for c in self.conditions]
+        return reduce(lambda a, b: a & b, preds)
+
+    @classmethod
+    def from_string(cls, string: str, *, record_type: str | None = None,
+                    auth_index: AuthIndex | None = None) -> "Query":
+        from dlx_spark.marc.parser import parse_query_string
+        q = parse_query_string(string, record_type=record_type or cls.record_type or "bib",
+                               auth_index=auth_index)
+        return q
+
+
+class BibQuery(Query):
+    record_type = "bib"
+
+
+class AuthQuery(Query):
+    record_type = "auth"
+
+
+def _compile(cond, record_type: str | None, auth_index: AuthIndex | None) -> Column:
+    if getattr(cond, "record_type", None) is None and record_type:
+        cond.record_type = record_type
+    return cond.compile(auth_index)
+
+
+def compile_predicate(obj, record_type: str | None = None,
+                      auth_index: AuthIndex | None = None) -> Column:
+    """Compile any Query/Condition-family object (or list of them) to one
+    Spark Column predicate."""
+    if isinstance(obj, list):
+        obj = Query(*obj)
+    return _compile(obj, record_type, auth_index)
