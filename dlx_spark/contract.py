@@ -1,0 +1,678 @@
+"""The driver-contract query battery.
+
+One entry per operator category from SURVEY §2 plus the LLM-pipeline
+operators, each expressed over the driver's synthetic tables
+(``/root/testdata/sf*/``) so the DuckDB oracle can hash-check results.
+
+Conventions (the driver sorts columns by name and hashes values):
+
+- every computed column is aliased IDENTICALLY in the Spark query and
+  the oracle SQL;
+- floating aggregates are rounded (2–4 dp) on both sides so summation
+  order cannot flip the hash;
+- top-k queries carry total tiebreakers so the result SET is unique;
+- operators whose semantics are not SQL-expressible (minhash-LSH,
+  simhash, hyperplane-LSH ANN) have NO oracle entry → the driver records
+  the weaker rows-only check, by design.
+
+Each Spark query is written the way it should run at 100 TB: dimension
+joins broadcast, aggregations partial-aggregation friendly, window
+functions keyed by the natural partition key, scans projecting only the
+needed columns (Catalyst prunes to the parquet reader).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dlx_spark.operators import dedup, multimodal, similarity, textstats
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+# English stopword markers shared by the lang/quality queries
+_EN = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
+_FR = ("le", "la", "les", "de", "des", "et", "est", "dans", "pour", "que")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
+        # parquet reader rejects; read nanos as long and truncate to
+        # micros (exactly what DuckDB's reader does internally).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.2 — scans, filters, predicates
+# ---------------------------------------------------------------------------
+
+@query("from_query_filter", """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_discount > 0.05 AND l_returnflag = 'R'
+""")
+def from_query_filter(spark, sf):
+    """MarcSet.from_query: predicate scan with projection pushdown
+    (reference dlx/marc/__init__.py:78-128)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 45) & (F.col("l_discount") > 0.05)
+                  & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query("from_ids", """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_orderkey IN (1, 2, 3, 7, 32, 33, 34, 36, 38, 39)
+""")
+def from_ids(spark, sf):
+    """MarcSet.from_ids: {_id: {$in: ids}} (dlx/marc/__init__.py:141-143)."""
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey").isin([1, 2, 3, 7, 32, 33, 34, 36, 38, 39]))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+@query("sort_skip_limit", """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10 OFFSET 5
+""")
+def sort_skip_limit(spark, sf):
+    """sort/skip/limit kwargs (reference find passthrough,
+    dlx/scripts/build_logical_fields.py:79)."""
+    return (
+        _t(spark, sf, "part")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .offset(5).limit(10)
+    )
+
+
+@query("count_filtered", """
+    SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag = 'R'
+""")
+def count_filtered(spark, sf):
+    """MarcSet.count with filter (dlx/marc/__init__.py:330-351)."""
+    return (_t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@query("max_id", "SELECT max(o_orderkey) AS max_id FROM orders")
+def max_id(spark, sf):
+    """Marc.max_id (dlx/marc/__init__.py:474-483)."""
+    return _t(spark, sf, "orders").agg(F.max("o_orderkey").alias("max_id"))
+
+
+@query("distinct_values", "SELECT DISTINCT event_type FROM events")
+def distinct_values(spark, sf):
+    """distinct tag discovery (dlx/scripts/init_indexes.py:146-154)."""
+    return _t(spark, sf, "events").select("event_type").distinct()
+
+
+@query("date_range", """
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-02-01'
+""")
+def date_range(spark, sf):
+    """audit-date range semantics (created/updated, query.py:363-372):
+    ':' compiles to a [day, day+1) interval — same shape here."""
+    return (
+        _t(spark, sf, "orders")
+        .filter((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-02-01").cast("timestamp")))
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+@query("regex_match", """
+    SELECT doc_id FROM documents WHERE regexp_matches(text, '^key .*window')
+""")
+def regex_match(spark, sf):
+    """DSL /regex/ value form (query.py:118-150)."""
+    return (_t(spark, sf, "documents")
+            .filter(F.col("text").rlike("^key .*window")).select("doc_id"))
+
+
+@query("text_words_all", r"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text, '\bspark\b') AND regexp_matches(text, '\bquery\b')
+""")
+def text_words_all(spark, sf):
+    """Text words-$all containment (query.py:698-751) — word-boundary
+    match of every term."""
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike(r"\bspark\b") & F.col("text").rlike(r"\bquery\b"))
+        .select("doc_id")
+    )
+
+
+@query("text_negation", r"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text, '\bspark\b') AND NOT regexp_matches(text, '\bslow\b')
+""")
+def text_negation(spark, sf):
+    """Text -word negation ($nin, query.py:727-734)."""
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike(r"\bspark\b") & ~F.col("text").rlike(r"\bslow\b"))
+        .select("doc_id")
+    )
+
+
+@query("text_phrase", """
+    SELECT doc_id FROM documents WHERE text LIKE '%fast sort%'
+""")
+def text_phrase(spark, sf):
+    '''Text "phrase" match (regex on padded text, query.py:736-741).'''
+    return (_t(spark, sf, "documents")
+            .filter(F.col("text").contains("fast sort")).select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — joins
+# ---------------------------------------------------------------------------
+
+@query("lookup_join", """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity >= 49
+""")
+def lookup_join(spark, sf):
+    """Linked.value resolution: the read-time xref equi-join against a
+    dimension — broadcast hash join (dlx/marc/__init__.py:2698-2717)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
+    part = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "l_linenumber", "p_name", "p_brand")
+    )
+
+
+@query("exists_semijoin", """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""")
+def exists_semijoin(spark, sf):
+    """Auth.in_use / reverse xlookup as a semi-join
+    (dlx/marc/__init__.py:2091-2141)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "leftsemi")
+            .select("c_custkey", "c_name"))
+
+
+@query("not_exists_antijoin", """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def not_exists_antijoin(spark, sf):
+    """Condition not_exists modifier as an anti-join (query.py:676-686)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "leftanti")
+            .select("c_custkey", "c_name"))
+
+
+@query("multiway_join", """
+    SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+""")
+def multiway_join(spark, sf):
+    """multi-hop dimension join (the $lookup aggregation analog,
+    build_logical_fields.py:151-158) — dims broadcast, one shuffle for
+    the final aggregate."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — aggregation, windows, set ops
+# ---------------------------------------------------------------------------
+
+@query("agg_summary", """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def agg_summary(spark, sf):
+    """pricing-summary aggregate (TPC-H Q1 shape): map-side partial
+    aggregation into a 6-group shuffle — the canonical scale-safe agg."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+@query("group_counts", """
+    SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value
+    FROM events GROUP BY event_type
+""")
+def group_counts(spark, sf):
+    """calculate_auth_use: unwind→group→count (build_logical_fields.py:
+    218-252)."""
+    return (_t(spark, sf, "events").groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 2).alias("avg_value")))
+
+
+@query("latest_by_key", """
+    SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+""")
+def latest_by_key(spark, sf):
+    """latest_by_identifier_language: top-1 per key window
+    (dlx/file/__init__.py:295-304)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@query("topk_per_group", """
+    SELECT p_brand, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part) WHERE rn <= 3
+""")
+def topk_per_group(spark, sf):
+    """Auth.partial_lookup limit-k shape: top-k per group
+    (dlx/marc/__init__.py:1995-2041)."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        _t(spark, sf, "part")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@query("setops_except", """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""")
+def setops_except(spark, sf):
+    """Diff / $nin set semantics (dlx/marc/__init__.py:2235-2282)."""
+    o = _t(spark, sf, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)  # EXCEPT (distinct) semantics
+
+
+@query("setops_intersect", """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""")
+def setops_intersect(spark, sf):
+    o = _t(spark, sf, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query("union_sets", """
+    SELECT o_orderkey, 'big' AS bucket FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def union_sets(spark, sf):
+    """History.from_query union-across-collections shape."""
+    o = _t(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", F.lit("big").alias("bucket"))
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", F.lit("urgent").alias("bucket")))
+    return big.unionAll(urgent)
+
+
+@query("pivot_counts", """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+""")
+def pivot_counts(spark, sf):
+    """to_table pivot (dlx/marc/__init__.py:393-431) — explicit pivot
+    values so no discovery pass is needed."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+               ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed({"1-URGENT": "urgent", "2-HIGH": "high",
+                             "3-MEDIUM": "medium", "4-NOT SPECIFIED": "not_specified",
+                             "5-LOW": "low"})
+    )
+
+
+@query("json_extract", """
+    SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k
+    FROM events GROUP BY event_type
+""")
+def json_extract(spark, sf):
+    """from_json / dynamic-document field access (reference JMARC docs are
+    schemaless JSON; here: JSON props column)."""
+    return (
+        _t(spark, sf, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 2).alias("avg_k"))
+    )
+
+
+@query("sessionization", """
+    SELECT user_id, count(*) AS n_events,
+           CAST(1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM (
+        SELECT user_id,
+               date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+        FROM events)
+    GROUP BY user_id
+""")
+def sessionization(spark, sf):
+    """sessionization: gap > 30 min starts a new session — lag window +
+    conditional sum (the batch equivalent of session_window streaming)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf, "events")
+        .withColumn("gap_s", F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (1 + F.sum(F.when(F.col("gap_s") > 1800, 1).otherwise(0))).alias("n_sessions"))
+    )
+
+
+@query("windowed_agg", """
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts)
+""")
+def windowed_agg(spark, sf):
+    """tumbling event-time window aggregate (streaming §2.7 batch
+    equivalent)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (BASELINE.json north-star)
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", """
+    SELECT md5(substr(text, 1, 30)) AS digest, count(*) AS n_dups,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(substr(text, 1, 30)) HAVING count(*) > 1
+""")
+def dedup_exact(spark, sf):
+    """exact dedup: hash-groupBy on a content digest (prefix-30 so the
+    synthetic corpus actually contains collisions)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.substring("text", 1, 30)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@query("ngram_jaccard", """
+    WITH prepared AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+               lang, CAST(floor(log2(len(string_split(text, ' ')) + 1)) AS INTEGER) AS blk_len,
+               string_split(text, ' ')[1] AS blk_tok
+        FROM documents)
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(l.toks, r.toks))), 4) AS jaccard
+    FROM prepared l JOIN prepared r
+      ON l.lang = r.lang AND l.blk_len = r.blk_len AND l.blk_tok = r.blk_tok
+     AND l.doc_id < r.doc_id
+    WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.5
+""")
+def ngram_jaccard(spark, sf):
+    """n-gram (word-set) Jaccard near-dup: blocked self-join + exact
+    Jaccard ≥ 0.5.  Blocking keys (lang, log-length band, first token)
+    keep the join linear-ish at scale."""
+    docs = _t(spark, sf, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    prepared = docs.select(
+        F.col("doc_id"), toks.alias("toks"), F.col("lang"),
+        F.floor(F.log2(F.size(F.split("text", " ")) + 1)).cast("int").alias("blk_len"),
+        F.element_at(F.split("text", " "), 1).alias("blk_tok"),
+    )
+    l, r = prepared.alias("l"), prepared.alias("r")
+    jac = (F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks"))).cast("double")
+           / F.size(F.array_union(F.col("l.toks"), F.col("r.toks"))))
+    return (
+        l.join(r, on=[F.col("l.lang") == F.col("r.lang"),
+                      F.col("l.blk_len") == F.col("r.blk_len"),
+                      F.col("l.blk_tok") == F.col("r.blk_tok"),
+                      F.col("l.doc_id") < F.col("r.doc_id")])
+        .filter(jac >= 0.5)
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"),
+                F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("minhash_lsh")  # approximate by construction → rows-only check
+def minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup pairs (shingle → signature → banded buckets).
+    Not SQL-expressible → driver rows-only check; exactness is covered by
+    pytest against planted near-duplicates."""
+    docs = _t(spark, sf, "documents")
+    return dedup.minhash_near_duplicates(docs, threshold=0.5)
+
+
+@query("simhash")  # not SQL-expressible → rows-only check
+def simhash(spark, sf):
+    """SimHash near-dup pairs (64-bit fingerprint, banded hamming join)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=3)
+
+
+@query("cosine_topk", """
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+    FROM embeddings
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+    LIMIT 10
+""")
+def cosine_topk(spark, sf):
+    """brute-force cosine top-k: exact ANN baseline, JVM-side dot
+    products, TakeOrdered top-k (no global sort)."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = similarity.cosine_topk(emb, qvec, k=10)
+    return out.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
+
+
+@query("embedding_neardup", """
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.95
+""")
+def embedding_neardup(spark, sf):
+    """embedding-cosine near-dup pairs, blocked on the label column
+    (both sides block identically, so the oracle matches; at 100 TB the
+    blocking key becomes an LSH bucket — see operators.similarity)."""
+    emb = _t(spark, sf, "embeddings")
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                   F.col("label").alias("lbl"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                   F.col("label").alias("lbl"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    nrm = lambda c: f"sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    cos = F.expr(f"{dot} / (greatest({nrm('va')}, 1e-12) * greatest({nrm('vb')}, 1e-12))")
+    return (
+        l.join(r, on=[l["lbl"] == r["lbl"], F.col("id_a") < F.col("id_b")])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.95)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+@query("token_count", """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+""")
+def token_count(spark, sf):
+    """token counting (whitespace); the BPE-ish variant is
+    textstats.bpe_ish_tokens (pytest-covered)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query("lang_scores", f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> list_contains({list(_EN)}, t))) AS en_hits,
+           len(list_filter(string_split(text, ' '), t -> list_contains({list(_FR)}, t))) AS fr_hits
+    FROM documents
+""")
+def lang_scores(spark, sf):
+    """language-ID marker-word scores (the argmax variant is
+    textstats.language_id, pytest-covered)."""
+    docs = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    en = F.array(*[F.lit(m) for m in _EN])
+    fr = F.array(*[F.lit(m) for m in _FR])
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast("long").alias("en_hits"),
+        F.size(F.filter(toks, lambda t: F.array_contains(fr, t))).cast("long").alias("fr_hits"),
+    )
+
+
+@query("quality_score", f"""
+    SELECT doc_id, n_tokens,
+           round(alpha / greatest(n_chars, 1), 4) AS alpha_ratio,
+           round(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS stop_ratio,
+           round(tok_chars / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS mean_word_len
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+               len(list_filter(string_split(text, ' '), t -> list_contains({list(_EN)}, t))) AS stop_hits,
+               list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS tok_chars
+        FROM documents)
+""")
+def quality_score(spark, sf):
+    """document quality features: length, alpha ratio, stopword ratio,
+    mean word length — all exact column arithmetic."""
+    docs = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+    en = F.array(*[F.lit(m) for m in _EN])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double"), 4).alias("stop_ratio"),
+        F.round(tok_chars / F.greatest(n_tokens, F.lit(1)).cast("double"), 4).alias("mean_word_len"),
+    )
+
+
+@query("fingerprint_minhash_sketch")  # rows-only: winnowing sketch
+def fingerprint_minhash_sketch(spark, sf):
+    """document fingerprinting: winnowing sketch sizes per doc (the
+    sketch arrays themselves are pytest-covered)."""
+    docs = _t(spark, sf, "documents")
+    fp = textstats.fingerprint(docs)
+    return fp.select("id", F.size("fingerprint").alias("n_grams"))
+
+
+@query("multimodal_decode", """
+    SELECT doc_id, 'image' AS kind,
+           CAST(64 + octet_length(encode(text)) % 1984 AS INTEGER) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 1984 AS INTEGER) AS height,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+""")
+def multimodal_decode(spark, sf):
+    """multimodal plumbing: binary payload → metadata via mapInPandas
+    (decode kernel stubbed deterministically — see operators.multimodal)."""
+    docs = _t(spark, sf, "documents")
+    media = multimodal.synthetic_media(spark, docs)
+    return multimodal.decode_metadata(media)
+
+
+def entry_query(spark: SparkSession) -> DataFrame:
+    """Flagship: the pricing-summary aggregate at sf0.001."""
+    return agg_summary(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,5 @@
+"""Set-scale operators: deduplication, similarity search, text analysis,
+multimodal plumbing — the large-scale training-data-pipeline surface
+built on the same tokenizer/join machinery as the MARC engine."""
+
+from dlx_spark.operators import dedup, similarity, textstats, multimodal  # noqa: F401

@@ -1,0 +1,269 @@
+"""Deduplication operators.
+
+Four families, each designed for 100 TB-scale execution:
+
+- exact            — hash-groupBy on a content digest (one shuffle on the
+                     digest; partial aggregation keeps it light)
+- minhash + LSH    — shingle → minhash signature (pure map, all JVM-side
+                     expressions) → banded bucket join (shuffle only on
+                     (band, bucket-hash) keys, so candidate generation is
+                     linear, never O(n²))
+- simhash          — per-row fingerprint via one Arrow-batched pandas UDF
+                     (no shuffle at all for fingerprinting; hamming-join
+                     by rotating band keys for candidates)
+- n-gram Jaccard   — blocked self-join on cheap keys, exact Jaccard on
+                     token sets for verification
+
+All operators take/return DataFrames and never collect to the driver.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
+
+# a large 32-bit prime for the minhash permutation family
+_MERSENNE = (1 << 31) - 1
+
+
+def normalized_text(col):
+    """lower + collapse punctuation/whitespace — the canonical form used
+    by every dedup family so they agree on what 'same content' means."""
+    return F.trim(F.regexp_replace(F.lower(col), PUNCT_CLASS_JAVA + "+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates by md5 of normalized text.
+
+    Returns (digest, n_dups, keep_id, dup_ids): one row per duplicated
+    digest; ``keep_id`` = min id (the canonical survivor).
+    Single shuffle on the digest key; md5 is computed JVM-side.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(normalized_text(F.col(text_col))).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.min("id").alias("keep_id"),
+             F.sort_array(F.collect_list("id")).alias("dup_ids"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct normalized text: the
+    hash-groupBy dedup. Implemented as a window-free min-id semi-join so
+    partial aggregation applies."""
+    keep = (
+        df.select(F.col(id_col).alias("_kid"), F.md5(normalized_text(F.col(text_col))).alias("_digest"))
+        .groupBy("_digest").agg(F.min("_kid").alias("_kid"))
+    )
+    return df.join(keep, on=F.col(id_col) == F.col("_kid"), how="leftsemi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, sh: array<int>) — word n-gram shingles as 32-bit hashes.
+    Pure projection (JVM expressions only)."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.split(normalized_text(F.col(text_col)), " ").alias("toks"))
+        .withColumn("sh", F.expr(f"""
+            array_distinct(transform(
+                sequence(0, greatest(size(toks) - {n}, 0)),
+                i -> hash(array_join(slice(toks, i + 1, {n}), ' '))))
+        """))
+        .select("id", "sh")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 64, shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>) — minhash signature per row.
+
+    The permutation family h_i(x) = (a_i·x + b_i) mod p is generated
+    deterministically from ``seed``; each signature element is an
+    ``array_min`` over the shingle hashes — a pure projection, no
+    shuffle, whole-stage codegen all the way.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes).tolist()
+    b = rng.randint(0, _MERSENNE, size=num_hashes).tolist()
+
+    # explode shingles once and compute the 64 permutation minima as
+    # partial-aggregation-friendly min() aggregates: map-side combine
+    # shrinks each partition to one row per id before the (light) shuffle
+    exploded = word_shingles(df, text_col, id_col, shingle_n).select(
+        "id", F.explode_outer("sh").alias("x")).withColumn(
+        "xu", F.expr("coalesce(x & 4294967295, 0)"))
+    aggs = [
+        F.min(F.expr(f"pmod({ai}L * xu + {bi}L, {_MERSENNE}L)")).alias(f"h{i}")
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ]
+    sigged = exploded.groupBy("id").agg(*aggs)
+    return sigged.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` slices, bucket-join
+    on (band_idx, slice-hash).  Returns candidate (id_a, id_b) pairs
+    (id_a < id_b), deduplicated.
+
+    The only shuffle keys are the band buckets — identical rows collide,
+    unrelated rows almost never do, so this stays near-linear at 100 TB
+    (skewed mega-buckets are handled by AQE skew splitting).
+    """
+    banded = signatures.select(
+        "id",
+        F.posexplode(F.expr(f"""
+            transform(sequence(0, {bands - 1}),
+                      b -> hash(slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands})))
+        """)).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, on=[F.col("l.band") == F.col("r.band"),
+                             F.col("l.bucket") == F.col("r.bucket"),
+                             F.col("l.id") < F.col("r.id")])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                            num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+                            threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by estimated Jaccard
+    (fraction of agreeing signature components ≥ threshold).
+    Returns (id_a, id_b, est_jaccard)."""
+    # the signature relation feeds three plan branches (banding + both
+    # sides of the verify join): cache it so the 64-hash projection runs
+    # once, not three times
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
+    cands = lsh_candidate_pairs(sigs, bands)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("est_jaccard", F.expr(
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hash64(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        data = tok.encode("utf-8")
+        h = (zlib.crc32(data) << 32) | zlib.crc32(data[::-1] + b"\x01")
+        if len(_TOKEN_HASH_CACHE) < 1_000_000:
+            _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash of whitespace tokens (crc32 ⊕ crc32(reversed) for
+    64 bits per token).  Bit-majority is vectorized with numpy per row;
+    token hashes are memoized per executor.  The whole fingerprint stage
+    is a map — zero shuffle."""
+    bit_idx = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row_i, t in enumerate(texts):
+        if not t:
+            continue
+        hashes = np.fromiter((_token_hash64(tok) for tok in t.lower().split()),
+                             dtype=np.uint64)
+        if hashes.size == 0:
+            continue
+        bits = (hashes[:, None] >> bit_idx) & np.uint64(1)      # (n_tok, 64)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)       # ±1 majority
+        fp = int(((acc > 0).astype(np.uint64) << bit_idx).sum())
+        out[row_i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+    return pd.Series(out)
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: 4 × 16-bit band keys — two fingerprints within
+    hamming 3 must agree on at least one band (pigeonhole), so the join
+    is an equi-join on (band, 16-bit slice), never a cross join."""
+    # fingerprints feed both sides of the candidate join: cache so the
+    # pandas-UDF stage runs once
+    fps = simhash_fingerprints(df, text_col, id_col).cache()
+    banded = fps.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("band", "key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, on=[F.col("l.band") == F.col("r.band"),
+                      F.col("l.key") == F.col("r.key"),
+                      F.col("l.id") < F.col("r.id")])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.simhash").alias("fp_a"), F.col("r.simhash").alias("fp_b"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5, block_on_lang: str | None = "lang") -> DataFrame:
+    """Exact word-set Jaccard over a blocked self-join.
+
+    Blocking key: (language, length bucket, first token) — cheap,
+    high-precision blocking that keeps the join linear-ish.  Exact
+    Jaccard via array_intersect/array_union on distinct token arrays.
+    Returns (id_a, id_b, jaccard ≥ threshold)."""
+    toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+    prepared = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"),
+        (F.col(block_on_lang) if block_on_lang else F.lit("x")).alias("blk_lang"),
+        F.floor(F.log2(F.size(toks) + 1)).alias("blk_len"),
+        F.element_at(toks, 1).alias("blk_tok"),
+    )
+    l, r = prepared.alias("l"), prepared.alias("r")
+    return (
+        l.join(r, on=[F.col("l.blk_lang") == F.col("r.blk_lang"),
+                      F.col("l.blk_len") == F.col("r.blk_len"),
+                      F.col("l.blk_tok") == F.col("r.blk_tok"),
+                      F.col("l.id") < F.col("r.id")])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                (F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks"))) /
+                 F.size(F.array_union(F.col("l.toks"), F.col("r.toks")))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

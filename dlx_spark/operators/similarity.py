@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``      — brute-force exact top-k: a broadcast of the query
+                         vector, JVM-side dot products via fused
+                         ``aggregate(zip_with(...))``, and a global top-k
+                         that aggregates per-partition heaps (orderBy+limit
+                         is optimized by Spark into TakeOrdered — no full
+                         sort shuffle).
+- ``lsh_buckets`` /
+  ``lsh_topk``         — random-hyperplane LSH: sign-bit signatures as a
+                         bucket key; probes search only matching buckets.
+                         This is the 100 TB path: the scan prunes to
+                         matching buckets (partition the table by bucket
+                         at write time to get partition pruning).
+- ``knn_join``         — k nearest neighbors for EVERY row of a probe set
+                         (bucketed equi-join + per-group top-k window).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cosine_expr(vec_col: str, query: list[float]):
+    """Cosine similarity between a column and a literal query vector,
+    entirely in JVM expressions (no UDF)."""
+    q = np.asarray(query, dtype=np.float64)
+    qnorm = float(np.linalg.norm(q))
+    qlit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in q.tolist()) + ")"
+    dot = f"aggregate(zip_with({vec_col}, {qlit}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    vnorm = f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    return F.expr(f"{dot} / (greatest({vnorm}, 1e-12) * {qnorm if qnorm > 0 else 1e-12})")
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k rows by cosine similarity to ``query``.
+    Returns (id, cosine) ordered best-first."""
+    return (
+        df.select(F.col(id_col).alias("id"), _cosine_expr(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(size=(n_planes, dim))
+
+
+def _signature_expr(vec_col: str, planes: np.ndarray):
+    """Sign-bit signature of a vector column vs fixed hyperplanes, as one
+    integer bucket key — pure JVM expressions."""
+    bits = []
+    for i, plane in enumerate(planes):
+        plit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in plane.tolist()) + ")"
+        dot = f"aggregate(zip_with({vec_col}, {plit}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i}L ELSE 0L END)")
+    return F.expr(" + ".join(bits))
+
+
+def lsh_buckets(df: DataFrame, n_planes: int = 16, seed: int = 42,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector a random-hyperplane bucket (id, bucket, vec).
+    At scale, write this out partitioned/bucketed by ``bucket`` so probe
+    queries prune partitions."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    return df.select(F.col(id_col).alias("id"),
+                     _signature_expr(vec_col, planes).alias("bucket"),
+                     F.col(vec_col).alias("vec"))
+
+
+def lsh_topk(df: DataFrame, query: list[float], k: int = 10, n_planes: int = 8,
+             seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id",
+             multiprobe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: search only buckets within ``multiprobe_hamming``
+    bit flips of the query's bucket.  With 8 planes and hamming 1 this
+    scans ~9/256 of the data."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = hyperplanes(len(q), n_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(plane @ q) > 0:
+            qsig |= 1 << i
+    probe = {qsig}
+    for h in range(multiprobe_hamming):
+        probe |= {s ^ (1 << i) for s in list(probe) for i in range(n_planes)}
+
+    bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                         _signature_expr(vec_col, planes).alias("bucket"))
+    return (
+        bucketed.filter(F.col("bucket").isin(sorted(probe)))
+        .select("id", _cosine_expr("vec", query.tolist() if hasattr(query, "tolist") else list(query)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def knn_join(probes: DataFrame, corpus: DataFrame, k: int = 5,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_planes: int = 6, seed: int = 42) -> DataFrame:
+    """For every probe row, its k nearest corpus rows by cosine.
+
+    Bucketed equi-join on hyperplane signatures (both sides computed
+    map-side) + per-probe top-k window.  Approximate: only same-bucket
+    candidates are ranked; raise n_planes for precision/speed trade."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"),
+                      _signature_expr(vec_col, planes).alias("bucket"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"),
+                      _signature_expr(vec_col, planes).alias("bucket"))
+    dot = "aggregate(zip_with(pvec, cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    norm = lambda v: f"sqrt(aggregate({v}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    joined = (
+        p.join(c, "bucket")
+        .filter(F.col("probe_id") != F.col("corpus_id"))
+        .withColumn("cosine", F.expr(f"{dot} / (greatest({norm('pvec')}, 1e-12) * greatest({norm('cvec')}, 1e-12))"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "corpus_id", "cosine", "rank")
+    )

@@ -1,0 +1,126 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.  All pure JVM column expressions (codegen-
+friendly, no Python in the hot path) so they hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
+from dlx_spark.operators.dedup import normalized_text
+
+# the punctuation class escaped for embedding inside a SQL string literal
+_PUNCT_SQL = PUNCT_CLASS_JAVA.replace("\\", "\\\\") + "+"
+
+# Tiny per-language marker-word lists for the n-gram/stopword language
+# heuristic.  Deliberately minimal and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "de", "y", "es", "en", "que", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+}
+
+
+def tokens_col(col: Column) -> Column:
+    """Whitespace/punctuation tokens of normalized text."""
+    return F.filter(F.split(normalized_text(col), " "), lambda t: t != "")
+
+
+def bpe_ish_tokens(col_name: str) -> Column:
+    """A BPE-ish token proxy: alphabetic runs, single digits, and single
+    symbols — the way byte-pair encoders fragment text.  One regexp
+    extraction, JVM-side.  Takes a column NAME (embedded in SQL)."""
+    return F.expr(
+        rf"regexp_extract_all(lower({col_name}), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)"
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_chars): whitespace token count + char count."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens_col(F.col(text_col))).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def language_scores(col: Column) -> list[tuple[str, Column]]:
+    toks = tokens_col(col)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        out.append((lang, score))
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, lang_pred, lang_score): argmax of marker-word hits.
+    Deterministic tie-break: higher score wins, then language code order."""
+    scores = language_scores(F.col(text_col))
+    pairs = F.array(*[F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+                      for lang, s in scores])
+    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(best["lang"], F.lit("und")).alias("lang_pred"),
+        F.coalesce(best["score"], F.lit(0)).alias("lang_score"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + composite score in [0, 1]:
+    length band, alpha ratio, punctuation ratio, stopword presence,
+    mean word length band.  All ratios are exact column arithmetic."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(
+        F.array(*[F.lit(m) for m in LANG_MARKERS["en"]]), t)))
+
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    mean_word_len = (F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                     / F.greatest(n_tokens, F.lit(1)))
+
+    len_band = F.when((n_tokens >= 5) & (n_tokens <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wl_band = F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (0.3 * len_band + 0.3 * alpha_ratio + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
+             + 0.1 * (1 - F.least(punct_ratio * 10, F.lit(1.0))) + 0.1 * wl_band)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum 32-bit hash over
+    each sliding window of token hashes, distinct.  (id, fingerprint:
+    array<int>).  Pure projection — robust to small edits, usable as a
+    near-dup sketch or for substring-level matching."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(F.expr(f"""
+            transform(
+                sequence(0, greatest(size(filter(split(trim(regexp_replace(lower({text_col}),
+                    '{_PUNCT_SQL}', ' ')), ' '), t -> t != '')) - {window}, 0)),
+                i -> array_min(transform(
+                    slice(filter(split(trim(regexp_replace(lower({text_col}),
+                        '{_PUNCT_SQL}', ' ')), ' '), t -> t != ''), i + 1, {window}),
+                    t -> hash(t))))
+        """))).alias("fingerprint"),
+    )

@@ -1,0 +1,144 @@
+"""LLM-pipeline operator tests: planted duplicates/neighbors with known
+expected results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlx_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight")
+    near = base.replace("tonight", "today")          # 1-word edit
+    other = "completely different content about spark query engines and shuffles"
+    rows = [
+        (1, base, "en", "s1", len(base)),
+        (2, base, "en", "s2", len(base)),            # exact dup of 1
+        (3, near, "en", "s3", len(near)),            # near dup of 1
+        (4, other, "en", "s4", len(other)),
+        (5, "short text", "en", "s5", 10),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1
+    assert groups[0]["dup_ids"] == [1, 2]
+
+    kept = dedup.dedup_exact(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_near_duplicates(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # identical docs
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5   # near dup
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_simhash_near_duplicates(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_near_duplicates(docs, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.8
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05, 0.0], 1),  # close to 2
+        (4, [-1.0, 0.0, 0.0, 0.0], 2),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk(spark, vectors):
+    out = similarity.cosine_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r.id for r in out] == [0, 1, 2]
+    assert out[0].cosine == pytest.approx(1.0)
+    assert out[1].cosine == pytest.approx(0.9 / (0.81 + 0.01) ** 0.5, rel=1e-6)
+
+
+def test_lsh_topk_contains_exact_best(spark, vectors):
+    out = similarity.lsh_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=2,
+                              n_planes=4, multiprobe_hamming=2)
+    ids = [r.id for r in out.collect()]
+    assert ids[0] == 0
+
+
+def test_knn_join(spark, vectors):
+    out = similarity.knn_join(vectors, vectors, k=2, n_planes=2).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r.corpus_id)
+    # vector 1's nearest same-bucket neighbor must include 0
+    assert 0 in by_probe.get(1, [])
+
+
+def test_token_count(spark, docs):
+    rows = {r.id: (r.n_tokens, r.n_chars) for r in textstats.token_count(docs).collect()}
+    assert rows[5] == (2, 10)
+    assert rows[1][0] == len(docs.filter("doc_id=1").first()["text"].split())
+
+
+def test_language_id(spark, docs):
+    rows = {r.id: r.lang_pred for r in textstats.language_id(docs).collect()}
+    assert rows[1] == "en"  # 'the', 'and' markers present
+    assert rows[5] == "und"  # no markers
+
+
+def test_quality_score(spark, docs):
+    rows = {r.id: r for r in textstats.quality_score(docs).collect()}
+    assert 0.0 <= rows[1].quality <= 1.0
+    assert rows[1].stop_ratio > 0
+    assert rows[1].alpha_ratio > 0.7
+
+
+def test_fingerprint(spark, docs):
+    rows = {r.id: list(r.fingerprint) for r in textstats.fingerprint(docs, window=4).collect()}
+    assert rows[1] == sorted(set(rows[1]))  # distinct sorted sketch
+    # identical docs -> identical sketches; near dup -> high overlap
+    assert rows[1] == rows[2]
+    common = set(rows[1]) & set(rows[3])
+    assert len(common) / len(set(rows[1]) | set(rows[3])) > 0.5
+
+
+def test_multimodal_pipeline(spark, docs):
+    media = multimodal.synthetic_media(spark, docs)
+    meta = {r.doc_id: r for r in multimodal.decode_metadata(media).collect()}
+    text1 = docs.filter("doc_id=1").first()["text"]
+    assert meta[1].n_bytes == len(text1.encode())
+    assert meta[1].width == 64 + meta[1].n_bytes % 1984
+    assert meta[1].digest == __import__("hashlib").md5(text1.encode()).hexdigest()
+
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert all(len(r.features) == 8 for r in feats)
+    by_id = {r.doc_id: list(r.features) for r in feats}
+    assert by_id[1] == by_id[2]  # deterministic: same payload, same features
+
+    frames = multimodal.sample_frames(media, every_ms=500)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in per_doc)
+
+
+def test_multimodal_strict_mode(spark, docs):
+    media = multimodal.synthetic_media(spark, docs)
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        multimodal.decode_metadata(media, strict=True).collect()
