@@ -1,0 +1,539 @@
+"""The search-string grammar: ``Query.from_string``.
+
+Grammar preserved from the reference (``/root/reference/dlx/marc/
+query.py:20-524``):
+
+- tokenizer honoring ``'…'`` exact quotes, ``"…"`` phrases and ``/…/``
+  regexes while splitting on AND/OR/NOT;
+- term shapes, tried in order: fully-qualified ``245__a:val``, tag-only
+  ``245:val``, ``id:n``, audit dates ``created>2020-01-01`` (``:`` means
+  same-day range), audit users, ``xref:n``, logical fields
+  (``title:...``, with aliases s/heading/meeting date/meeting record),
+  and bare free text;
+- value forms: ``'exact'``, ``/regex/`` (+``i``), ``wild*card`` →
+  anchored regex, ``*`` existence, ``"phrase"``, ``-negated``, plain
+  stemmed-AND words;
+- boolean assembly: NOT folds into the next term (only after AND/OR,
+  not at end, not on free text), consecutive ORs collapse into one
+  ``Or``, everything else ANDs (no precedence grammar — reference
+  parity).
+
+The CRUCIAL redesign (SURVEY §3.1): the reference's parser eagerly runs
+semi-joins against ``_index_{tag}`` side collections and embeds the
+matched value lists in the filter.  Here every term compiles to a PURE
+program — a Column predicate or a lazy semi-join against the engine's
+tokenized exploded view (``QueryContext``) — and Spark executes the
+joins inside the plan.  Same match semantics, no 1 MB value-list cliff.
+
+Error cases preserved: unresolved quotes / unclosed regex, NOT placement
+rules, only-negation text, unknown field names, non-numeric id/xref.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dlx_spark import config
+from dlx_spark.functions.tokenizer import scrub, tokenize
+from dlx_spark.marc import query as q
+from dlx_spark.marc.record import AuthIndex
+
+
+class InvalidQueryString(Exception):
+    pass
+
+
+class WildcardRegex(q.Regex):
+    pass
+
+
+LOGICAL_FIELD_ALIASES = {
+    "s": "symbol",
+    "heading": "subject",
+    "meeting date": "date",
+    "meeting record": "symbol",
+}
+
+
+# ---------------------------------------------------------------------------
+# Execution context: the views join-based terms execute against
+# ---------------------------------------------------------------------------
+
+class QueryContext:
+    """Holds the DataFrames a compiled query may join against:
+
+    - ``df``: the canonical nested record DataFrame (with derived
+      ``words``/``text`` and logical-field columns when available)
+    - ``subfield_tokens()``: (record_id, tag, code, value, toks) — the
+      engine's replacement for the reference's ``_index_{tag}``
+      side collections, derived lazily and cached per context
+    - ``auth_index``: the in-process authority dimension
+    """
+
+    def __init__(self, df: DataFrame, record_type: str = "bib",
+                 auth_index: AuthIndex | None = None,
+                 headings: DataFrame | None = None):
+        self.df = df
+        self.record_type = record_type
+        self.auth_index = auth_index
+        self.headings = headings
+        self._subfield_tokens: DataFrame | None = None
+
+    def subfield_tokens(self) -> DataFrame:
+        if self._subfield_tokens is None:
+            from dlx_spark.functions.tokenizer import tokenize_udf
+            from dlx_spark.marc import dataframe as mdf
+            ex = mdf.explode_subfields(self.df, self.record_type)
+            if self.headings is not None:
+                base = self.headings.filter(F.col("lang").isNull()).select(
+                    "auth_id", F.col("code").alias("h_code"), F.col("value").alias("h_value"))
+                ex = (ex.join(F.broadcast(base),
+                              on=[ex["xref"] == base["auth_id"], ex["code"] == base["h_code"]],
+                              how="left")
+                      .withColumn("value", F.coalesce("h_value", "value"))
+                      .drop("auth_id", "h_code", "h_value"))
+            self._subfield_tokens = (
+                ex.filter(F.col("value").isNotNull())
+                .select("record_id", "tag", "code", "value",
+                        tokenize_udf(F.col("value")).alias("toks"),
+                        F.lower(F.col("value")).alias("value_lc"))
+                .cache()
+            )
+        return self._subfield_tokens
+
+
+# ---------------------------------------------------------------------------
+# Join-based condition: matches records via a semi-join on ids
+# ---------------------------------------------------------------------------
+
+class SubfieldTextSearch:
+    """Fielded text/regex search (``245__a:words`` / ``245:/rx/``): the
+    per-subfield-value stemmed-containment semantics of the reference's
+    index-collection expansion (query.py:112-348), expressed as a lazy
+    semi-join.  ``code=None`` means any subfield of the tag."""
+
+    def __init__(self, tag: str, code: str | None, value, *, modifier: str | None = None,
+                 record_type: str | None = None):
+        self.tag, self.code, self.value = tag, code, value
+        self.modifier = modifier
+        self.record_type = record_type or "bib"
+
+    def matching_value_rows(self, ctx: QueryContext) -> DataFrame:
+        rows = ctx.subfield_tokens().filter(F.col("tag") == self.tag)
+        if self.code is not None:
+            rows = rows.filter(F.col("code") == self.code)
+
+        value = self.value
+        if isinstance(value, q.Regex):
+            flags = f"(?{value.flags})" if value.flags else ""
+            return rows.filter(F.col("value").rlike(flags + value.pattern))
+
+        # text mode: quoted phrases + negations + stemmed containment
+        raw = value
+        quoted = [scrub(x) for x in re.findall(r'"(.+?)"', raw)]
+        negated = [m[1] for m in re.findall(r"(^|\s)(\-\w+)", raw)]
+        for tok in negated:
+            raw = raw.replace(tok, "")
+            if not raw.strip():
+                raise InvalidQueryString("Search term can't contain only negations")
+        terms = tokenize(raw)
+        neg_terms = tokenize(" ".join(scrub(x) for x in negated))
+
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains("toks", t)
+        for t in neg_terms:
+            cond = cond & ~F.array_contains("toks", t)
+        for ph in quoted:
+            cond = cond & F.col("value_lc").rlike(rf"\b{re.escape(ph)}\b")
+        return rows.filter(cond)
+
+    def matching_ids(self, ctx: QueryContext) -> DataFrame:
+        matched = self.matching_value_rows(ctx)
+        ids = matched.select("record_id").distinct()
+
+        # auth-controlled expansion: records linking (by xref) to auths
+        # whose heading matches the same values
+        auth_ctrl = config.AUTHORITY_CONTROLLED[self.record_type]
+        if self.tag in auth_ctrl and ctx.auth_index is not None:
+            src = list(auth_ctrl[self.tag].values())[0]
+            values = [r["value"] for r in matched.select("value").distinct().collect()]
+            xrefs: set[int] = set()
+            for v in values:
+                xrefs.update(ctx.auth_index.xlookup_any_code(src, v))
+            if xrefs:
+                def has_xref(f):
+                    return (f["tag"] == self.tag) & F.exists(
+                        f["subfields"], lambda s: s["xref"].isin(sorted(xrefs)))
+                xref_ids = (ctx.df.filter(F.exists("datafields", has_xref))
+                            .select(F.col("_id").alias("record_id")))
+                ids = ids.union(xref_ids).distinct()
+        return ids
+
+    def apply(self, df: DataFrame, ctx: QueryContext) -> DataFrame:
+        ids = self.matching_ids(ctx)
+        how = "leftanti" if self.modifier == "not" else "leftsemi"
+        return df.join(ids, df["_id"] == ids["record_id"], how)
+
+
+class LogicalFieldSearch:
+    """Logical-field term (``title:...``): predicate over the derived
+    array<string> column (query.py:402-466)."""
+
+    def __init__(self, field: str, value, *, modifier: str | None = None):
+        self.field, self.value, self.modifier = field, value, modifier
+
+    def element_pred(self, value):
+        if isinstance(value, q.Regex):
+            flags = f"(?{value.flags})" if value.flags else ""
+            return lambda v: v.rlike(flags + value.pattern)
+        if isinstance(value, str) and value.startswith("'") and value.endswith("'") and len(value) > 1:
+            exact = scrub(value[1:-1])
+            from dlx_spark.functions.tokenizer import scrub_col
+            return lambda v: scrub_col(v) == F.lit(exact)
+        # text: stemmed containment per value
+        raw = value
+        quoted = [scrub(x) for x in re.findall(r'"(.+?)"', raw)]
+        negated = [m[1] for m in re.findall(r"(^|\s)(\-\w+)", raw)]
+        for tok in negated:
+            raw = raw.replace(tok, "")
+            if not raw.strip():
+                raise InvalidQueryString("Search term can't contain only negations")
+        terms = tokenize(raw)
+        neg_terms = tokenize(" ".join(scrub(x) for x in negated))
+
+        def pred(v):
+            from dlx_spark.functions.tokenizer import scrub_col
+            norm = scrub_col(v)
+            c = F.lit(True)
+            for t in terms:
+                c = c & norm.rlike(rf"(^|\s){re.escape(t)}")
+            for t in neg_terms:
+                c = c & ~norm.rlike(rf"(^|\s){re.escape(t)}(\s|$)")
+            for ph in quoted:
+                c = c & norm.rlike(rf"\b{re.escape(ph)}\b")
+            return c
+        return pred
+
+    def compile(self, auth_index=None) -> Column:
+        col = F.col(self.field)
+        if self.value == "*":
+            present = col.isNotNull() & (F.size(col) > 0)
+            return ~present if self.modifier == "not" else present
+        pred = F.exists(col, self.element_pred(self.value))
+        pred = F.coalesce(pred, F.lit(False))
+        return ~pred if self.modifier == "not" else pred
+
+
+# stemmed-prefix note: logical-field text mode matches stems as PREFIXES
+# of the scrubbed value words (stem 'report' matches 'reports'), which is
+# how Porter stems relate to their source words in the common case.  The
+# subfield-level search (SubfieldTextSearch) uses true stemmed equality.
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer (state machine preserved from the reference)
+# ---------------------------------------------------------------------------
+
+def tokenize_query(string: str) -> list[str]:
+    tokens: list[str] = []
+    buffer = ""
+    in_single = in_double = in_regex = False
+
+    for i, char in enumerate(string):
+        buffer += char
+        if len(buffer) > 1 and buffer[-2:] == "':" and not in_single:
+            in_single = True
+        elif char == "'":
+            in_single = False
+        elif char == "/" and i > 0 and string[i - 1] == ":":
+            in_regex = True
+        elif char == "/" and (i == 0 or string[i - 1] != "\\"):
+            in_regex = False
+        elif char == '"':
+            if not in_single and not in_regex:
+                in_double = not in_double
+
+        if not in_single and not in_double and not in_regex:
+            match = re.match(r"^(.*)(^|\s)(AND|OR|NOT)\s$", buffer)
+            if match:
+                term, operator = match.group(1, 3)
+                term = term.strip()
+                if term and (not tokens or tokens[-1] != term):
+                    tokens.append(term)
+                tokens.append(operator)
+                buffer = ""
+
+    tokens.append(buffer.strip())
+    tokens = [t for t in tokens if t]
+
+    if in_single or in_double:
+        raise InvalidQueryString("Unresolved quotes")
+    if in_regex:
+        raise InvalidQueryString("Unclosed regex")
+    return tokens
+
+
+def _is_regex(token: str) -> bool:
+    for left, right in [("/", "/"), ("\\", "\\"), ("`", "`")]:
+        if token[0] == left and (token[-1] == right
+                                 or (len(token) > 1 and token[-2] == right and token[-1] == "i")):
+            return True
+        if token[0] == left:
+            raise InvalidQueryString(f'Invalid regex: "{token}"')
+    return False
+
+
+def process_string(value: str):
+    """Convert a term value to Regex / WildcardRegex / plain string."""
+    if value and _is_regex(value):
+        if value[-1] == "i":
+            return q.Regex(value[1:-2], "i")
+        return q.Regex(value[1:-1])
+    if "*" in value:
+        if value == "*":
+            return "*"
+        parts = [re.escape(p) for p in value.split("*")]
+        pattern = ".*".join(parts)
+        if not pattern.startswith(".*"):
+            pattern = "^" + pattern
+        if not pattern.endswith(".*"):
+            pattern = pattern + "$"
+        return WildcardRegex(pattern)
+    return value
+
+
+# ---------------------------------------------------------------------------
+# Term parser
+# ---------------------------------------------------------------------------
+
+def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
+               modifier: str | None = None):
+    # fully qualified: TAG + 2 indicator chars + code
+    if match := re.match(r"(\d{3})(.)(.)([a-z0-9]):(.*)", token):
+        tag, _ind1, _ind2, code, value = match.group(1, 2, 3, 4, 5)
+        value = process_string(value)
+
+        if value == "*":
+            def code_exists(f):
+                return (f["tag"] == tag) & F.exists(f["subfields"], lambda s: s["code"] == code)
+            pred = F.exists("datafields", code_exists)
+            return q.Raw(~pred if modifier == "not" else pred)
+
+        if not isinstance(value, q.Regex):
+            if value[0] == "'" and value[-1] == "'" and len(value) > 1:
+                return q.Condition(tag, {code: value[1:-1]}, modifier=modifier,
+                                   record_type=record_type)
+            if value[0] == "'":
+                raise InvalidQueryString(f'Invalid exact match using single quote: "{token}"')
+
+        return SubfieldTextSearch(tag, code, value, modifier=modifier,
+                                  record_type=record_type)
+
+    # tag-only
+    if match := re.match(r"(\d{3}):(.*)", token):
+        tag, value = match.group(1, 2)
+
+        if tag == "001":
+            try:
+                n = int(value)
+            except ValueError:
+                raise InvalidQueryString("ID must be a number")
+            return q.Raw(F.col("_id") == n)
+        if tag[:2] == "00":
+            val = process_string(value)
+            if tag == "000":
+                pred = (F.col("leader").rlike(val.java_pattern())
+                        if isinstance(val, q.Regex) else (F.col("leader") == val))
+            else:
+                def make_cf_match(t, v):
+                    def cf_match(f):
+                        m = (f["value"].rlike(v.java_pattern())
+                             if isinstance(v, q.Regex) else (f["value"] == v))
+                        return (f["tag"] == t) & m
+                    return cf_match
+                pred = F.exists("controlfields", make_cf_match(tag, val))
+            return q.Raw(pred)
+
+        value = process_string(value)
+        if value == "*":
+            tag_exists = F.exists("datafields", lambda f: f["tag"] == tag)
+            return q.Raw(~tag_exists if modifier == "not" else tag_exists)
+
+        if not isinstance(value, q.Regex):
+            if value[0] == "'" and value[-1] == "'" and len(value) > 1:
+                return q.TagOnly(tag, value[1:-1], modifier=modifier,
+                                 record_type=record_type, auth_index=auth_index)
+            if value[0] == "'":
+                raise InvalidQueryString(f'Invalid exact match using single quote: "{token}"')
+
+        return SubfieldTextSearch(tag, None, value, modifier=modifier,
+                                  record_type=record_type)
+
+    # id
+    if match := re.match(r"id:(.*)", token):
+        if modifier:
+            raise InvalidQueryString(f'modifier "{modifier}" not valid for ID search')
+        try:
+            n = int(match.group(1))
+        except ValueError:
+            raise InvalidQueryString("ID must be a number")
+        return q.Raw(F.col("_id") == n)
+
+    # audit dates
+    if match := re.match(r"(created|updated)([:<>])(.*)", token):
+        field, op, value = match.group(1, 2, 3)
+        try:
+            date = datetime.strptime(value, "%Y-%m-%d")
+        except ValueError:
+            raise InvalidQueryString(f'Invalid date "{value}" (expected YYYY-MM-DD)')
+        col = F.col(field)
+        if op == "<":
+            return q.Raw(col <= F.lit(date))
+        if op == ">":
+            return q.Raw(col >= F.lit(date))
+        return q.Raw((col >= F.lit(date)) & (col <= F.lit(date + timedelta(days=1))))
+
+    # audit users
+    if match := re.match(r"(created_user|user):(.*)", token):
+        field, value = match.group(1, 2)
+        val = process_string(value)
+        if isinstance(val, q.Regex):
+            return q.Raw(F.col(field).rlike(val.java_pattern()))
+        return q.Raw(F.col(field) == val)
+
+    # xref
+    if match := re.match(r"xref:(.*)", token):
+        try:
+            xref = int(match.group(1))
+        except ValueError:
+            raise InvalidQueryString("xref must be a number")
+        tags = sorted(config.AUTHORITY_CONTROLLED[record_type].keys())
+
+        def make_linked(tag_list, x):
+            def linked(f):
+                return f["tag"].isin(tag_list) & F.exists(
+                    f["subfields"], lambda s: s["xref"] == x)
+            return linked
+        pred = F.exists("datafields", make_linked(tags, xref))
+        return q.Raw(~pred if modifier == "not" else pred)
+
+    # logical field
+    if match := re.match(r"(\w+):(.*)", token):
+        field, value = match.group(1, 2)
+        field = LOGICAL_FIELD_ALIASES.get(field, field)
+        known = set(config.BIB_LOGICAL_FIELDS) | set(config.AUTH_LOGICAL_FIELDS) | {"_record_type"}
+        if field not in known:
+            raise InvalidQueryString(f'Unrecognized query field "{field}"')
+        if value == "*":
+            return LogicalFieldSearch(field, "*", modifier=modifier)
+        if not value.startswith("'"):
+            value = process_string(value)
+        elif value[-1] != "'":
+            raise InvalidQueryString(f'Invalid exact match using single quote: "{token}"')
+        return LogicalFieldSearch(field, value, modifier=modifier)
+
+    # free text
+    return q.Text(token, record_type=record_type)
+
+
+# ---------------------------------------------------------------------------
+# Boolean assembly (reference query.py:477-524)
+# ---------------------------------------------------------------------------
+
+def parse_query_string(string: str, record_type: str = "bib",
+                       auth_index: AuthIndex | None = None) -> "q.Query":
+    string = string.strip()
+    tokens: list = tokenize_query(string)
+
+    for i, token in enumerate(tokens):
+        if token == "NOT":
+            if i > 0 and tokens[i - 1] not in ("AND", "OR"):
+                raise InvalidQueryString('"NOT" must be preceeded by "AND", "OR"')
+            if not len(tokens) > i + 1:
+                raise InvalidQueryString('"NOT" can\'t be at end of search string')
+            if not re.match(r'^[^"\']+:', tokens[i + 1]):
+                raise InvalidQueryString('"NOT" not valid for all fields text search')
+            tokens[i] = None
+        elif i > 0 and tokens[i - 1] is None:
+            tokens[i] = parse_term(token, record_type, auth_index, modifier="not")
+        elif token not in ("AND", "OR"):
+            tokens[i] = parse_term(token, record_type, auth_index)
+
+    tokens = [t for t in tokens if t is not None]
+
+    # adjacent operators ("x OR AND y") crash the reference with an
+    # AttributeError deep in compile; fail fast with a parse error instead
+    for i, token in enumerate(tokens):
+        if token in ("AND", "OR"):
+            if i == 0 or i == len(tokens) - 1 or tokens[i + 1] in ("AND", "OR"):
+                raise InvalidQueryString("Invalid operator sequence")
+
+    query = q.Query()
+    query.record_type = record_type
+
+    # extract OR groups first (no precedence grammar — reference parity)
+    for i, token in enumerate(tokens):
+        if token == "OR":
+            start, inc, ors = i, 0, []
+            ors.append(tokens[start - 1])
+            tokens[i - 1] = None
+            while len(tokens) > start + inc and tokens[start + inc] == "OR":
+                ors.append(tokens[start + inc + 1])
+                tokens[start + inc], tokens[start + inc + 1] = None, None
+                inc += 2
+            query.conditions.append(q.Or(*ors))
+
+    # remaining terms AND together
+    for i, token in enumerate(tokens):
+        if token == "AND":
+            if tokens[i - 1] is not None and tokens[i - 1] not in query.conditions:
+                query.conditions.append(tokens[i - 1])
+            if i + 1 < len(tokens) and tokens[i + 1] is not None:
+                query.conditions.append(tokens[i + 1])
+
+    if not query.conditions:
+        remaining = [t for t in tokens if t is not None]
+        if not remaining:
+            raise InvalidQueryString("Empty query")
+        query.conditions = [remaining[0]]
+
+    return query
+
+
+# ---------------------------------------------------------------------------
+# Execution: apply a parsed query to a DataFrame
+# ---------------------------------------------------------------------------
+
+def execute_query(query: "q.Query", ctx: QueryContext) -> DataFrame:
+    """Run a parsed query: pure-Column conditions become one filter;
+    join-based conditions (fielded text) become semi/anti-joins.  ``Or``
+    groups containing join-based members union their id sets."""
+    df = ctx.df
+    column_preds: list[Column] = []
+
+    for cond in query.conditions:
+        if isinstance(cond, SubfieldTextSearch):
+            df = cond.apply(df, ctx)
+        elif isinstance(cond, q.Or) and any(isinstance(c, SubfieldTextSearch)
+                                            for c in cond.conditions):
+            ids = None
+            for c in cond.conditions:
+                if isinstance(c, SubfieldTextSearch):
+                    part = c.matching_ids(ctx)
+                else:
+                    col = q._compile(c, query.record_type, ctx.auth_index)
+                    part = ctx.df.filter(col).select(F.col("_id").alias("record_id"))
+                ids = part if ids is None else ids.union(part)
+            ids = ids.distinct()
+            df = df.join(ids, df["_id"] == ids["record_id"], "leftsemi")
+        else:
+            column_preds.append(q._compile(cond, query.record_type, ctx.auth_index))
+
+    if column_preds:
+        df = df.filter(reduce(lambda a, b: a & b, column_preds))
+    return df
