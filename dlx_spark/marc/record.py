@@ -102,24 +102,37 @@ class AuthIndex:
                 out += [i for i in ids if i not in out]
         return out
 
-    def resolve_ambiguous(self, heading_tag: str, pairs: list[tuple[str, str]]) -> Optional[int]:
-        """Multi-subfield disambiguation: the auth whose heading matches
-        ALL (code, value) pairs (reference resolve_ambiguous,
-        dlx/marc/__init__.py:1966-1993)."""
+    def xlookup_multi(self, heading_tag: str, pairs: list[tuple[str, str]]) -> list[int]:
+        """Auth ids whose heading matches ALL (code, value) pairs
+        (reference Auth.xlookup_multi, dlx/marc/__init__.py:1941-1964)."""
         candidates: Optional[set[int]] = None
         for code, value in pairs:
             ids = set(self.xlookup(heading_tag, code, value))
             candidates = ids if candidates is None else candidates & ids
-        if not candidates:
+        return sorted(candidates or [])
+
+    def resolve_ambiguous(self, record_type: str, tag: str,
+                          subfields: list) -> Optional[int]:
+        """Multi-subfield disambiguation (reference resolve_ambiguous,
+        dlx/marc/__init__.py:1966-1993): if exactly one auth matches all
+        pairs, return it; with several, require exact ordered equality of
+        the full heading subfield sequence."""
+        from dlx_spark import config as _config
+        pairs = [(s.code, s.value or "") for s in subfields]
+        heading_tag = _config.authority_source_tag(record_type, tag, pairs[0][0])
+        if heading_tag is None:
             return None
-        matched = []
-        for auth_id in candidates:
-            hf = self._by_id[auth_id].heading_field
-            sig = sorted((s.code, scrub(s.value or "")) for s in hf.subfields)
-            if sig == sorted((c, scrub(v or "")) for c, v in pairs):
-                matched.append(auth_id)
-        if len(matched) == 1:
-            return matched[0]
+        matches = self.xlookup_multi(heading_tag, pairs)
+        if len(matches) == 1:
+            return matches[0]
+        if len(matches) > 1:
+            candidates = []
+            for auth_id in matches:
+                hf = self._by_id[auth_id].heading_field
+                if pairs == [(s.code, s.value) for s in hf.subfields]:
+                    candidates.append(auth_id)
+            if len(candidates) == 1:
+                return candidates[0]
         return None
 
     def exists(self, xref: int) -> bool:
@@ -378,6 +391,14 @@ class Marc:
     @classmethod
     def from_dict(cls, doc: dict, auth_index: AuthIndex | None = None) -> "Marc":
         return cls(doc, auth_index=auth_index)
+
+    @property
+    def controlfields(self) -> list:
+        return [f for f in self.get_fields() if isinstance(f, Controlfield)]
+
+    @property
+    def datafields(self) -> list:
+        return [f for f in self.get_fields() if isinstance(f, Datafield)]
 
     # --- reads ---------------------------------------------------------------
 
@@ -644,11 +665,14 @@ class Marc:
                 else:
                     controlfields.append({"tag": f.tag, "value": f.value})
             else:
+                # Linked subfields carry their resolved value as a cache
+                # (the reference's jmarc schema does the same,
+                # jmarc.schema.json:60-78) so executor-side serialization
+                # needs no auth lookup; resolve_values() refreshes it.
                 datafields.append({
                     "tag": f.tag, "ind1": f.ind1, "ind2": f.ind2,
                     "subfields": [
-                        {"code": s.code, "value": s.value if isinstance(s, Literal) else None,
-                         "xref": s.xref}
+                        {"code": s.code, "value": s.value, "xref": s.xref}
                         for s in f.subfields
                     ],
                 })

@@ -1,0 +1,85 @@
+"""Tabular utility: the Table structure used by table/CSV/Excel
+(de)serialization (reference ``/root/reference/dlx/util.py:68-183``).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+
+
+class Table:
+    """Header + row-index table.  ``index`` maps row id → {column: value};
+    repeated values joined with '||' on set (reference util.py:104-117)."""
+
+    def __init__(self, list_of_lists: list[list] | None = None):
+        self.header: list[str] = []
+        self.index: dict[int, dict[str, str]] = {}
+        if list_of_lists:
+            self.header = [str(c) for c in list_of_lists[0]]
+            for i, row in enumerate(list_of_lists[1:]):
+                self.index[i] = {}
+                for j, cell in enumerate(row):
+                    self.index[i][self.header[j]] = cell
+
+    @classmethod
+    def from_excel(cls, path: str, date_format: str = "%Y%m%d") -> "Table":
+        try:
+            from openpyxl import load_workbook
+        except ImportError as e:
+            raise ImportError("openpyxl is required for Excel ingest") from e
+        wb = load_workbook(path, read_only=True)
+        ws = wb.active
+        rows = []
+        for row in ws.iter_rows(values_only=True):
+            cells = []
+            for cell in row:
+                if hasattr(cell, "strftime"):
+                    cells.append(cell.strftime(date_format))
+                elif cell is None:
+                    cells.append("")
+                else:
+                    cells.append(str(cell).strip())
+            rows.append(cells)
+        return cls(rows)
+
+    def set(self, rowid: int, field_name: str, value: str) -> "Table":
+        if field_name not in self.header:
+            self.header.append(field_name)
+        row = self.index.setdefault(rowid, {})
+        if row.get(field_name):
+            row[field_name] += "||" + str(value)  # repeated values
+        else:
+            row[field_name] = str(value)
+        return self
+
+    def get(self, rowid: int, field_name: str) -> str:
+        return self.index.get(rowid, {}).get(field_name, "")
+
+    def to_list(self) -> list[list]:
+        out = [list(self.header)]
+        for rowid in sorted(self.index):
+            out.append([self.index[rowid].get(col, "") for col in self.header])
+        return out
+
+    def to_csv(self) -> str:
+        buf = io.StringIO()
+        writer = csv.writer(buf, quoting=csv.QUOTE_MINIMAL, lineterminator="\n")
+        for row in self.to_list():
+            writer.writerow(row)
+        return buf.getvalue().rstrip("\n")
+
+    def to_tsv(self) -> str:
+        buf = io.StringIO()
+        writer = csv.writer(buf, delimiter="\t", quoting=csv.QUOTE_MINIMAL,
+                            lineterminator="\n")
+        for row in self.to_list():
+            writer.writerow(row)
+        return buf.getvalue().rstrip("\n")
+
+    def to_html(self) -> str:
+        rows = self.to_list()
+        html = "<table>"
+        for row in rows:
+            html += "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+        return html + "</table>"

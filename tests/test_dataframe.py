@@ -13,7 +13,8 @@ def test_explode_subfields(spark, bibs_df):
     assert rows[(1, "520", 0, "a", 0)] == ("Description", None)
     assert rows[(1, "520", 1, "a", 0)] == ("Another description", None)
     assert rows[(1, "520", 1, "a", 1)] == ("Repeated subfield", None)
-    assert rows[(1, "650", 0, "a", 0)] == (None, 1)
+    # linked subfields carry the resolved value as cache + the xref
+    assert rows[(1, "650", 0, "a", 0)] == ("Header", 1)
     assert len([k for k in rows if k[0] == 2]) == 4  # 245 a,b,c + 650 a
 
 

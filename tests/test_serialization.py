@@ -1,0 +1,194 @@
+"""Serialization golden tests against the reference fixture shapes
+(tests/marc.mrk and tests/marc.xml formats, re-created per FIXTURES §7)."""
+
+import json
+
+import pytest
+
+from dlx_spark.marc import Bib, BibSet
+
+GOLDEN_MRK_BIB1 = """=000  leader
+=001  1
+=008  controlfield
+=245  \\\\$aThis$bis the$ctitle
+=520  \\\\$aDescription
+=520  \\\\$aAnother description$aRepeated subfield
+=650  \\\\$aHeader$01
+=710  \\\\$aAnother header$02
+"""
+
+GOLDEN_XML_BIB1 = (
+    '<record><controlfield tag="000">leader</controlfield>'
+    '<controlfield tag="001">1</controlfield>'
+    '<controlfield tag="008">controlfield</controlfield>'
+    '<datafield tag="245" ind1=" " ind2=" ">'
+    '<subfield code="a">This</subfield><subfield code="b">is the</subfield>'
+    '<subfield code="c">title</subfield></datafield>'
+    '<datafield tag="520" ind1=" " ind2=" ">'
+    '<subfield code="a">Description</subfield></datafield>'
+    '<datafield tag="520" ind1=" " ind2=" ">'
+    '<subfield code="a">Another description</subfield>'
+    '<subfield code="a">Repeated subfield</subfield></datafield>'
+    '<datafield tag="650" ind1=" " ind2=" ">'
+    '<subfield code="a">Header</subfield><subfield code="0">1</subfield></datafield>'
+    '<datafield tag="710" ind1=" " ind2=" ">'
+    '<subfield code="a">Another header</subfield><subfield code="0">2</subfield>'
+    "</datafield></record>"
+)
+
+
+@pytest.fixture
+def bib1(bib_docs, auth_index):
+    return Bib(bib_docs[0], auth_index=auth_index)
+
+
+def test_to_mrk_golden(bib1):
+    assert bib1.to_mrk() == GOLDEN_MRK_BIB1
+
+
+def test_to_mrk_no_id(bib1):
+    assert "=001" not in bib1.to_mrk(write_id=False)
+
+
+def test_from_mrk_roundtrip(bib1, auth_index):
+    mrk = bib1.to_mrk()
+    back = Bib.from_mrk(mrk, auth_index=auth_index)
+    assert back.id == 1
+    assert back.get_value("245", "a") == "This"
+    assert back.get_xref("650", "a") == 1          # $0 captured as xref
+    assert back.get_value("650", "a") == "Header"
+    assert back.get_values("520", "a") == [
+        "Description", "Another description", "Repeated subfield"]
+    assert back.to_mrk() == mrk                     # full round trip
+
+
+def test_from_mrk_tag_order_check(auth_index):
+    from dlx_spark.marc.serialization import InvalidRecordString
+    with pytest.raises(InvalidRecordString):
+        Bib.from_mrk("=245  \\\\$aX\n=100  \\\\$aY\n", auth_index=auth_index,
+                     auth_control=False)
+
+
+def test_to_xml_golden(bib1):
+    assert bib1.to_xml() == GOLDEN_XML_BIB1
+
+
+def test_xml_roundtrip(bib1, auth_index):
+    xml = bib1.to_xml()
+    back = Bib.from_xml(xml, auth_index=auth_index)
+    assert back.id == 1
+    assert back.get_xref("650", "a") == 1
+    assert back.get_value("710", "a") == "Another header"
+    assert back.to_xml() == xml
+
+
+def test_set_xml_collection(bibs):
+    xml = bibs.to_xml()
+    assert xml.startswith("<collection><record>")
+    back = BibSet.from_xml(xml, auth_control=False)
+    recs = list(back)
+    assert len(recs) == 2
+    assert recs[1].get_value("245", "a") == "Another"
+
+
+def test_set_mrk_blank_line_split(bibs, auth_index):
+    mrk = bibs.to_mrk()
+    assert "\n\n" in mrk
+    back = BibSet.from_mrk(mrk, auth_index=auth_index)
+    assert back.count == 2
+
+
+def test_to_mrc(bib1):
+    mrc = bib1.to_mrc()
+    # leader arithmetic: total length prefix is 5 zero-padded digits
+    assert int(mrc[:5]) == len(mrc.encode("utf-8"))
+    assert mrc[12:17].isdigit()
+    assert "\u001e" in mrc and mrc.endswith("\u001d")
+    # directory entries are 12 bytes per field
+    base = int(mrc[12:17])
+    directory = mrc[24:base - 1]
+    assert len(directory) % 12 == 0
+    tags = [directory[i:i + 3] for i in range(0, len(directory), 12)]
+    assert tags == ["001", "008", "245", "520", "520", "650", "710"]
+
+
+def test_to_mij(bib1):
+    mij = json.loads(bib1.to_mij())
+    assert mij["leader"] == "leader"
+    f245 = next(f["245"] for f in mij["fields"] if "245" in f)
+    assert f245["subfields"][0] == {"a": "This"}
+
+
+def test_to_jmarcnx(bib1):
+    nx = json.loads(bib1.to_jmarcnx())
+    assert nx["650"][0]["subfields"][0] == {"code": "a", "value": "Header"}
+
+
+def test_json_roundtrip(bib1, auth_index):
+    back = Bib.from_json(bib1.to_json(), auth_index=auth_index)
+    assert back.get_value("245", "b") == "is the"
+    assert back.get_xref("650", "a") == 1
+
+
+def test_to_str(bib1):
+    s = bib1.to_str()
+    assert "245\n" in s
+    assert "   a: This\n" in s
+
+
+def test_to_table_and_csv(bibs):
+    table = bibs.to_table()
+    assert table.get(1, "1.001") == "1"
+    assert table.get(1, "1.245$a") == "This"
+    assert table.get(1, "2.520$a") == "Another description||Repeated subfield"
+    assert table.get(1, "1.650$0") == "1"
+    assert table.get(2, "1.245$a") == "Another"
+    csv_text = bibs.to_csv()
+    assert csv_text.splitlines()[0].startswith("1.001")
+
+
+def test_from_table_ingest(auth_index):
+    from dlx_spark.util import Table
+    table = Table([
+        ["1.001", "1.245$a", "1.245$b", "1.650$a", "2.650$a"],
+        ["99", "Title here", "subtitle", "Header", ""],
+    ])
+    ms = BibSet.from_table(table, auth_control=True, auth_index=auth_index)
+    recs = list(ms)
+    assert recs[0].id == 99
+    assert recs[0].get_value("245", "a") == "Title here"
+    assert recs[0].get_xref("650", "a") == 1       # value resolved to xref
+    assert len(recs[0].get_fields("650")) == 1     # empty 2.650 dropped
+
+
+def test_from_table_errors(auth_index):
+    from dlx_spark.util import Table
+    table = Table([
+        ["1.245$a", "1.650$a"],
+        ["T", "No such heading"],
+    ])
+    with pytest.raises(Exception, match="invalid authority-controlled value"):
+        BibSet.from_table(table, auth_control=True, auth_index=auth_index)
+    # two distinct headers addressing the same (instance, tag, code) slot
+    # ('1.245$a' and '1.245a' both parse to instance 0, tag 245, code a)
+    table2 = Table([["1.245$a", "1.245a"], ["a", "b"]])
+    with pytest.raises(Exception, match="repeated"):
+        BibSet.from_table(table2, auth_control=False, auth_index=auth_index)
+
+
+def test_from_csv_single_record(auth_index):
+    rec = Bib.from_csv('1.245$a,1.269$a\n"Some, quoted title",1999-12-31',
+                       auth_index=auth_index)
+    assert rec.get_value("245", "a") == "Some, quoted title"
+    assert rec.get_value("269", "a") == "1999-12-31"
+
+
+def test_indicator_columns(auth_index):
+    from dlx_spark.util import Table
+    table = Table([
+        ["1.245__", "1.245$a"],
+        ["12", "X"],
+    ])
+    recs = list(BibSet.from_table(table, auth_control=False, auth_index=auth_index))
+    f = recs[0].get_field("245")
+    assert f.ind1 == "1" and f.ind2 == "2"
