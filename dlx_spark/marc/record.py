@@ -367,7 +367,7 @@ class Marc:
         dlx/marc/__init__.py:604-639)."""
         for key, value in doc.items():
             if key == "_id":
-                self.id = int(value)
+                self.id = int(value) if value is not None else None
             elif key in ("created", "created_user", "updated", "user", "basket"):
                 setattr(self, key, value)
             elif key == "text":

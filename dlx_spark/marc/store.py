@@ -1,0 +1,492 @@
+"""Parquet-backed record warehouse with the reference's write-side
+semantics re-expressed as deterministic batch jobs (SURVEY §3.2).
+
+Layout under ``root``::
+
+    bibs/ auths/            nested records, partitioned by pt = _id % N
+    bib_history/ auth_history/   append-only version log
+    merge_log/               auth merge audit rows
+
+Per-commit pipeline (replacing the reference's per-record round-trips
+and 4 thread families, dlx/marc/__init__.py:856-1234):
+
+1. id assignment — ``max(_id over live ∪ history) + row_number`` instead
+   of a shared mutable counter (single-writer batch assumption,
+   documented like the reference's counter consistency check);
+2. validation + auth validation against the broadcast-sized AuthIndex;
+3. audit stamps — ``created`` preserved from the previous version;
+4. derived columns (text/words, logical fields) recomputed for the
+   touched records as one DataFrame job;
+5. history append — the full new doc becomes the next version;
+6. bucketed upsert — only the partitions containing touched ids are
+   rewritten (dynamic partition overwrite).  At 100 TB this slots in a
+   Delta/Iceberg MERGE INTO without changing the call sites;
+7. heading-change propagation — attached records are recommitted as one
+   follow-up batch (cached linked values refresh; feedback-loop guarded
+   by ``update_attached=False`` on the recursive call, mirroring the
+   reference's guard at 1162-1165).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dlx_spark import config, schemas
+from dlx_spark.marc import dataframe as mdf
+from dlx_spark.marc.record import (
+    Auth,
+    AuthIndex,
+    AuthInUse,
+    Bib,
+    Datafield,
+    InvalidAuthXref,
+    Linked,
+    Marc,
+)
+
+
+class InvalidAuthField(Exception):
+    def __init__(self, rtype, tag, code):
+        super().__init__(f"{tag}${code} must be authority-controlled")
+
+
+class InvalidNonAuthField(Exception):
+    def __init__(self, rtype, tag, code):
+        super().__init__(f"{tag}${code} is not authority-controlled but has an xref")
+
+
+_RECORD_CLASS = {"bib": Bib, "auth": Auth}
+
+
+class MarcStore:
+    N_BUCKETS = 16
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # --- paths / raw IO -----------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _exists(self, name: str) -> bool:
+        p = self._path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f.startswith("pt=") for f in os.listdir(p))
+
+    def _empty(self, schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema=schema)
+
+    def table(self, record_type: str) -> DataFrame:
+        name = "bibs" if record_type == "bib" else "auths"
+        if not self._exists(name):
+            return self._empty(schemas.MARC)
+        return self.spark.read.parquet(self._path(name)).drop("pt")
+
+    def bibs(self) -> DataFrame:
+        return self.table("bib")
+
+    def auths(self) -> DataFrame:
+        return self.table("auth")
+
+    def history_df(self, record_type: str) -> DataFrame:
+        name = f"{record_type}_history"
+        if not self._exists(name):
+            return self._empty(schemas.HISTORY)
+        return self.spark.read.parquet(self._path(name))
+
+    def headings(self) -> DataFrame:
+        return mdf.auth_headings(self.auths())
+
+    def auth_index(self) -> AuthIndex:
+        """The in-process authority dimension (broadcast-sized by the
+        same argument as the reference's Auth.build_cache)."""
+        idx = AuthIndex()
+        for row in self.auths().toLocalIterator():
+            idx.add(Auth.from_row(row, auth_index=idx))
+        return idx
+
+    # --- reads ---------------------------------------------------------------
+
+    def get(self, record_type: str, rid: int) -> Marc | None:
+        rows = self.table(record_type).filter(F.col("_id") == rid).collect()
+        if not rows:
+            return None
+        return _RECORD_CLASS[record_type].from_row(rows[0], auth_index=self.auth_index())
+
+    def max_id(self, record_type: str) -> int:
+        """max _id over live ∪ history (reference Marc.max_id,
+        dlx/marc/__init__.py:474-483)."""
+        live = self.table(record_type).select(F.max("_id").alias("m")).first()["m"] or 0
+        hist = self.history_df(record_type).select(F.max("record_id").alias("m")).first()["m"] or 0
+        return max(live, hist)
+
+    # --- write pipeline -------------------------------------------------------
+
+    def commit(self, records: list[Marc], user: str = "admin", now: datetime | None = None,
+               auth_check: bool = True, update_attached: bool = True) -> list[int]:
+        if isinstance(records, Marc):
+            records = [records]
+        if not records:
+            return []
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+
+        # commit auths before bibs so same-batch xrefs resolve
+        auths = [r for r in records if r.record_type == "auth"]
+        bibs = [r for r in records if r.record_type == "bib"]
+        out: list[int] = []
+        if auths and bibs:
+            out += self.commit(auths, user=user, now=now, auth_check=auth_check,
+                               update_attached=update_attached)
+            out += self.commit(bibs, user=user, now=now, auth_check=auth_check,
+                               update_attached=update_attached)
+            return out
+
+        record_type = records[0].record_type
+        idx = self.auth_index()
+        if record_type == "auth":
+            # heading changes detected against the pre-commit state
+            prev_headings = {r.id: self._heading_signature(idx.get(r.id))
+                             for r in records if r.id is not None}
+            for rec in records:
+                if rec.id is not None:
+                    idx.remove(rec.id)
+
+        # 1. id assignment (batch counter replacement)
+        next_id = self.max_id(record_type) + 1
+        for rec in records:
+            if rec.id is None:
+                rec.id = next_id
+                next_id += 1
+
+        # previous states for audit/history
+        ids = [r.id for r in records]
+        prev_rows = {row["_id"]: row for row in
+                     self.table(record_type).filter(F.col("_id").isin(ids)).collect()}
+
+        for rec in records:
+            if record_type == "auth":
+                idx.add(rec)
+
+        # 2. validation
+        for rec in records:
+            rec.validate()
+            if auth_check:
+                self._auth_validate(rec, idx)
+
+        # 3. audit stamps (created preserved, dlx/marc/__init__.py:867-888)
+        for rec in records:
+            rec.updated = now
+            rec.user = user
+            prev = prev_rows.get(rec.id)
+            if prev is not None:
+                rec.created = prev["created"]
+                rec.created_user = prev["created_user"]
+            else:
+                rec.created = now
+                rec.created_user = user
+
+        # 4. derived columns as one DataFrame job over the new rows
+        new_df = self.spark.createDataFrame([r.to_row() for r in records],
+                                            schema=schemas.MARC)
+        headings = self.headings() if record_type == "bib" else mdf.auth_headings(
+            self._post_batch_auths(new_df, record_type))
+        derived = mdf.derive_text_words(new_df, headings)
+        derived = mdf.derive_logical_fields(derived, record_type, headings=headings)
+        derived_rows = derived.collect()
+        derived = self.spark.createDataFrame(derived_rows, schema=derived.schema)
+
+        # 5. history append (full new doc = next version)
+        self._append_history(record_type, derived_rows, prev_rows, user, now)
+
+        # 6. bucketed upsert
+        self._upsert(record_type, derived, ids)
+
+        out = ids
+
+        # 7. heading-change propagation (reference 1154-1232)
+        if record_type == "auth" and update_attached:
+            changed = [r for r in records
+                       if r.id in prev_headings
+                       and prev_headings[r.id] is not None
+                       and prev_headings[r.id] != self._heading_signature(r)]
+            if changed:
+                self._propagate_heading_changes([r.id for r in changed], user, now)
+        return out
+
+    def _post_batch_auths(self, new_df: DataFrame, record_type: str) -> DataFrame:
+        base = self.auths()
+        if record_type != "auth":
+            return base
+        return base.join(new_df.select("_id"), "_id", "leftanti").unionByName(
+            new_df.select(*[f.name for f in schemas.MARC.fields]),
+            allowMissingColumns=True)
+
+    @staticmethod
+    def _heading_signature(rec: Marc | None):
+        if rec is None:
+            return None
+        hf = rec.heading_field if isinstance(rec, Auth) else None
+        if hf is None:
+            return None
+        return (hf.tag, tuple((s.code, s.value) for s in hf.subfields))
+
+    def _auth_validate(self, rec: Marc, idx: AuthIndex) -> None:
+        """Reference auth_validate (dlx/marc/__init__.py:890-904)."""
+        for field in rec.fields:
+            if not isinstance(field, Datafield):
+                continue
+            for sub in field.subfields:
+                controlled = config.is_authority_controlled(rec.record_type, field.tag, sub.code)
+                if controlled:
+                    if not isinstance(sub, Linked):
+                        raise InvalidAuthField(rec.record_type, field.tag, sub.code)
+                    if idx.lookup(sub.xref, sub.code) is None:
+                        raise InvalidAuthXref(rec.record_type, field.tag, sub.code, sub.xref)
+                elif isinstance(sub, Linked):
+                    raise InvalidNonAuthField(rec.record_type, field.tag, sub.code)
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("pt", F.pmod(F.col("_id"), F.lit(self.N_BUCKETS)).cast("int"))
+
+    def _upsert(self, record_type: str, new_df: DataFrame, ids: list[int]) -> None:
+        """Rewrite only the buckets containing touched ids (dynamic
+        partition overwrite).  The union is staged to a scratch dir so
+        the read and the overwrite of the same path never overlap.
+        Production swap-in: Delta/Iceberg MERGE INTO."""
+        name = "bibs" if record_type == "bib" else "auths"
+        path = self._path(name)
+        buckets = sorted({i % self.N_BUCKETS for i in ids})
+
+        if self._exists(name):
+            existing = (self.spark.read.parquet(path)
+                        .filter(F.col("pt").isin(buckets))
+                        .filter(~F.col("_id").isin(ids))
+                        .drop("pt"))
+            union = existing.unionByName(new_df, allowMissingColumns=True)
+        else:
+            union = new_df
+
+        staged = self._stage(union, f"_stage_{name}")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (self._with_bucket(staged)
+         .write.mode("overwrite").partitionBy("pt").parquet(path))
+        self._unstage(f"_stage_{name}")
+
+    def _stage(self, df: DataFrame, name: str) -> DataFrame:
+        p = self._path(name)
+        df.write.mode("overwrite").parquet(p)
+        return self.spark.read.parquet(p)
+
+    def _unstage(self, name: str) -> None:
+        import shutil
+        shutil.rmtree(self._path(name), ignore_errors=True)
+
+    def _append_history(self, record_type: str, rows: list, prev_rows: dict,
+                        user: str, now: datetime) -> None:
+        name = f"{record_type}_history"
+        existing = self.history_df(record_type)
+        ids = [r["_id"] for r in rows]
+        version_base = {
+            row["record_id"]: row["v"]
+            for row in (existing.filter(F.col("record_id").isin(ids))
+                        .groupBy("record_id").agg(F.max("version").alias("v")).collect())
+        }
+        hist_rows = []
+        for r in rows:
+            doc = {f.name: r[f.name] for f in schemas.MARC.fields}
+            hist_rows.append({
+                "record_id": r["_id"],
+                "version": version_base.get(r["_id"], 0) + 1,
+                "doc": doc,
+                "created_user": user if r["_id"] not in prev_rows else None,
+                "created_time": now if r["_id"] not in prev_rows else None,
+                "deleted_user": None, "deleted_time": None,
+                "restored_user": None, "restored_time": None,
+                "actions": [],
+                "merged_into": None, "merged_time": None,
+            })
+        (self.spark.createDataFrame(hist_rows, schema=schemas.HISTORY)
+         .write.mode("append").parquet(self._path(name)))
+
+    # --- delete / restore / history -------------------------------------------
+
+    def delete(self, record_type: str, rid: int, user: str = "admin",
+               now: datetime | None = None) -> None:
+        """Guarded delete with history 'deleted' action (reference
+        dlx/marc/__init__.py:1236-1310)."""
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        if record_type == "auth":
+            if mdf.in_use(self.bibs(), rid).limit(1).count() > 0 \
+               or mdf.in_use(self.auths(), rid).limit(1).count() > 0:
+                raise AuthInUse()
+
+        row = self.table(record_type).filter(F.col("_id") == rid).collect()
+        name = f"{record_type}_history"
+        version_base = (self.history_df(record_type)
+                        .filter(F.col("record_id") == rid)
+                        .agg(F.max("version")).first()[0] or 0)
+        action = {"type": "delete", "user": user, "time": now}
+        hist_rows = [{
+            "record_id": rid,
+            "version": version_base + 1 if row else version_base,
+            "doc": {f.name: row[0][f.name] for f in schemas.MARC.fields} if row else None,
+            "created_user": None, "created_time": None,
+            "deleted_user": user, "deleted_time": now,
+            "restored_user": None, "restored_time": None,
+            "actions": [action],
+            "merged_into": None, "merged_time": None,
+        }]
+        (self.spark.createDataFrame(hist_rows, schema=schemas.HISTORY)
+         .write.mode("append").parquet(self._path(name)))
+        self._remove_live(record_type, [rid])
+
+    def _remove_live(self, record_type: str, ids: list[int]) -> None:
+        name = "bibs" if record_type == "bib" else "auths"
+        if not self._exists(name):
+            return
+        path = self._path(name)
+        buckets = sorted({i % self.N_BUCKETS for i in ids})
+        keep = (self.spark.read.parquet(path)
+                .filter(F.col("pt").isin(buckets))
+                .filter(~F.col("_id").isin(ids))
+                .drop("pt"))
+        staged = self._stage(keep, f"_stage_{name}")
+        if staged.limit(1).count():
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (self._with_bucket(staged)
+             .write.mode("overwrite").partitionBy("pt").parquet(path))
+        else:
+            # bucket emptied entirely: drop its partition directories
+            import shutil
+            for b in buckets:
+                shutil.rmtree(os.path.join(path, f"pt={b}"), ignore_errors=True)
+        self._unstage(f"_stage_{name}")
+
+    def restore(self, record_type: str, rid: int, user: str = "admin",
+                now: datetime | None = None) -> Marc:
+        """Restore the last version of a deleted record; fails if a live
+        record exists (reference History.restore, 2285-2343)."""
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        if self.table(record_type).filter(F.col("_id") == rid).limit(1).count():
+            raise Exception(f"{record_type} {rid} is not deleted")
+        versions = (self.history_df(record_type)
+                    .filter((F.col("record_id") == rid) & F.col("doc").isNotNull())
+                    .orderBy(F.desc("version")).limit(1).collect())
+        if not versions:
+            raise Exception(f"no history for {record_type} {rid}")
+        doc = versions[0]["doc"]
+        rec = _RECORD_CLASS[record_type].from_row(doc)
+        self.commit([rec], user=user, now=now, auth_check=False, update_attached=False)
+        action = {"type": "restore", "user": user, "time": now}
+        hist_rows = [{
+            "record_id": rid, "version": versions[0]["version"] + 1, "doc": None,
+            "created_user": None, "created_time": None,
+            "deleted_user": None, "deleted_time": None,
+            "restored_user": user, "restored_time": now,
+            "actions": [action], "merged_into": None, "merged_time": None,
+        }]
+        (self.spark.createDataFrame(hist_rows, schema=schemas.HISTORY)
+         .write.mode("append").parquet(self._path(f"{record_type}_history")))
+        return rec
+
+    def history(self, record_type: str, rid: int) -> list[Marc]:
+        rows = (self.history_df(record_type)
+                .filter((F.col("record_id") == rid) & F.col("doc").isNotNull())
+                .orderBy("version").collect())
+        return [_RECORD_CLASS[record_type].from_row(r["doc"]) for r in rows]
+
+    def find_deleted(self, record_type: str) -> DataFrame:
+        """Deleted-not-restored record ids by latest action time."""
+        h = self.history_df(record_type)
+        latest = (h.groupBy("record_id")
+                  .agg(F.max(F.struct("version", "deleted_time", "restored_time")).alias("s")))
+        return (latest.filter(F.col("s.deleted_time").isNotNull()
+                              & F.col("s.restored_time").isNull())
+                .select("record_id", F.col("s.deleted_time").alias("deleted_time")))
+
+    # --- auth merge -----------------------------------------------------------
+
+    def merge(self, gaining_id: int, losing_id: int, user: str = "admin",
+              now: datetime | None = None) -> None:
+        """Rewrite all referencing records losing→gaining, drop duplicate
+        fields, delete the losing auth (reference Auth.merge,
+        dlx/marc/__init__.py:2143-2233 — one deterministic batch, no
+        polling)."""
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        idx = self.auth_index()
+        if idx.get(gaining_id) is None or idx.get(losing_id) is None:
+            raise Exception("both auths must exist")
+
+        for rtype in ("bib", "auth"):
+            attached_rows = mdf.in_use(self.table(rtype), losing_id).collect()
+            if not attached_rows:
+                continue
+            updated = []
+            for row in attached_rows:
+                rec = _RECORD_CLASS[rtype].from_row(row, auth_index=idx)
+                for field in rec.fields:
+                    if not isinstance(field, Datafield):
+                        continue
+                    for i, sub in enumerate(field.subfields):
+                        if isinstance(sub, Linked) and sub.xref == losing_id:
+                            field.subfields[i] = Linked(sub.code, gaining_id, auth_index=idx)
+                # drop duplicate fields after rewrite (reference 2181-2182)
+                seen, unique = set(), []
+                for f in rec.fields:
+                    sig = f.signature() if isinstance(f, Datafield) else (f.tag, f.value)
+                    if sig not in seen:
+                        seen.add(sig)
+                        unique.append(f)
+                rec.fields = unique
+                updated.append(rec)
+            self.commit(updated, user=user, now=now, update_attached=False)
+
+        self.delete("auth", losing_id, user=user, now=now)
+        log_row = [{"gaining": gaining_id, "losing": losing_id, "user": user, "time": now}]
+        (self.spark.createDataFrame(log_row, "gaining long, losing long, user string, time timestamp")
+         .write.mode("append").parquet(self._path("merge_log")))
+
+    # --- heading-change propagation --------------------------------------------
+
+    def _propagate_heading_changes(self, changed_ids: list[int], user: str,
+                                   now: datetime) -> None:
+        """Recommit every record attached to a changed auth so cached
+        linked values, text/words and logical fields refresh.  One batch
+        per record type; recursion guarded (update_attached=False)."""
+        idx = self.auth_index()
+
+        def linked_to(aid: int):
+            def field_pred(f):
+                return F.exists(f["subfields"], lambda s: s["xref"] == aid)
+            return F.exists("datafields", field_pred)
+
+        for rtype in ("bib", "auth"):
+            table = self.table(rtype)
+            pred = None
+            for aid in changed_ids:
+                p = linked_to(aid)
+                pred = p if pred is None else (pred | p)
+            attached_rows = table.filter(pred).collect() if pred is not None else []
+            if rtype == "auth":
+                attached_rows = [r for r in attached_rows if r["_id"] not in changed_ids]
+            if not attached_rows:
+                continue
+            recs = [_RECORD_CLASS[rtype].from_row(r, auth_index=idx) for r in attached_rows]
+            for rec in recs:
+                self._refresh_cached_values(rec, idx)
+            self.commit(recs, user=user, now=now, auth_check=False, update_attached=False)
+
+    @staticmethod
+    def _refresh_cached_values(rec: Marc, idx: AuthIndex) -> None:
+        for field in rec.fields:
+            if isinstance(field, Datafield):
+                for sub in field.subfields:
+                    if isinstance(sub, Linked):
+                        sub._auth_index = idx
+                        sub._cached = None

@@ -1,0 +1,80 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming operators (SURVEY §2.7) — its incremental
+machinery is commit-time maintenance of derived state on Python threads.
+Here that becomes:
+
+- ``incremental_commit_stream``: a file-source stream of JMARC JSONL
+  batches driven through ``foreachBatch`` into a MarcStore commit — the
+  deterministic replacement for the reference's thread families, and the
+  natural shape for a change feed at scale (swap the file source for
+  Kafka without touching the sink).
+- event-time aggregations with watermarks (``hourly_counts``,
+  ``sessionize``) over the generic events shape (ts, user_id, ...) —
+  the streaming equivalents of the batch contract queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_events_stream(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """File-source stream of event JSONL (one JSON object per line)."""
+    schema = schema or "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    return spark.readStream.schema(schema).json(path)
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time window with late-data watermark: the
+    streaming form of the batch ``windowed_agg`` contract query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based) — the streaming form of the
+    batch lag/cumsum sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"),
+                "user_id", "n_events", "sum_value")
+    )
+
+
+def incremental_commit_stream(spark: SparkSession, input_path: str, store,
+                              record_type: str = "bib",
+                              checkpoint: str | None = None):
+    """Stream JMARC JSONL files into a MarcStore: each micro-batch is one
+    deterministic commit (id assignment, validation, derived refresh,
+    history append) — the reference's 4 commit-time thread families as a
+    single exactly-once-per-batch pipeline.
+
+    Returns the StreamingQuery; caller stops it."""
+    from dlx_spark.marc.record import Auth, Bib
+
+    cls = Bib if record_type == "bib" else Auth
+    raw = spark.readStream.schema("value string").text(input_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        lines = [r["value"] for r in batch_df.collect() if r["value"] and r["value"].strip()]
+        if not lines:
+            return
+        idx = store.auth_index()
+        records = [cls(json.loads(line), auth_index=idx) for line in lines]
+        store.commit(records, user=f"stream-batch-{batch_id}", auth_check=False)
+
+    writer = (raw.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint or f"{store.root}/_checkpoints/{record_type}")
+              .trigger(availableNow=True))
+    return writer.start()

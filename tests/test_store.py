@@ -1,0 +1,144 @@
+"""Write-path tests: commit/history/delete/restore/merge/propagation
+(reference tests/test_marc.py:79-242, 977-1053 patterns)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlx_spark.marc import Auth, AuthInUse, Bib
+from dlx_spark.marc.store import MarcStore
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+T1 = datetime(2026, 1, 2, 12, 0, 0)
+T2 = datetime(2026, 1, 3, 12, 0, 0)
+
+
+@pytest.fixture
+def store(spark, tmp_path, auth_docs, bib_docs):
+    st = MarcStore(spark, str(tmp_path / "warehouse"))
+    auths = [Auth(d) for d in auth_docs]
+    st.commit(auths, user="seeder", now=T0)
+    idx = st.auth_index()
+    bibs = [Bib(d, auth_index=idx) for d in bib_docs]
+    st.commit(bibs, user="seeder", now=T0)
+    return st
+
+
+def test_commit_and_read_back(store):
+    assert store.bibs().count() == 2
+    assert store.auths().count() == 2
+    bib1 = store.get("bib", 1)
+    assert bib1.get_value("245", "a") == "This"
+    assert bib1.get_value("650", "a") == "Header"
+    assert bib1.created == T0 and bib1.created_user == "seeder"
+    # derived columns persisted
+    row = store.bibs().filter(F.col("_id") == 1).first()
+    assert "titl" in row["words"]
+    assert list(row["main_title"]) == ["This"]
+
+
+def test_id_assignment(store):
+    rec = Bib().set("245", "a", "New record", auth_control=False)
+    ids = store.commit([rec], user="u2", now=T1)
+    assert ids == [3]  # max(_id)=2 -> 3
+    rec2 = Bib().set("245", "a", "Another new", auth_control=False)
+    assert store.commit([rec2], now=T1) == [4]
+
+
+def test_audit_preserved_on_update(store):
+    bib1 = store.get("bib", 1)
+    bib1.set("245", "a", "Changed title", auth_control=False)
+    store.commit([bib1], user="editor", now=T1)
+    back = store.get("bib", 1)
+    assert back.get_value("245", "a") == "Changed title"
+    assert back.created == T0 and back.created_user == "seeder"
+    assert back.updated == T1 and back.user == "editor"
+    # untouched records unaffected by the bucketed rewrite
+    assert store.get("bib", 2).get_value("245", "a") == "Another"
+
+
+def test_history_versions(store):
+    bib1 = store.get("bib", 1)
+    bib1.set("245", "a", "v2", auth_control=False)
+    store.commit([bib1], user="editor", now=T1)
+    versions = store.history("bib", 1)
+    assert len(versions) == 2
+    assert versions[0].get_value("245", "a") == "This"
+    assert versions[1].get_value("245", "a") == "v2"
+
+
+def test_auth_validation(store):
+    idx = store.auth_index()
+    bad = Bib(auth_index=idx)
+    bad.fields.append(
+        __import__("dlx_spark.marc.record", fromlist=["Datafield"]).Datafield(
+            "650", " ", " ",
+            [__import__("dlx_spark.marc.record", fromlist=["Linked"]).Linked("a", 99)],
+            "bib"))
+    with pytest.raises(Exception, match="xref"):
+        store.commit([bad], now=T1)
+
+
+def test_delete_restore(store):
+    store.delete("bib", 2, user="deleter", now=T1)
+    assert store.bibs().count() == 1
+    assert store.get("bib", 2) is None
+    deleted = store.find_deleted("bib").collect()
+    assert [r.record_id for r in deleted] == [2]
+
+    restored = store.restore("bib", 2, user="restorer", now=T2)
+    assert restored.get_value("245", "a") == "Another"
+    assert store.bibs().count() == 2
+    assert store.find_deleted("bib").count() == 0
+
+
+def test_auth_in_use_guard(store):
+    with pytest.raises(AuthInUse):
+        store.delete("auth", 1, now=T1)  # referenced by both bibs
+
+
+def test_new_id_not_reused_after_delete(store):
+    store.delete("bib", 2, user="u", now=T1)
+    rec = Bib().set("245", "a", "Fresh", auth_control=False)
+    # id 2 lives in history -> next id is 3, not 2
+    assert store.commit([rec], now=T2) == [3]
+
+
+def test_merge(store):
+    # make auth 3 with same-ish heading, attach to bib 1 via 651
+    a3 = Auth({"_id": 3, "151": [{"indicators": [" ", " "],
+                                  "subfields": [{"code": "a", "value": "Place name"}]}]})
+    store.commit([a3], now=T0)
+    a4 = Auth({"_id": 4, "151": [{"indicators": [" ", " "],
+                                  "subfields": [{"code": "a", "value": "Place name variant"}]}]})
+    store.commit([a4], now=T0)
+    idx = store.auth_index()
+    bib1 = store.get("bib", 1)
+    bib1.set("651", "a", 4)
+    store.commit([bib1], now=T1)
+
+    store.merge(gaining_id=3, losing_id=4, user="merger", now=T2)
+    back = store.get("bib", 1)
+    assert back.get_xref("651", "a") == 3
+    assert store.get("auth", 4) is None
+    assert store.get("auth", 3) is not None
+
+
+def test_heading_change_propagation(store):
+    # change auth 1's heading; bibs 1+2 reference it via 650
+    a1 = store.get("auth", 1)
+    a1.set("150", "a", "Renamed header", auth_control=False)
+    store.commit([a1], user="editor", now=T1)
+
+    bib1 = store.get("bib", 1)
+    assert bib1.get_value("650", "a") == "Renamed header"
+    # cached value in the stored row is refreshed too
+    row = store.bibs().filter(F.col("_id") == 1).first()
+    sub = [s for f in row["datafields"] if f["tag"] == "650" for s in f["subfields"]][0]
+    assert sub["value"] == "Renamed header"
+    # derived search/logical columns refreshed
+    assert "renam" in list(row["words"])
+    assert list(row["subject"]) == ["Renamed header"]
+    # propagation stamped the attached record
+    assert row["updated"] == T1

@@ -1,0 +1,84 @@
+"""Structured Streaming tests: watermark windows and the incremental
+commit stream, run with availableNow file sources."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlx_spark import streaming
+
+
+@pytest.fixture
+def events_dir(tmp_path):
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:05:00", "user_id": 1, "event_type": "click", "value": 3.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T00:20:00", "user_id": 2, "event_type": "view", "value": 4.0, "props": "{}"},
+    ]
+    p = tmp_path / "events"
+    p.mkdir()
+    (p / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def run_available_now(df, tmp_path, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_counts_stream(spark, events_dir, tmp_path):
+    events = streaming.read_events_stream(spark, events_dir)
+    agg = streaming.hourly_counts(events)
+    run_available_now(agg, tmp_path, "hourly")
+    rows = {(str(r.hour), r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("select * from hourly").collect()}
+    assert rows[("2024-01-01 00:00:00", "view")] == (3, 7.0)
+    assert rows[("2024-01-01 01:00:00", "click")] == (1, 3.0)
+
+
+def test_sessionize_stream(spark, events_dir, tmp_path):
+    events = streaming.read_events_stream(spark, events_dir)
+    sess = streaming.sessionize(events, gap="30 minutes")
+    run_available_now(sess, tmp_path, "sessions")
+    rows = spark.sql("select * from sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 1: events at 00:05/00:10 in one session, 01:05 in another
+    assert len(by_user[1]) == 2
+    assert len(by_user[2]) == 1
+    first = sorted(by_user[1], key=lambda r: r.session_start)[0]
+    assert first.n_events == 2
+
+
+def test_incremental_commit_stream(spark, tmp_path):
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh"))
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    docs = [
+        {"_id": 1, "245": [{"indicators": [" ", " "],
+                            "subfields": [{"code": "a", "value": "Streamed record"}]}]},
+        {"_id": 2, "245": [{"indicators": [" ", " "],
+                            "subfields": [{"code": "a", "value": "Second streamed"}]}]},
+    ]
+    (inbox / "b1.jsonl").write_text("\n".join(json.dumps(d) for d in docs))
+
+    q = streaming.incremental_commit_stream(spark, str(inbox), store)
+    q.awaitTermination(120)
+
+    assert store.bibs().count() == 2
+    rec = store.get("bib", 1)
+    assert rec.get_value("245", "a") == "Streamed record"
+    # derived columns maintained incrementally
+    row = store.bibs().filter(F.col("_id") == 1).first()
+    assert "stream" in list(row["words"])
+    assert len(store.history("bib", 1)) == 1
