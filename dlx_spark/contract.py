@@ -673,6 +673,51 @@ def multimodal_decode(spark, sf):
     return multimodal.decode_metadata(media)
 
 
+@query("median_metrics", """
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 2) AS median_price,
+           round(avg(l_quantity), 2) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+""")
+def median_metrics(spark, sf):
+    """exact interpolated median per group (both engines interpolate)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.median("l_extendedprice"), 2).alias("median_price"),
+             F.round(F.avg("l_quantity"), 2).alias("avg_qty"))
+    )
+
+
+@query("sql_passthrough", """
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+""")
+def sql_passthrough(spark, sf):
+    """from_aggregation analog (reference dlx/marc/__init__.py:130-139):
+    the raw-SQL escape hatch — user-supplied SQL over registered views."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders WHERE o_orderstatus <> 'P'
+        GROUP BY o_orderpriority
+    """)
+
+
+@query("correlation", """
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(corr(l_discount, l_extendedprice), 4) AS disc_price_corr
+    FROM lineitem
+""")
+def correlation(spark, sf):
+    """numeric statistics surface: Pearson correlation."""
+    return _t(spark, sf, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 4).alias("disc_price_corr"),
+    )
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship: the pricing-summary aggregate at sf0.001."""
     return agg_summary(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,49 @@
+"""Plan-shape regression tests: pushdown, pruning, broadcast strategy.
+These encode the 100 TB design contract — a plan regression fails here
+before it ships, even though correctness tests would still pass."""
+
+import pytest
+
+from dlx_spark import contract, plans
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = contract.Q["from_query_filter"](spark, SF)
+    pushed = plans.pushed_filters(df)
+    assert any("l_quantity" in f for f in pushed)
+    assert any("l_returnflag" in f for f in pushed)
+
+
+def test_projection_pruned(spark):
+    df = contract.Q["from_query_filter"](spark, SF)
+    # query touches 6 columns (4 projected + 2 filter-only)
+    plans.assert_scan_pruned(df, max_columns=6, table_hint="lineitem")
+
+
+def test_dimension_joins_broadcast(spark):
+    df = contract.Q["multiway_join"](spark, SF)
+    assert plans.broadcast_join_count(df) == 3
+    plans.assert_no_sort_merge_join(df)
+
+
+def test_lookup_join_broadcast_and_pruned(spark):
+    df = contract.Q["lookup_join"](spark, SF)
+    assert plans.broadcast_join_count(df) == 1
+    plans.assert_no_sort_merge_join(df)
+    plans.assert_scan_pruned(df, max_columns=4)
+
+
+def test_agg_single_shuffle(spark):
+    df = contract.Q["agg_summary"](spark, SF)
+    assert plans.shuffle_count(df) <= 1
+
+
+def test_marc_condition_predicate_prunes(spark, bibs_df, auth_index):
+    from dlx_spark.marc import query as q
+    pred = q.Condition("245", {"a": "This"}).compile(auth_index)
+    filtered = bibs_df.select("_id").filter(pred)
+    # the predicate is a pure Column: no joins, no shuffles
+    assert plans.shuffle_count(filtered) == 0
+    assert plans.broadcast_join_count(filtered) == 0
