@@ -207,6 +207,35 @@ class FileStore:
                         F.col("lang").alias("language"),
                         "_id", "uri", "timestamp"))
 
+    def bib_files(self, bibs: DataFrame, language: str | None = None) -> DataFrame:
+        """File URIs per bib symbol (reference Bib.files/file,
+        dlx/marc/__init__.py:1817-1830): join bib 191$a symbols against
+        file identifiers of type 'symbol', newest file first per key."""
+        symbols = bibs.select(
+            F.col("_id").alias("bib_id"),
+            F.explode(F.expr("""
+                flatten(transform(filter(datafields, f -> f.tag = '191'),
+                    f -> transform(filter(f.subfields, s -> s.code = 'a'
+                                          and s.value is not null),
+                                   s -> s.value)))
+            """)).alias("symbol"),
+        )
+        files = (self.df()
+                 .select("*", F.explode("identifiers").alias("ident"),
+                         F.explode("languages").alias("lang"))
+                 .filter(F.lower(F.col("ident.type")) == "symbol"))
+        if language:
+            files = files.filter(F.col("lang") == language)
+        joined = symbols.join(
+            files, F.lower(symbols["symbol"]) == F.lower(files["ident.value"]))
+        from pyspark.sql import Window
+        w = Window.partitionBy("bib_id", "symbol", "lang").orderBy(
+            F.desc("timestamp"), F.desc("_id"))
+        return (joined.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("bib_id", "symbol", F.col("lang").alias("language"),
+                        "uri", "timestamp"))
+
     def find_by_date(self, date_from: datetime, date_to: datetime | None = None) -> DataFrame:
         date_to = date_to or datetime.now(timezone.utc).replace(tzinfo=None)
         ts = (F.col("timestamp") >= date_from) & (F.col("timestamp") < date_to)

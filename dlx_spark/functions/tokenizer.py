@@ -327,15 +327,23 @@ class PorterStemmer:
 
 
 _STEMMER = PorterStemmer()
+_STEM_CACHE: dict[str, str] = {}
 
 
 def stem(word: str) -> str:
-    return _STEMMER.stem(word)
+    """Memoized Porter stem — natural-language vocabularies are small
+    relative to corpus size, so the cache hit rate at scale is ~100%."""
+    out = _STEM_CACHE.get(word)
+    if out is None:
+        out = _STEMMER.stem(word)
+        if len(_STEM_CACHE) < 2_000_000:
+            _STEM_CACHE[word] = out
+    return out
 
 
 def tokenize(string: str) -> list[str]:
     """asciify → split → stem each word (dlx/util.py:1114-1118)."""
-    return [_STEMMER.stem(w) for w in split_words(asciify(string))]
+    return [stem(w) for w in split_words(asciify(string))]
 
 
 # ---------------------------------------------------------------------------

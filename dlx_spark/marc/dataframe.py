@@ -191,10 +191,12 @@ def derive_text_words(df: DataFrame, headings: DataFrame | None = None) -> DataF
         """),
     )
     out = src.withColumn("_raw_text", raw)
+    # scrub stays JVM-side (pure column expression); only stemming needs
+    # the Arrow-batched Python hop
     out = out.withColumn(
         "text",
         F.when(F.col("_raw_text") == "", F.lit(" "))
-         .otherwise(F.concat(F.lit(" "), scrub_udf(F.col("_raw_text")), F.lit(" "))),
+         .otherwise(F.concat(F.lit(" "), scrub_col(F.col("_raw_text")), F.lit(" "))),
     )
     out = out.withColumn("words", F.array_distinct(tokenize_udf(F.col("_raw_text"))))
     return out.drop("_raw_text")
@@ -210,6 +212,31 @@ def logical_field_config_df(spark, record_type: str) -> DataFrame:
     return spark.createDataFrame(rows, "logical_field string, tag string, group_idx int, code string")
 
 
+def _logical_field_expr(record_type: str, field_name: str):
+    """One logical-field column as a pure array-domain expression: for
+    each configured tag (sorted, matching the reference's field
+    iteration order) and each code group, the space-joined subfield
+    values of every matching physical field.  No shuffle, no join —
+    whole derivation is map-side."""
+    tag_map = config.LOGICAL_FIELDS[record_type][field_name]
+    per_tag = []
+    for tag in sorted(tag_map):
+        group_exprs = []
+        for group in tag_map[tag]:
+            codes = ",".join(f"'{c}'" for c in group)
+            group_exprs.append(
+                f"array_join(transform(filter(f.subfields, s -> s.code in ({codes})"
+                f" and s.value is not null), s -> s.value), ' ')")
+        inner = ",".join(group_exprs)
+        per_tag.append(
+            f"flatten(transform(filter(datafields, f -> f.tag = '{tag}'),"
+            f" f -> array({inner})))")
+    concatenated = per_tag[0] if len(per_tag) == 1 else f"concat({','.join(per_tag)})"
+    return F.expr(f"""
+        nullif(filter({concatenated}, v -> v != ''), array())
+    """)
+
+
 def derive_logical_fields(df: DataFrame, record_type: str = "bib",
                           headings: DataFrame | None = None) -> DataFrame:
     """Compute derived logical-field columns (reference
@@ -218,45 +245,17 @@ def derive_logical_fields(df: DataFrame, record_type: str = "bib",
     field, code group), the space-joined subfield values in subfield
     order; each becomes one array entry on the record.
 
-    Plan shape: explode (map) → broadcast join config (map) → two
-    aggregations keyed by record id.  The config dimension is tiny and
-    the aggregate is partial-aggregation friendly.
+    Plan shape: pure array-domain projection — ZERO shuffles when the
+    rows already carry resolved linked values (the commit path).  When
+    ``headings`` is given, linked values are refreshed first via one
+    broadcast-join + re-nest (``resolve_values``).
     """
-    spark = df.sparkSession
-    exploded = explode_subfields(df, record_type)
-
     if headings is not None:
-        base = headings.filter(F.col("lang").isNull()).select(
-            "auth_id", F.col("code").alias("h_code"), F.col("value").alias("h_value"))
-        exploded = (
-            exploded.join(F.broadcast(base),
-                          on=[exploded["xref"] == base["auth_id"],
-                              exploded["code"] == base["h_code"]], how="left")
-            .withColumn("value", F.coalesce("h_value", "value"))
-            .drop("auth_id", "h_code", "h_value")
-        )
+        df = resolve_values(df, headings)
 
-    cfg = logical_field_config_df(spark, record_type)
-
-    per_field = (
-        exploded.join(F.broadcast(cfg), on=["tag", "code"], how="inner")
-        .filter(F.col("value").isNotNull())
-        .groupBy("record_id", "logical_field", "tag", "field_pos", "group_idx")
-        .agg(F.expr("array_join(transform(array_sort(collect_list(struct(gpos, value))), p -> p.value), ' ')").alias("joined"),
-             F.min("gpos").alias("order_pos"))
-    )
-    per_record = (
-        per_field
-        .groupBy("record_id", "logical_field")
-        .agg(F.expr("transform(array_sort(collect_list(struct(order_pos, group_idx, joined))), p -> p.joined)").alias("values"))
-        .groupBy("record_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("logical_field", "values"))).alias("_lf"))
-    )
-
-    out = df.join(per_record, df["_id"] == per_record["record_id"], "left").drop("record_id")
+    out = df
     for field_name in config.LOGICAL_FIELDS[record_type]:
-        out = out.withColumn(field_name, F.col("_lf").getItem(field_name))
-    out = out.drop("_lf")
+        out = out.withColumn(field_name, _logical_field_expr(record_type, field_name))
 
     # _record_type tagging (dlx/config.py:117-120): default + record_type
     # + any matching type-map value
@@ -286,6 +285,24 @@ def auth_use_counts(bibs: DataFrame) -> DataFrame:
         .groupBy(F.col("s.xref").alias("xref"))
         .agg(F.count(F.lit(1)).alias("bib_use_count"))
     )
+
+
+def partial_lookup(headings: DataFrame, string: str, code: str | None = None,
+                   tag: str | None = None, limit: int = 25) -> DataFrame:
+    """Typeahead heading lookup (reference Auth.partial_lookup,
+    dlx/marc/__init__.py:1995-2041): case/diacritic-insensitive substring
+    match against heading values, capped at ``limit``."""
+    from dlx_spark.functions.tokenizer import scrub
+    out = headings.filter(F.col("lang").isNull())
+    if tag:
+        out = out.filter(F.col("tag") == tag)
+    if code:
+        out = out.filter(F.col("code") == code)
+    needle = scrub(string)
+    return (out.filter(F.col("norm").contains(needle))
+            .orderBy("norm", "auth_id")
+            .select("auth_id", "tag", "code", "value")
+            .limit(limit))
 
 
 def in_use(bibs: DataFrame, auth_id: int) -> DataFrame:

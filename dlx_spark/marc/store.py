@@ -191,13 +191,14 @@ class MarcStore:
                 rec.created = now
                 rec.created_user = user
 
-        # 4. derived columns as one DataFrame job over the new rows
+        # 4. derived columns as one DataFrame job over the new rows.
+        # to_row() already resolved linked values through the in-process
+        # auth index (they ride as caches in the nested rows), so the
+        # whole derivation is a map-only projection — zero shuffles.
         new_df = self.spark.createDataFrame([r.to_row() for r in records],
                                             schema=schemas.MARC)
-        headings = self.headings() if record_type == "bib" else mdf.auth_headings(
-            self._post_batch_auths(new_df, record_type))
-        derived = mdf.derive_text_words(new_df, headings)
-        derived = mdf.derive_logical_fields(derived, record_type, headings=headings)
+        derived = mdf.derive_text_words(new_df, headings=None)
+        derived = mdf.derive_logical_fields(derived, record_type, headings=None)
         derived_rows = derived.collect()
         derived = self.spark.createDataFrame(derived_rows, schema=derived.schema)
 
@@ -218,14 +219,6 @@ class MarcStore:
             if changed:
                 self._propagate_heading_changes([r.id for r in changed], user, now)
         return out
-
-    def _post_batch_auths(self, new_df: DataFrame, record_type: str) -> DataFrame:
-        base = self.auths()
-        if record_type != "auth":
-            return base
-        return base.join(new_df.select("_id"), "_id", "leftanti").unionByName(
-            new_df.select(*[f.name for f in schemas.MARC.fields]),
-            allowMissingColumns=True)
 
     @staticmethod
     def _heading_signature(rec: Marc | None):
@@ -395,20 +388,43 @@ class MarcStore:
          .write.mode("append").parquet(self._path(f"{record_type}_history")))
         return rec
 
+    def revert(self, record_type: str, rid: int, version: int,
+               user: str = "admin", now: datetime | None = None) -> Marc:
+        """Reset a live record to history version N, 1-based (reference
+        Marc.revert, dlx/marc/__init__.py:1349-1366) — the revert itself
+        commits and becomes the newest version."""
+        versions = self.history(record_type, rid)
+        if not 1 <= version <= len(versions):
+            raise Exception(f"no version {version} for {record_type} {rid}")
+        rec = versions[version - 1]
+        rec.id = rid
+        self.commit([rec], user=user, now=now, auth_check=False,
+                    update_attached=False)
+        return rec
+
     def history(self, record_type: str, rid: int) -> list[Marc]:
         rows = (self.history_df(record_type)
                 .filter((F.col("record_id") == rid) & F.col("doc").isNotNull())
                 .orderBy("version").collect())
         return [_RECORD_CLASS[record_type].from_row(r["doc"]) for r in rows]
 
-    def find_deleted(self, record_type: str) -> DataFrame:
-        """Deleted-not-restored record ids by latest action time."""
+    def find_deleted(self, record_type: str,
+                     date_from: datetime | None = None,
+                     date_to: datetime | None = None) -> DataFrame:
+        """Deleted-not-restored record ids by latest action time
+        (reference History.find_deleted / deleted_by_date,
+        dlx/marc/__init__.py:2345-2384)."""
         h = self.history_df(record_type)
         latest = (h.groupBy("record_id")
                   .agg(F.max(F.struct("version", "deleted_time", "restored_time")).alias("s")))
-        return (latest.filter(F.col("s.deleted_time").isNotNull()
-                              & F.col("s.restored_time").isNull())
-                .select("record_id", F.col("s.deleted_time").alias("deleted_time")))
+        out = (latest.filter(F.col("s.deleted_time").isNotNull()
+                             & F.col("s.restored_time").isNull())
+               .select("record_id", F.col("s.deleted_time").alias("deleted_time")))
+        if date_from is not None:
+            out = out.filter(F.col("deleted_time") >= date_from)
+        if date_to is not None:
+            out = out.filter(F.col("deleted_time") < date_to)
+        return out
 
     # --- auth merge -----------------------------------------------------------
 

@@ -1,0 +1,129 @@
+"""Parity extras: partial lookup, revert, deleted-by-date, bib files
+join, language-translated headings."""
+
+from datetime import datetime
+
+import pytest
+
+from dlx_spark.marc import Auth, Bib
+from dlx_spark.marc import dataframe as mdf
+
+T0, T1, T2 = datetime(2026, 1, 1), datetime(2026, 2, 1), datetime(2026, 3, 1)
+
+
+def test_partial_lookup(spark, auths_df):
+    dim = mdf.auth_headings(auths_df)
+    out = mdf.partial_lookup(dim, "head").collect()
+    assert {r.auth_id for r in out} == {1, 2}
+    out = mdf.partial_lookup(dim, "ANOTHER").collect()
+    assert [r.auth_id for r in out] == [2]
+    assert mdf.partial_lookup(dim, "zzz").count() == 0
+
+
+def test_language_translated_heading(auth_docs):
+    # auth 150 heading with French translation in tag 993
+    doc = {
+        "_id": 9,
+        "150": [{"indicators": [" ", " "],
+                 "subfields": [{"code": "a", "value": "Human rights"}]}],
+        "993": [{"indicators": [" ", " "],
+                 "subfields": [{"code": "a", "value": "Droits de l'homme"}]}],
+    }
+    auth = Auth(doc)
+    assert auth.heading_value("a") == "Human rights"
+    assert auth.heading_value("a", "fr") == "Droits de l'homme"
+    assert auth.heading_value("a", "zz") is None
+
+
+def test_translated_get_value():
+    from dlx_spark.marc.record import AuthIndex
+    idx = AuthIndex()
+    idx.add(Auth({
+        "_id": 9,
+        "150": [{"indicators": [" ", " "],
+                 "subfields": [{"code": "a", "value": "Human rights"}]}],
+        "993": [{"indicators": [" ", " "],
+                 "subfields": [{"code": "a", "value": "Droits de l'homme"}]}],
+    }))
+    bib = Bib({"_id": 1, "650": [{"indicators": [" ", " "],
+                                  "subfields": [{"code": "a", "xref": 9}]}]},
+              auth_index=idx)
+    assert bib.get_value("650", "a") == "Human rights"
+    assert bib.get_value("650", "a", language="fr") == "Droits de l'homme"
+
+
+def test_auth_headings_language_rows(spark):
+    from dlx_spark.marc import AuthSet
+    docs = [{
+        "_id": 9,
+        "150": [{"indicators": [" ", " "],
+                 "subfields": [{"code": "a", "value": "Human rights"}]}],
+        "994": [{"indicators": [" ", " "],
+                 "subfields": [{"code": "a", "value": "Derechos humanos"}]}],
+    }]
+    df = AuthSet.from_dicts(docs).to_df(spark)
+    dim = mdf.auth_headings(df)
+    rows = {(r.lang): r.value for r in dim.collect()}
+    assert rows[None] == "Human rights"
+    assert rows["es"] == "Derechos humanos"
+
+
+def test_revert(spark, tmp_path, auth_docs, bib_docs):
+    from dlx_spark.marc.store import MarcStore
+    st = MarcStore(spark, str(tmp_path / "wh"))
+    st.commit([Auth(d) for d in auth_docs], now=T0)
+    idx = st.auth_index()
+    st.commit([Bib(bib_docs[0], auth_index=idx)], now=T0)
+
+    b = st.get("bib", 1)
+    b.set("245", "a", "v2 title", auth_control=False)
+    st.commit([b], now=T1)
+    assert st.get("bib", 1).get_value("245", "a") == "v2 title"
+
+    st.revert("bib", 1, version=1, now=T2)
+    assert st.get("bib", 1).get_value("245", "a") == "This"
+    assert len(st.history("bib", 1)) == 3  # revert is itself a version
+    with pytest.raises(Exception, match="no version"):
+        st.revert("bib", 1, version=99)
+
+
+def test_find_deleted_by_date(spark, tmp_path, bib_docs):
+    from dlx_spark.marc.store import MarcStore
+    st = MarcStore(spark, str(tmp_path / "wh2"))
+    recs = []
+    for d in bib_docs:
+        d = dict(d)
+        d.pop("650", None), d.pop("710", None)
+        recs.append(Bib(d))
+    st.commit(recs, now=T0)
+    st.delete("bib", 1, now=T1)
+    st.delete("bib", 2, now=T2)
+    assert st.find_deleted("bib").count() == 2
+    assert [r.record_id for r in st.find_deleted("bib", date_from=T2).collect()] == [2]
+    assert [r.record_id for r in st.find_deleted("bib", date_to=T2).collect()] == [1]
+
+
+def test_bib_files(spark, tmp_path):
+    from dlx_spark.files import FileStore, Identifier
+    from dlx_spark.marc import BibSet
+
+    fstore = FileStore(spark, str(tmp_path / "files"))
+    fstore.import_from_binary(b"old pdf", identifiers=[Identifier("symbol", "A/RES/1")],
+                              languages=["EN"], mimetype="application/pdf",
+                              source="s", now=T0)
+    fstore.import_from_binary(b"new pdf", identifiers=[Identifier("symbol", "A/RES/1")],
+                              languages=["EN"], mimetype="application/pdf",
+                              source="s", now=T1)
+    fstore.import_from_binary(b"fr pdf", identifiers=[Identifier("symbol", "A/RES/1")],
+                              languages=["FR"], mimetype="application/pdf",
+                              source="s", now=T0)
+
+    docs = [{"_id": 1, "191": [{"indicators": [" ", " "],
+                                "subfields": [{"code": "a", "value": "A/RES/1"}]}]}]
+    bibs_df = BibSet.from_dicts(docs).to_df(spark)
+
+    out = {(r.language): r for r in fstore.bib_files(bibs_df).collect()}
+    assert out["EN"].timestamp == T1  # latest EN wins
+    assert out["FR"].timestamp == T0
+    only_fr = fstore.bib_files(bibs_df, language="FR").collect()
+    assert len(only_fr) == 1

@@ -1,0 +1,135 @@
+"""MARC-side throughput benchmark: generates N synthetic JMARC records,
+then times the engine's derivation pipeline (text/words + logical
+fields), the exploded-view build, a DSL query, and serialization.
+
+Context: the reference's only published number is ≈15 minutes for a full
+logical-fields + browse-index rebuild of its production MongoDB
+(dlx/scripts/build_logical_fields.py:2-3).  This reports records/second
+for the equivalent derivation on local[N].
+
+Usage: python tools/marc_bench.py [n_records]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+WORDS = ("report security council climate change development human rights "
+         "economic social affairs peacekeeping resolution assembly general "
+         "committee session agenda international cooperation").split()
+
+
+def synth_records_df(spark, n: int):
+    """Deterministic synthetic bibs: 6 fields incl. repeated tags and a
+    linked 650 pointing at one of 1000 auths."""
+    from dlx_spark import schemas
+    base = spark.range(1, n + 1).select(F.col("id").alias("_id"))
+
+    def pick(i, k):
+        return F.element_at(F.array(*[F.lit(w) for w in WORDS]),
+                            (F.pmod(F.col("_id") * k + i, F.lit(len(WORDS))) + 1).cast("int"))
+
+    def field(tag, *subs):
+        return F.struct(
+            F.lit(tag).alias("tag"), F.lit(" ").alias("ind1"), F.lit(" ").alias("ind2"),
+            F.array(*[
+                F.struct(F.lit(code).alias("code"), val.alias("value"),
+                         xref.alias("xref") if xref is not None else F.lit(None).cast("long").alias("xref"))
+                for code, val, xref in subs
+            ]).alias("subfields"))
+
+    title = F.concat_ws(" ", pick(1, 3), pick(2, 5), pick(3, 7), pick(4, 11))
+    note1 = F.concat_ws(" ", pick(5, 13), pick(6, 17), pick(7, 19))
+    note2 = F.concat_ws(" ", pick(8, 23), pick(9, 29))
+    symbol = F.concat(F.lit("A/RES/"), F.col("_id").cast("string"))
+    xref = (F.pmod(F.col("_id"), F.lit(1000)) + 1).cast("long")
+
+    df = base.select(
+        "_id",
+        F.lit("00000nam a2200000 a 4500").alias("leader"),
+        F.array(F.struct(F.lit("008").alias("tag"), F.lit("controlfield").alias("value"))).alias("controlfields"),
+        F.array(
+            field("191", ("a", symbol, None)),
+            field("245", ("a", title, None), ("b", note2, None)),
+            field("520", ("a", note1, None)),
+            field("520", ("a", note2, None)),
+            F.struct(F.lit("650").alias("tag"), F.lit(" ").alias("ind1"), F.lit(" ").alias("ind2"),
+                     F.array(F.struct(F.lit("a").alias("code"),
+                                      F.concat(F.lit("Heading "), xref.cast("string")).alias("value"),
+                                      xref.alias("xref"))).alias("subfields")),
+        ).alias("datafields"),
+        F.lit(None).cast("timestamp").alias("created"),
+        F.lit(None).cast("string").alias("created_user"),
+        F.lit(None).cast("timestamp").alias("updated"),
+        F.lit(None).cast("string").alias("user"),
+        F.lit(None).cast("string").alias("basket"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("array<string>").alias("words"),
+    )
+    return df
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    from dlx_spark.session import get_spark
+    from dlx_spark.marc import dataframe as mdf
+
+    spark = get_spark("marc_bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bibs = synth_records_df(spark, n).repartition(32).cache()
+    bibs.count()  # materialize input off the clock
+
+    timings = {}
+
+    # warm codegen/JIT on a 100-record slice so the timing below measures
+    # steady-state throughput (the regime that matters at scale), then
+    # time the full derivation
+    warm = mdf.derive_logical_fields(mdf.derive_text_words(bibs.limit(100)), "bib")
+    warm.foreach(lambda r: None)
+
+    t0 = time.time()
+    derived = mdf.derive_text_words(bibs)
+    derived = mdf.derive_logical_fields(derived, "bib")
+    derived = derived.cache()
+    derived.count()
+    timings["derive_full"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    ex = mdf.explode_subfields(bibs)
+    n_subfields = ex.count()
+    timings["explode_subfields"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from dlx_spark.marc import query as q
+    pred = q.Text("climate change").compile()
+    n_hits = derived.filter(pred).count()
+    timings["text_query"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n_uses = mdf.auth_use_counts(bibs).count()
+    timings["auth_use_counts"] = round(time.time() - t0, 2)
+
+    print(json.dumps({
+        "metric": "marc_derivation_records_per_sec",
+        "value": round(n / timings["derive_full"], 1),
+        "unit": "records/sec",
+        "n_records": n,
+        "n_subfields": n_subfields,
+        "text_query_hits": n_hits,
+        "distinct_xrefs": n_uses,
+        "timings_sec": timings,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
