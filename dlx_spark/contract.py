@@ -648,6 +648,27 @@ def quality_score(spark, sf):
     )
 
 
+@query("lsh_topk")  # approximate ANN → rows-only check
+def lsh_topk(spark, sf):
+    """hyperplane-LSH approximate nearest neighbors: scans only buckets
+    within hamming-1 of the query bucket (the 100 TB ANN path; exactness
+    vs brute force is pytest-covered)."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = similarity.lsh_topk(emb, qvec, k=10, n_planes=8, multiprobe_hamming=1)
+    return out.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
+
+
+@query("knn_join")  # approximate (bucketed) → rows-only check
+def knn_join(spark, sf):
+    """k-nearest-neighbors for every probe row via bucketed equi-join +
+    per-probe top-k window."""
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    out = similarity.knn_join(probes, emb, k=3, n_planes=4)
+    return out.select("probe_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
 @query("fingerprint_minhash_sketch")  # rows-only: winnowing sketch
 def fingerprint_minhash_sketch(spark, sf):
     """document fingerprinting: winnowing sketch sizes per doc (the

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from dlx_spark import config
-from dlx_spark.functions.tokenizer import scrub_col, scrub_udf, tokenize_udf
+from dlx_spark.functions.tokenizer import scrub_col, tokenize_udf
 
 
 def explode_subfields(df: DataFrame, record_type: str = "bib") -> DataFrame:

@@ -40,6 +40,19 @@ class MarcSet:
         return cls(df=df, auth_index=auth_index)
 
     @classmethod
+    def from_aggregation(cls, df_or_sql, spark: SparkSession | None = None,
+                         auth_index: AuthIndex | None = None) -> "MarcSet":
+        """Arbitrary-pipeline escape hatch (reference
+        MarcSet.from_aggregation, dlx/marc/__init__.py:130-139): accepts
+        a DataFrame of the canonical nested schema, or a SQL string run
+        against the session's registered views."""
+        if isinstance(df_or_sql, str):
+            if spark is None:
+                raise ValueError("spark session required for SQL input")
+            df_or_sql = spark.sql(df_or_sql)
+        return cls(df=df_or_sql, auth_index=auth_index)
+
+    @classmethod
     def from_ids(cls, df: DataFrame, ids: list[int],
                  auth_index: AuthIndex | None = None) -> "MarcSet":
         """Reference MarcSet.from_ids (dlx/marc/__init__.py:141-143)."""

@@ -1,0 +1,92 @@
+"""Property-based round-trip tests (hypothesis): random records survive
+MRK / XML / JSON / nested-row round trips; tokenizer invariants hold on
+arbitrary text.  Goes beyond the reference's test strategy (SURVEY §5:
+"no property-based/randomized testing")."""
+
+import string as _string
+
+from hypothesis import given, settings, strategies as st
+
+from dlx_spark.functions.tokenizer import scrub, split_words, stem, tokenize
+from dlx_spark.marc import Bib
+
+# values that survive the delimiter-based text formats: no $ (subfield
+# delimiter), no newlines, non-empty, no leading/trailing whitespace
+VALUE = st.text(
+    alphabet=_string.ascii_letters + _string.digits + " 'éàüñøßÆ-.,;:()",
+    min_size=1, max_size=40,
+).map(lambda s: s.strip()).filter(lambda s: s and not s.startswith("="))
+
+CODE = st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789")
+# plain tags, avoiding auth-controlled ones so no auth index is needed
+TAG = st.sampled_from(["020", "035", "245", "246", "260", "300", "500",
+                       "520", "546", "590", "930", "989"])
+
+
+@st.composite
+def record_docs(draw):
+    n_fields = draw(st.integers(1, 6))
+    doc = {"_id": draw(st.integers(1, 10**9))}
+    tags = draw(st.lists(TAG, min_size=n_fields, max_size=n_fields))
+    for tag in tags:
+        subs = [{"code": draw(CODE), "value": draw(VALUE)}
+                for _ in range(draw(st.integers(1, 4)))]
+        doc.setdefault(tag, []).append(
+            {"indicators": [draw(st.sampled_from(" 01")), draw(st.sampled_from(" 01"))],
+             "subfields": subs})
+    return doc
+
+
+@settings(max_examples=40, deadline=None)
+@given(record_docs())
+def test_nested_row_roundtrip(doc):
+    rec = Bib(doc)
+    back = Bib.from_row(rec.to_row())
+    assert back.to_dict() == rec.to_dict()
+
+
+@settings(max_examples=40, deadline=None)
+@given(record_docs())
+def test_json_roundtrip(doc):
+    rec = Bib(doc)
+    back = Bib.from_json(rec.to_json())
+    assert back.to_dict() == rec.to_dict()
+
+
+@settings(max_examples=40, deadline=None)
+@given(record_docs())
+def test_xml_roundtrip(doc):
+    rec = Bib(doc)
+    # delete_subfield_zero=False: code '0' is otherwise consumed as the
+    # xref convention (faithful reference behavior)
+    back = Bib.from_xml(rec.to_xml(write_id=False), auth_control=False,
+                        delete_subfield_zero=False)
+    assert [f.signature() for f in back.datafields] == \
+        [f.signature() for f in rec.datafields]
+
+
+@settings(max_examples=40, deadline=None)
+@given(record_docs())
+def test_mrk_roundtrip(doc):
+    rec = Bib(doc)
+    mrk = rec.to_mrk(write_id=False)
+    back = Bib.from_mrk(mrk, auth_control=False, delete_subfield_zero=False)
+    # 000 filler is added by to_mrk; compare datafields only.  MRK cannot
+    # represent '$' in values, excluded by construction.
+    assert [f.signature() for f in back.datafields] == \
+        [f.signature() for f in rec.datafields]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenizer_invariants(s):
+    toks = tokenize(s)
+    assert all(t == t.lower() or not t.isascii() for t in toks)
+    scrubbed = scrub(s)
+    assert scrubbed == scrubbed.strip()
+    # idempotence of scrub
+    assert scrub(scrubbed) == scrubbed
+    # stem idempotence on its own output is NOT guaranteed by Porter;
+    # but stemming never raises and always returns a string
+    for w in split_words(s):
+        assert isinstance(stem(w), str)
