@@ -38,6 +38,10 @@ _FR = ("le", "la", "les", "de", "des", "et", "est", "dans", "pour", "que")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver supplies its own SparkSession: pin UTC so timestamp
+    # values agree with the UTC-naive DuckDB oracle regardless of the
+    # host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which the vectorized
         # parquet reader rejects; read nanos as long and truncate to

@@ -304,6 +304,35 @@ class AuthQuery(Query):
     record_type = "auth"
 
 
+class AtlasQuery(Query):
+    """Reference AtlasQuery (query.py:832-865) splits Text conditions
+    into Atlas $search stages.  In Spark there is no separate search
+    service: Text conditions compile to the same tokenized predicates as
+    everything else, so this subclass exists for API parity and exposes
+    the split for callers that want to route text terms elsewhere."""
+
+    @classmethod
+    def from_string(cls, string: str, *, record_type: str | None = None,
+                    auth_index=None) -> "AtlasQuery":
+        base = Query.from_string(string, record_type=record_type,
+                                 auth_index=auth_index)
+        self = cls()
+        self.record_type = base.record_type
+        self.conditions = base.conditions
+        return self
+
+    @property
+    def text_conditions(self) -> list:
+        return [c for c in self.conditions if isinstance(c, Text)]
+
+    @property
+    def match(self) -> "Query":
+        rest = [c for c in self.conditions if not isinstance(c, Text)]
+        q = Query(*rest)
+        q.record_type = self.record_type
+        return q
+
+
 def _compile(cond, record_type: str | None, auth_index: AuthIndex | None) -> Column:
     if getattr(cond, "record_type", None) is None and record_type:
         cond.record_type = record_type

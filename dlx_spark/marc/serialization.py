@@ -304,7 +304,11 @@ def from_xml_raw(cls, root: ElementTree.Element, *, auth_control: bool = True,
         xref = None
         for sn in sub_nodes:
             if sn.attrib["code"] == "0":
-                xref = int("".join(c for c in sn.text if c.isdigit()))
+                digits = "".join(c for c in (sn.text or "") if c.isdigit())
+                # non-numeric $0 is not an xref (the reference crashes
+                # here with int('') — guarded deliberately)
+                if digits:
+                    xref = int(digits)
 
         ambiguous = []
         for sn in sub_nodes:

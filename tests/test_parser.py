@@ -175,3 +175,16 @@ def test_query_from_string_api(ctx):
                                 auth_index=ctx.auth_index)
     assert len(query.conditions) == 1
     assert isinstance(query.conditions[0], q.Condition)
+
+
+def test_atlas_query_split(ctx):
+    from dlx_spark.marc.query import AtlasQuery, Text
+    aq = AtlasQuery.from_string("245__a:This AND description",
+                                record_type="bib", auth_index=ctx.auth_index)
+    assert len(aq.text_conditions) == 1
+    assert isinstance(aq.text_conditions[0], Text)
+    assert len(aq.match.conditions) == 1
+    # whole AtlasQuery still compiles/executes like a normal query
+    from dlx_spark.marc.parser import execute_query
+    ids = sorted(r._id for r in execute_query(aq, ctx).select("_id").collect())
+    assert ids == [1]
