@@ -148,6 +148,17 @@ class FileStore:
         with open(path, "rb") as fh:
             return self.import_from_binary(fh.read(), **kwargs)
 
+    def import_from_url(self, url: str, **kwargs) -> dict:
+        """Download-then-import (reference import_from_url,
+        dlx/file/__init__.py:87-108) — stdlib urllib, 8 KiB chunks."""
+        import io
+        from urllib.request import urlopen
+        buf = io.BytesIO()
+        with urlopen(url) as resp:
+            while chunk := resp.read(8192):
+                buf.write(chunk)
+        return self.import_from_binary(buf.getvalue(), **kwargs)
+
     def _check_file_exists(self, checksum: str, identifiers: list[Identifier],
                            languages: list[str]) -> None:
         rows = self.df().filter(F.col("_id") == checksum).collect()

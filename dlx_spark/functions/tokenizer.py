@@ -406,6 +406,22 @@ def tokenize_simple_col(col: Column) -> Column:
     return split_words_col(scrub_col(col))
 
 
+def natural_sort_key(col_name: str, width: int = 12) -> Column:
+    """Sort-key expression emulating the reference collation's
+    ``numericOrdering: True`` (dlx/config.py:340): digit runs compare
+    numerically ('A/RES/2' < 'A/RES/10'), the rest as lowercased text.
+    Takes a column NAME; digit runs are isolated with sentinel markers
+    and left-padded to ``width`` — a pure JVM expression."""
+    return F.expr(f"""
+        array_join(
+            transform(
+                filter(split(regexp_replace(lower({col_name}), '(\\\\d+)', '\\u0001$1\\u0001'), '\\u0001'),
+                       p -> p != ''),
+                p -> CASE WHEN p rlike '^\\\\d+$' THEN lpad(p, {width}, '0') ELSE p END),
+            '')
+    """)
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def tokenize_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: tokenize(x) if x is not None else None)

@@ -468,6 +468,15 @@ class MarcStore:
         (self.spark.createDataFrame(log_row, "gaining long, losing long, user string, time timestamp")
          .write.mode("append").parquet(self._path("merge_log")))
 
+    def update_auth_use_counts(self) -> DataFrame:
+        """Compute per-auth bib_use_count (reference calculate_auth_use,
+        build_logical_fields.py:218-252) and return the counts joined to
+        the auth ids; one light shuffle (partial aggregation)."""
+        counts = mdf.auth_use_counts(self.bibs())
+        return (self.auths().select(F.col("_id").alias("auth_id"))
+                .join(counts, F.col("auth_id") == counts["xref"], "left")
+                .select("auth_id", F.coalesce("bib_use_count", F.lit(0)).alias("bib_use_count")))
+
     # --- heading-change propagation --------------------------------------------
 
     def _propagate_heading_changes(self, changed_ids: list[int], user: str,

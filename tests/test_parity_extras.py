@@ -127,3 +127,51 @@ def test_bib_files(spark, tmp_path):
     assert out["FR"].timestamp == T0
     only_fr = fstore.bib_files(bibs_df, language="FR").collect()
     assert len(only_fr) == 1
+
+
+def test_natural_sort_key(spark):
+    from dlx_spark.functions.tokenizer import natural_sort_key
+    df = spark.createDataFrame(
+        [("A/RES/10",), ("A/RES/2",), ("A/RES/1",), ("B/1",), ("a/res/3",)],
+        "symbol string")
+    ordered = [r.symbol for r in
+               df.orderBy(natural_sort_key("symbol")).collect()]
+    # numericOrdering: 1 < 2 < 3 < 10, case-insensitive
+    assert ordered == ["A/RES/1", "A/RES/2", "a/res/3", "A/RES/10", "B/1"]
+
+
+def test_import_from_url(spark, tmp_path):
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from dlx_spark.files import FileStore, Identifier
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"url content payload")
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fstore = FileStore(spark, str(tmp_path / "files_url"))
+        row = fstore.import_from_url(
+            f"http://127.0.0.1:{srv.server_port}/f.bin",
+            identifiers=[Identifier("isbn", "u1")], languages=["EN"],
+            mimetype="application/octet-stream", source="url", now=T0)
+        assert row["size"] == len(b"url content payload")
+        assert fstore.from_id(row["_id"]) is not None
+    finally:
+        srv.shutdown()
+
+
+def test_update_auth_use_counts(spark, tmp_path, auth_docs, bib_docs):
+    from dlx_spark.marc.store import MarcStore
+    st = MarcStore(spark, str(tmp_path / "wh3"))
+    st.commit([Auth(d) for d in auth_docs], now=T0)
+    idx = st.auth_index()
+    st.commit([Bib(d, auth_index=idx) for d in bib_docs], now=T0)
+    counts = {r.auth_id: r.bib_use_count for r in st.update_auth_use_counts().collect()}
+    assert counts == {1: 2, 2: 1}
