@@ -144,6 +144,54 @@ class FileStore:
         shutil.rmtree(staged, ignore_errors=True)
         return row
 
+    def import_batch(self, items: list[dict], overwrite: bool = False,
+                     now: datetime | None = None) -> list[dict]:
+        """Set-scale import: ONE table rewrite for N files (the per-file
+        ``import_from_binary`` rewrites the table each call — fine for
+        interactive use, quadratic for bulk loads).  Each item: {data:
+        bytes, identifiers: [Identifier], languages, mimetype, source,
+        filename?, user?}.  Conflict rules are applied per item against
+        the pre-batch state + earlier items in the batch; conflicting
+        items raise (atomic: nothing written)."""
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        rows, seen = [], {}
+        for item in items:
+            data = item["data"]
+            checksum = hashlib.md5(data).hexdigest()
+            idents = item["identifiers"]
+            langs = list(item["languages"])
+            if not overwrite:
+                if checksum in seen:
+                    raise FileExists()
+                self._check_file_exists(checksum, idents, langs)
+            seen[checksum] = True
+            if not self.uploader(data, checksum, item["mimetype"]):
+                continue
+            rows.append({
+                "_id": checksum,
+                "filename": item.get("filename"),
+                "identifiers": [{"type": i.type, "value": i.value} for i in idents],
+                "languages": langs,
+                "mimetype": item["mimetype"],
+                "size": len(data),
+                "source": item["source"],
+                "timestamp": now,
+                "updated": None,
+                "uri": f"files.invalid/{checksum}",
+                "user": item.get("user"),
+            })
+        if not rows:
+            return []
+        new_ids = [r["_id"] for r in rows]
+        existing = self.df().filter(~F.col("_id").isin(new_ids))
+        union = existing.unionByName(self.spark.createDataFrame(rows, schema=schemas.FILE))
+        staged = os.path.join(self.root, "_stage_files")
+        union.write.mode("overwrite").parquet(staged)
+        self.spark.read.parquet(staged).write.mode("overwrite").parquet(self._path)
+        import shutil
+        shutil.rmtree(staged, ignore_errors=True)
+        return rows
+
     def import_from_path(self, path: str, **kwargs) -> dict:
         with open(path, "rb") as fh:
             return self.import_from_binary(fh.read(), **kwargs)

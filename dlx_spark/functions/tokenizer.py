@@ -354,9 +354,13 @@ def _translate_tables() -> tuple[str, str, list[tuple[str, str]]]:
     """Build (src, dst) strings for F.translate plus multi-char
     replacement pairs, derived from the same fold logic as asciify."""
     src, dst, multi = [], [], []
-    # Latin-1 supplement + Latin Extended-A/B + additions commonly found
-    # in bibliographic data
-    for cp in list(range(0xC0, 0x250)) + [0x1E9E, 0x2018, 0x2019, 0x201C, 0x201D]:
+    # Latin-1 supplement, Latin Extended-A/B, IPA-adjacent, combining-
+    # precomposed Latin Extended Additional (covers Vietnamese), plus
+    # common punctuation — everything the Python-side fold handles that
+    # can appear precomposed in bibliographic data
+    cps = (list(range(0xC0, 0x250)) + list(range(0x1E00, 0x1F00))
+           + [0x1E9E, 0x2018, 0x2019, 0x201C, 0x201D])
+    for cp in cps:
         ch = chr(cp)
         folded = _fold_char(ch)
         if folded == ch:

@@ -71,7 +71,9 @@ def explode_subfields(df: DataFrame, record_type: str = "bib") -> DataFrame:
             F.col("s.sub_pos").alias("sub_pos"),
             F.col("s.value").alias("value"),
             F.col("s.xref").alias("xref"),
-            (F.col("field_idx") * F.lit(1000) + F.col("sub_idx")).alias("gpos"),
+            # ordinal for stable re-assembly; 1e6 multiplier keeps it
+            # correct up to a million subfields per field
+            (F.col("field_idx").cast("long") * F.lit(1_000_000) + F.col("sub_idx")).alias("gpos"),
         )
     )
     return out

@@ -96,11 +96,12 @@ class QueryContext:
                               how="left")
                       .withColumn("value", F.coalesce("h_value", "value"))
                       .drop("auth_id", "h_code", "h_value"))
+            from dlx_spark.functions.tokenizer import scrub_col
             self._subfield_tokens = (
                 ex.filter(F.col("value").isNotNull())
                 .select("record_id", "tag", "code", "value",
                         tokenize_udf(F.col("value")).alias("toks"),
-                        F.lower(F.col("value")).alias("value_lc"))
+                        scrub_col(F.col("value")).alias("value_norm"))
                 .cache()
             )
         return self._subfield_tokens
@@ -149,7 +150,9 @@ class SubfieldTextSearch:
         for t in neg_terms:
             cond = cond & ~F.array_contains("toks", t)
         for ph in quoted:
-            cond = cond & F.col("value_lc").rlike(rf"\b{re.escape(ph)}\b")
+            # phrase compares scrubbed-to-scrubbed (the reference matches
+            # the scrubbed phrase against scrubbed index text)
+            cond = cond & F.col("value_norm").rlike(rf"\b{re.escape(ph)}\b")
         return rows.filter(cond)
 
     def matching_ids(self, ctx: QueryContext) -> DataFrame:
@@ -157,9 +160,12 @@ class SubfieldTextSearch:
         ids = matched.select("record_id").distinct()
 
         # auth-controlled expansion: records linking (by xref) to auths
-        # whose heading matches the same values
+        # whose heading matches the same values.  For fully-qualified
+        # terms the CODE must be controlled (reference query.py:208-212);
+        # tag-only terms expand whenever the tag is controlled.
         auth_ctrl = config.AUTHORITY_CONTROLLED[self.record_type]
-        if self.tag in auth_ctrl and ctx.auth_index is not None:
+        code_ok = self.code is None or self.code in auth_ctrl.get(self.tag, {})
+        if self.tag in auth_ctrl and code_ok and ctx.auth_index is not None:
             src = list(auth_ctrl[self.tag].values())[0]
             values = [r["value"] for r in matched.select("value").distinct().collect()]
             xrefs: set[int] = set()
@@ -178,6 +184,11 @@ class SubfieldTextSearch:
         ids = self.matching_ids(ctx)
         how = "leftanti" if self.modifier == "not" else "leftsemi"
         return df.join(ids, df["_id"] == ids["record_id"], how)
+
+    def compile(self, auth_index=None):
+        raise NotImplementedError(
+            "fielded text search compiles to a semi-join, not a Column; "
+            "run it through dlx_spark.marc.parser.execute_query(query, ctx)")
 
 
 class LogicalFieldSearch:
@@ -316,6 +327,8 @@ def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
     # fully qualified: TAG + 2 indicator chars + code
     if match := re.match(r"(\d{3})(.)(.)([a-z0-9]):(.*)", token):
         tag, _ind1, _ind2, code, value = match.group(1, 2, 3, 4, 5)
+        if not value:
+            raise InvalidQueryString(f'Empty search value in "{token}"')
         value = process_string(value)
 
         if value == "*":
@@ -337,6 +350,8 @@ def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
     # tag-only
     if match := re.match(r"(\d{3}):(.*)", token):
         tag, value = match.group(1, 2)
+        if not value:
+            raise InvalidQueryString(f'Empty search value in "{token}"')
 
         if tag == "001":
             try:
@@ -525,6 +540,11 @@ def execute_query(query: "q.Query", ctx: QueryContext) -> DataFrame:
             for c in cond.conditions:
                 if isinstance(c, SubfieldTextSearch):
                     part = c.matching_ids(ctx)
+                    if c.modifier == "not":
+                        # complement within the OR group: all ids minus
+                        # the matching ones
+                        all_ids = ctx.df.select(F.col("_id").alias("record_id"))
+                        part = all_ids.join(part, "record_id", "leftanti")
                 else:
                     col = q._compile(c, query.record_type, ctx.auth_index)
                     part = ctx.df.filter(col).select(F.col("_id").alias("record_id"))

@@ -120,9 +120,16 @@ class Condition:
             else:
                 if isinstance(val, int):
                     xrefs = [val]
+                elif auth_index is None:
+                    xrefs = []
                 else:
                     src = config.authority_source_tag(rtype, tag, code)
-                    xrefs = auth_index.xlookup(src, code, str(val)) if auth_index else []
+                    if isinstance(val, Regex):
+                        import re as _re
+                        flags = _re.I if "i" in val.flags else 0
+                        xrefs = auth_index.xlookup_regex(src, code, val.pattern, flags)
+                    else:
+                        xrefs = auth_index.xlookup(src, code, str(val))
                 pair_preds.append(xref_pred(code, xrefs))
 
         if pair_preds:

@@ -92,6 +92,25 @@ class AuthIndex:
         under the strength-1 collation (scrubbed)."""
         return list(self._by_value.get((heading_tag, code, scrub(value or "")), []))
 
+    def xlookup_regex(self, heading_tag: str, code: str, pattern: str,
+                      flags: int = 0) -> list[int]:
+        """Auth ids whose heading (tag, code) VALUE matches a regex —
+        the reference applies the regex against auth headings for
+        regex-valued conditions on controlled codes (query.py:666-668).
+        Dimension-sized scan."""
+        import re as _re
+        rx = _re.compile(pattern, flags)
+        out = []
+        for auth_id, auth in self._by_id.items():
+            hf = auth.heading_field
+            if hf is None or hf.tag != heading_tag:
+                continue
+            for s in hf.subfields:
+                if s.code == code and s.value and rx.search(s.value):
+                    out.append(auth_id)
+                    break
+        return sorted(out)
+
     def xlookup_any_code(self, heading_tag: str, value: str) -> list[int]:
         """Auth ids whose heading of ``heading_tag`` has ANY subfield
         matching ``value`` (TagOnly expansion, reference query.py:790-797)."""

@@ -67,6 +67,7 @@ class MarcStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._auth_index: AuthIndex | None = None
         os.makedirs(root, exist_ok=True)
 
     # --- paths / raw IO -----------------------------------------------------
@@ -105,11 +106,18 @@ class MarcStore:
 
     def auth_index(self) -> AuthIndex:
         """The in-process authority dimension (broadcast-sized by the
-        same argument as the reference's Auth.build_cache)."""
-        idx = AuthIndex()
-        for row in self.auths().toLocalIterator():
-            idx.add(Auth.from_row(row, auth_index=idx))
-        return idx
+        same argument as the reference's Auth.build_cache).  Memoized
+        per store and invalidated by every auth write, so repeated
+        reads/commits don't rescan the auths table."""
+        if self._auth_index is None:
+            idx = AuthIndex()
+            for row in self.auths().toLocalIterator():
+                idx.add(Auth.from_row(row, auth_index=idx))
+            self._auth_index = idx
+        return self._auth_index
+
+    def _invalidate_auth_index(self) -> None:
+        self._auth_index = None
 
     # --- reads ---------------------------------------------------------------
 
@@ -338,6 +346,11 @@ class MarcStore:
         (self.spark.createDataFrame(hist_rows, schema=schemas.HISTORY)
          .write.mode("append").parquet(self._path(name)))
         self._remove_live(record_type, [rid])
+        if record_type == "auth":
+            # the memoized index tracks commits incrementally (commit
+            # mutates it in step with the upsert); deletes drop the whole
+            # cache — cheap relative to their frequency
+            self._invalidate_auth_index()
 
     def _remove_live(self, record_type: str, ids: list[int]) -> None:
         name = "bibs" if record_type == "bib" else "auths"

@@ -84,14 +84,10 @@ def read_marcxml(spark: SparkSession, path: str, record_type: str = "bib") -> Da
 
     cls = Bib if record_type == "bib" else Auth
 
-    def parse(chunk: str):
+    def parse_one(xml: str):
         import re
         from xml.etree import ElementTree
-        m = re.search(r"<record[\s>].*$|<record>.*$", chunk, re.S)
-        if not m:
-            return []
-        xml = m.group(0) + "</record>"
-        # strip namespace prefixes for uniform tag matching
+        # strip namespace declarations and prefixes for uniform matching
         xml = re.sub(r"xmlns(:\w+)?=\"[^\"]*\"", "", xml)
         xml = re.sub(r"<(/?)\w+:", r"<\1", xml)
         try:
@@ -111,6 +107,21 @@ def read_marcxml(spark: SparkSession, path: str, record_type: str = "bib") -> Da
                         field.subfields[i] = Linked(s.code, int(zero))
             field.subfields = [s for s in field.subfields if s.code != "0"]
         return [rec.to_row()]
+
+    def parse(chunk: str):
+        import re
+        # plain documents split on '</record>' (parallel fast path); a
+        # namespace-prefixed document ('</marc:record>') never contains
+        # the delimiter, so the chunk may hold MANY records — split them
+        # here (single-task fallback, still correct)
+        out = []
+        for m in re.finditer(r"<(\w+:)?record[\s>].*?</(\w+:)?record>|<(\w+:)?record[\s>].*$",
+                             chunk, re.S):
+            xml = m.group(0)
+            if not re.search(r"</(\w+:)?record>\s*$", xml):
+                xml += "</record>"
+            out += parse_one(xml)
+        return out
 
     rdd = _records_from_delimited(spark, path, "</record>").flatMap(parse)
     return spark.createDataFrame(rdd, schema=schemas.MARC)

@@ -188,3 +188,10 @@ def test_atlas_query_split(ctx):
     from dlx_spark.marc.parser import execute_query
     ids = sorted(r._id for r in execute_query(aq, ctx).select("_id").collect())
     assert ids == [1]
+
+
+def test_empty_value_error(ctx):
+    with pytest.raises(InvalidQueryString, match="Empty search value"):
+        parse_query_string("245__a:")
+    with pytest.raises(InvalidQueryString, match="Empty search value"):
+        parse_query_string("245:")
