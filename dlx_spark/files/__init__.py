@@ -20,7 +20,6 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dlx_spark import schemas
-from dlx_spark.functions.tokenizer import scrub_col
 
 # ISO 639-1 two-letter codes (public table); validation mirror of the
 # reference's ISO6391 map (dlx/util.py:185-375)

@@ -15,7 +15,7 @@ not a per-lookup database round-trip.
 from __future__ import annotations
 
 import re
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Optional
 
 from dlx_spark import config
 from dlx_spark.functions.tokenizer import scrub, tokenize

@@ -21,7 +21,6 @@ from xml.etree import ElementTree
 from dlx_spark import config
 from dlx_spark.marc.record import (
     AmbiguousAuthValue,
-    Auth,
     AuthIndex,
     Controlfield,
     Datafield,

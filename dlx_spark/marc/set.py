@@ -9,7 +9,7 @@ nested schema (laziness preserved).
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Iterator, Optional
+from typing import Iterable, Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -29,7 +29,6 @@ def run(argv=None) -> int:
     args = parser.parse_args(argv)
     record_types = args.type or ["bib", "auth"]
 
-    from pyspark.sql import functions as F
     from dlx_spark.session import get_spark
     from dlx_spark.marc import dataframe as mdf
     from dlx_spark.marc.store import MarcStore
