@@ -153,17 +153,25 @@ class FileStore:
         the pre-batch state + earlier items in the batch; conflicting
         items raise (atomic: nothing written)."""
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
-        rows, seen = [], {}
+        # validate the WHOLE batch before any upload so a mid-batch
+        # conflict can't leave orphaned content objects
+        seen: dict[str, bool] = {}
+        checksums = []
         for item in items:
-            data = item["data"]
-            checksum = hashlib.md5(data).hexdigest()
-            idents = item["identifiers"]
-            langs = list(item["languages"])
+            checksum = hashlib.md5(item["data"]).hexdigest()
             if not overwrite:
                 if checksum in seen:
                     raise FileExists()
-                self._check_file_exists(checksum, idents, langs)
+                self._check_file_exists(checksum, item["identifiers"],
+                                        list(item["languages"]))
             seen[checksum] = True
+            checksums.append(checksum)
+
+        rows = []
+        for item, checksum in zip(items, checksums):
+            data = item["data"]
+            idents = item["identifiers"]
+            langs = list(item["languages"])
             if not self.uploader(data, checksum, item["mimetype"]):
                 continue
             rows.append({

@@ -166,10 +166,15 @@ def nest_subfields(exploded: DataFrame, original: DataFrame) -> DataFrame:
         .groupBy("record_id")
         .agg(F.expr("transform(array_sort(collect_list(struct(field_gpos, field))), p -> p.field)").alias("datafields"))
     )
+    # records whose datafields are empty have no exploded rows: the left
+    # join would leave NULL, which poisons downstream exists() predicates
+    # and breaks []-vs-NULL round trips — coalesce back to an empty array
+    empty = f"cast(array() as {nested.schema['datafields'].dataType.simpleString()})"
     return (
         original.drop("datafields")
         .join(nested, original["_id"] == nested["record_id"], "left")
         .drop("record_id")
+        .withColumn("datafields", F.coalesce(F.col("datafields"), F.expr(empty)))
     )
 
 

@@ -48,7 +48,11 @@ class InvalidQueryString(Exception):
 
 
 class WildcardRegex(q.Regex):
-    pass
+    """Wildcard-derived regex — ALWAYS case-insensitive, like the
+    reference's WildcardRegex (query.py:15-18)."""
+
+    def __init__(self, pattern: str):
+        super().__init__(pattern, "i")
 
 
 LOGICAL_FIELD_ALIASES = {
@@ -98,13 +102,42 @@ class QueryContext:
                       .drop("auth_id", "h_code", "h_value"))
             from dlx_spark.functions.tokenizer import scrub_col
             self._subfield_tokens = (
-                ex.filter(F.col("value").isNotNull())
-                .select("record_id", "tag", "code", "value",
+                ex.filter(F.col("value").isNotNull() | F.col("xref").isNotNull())
+                .select("record_id", "tag", "code", "value", "xref",
                         tokenize_udf(F.col("value")).alias("toks"),
                         scrub_col(F.col("value")).alias("value_norm"))
                 .cache()
             )
         return self._subfield_tokens
+
+    def headings_df(self) -> DataFrame | None:
+        """The heading dimension: as given, or derived from the
+        in-process auth index (dimension-sized)."""
+        if self.headings is not None:
+            return self.headings
+        if self.auth_index is None:
+            return None
+        from dlx_spark.functions.tokenizer import scrub
+        rows = []
+        for aid in self.auth_index.ids():
+            auth = self.auth_index.get(aid)
+            hf = auth.heading_field if auth else None
+            if hf is None:
+                continue
+            for s in hf.subfields:
+                rows.append((aid, hf.tag, s.code, s.value, None, scrub(s.value or "")))
+        if not rows:
+            return None
+        self.headings = self.df.sparkSession.createDataFrame(
+            rows, "auth_id long, tag string, code string, value string, lang string, norm string")
+        return self.headings
+
+    def close(self) -> None:
+        """Release the cached tokenized view (one cached copy lives per
+        context otherwise — long-lived services should close contexts)."""
+        if self._subfield_tokens is not None:
+            self._subfield_tokens.unpersist()
+            self._subfield_tokens = None
 
 
 # ---------------------------------------------------------------------------
@@ -163,21 +196,26 @@ class SubfieldTextSearch:
         # whose heading matches the same values.  For fully-qualified
         # terms the CODE must be controlled (reference query.py:208-212);
         # tag-only terms expand whenever the tag is controlled.
+        # Executed as LAZY joins (matched norms ⋈ headings → auth ids ⋈
+        # linked subfields) — no driver-side value collection, so there
+        # is no 1 MB value-list cliff at any corpus size.
         auth_ctrl = config.AUTHORITY_CONTROLLED[self.record_type]
         code_ok = self.code is None or self.code in auth_ctrl.get(self.tag, {})
-        if self.tag in auth_ctrl and code_ok and ctx.auth_index is not None:
+        headings = ctx.headings_df() if (self.tag in auth_ctrl and code_ok) else None
+        if headings is not None:
             src = list(auth_ctrl[self.tag].values())[0]
-            values = [r["value"] for r in matched.select("value").distinct().collect()]
-            xrefs: set[int] = set()
-            for v in values:
-                xrefs.update(ctx.auth_index.xlookup_any_code(src, v))
-            if xrefs:
-                def has_xref(f):
-                    return (f["tag"] == self.tag) & F.exists(
-                        f["subfields"], lambda s: s["xref"].isin(sorted(xrefs)))
-                xref_ids = (ctx.df.filter(F.exists("datafields", has_xref))
-                            .select(F.col("_id").alias("record_id")))
-                ids = ids.union(xref_ids).distinct()
+            head = (headings
+                    .filter(F.col("lang").isNull() & (F.col("tag") == src))
+                    .select("auth_id", "norm"))
+            matched_norms = matched.select(F.col("value_norm").alias("norm")).distinct()
+            auth_ids = (F.broadcast(head).join(matched_norms, "norm")
+                        .select("auth_id").distinct())
+            linked = (ctx.subfield_tokens()
+                      .filter(F.col("tag") == self.tag)
+                      .join(F.broadcast(auth_ids),
+                            F.col("xref") == F.col("auth_id"), "leftsemi")
+                      .select("record_id").distinct())
+            ids = ids.union(linked).distinct()
         return ids
 
     def apply(self, df: DataFrame, ctx: QueryContext) -> DataFrame:
@@ -335,7 +373,7 @@ def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
             def code_exists(f):
                 return (f["tag"] == tag) & F.exists(f["subfields"], lambda s: s["code"] == code)
             pred = F.exists("datafields", code_exists)
-            return q.Raw(~pred if modifier == "not" else pred)
+            return q.Raw(q._not(pred) if modifier == "not" else pred)
 
         if not isinstance(value, q.Regex):
             if value[0] == "'" and value[-1] == "'" and len(value) > 1:
@@ -377,7 +415,7 @@ def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
         value = process_string(value)
         if value == "*":
             tag_exists = F.exists("datafields", lambda f: f["tag"] == tag)
-            return q.Raw(~tag_exists if modifier == "not" else tag_exists)
+            return q.Raw(q._not(tag_exists) if modifier == "not" else tag_exists)
 
         if not isinstance(value, q.Regex):
             if value[0] == "'" and value[-1] == "'" and len(value) > 1:
@@ -435,7 +473,7 @@ def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
                     f["subfields"], lambda s: s["xref"] == x)
             return linked
         pred = F.exists("datafields", make_linked(tags, xref))
-        return q.Raw(~pred if modifier == "not" else pred)
+        return q.Raw(q._not(pred) if modifier == "not" else pred)
 
     # logical field
     if match := re.match(r"(\w+):(.*)", token):
@@ -444,6 +482,12 @@ def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
         known = set(config.BIB_LOGICAL_FIELDS) | set(config.AUTH_LOGICAL_FIELDS) | {"_record_type"}
         if field not in known:
             raise InvalidQueryString(f'Unrecognized query field "{field}"')
+        rt_fields = set(config.LOGICAL_FIELDS[record_type]) | {"_record_type"}
+        if field not in rt_fields:
+            # valid for the OTHER record type: the reference queries an
+            # empty index collection and returns nothing — match-nothing
+            # rather than compiling a nonexistent column
+            return q.Raw(F.lit(False))
         if value == "*":
             return LogicalFieldSearch(field, "*", modifier=modifier)
         if not value.startswith("'"):

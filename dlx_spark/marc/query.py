@@ -51,6 +51,14 @@ class Regex:
         return f"(?{self.flags})" + self.pattern if self.flags else self.pattern
 
 
+def _not(col: Column) -> Column:
+    """Null-safe negation: exists() over arrays with NULL members yields
+    NULL under Spark's three-valued logic and ~NULL stays NULL, which
+    silently drops records from NOT queries.  Mongo's $not keeps them —
+    so coalesce to False before negating."""
+    return ~F.coalesce(col, F.lit(False))
+
+
 def _norm_eq(col: Column, value: str) -> Column:
     """Collation-emulating equality (strength-1, dlx/config.py:340)."""
     from dlx_spark.functions.tokenizer import scrub_col
@@ -146,11 +154,11 @@ class Condition:
         if not self.modifier:
             return submatch
         if self.modifier == "not":
-            return ~submatch | ~tag_exists
+            return _not(submatch) | _not(tag_exists)
         if self.modifier == "exists":
             return tag_exists
         if self.modifier == "not_exists":
-            return ~tag_exists
+            return _not(tag_exists)
         raise Exception("Invalid modifier")
 
 
@@ -227,9 +235,9 @@ class TagOnly:
         if self.modifier is None:
             return value_pred | xref_pred if xref_pred is not None else value_pred
         if self.modifier == "not":
-            out = ~value_pred
+            out = _not(value_pred)
             if xref_pred is not None:
-                out = out & ~xref_pred
+                out = out & _not(xref_pred)
             return out
         raise Exception("Invalid modifier")
 

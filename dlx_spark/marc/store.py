@@ -156,6 +156,18 @@ class MarcStore:
             return out
 
         record_type = records[0].record_type
+        try:
+            return self._commit_batch(records, record_type, user, now,
+                                      auth_check, update_attached)
+        except Exception:
+            # the memoized auth index is mutated in step with the commit;
+            # a failed commit leaves it desynchronized — drop it
+            if record_type == "auth":
+                self._invalidate_auth_index()
+            raise
+
+    def _commit_batch(self, records: list[Marc], record_type: str, user: str,
+                      now: datetime, auth_check: bool, update_attached: bool) -> list[int]:
         idx = self.auth_index()
         if record_type == "auth":
             # heading changes detected against the pre-commit state

@@ -1,0 +1,86 @@
+"""End-to-end tour of the engine — runnable as-is:
+
+    python examples/end_to_end.py [workdir]
+
+1. ingest MARC records from MRK text (auth control resolving $0/values)
+2. commit to a warehouse (audit, history, derived search columns)
+3. query with the search DSL (stemmed, collated, boolean)
+4. serialize back out (MRK / MARCXML / table)
+5. run the training-data-pipeline operators over the synthetic
+   documents/embeddings tables (dedup, ANN, quality)
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+MRK = """=001  1
+=245  10$aReports of the Security Council$bannual coverage
+=269  \\\\$a1999-12-31
+=650  \\\\$aPeacekeeping operations$01
+
+=001  2
+=245  00$aRésolution adoptée par l'Assemblée générale
+=650  \\\\$aPeacekeeping operations$01
+"""
+
+AUTH_MRK = """=001  1
+=150  \\\\$aPeacekeeping operations
+"""
+
+
+def main() -> None:
+    workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="dlx_spark_demo_")
+    shutil.rmtree(f"{workdir}/wh", ignore_errors=True)
+
+    from dlx_spark import get_spark
+    from dlx_spark.marc import AuthSet, BibSet
+    from dlx_spark.marc import dataframe as mdf
+    from dlx_spark.marc.parser import QueryContext, execute_query, parse_query_string
+    from dlx_spark.marc.store import MarcStore
+
+    spark = get_spark("end-to-end-demo", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1-2. ingest + commit
+    store = MarcStore(spark, f"{workdir}/wh")
+    store.commit(list(AuthSet.from_mrk(AUTH_MRK, auth_index=store.auth_index())), user="demo")
+    idx = store.auth_index()
+    store.commit(list(BibSet.from_mrk(MRK, auth_index=idx)), user="demo")
+    print(f"committed: {store.bibs().count()} bibs, {store.auths().count()} auths -> {workdir}/wh")
+
+    # 3. search DSL over the warehouse (stemming, diacritics, boolean)
+    ctx = QueryContext(store.bibs(), "bib", auth_index=idx, headings=store.headings())
+    for qs in ["245__a:reporting", "650:'Peacekeeping operations'",
+               "resolution", "245__a:r* AND NOT 269__a:*"]:
+        query = parse_query_string(qs, record_type="bib", auth_index=idx)
+        ids = sorted(r._id for r in execute_query(query, ctx).select("_id").collect())
+        print(f"  {qs!r:45} -> {ids}")
+
+    # 4. serialize
+    recs = BibSet.from_df(store.bibs(), auth_index=idx)
+    print("--- MRK round trip ---")
+    print(store.get("bib", 1).to_mrk())
+    print("--- table header ---")
+    print(recs.to_csv().splitlines()[0])
+
+    # 5. pipeline operators on the synthetic tables
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    from dlx_spark.operators import dedup, similarity, textstats
+    n_near = dedup.minhash_near_duplicates(docs, threshold=0.5).count()
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    nn = similarity.cosine_topk(emb, qvec, k=3).collect()
+    quality = textstats.quality_score(docs).agg({"quality": "avg"}).first()[0]
+    print(f"near-dup pairs: {n_near}; top-3 neighbors of vec 0: "
+          f"{[(r.id, round(r.cosine, 3)) for r in nn]}; avg quality: {quality:.3f}")
+
+    spark.stop()
+    print("demo complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,8 @@ batch file import."""
 from datetime import datetime
 
 import pytest
+
+T0, T1 = datetime(2026, 1, 1), datetime(2026, 1, 2)
 from pyspark.sql import functions as F
 
 from dlx_spark.marc import Bib, BibSet
@@ -161,3 +163,95 @@ def test_store_auth_index_memoized(spark, tmp_path, auth_docs):
     # delete invalidates
     st.delete("auth", 3, now=datetime(2026, 1, 3))
     assert st.auth_index().lookup(3, "a") is None
+
+
+def test_not_condition_with_literal_subfields(spark, auth_index):
+    """NULL-poisoning: records with literal (xref=NULL) subfields must
+    still match NOT conditions (three-valued-logic fix)."""
+    docs = [
+        {"_id": 1, "650": [{"indicators": [" ", " "],
+                            "subfields": [{"code": "a", "xref": 1}]}]},
+        {"_id": 2, "650": [{"indicators": [" ", " "],
+                            "subfields": [{"code": "a", "value": "Local heading"}]}]},
+        {"_id": 3, "245": [{"indicators": [" ", " "],
+                            "subfields": [{"code": "a", "value": "No 650 at all"}]}]},
+    ]
+    df = BibSet.from_dicts(docs, auth_index=auth_index).to_df(spark)
+    pred = q.Condition("650", {"a": "Header"}, record_type="bib",
+                       modifier="not").compile(auth_index)
+    ids = sorted(r._id for r in df.filter(pred).select("_id").collect())
+    assert ids == [2, 3]
+    # NOT xref: keeps literal-only records too
+    from dlx_spark.marc.parser import parse_query_string
+    pred2 = parse_query_string("NOT xref:99", record_type="bib",
+                               auth_index=auth_index).compile(auth_index)
+    assert df.filter(pred2).count() == 3
+
+
+def test_wildcard_case_insensitive(spark, bibs_df, auth_index):
+    from dlx_spark.marc import dataframe as mdf
+    from dlx_spark.marc.parser import QueryContext, execute_query, parse_query_string
+    ctx = QueryContext(bibs_df, "bib", auth_index=auth_index)
+    query = parse_query_string("245__a:this*", record_type="bib",
+                               auth_index=auth_index)
+    ids = sorted(r._id for r in execute_query(query, ctx).select("_id").collect())
+    assert ids == [1]  # 'This' matches lowercase wildcard (reference 'i' flag)
+
+
+def test_commit_failure_keeps_index_coherent(spark, tmp_path, auth_docs):
+    from dlx_spark.marc import Auth
+    from dlx_spark.marc.record import Datafield, Linked
+    from dlx_spark.marc.store import MarcStore
+    st = MarcStore(spark, str(tmp_path / "whf"))
+    st.commit([Auth(d) for d in auth_docs], now=T0)
+
+    bad = Auth({"_id": 1, "150": [{"indicators": [" ", " "],
+                                   "subfields": [{"code": "a", "value": "New heading"}]}]})
+    bad.fields.append(Datafield("550", " ", " ", [Linked("a", 999)], "auth"))
+    with pytest.raises(Exception):
+        st.commit([bad], now=T1)
+    # index must reflect the TABLE (old heading), not the failed commit
+    assert st.auth_index().lookup(1, "a") == "Header"
+
+
+def test_controlfield_only_record_keeps_empty_datafields(spark):
+    from dlx_spark.marc import dataframe as mdf
+    docs = [{"_id": 11, "008": ["controlfield only"]}]
+    df = BibSet.from_dicts(docs).to_df(spark)
+    dim_docs = [{"_id": 1, "150": [{"indicators": [" ", " "],
+                                    "subfields": [{"code": "a", "value": "H"}]}]}]
+    from dlx_spark.marc import AuthSet
+    headings = mdf.auth_headings(AuthSet.from_dicts(dim_docs).to_df(spark))
+    out = mdf.resolve_values(df, headings).first()
+    assert out["datafields"] == []          # not NULL
+    # and NOT-queries still see the record
+    pred = q.Condition("650", {"a": "x"}, modifier="not").compile(None)
+    assert mdf.resolve_values(df, headings).filter(pred).count() == 1
+
+
+def test_logical_field_other_record_type_matches_nothing(spark, bibs_df, auth_index):
+    from dlx_spark.marc.parser import QueryContext, execute_query, parse_query_string
+    ctx = QueryContext(bibs_df, "bib", auth_index=auth_index)
+    # 'thesaurus' is auth-only: must return empty, not AnalysisException
+    query = parse_query_string("thesaurus:anything", record_type="bib",
+                               auth_index=auth_index)
+    assert execute_query(query, ctx).count() == 0
+
+
+def test_import_batch_validates_before_upload(spark, tmp_path):
+    from dlx_spark.files import FileExists, FileStore, Identifier
+    uploaded = []
+    fs = FileStore(spark, str(tmp_path / "fbv"),
+                   uploader=lambda d, c, m: uploaded.append(c) or True)
+    fs.import_from_binary(b"existing", identifiers=[Identifier("i", "0")],
+                          languages=["EN"], mimetype="t", source="s",
+                          now=datetime(2026, 1, 1))
+    uploaded.clear()
+    with pytest.raises(FileExists):
+        fs.import_batch([
+            {"data": b"fresh one", "identifiers": [Identifier("i", "1")],
+             "languages": ["EN"], "mimetype": "t", "source": "s"},
+            {"data": b"existing", "identifiers": [Identifier("i", "0")],
+             "languages": ["EN"], "mimetype": "t", "source": "s"},
+        ])
+    assert uploaded == []  # nothing uploaded before the conflict surfaced
