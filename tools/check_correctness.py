@@ -27,7 +27,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        return repr(v)  # exact — both engines round explicitly in-query
     return str(v)
 
 
