@@ -663,6 +663,20 @@ def lsh_topk(spark, sf):
     return out.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+@query("ivf_topk")  # approximate ANN (k-means inverted lists) → rows-only
+def ivf_topk(spark, sf):
+    """IVF approximate nearest neighbors: seeded k-means coarse quantizer
+    (trained on a bounded sample), Arrow-batched list assignment, probe
+    limited to the nprobe nearest inverted lists.  At 100 TB the
+    assignment table is written partitioned by list_id so this becomes a
+    partition-pruned scan + exact rerank (exactness at nprobe=n is
+    pytest-covered)."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = similarity.ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=2)
+    return out.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
+
+
 @query("knn_join")  # approximate (bucketed) → rows-only check
 def knn_join(spark, sf):
     """k-nearest-neighbors for every probe row via bucketed equi-join +

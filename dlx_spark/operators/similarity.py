@@ -19,7 +19,9 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _cosine_expr(vec_col: str, query: list[float]):
@@ -93,6 +95,94 @@ def lsh_topk(df: DataFrame, query: list[float], k: int = 10, n_planes: int = 8,
     return (
         bucketed.filter(F.col("bucket").isin(sorted(probe)))
         .select("id", _cosine_expr("vec", query.tolist() if hasattr(query, "tolist") else list(query)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def ivf_centroids(df: DataFrame, n_centroids: int = 16, iters: int = 5,
+                  seed: int = 42, vec_col: str = "embedding",
+                  sample_cap: int = 20_000) -> np.ndarray:
+    """Train IVF coarse centroids: deterministic Lloyd's k-means on a
+    bounded sample.
+
+    Scale note (100 TB): k-means for a coarse quantizer only needs a
+    representative sample, not the full table — ``sample_cap`` rows are
+    pulled to the driver (a few MB for 64-dim vectors) and iterated in
+    numpy.  The full-table pass happens once, in ``ivf_assign``, as an
+    Arrow-batched map with the centroids broadcast.
+    """
+    n = df.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = (df if frac >= 1.0 else df.sample(fraction=frac, seed=seed))
+    vecs = np.asarray(
+        [r[0] for r in sample.select(vec_col).limit(sample_cap).collect()],
+        dtype=np.float64)
+    if len(vecs) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} vectors to train, got {len(vecs)}")
+    rng = np.random.RandomState(seed)
+    cent = vecs[rng.choice(len(vecs), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        # assign: cosine distance == euclidean on normalized vectors
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(vn @ cn.T, axis=1)
+        for c in range(n_centroids):
+            members = vecs[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def _nearest_centroid_udf(centroids: np.ndarray, vec_col: str):
+    """Arrow-batched nearest-centroid assignment (one numpy matmul per
+    batch; centroids ride along in the serialized closure — a few KB)."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mn @ cn.T, axis=1).astype("int32"))
+
+    return nearest(F.col(vec_col))
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign every vector its inverted-list id → (id, list_id, vec).
+
+    At scale, write the result partitioned by ``list_id`` so a probe with
+    nprobe lists prunes to nprobe/n_centroids of the data at the scan."""
+    return df.select(F.col(id_col).alias("id"),
+                     _nearest_centroid_udf(centroids, vec_col).alias("list_id"),
+                     F.col(vec_col).alias("vec"))
+
+
+def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, iters: int = 5,
+             seed: int = 42, vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: rank only vectors in the ``nprobe``
+    inverted lists nearest the query.  Pass precomputed ``centroids``
+    (from ``ivf_centroids``) to skip training — at 100 TB the index is
+    trained once and the assignment table is written out partitioned by
+    list, so this becomes filter-pruned-scan + exact rerank."""
+    if centroids is None:
+        centroids = ivf_centroids(df, n_centroids=n_centroids, iters=iters,
+                                  seed=seed, vec_col=vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probe = [int(i) for i in np.argsort(-(cn @ qn))[:nprobe]]
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    return (
+        assigned.filter(F.col("list_id").isin(probe))
+        .select("id", _cosine_expr("vec", [float(x) for x in q]).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )

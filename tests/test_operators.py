@@ -83,6 +83,30 @@ def test_lsh_topk_contains_exact_best(spark, vectors):
     assert ids[0] == 0
 
 
+def test_ivf_topk(spark, vectors):
+    # nprobe == n_centroids probes every inverted list → exact result
+    cents = similarity.ivf_centroids(vectors, n_centroids=2, seed=7)
+    assert cents.shape == (2, 4)
+    exact = [r.id for r in similarity.cosine_topk(
+        vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    full = [r.id for r in similarity.ivf_topk(
+        vectors, [1.0, 0.0, 0.0, 0.0], k=3, n_centroids=2, nprobe=2,
+        seed=7, centroids=cents).collect()]
+    assert full == exact
+    # nprobe=1 prunes to the query's own list but still finds the best hit
+    pruned = similarity.ivf_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=2,
+                                 n_centroids=2, nprobe=1, seed=7,
+                                 centroids=cents).collect()
+    assert pruned[0].id == 0
+
+
+def test_ivf_assign_partitions_all_rows(spark, vectors):
+    cents = similarity.ivf_centroids(vectors, n_centroids=2, seed=7)
+    assigned = similarity.ivf_assign(vectors, cents).collect()
+    assert len(assigned) == 5
+    assert {r.list_id for r in assigned} <= {0, 1}
+
+
 def test_knn_join(spark, vectors):
     out = similarity.knn_join(vectors, vectors, k=2, n_planes=2).collect()
     by_probe = {}
