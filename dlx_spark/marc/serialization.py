@@ -281,6 +281,73 @@ def from_mrk(cls, string: str, auth_control: bool = True,
     return self
 
 
+def from_mrc(cls, string: str, auth_control: bool = True,
+             auth_index: AuthIndex | None = None):
+    """ISO 2709 parse — the inverse of ``to_mrc``.
+
+    The reference's Marc.from_mrc (dlx/marc/__init__.py:1633-1649) is an
+    unfinished stub that raises; this is a complete reader.  Field
+    boundaries come from the \\x1e terminators (cross-checked against the
+    directory's tag sequence), so byte-offset arithmetic in a decoded
+    string cannot drift on multi-byte UTF-8.
+    """
+    if len(string) < 24:
+        raise InvalidRecordString(string, "Record shorter than a leader")
+    leader = string[:24]
+    body = string[24:]
+    dir_end = body.find("\u001e")
+    if dir_end < 0 or dir_end % 12 != 0:
+        raise InvalidRecordString(string, "Malformed directory")
+    entries = [body[i:i + 12] for i in range(0, dir_end, 12)]
+    tags = [e[:3] for e in entries]
+
+    data = body[dir_end + 1:]
+    if data.endswith("\u001d"):
+        data = data[:-1]
+    segments = data.split("\u001e")
+    if segments and segments[-1] == "":
+        segments.pop()
+    if len(segments) != len(tags):
+        raise InvalidRecordString(
+            string, f"Directory lists {len(tags)} fields, data has {len(segments)}")
+
+    self = cls(auth_index=auth_index)
+    self.set("000", None, leader)
+    for tag, seg in zip(tags, segments):
+        if tag[:2] == "00":
+            field = Controlfield(tag, seg)
+            if tag == "001" and seg.strip().isdigit():
+                self.id = int(seg.strip())
+        else:
+            ind1, ind2 = (seg[:2] + "  ")[0], (seg[:2] + "  ")[1]
+            field = Datafield(tag=tag, ind1=ind1, ind2=ind2,
+                              record_type=cls.record_type, auth_index=auth_index)
+            xref_m = re.search("\u001f0(\\d+)", seg)
+            xref = int(xref_m.group(1)) if xref_m else None
+            for chunk in filter(None, seg[2:].split("\u001f")):
+                code, value = chunk[0], chunk[1:]
+                if config.is_authority_controlled(self.record_type, tag, code):
+                    value = xref if xref else value
+                field.set(code, value, place="+", auth_control=auth_control)
+            field.subfields = [s for s in field.subfields if s.code != "0"]
+        self.fields.append(field)
+    return self
+
+
+def set_from_mrc(cls, string: str, *, auth_control: bool = True,
+                 auth_index: AuthIndex | None = None):
+    records = []
+    pos = 0
+    while pos < len(string):
+        end = string.find("\u001d", pos)
+        if end < 0:
+            break
+        records.append(cls.record_class.from_mrc(
+            string[pos:end + 1], auth_control=auth_control, auth_index=auth_index))
+        pos = end + 1
+    return cls(records=records, auth_index=auth_index)
+
+
 def from_xml_raw(cls, root: ElementTree.Element, *, auth_control: bool = True,
                  delete_subfield_zero: bool = True,
                  auth_index: AuthIndex | None = None):
@@ -619,6 +686,7 @@ Marc.to_json = to_json
 Marc.to_jmarcnx = to_jmarcnx
 Marc.to_str = to_str
 Marc.from_mrk = classmethod(from_mrk)
+Marc.from_mrc = classmethod(from_mrc)
 Marc.from_xml_raw = classmethod(from_xml_raw)
 Marc.from_xml = classmethod(from_xml)
 Marc.from_mij = classmethod(from_mij)
@@ -634,6 +702,7 @@ MarcSet.to_table = set_to_table
 MarcSet.to_csv = set_to_csv
 MarcSet.to_tsv = set_to_tsv
 MarcSet.from_mrk = classmethod(set_from_mrk)
+MarcSet.from_mrc = classmethod(set_from_mrc)
 MarcSet.from_xml = classmethod(set_from_xml)
 MarcSet.from_table = classmethod(set_from_table)
 MarcSet.from_csv = classmethod(set_from_csv)

@@ -76,6 +76,25 @@ def read_mrk(spark: SparkSession, path: str, record_type: str = "bib") -> DataFr
     return spark.createDataFrame(rdd, schema=schemas.MARC)
 
 
+def read_mrc(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
+    """Parse an ISO 2709 file (records terminated by \\u001d) into the
+    canonical nested DataFrame.  Splits on the record terminator via the
+    Hadoop text delimiter, so a multi-GB file fans out across executors
+    without a driver-side pass."""
+    from dlx_spark.marc import Auth, Bib  # serialization methods attached
+
+    cls = Bib if record_type == "bib" else Auth
+
+    def parse(chunk: str):
+        chunk = chunk.strip("\n\r\x00")
+        if not chunk:
+            return []
+        return [cls.from_mrc(chunk, auth_control=False).to_row()]
+
+    rdd = _records_from_delimited(spark, path, "\u001d").flatMap(parse)
+    return spark.createDataFrame(rdd, schema=schemas.MARC)
+
+
 def read_marcxml(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
     """Parse MARCXML into the canonical nested DataFrame.  The file is
     split on ``</record>`` so each task parses complete record elements
@@ -155,6 +174,8 @@ def _rows_to_strings(df: DataFrame, record_type: str, fmt: str):
                 yield (rec.to_mrk() ,)
             elif fmt == "xml":
                 yield (rec.to_xml(),)
+            elif fmt == "mrc":
+                yield (rec.to_mrc(),)
             else:
                 yield (rec.to_json(),)
 
@@ -165,6 +186,13 @@ def write_mrk(df: DataFrame, path: str, record_type: str = "bib") -> None:
     """Serialize a nested-record DataFrame to MRK text files (one record
     per line-block; readers split on the blank line)."""
     _rows_to_strings(df, record_type, "mrk").write.mode("overwrite").text(path)
+
+
+def write_mrc(df: DataFrame, path: str, record_type: str = "bib") -> None:
+    """Serialize to ISO 2709 text files — one record per line; the
+    in-record \\u001d terminator (not the newline) delimits records for
+    ``read_mrc``."""
+    _rows_to_strings(df, record_type, "mrc").write.mode("overwrite").text(path)
 
 
 def write_marcxml(df: DataFrame, path: str, record_type: str = "bib") -> None:

@@ -8,6 +8,64 @@ import csv
 import io
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_rows_stdlib(path: str) -> list[list[str]]:
+    """Minimal XLSX reader (zip + XML, no third-party libs): shared and
+    inline strings, numbers (int-valued floats collapse to int strings,
+    mirroring the reference's xlrd handling, dlx/util.py:47-57).
+    Date-styled numeric cells are returned as raw serial numbers —
+    install openpyxl for date rendering."""
+    import zipfile
+    from xml.etree import ElementTree
+
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+                      for si in root.findall(f"{_XLSX_NS}si")]
+        sheet = sorted(n for n in z.namelist()
+                       if n.startswith("xl/worksheets/sheet"))[0]
+        root = ElementTree.fromstring(z.read(sheet))
+
+    rows: list[list[str]] = []
+    for row in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, str] = {}
+        for j, c in enumerate(row.findall(f"{_XLSX_NS}c")):
+            ref = c.get("r") or ""
+            col = 0
+            for ch in ref:
+                if ch.isalpha():
+                    col = col * 26 + (ord(ch.upper()) - 64)
+                else:
+                    break
+            col = col - 1 if col else j
+            t = c.get("t")
+            v = c.find(f"{_XLSX_NS}v")
+            if t == "s" and v is not None and v.text is not None:
+                val = shared[int(v.text)]
+            elif t == "inlineStr":
+                val = "".join(tt.text or "" for tt in c.iter(f"{_XLSX_NS}t"))
+            elif v is not None and v.text is not None:
+                val = v.text
+                try:
+                    f = float(val)
+                    if f.is_integer():
+                        val = str(int(f))
+                except ValueError:
+                    pass
+            else:
+                val = ""
+            cells[col] = str(val).strip()
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i, "") for i in range(width)])
+
+    width = max((len(r) for r in rows), default=0)
+    return [r + [""] * (width - len(r)) for r in rows]
+
+
 class Table:
     """Header + row-index table.  ``index`` maps row id → {column: value};
     repeated values joined with '||' on set (reference util.py:104-117)."""
@@ -26,8 +84,8 @@ class Table:
     def from_excel(cls, path: str, date_format: str = "%Y%m%d") -> "Table":
         try:
             from openpyxl import load_workbook
-        except ImportError as e:
-            raise ImportError("openpyxl is required for Excel ingest") from e
+        except ImportError:
+            return cls(_xlsx_rows_stdlib(path))
         wb = load_workbook(path, read_only=True)
         ws = wb.active
         rows = []

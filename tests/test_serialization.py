@@ -112,6 +112,47 @@ def test_to_mrc(bib1):
     assert tags == ["001", "008", "245", "520", "520", "650", "710"]
 
 
+def test_from_mrc_roundtrip(bib1, auth_index):
+    mrc = bib1.to_mrc()
+    back = Bib.from_mrc(mrc, auth_index=auth_index)
+    assert back.id == 1
+    assert back.get_value("245", "a") == "This"
+    assert back.get_value("245", "c") == "title"
+    assert back.get_values("520", "a") == [
+        "Description", "Another description", "Repeated subfield"]
+    # second serialization is byte-identical (leader is regenerated the
+    # same way both times)
+    assert back.to_mrc() == mrc
+
+
+def test_from_mrc_multibyte(auth_index):
+    rec = Bib({"_id": 9, "245": [{"indicators": [" ", " "],
+               "subfields": [{"code": "a", "value": "Naïve Œuvre — 日本"}]}]},
+              auth_index=auth_index)
+    mrc = rec.to_mrc()
+    # directory lengths count UTF-8 bytes, not characters
+    assert int(mrc[:5]) == len(mrc.encode("utf-8"))
+    back = Bib.from_mrc(mrc, auth_index=auth_index)
+    assert back.get_value("245", "a") == "Naïve Œuvre — 日本"
+    assert back.to_mrc() == mrc
+
+
+def test_set_from_mrc(bibs, auth_index):
+    mrc = bibs.to_mrc()
+    back = BibSet.from_mrc(mrc, auth_index=auth_index)
+    recs = list(back)
+    assert len(recs) == 2
+    assert recs[1].get_value("245", "a") == "Another"
+
+
+def test_from_mrc_malformed():
+    from dlx_spark.marc.serialization import InvalidRecordString
+    with pytest.raises(InvalidRecordString):
+        Bib.from_mrc("too short")
+    with pytest.raises(InvalidRecordString):
+        Bib.from_mrc("x" * 30)  # no directory terminator
+
+
 def test_to_mij(bib1):
     mij = json.loads(bib1.to_mij())
     assert mij["leader"] == "leader"
@@ -159,6 +200,51 @@ def test_from_table_ingest(auth_index):
     assert recs[0].get_value("245", "a") == "Title here"
     assert recs[0].get_xref("650", "a") == 1       # value resolved to xref
     assert len(recs[0].get_fields("650")) == 1     # empty 2.650 dropped
+
+
+def _write_minimal_xlsx(path, rows):
+    """Build a spec-minimal xlsx: shared strings for text, bare <v> for
+    numbers — enough to exercise the stdlib zip+XML reader."""
+    import zipfile
+
+    shared, sheet_rows = [], []
+    for i, row in enumerate(rows, start=1):
+        cells = []
+        for j, cell in enumerate(row):
+            col = chr(ord("A") + j)
+            if isinstance(cell, (int, float)):
+                cells.append(f'<c r="{col}{i}"><v>{cell}</v></c>')
+            else:
+                shared.append(str(cell))
+                cells.append(f'<c r="{col}{i}" t="s"><v>{len(shared) - 1}</v></c>')
+        sheet_rows.append(f'<row r="{i}">{"".join(cells)}</row>')
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/sharedStrings.xml",
+                   f'<?xml version="1.0"?><sst {ns}>' +
+                   "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>")
+        z.writestr("xl/worksheets/sheet1.xml",
+                   f'<?xml version="1.0"?><worksheet {ns}><sheetData>' +
+                   "".join(sheet_rows) + "</sheetData></worksheet>")
+
+
+def test_from_excel_stdlib(tmp_path, auth_index):
+    path = str(tmp_path / "records.xlsx")
+    _write_minimal_xlsx(path, [
+        ["1.001", "1.245$a", "1.650$a"],
+        [99, "Excel Title", "Header"],
+    ])
+    from dlx_spark.util import Table
+    t = Table.from_excel(path)
+    assert t.header == ["1.001", "1.245$a", "1.650$a"]
+    assert t.get(0, "1.001") == "99"          # int-valued float → int string
+
+    ms = BibSet.from_excel(path, auth_control=True, auth_index=auth_index)
+    recs = list(ms)
+    assert recs[0].id == 99
+    assert recs[0].get_value("245", "a") == "Excel Title"
+    assert recs[0].get_xref("650", "a") == 1
 
 
 def test_from_table_errors(auth_index):

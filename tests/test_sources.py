@@ -36,6 +36,17 @@ def test_xml_file_roundtrip(spark, bibs_df, tmp_root):
     assert rows[(1, "650", "a")][1] == 1
 
 
+def test_mrc_file_roundtrip(spark, bibs_df, tmp_root):
+    path = str(tmp_root / "bibs_mrc")
+    sources.write_mrc(bibs_df, path)
+    back = sources.read_mrc(spark, path)
+    assert back.count() == 2
+    ex = mdf.explode_subfields(back)
+    rows = {(r.record_id, r.tag, r.code): r.value for r in ex.collect()}
+    assert rows[(1, "245", "a")] == "This"
+    assert rows[(2, "245", "a")] == "Another"
+
+
 def test_jsonl_roundtrip(spark, bibs_df, tmp_root):
     path = str(tmp_root / "bibs_jsonl")
     sources.write_jmarc_jsonl(bibs_df, path)
