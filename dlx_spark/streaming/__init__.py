@@ -51,6 +51,49 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_stream(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each
+    content digest ever seen on the stream — a custom stateful operator
+    via ``applyInPandasWithState``.
+
+    State is one (first_id, n_seen) pair per digest, held in the state
+    store (enable the RocksDB provider at 100 TB so state spills off
+    heap); duplicates arriving in any later micro-batch are dropped and
+    counted.  The batch-side equivalent is ``operators.dedup.
+    dedup_exact``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dlx_spark.operators.dedup import normalized_text
+
+    keyed = docs.select(F.col(id_col).alias("id"),
+                        F.md5(normalized_text(F.col(text_col))).alias("digest"))
+
+    def keep_first(key, pdfs, state):
+        min_id, count = None, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            count += len(pdf)
+            m = int(pdf["id"].min())
+            min_id = m if min_id is None or m < min_id else min_id
+        if state.exists:
+            first_id, n_seen = state.get
+            state.update((first_id, n_seen + count))
+        elif min_id is not None:
+            state.update((min_id, count))
+            yield pd.DataFrame({"digest": [key[0]], "id": [min_id]})
+
+    return keyed.groupBy("digest").applyInPandasWithState(
+        keep_first,
+        outputStructType="digest string, id long",
+        stateStructType="first_id long, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_commit_stream(spark: SparkSession, input_path: str, store,
                               record_type: str = "bib",
                               checkpoint: str | None = None):

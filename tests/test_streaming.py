@@ -43,6 +43,42 @@ def test_hourly_counts_stream(spark, events_dir, tmp_path):
     assert rows[("2024-01-01 01:00:00", "click")] == (1, 3.0)
 
 
+def test_dedup_stream_stateful(spark, tmp_path):
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    ck = str(tmp_path / "ck_dedup")
+    schema = "doc_id long, text string"
+
+    out_dir = str(tmp_path / "deduped")
+
+    def run_batch(rows, batch_name):
+        (docs_dir / f"{batch_name}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(schema).json(str(docs_dir))
+        out = streaming.dedup_stream(stream)
+        q = (out.writeStream.format("json").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return sorted(r.id for r in
+                      spark.read.schema("digest string, id long")
+                      .json(out_dir).collect())
+
+    # batch 1: 1 and 2 are duplicates — only min id survives
+    assert run_batch([
+        {"doc_id": 1, "text": "same content here"},
+        {"doc_id": 2, "text": "same content here"},
+        {"doc_id": 3, "text": "different content"},
+    ], "b1") == [1, 3]
+
+    # batch 2 (same checkpoint → state restored): a repeat of batch-1
+    # content is dropped by the state store; new content passes
+    assert run_batch([
+        {"doc_id": 4, "text": "same content here"},
+        {"doc_id": 5, "text": "brand new content"},
+    ], "b2") == [1, 3, 5]
+
+
 def test_sessionize_stream(spark, events_dir, tmp_path):
     events = streaming.read_events_stream(spark, events_dir)
     sess = streaming.sessionize(events, gap="30 minutes")
