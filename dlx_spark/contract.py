@@ -27,7 +27,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from dlx_spark.operators import dedup, multimodal, similarity, textstats
+from dlx_spark.operators import asof, dedup, multimodal, similarity, textstats
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -443,6 +443,45 @@ def sessionization(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_events"),
              (1 + F.sum(F.when(F.col("gap_s") > 1800, 1).otherwise(0))).alias("n_sessions"))
     )
+
+
+@query("asof_join", """
+    SELECT c.event_id, c.user_id, v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+""")
+def asof_join_q(spark, sf):
+    """backward as-of join (custom operator Spark lacks): each click
+    matched to the user's latest view at-or-before it.  Union + one
+    window pass — O(n log n) per key, single shuffle, no
+    point-vs-candidate blowup (operators/asof.py)."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof.asof_join(clicks, views, on="ts", by=["user_id"])
+    return out.select("event_id", "user_id", F.col("ts_matched").alias("last_view_ts"))
+
+
+@query("range_join", """
+    WITH r AS (SELECT DISTINCT date_trunc('hour', ts) AS lo,
+                      date_trunc('hour', ts) + INTERVAL 1 HOUR AS hi
+               FROM events WHERE event_type = 'error')
+    SELECT e.event_id, r.lo AS err_hour
+    FROM events e JOIN r ON e.ts >= r.lo AND e.ts < r.hi
+    WHERE e.event_type = 'purchase'
+""")
+def range_join_q(spark, sf):
+    """point-in-range join via time-grain bucketing (equi-join on the
+    bucket + residual interval filter — no nested-loop): purchases that
+    happened inside an error hour (operators/asof.py)."""
+    ev = _t(spark, sf, "events")
+    ranges = (ev.filter(F.col("event_type") == "error")
+              .select(F.date_trunc("hour", "ts").alias("lo")).distinct()
+              .withColumn("hi", F.col("lo") + F.expr("INTERVAL 1 HOUR")))
+    points = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    out = asof.range_join(points, ranges, point_col="ts", bucket_seconds=3600)
+    return out.select("event_id", F.col("lo").alias("err_hour"))
 
 
 @query("windowed_agg", """

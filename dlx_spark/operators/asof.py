@@ -1,0 +1,98 @@
+"""Temporal joins Spark lacks as built-ins: as-of (last-value) join and
+point-in-range join.
+
+Neither exists in the reference (its only join family is the authority
+xref equi-join, SURVEY §2.3); these are the temporal primitives a
+training-data/event pipeline needs.
+
+Scale design:
+
+- ``asof_join`` is O(n log n) per key via union + one window pass — one
+  shuffle on the key columns, no point-vs-candidate blowup.  A naive
+  join-then-max implementation is quadratic per key; this form survives
+  a 100 TB event table (hot keys are a window-sort concern: pre-split
+  pathological keys upstream if one user exceeds a partition).
+- ``range_join`` buckets both sides on a time grain so the join is an
+  equi-join on (key, bucket) with a residual predicate — linear in
+  ranges × average-buckets-per-range instead of points × ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: list[str] | tuple[str, ...] = ("user_id",),
+              suffix: str = "_matched",
+              tolerance_seconds: int | None = None) -> DataFrame:
+    """For each left row, attach the LATEST right row with
+    ``right[on] <= left[on]`` within the same ``by`` key (backward
+    as-of; left join — unmatched rows keep NULLs).
+
+    Right's columns (except ``by``) are appended, renamed with
+    ``suffix`` wherever they collide with a left column name.
+    ``tolerance_seconds`` drops matches older than the window.
+    """
+    by = list(by)
+    lcols = [c for c in left.columns]
+    rpay_cols = [c for c in right.columns if c not in by]
+    out_names = {c: (c + suffix if c in lcols else c) for c in rpay_cols}
+
+    rstruct = F.struct(*[F.col(c) for c in rpay_cols])
+    r = right.select(*by, F.col(on).alias("_t"), F.lit(0).alias("_side"),
+                     rstruct.alias("_r"))
+    null_r = F.lit(None).cast(r.schema["_r"].dataType)
+    l = left.select(*by, F.col(on).alias("_t"), F.lit(1).alias("_side"),
+                    null_r.alias("_r"), F.struct(*[F.col(c) for c in lcols]).alias("_l"))
+    r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
+
+    # right rows sort before left rows at equal timestamps, so the match
+    # is inclusive (right.ts == left.ts counts)
+    w = (Window.partitionBy(*by).orderBy("_t", "_side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    u = l.select(*by, "_t", "_side", "_r", "_l").unionByName(
+        r.select(*by, "_t", "_side", "_r", "_l"))
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)) \
+               .filter(F.col("_side") == 1)
+
+    m = F.col("_m")
+    if tolerance_seconds is not None:
+        in_window = m[on].cast("long") >= F.col("_t").cast("long") - tolerance_seconds
+        m = F.when(m.isNotNull() & in_window, F.col("_m"))
+
+    return matched.select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        *[m[c].alias(out_names[c]) for c in rpay_cols],
+    )
+
+
+def range_join(points: DataFrame, ranges: DataFrame, point_col: str = "ts",
+               lo_col: str = "lo", hi_col: str = "hi",
+               by: list[str] | tuple[str, ...] = (),
+               bucket_seconds: int = 3600, how: str = "inner") -> DataFrame:
+    """Join each point row to every range row with
+    ``lo <= point < hi`` (plus equality on ``by`` keys).
+
+    Both sides are bucketed on ``bucket_seconds`` grain — ranges explode
+    to one row per covered bucket — so Catalyst executes an equi-join on
+    (by, bucket) with the interval test as a residual filter, instead of
+    a broadcast-nested-loop over every (point, range) pair.  Pick a
+    grain near the median range length: too coarse → fat buckets, too
+    fine → range blowup.
+    """
+    by = list(by)
+    p = points.withColumn("_bucket", (F.col(point_col).cast("long") / bucket_seconds).cast("long"))
+    r = ranges.withColumn("_buckets", F.sequence(
+        (F.col(lo_col).cast("long") / bucket_seconds).cast("long"),
+        (F.col(hi_col).cast("long") / bucket_seconds).cast("long"),
+    )).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+
+    cond = [p["_bucket"] == r["_bucket"]]
+    cond += [p[k] == r[k] for k in by]
+    joined = (p.join(r, cond, how)
+              .filter((r[lo_col] <= p[point_col]) & (p[point_col] < r[hi_col])))
+    keep = [p[c] for c in points.columns] + \
+           [r[c].alias(c if c not in points.columns else c + "_range")
+            for c in ranges.columns if c not in by]
+    return joined.select(*keep)

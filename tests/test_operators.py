@@ -116,6 +116,58 @@ def test_knn_join(spark, vectors):
     assert 0 in by_probe.get(1, [])
 
 
+@pytest.fixture(scope="module")
+def timeline(spark):
+    rows = [
+        # (event_id, user, ts, kind, value)
+        (1, 1, "2024-01-01 00:00:00", "view", 10.0),
+        (2, 1, "2024-01-01 00:05:00", "view", 20.0),
+        (3, 1, "2024-01-01 00:07:00", "click", 0.0),
+        (4, 1, "2024-01-01 00:05:00", "click", 0.0),   # tie with view 2
+        (5, 2, "2024-01-01 00:30:00", "click", 0.0),   # no prior view
+        (6, 2, "2024-01-01 01:00:00", "view", 30.0),
+        (7, 2, "2024-01-01 01:30:00", "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, kind string, value double")
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_join(spark, timeline):
+    from dlx_spark.operators.asof import asof_join
+    clicks = timeline.filter("kind = 'click'").select("event_id", "user_id", "ts")
+    views = timeline.filter("kind = 'view'").select("user_id", "ts", "value")
+    out = {r.event_id: (r.ts_matched, r.value)
+           for r in asof_join(clicks, views).collect()}
+    assert out[3][1] == 20.0          # latest view at 00:05
+    assert out[4][1] == 20.0          # equal timestamps match (inclusive)
+    assert out[5] == (None, None)     # left join: no prior view
+    assert out[7][1] == 30.0
+
+
+def test_asof_join_tolerance(spark, timeline):
+    from dlx_spark.operators.asof import asof_join
+    clicks = timeline.filter("kind = 'click'").select("event_id", "user_id", "ts")
+    views = timeline.filter("kind = 'view'").select("user_id", "ts", "value")
+    out = {r.event_id: r.value
+           for r in asof_join(clicks, views, tolerance_seconds=60).collect()}
+    assert out[3] is None             # 00:05 view is 120s before the 00:07 click
+    assert out[4] == 20.0             # 0s gap within tolerance
+
+
+def test_range_join(spark, timeline):
+    from dlx_spark.operators.asof import range_join
+    ranges = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-01 00:06:00"),
+         (200, "2024-01-01 00:06:00", "2024-01-01 02:00:00")],
+        "range_id long, lo string, hi string") \
+        .withColumn("lo", F.to_timestamp("lo")).withColumn("hi", F.to_timestamp("hi"))
+    out = {r.event_id: r.range_id
+           for r in range_join(timeline, ranges, bucket_seconds=300).collect()}
+    assert out[1] == 100 and out[2] == 100       # [lo, hi) half-open
+    assert out[3] == 200 and out[7] == 200
+
+
 def test_token_count(spark, docs):
     rows = {r.id: (r.n_tokens, r.n_chars) for r in textstats.token_count(docs).collect()}
     assert rows[5] == (2, 10)
