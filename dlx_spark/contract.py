@@ -27,7 +27,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from dlx_spark.operators import asof, dedup, multimodal, similarity, textstats
+from dlx_spark.operators import asof, dedup, multimodal, sampling, similarity, textstats
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -655,6 +655,60 @@ def lang_scores(spark, sf):
         F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast("long").alias("en_hits"),
         F.size(F.filter(toks, lambda t: F.array_contains(fr, t))).cast("long").alias("fr_hits"),
     )
+
+
+@query("deterministic_sample", """
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+""")
+def deterministic_sample_q(spark, sf):
+    """hash-keyed reproducible 10% sample: membership is a pure function
+    of the key (stable across partitioning/engines — the oracle runs the
+    identical predicate), unlike seed-based df.sample()."""
+    docs = _t(spark, sf, "documents")
+    return sampling.deterministic_sample(docs, 0.1).select("doc_id", "lang")
+
+
+@query("stratified_sample", """
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '1999' WHEN 'de' THEN '8000' END
+""")
+def stratified_sample_q(spark, sf):
+    """per-stratum deterministic sampling: keep 10% of English, 50% of
+    German, drop other strata (the language-rebalancing primitive)."""
+    docs = _t(spark, sf, "documents")
+    return (sampling.stratified_sample(docs, {"en": 0.1, "de": 0.5})
+            .select("doc_id", "lang"))
+
+
+@query("repetition_ratio", """
+    SELECT doc_id,
+           round(1 - len(list_distinct(string_split(text, ' '))) /
+                 CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 4)
+             AS rep_ratio
+    FROM documents
+""")
+def repetition_ratio_q(spark, sf):
+    """within-document token repetition (boilerplate/spam signal)."""
+    docs = _t(spark, sf, "documents")
+    return (textstats.repetition_ratio(docs)
+            .select(F.col("id").alias("doc_id"), "rep_ratio"))
+
+
+@query("idf_table", """
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(*)), 4) AS idf
+    FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents)
+    GROUP BY token
+""")
+def idf_table_q(spark, sf):
+    """corpus document-frequency / IDF table: one explode of per-doc
+    distinct tokens, partial-agg groupBy (shuffle carries (token,
+    partial-count) only)."""
+    docs = _t(spark, sf, "documents")
+    return textstats.idf_table(docs)
 
 
 @query("quality_score", f"""

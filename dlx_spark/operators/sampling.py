@@ -1,0 +1,54 @@
+"""Reproducible sampling for training-data pipelines.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — a
+repartition, AQE re-plan, or file-split change reshuffles which rows are
+picked.  These operators hash a KEY column instead, so membership is a
+pure function of the row (same result on any cluster layout, any engine
+— the DuckDB oracle evaluates the identical predicate), which is what
+dataset reproducibility and holdout-set stability require.
+
+Mechanics: the first 4 hex chars of md5(key || salt) are uniform over
+[0, 65536); fixed-width hex compares lexicographically = numerically, so
+``hex < format(floor(fraction * 65536), '04x')`` selects a stable
+pseudo-random ``fraction`` of keys.  Everything is JVM-side expressions
+— a pure map, no shuffle, fully pushdown-compatible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def sample_bucket(key_col: str, salt: str = "") -> Column:
+    """The [0, 65536) hash bucket a key falls in, as 4 hex chars."""
+    return F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 4)
+
+
+def _threshold(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cells = int(fraction * 65536)
+    # fraction 1.0 would format as the 5-char '10000', which sorts BELOW
+    # 4-char hex strings; 'zzzz' sorts above every hex string instead
+    return "zzzz" if cells >= 65536 else format(cells, "04x")
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Keep a stable ``fraction`` of rows keyed by ``key_col``.
+    Change ``salt`` to draw an independent sample (e.g. train vs
+    holdout splits: disjoint salts, no overlap bookkeeping)."""
+    return df.filter(sample_bucket(key_col, salt) < F.lit(_threshold(fraction)))
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "lang", key_col: str = "doc_id",
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages).  Strata missing from ``fractions`` are dropped."""
+    thr = F.lit(None).cast("string")
+    for stratum, fraction in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(_threshold(fraction))).otherwise(thr)
+    return df.filter(sample_bucket(key_col, salt) < thr)

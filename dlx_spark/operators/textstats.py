@@ -46,6 +46,36 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, rep_ratio): fraction of tokens that are repeats of an
+    earlier token — the Gopher-style within-document repetition signal
+    (high values flag boilerplate/spam).  Pure map, no shuffle."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(1 - F.size(F.array_distinct(toks)) /
+                F.greatest(F.size(toks), F.lit(1)), 4).alias("rep_ratio"),
+    )
+
+
+def idf_table(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n_docs: int | None = None) -> DataFrame:
+    """(token, df, idf): document frequency and ln(N/df) per token.
+
+    One explode of per-document DISTINCT tokens (so a token counts once
+    per doc) and one partial-agg-friendly groupBy — the shuffle carries
+    (token, partial count) only.  ``n_docs`` short-circuits the count
+    when the caller already knows N (at 100 TB, pass it)."""
+    n = n_docs if n_docs is not None else df.count()
+    return (
+        df.select(F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("idf", F.round(F.log(F.lit(float(n)) / F.col("df")), 4))
+    )
+
+
 def language_scores(col: Column) -> list[tuple[str, Column]]:
     toks = tokens_col(col)
     out = []

@@ -174,6 +174,45 @@ def test_token_count(spark, docs):
     assert rows[1][0] == len(docs.filter("doc_id=1").first()["text"].split())
 
 
+def test_repetition_ratio(spark, docs):
+    rows = {r.id: r.rep_ratio for r in textstats.repetition_ratio(docs).collect()}
+    base = docs.filter("doc_id=1").first()["text"].split()
+    expected = round(1 - len(set(base)) / len(base), 4)
+    assert rows[1] == pytest.approx(expected)
+    assert rows[5] == 0.0                          # 'short text': no repeats
+
+
+def test_idf_table(spark, docs):
+    out = {r.token: (r.df, r.idf) for r in textstats.idf_table(docs).collect()}
+    # 'the' appears in docs 1, 2, 3 (not 4, 5) → df=3, idf=ln(5/3)
+    assert out["the"][0] == 3
+    assert out["the"][1] == pytest.approx(round(__import__("math").log(5 / 3), 4))
+    assert out["spark"][0] == 1
+
+
+def test_deterministic_sample_stable(spark, docs):
+    from dlx_spark.operators import sampling
+    a = sorted(r.doc_id for r in sampling.deterministic_sample(docs, 0.5).collect())
+    b = sorted(r.doc_id for r in
+               sampling.deterministic_sample(docs.repartition(7), 0.5).collect())
+    assert a == b                                  # partitioning-independent
+    assert sorted(r.doc_id for r in
+                  sampling.deterministic_sample(docs, 1.0).collect()) == [1, 2, 3, 4, 5]
+    assert sampling.deterministic_sample(docs, 0.0).count() == 0
+    # disjoint salts draw independent samples
+    s1 = {r.doc_id for r in sampling.deterministic_sample(docs, 0.5, salt="a").collect()}
+    s2 = {r.doc_id for r in sampling.deterministic_sample(docs, 0.5, salt="b").collect()}
+    assert s1 != s2 or len(s1) <= 5
+
+
+def test_stratified_sample(spark, docs):
+    from dlx_spark.operators import sampling
+    out = sampling.stratified_sample(
+        docs.withColumn("lang", F.when(F.col("doc_id") <= 2, "en").otherwise("fr")),
+        {"en": 1.0}, strata_col="lang")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]  # fr stratum dropped
+
+
 def test_language_id(spark, docs):
     rows = {r.id: r.lang_pred for r in textstats.language_id(docs).collect()}
     assert rows[1] == "en"  # 'the', 'and' markers present
