@@ -690,9 +690,11 @@ def stratified_sample_q(spark, sf):
     FROM documents
 """)
 def repetition_ratio_q(spark, sf):
-    """within-document token repetition (boilerplate/spam signal)."""
+    """within-document token repetition (boilerplate/spam signal).
+    normalize=False = plain space split, the exact string_split the
+    oracle runs (normalized tokenization is pytest-covered)."""
     docs = _t(spark, sf, "documents")
-    return (textstats.repetition_ratio(docs)
+    return (textstats.repetition_ratio(docs, normalize=False)
             .select(F.col("id").alias("doc_id"), "rep_ratio"))
 
 
@@ -706,9 +708,10 @@ def repetition_ratio_q(spark, sf):
 def idf_table_q(spark, sf):
     """corpus document-frequency / IDF table: one explode of per-doc
     distinct tokens, partial-agg groupBy (shuffle carries (token,
-    partial-count) only)."""
+    partial-count) only).  normalize=False mirrors the oracle's raw
+    string_split."""
     docs = _t(spark, sf, "documents")
-    return textstats.idf_table(docs)
+    return textstats.idf_table(docs, normalize=False)
 
 
 @query("quality_score", f"""

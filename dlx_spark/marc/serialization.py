@@ -64,8 +64,14 @@ def _field_to_mrc(field, record_type: str, language: str | None = None,
                   term: str = "\u001e") -> str:
     if isinstance(field, Controlfield):
         return field.value + term
+    # inject first xref as $0 unless $0 already present (same rule as
+    # _field_to_mrk) so mrc round-trips preserve authority links
+    subfields = list(field.subfields)
+    linked = next((s for s in subfields if isinstance(s, Linked)), None)
+    if linked is not None and not any(s.code == "0" for s in subfields):
+        subfields.append(Literal("0", str(linked.xref)))
     text = field.ind1 + field.ind2
-    for sub in field.subfields:
+    for sub in subfields:
         value = sub.value
         if language and config.linked_language_source_tag(record_type, field.tag, sub.code, language):
             value = sub.translated(language)
@@ -282,6 +288,7 @@ def from_mrk(cls, string: str, auth_control: bool = True,
 
 
 def from_mrc(cls, string: str, auth_control: bool = True,
+             delete_subfield_zero: bool = True,
              auth_index: AuthIndex | None = None):
     """ISO 2709 parse — the inverse of ``to_mrc``.
 
@@ -289,7 +296,10 @@ def from_mrc(cls, string: str, auth_control: bool = True,
     unfinished stub that raises; this is a complete reader.  Field
     boundaries come from the \\x1e terminators (cross-checked against the
     directory's tag sequence), so byte-offset arithmetic in a decoded
-    string cannot drift on multi-byte UTF-8.
+    string cannot drift on multi-byte UTF-8.  ``$0`` / auth handling
+    matches ``from_mrk``: xrefs are captured, ambiguity resolves via the
+    index, ``delete_subfield_zero=False`` preserves ``$0`` for
+    join-based downstream resolution.
     """
     if len(string) < 24:
         raise InvalidRecordString(string, "Record shorter than a leader")
@@ -324,12 +334,26 @@ def from_mrc(cls, string: str, auth_control: bool = True,
                               record_type=cls.record_type, auth_index=auth_index)
             xref_m = re.search("\u001f0(\\d+)", seg)
             xref = int(xref_m.group(1)) if xref_m else None
+            ambiguous = []
+            code = None
             for chunk in filter(None, seg[2:].split("\u001f")):
                 code, value = chunk[0], chunk[1:]
                 if config.is_authority_controlled(self.record_type, tag, code):
                     value = xref if xref else value
-                field.set(code, value, place="+", auth_control=auth_control)
-            field.subfields = [s for s in field.subfields if s.code != "0"]
+                try:
+                    field.set(code, value, place="+", auth_control=auth_control)
+                except AmbiguousAuthValue:
+                    ambiguous.append(Literal(code, value))
+            if ambiguous:
+                resolved = (auth_index.resolve_ambiguous(self.record_type, tag, ambiguous)
+                            if auth_index else None)
+                if resolved:
+                    field.set(code, resolved, place="+", auth_control=auth_control)
+                else:
+                    raise AmbiguousAuthValue(self.record_type, field.tag, "*",
+                                             str([x.value for x in ambiguous]))
+            if delete_subfield_zero:
+                field.subfields = [s for s in field.subfields if s.code != "0"]
         self.fields.append(field)
     return self
 

@@ -88,10 +88,12 @@ def range_join(points: DataFrame, ranges: DataFrame, point_col: str = "ts",
         (F.col(hi_col).cast("long") / bucket_seconds).cast("long"),
     )).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
 
+    # the interval test is part of the JOIN CONDITION (not a post-join
+    # filter) so outer joins keep their null-extended rows
     cond = [p["_bucket"] == r["_bucket"]]
     cond += [p[k] == r[k] for k in by]
-    joined = (p.join(r, cond, how)
-              .filter((r[lo_col] <= p[point_col]) & (p[point_col] < r[hi_col])))
+    cond += [r[lo_col] <= p[point_col], p[point_col] < r[hi_col]]
+    joined = p.join(r, cond, how)
     keep = [p[c] for c in points.columns] + \
            [r[c].alias(c if c not in points.columns else c + "_range")
             for c in ranges.columns if c not in by]

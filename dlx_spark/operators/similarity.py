@@ -122,9 +122,9 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16, iters: int = 5,
         raise ValueError(f"need >= {n_centroids} vectors to train, got {len(vecs)}")
     rng = np.random.RandomState(seed)
     cent = vecs[rng.choice(len(vecs), size=n_centroids, replace=False)]
+    # assign: cosine distance == euclidean on normalized vectors
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
-        # assign: cosine distance == euclidean on normalized vectors
-        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(vn @ cn.T, axis=1)
         for c in range(n_centroids):

@@ -47,11 +47,15 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def repetition_ratio(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
     """(id, rep_ratio): fraction of tokens that are repeats of an
     earlier token — the Gopher-style within-document repetition signal
-    (high values flag boilerplate/spam).  Pure map, no shuffle."""
-    toks = tokens_col(F.col(text_col))
+    (high values flag boilerplate/spam).  Pure map, no shuffle.
+
+    ``normalize=False`` tokenizes by plain single-space split (exactly
+    SQL ``string_split(text, ' ')``) for engine-parity checks."""
+    toks = (tokens_col(F.col(text_col)) if normalize
+            else F.split(F.col(text_col), " "))
     return df.select(
         F.col(id_col).alias("id"),
         F.round(1 - F.size(F.array_distinct(toks)) /
@@ -60,16 +64,20 @@ def repetition_ratio(df: DataFrame, text_col: str = "text",
 
 
 def idf_table(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id", n_docs: int | None = None) -> DataFrame:
+              id_col: str = "doc_id", n_docs: int | None = None,
+              normalize: bool = True) -> DataFrame:
     """(token, df, idf): document frequency and ln(N/df) per token.
 
     One explode of per-document DISTINCT tokens (so a token counts once
     per doc) and one partial-agg-friendly groupBy — the shuffle carries
     (token, partial count) only.  ``n_docs`` short-circuits the count
-    when the caller already knows N (at 100 TB, pass it)."""
+    when the caller already knows N (at 100 TB, pass it).
+    ``normalize=False``: plain single-space split for engine parity."""
     n = n_docs if n_docs is not None else df.count()
+    toks = (tokens_col(F.col(text_col)) if normalize
+            else F.split(F.col(text_col), " "))
     return (
-        df.select(F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"))
+        df.select(F.explode(F.array_distinct(toks)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("idf", F.round(F.log(F.lit(float(n)) / F.col("df")), 4))

@@ -45,6 +45,25 @@ def _records_from_delimited(spark: SparkSession, path: str, delimiter: str):
     return rdd
 
 
+def _restore_xrefs_from_zero(rec, record_type: str):
+    """Convert a preserved ``$0`` into Linked xrefs on the field's
+    auth-controlled codes, then drop ``$0`` — the join-based alternative
+    to per-record auth validation during distributed ingest."""
+    from dlx_spark import config
+    from dlx_spark.marc.record import Datafield, Linked
+
+    for field in rec.fields:
+        if not isinstance(field, Datafield):
+            continue
+        zero = next((s.value for s in field.subfields if s.code == "0"), None)
+        if zero and str(zero).isdigit():
+            for i, s in enumerate(field.subfields):
+                if config.is_authority_controlled(record_type, field.tag, s.code):
+                    field.subfields[i] = Linked(s.code, int(zero))
+        field.subfields = [s for s in field.subfields if s.code != "0"]
+    return rec
+
+
 def read_mrk(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
     """Parse an MRK file (records separated by blank lines) into the
     canonical nested DataFrame.  ``$0`` xrefs are preserved as Linked
@@ -58,19 +77,7 @@ def read_mrk(spark: SparkSession, path: str, record_type: str = "bib") -> DataFr
         if not chunk:
             return []
         rec = cls.from_mrk(chunk, auth_control=False, delete_subfield_zero=False)
-        # convert $0 to xrefs on auth-controlled codes, then drop $0
-        from dlx_spark import config
-        from dlx_spark.marc.record import Datafield, Linked
-        for field in rec.fields:
-            if not isinstance(field, Datafield):
-                continue
-            zero = next((s.value for s in field.subfields if s.code == "0"), None)
-            if zero and zero.isdigit():
-                for i, s in enumerate(field.subfields):
-                    if config.is_authority_controlled(record_type, field.tag, s.code):
-                        field.subfields[i] = Linked(s.code, int(zero))
-            field.subfields = [s for s in field.subfields if s.code != "0"]
-        return [rec.to_row()]
+        return [_restore_xrefs_from_zero(rec, record_type).to_row()]
 
     rdd = _records_from_delimited(spark, path, "\n\n").flatMap(parse)
     return spark.createDataFrame(rdd, schema=schemas.MARC)
@@ -89,7 +96,8 @@ def read_mrc(spark: SparkSession, path: str, record_type: str = "bib") -> DataFr
         chunk = chunk.strip("\n\r\x00")
         if not chunk:
             return []
-        return [cls.from_mrc(chunk, auth_control=False).to_row()]
+        rec = cls.from_mrc(chunk, auth_control=False, delete_subfield_zero=False)
+        return [_restore_xrefs_from_zero(rec, record_type).to_row()]
 
     rdd = _records_from_delimited(spark, path, "\u001d").flatMap(parse)
     return spark.createDataFrame(rdd, schema=schemas.MARC)
@@ -114,18 +122,7 @@ def read_marcxml(spark: SparkSession, path: str, record_type: str = "bib") -> Da
         except ElementTree.ParseError:
             return []
         rec = cls.from_xml_raw(root, auth_control=False, delete_subfield_zero=False)
-        from dlx_spark import config
-        from dlx_spark.marc.record import Datafield, Linked
-        for field in rec.fields:
-            if not isinstance(field, Datafield):
-                continue
-            zero = next((s.value for s in field.subfields if s.code == "0"), None)
-            if zero and str(zero).isdigit():
-                for i, s in enumerate(field.subfields):
-                    if config.is_authority_controlled(record_type, field.tag, s.code):
-                        field.subfields[i] = Linked(s.code, int(zero))
-            field.subfields = [s for s in field.subfields if s.code != "0"]
-        return [rec.to_row()]
+        return [_restore_xrefs_from_zero(rec, record_type).to_row()]
 
     def parse(chunk: str):
         import re

@@ -17,6 +17,7 @@ def _xlsx_rows_stdlib(path: str) -> list[list[str]]:
     mirroring the reference's xlrd handling, dlx/util.py:47-57).
     Date-styled numeric cells are returned as raw serial numbers —
     install openpyxl for date rendering."""
+    import re
     import zipfile
     from xml.etree import ElementTree
 
@@ -26,12 +27,27 @@ def _xlsx_rows_stdlib(path: str) -> list[list[str]]:
             root = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
             shared = ["".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
                       for si in root.findall(f"{_XLSX_NS}si")]
-        sheet = sorted(n for n in z.namelist()
-                       if n.startswith("xl/worksheets/sheet"))[0]
+        # numeric sort: sheet2 before sheet10 (lexicographic would not be)
+        sheets = [n for n in z.namelist()
+                  if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)]
+        if sheets:
+            sheet = sorted(sheets, key=lambda n: int(re.search(r"(\d+)", n).group(1)))[0]
+        else:
+            sheet = sorted(n for n in z.namelist()
+                           if re.fullmatch(r"xl/worksheets/[^/]+\.xml", n))[0]
         root = ElementTree.fromstring(z.read(sheet))
 
     rows: list[list[str]] = []
+    next_row = 1
     for row in root.iter(f"{_XLSX_NS}row"):
+        # honor the row 'r' attribute: rows omitted from the XML
+        # (entirely blank) still occupy a slot, as openpyxl reports them
+        r_attr = row.get("r")
+        if r_attr and r_attr.isdigit():
+            while next_row < int(r_attr):
+                rows.append([])
+                next_row += 1
+        next_row += 1
         cells: dict[int, str] = {}
         for j, c in enumerate(row.findall(f"{_XLSX_NS}c")):
             ref = c.get("r") or ""

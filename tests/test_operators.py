@@ -167,6 +167,12 @@ def test_range_join(spark, timeline):
     assert out[1] == 100 and out[2] == 100       # [lo, hi) half-open
     assert out[3] == 200 and out[7] == 200
 
+    # left join keeps points outside every range, null-extended
+    far = timeline.withColumn("ts", F.col("ts") + F.expr("INTERVAL 100 DAYS"))
+    left = range_join(far, ranges, bucket_seconds=300, how="left").collect()
+    assert len(left) == far.count()
+    assert all(r.range_id is None for r in left)
+
 
 def test_token_count(spark, docs):
     rows = {r.id: (r.n_tokens, r.n_chars) for r in textstats.token_count(docs).collect()}

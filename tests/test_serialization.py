@@ -120,6 +120,9 @@ def test_from_mrc_roundtrip(bib1, auth_index):
     assert back.get_value("245", "c") == "title"
     assert back.get_values("520", "a") == [
         "Description", "Another description", "Repeated subfield"]
+    # $0 injected by to_mrc round-trips into a validated xref
+    assert back.get_xref("650", "a") == 1
+    assert back.get_value("650", "a") == "Header"
     # second serialization is byte-identical (leader is regenerated the
     # same way both times)
     assert back.to_mrc() == mrc
@@ -229,7 +232,11 @@ def _write_minimal_xlsx(path, rows):
                    "".join(sheet_rows) + "</sheetData></worksheet>")
 
 
-def test_from_excel_stdlib(tmp_path, auth_index):
+def test_from_excel_stdlib(tmp_path, auth_index, monkeypatch):
+    # force the stdlib fallback even when openpyxl is installed (the
+    # minimal zip here lacks workbook.xml, which openpyxl requires)
+    import sys
+    monkeypatch.setitem(sys.modules, "openpyxl", None)
     path = str(tmp_path / "records.xlsx")
     _write_minimal_xlsx(path, [
         ["1.001", "1.245$a", "1.650$a"],
@@ -245,6 +252,27 @@ def test_from_excel_stdlib(tmp_path, auth_index):
     assert recs[0].id == 99
     assert recs[0].get_value("245", "a") == "Excel Title"
     assert recs[0].get_xref("650", "a") == 1
+
+
+def test_xlsx_stdlib_row_gaps(tmp_path, monkeypatch):
+    # a row omitted from sheetData (entirely blank) still occupies a
+    # slot, matching openpyxl's iter_rows behavior
+    import sys
+    monkeypatch.setitem(sys.modules, "openpyxl", None)
+    import zipfile
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    path = str(tmp_path / "gaps.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml",
+                   f'<worksheet {ns}><sheetData>'
+                   '<row r="1"><c r="A1"><v>1</v></c></row>'
+                   '<row r="3"><c r="A3"><v>3</v></c></row>'
+                   '</sheetData></worksheet>')
+    from dlx_spark.util import _xlsx_rows_stdlib
+    rows = _xlsx_rows_stdlib(path)
+    assert len(rows) == 3
+    # gap row padded to uniform width, like openpyxl's (None,) row
+    assert rows[0] == ["1"] and rows[1] == [""] and rows[2] == ["3"]
 
 
 def test_from_table_errors(auth_index):

@@ -42,9 +42,12 @@ def test_mrc_file_roundtrip(spark, bibs_df, tmp_root):
     back = sources.read_mrc(spark, path)
     assert back.count() == 2
     ex = mdf.explode_subfields(back)
-    rows = {(r.record_id, r.tag, r.code): r.value for r in ex.collect()}
-    assert rows[(1, "245", "a")] == "This"
-    assert rows[(2, "245", "a")] == "Another"
+    rows = {(r.record_id, r.tag, r.code): (r.value, r.xref) for r in ex.collect()}
+    assert rows[(1, "245", "a")][0] == "This"
+    assert rows[(2, "245", "a")][0] == "Another"
+    # xrefs survive the mrc round trip via injected $0
+    assert rows[(1, "650", "a")][1] == 1
+    assert rows[(1, "710", "a")][1] == 2
 
 
 def test_jsonl_roundtrip(spark, bibs_df, tmp_root):
