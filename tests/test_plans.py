@@ -40,6 +40,29 @@ def test_agg_single_shuffle(spark):
     assert plans.shuffle_count(df) <= 1
 
 
+def test_asof_join_single_shuffle_no_nested_loop(spark):
+    df = contract.Q["asof_join"](spark, SF)
+    plan = plans.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # union + one window pass: the only exchange is the key partitioning
+    assert plans.shuffle_count(df) <= 1
+
+
+def test_range_join_is_equi_join(spark):
+    df = contract.Q["range_join"](spark, SF)
+    plan = plans.simple_plan(df)
+    # bucketing turns the interval join into an equi-join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_deterministic_sample_is_pure_scan(spark):
+    df = contract.Q["deterministic_sample"](spark, SF)
+    assert plans.shuffle_count(df) == 0
+    assert plans.broadcast_join_count(df) == 0
+
+
 def test_marc_condition_predicate_prunes(spark, bibs_df, auth_index):
     from dlx_spark.marc import query as q
     pred = q.Condition("245", {"a": "This"}).compile(auth_index)
