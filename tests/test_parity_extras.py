@@ -20,6 +20,30 @@ def test_partial_lookup(spark, auths_df):
     assert mdf.partial_lookup(dim, "zzz").count() == 0
 
 
+def test_from_aggregation(spark, bibs_df, auth_index):
+    from dlx_spark.marc import BibSet
+    # DataFrame form: arbitrary-pipeline escape hatch
+    ms = BibSet.from_aggregation(bibs_df.filter("_id = 2"), auth_index=auth_index)
+    assert [r.id for r in ms] == [2]
+    # SQL form against a registered view
+    bibs_df.createOrReplaceTempView("bibs_v")
+    ms2 = BibSet.from_aggregation("SELECT * FROM bibs_v WHERE _id = 1",
+                                  spark=spark, auth_index=auth_index)
+    assert [r.id for r in ms2] == [1]
+    with pytest.raises(ValueError, match="spark session required"):
+        BibSet.from_aggregation("SELECT 1")
+
+
+def test_auth_index_build_from_set(auths):
+    # AuthSet.build_index is the Auth.build_cache analog: every heading
+    # subfield resolvable without further lookups
+    idx = auths.build_index()
+    assert idx.lookup(1, "a") == "Header"
+    assert idx.lookup(2, "a") == "Another header"
+    assert idx.lookup(999, "a") is None
+    assert idx.xlookup("150", "a", "Header") == [1]
+
+
 def test_language_translated_heading(auth_docs):
     # auth 150 heading with French translation in tag 993
     doc = {
