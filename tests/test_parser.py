@@ -110,6 +110,27 @@ def test_tag_only(ctx):
     assert run(ctx, "710:'Another header'") == [1]
 
 
+def test_audit_date_range(spark, ctx):
+    # audit semantics (reference query.py:363-372): '<' → <=, '>' → >=,
+    # ':' → same-day [d, d+1] window
+    audited = ctx.df.withColumn(
+        "created",
+        F.when(F.col("_id") == 1, F.lit("2026-01-15 10:00:00")).otherwise(
+            F.lit("2026-03-01 00:00:00")).cast("timestamp"))
+    actx = QueryContext(audited, record_type="bib", auth_index=ctx.auth_index)
+
+    def runq(s):
+        query = parse_query_string(s, record_type="bib", auth_index=ctx.auth_index)
+        return sorted(r._id for r in execute_query(query, actx).select("_id").collect())
+
+    assert runq("created:2026-01-15") == [1]       # same-day window
+    assert runq("created>2026-02-01") == [2]
+    assert runq("created<2026-02-01") == [1]
+    assert runq("created>2026-01-01") == [1, 2]
+    with pytest.raises(InvalidQueryString, match="Invalid date"):
+        runq("created:15-01-2026")
+
+
 def test_controlfield_and_id(ctx):
     assert run(ctx, "001:1") == [1]
     assert run(ctx, "id:2") == [2]
