@@ -77,6 +77,20 @@ def test_mrk_roundtrip(doc):
         [f.signature() for f in rec.datafields]
 
 
+@settings(max_examples=40, deadline=None)
+@given(record_docs())
+def test_mrc_roundtrip(doc):
+    rec = Bib(doc)
+    mrc = rec.to_mrc(write_id=False)
+    # directory byte arithmetic always consistent, incl. unicode values
+    assert int(mrc[:5]) == len(mrc.encode("utf-8"))
+    back = Bib.from_mrc(mrc, auth_control=False, delete_subfield_zero=False)
+    assert [f.signature() for f in back.datafields] == \
+        [f.signature() for f in rec.datafields]
+    # re-serialization is byte-stable
+    assert back.to_mrc(write_id=False) == mrc
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=200))
 def test_tokenizer_invariants(s):
