@@ -22,6 +22,14 @@ def get_spark(app_name: str = "dlx_spark", cpus: int | None = None) -> SparkSess
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # make the package importable in Python workers regardless of the
+    # caller's cwd (UDF closures reference dlx_spark modules); on a real
+    # cluster ship the package with --py-files instead
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pkg_root + os.pathsep + existing) if existing else pkg_root
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

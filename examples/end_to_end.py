@@ -12,9 +12,12 @@
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MRK = """=001  1
 =245  10$aReports of the Security Council$bannual coverage
@@ -70,13 +73,17 @@ def main() -> None:
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    from dlx_spark.operators import dedup, similarity, textstats
+    from dlx_spark.operators import dedup, sampling, similarity, textstats
     n_near = dedup.minhash_near_duplicates(docs, threshold=0.5).count()
     qvec = [float(x) for x in emb.first()["embedding"]]
     nn = similarity.cosine_topk(emb, qvec, k=3).collect()
+    ivf = similarity.ivf_topk(emb, qvec, k=3, n_centroids=8, nprobe=2).collect()
     quality = textstats.quality_score(docs).agg({"quality": "avg"}).first()[0]
+    n_sampled = sampling.deterministic_sample(docs, 0.1).count()
     print(f"near-dup pairs: {n_near}; top-3 neighbors of vec 0: "
-          f"{[(r.id, round(r.cosine, 3)) for r in nn]}; avg quality: {quality:.3f}")
+          f"{[(r.id, round(r.cosine, 3)) for r in nn]} (IVF agrees on top-1: "
+          f"{ivf[0].id == nn[0].id}); avg quality: {quality:.3f}; "
+          f"stable 10% sample: {n_sampled} docs")
 
     spark.stop()
     print("demo complete")
