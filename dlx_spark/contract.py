@@ -271,6 +271,53 @@ def multiway_join(spark, sf):
 # §2.4 — aggregation, windows, set ops
 # ---------------------------------------------------------------------------
 
+@query("rollup_agg", """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_agg(spark, sf):
+    """hierarchical subtotal rollup: flag, (flag, status), and grand
+    total in one pass — Spark expands the grouping sets before the same
+    single partial-agg shuffle as a plain groupBy."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query("cumulative_share", """
+    SELECT l_returnflag, l_linestatus, n,
+           round(CAST(running AS DOUBLE) / total, 4) AS cum_share
+    FROM (
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               sum(count(*)) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_linestatus
+                                   ROWS UNBOUNDED PRECEDING) AS running,
+               sum(count(*)) OVER (PARTITION BY l_returnflag) AS total
+        FROM lineitem GROUP BY l_returnflag, l_linestatus)
+""")
+def cumulative_share(spark, sf):
+    """running-total window over a pre-aggregated frame: the aggregate
+    shrinks the data BEFORE the window, so the window sort touches a few
+    rows per key, not the fact table."""
+    li = _t(spark, sf, "lineitem")
+    grouped = (li.groupBy("l_returnflag", "l_linestatus")
+               .agg(F.count(F.lit(1)).alias("n")))
+    w_run = (Window.partitionBy("l_returnflag").orderBy("l_linestatus")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("l_returnflag")
+    return grouped.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.round(F.sum("n").over(w_run).cast("double") / F.sum("n").over(w_all), 4)
+        .alias("cum_share"),
+    )
+
+
 @query("agg_summary", """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
