@@ -761,6 +761,35 @@ def idf_table_q(spark, sf):
     return textstats.idf_table(docs, normalize=False)
 
 
+@query("tfidf_topk", """
+    WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ), idf AS (
+        SELECT token,
+               ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(*)) AS idf_raw
+        FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents)
+        GROUP BY token
+    )
+    SELECT doc_id, token, round(tf * idf_raw, 4) AS tfidf, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT tf.doc_id, tf.token, tf.tf, idf.idf_raw,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf * idf.idf_raw DESC, tf.token) AS rk
+          FROM tf JOIN idf USING (token))
+    WHERE rk <= 3
+""")
+def tfidf_topk_q(spark, sf):
+    """per-document top-3 tf·idf terms: two partial-agg shuffles +
+    broadcast idf join + per-doc window (keyword extraction)."""
+    docs = _t(spark, sf, "documents")
+    return (textstats.tfidf_topk(docs, k=3, normalize=False)
+            .select(F.col("id").alias("doc_id"), "token", "tfidf",
+                    F.col("rk").cast("long").alias("rk")))
+
+
 @query("quality_score", f"""
     SELECT doc_id, n_tokens,
            round(alpha / greatest(n_chars, 1), 4) AS alpha_ratio,

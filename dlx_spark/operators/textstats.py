@@ -84,6 +84,39 @@ def idf_table(df: DataFrame, text_col: str = "text",
     )
 
 
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id", n_docs: int | None = None,
+               normalize: bool = True) -> DataFrame:
+    """(id, token, tfidf, rk): each document's top-k most salient terms
+    by tf·idf — keyword extraction for corpus triage.
+
+    Two partial-agg shuffles (term frequency, document frequency), a
+    broadcast join of the idf table (vocabulary-sized, small), and a
+    per-document top-k window.  Ties break on token so the result set is
+    deterministic."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    toks = (tokens_col(F.col(text_col)) if normalize
+            else F.split(F.col(text_col), " "))
+    n = n_docs if n_docs is not None else df.count()
+    tf = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+          .groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    # unrounded idf: rounding happens once, after the tf·idf product
+    idf = (df.select(F.explode(F.array_distinct(toks)).alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+           .select("token", F.log(F.lit(float(n)) / F.col("df")).alias("idf_raw")))
+    w = Window.partitionBy("id").orderBy(
+        F.desc(F.col("tf") * F.col("idf_raw")), F.asc("token"))
+    return (
+        tf.join(broadcast(idf), "token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "token",
+                F.round(F.col("tf") * F.col("idf_raw"), 4).alias("tfidf"), "rk")
+    )
+
+
 def language_scores(col: Column) -> list[tuple[str, Column]]:
     toks = tokens_col(col)
     out = []

@@ -196,6 +196,21 @@ def test_idf_table(spark, docs):
     assert out["spark"][0] == 1
 
 
+def test_tfidf_topk(spark, docs):
+    out = textstats.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 4's distinctive terms score above corpus-common words
+    top4 = [r.token for r in sorted(by_doc[4], key=lambda r: r.rk)]
+    assert "the" not in top4
+    # ranks ordered by descending score
+    for rows in by_doc.values():
+        rows = sorted(rows, key=lambda r: r.rk)
+        assert all(rows[i].tfidf >= rows[i + 1].tfidf for i in range(len(rows) - 1))
+
+
 def test_deterministic_sample_stable(spark, docs):
     from dlx_spark.operators import sampling
     a = sorted(r.doc_id for r in sampling.deterministic_sample(docs, 0.5).collect())
