@@ -40,8 +40,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     out_names = {c: (c + suffix if c in lcols else c) for c in rpay_cols}
 
     rstruct = F.struct(*[F.col(c) for c in rpay_cols])
-    r = right.select(*by, F.col(on).alias("_t"), F.lit(0).alias("_side"),
-                     rstruct.alias("_r"))
+    # SQL join equality never matches NULL keys; drop null-key right
+    # rows so window partitioning can't pair them with null-key probes
+    right_nn = right
+    for k in by:
+        right_nn = right_nn.filter(F.col(k).isNotNull())
+    r = right_nn.select(*by, F.col(on).alias("_t"), F.lit(0).alias("_side"),
+                        rstruct.alias("_r"))
     null_r = F.lit(None).cast(r.schema["_r"].dataType)
     l = left.select(*by, F.col(on).alias("_t"), F.lit(1).alias("_side"),
                     null_r.alias("_r"), F.struct(*[F.col(c) for c in lcols]).alias("_l"))

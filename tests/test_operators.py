@@ -145,6 +145,21 @@ def test_asof_join(spark, timeline):
     assert out[7][1] == 30.0
 
 
+def test_asof_join_null_keys_never_match(spark, timeline):
+    from dlx_spark.operators.asof import asof_join
+    clicks = timeline.filter("kind = 'click'").select(
+        "event_id", F.lit(None).cast("long").alias("user_id"), "ts")
+    views = timeline.filter("kind = 'view'").select(
+        "user_id", "ts", "value").union(
+        timeline.filter("kind = 'view'").select(
+            F.lit(None).cast("long").alias("user_id"), "ts", "value"))
+    out = asof_join(clicks, views).collect()
+    # null-key probes survive (left join) but match nothing, even
+    # against null-key right rows — SQL equality semantics
+    assert len(out) == clicks.count()
+    assert all(r.value is None for r in out)
+
+
 def test_asof_join_tolerance(spark, timeline):
     from dlx_spark.operators.asof import asof_join
     clicks = timeline.filter("kind = 'click'").select("event_id", "user_id", "ts")
