@@ -91,25 +91,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     The permutation family h_i(x) = (a_i·x + b_i) mod p is generated
     deterministically from ``seed``; each signature element is an
-    ``array_min`` over the shingle hashes — a pure projection, no
-    shuffle, whole-stage codegen all the way.
+    ``array_min`` over the shingle hashes — a pure per-row projection,
+    ZERO shuffle, whole-stage codegen all the way.  (An explode +
+    groupBy(id) formulation computes the same minima but pays a shuffle
+    on id; at cluster scale that shuffle is the whole cost.)
     """
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_hashes).tolist()
     b = rng.randint(0, _MERSENNE, size=num_hashes).tolist()
 
-    # explode shingles once and compute the 64 permutation minima as
-    # partial-aggregation-friendly min() aggregates: map-side combine
-    # shrinks each partition to one row per id before the (light) shuffle
-    exploded = word_shingles(df, text_col, id_col, shingle_n).select(
-        "id", F.explode_outer("sh").alias("x")).withColumn(
-        "xu", F.expr("coalesce(x & 4294967295, 0)"))
-    aggs = [
-        F.min(F.expr(f"pmod({ai}L * xu + {bi}L, {_MERSENNE}L)")).alias(f"h{i}")
+    # NULL text → NULL shingle array: normalize to a single 0 element so
+    # the signature is defined (pmod(b_i) — same as hashing one empty
+    # shingle), matching SQL-null-safe behavior downstream
+    shingled = word_shingles(df, text_col, id_col, shingle_n).withColumn(
+        "xs", F.expr("transform(coalesce(sh, array(0)), x -> coalesce(x & 4294967295, 0))"))
+    mins = [
+        F.expr(f"array_min(transform(xs, x -> pmod({ai}L * x + {bi}L, {_MERSENNE}L)))").alias(f"h{i}")
         for i, (ai, bi) in enumerate(zip(a, b))
     ]
-    sigged = exploded.groupBy("id").agg(*aggs)
-    return sigged.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    return shingled.select("id", *mins).select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
