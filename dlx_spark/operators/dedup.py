@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
 
 from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
+from dlx_spark.operators.common import spread_for_compute
 
 # a large 32-bit prime for the minhash permutation family
 _MERSENNE = (1 << 31) - 1
@@ -103,7 +104,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # NULL text → NULL shingle array: normalize to a single 0 element so
     # the signature is defined (pmod(b_i) — same as hashing one empty
     # shingle), matching SQL-null-safe behavior downstream
-    shingled = word_shingles(df, text_col, id_col, shingle_n).withColumn(
+    shingled = word_shingles(spread_for_compute(df), text_col, id_col, shingle_n).withColumn(
         "xs", F.expr("transform(coalesce(sh, array(0)), x -> coalesce(x & 4294967295, 0))"))
     mins = [
         F.expr(f"array_min(transform(xs, x -> pmod({ai}L * x + {bi}L, {_MERSENNE}L)))").alias(f"h{i}")
@@ -202,7 +203,8 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash"))
+    return spread_for_compute(df).select(
+        F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -251,7 +253,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     Jaccard via array_intersect/array_union on distinct token arrays.
     Returns (id_a, id_b, jaccard ≥ threshold)."""
     toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
-    prepared = df.select(
+    prepared = spread_for_compute(df).select(
         F.col(id_col).alias("id"), toks.alias("toks"),
         (F.col(block_on_lang) if block_on_lang else F.lit("x")).alias("blk_lang"),
         F.floor(F.log2(F.size(toks) + 1)).alias("blk_len"),
