@@ -40,9 +40,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     out_names = {c: (c + suffix if c in lcols else c) for c in rpay_cols}
 
     rstruct = F.struct(*[F.col(c) for c in rpay_cols])
-    # SQL join equality never matches NULL keys; drop null-key right
-    # rows so window partitioning can't pair them with null-key probes
-    right_nn = right
+    # SQL semantics: NULL join keys never match, and a NULL right
+    # timestamp can't satisfy right.ts <= left.ts — drop both kinds of
+    # right row so the window can't pair them with probes.  (NULL-ts
+    # LEFT rows sort nulls-first, before every right row, so they come
+    # out unmatched without special handling.)
+    right_nn = right.filter(F.col(on).isNotNull())
     for k in by:
         right_nn = right_nn.filter(F.col(k).isNotNull())
     r = right_nn.select(*by, F.col(on).alias("_t"), F.lit(0).alias("_side"),

@@ -2,7 +2,36 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# logical-plan nodes that imply an exchange somewhere upstream; frames
+# containing them are already as wide as spark.sql.shuffle.partitions,
+# and (under AQE) converting them to an RDD would eagerly execute their
+# shuffle stages — so spreading is both unnecessary and unsafe there
+_WIDE_NODE = re.compile(
+    r"(?m)^[\s:+-]*(?:Join|Aggregate|Window|Sort|Distinct|Deduplicate|"
+    r"Repartition|RepartitionByExpression|Except|Intersect|GlobalLimit)\b")
+
+
+def _narrow_scan_partitions(df: DataFrame) -> int | None:
+    """Partition count if ``df`` is scan-rooted (projections / filters /
+    unions over file sources), else None.
+
+    ``df.rdd`` under AQE calls ``getFinalPhysicalPlan()``, which submits
+    and awaits every exchange stage in the plan — double-executing the
+    upstream pipeline when the real action later runs.  A pure scan has
+    no exchange stages, so for scan-rooted plans the conversion stays
+    lazy and the partition count is free to read.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    if _WIDE_NODE.search(plan):
+        return None
+    return df.rdd.getNumPartitions()
 
 
 def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
@@ -12,13 +41,15 @@ def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
     ``spark.sql.files.maxPartitionBytes`` arrives as ONE partition no
     matter how many cores the cluster has — and an expensive projection
     (minhash, simhash, feature extraction) then runs single-threaded.
-    Round-robin repartition ONLY when the scan is narrower than the
-    session's default parallelism; at real scale (inputs of many
-    row-groups / many files) the input is already wider than the
-    threshold, so the big-data path never pays the extra shuffle.
+    Round-robin repartition ONLY when the input is a file scan narrower
+    than the session's default parallelism.  At real scale (many
+    row-groups / many files) the scan is already wide, and post-shuffle
+    frames are already ``spark.sql.shuffle.partitions`` wide — neither
+    pays the extra shuffle.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    nparts = _narrow_scan_partitions(df)
+    if nparts is not None and nparts < target:
         return df.repartition(target)
     return df

@@ -92,20 +92,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     The permutation family h_i(x) = (a_i·x + b_i) mod p is generated
     deterministically from ``seed``; each signature element is an
-    ``array_min`` over the shingle hashes — a pure per-row projection,
-    ZERO shuffle, whole-stage codegen all the way.  (An explode +
-    groupBy(id) formulation computes the same minima but pays a shuffle
-    on id; at cluster scale that shuffle is the whole cost.)
+    ``array_min`` over the shingle hashes — a pure per-row projection in
+    whole-stage codegen.  (An explode + groupBy(id) formulation computes
+    the same minima but pays a shuffle on id; at cluster scale that
+    shuffle is the whole cost.)  The only exchange this stage can emit
+    is spread_for_compute's round-robin widening of a narrow local scan.
     """
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_hashes).tolist()
     b = rng.randint(0, _MERSENNE, size=num_hashes).tolist()
 
-    # NULL text → NULL shingle array: normalize to a single 0 element so
-    # the signature is defined (pmod(b_i) — same as hashing one empty
-    # shingle), matching SQL-null-safe behavior downstream
+    # word_shingles today always yields ≥1 element (NULL text hashes as
+    # one NULL shingle), but guard NULL/empty anyway: array_min over an
+    # empty array would silently produce an all-NULL signature if the
+    # shingling ever changed
     shingled = word_shingles(spread_for_compute(df), text_col, id_col, shingle_n).withColumn(
-        "xs", F.expr("transform(coalesce(sh, array(0)), x -> coalesce(x & 4294967295, 0))"))
+        "xs", F.expr("transform(CASE WHEN sh IS NULL OR size(sh) = 0 THEN array(0) ELSE sh END,"
+                     " x -> coalesce(x & 4294967295, 0))"))
     mins = [
         F.expr(f"array_min(transform(xs, x -> pmod({ai}L * x + {bi}L, {_MERSENNE}L)))").alias(f"h{i}")
         for i, (ai, bi) in enumerate(zip(a, b))

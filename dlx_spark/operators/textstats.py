@@ -65,22 +65,25 @@ def repetition_ratio(df: DataFrame, text_col: str = "text",
 
 def idf_table(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", n_docs: int | None = None,
-              normalize: bool = True) -> DataFrame:
+              normalize: bool = True, rounded: bool = True) -> DataFrame:
     """(token, df, idf): document frequency and ln(N/df) per token.
 
     One explode of per-document DISTINCT tokens (so a token counts once
     per doc) and one partial-agg-friendly groupBy — the shuffle carries
     (token, partial count) only.  ``n_docs`` short-circuits the count
     when the caller already knows N (at 100 TB, pass it).
-    ``normalize=False``: plain single-space split for engine parity."""
+    ``normalize=False``: plain single-space split for engine parity.
+    ``rounded=False`` keeps idf at full precision for downstream math
+    (tf·idf rounds once, after the product)."""
     n = n_docs if n_docs is not None else df.count()
     toks = (tokens_col(F.col(text_col)) if normalize
             else F.split(F.col(text_col), " "))
+    idf = F.log(F.lit(float(n)) / F.col("df"))
     return (
         df.select(F.explode(F.array_distinct(toks)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("idf", F.round(F.log(F.lit(float(n)) / F.col("df")), 4))
+        .withColumn("idf", F.round(idf, 4) if rounded else idf)
     )
 
 
@@ -103,9 +106,8 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
     tf = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
           .groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf")))
     # unrounded idf: rounding happens once, after the tf·idf product
-    idf = (df.select(F.explode(F.array_distinct(toks)).alias("token"))
-           .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-           .select("token", F.log(F.lit(float(n)) / F.col("df")).alias("idf_raw")))
+    idf = idf_table(df, text_col, id_col, n_docs=n, normalize=normalize,
+                    rounded=False).select("token", F.col("idf").alias("idf_raw"))
     w = Window.partitionBy("id").orderBy(
         F.desc(F.col("tf") * F.col("idf_raw")), F.asc("token"))
     return (

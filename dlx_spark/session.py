@@ -24,11 +24,21 @@ def get_spark(app_name: str = "dlx_spark", cpus: int | None = None) -> SparkSess
 
     # make the package importable in Python workers regardless of the
     # caller's cwd (UDF closures reference dlx_spark modules); on a real
-    # cluster ship the package with --py-files instead
+    # cluster ship the package with --py-files instead.  The env var only
+    # reaches workers when WE start the JVM — if a session already
+    # exists, mutating it would be silently ineffective, so warn instead.
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if pkg_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (pkg_root + os.pathsep + existing) if existing else pkg_root
+        if SparkSession.getActiveSession() is not None:
+            import warnings
+            warnings.warn(
+                "get_spark(): a SparkSession already exists, so its Python "
+                "workers won't see dlx_spark on PYTHONPATH — UDF closures "
+                "importing dlx_spark may fail. Start the session via "
+                "get_spark() first, or ship the package with --py-files.")
+        else:
+            os.environ["PYTHONPATH"] = (pkg_root + os.pathsep + existing) if existing else pkg_root
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -160,6 +160,18 @@ def test_asof_join_null_keys_never_match(spark, timeline):
     assert all(r.value is None for r in out)
 
 
+def test_asof_join_null_timestamp_right_rows_never_match(spark, timeline):
+    from dlx_spark.operators.asof import asof_join
+    clicks = timeline.filter("kind = 'click'").select("event_id", "user_id", "ts")
+    # every view's timestamp nulled out: right.ts <= left.ts is NULL for
+    # all pairs, so no probe may match (SQL comparison semantics)
+    views = timeline.filter("kind = 'view'").select(
+        "user_id", F.lit(None).cast("timestamp").alias("ts"), "value")
+    out = asof_join(clicks, views).collect()
+    assert len(out) == clicks.count()
+    assert all(r.value is None for r in out)
+
+
 def test_asof_join_tolerance(spark, timeline):
     from dlx_spark.operators.asof import asof_join
     clicks = timeline.filter("kind = 'click'").select("event_id", "user_id", "ts")
@@ -217,13 +229,29 @@ def test_tfidf_topk(spark, docs):
     for r in out:
         by_doc.setdefault(r.id, []).append(r)
     assert all(len(v) <= 2 for v in by_doc.values())
-    # doc 4's distinctive terms score above corpus-common words
+    # doc 4's distinctive terms score above corpus-common words: 'and'
+    # appears in doc 4 but also in most other docs (low idf), so it must
+    # lose the top-k slots to doc-4-specific vocabulary
     top4 = [r.token for r in sorted(by_doc[4], key=lambda r: r.rk)]
-    assert "the" not in top4
+    assert "and" not in top4
     # ranks ordered by descending score
     for rows in by_doc.values():
         rows = sorted(rows, key=lambda r: r.rk)
         assert all(rows[i].tfidf >= rows[i + 1].tfidf for i in range(len(rows) - 1))
+
+
+def test_spread_for_compute_skips_post_shuffle_frames(spark, docs):
+    from dlx_spark.operators import common
+    # frames with an upstream shuffle are already wide, and .rdd on them
+    # would eagerly execute stages under AQE — must pass through untouched
+    agg = docs.groupBy("lang").count()
+    assert common._narrow_scan_partitions(agg) is None
+    assert common.spread_for_compute(agg) is agg
+    joined = docs.alias("a").join(docs.alias("b"), "doc_id")
+    assert common._narrow_scan_partitions(joined) is None
+    # scan-like frames report a real partition count
+    n = common._narrow_scan_partitions(docs.select("doc_id", "text"))
+    assert isinstance(n, int) and n >= 1
 
 
 def test_deterministic_sample_stable(spark, docs):
