@@ -29,6 +29,8 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "multimodal_decode",
+    "chunk_documents",
+    "redact_pii",
 ]
 
 

@@ -27,7 +27,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from dlx_spark.operators import asof, dedup, multimodal, sampling, similarity, textstats
+from dlx_spark.operators import (
+    asof, chunking, dedup, multimodal, redact, sampling, similarity, textstats)
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -927,6 +928,64 @@ def correlation(spark, sf):
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
         F.round(F.corr("l_discount", "l_extendedprice"), 4).alias("disc_price_corr"),
     )
+
+
+@query("chunk_documents", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 56)) AS start
+          FROM t)
+    SELECT doc_id, CAST(start // 56 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_tokens
+    FROM s
+""")
+def chunk_documents_q(spark, sf):
+    """overlapping token-window chunking (64-token windows, 8 overlap) —
+    the pre-training/RAG corpus prep step; a pure flat-map, no shuffle.
+    normalize=False = plain space split, exactly the oracle's."""
+    docs = _t(spark, sf, "documents")
+    return (chunking.chunk_documents(docs, chunk_tokens=64, overlap=8,
+                                     normalize=False)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("chunk_id").cast("long").alias("chunk_id"),
+                    "chunk_text",
+                    F.col("n_tokens").cast("long").alias("n_tokens")))
+
+
+def _pii_suffix_sql() -> str:
+    return ("text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+            "'.7 ssn 123-45-6789 tel 555-0142'")
+
+
+def _pii_oracle() -> str:
+    # built from the SAME pattern list the operator applies, in the same
+    # order, so the two engines can never drift
+    sql_text = _pii_suffix_sql()
+    counts = []
+    for name, pat, rep in redact.PII_PATTERNS:
+        counts.append(f"CAST(len(regexp_extract_all({sql_text}, '{pat}')) AS BIGINT)"
+                      f" AS n_{name}")
+        sql_text = f"regexp_replace({sql_text}, '{pat}', '{rep}', 'g')"
+    return (f"SELECT doc_id, {sql_text} AS clean_text, {', '.join(counts)} "
+            "FROM documents")
+
+
+@query("redact_pii", _pii_oracle())
+def redact_pii_q(spark, sf):
+    """PII redaction (email → SSN → IPv4 → phone, sequential) with
+    per-category counts.  Synthetic PII is appended deterministically
+    from doc_id in both engines so every pattern actually fires."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" reach user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com or 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 ssn 123-45-6789 tel 555-0142")))
+    return (redact.redact_pii(docs)
+            .select(F.col("id").alias("doc_id"), "clean_text",
+                    "n_email", "n_ssn", "n_ip", "n_phone"))
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

@@ -2,4 +2,5 @@
 multimodal plumbing — the large-scale training-data-pipeline surface
 built on the same tokenizer/join machinery as the MARC engine."""
 
-from dlx_spark.operators import asof, dedup, sampling, similarity, textstats, multimodal  # noqa: F401
+from dlx_spark.operators import (  # noqa: F401
+    asof, chunking, dedup, redact, sampling, similarity, textstats, multimodal)

@@ -1,0 +1,43 @@
+"""PII redaction: replace emails, SSNs, IPv4 addresses, and phone-like
+number runs with typed placeholder tags, counting each category.
+
+The patterns use only the regex subset shared by Java (Spark) and RE2
+(DuckDB/Go) — character classes, bounded repetition, \\b anchors; no
+lookaround — so the exact same sequential rewrite is expressible in
+both engines and oracle-checkable.
+
+Order matters and is part of the contract: email → SSN → IPv4 → phone.
+The phone pattern (a loose digit-run matcher) would otherwise swallow
+SSNs and dotted IPs; each stage counts on the text as left by the
+previous stage.  Redaction is a pure per-row projection — no shuffle,
+whole-stage codegen, linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# (name, pattern, replacement) — applied strictly in this order
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ip", r"\b(([0-9]{1,3})\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9(). -]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, clean_text, n_email, n_ssn, n_ip, n_phone).
+
+    ``n_<cat>`` counts matches of each category on the text as seen by
+    that stage (after earlier categories were already replaced), and
+    ``clean_text`` is the fully redacted text.
+    """
+    cols = [F.col(id_col).alias("id")]
+    text = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        text = F.regexp_replace(text, pat, rep)
+    return df.select(*cols, text.alias("clean_text"), *counts)

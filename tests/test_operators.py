@@ -240,6 +240,36 @@ def test_tfidf_topk(spark, docs):
         assert all(rows[i].tfidf >= rows[i + 1].tfidf for i in range(len(rows) - 1))
 
 
+def test_chunk_documents(spark):
+    from dlx_spark.operators.chunking import chunk_documents
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(130))), (2, "a b c")],
+        "doc_id int, text string")
+    out = chunk_documents(df, chunk_tokens=128, overlap=16, normalize=False).collect()
+    by = {(r.id, r.chunk_id): r for r in out}
+    assert len(out) == 3                             # doc 1 → 2 chunks, doc 2 → 1
+    assert by[(1, 0)].n_tokens == 128
+    assert by[(1, 1)].n_tokens == 18
+    # consecutive chunks share exactly `overlap` tokens
+    assert by[(1, 0)].chunk_text.split()[-16:] == by[(1, 1)].chunk_text.split()[:16]
+    assert by[(2, 0)].chunk_text == "a b c"
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_redact_pii(spark):
+    from dlx_spark.operators.redact import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@ex.co.uk ip 192.168.0.1 ssn 123-45-6789 tel +1 (555) 123-4567"),
+         (2, "clean text only")],
+        "doc_id int, text string")
+    out = {r.id: r for r in redact_pii(df).collect()}
+    assert out[1].clean_text == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE>"
+    assert (out[1].n_email, out[1].n_ssn, out[1].n_ip, out[1].n_phone) == (1, 1, 1, 1)
+    assert out[2].clean_text == "clean text only"
+    assert (out[2].n_email, out[2].n_ssn, out[2].n_ip, out[2].n_phone) == (0, 0, 0, 0)
+
+
 def test_spread_for_compute_skips_post_shuffle_frames(spark, docs):
     from dlx_spark.operators import common
     # frames with an upstream shuffle are already wide, and .rdd on them
