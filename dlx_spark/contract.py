@@ -887,17 +887,25 @@ def multimodal_decode(spark, sf):
 
 @query("median_metrics", """
     SELECT l_returnflag,
-           round(median(l_extendedprice), 2) AS median_price,
-           round(avg(l_quantity), 2) AS avg_qty
+           floor(median(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) + 0.5) / 100
+             AS median_price,
+           floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty
     FROM lineitem GROUP BY l_returnflag
 """)
 def median_metrics(spark, sf):
-    """exact interpolated median per group (both engines interpolate)."""
+    """exact interpolated median per group (both engines interpolate).
+
+    The median is taken over integer CENTS so interpolation lands on an
+    exact .0/.5 double, and 2-dp rounding is floor(x + 0.5) — engines
+    disagree on round() for doubles exactly at the .005 boundary (Spark
+    rounds the shortest decimal repr via BigDecimal, DuckDB rounds the
+    scaled double), but floor on identical doubles is deterministic."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         _t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.round(F.median("l_extendedprice"), 2).alias("median_price"),
-             F.round(F.avg("l_quantity"), 2).alias("avg_qty"))
+        .agg((F.floor(F.median(cents) + F.lit(0.5)) / 100).alias("median_price"),
+             (F.floor(F.avg("l_quantity") * 100 + F.lit(0.5)) / 100).alias("avg_qty"))
     )
 
 

@@ -73,17 +73,20 @@ def main() -> None:
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    from dlx_spark.operators import dedup, sampling, similarity, textstats
+    from dlx_spark.operators import chunking, dedup, redact, sampling, similarity, textstats
     n_near = dedup.minhash_near_duplicates(docs, threshold=0.5).count()
     qvec = [float(x) for x in emb.first()["embedding"]]
     nn = similarity.cosine_topk(emb, qvec, k=3).collect()
     ivf = similarity.ivf_topk(emb, qvec, k=3, n_centroids=8, nprobe=2).collect()
     quality = textstats.quality_score(docs).agg({"quality": "avg"}).first()[0]
     n_sampled = sampling.deterministic_sample(docs, 0.1).count()
+    n_chunks = chunking.chunk_documents(docs, chunk_tokens=64, overlap=8).count()
+    n_redacted = redact.redact_pii(docs).filter("n_email + n_ssn + n_ip + n_phone > 0").count()
     print(f"near-dup pairs: {n_near}; top-3 neighbors of vec 0: "
           f"{[(r.id, round(r.cosine, 3)) for r in nn]} (IVF agrees on top-1: "
           f"{ivf[0].id == nn[0].id}); avg quality: {quality:.3f}; "
-          f"stable 10% sample: {n_sampled} docs")
+          f"stable 10% sample: {n_sampled} docs; {n_chunks} chunks; "
+          f"{n_redacted} docs with PII hits")
 
     spark.stop()
     print("demo complete")

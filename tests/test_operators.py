@@ -257,6 +257,26 @@ def test_chunk_documents(spark):
         chunk_documents(df, chunk_tokens=8, overlap=8)
 
 
+def test_chunk_documents_reconstruction(spark):
+    """Chunks losslessly tile the document: chunk 0 plus every later
+    chunk minus its overlap prefix re-concatenates to the original
+    token stream, across size/parameter combinations in one job."""
+    from dlx_spark.operators.chunking import chunk_documents
+    sizes = [0, 1, 7, 16, 17, 63, 64, 65, 128, 129, 255]
+    rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for chunk, overlap in [(64, 8), (64, 0), (16, 8)]:
+        out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap,
+                              normalize=False).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.id, {})[r.chunk_id] = r.chunk_text.split(" ")
+        for i, n in enumerate(sizes):
+            chunks = [by_doc[i][k] for k in sorted(by_doc[i])]
+            rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[overlap:]]
+            assert rebuilt == rows[i][1].split(" "), (n, chunk, overlap)
+
+
 def test_redact_pii(spark):
     from dlx_spark.operators.redact import redact_pii
     df = spark.createDataFrame(
