@@ -961,6 +961,39 @@ def chunk_documents_q(spark, sf):
                     F.col("n_tokens").cast("long").alias("n_tokens")))
 
 
+@query("dup_clusters", """
+    WITH RECURSIVE prepared AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+               lang, CAST(floor(log2(len(string_split(text, ' ')) + 1)) AS INTEGER) AS blk_len,
+               string_split(text, ' ')[1] AS blk_tok
+        FROM documents),
+    pairs AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM prepared l JOIN prepared r
+          ON l.lang = r.lang AND l.blk_len = r.blk_len AND l.blk_tok = r.blk_tok
+         AND l.doc_id < r.doc_id
+        WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(id, comp) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.comp FROM edges e JOIN walk w ON w.id = e.b)
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component
+    FROM walk GROUP BY id
+""")
+def dup_clusters(spark, sf):
+    """duplicate CLUSTERS: transitive closure over the ngram-Jaccard
+    pairs via iterative min-label propagation (the oracle walks the
+    same graph with a recursive CTE).  Pairwise near-dup output alone
+    can't pick survivors when A~B~C but A!~C."""
+    pairs = ngram_jaccard(spark, sf).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    return comp.select(F.col("id").cast("long").alias("doc_id"),
+                       F.col("component").cast("long").alias("component"))
+
+
 def _pii_suffix_sql() -> str:
     return ("text || ' reach user' || CAST(doc_id AS VARCHAR) || "
             "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "

@@ -244,6 +244,55 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(id, component): transitive closure over near-duplicate pairs,
+    labeling every node with the SMALLEST id reachable from it — the
+    canonical-survivor rule dedup needs (pairwise output alone splits a
+    3-doc cluster {A~B, B~C} into two overlapping pairs).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels — one shuffle join plus one
+    partial-agg groupBy per round, converging in graph-diameter rounds
+    (near-dup clusters are shallow stars: a handful).  Labels are
+    localCheckpoint'ed each round so the plan/lineage stays O(1) deep,
+    and the per-round state is one row per distinct node in ``pairs`` —
+    tiny relative to the corpus even at 100 TB.
+    """
+    e = pairs.select(F.col(id_a).cast("long").alias("a"),
+                     F.col(id_b).cast("long").alias("b"))
+    edges = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+             .distinct().localCheckpoint(eager=False))
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("comp", F.col("id")).localCheckpoint(eager=False))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["b"] == labels["id"])
+                 .groupBy("a").agg(F.min("comp").alias("ncomp")))
+        new = (labels.join(neigh, labels["id"] == neigh["a"], "left")
+               .select("id", F.least(F.col("comp"),
+                                     F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.select("id", F.col("comp").alias("comp_new"))
+                   .join(labels, "id")
+                   .filter(F.col("comp_new") != F.col("comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """(id, component, is_survivor): cluster assignment for every doc
+    that appears in a near-dup pair; the minimum id of each component
+    survives, the rest are the rows to drop."""
+    comp = connected_components(pairs, id_a, id_b)
+    return comp.withColumn("is_survivor", F.col("id") == F.col("component"))
+
+
+# ---------------------------------------------------------------------------
 # N-gram Jaccard (exact, blocked)
 # ---------------------------------------------------------------------------
 

@@ -240,6 +240,17 @@ def test_tfidf_topk(spark, docs):
         assert all(rows[i].tfidf >= rows[i + 1].tfidf for i in range(len(rows) - 1))
 
 
+def test_connected_components(spark):
+    from dlx_spark.operators.dedup import connected_components, dedup_clusters
+    # chain 1-2-3-4 (transitive closure must merge it), isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    out = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    surv = {r.id: r.is_survivor for r in dedup_clusters(pairs).collect()}
+    assert surv == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
+
+
 def test_chunk_documents(spark):
     from dlx_spark.operators.chunking import chunk_documents
     df = spark.createDataFrame(
