@@ -23,5 +23,21 @@ from dlx_spark.marc.record import (  # noqa: F401
     Subfield,
 )
 from dlx_spark.marc.set import BibSet, AuthSet, MarcSet  # noqa: F401
+from dlx_spark.marc.query import (  # noqa: F401
+    Any,
+    AtlasQuery,
+    AuthCondition,
+    AuthQuery,
+    BibCondition,
+    BibQuery,
+    Condition,
+    Or,
+    Query,
+    QueryDocument,
+    Raw,
+    TagOnly,
+    Text,
+)
+from dlx_spark.marc.parser import InvalidQueryString  # noqa: F401
 # attaches the serialization method surface to the record/set classes
 from dlx_spark.marc import serialization as _serialization  # noqa: F401,E402

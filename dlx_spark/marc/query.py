@@ -319,6 +319,26 @@ class AuthQuery(Query):
     record_type = "auth"
 
 
+class QueryDocument(Query):
+    """Deprecated alias of Query (reference dlx/marc/query.py:570-575)."""
+
+    def __init__(self, *args, **kwargs):
+        import warnings
+        warnings.warn("QueryDocument is deprecated. Use Query instead",
+                      DeprecationWarning, stacklevel=2)
+        super().__init__(*args, **kwargs)
+
+
+class Any(TagOnly):
+    """Deprecated alias of TagOnly (reference dlx/marc/query.py:827-830)."""
+
+    def __init__(self, *args, **kwargs):
+        import warnings
+        warnings.warn("Any is deprecated. Use TagOnly instead",
+                      DeprecationWarning, stacklevel=2)
+        super().__init__(*args, **kwargs)
+
+
 class AtlasQuery(Query):
     """Reference AtlasQuery (query.py:832-865) splits Text conditions
     into Atlas $search stages.  In Spark there is no separate search

@@ -715,6 +715,10 @@ Marc.from_xml_raw = classmethod(from_xml_raw)
 Marc.from_xml = classmethod(from_xml)
 Marc.from_mij = classmethod(from_mij)
 Marc.from_json = classmethod(from_json)
+# reference parity: from_jmarcnx is an alias of from_json (jmarcnx is
+# JMARC with xrefs resolved to literals; parsing is identical —
+# reference dlx/marc/__init__.py:2488-2490)
+Marc.from_jmarcnx = classmethod(from_json)
 Marc.from_table = classmethod(record_from_table)
 Marc.from_csv = classmethod(record_from_csv)
 
