@@ -63,6 +63,27 @@ def test_deterministic_sample_is_pure_scan(spark):
     assert plans.broadcast_join_count(df) == 0
 
 
+def test_chunking_and_redaction_are_flat_maps(spark):
+    # both are pure per-row projections: the plan may widen a narrow
+    # local scan but must contain no aggregation or join exchanges
+    for name in ("chunk_documents", "redact_pii"):
+        df = contract.Q[name](spark, SF)
+        plan = plans.simple_plan(df)
+        assert "Join" not in plan, name
+        assert "HashAggregate" not in plan, name
+
+
+def test_minhash_signature_stage_shuffle_free(spark):
+    from dlx_spark.operators.dedup import minhash_signatures
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # already wider than defaultParallelism → spread is a no-op, and the
+    # signature computation itself must not add any exchange
+    sigs = minhash_signatures(docs.repartition(64))
+    # repartition node itself is the only permitted exchange
+    assert plans.shuffle_count(sigs) <= 1
+    assert plans.broadcast_join_count(sigs) == 0
+
+
 def test_marc_condition_predicate_prunes(spark, bibs_df, auth_index):
     from dlx_spark.marc import query as q
     pred = q.Condition("245", {"a": "This"}).compile(auth_index)
