@@ -961,6 +961,33 @@ def chunk_documents_q(spark, sf):
                     F.col("n_tokens").cast("long").alias("n_tokens")))
 
 
+@query("contamination", """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                        FOR i IN range(1, greatest(len(t) - 3, 0) + 2)])) AS s
+           FROM tok)
+    SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh c JOIN sh b ON c.s = b.s
+    WHERE c.doc_id % 97 != 0 AND b.doc_id % 97 = 0
+    GROUP BY c.doc_id, b.doc_id
+    HAVING count(*) >= 2
+""")
+def contamination(spark, sf):
+    """benchmark decontamination: corpus docs sharing ≥2 distinct word
+    3-grams with a held-out 'benchmark' slice (doc_id % 97 == 0).
+    Shingle both sides, equi-join on the shingle string (tiny benchmark
+    side broadcasts at scale), partial-agg count per pair."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return (dedup.cross_corpus_overlap(corpus, bench, n=3, min_shared=2,
+                                       normalize=False)
+            .select("corpus_id", "bench_id",
+                    F.col("n_shared").cast("long").alias("n_shared")))
+
+
 @query("dup_clusters", """
     WITH RECURSIVE prepared AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,

@@ -244,6 +244,51 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus contamination (benchmark decontamination)
+# ---------------------------------------------------------------------------
+
+def word_shingle_strings(df: DataFrame, text_col: str, id_col: str, n: int,
+                         normalize: bool = True) -> DataFrame:
+    """(id, sh: string) — distinct word n-grams as STRINGS, exploded.
+    Documents shorter than ``n`` tokens contribute their whole text as
+    one shingle (mirroring word_shingles' hashed variant).  String keys
+    keep the operator engine-portable (hash() is engine-specific); at
+    extreme scale swap the join key for a hash, trading oracle parity."""
+    toks = (normalized_text(F.col(text_col)) if normalize else F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("id"), F.split(toks, " ").alias("t"))
+        .select("id", F.explode(F.expr(f"""
+            array_distinct(transform(
+                sequence(0, greatest(size(t) - {n}, 0)),
+                i -> array_join(slice(t, i + 1, {n}), ' ')))
+        """)).alias("sh"))
+    )
+
+
+def cross_corpus_overlap(corpus: DataFrame, benchmark: DataFrame,
+                         n: int = 8, min_shared: int = 1,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         normalize: bool = True) -> DataFrame:
+    """Benchmark-contamination check: (corpus_id, bench_id, n_shared)
+    for every corpus/benchmark document pair sharing ≥ ``min_shared``
+    distinct word ``n``-grams.
+
+    Shingle both sides (flat map), equi-join on the shingle, one
+    partial-agg groupBy per pair.  The benchmark side is typically tiny
+    (eval sets), so Catalyst/AQE broadcasts it and the corpus is never
+    shuffled; a 100 TB corpus streams through map-side.
+    ``normalize=False``: plain space split for engine parity."""
+    c = word_shingle_strings(corpus, text_col, id_col, n, normalize)
+    b = word_shingle_strings(benchmark, text_col, id_col, n, normalize)
+    return (
+        c.join(b.select(F.col("id").alias("bench_id"), "sh"), "sh")
+        .groupBy(F.col("id").alias("corpus_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Duplicate clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 

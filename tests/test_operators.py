@@ -240,6 +240,21 @@ def test_tfidf_topk(spark, docs):
         assert all(rows[i].tfidf >= rows[i + 1].tfidf for i in range(len(rows) - 1))
 
 
+def test_cross_corpus_overlap(spark):
+    from dlx_spark.operators.dedup import cross_corpus_overlap
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "totally unrelated words in this document here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "x alpha beta gamma delta epsilon y")],
+        "doc_id long, text string")
+    out = cross_corpus_overlap(corpus, bench, n=5, min_shared=1).collect()
+    # doc 1 shares exactly one distinct 5-gram with the benchmark doc
+    assert [(r.corpus_id, r.bench_id, r.n_shared) for r in out] == [(1, 100, 1)]
+    assert cross_corpus_overlap(corpus, bench, n=5, min_shared=2).count() == 0
+
+
 def test_connected_components(spark):
     from dlx_spark.operators.dedup import connected_components, dedup_clusters
     # chain 1-2-3-4 (transitive closure must merge it), isolated pair 10-11
