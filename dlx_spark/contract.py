@@ -961,6 +961,21 @@ def chunk_documents_q(spark, sf):
                     F.col("n_tokens").cast("long").alias("n_tokens")))
 
 
+@query("quantile_band", """
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        FROM documents)
+    WHERE pr >= 0.1 AND pr <= 0.9
+""")
+def quantile_band_q(spark, sf):
+    """per-language quality-band filter: drop the shortest and longest
+    10% tails by percent_rank — rank arithmetic is engine-exact where
+    interpolated quantiles are not."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.quantile_band(docs, "n_chars", lo=0.1, hi=0.9, by="lang")
+
+
 @query("contamination", """
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,

@@ -52,3 +52,26 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
         thr = F.when(F.col(strata_col) == stratum,
                      F.lit(_threshold(fraction))).otherwise(thr)
     return df.filter(sample_bucket(key_col, salt) < thr)
+
+
+def quantile_band(df: DataFrame, metric_col: str, lo: float = 0.05,
+                  hi: float = 0.95, by: str | None = None) -> DataFrame:
+    """Keep rows whose ``metric_col`` falls in the [lo, hi] quantile
+    band, optionally per ``by`` stratum — the standard quality-filter
+    step (drop the worst AND the suspiciously-best tails).
+
+    Uses percent_rank, not interpolated quantiles: (rank-1)/(n-1) is
+    exact integer arithmetic over a sort, so every engine computes the
+    identical cut (interpolated quantile_cont differs across engines in
+    float rounding).  One shuffle on the stratum key; at 100 TB prefer
+    stratifying (``by=``) so each partition sorts only its stratum —
+    a global band over a whole corpus needs a global sort and is better
+    served by approx_percentile thresholds computed once.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(by) if by is not None
+         else Window.partitionBy(F.lit(1)))
+    pr = F.percent_rank().over(w.orderBy(F.col(metric_col)))
+    return (df.withColumn("_pr", pr)
+            .filter((F.col("_pr") >= lo) & (F.col("_pr") <= hi))
+            .drop("_pr"))

@@ -240,6 +240,22 @@ def test_tfidf_topk(spark, docs):
         assert all(rows[i].tfidf >= rows[i + 1].tfidf for i in range(len(rows) - 1))
 
 
+def test_quantile_band(spark):
+    from dlx_spark.operators import sampling
+    df = spark.createDataFrame([(i, i * 10) for i in range(11)],
+                               "doc_id long, metric long")
+    kept = sorted(r.doc_id for r in
+                  sampling.quantile_band(df, "metric", 0.2, 0.8).collect())
+    # percent_rank of row i is i/10 → keep 2..8 inclusive
+    assert kept == [2, 3, 4, 5, 6, 7, 8]
+    # stratified: each group ranked independently
+    df2 = spark.createDataFrame(
+        [(i, g, v) for g in ("a", "b") for i, v in enumerate(range(5))],
+        "doc_id long, grp string, metric long")
+    kept2 = sampling.quantile_band(df2, "metric", 0.0, 0.5, by="grp").collect()
+    assert len(kept2) == 6                      # 3 of 5 per group (pr 0,.25,.5)
+
+
 def test_cross_corpus_overlap(spark):
     from dlx_spark.operators.dedup import cross_corpus_overlap
     corpus = spark.createDataFrame(
