@@ -961,6 +961,19 @@ def chunk_documents_q(spark, sf):
                     F.col("n_tokens").cast("long").alias("n_tokens")))
 
 
+@query("pack_sequences")  # sequential bin packing → rows-only check
+def pack_sequences_q(spark, sf):
+    """token-budget sample packing over the chunked corpus: FFD bin
+    packing inside hash shards (value-sharded applyInPandas groups, so
+    the assignment is deterministic on any cluster layout).  Bin packing
+    is not SQL-expressible → rows-only."""
+    chunks = chunking.chunk_documents(_t(spark, sf, "documents"),
+                                      chunk_tokens=64, overlap=8,
+                                      normalize=False)
+    return (chunking.pack_sequences(chunks, budget=256, n_shards=16)
+            .select("id", "chunk_id", "shard", "pack_id"))
+
+
 @query("quantile_band", """
     SELECT doc_id, lang, n_chars FROM (
         SELECT doc_id, lang, n_chars,

@@ -43,3 +43,56 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128, overlap: int = 16,
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     )
+
+
+def pack_sequences(df: DataFrame, budget: int = 2048,
+                   len_col: str = "n_tokens",
+                   key_cols: tuple[str, ...] = ("id", "chunk_id"),
+                   n_shards: int = 64) -> DataFrame:
+    """Token-budget sequence packing (the pre-training "sample packing"
+    step): assign every chunk to a pack so each pack's total
+    ``len_col`` stays ≤ ``budget``.  Output = input columns plus
+    (shard, pack_id); the global pack key is (shard, pack_id).
+
+    Rows are sharded by a hash of ``key_cols`` (a VALUE property, not a
+    partition property, so results are deterministic on any cluster
+    layout), then each shard is packed independently with first-fit-
+    decreasing inside one applyInPandas group.  Sharding is what makes
+    packing scale: bin packing is inherently sequential, but packing
+    quality only needs enough rows per shard to mix lengths, so shards
+    are embarrassingly parallel.  Oversized rows (> budget) get a pack
+    of their own rather than erroring.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_expr = F.concat_ws("\x00", *[F.col(c).cast("string") for c in key_cols])
+    with_shard = df.withColumn("shard", F.pmod(F.xxhash64(key_expr), F.lit(n_shards)))
+    # build a NEW StructType: StructType.add mutates in place, which
+    # would corrupt with_shard's own resolved schema
+    out_schema = StructType(list(with_shard.schema.fields)
+                            + [StructField("pack_id", LongType())])
+    sort_keys = [len_col, *key_cols]
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_keys, ascending=[False] + [True] * len(key_cols),
+                              kind="mergesort").reset_index(drop=True)
+        bin_space: list[int] = []           # remaining capacity per pack
+        ids = []
+        for length in pdf[len_col]:
+            length = int(length)
+            for b, space in enumerate(bin_space):
+                if space >= length:
+                    bin_space[b] = space - length
+                    ids.append(b)
+                    break
+            else:
+                bin_space.append(max(budget - length, 0))
+                ids.append(len(bin_space) - 1)
+        pdf["pack_id"] = pd.Series(ids, dtype="int64")
+        return pdf
+
+    return with_shard.groupBy("shard").applyInPandas(pack, schema=out_schema)

@@ -319,6 +319,25 @@ def test_chunk_documents_reconstruction(spark):
             assert rebuilt == rows[i][1].split(" "), (n, chunk, overlap)
 
 
+def test_pack_sequences(spark):
+    from dlx_spark.operators.chunking import pack_sequences
+    rows = [(i, 0, n) for i, n in enumerate([100, 90, 60, 50, 40, 10, 200])]
+    df = spark.createDataFrame(rows, "id long, chunk_id long, n_tokens long")
+    out = pack_sequences(df, budget=150, n_shards=1).collect()
+    packs = {}
+    for r in out:
+        packs.setdefault((r.shard, r.pack_id), []).append(r.n_tokens)
+    # every pack within budget unless it is a single oversized row
+    for members in packs.values():
+        assert sum(members) <= 150 or members == [200]
+    # first-fit-decreasing on these lengths gives 4 packs: {200} {100,50} {90,60} {40,10}
+    assert sorted(sorted(m) for m in packs.values()) == \
+        [[10, 40], [50, 100], [60, 90], [200]]
+    # deterministic under repartitioning (sharding is a value property)
+    out2 = pack_sequences(df.repartition(5), budget=150, n_shards=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_redact_pii(spark):
     from dlx_spark.operators.redact import redact_pii
     df = spark.createDataFrame(
