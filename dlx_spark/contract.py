@@ -939,7 +939,8 @@ def correlation(spark, sf):
 
 
 @query("chunk_documents", """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0),
     s AS (SELECT doc_id, toks,
                  unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 56)) AS start
           FROM t)

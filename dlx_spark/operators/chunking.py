@@ -21,8 +21,11 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128, overlap: int = 16,
     Window starts advance by ``chunk_tokens - overlap``; a start is only
     emitted while more than ``overlap`` tokens remain, so no chunk is
     fully contained in its predecessor.  ``chunk_id`` is the 0-based
-    window ordinal within the document.  ``normalize=False`` tokenizes
-    by plain single-space split for engine-parity checks.
+    window ordinal within the document.  Documents with no non-empty
+    token (empty/NULL/whitespace-only text) emit no chunks at all —
+    phantom empty chunks would otherwise pollute token accounting
+    downstream.  ``normalize=False`` tokenizes by plain single-space
+    split for engine-parity checks.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
@@ -31,6 +34,8 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128, overlap: int = 16,
             else F.split(F.col(text_col), " "))
     with_starts = df.select(
         F.col(id_col).alias("id"), toks.alias("_toks"),
+    ).filter(
+        F.size(F.filter(F.col("_toks"), lambda t: t != "")) > 0
     ).select(
         "id", "_toks",
         F.posexplode(F.expr(
@@ -56,15 +61,20 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
 
     Rows are sharded by a hash of ``key_cols`` (a VALUE property, not a
     partition property, so results are deterministic on any cluster
-    layout), then each shard is packed independently with first-fit-
-    decreasing inside one applyInPandas group.  Sharding is what makes
-    packing scale: bin packing is inherently sequential, but packing
-    quality only needs enough rows per shard to mix lengths, so shards
-    are embarrassingly parallel.  Oversized rows (> budget) get a pack
-    of their own rather than erroring.
+    layout), then each shard is packed independently with best-fit-
+    decreasing inside one applyInPandas group (capacity-sorted bisect:
+    O(n log n) per shard, same 11/9 quality bound as first-fit).
+    Sharding is what makes packing scale: bin packing is inherently
+    sequential, but packing quality only needs enough rows per shard to
+    mix lengths, so shards are embarrassingly parallel.  Oversized rows
+    (> budget) get a pack of their own rather than erroring.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    for reserved in ("shard", "pack_id"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a '{reserved}' column — "
+                             "rename it before packing")
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -78,20 +88,29 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
     sort_keys = [len_col, *key_cols]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bisect import bisect_left, insort
+
         pdf = pdf.sort_values(sort_keys, ascending=[False] + [True] * len(key_cols),
                               kind="mergesort").reset_index(drop=True)
-        bin_space: list[int] = []           # remaining capacity per pack
+        open_bins: list[tuple[int, int]] = []   # sorted (capacity, bin_id)
+        n_bins = 0
         ids = []
         for length in pdf[len_col]:
             length = int(length)
-            for b, space in enumerate(bin_space):
-                if space >= length:
-                    bin_space[b] = space - length
-                    ids.append(b)
-                    break
+            # best fit: the tightest bin that still holds this row
+            # (smallest bin_id breaks capacity ties → deterministic)
+            i = bisect_left(open_bins, (length, -1))
+            if i < len(open_bins):
+                cap, b = open_bins.pop(i)
+                if cap > length:                # full bins close for good
+                    insort(open_bins, (cap - length, b))
+                ids.append(b)
             else:
-                bin_space.append(max(budget - length, 0))
-                ids.append(len(bin_space) - 1)
+                cap = max(budget - length, 0)
+                if cap > 0:
+                    insort(open_bins, (cap, n_bins))
+                ids.append(n_bins)
+                n_bins += 1
         pdf["pack_id"] = pd.Series(ids, dtype="int64")
         return pdf
 

@@ -313,19 +313,30 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
              .distinct().localCheckpoint(eager=False))
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("comp", F.col("id")).localCheckpoint(eager=False))
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["b"] == labels["id"])
                  .groupBy("a").agg(F.min("comp").alias("ncomp")))
+        # fold the convergence flag into the same join that builds the
+        # next labels, so each round runs exactly one join + one count
+        # on the checkpointed result (no second comparison join)
         new = (labels.join(neigh, labels["id"] == neigh["a"], "left")
-               .select("id", F.least(F.col("comp"),
-                                     F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"))
+               .select("id",
+                       F.least(F.col("comp"),
+                               F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+                       (F.col("ncomp") < F.col("comp")).alias("_changed"))
                .localCheckpoint(eager=True))
-        changed = (new.select("id", F.col("comp").alias("comp_new"))
-                   .join(labels, "id")
-                   .filter(F.col("comp_new") != F.col("comp")).count())
-        labels = new
+        changed = new.filter(F.col("_changed")).count()
+        labels = new.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); labels are only "
+            "partially propagated — raise max_iter", RuntimeWarning)
     return labels.select("id", F.col("comp").alias("component"))
 
 

@@ -63,15 +63,17 @@ def quantile_band(df: DataFrame, metric_col: str, lo: float = 0.05,
     Uses percent_rank, not interpolated quantiles: (rank-1)/(n-1) is
     exact integer arithmetic over a sort, so every engine computes the
     identical cut (interpolated quantile_cont differs across engines in
-    float rounding).  One shuffle on the stratum key; at 100 TB prefer
-    stratifying (``by=``) so each partition sorts only its stratum —
-    a global band over a whole corpus needs a global sort and is better
-    served by approx_percentile thresholds computed once.
+    float rounding).  NULL metrics are pinned NULLS LAST (SQL-standard
+    ascending default) — Spark's asc default is NULLS FIRST, which
+    would silently shift every rank.  One shuffle on the stratum key;
+    at 100 TB prefer stratifying (``by=``) so each partition sorts only
+    its stratum — a global band over a whole corpus needs a global sort
+    and is better served by approx_percentile thresholds computed once.
     """
     from pyspark.sql import Window
     w = (Window.partitionBy(by) if by is not None
          else Window.partitionBy(F.lit(1)))
-    pr = F.percent_rank().over(w.orderBy(F.col(metric_col)))
+    pr = F.percent_rank().over(w.orderBy(F.col(metric_col).asc_nulls_last()))
     return (df.withColumn("_pr", pr)
             .filter((F.col("_pr") >= lo) & (F.col("_pr") <= hi))
             .drop("_pr"))
