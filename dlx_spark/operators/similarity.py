@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from dlx_spark.operators.common import spread_for_compute
+
 
 def _cosine_expr(vec_col: str, query: list[float]):
     """Cosine similarity between a column and a literal query vector,
@@ -40,7 +42,8 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
     """Exact top-k rows by cosine similarity to ``query``.
     Returns (id, cosine) ordered best-first."""
     return (
-        df.select(F.col(id_col).alias("id"), _cosine_expr(vec_col, query).alias("cosine"))
+        spread_for_compute(df)
+        .select(F.col(id_col).alias("id"), _cosine_expr(vec_col, query).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
@@ -69,7 +72,7 @@ def lsh_buckets(df: DataFrame, n_planes: int = 16, seed: int = 42,
     queries prune partitions."""
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    return df.select(F.col(id_col).alias("id"),
+    return spread_for_compute(df).select(F.col(id_col).alias("id"),
                      _signature_expr(vec_col, planes).alias("bucket"),
                      F.col(vec_col).alias("vec"))
 
@@ -155,7 +158,7 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
 
     At scale, write the result partitioned by ``list_id`` so a probe with
     nprobe lists prunes to nprobe/n_centroids of the data at the scan."""
-    return df.select(F.col(id_col).alias("id"),
+    return spread_for_compute(df).select(F.col(id_col).alias("id"),
                      _nearest_centroid_udf(centroids, vec_col).alias("list_id"),
                      F.col(vec_col).alias("vec"))
 
