@@ -647,12 +647,15 @@ def cosine_topk(spark, sf):
            round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) AS cosine
     FROM embeddings l JOIN embeddings r
       ON l.label = r.label AND l.vec_id < r.vec_id
-    WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.95
+    WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.35
 """)
 def embedding_neardup(spark, sf):
     """embedding-cosine near-dup pairs, blocked on the label column
     (both sides block identically, so the oracle matches; at 100 TB the
-    blocking key becomes an LSH bucket — see operators.similarity)."""
+    blocking key becomes an LSH bucket — see operators.similarity).
+    The 0.35 threshold is tuned to the synthetic corpus, whose random
+    embeddings top out near cosine 0.5 — a production near-dup cut of
+    0.95 selects nothing here and would leave this check vacuous."""
     emb = _t(spark, sf, "embeddings")
     l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
                    F.col("label").alias("lbl"))
@@ -664,7 +667,7 @@ def embedding_neardup(spark, sf):
     return (
         l.join(r, on=[l["lbl"] == r["lbl"], F.col("id_a") < F.col("id_b")])
         .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= 0.35)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
 
