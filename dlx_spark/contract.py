@@ -230,12 +230,16 @@ def exists_semijoin(spark, sf):
 
 @query("not_exists_antijoin", """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 """)
 def not_exists_antijoin(spark, sf):
-    """Condition not_exists modifier as an anti-join (query.py:676-686)."""
+    """Condition not_exists modifier as an anti-join (query.py:676-686):
+    customers with no FINISHED order.  (Every customer has SOME order in
+    the synthetic data, so the unconditioned anti-join selected zero
+    rows at every SF and proved nothing.)"""
     cust = _t(spark, sf, "customer")
-    orders = _t(spark, sf, "orders")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "leftanti")
             .select("c_custkey", "c_name"))
 
