@@ -969,6 +969,26 @@ def chunk_documents_q(spark, sf):
                     F.col("n_tokens").cast("long").alias("n_tokens")))
 
 
+@query("unicode_nfc", """
+    SELECT doc_id,
+           nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)) AS norm_text,
+           CAST(len(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS BIGINT)
+             AS n_chars_nfc
+    FROM documents
+""")
+def unicode_nfc(spark, sf):
+    """Unicode NFC normalization (pandas-UDF unicodedata vs utf8proc):
+    a decomposed suffix ('e'+combining acute, 'A'+combining ring) is
+    appended in both engines so composition actually fires — the
+    normalized text AND its shrunken char count must agree."""
+    suffix = " cafe\u0301 A\u030a"   # decomposed, as the oracle builds it
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(suffix)))
+    out = textstats.normalize_unicode(docs)
+    return out.select(F.col("id").alias("doc_id"), "norm_text",
+                      F.length("norm_text").cast("long").alias("n_chars_nfc"))
+
+
 @query("pack_sequences")  # sequential bin packing → rows-only check
 def pack_sequences_q(spark, sf):
     """token-budget sample packing over the chunked corpus: FFD bin

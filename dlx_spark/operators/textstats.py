@@ -5,6 +5,7 @@ friendly, no Python in the hot path) so they hold at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
@@ -117,6 +118,30 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
         .select("id", "token",
                 F.round(F.col("tf") * F.col("idf_raw"), 4).alias("tfidf"), "rk")
     )
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", form: str = "NFC") -> DataFrame:
+    """(id, norm_text): Unicode-normalize text (default NFC) via an
+    Arrow-batched pandas UDF — Spark has no built-in normalizer.
+
+    Run this BEFORE hashing/dedup/shingling in multilingual corpora:
+    canonically-equal strings ('é' composed vs 'e'+combining accent)
+    are byte-different and would never collide in an exact or minhash
+    dedup pass.  Pure map, no shuffle; Python's unicodedata NFC agrees
+    byte-for-byte with utf8proc (DuckDB), so the op is oracle-checkable.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize(form, t))
+
+    return df.select(F.col(id_col).alias("id"),
+                     norm(F.col(text_col)).alias("norm_text"))
 
 
 def language_scores(col: Column) -> list[tuple[str, Column]]:

@@ -240,6 +240,18 @@ def test_tfidf_topk(spark, docs):
         assert all(rows[i].tfidf >= rows[i + 1].tfidf for i in range(len(rows) - 1))
 
 
+def test_normalize_unicode(spark):
+    decomposed = "cafe\u0301"            # e + combining acute
+    df = spark.createDataFrame([(1, decomposed), (2, "plain"), (3, None)],
+                               "doc_id long, text string")
+    out = {r.id: r.norm_text for r in
+           textstats.normalize_unicode(df).collect()}
+    assert out[1] == "caf\u00e9"            # composed e-acute
+    assert len(out[1]) == len(decomposed) - 1
+    assert out[2] == "plain"
+    assert out[3] is None
+
+
 def test_quantile_band(spark):
     from dlx_spark.operators import sampling
     df = spark.createDataFrame([(i, i * 10) for i in range(11)],
