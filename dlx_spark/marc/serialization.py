@@ -666,6 +666,14 @@ def set_from_table(cls, table: Table, auth_control: bool = True,
     return self
 
 
+def set_to_excel(self: MarcSet, path: str, *, write_id: bool = True) -> None:
+    """Write the set as a single-sheet XLSX (place.tag$code columns,
+    same pivot as to_table).  The reference's to_excel is an unfinished
+    stub (dlx/marc/__init__.py:390-391); this one round-trips through
+    from_excel."""
+    set_to_table(self, write_id=write_id).to_excel(path)
+
+
 def set_from_csv(cls, string: str, auth_control: bool = False,
                  auth_index: AuthIndex | None = None, **kwargs):
     rows = [row for row in _csv.reader(string.split("\n")) if row]
@@ -727,6 +735,7 @@ MarcSet.to_mrc = set_to_mrc
 MarcSet.to_xml = set_to_xml
 MarcSet.to_str = set_to_str
 MarcSet.to_table = set_to_table
+MarcSet.to_excel = set_to_excel
 MarcSet.to_csv = set_to_csv
 MarcSet.to_tsv = set_to_tsv
 MarcSet.from_mrk = classmethod(set_from_mrk)

@@ -82,6 +82,62 @@ def _xlsx_rows_stdlib(path: str) -> list[list[str]]:
     return [r + [""] * (width - len(r)) for r in rows]
 
 
+def _col_ref(idx: int) -> str:
+    """0-based column index → spreadsheet letters (0→A, 26→AA)."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+def _xlsx_write_stdlib(path: str, rows: list[list[str]]) -> None:
+    """Minimal XLSX writer (zip + XML, no third-party libs): one sheet,
+    every cell an inline string.  Counterpart of _xlsx_rows_stdlib."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    body = ["<sheetData>"]
+    for i, row in enumerate(rows, start=1):
+        cells = "".join(
+            f'<c r="{_col_ref(j)}{i}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{escape(str(v))}</t></is></c>"
+            for j, v in enumerate(row))
+        body.append(f'<row r="{i}">{cells}</row>')
+    body.append("</sheetData>")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             f'<worksheet xmlns="{ns}">' + "".join(body) + "</worksheet>")
+    rels_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    doc_rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    ct = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+          '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+          "</Types>")
+    root_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                 f'<Relationships xmlns="{rels_ns}">'
+                 f'<Relationship Id="rId1" Type="{doc_rel}/officeDocument" Target="xl/workbook.xml"/>'
+                 "</Relationships>")
+    workbook = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<workbook xmlns="{ns}" xmlns:r="{doc_rel}">'
+                '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+                "</workbook>")
+    wb_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               f'<Relationships xmlns="{rels_ns}">'
+               f'<Relationship Id="rId1" Type="{doc_rel}/worksheet" Target="worksheets/sheet1.xml"/>'
+               "</Relationships>")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
 class Table:
     """Header + row-index table.  ``index`` maps row id → {column: value};
     repeated values joined with '||' on set (reference util.py:104-117)."""
@@ -157,3 +213,21 @@ class Table:
         for row in rows:
             html += "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
         return html + "</table>"
+
+    def to_excel(self, path: str) -> None:
+        """Write the table as a single-sheet XLSX.  Uses openpyxl when
+        available, else a minimal stdlib zip+XML writer (inline-string
+        cells) — the reference's MarcSet.to_excel is an unfinished stub
+        (dlx/marc/__init__.py:390-391); this one round-trips through
+        Table.from_excel."""
+        rows = self.to_list()
+        try:
+            from openpyxl import Workbook
+        except ImportError:
+            _xlsx_write_stdlib(path, rows)
+            return
+        wb = Workbook(write_only=True)
+        ws = wb.create_sheet()
+        for row in rows:
+            ws.append([str(c) for c in row])
+        wb.save(path)

@@ -254,6 +254,25 @@ def test_from_excel_stdlib(tmp_path, auth_index, monkeypatch):
     assert recs[0].get_xref("650", "a") == 1
 
 
+def test_to_excel_roundtrip(tmp_path, auth_index, monkeypatch):
+    # reference to_excel is a stub (dlx/marc/__init__.py:390-391); ours
+    # must round-trip through from_excel with BOTH writers
+    import sys
+    bibs = BibSet.from_mrk(
+        "=001  7\n=245  10$aWritten Title$bsub\n\n=001  8\n=245  00$aSecond\n")
+    for forced_stdlib in (False, True):
+        if forced_stdlib:
+            monkeypatch.setitem(sys.modules, "openpyxl", None)
+        path = str(tmp_path / f"out_{forced_stdlib}.xlsx")
+        bibs.to_excel(path)
+        back = BibSet.from_excel(path, auth_control=False)
+        recs = sorted(back, key=lambda r: r.id)
+        assert [r.id for r in recs] == [7, 8]
+        assert recs[0].get_value("245", "a") == "Written Title"
+        assert recs[0].get_value("245", "b") == "sub"
+        assert recs[1].get_value("245", "a") == "Second"
+
+
 def test_xlsx_stdlib_row_gaps(tmp_path, monkeypatch):
     # a row omitted from sheetData (entirely blank) still occupies a
     # slot, matching openpyxl's iter_rows behavior
