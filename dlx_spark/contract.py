@@ -1077,6 +1077,39 @@ def dup_clusters(spark, sf):
                        F.col("component").cast("long").alias("component"))
 
 
+@query("dedup_survivors", """
+    WITH RECURSIVE prepared AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+               lang, CAST(floor(log2(len(string_split(text, ' ')) + 1)) AS INTEGER) AS blk_len,
+               string_split(text, ' ')[1] AS blk_tok
+        FROM documents),
+    pairs AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM prepared l JOIN prepared r
+          ON l.lang = r.lang AND l.blk_len = r.blk_len AND l.blk_tok = r.blk_tok
+         AND l.doc_id < r.doc_id
+        WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(id, comp) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.comp FROM edges e JOIN walk w ON w.id = e.b),
+    losers AS (SELECT id FROM (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+               WHERE id != component)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+""")
+def dedup_survivors(spark, sf):
+    """end-to-end near-dedup: the corpus minus every non-minimum member
+    of each near-dup cluster (pairs → connected components → anti-join;
+    the loser set is tiny and broadcasts, the corpus never shuffles)."""
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard(spark, sf).select("id_a", "id_b")
+    return dedup.dedup_near(docs, pairs).select("doc_id", "lang")
+
+
 def _pii_suffix_sql() -> str:
     return ("text || ' reach user' || CAST(doc_id AS VARCHAR) || "
             "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "

@@ -348,6 +348,19 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     return comp.withColumn("is_survivor", F.col("id") == F.col("component"))
 
 
+def dedup_near(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """The end-to-end near-dedup: given the corpus and its near-dup
+    pairs (from minhash/simhash/jaccard), drop every non-survivor —
+    each cluster keeps only its minimum id.  Docs in no pair pass
+    through untouched.  One anti-join against the (tiny) loser set,
+    which broadcasts at scale; the corpus itself never shuffles."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+                 .select(F.col("id").alias("_loser"))
+    return df.join(losers, F.col(id_col) == F.col("_loser"), "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (exact, blocked)
 # ---------------------------------------------------------------------------

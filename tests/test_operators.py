@@ -294,6 +294,17 @@ def test_connected_components(spark):
     assert surv == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
 
 
+def test_dedup_near(spark):
+    from dlx_spark.operators.dedup import dedup_near
+    corpus = spark.createDataFrame([(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+                                   "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup_near(corpus, pairs).collect())
+    # cluster {1,2,3,4} keeps 1; {10,11} keeps 10; 99 untouched (no pair)
+    assert kept == [1, 10, 99]
+
+
 def test_chunk_documents(spark):
     from dlx_spark.operators.chunking import chunk_documents
     df = spark.createDataFrame(
