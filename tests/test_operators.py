@@ -240,6 +240,46 @@ def test_tfidf_topk(spark, docs):
         assert all(rows[i].tfidf >= rows[i + 1].tfidf for i in range(len(rows) - 1))
 
 
+def test_redact_pii_idempotent(spark):
+    """A second redaction pass finds nothing and changes nothing —
+    placeholders contain no digits/@, and no pattern can span one."""
+    import random
+    from dlx_spark.operators.redact import redact_pii
+    rng = random.Random(7)
+    frags = ["a@b.co", "123-45-6789", "10.0.0.1", "+1 (555) 123-4567",
+             "word", "42", ".", "-", "x y", "", "a.b@c.d.ee"]
+    rows = [(i, " ".join(rng.choice(frags) for _ in range(rng.randint(0, 12))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = redact_pii(df).select(F.col("id").alias("doc_id"),
+                                 F.col("clean_text").alias("text"))
+    twice = redact_pii(once)
+    assert twice.filter("n_email + n_ssn + n_ip + n_phone > 0").count() == 0
+    a = {r.id: r.clean_text for r in redact_pii(df).collect()}
+    b = {r.id: r.clean_text for r in twice.collect()}
+    assert a == b
+
+
+def test_null_text_never_crashes_operators(spark):
+    """Every text operator must map NULL text to NULL/empty, not crash
+    (probed with a (id, NULL) row per the library's UDF contract)."""
+    from dlx_spark.operators.redact import redact_pii
+    df = spark.createDataFrame([(1, None), (2, "some real text here")],
+                               "doc_id long, text string")
+    assert textstats.token_count(df).count() == 2
+    assert textstats.quality_score(df).count() == 2
+    assert textstats.language_id(df).count() == 2
+    assert textstats.repetition_ratio(df).count() == 2
+    assert textstats.fingerprint(df).count() == 2
+    assert textstats.normalize_unicode(df).count() == 2
+    assert redact_pii(df).count() == 2
+    assert dedup.minhash_signatures(df).count() == 2
+    assert dedup.simhash_fingerprints(df).count() == 2
+    # idf/tfidf drop nothing silently either
+    assert textstats.idf_table(df).count() >= 1
+    assert textstats.tfidf_topk(df).count() >= 1
+
+
 def test_normalize_unicode(spark):
     decomposed = "cafe\u0301"            # e + combining acute
     df = spark.createDataFrame([(1, decomposed), (2, "plain"), (3, None)],
