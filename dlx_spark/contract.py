@@ -1044,8 +1044,11 @@ def contamination(spark, sf):
                     F.col("n_shared").cast("long").alias("n_shared")))
 
 
-@query("dup_clusters", """
-    WITH RECURSIVE prepared AS (
+# shared oracle CTE fragments: the ngram blocking/threshold logic and
+# the component walk appear in several queries — one definition, zero
+# parity drift between them
+_NGRAM_PAIR_CTES = """
+    prepared AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
                lang, CAST(floor(log2(len(string_split(text, ' ')) + 1)) AS INTEGER) AS blk_len,
                string_split(text, ' ')[1] AS blk_tok
@@ -1056,13 +1059,19 @@ def contamination(spark, sf):
           ON l.lang = r.lang AND l.blk_len = r.blk_len AND l.blk_tok = r.blk_tok
          AND l.doc_id < r.doc_id
         WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
-              / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.5),
+              / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.5)"""
+
+_WALK_CTES = """
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
     walk(id, comp) AS (
         SELECT a, a FROM edges
         UNION
-        SELECT e.a, w.comp FROM edges e JOIN walk w ON w.id = e.b)
+        SELECT e.a, w.comp FROM edges e JOIN walk w ON w.id = e.b)"""
+
+
+@query("dup_clusters", f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES}, {_WALK_CTES}
     SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component
     FROM walk GROUP BY id
 """)
@@ -1077,25 +1086,8 @@ def dup_clusters(spark, sf):
                        F.col("component").cast("long").alias("component"))
 
 
-@query("dedup_survivors", """
-    WITH RECURSIVE prepared AS (
-        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
-               lang, CAST(floor(log2(len(string_split(text, ' ')) + 1)) AS INTEGER) AS blk_len,
-               string_split(text, ' ')[1] AS blk_tok
-        FROM documents),
-    pairs AS (
-        SELECT l.doc_id AS id_a, r.doc_id AS id_b
-        FROM prepared l JOIN prepared r
-          ON l.lang = r.lang AND l.blk_len = r.blk_len AND l.blk_tok = r.blk_tok
-         AND l.doc_id < r.doc_id
-        WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
-              / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.5),
-    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    walk(id, comp) AS (
-        SELECT a, a FROM edges
-        UNION
-        SELECT e.a, w.comp FROM edges e JOIN walk w ON w.id = e.b),
+@query("dedup_survivors", f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES}, {_WALK_CTES},
     losers AS (SELECT id FROM (SELECT id, min(comp) AS component FROM walk GROUP BY id)
                WHERE id != component)
     SELECT d.doc_id, d.lang FROM documents d

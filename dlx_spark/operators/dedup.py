@@ -355,9 +355,8 @@ def dedup_near(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     each cluster keeps only its minimum id.  Docs in no pair pass
     through untouched.  One anti-join against the (tiny) loser set,
     which broadcasts at scale; the corpus itself never shuffles."""
-    comp = connected_components(pairs, id_a, id_b)
-    losers = comp.filter(F.col("id") != F.col("component")) \
-                 .select(F.col("id").alias("_loser"))
+    losers = (dedup_clusters(pairs, id_a, id_b)
+              .filter(~F.col("is_survivor")).select(F.col("id").alias("_loser")))
     return df.join(losers, F.col(id_col) == F.col("_loser"), "left_anti")
 
 

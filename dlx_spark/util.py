@@ -92,17 +92,29 @@ def _col_ref(idx: int) -> str:
     return out
 
 
+def _xlsx_escape(value: str) -> str:
+    """XML-escape a cell value, encoding XML-illegal control characters
+    the OOXML way (_xHHHH_) so the sheet stays well-formed even when a
+    subfield value carries a stray MARC separator byte."""
+    import re
+    from xml.sax.saxutils import escape
+
+    value = re.sub(
+        "[\x00-\x08\x0b\x0c\x0e-\x1f]",
+        lambda m: "_x%04X_" % ord(m.group()), value)
+    return escape(value)
+
+
 def _xlsx_write_stdlib(path: str, rows: list[list[str]]) -> None:
     """Minimal XLSX writer (zip + XML, no third-party libs): one sheet,
     every cell an inline string.  Counterpart of _xlsx_rows_stdlib."""
     import zipfile
-    from xml.sax.saxutils import escape
 
     body = ["<sheetData>"]
     for i, row in enumerate(rows, start=1):
         cells = "".join(
             f'<c r="{_col_ref(j)}{i}" t="inlineStr"><is><t xml:space="preserve">'
-            f"{escape(str(v))}</t></is></c>"
+            f"{_xlsx_escape(str(v))}</t></is></c>"
             for j, v in enumerate(row))
         body.append(f'<row r="{i}">{cells}</row>')
     body.append("</sheetData>")
@@ -219,7 +231,10 @@ class Table:
         available, else a minimal stdlib zip+XML writer (inline-string
         cells) — the reference's MarcSet.to_excel is an unfinished stub
         (dlx/marc/__init__.py:390-391); this one round-trips through
-        Table.from_excel."""
+        Table.from_excel.  Round-trip caveat: BOTH readers strip
+        leading/trailing whitespace from cells, mirroring the
+        reference's xlrd cell cleanup (dlx/util.py:47-57), so padded
+        values come back trimmed."""
         rows = self.to_list()
         try:
             from openpyxl import Workbook

@@ -254,23 +254,44 @@ def test_from_excel_stdlib(tmp_path, auth_index, monkeypatch):
     assert recs[0].get_xref("650", "a") == 1
 
 
-def test_to_excel_roundtrip(tmp_path, auth_index, monkeypatch):
-    # reference to_excel is a stub (dlx/marc/__init__.py:390-391); ours
-    # must round-trip through from_excel with BOTH writers
-    import sys
+def _assert_excel_roundtrip(tmp_path, tag):
     bibs = BibSet.from_mrk(
         "=001  7\n=245  10$aWritten Title$bsub\n\n=001  8\n=245  00$aSecond\n")
-    for forced_stdlib in (False, True):
-        if forced_stdlib:
-            monkeypatch.setitem(sys.modules, "openpyxl", None)
-        path = str(tmp_path / f"out_{forced_stdlib}.xlsx")
-        bibs.to_excel(path)
-        back = BibSet.from_excel(path, auth_control=False)
-        recs = sorted(back, key=lambda r: r.id)
-        assert [r.id for r in recs] == [7, 8]
-        assert recs[0].get_value("245", "a") == "Written Title"
-        assert recs[0].get_value("245", "b") == "sub"
-        assert recs[1].get_value("245", "a") == "Second"
+    path = str(tmp_path / f"out_{tag}.xlsx")
+    bibs.to_excel(path)
+    back = BibSet.from_excel(path, auth_control=False)
+    recs = sorted(back, key=lambda r: r.id)
+    assert [r.id for r in recs] == [7, 8]
+    assert recs[0].get_value("245", "a") == "Written Title"
+    assert recs[0].get_value("245", "b") == "sub"
+    assert recs[1].get_value("245", "a") == "Second"
+
+
+def test_to_excel_roundtrip_stdlib(tmp_path, monkeypatch):
+    # reference to_excel is a stub (dlx/marc/__init__.py:390-391); ours
+    # must round-trip through from_excel
+    import sys
+    monkeypatch.setitem(sys.modules, "openpyxl", None)
+    _assert_excel_roundtrip(tmp_path, "stdlib")
+
+
+def test_to_excel_roundtrip_openpyxl(tmp_path):
+    # visible skip (not a silent stdlib re-run) when openpyxl is absent
+    pytest.importorskip("openpyxl")
+    _assert_excel_roundtrip(tmp_path, "openpyxl")
+
+
+def test_to_excel_control_chars_stay_well_formed(tmp_path, monkeypatch):
+    # a stray MARC separator byte must not corrupt the sheet XML; it is
+    # encoded the OOXML way (_xHHHH_) and the file stays readable
+    import sys
+    monkeypatch.setitem(sys.modules, "openpyxl", None)
+    from dlx_spark.util import Table
+    t = Table([["col"], ["bad\x1dvalue"]])
+    path = str(tmp_path / "ctrl.xlsx")
+    t.to_excel(path)
+    back = Table.from_excel(path)
+    assert back.get(0, "col") == "bad_x001D_value"
 
 
 def test_xlsx_stdlib_row_gaps(tmp_path, monkeypatch):
