@@ -41,3 +41,28 @@ def test_salted_collect_set(spark, skewed):
     expected = {r["k"]: sorted(r["vs"]) for r in
                 skewed.groupBy("k").agg(F.collect_set("v").alias("vs")).collect()}
     assert got == expected
+
+
+def test_salted_join(spark):
+    from dlx_spark.operators.skew import salted_join
+    # hot key 1 dominates the fact side
+    fact = spark.createDataFrame(
+        [(1, f"row{i}") for i in range(200)] + [(2, "only"), (3, "three")],
+        "k long, payload string")
+    dim = spark.createDataFrame([(1, "dim1"), (2, "dim2")], "k long, attr string")
+    out = salted_join(fact, dim, "k").collect()
+    assert len(out) == 201                      # 200 hot + 1; key 3 dropped
+    assert all(r.attr == ("dim1" if r.k == 1 else "dim2") for r in out)
+    # left join keeps unmatched fact rows
+    left = salted_join(fact, dim, "k", how="left").collect()
+    assert len(left) == 202
+    assert [r.attr for r in left if r.k == 3] == [None]
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+    from dlx_spark.operators.skew import salted_join
+    fact = spark.createDataFrame([(1, "x")], "k long, payload string")
+    dim = spark.createDataFrame([(1, "d")], "k long, attr string")
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="full")
