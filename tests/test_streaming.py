@@ -118,3 +118,47 @@ def test_incremental_commit_stream(spark, tmp_path):
     row = store.bibs().filter(F.col("_id") == 1).first()
     assert "stream" in list(row["words"])
     assert len(store.history("bib", 1)) == 1
+
+
+def test_stateless_operators_compose_with_streams(spark, tmp_path):
+    """The per-row pipeline operators (redaction, chunking, quality) are
+    pure projections/flat-maps, so the SAME functions must run on a
+    streaming DataFrame unchanged — the batch/streaming unification the
+    engine promises."""
+    import json as _json
+    from dlx_spark.operators.chunking import chunk_documents
+    from dlx_spark.operators.redact import redact_pii
+    from dlx_spark.operators.textstats import quality_score
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "mail a@b.co " + "interesting tokens here " * 30},
+        {"doc_id": 2, "text": "plain document with no pii at all"},
+    ]
+    (p / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .json(str(p)))
+    assert stream.isStreaming
+
+    out = redact_pii(stream)
+    q = (out.writeStream.format("memory").queryName("redact_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_redact"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.id: r for r in spark.sql("select * from redact_stream").collect()}
+    assert got[1].n_email == 1 and "<EMAIL>" in got[1].clean_text
+    assert got[2].n_email == 0
+
+    chunks = chunk_documents(stream, chunk_tokens=16, overlap=4)
+    q2 = (chunks.writeStream.format("memory").queryName("chunk_stream")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck_chunk"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    n_chunks = spark.sql("select count(*) n from chunk_stream").first().n
+    assert n_chunks > 5                       # doc 1 fans out to many windows
+
+    scored = quality_score(stream)
+    assert scored.isStreaming
