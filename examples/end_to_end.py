@@ -82,11 +82,13 @@ def main() -> None:
     n_sampled = sampling.deterministic_sample(docs, 0.1).count()
     n_chunks = chunking.chunk_documents(docs, chunk_tokens=64, overlap=8).count()
     n_redacted = redact.redact_pii(docs).filter("n_email + n_ssn + n_ip + n_phone > 0").count()
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    n_survivors = dedup.dedup_near(docs, pairs).count()
     print(f"near-dup pairs: {n_near}; top-3 neighbors of vec 0: "
           f"{[(r.id, round(r.cosine, 3)) for r in nn]} (IVF agrees on top-1: "
           f"{ivf[0].id == nn[0].id}); avg quality: {quality:.3f}; "
           f"stable 10% sample: {n_sampled} docs; {n_chunks} chunks; "
-          f"{n_redacted} docs with PII hits")
+          f"{n_redacted} docs with PII hits; {n_survivors} dedup survivors")
 
     spark.stop()
     print("demo complete")
