@@ -51,12 +51,12 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join a skew-keyed fact table to a dimension too large to
     broadcast, without one reducer absorbing the hot key: each fact row
-    gets a random-but-deterministic salt (hash of the whole row via
-    monotonically-increasing surrogate is NOT reproducible, so salt on
-    spark_partition_id + a per-row counter substitute: pmod over
-    xxhash64 of all fact columns), and the dimension is replicated once
-    per salt value.  Shuffle keys become (key, salt) — the hot key's
-    rows spread over n_salts reducers.
+    gets a positional salt — hash of (partition id, within-partition
+    row id), so even fully-duplicate rows spread — and the dimension is
+    replicated once per salt value.  Join correctness only needs SOME
+    salt per fact row (each row matches exactly its replica), so the
+    salt may depend on physical row position.  Shuffle keys become
+    (key, salt): the hot key's rows spread over n_salts reducers.
 
     Prefer AQE's automatic skew-join split (on in session.py) when it
     applies; this explicit form is for engines/paths where AQE can't
@@ -68,7 +68,14 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
         # an unmatched dim row exists once per salt replica — a right/
         # full outer join would emit it n_salts times
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    for side, cols in (("fact", fact.columns), ("dim", dim.columns)):
+        if "_salt" in cols or "_salts" in cols:
+            raise ValueError(f"{side} already has a _salt/_salts column — "
+                             "rename it before salting")
+    salt = F.pmod(F.hash(F.spark_partition_id(), F.monotonically_increasing_id()),
+                  F.lit(n_salts))
     f = fact.withColumn("_salt", salt)
     d = (dim.withColumn("_salts", F.expr(f"sequence(0, {n_salts - 1})"))
          .withColumn("_salt", F.explode("_salts")).drop("_salts"))

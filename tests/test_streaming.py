@@ -29,7 +29,9 @@ def run_available_now(df, tmp_path, name):
          .outputMode("complete")
          .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # awaitTermination returns False on timeout (it does not raise) —
+    # assert it, or a slow batch asserts against a half-filled table
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     return q
 
 
@@ -59,7 +61,7 @@ def test_dedup_stream_stateful(spark, tmp_path):
         q = (out.writeStream.format("json").option("path", out_dir)
              .outputMode("append").option("checkpointLocation", ck)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         return sorted(r.id for r in
                       spark.read.schema("digest string, id long")
                       .json(out_dir).collect())
@@ -109,7 +111,7 @@ def test_incremental_commit_stream(spark, tmp_path):
     (inbox / "b1.jsonl").write_text("\n".join(json.dumps(d) for d in docs))
 
     q = streaming.incremental_commit_stream(spark, str(inbox), store)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     assert store.bibs().count() == 2
     rec = store.get("bib", 1)
@@ -146,7 +148,7 @@ def test_stateless_operators_compose_with_streams(spark, tmp_path):
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ck_redact"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {r.id: r for r in spark.sql("select * from redact_stream").collect()}
     assert got[1].n_email == 1 and "<EMAIL>" in got[1].clean_text
     assert got[2].n_email == 0
@@ -156,7 +158,7 @@ def test_stateless_operators_compose_with_streams(spark, tmp_path):
           .outputMode("append")
           .option("checkpointLocation", str(tmp_path / "ck_chunk"))
           .trigger(availableNow=True).start())
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     n_chunks = spark.sql("select count(*) n from chunk_stream").first().n
     assert n_chunks > 5                       # doc 1 fans out to many windows
 

@@ -30,10 +30,12 @@ def main() -> None:
     from dlx_spark import get_spark
     from dlx_spark.operators import chunking, dedup, textstats
 
-    spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale_probe", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     big = None
     for i in range(mult):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
@@ -42,7 +44,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="dlx_spark_scale_")
     corpus_path = os.path.join(workdir, "docs")
     try:
-        big.repartition(32).write.mode("overwrite").parquet(corpus_path)
+        big.repartition(cpus).write.mode("overwrite").parquet(corpus_path)
         corpus = spark.read.parquet(corpus_path)
         n = corpus.count()
 
@@ -57,7 +59,12 @@ def main() -> None:
         timings["minhash_lsh_full"] = round(time.time() - t0, 2)
 
         t0 = time.time()
-        n_chunks = chunking.chunk_documents(corpus, 128, 16).count()
+        chunks = chunking.chunk_documents(corpus, 128, 16)
+        # force the chunk_text slice/join to actually run — a bare
+        # count() would prune the projection and time only the explode
+        agg = chunks.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum(F.length("chunk_text"))).collect()[0]
+        n_chunks = agg["n"]
         timings["chunking"] = round(time.time() - t0, 2)
 
         t0 = time.time()
