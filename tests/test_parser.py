@@ -216,3 +216,37 @@ def test_empty_value_error(ctx):
         parse_query_string("245__a:")
     with pytest.raises(InvalidQueryString, match="Empty search value"):
         parse_query_string("245:")
+
+
+def test_parser_fuzz_grammar_combinations(ctx):
+    """Randomized grammar fuzz: every combination of term shapes and
+    boolean glue must either parse+execute or raise InvalidQueryString —
+    never any other exception.  Seeded, so failures reproduce."""
+    import itertools
+    import random
+
+    rng = random.Random(20260813)
+    terms = [
+        "245__a:This", "245__a:'This'", "245:title", "245__a:*",
+        "245__a:wild*", "245:/T.*s/", "520__a:description",
+        "id:1", "xref:1", "title:'This is the title'", "title:This",
+        "created<2030-01-01", "created>1990-01-01", "updated:2024-05-05",
+        "free text", '"quoted phrase"', "-negated spark", "650__a:'Header'",
+        "bogusfield:x", "id:notanum", "245__a:",
+    ]
+    glue = ["AND", "OR", "AND NOT"]
+    checked = 0
+    for n_terms in (1, 2, 3):
+        for _ in range(40):
+            parts = [rng.choice(terms)]
+            for _ in range(n_terms - 1):
+                parts += [rng.choice(glue), rng.choice(terms)]
+            s = " ".join(parts)
+            try:
+                query = parse_query_string(s, record_type="bib",
+                                           auth_index=ctx.auth_index)
+                execute_query(query, ctx).select("_id").collect()
+                checked += 1
+            except InvalidQueryString:
+                checked += 1
+    assert checked == 120
