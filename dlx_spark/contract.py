@@ -1002,6 +1002,25 @@ def pack_sequences_q(spark, sf):
             .select("id", "chunk_id", "shard", "pack_id"))
 
 
+@query("mix_corpora", """
+    SELECT doc_id, lang FROM documents
+    WHERE lang = 'en'
+      AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 4) < '4000'
+    UNION ALL
+    SELECT doc_id, lang FROM documents
+    WHERE lang <> 'en'
+      AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 4) < 'zzzz'
+""")
+def mix_corpora_q(spark, sf):
+    """weighted corpus mixing: downsample the dominant English slice to
+    25% and keep all other languages — the per-source-weight training
+    mix, reproducible from (weights, salt) on any cluster layout."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    return sampling.mix_corpora([(en, 0.25), (rest, 1.0)])
+
+
 @query("quantile_band", """
     SELECT doc_id, lang, n_chars FROM (
         SELECT doc_id, lang, n_chars,

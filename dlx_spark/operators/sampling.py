@@ -54,6 +54,26 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.filter(sample_bucket(key_col, salt) < thr)
 
 
+def mix_corpora(sources: list[tuple[DataFrame, float]],
+                key_col: str = "doc_id", salt: str = "mix") -> DataFrame:
+    """Weighted training-data mixture: keep a deterministic hash-keyed
+    ``fraction`` of each source corpus and union the survivors — the
+    data-mixing step that turns per-source weights into one training
+    corpus.  Fractions are per-source keep rates (not normalized
+    shares); all sources must share a schema.  Deterministic on any
+    partitioning/cluster layout, so a mix is exactly reproducible from
+    (weights, salt) — re-running the pipeline yields the same corpus.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one (df, fraction) source")
+    parts = [deterministic_sample(df, fraction, key_col, salt)
+             for df, fraction in sources]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def quantile_band(df: DataFrame, metric_col: str, lo: float = 0.05,
                   hi: float = 0.95, by: str | None = None) -> DataFrame:
     """Keep rows whose ``metric_col`` falls in the [lo, hi] quantile

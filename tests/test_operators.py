@@ -292,6 +292,22 @@ def test_normalize_unicode(spark):
     assert out[3] is None
 
 
+def test_mix_corpora(spark, docs):
+    from dlx_spark.operators import sampling
+    en = docs.filter("lang = 'en'")
+    mixed = sampling.mix_corpora([(en, 1.0), (en, 0.0)])
+    # keep-all + keep-none over the same source = the source, once
+    assert sorted(r.doc_id for r in mixed.collect()) == [1, 2, 3, 4, 5]
+    # reproducible under repartitioning
+    a = sorted(r.doc_id for r in sampling.mix_corpora([(en, 0.5)]).collect())
+    b = sorted(r.doc_id for r in
+               sampling.mix_corpora([(en.repartition(7), 0.5)]).collect())
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sampling.mix_corpora([])
+
+
 def test_quantile_band(spark):
     from dlx_spark.operators import sampling
     df = spark.createDataFrame([(i, i * 10) for i in range(11)],
