@@ -1121,6 +1121,24 @@ def dedup_survivors(spark, sf):
     return dedup.dedup_near(docs, pairs).select("doc_id", "lang")
 
 
+@query("leakage_safe_split", f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES}, {_WALK_CTES},
+    comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+    SELECT d.doc_id,
+           substring(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)
+                         || 'split'), 1, 4) < '1999' AS is_holdout
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+""")
+def leakage_safe_split_q(spark, sf):
+    """near-dup-safe train/holdout split: membership hashed on the
+    cluster representative so no duplicate pair straddles the boundary
+    (the classic eval-contamination bug)."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    pairs = ngram_jaccard(spark, sf).select("id_a", "id_b")
+    return (sampling.leakage_safe_split(docs, pairs, holdout=0.1)
+            .select("doc_id", "is_holdout"))
+
+
 def _pii_suffix_sql() -> str:
     return ("text || ' reach user' || CAST(doc_id AS VARCHAR) || "
             "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "

@@ -74,6 +74,31 @@ def mix_corpora(sources: list[tuple[DataFrame, float]],
     return out
 
 
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, holdout: float = 0.1,
+                       id_col: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Train/holdout split that cannot leak near-duplicates across the
+    boundary: every near-dup cluster (connected component of ``pairs``)
+    lands wholly on one side, because membership is hashed on the
+    cluster REPRESENTATIVE (component min id) rather than the document
+    id.  Unpaired documents hash on their own id.  Adds ``is_holdout``.
+
+    A plain per-document split puts ~2·p·(1-p) of each duplicate pair
+    across the boundary — the classic eval-contamination bug this
+    operator exists to prevent.  One broadcast-sized left join (the
+    component table covers only paired docs); the corpus never shuffles.
+    """
+    from dlx_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("id", "_cid")
+    joined = df.join(comp, F.col(id_col) == F.col("_cid"), "left")
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = F.substring(
+        F.md5(F.concat(rep.cast("string"), F.lit(salt))), 1, 4)
+    return (joined
+            .withColumn("is_holdout", bucket < F.lit(_threshold(holdout)))
+            .drop("_cid", "component"))
+
+
 def quantile_band(df: DataFrame, metric_col: str, lo: float = 0.05,
                   hi: float = 0.95, by: str | None = None) -> DataFrame:
     """Keep rows whose ``metric_col`` falls in the [lo, hi] quantile

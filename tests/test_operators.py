@@ -308,6 +308,23 @@ def test_mix_corpora(spark, docs):
         sampling.mix_corpora([])
 
 
+def test_leakage_safe_split(spark):
+    from dlx_spark.operators import sampling
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 41)], "doc_id long, text string")
+    # clusters: {1..4}, {10,11}; the rest unpaired
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    out = sampling.leakage_safe_split(corpus, pairs, holdout=0.5).collect()
+    side = {r.doc_id: r.is_holdout for r in out}
+    assert len(side) == 40
+    # every cluster lands wholly on one side — no near-dup leakage
+    assert len({side[i] for i in (1, 2, 3, 4)}) == 1
+    assert side[10] == side[11]
+    # both sides non-empty at 50%
+    assert 0 < sum(side.values()) < 40
+
+
 def test_quantile_band(spark):
     from dlx_spark.operators import sampling
     df = spark.createDataFrame([(i, i * 10) for i in range(11)],
