@@ -1005,16 +1005,16 @@ def pack_sequences_q(spark, sf):
 @query("mix_corpora", """
     SELECT doc_id, lang FROM documents
     WHERE lang = 'en'
-      AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 4) < '4000'
+      AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix:0'), 1, 4) < '4000'
     UNION ALL
-    SELECT doc_id, lang FROM documents
-    WHERE lang <> 'en'
-      AND substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 4) < 'zzzz'
+    SELECT doc_id, lang FROM documents WHERE lang <> 'en'
 """)
 def mix_corpora_q(spark, sf):
     """weighted corpus mixing: downsample the dominant English slice to
     25% and keep all other languages — the per-source-weight training
-    mix, reproducible from (weights, salt) on any cluster layout."""
+    mix, reproducible from (weights, salt) on any cluster layout.
+    Each source salts with its index (independent draws); a keep-all
+    source passes through unfiltered (NULL keys included)."""
     docs = _t(spark, sf, "documents").select("doc_id", "lang")
     en = docs.filter(F.col("lang") == "en")
     rest = docs.filter(F.col("lang") != "en")

@@ -19,10 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def sample_bucket(key_col: str, salt: str = "") -> Column:
-    """The [0, 65536) hash bucket a key falls in, as 4 hex chars."""
+def sample_bucket(key: str | Column, salt: str = "") -> Column:
+    """The [0, 65536) hash bucket a key falls in, as 4 hex chars.
+    ``key`` may be a column name or a Column expression."""
+    col = key if isinstance(key, Column) else F.col(key)
     return F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 4)
+        F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4)
 
 
 def _threshold(fraction: float) -> str:
@@ -38,7 +40,12 @@ def deterministic_sample(df: DataFrame, fraction: float,
                          key_col: str = "doc_id", salt: str = "") -> DataFrame:
     """Keep a stable ``fraction`` of rows keyed by ``key_col``.
     Change ``salt`` to draw an independent sample (e.g. train vs
-    holdout splits: disjoint salts, no overlap bookkeeping)."""
+    holdout splits: disjoint salts, no overlap bookkeeping).
+    ``fraction >= 1.0`` keeps EVERY row, including NULL-keyed ones
+    (a NULL key hashes to NULL and would otherwise be dropped)."""
+    if fraction >= 1.0:
+        _threshold(fraction)                    # still validates range
+        return df
     return df.filter(sample_bucket(key_col, salt) < F.lit(_threshold(fraction)))
 
 
@@ -63,11 +70,14 @@ def mix_corpora(sources: list[tuple[DataFrame, float]],
     shares); all sources must share a schema.  Deterministic on any
     partitioning/cluster layout, so a mix is exactly reproducible from
     (weights, salt) — re-running the pipeline yields the same corpus.
+    Each source draws with its own salt (``salt:index``) so keep
+    decisions are independent across sources — overlapping sources get
+    a true mixture, not nested samples of each other.
     """
     if not sources:
         raise ValueError("mix_corpora needs at least one (df, fraction) source")
-    parts = [deterministic_sample(df, fraction, key_col, salt)
-             for df, fraction in sources]
+    parts = [deterministic_sample(df, fraction, key_col, f"{salt}:{i}")
+             for i, (df, fraction) in enumerate(sources)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -75,7 +85,8 @@ def mix_corpora(sources: list[tuple[DataFrame, float]],
 
 
 def leakage_safe_split(df: DataFrame, pairs: DataFrame, holdout: float = 0.1,
-                       id_col: str = "doc_id", salt: str = "split") -> DataFrame:
+                       id_col: str = "doc_id", salt: str = "split",
+                       id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Train/holdout split that cannot leak near-duplicates across the
     boundary: every near-dup cluster (connected component of ``pairs``)
     lands wholly on one side, because membership is hashed on the
@@ -89,14 +100,16 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame, holdout: float = 0.1,
     """
     from dlx_spark.operators.dedup import connected_components
 
-    comp = connected_components(pairs).withColumnRenamed("id", "_cid")
-    joined = df.join(comp, F.col(id_col) == F.col("_cid"), "left")
-    rep = F.coalesce(F.col("component"), F.col(id_col))
-    bucket = F.substring(
-        F.md5(F.concat(rep.cast("string"), F.lit(salt))), 1, 4)
+    # underscore temp names, referenced from the comp side only, so a
+    # caller's own 'component' column can't collide or be dropped
+    comp = connected_components(pairs, id_a, id_b).select(
+        F.col("id").alias("_lss_id"), F.col("component").alias("_lss_comp"))
+    joined = df.join(comp, F.col(id_col) == F.col("_lss_id"), "left")
+    rep = F.coalesce(F.col("_lss_comp"), F.col(id_col))
     return (joined
-            .withColumn("is_holdout", bucket < F.lit(_threshold(holdout)))
-            .drop("_cid", "component"))
+            .withColumn("is_holdout",
+                        sample_bucket(rep, salt) < F.lit(_threshold(holdout)))
+            .drop("_lss_id", "_lss_comp"))
 
 
 def quantile_band(df: DataFrame, metric_col: str, lo: float = 0.05,

@@ -298,13 +298,16 @@ def test_mix_corpora(spark, docs):
     mixed = sampling.mix_corpora([(en, 1.0), (en, 0.0)])
     # keep-all + keep-none over the same source = the source, once
     assert sorted(r.doc_id for r in mixed.collect()) == [1, 2, 3, 4, 5]
+    # keep-all passes NULL-keyed rows through (no hash filter)
+    with_null = en.union(spark.createDataFrame(
+        [(None, "t", "en", "s", 1)], en.schema))
+    assert sampling.mix_corpora([(with_null, 1.0)]).count() == 6
     # reproducible under repartitioning
     a = sorted(r.doc_id for r in sampling.mix_corpora([(en, 0.5)]).collect())
     b = sorted(r.doc_id for r in
                sampling.mix_corpora([(en.repartition(7), 0.5)]).collect())
     assert a == b
-    import pytest as _pt
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         sampling.mix_corpora([])
 
 
