@@ -989,6 +989,20 @@ def unicode_nfc(spark, sf):
                       F.length("norm_text").cast("long").alias("n_chars_nfc"))
 
 
+@query("char_entropy", """
+    SELECT doc_id, round(entropy(ch), 4) AS char_entropy
+    FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+    GROUP BY doc_id
+""")
+def char_entropy_q(spark, sf):
+    """per-document character Shannon entropy (gibberish/noise signal):
+    DuckDB's entropy() aggregate and the explicit -sum(p*log2(p)) must
+    agree to 4 dp."""
+    docs = _t(spark, sf, "documents")
+    return (textstats.char_entropy(docs)
+            .select(F.col("id").alias("doc_id"), "char_entropy"))
+
+
 @query("pack_sequences")  # sequential bin packing → rows-only check
 def pack_sequences_q(spark, sf):
     """token-budget sample packing over the chunked corpus: FFD bin

@@ -120,6 +120,30 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
     )
 
 
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, char_entropy): Shannon entropy (bits) of the per-document
+    character distribution — low entropy flags repetitive/gibberish
+    boilerplate, very high entropy flags binary-ish noise; a standard
+    corpus-quality signal alongside quality_score.
+
+    explode chars → partial-agg (id, ch) counts → windowed total →
+    -Σ p·log2 p.  Both shuffles carry (id, ch, count) rows only — at
+    100 TB the shuffle is ~charset-size rows per document, tiny next
+    to the text itself.
+    """
+    from pyspark.sql import Window
+
+    chars = df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.col(text_col), "")).alias("ch"))
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n") / F.sum("n").over(Window.partitionBy("id"))
+    return (counts.withColumn("_p", p)
+            .groupBy("id")
+            .agg(F.round(-F.sum(F.col("_p") * F.log2("_p")), 4)
+                 .alias("char_entropy")))
+
+
 def normalize_unicode(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", form: str = "NFC") -> DataFrame:
     """(id, norm_text): Unicode-normalize text (default NFC) via an

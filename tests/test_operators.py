@@ -534,3 +534,13 @@ def test_multimodal_strict_mode(spark, docs):
     media = multimodal.synthetic_media(spark, docs)
     with pytest.raises(Exception):  # NotImplementedError inside executor
         multimodal.decode_metadata(media, strict=True).collect()
+
+
+def test_char_entropy(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd")], "doc_id long, text string")
+    out = {r.id: r.char_entropy for r in textstats.char_entropy(df).collect()}
+    assert out[1] == 0.0                                  # single symbol
+    assert out[2] == pytest.approx(1.0)                   # two equal symbols
+    assert out[3] == pytest.approx(round(math.log2(4), 4))
