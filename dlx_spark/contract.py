@@ -989,6 +989,28 @@ def unicode_nfc(spark, sf):
                       F.length("norm_text").cast("long").alias("n_chars_nfc"))
 
 
+@query("corpus_top_ngrams", """
+    SELECT sh AS ngram, CAST(n_docs AS BIGINT) AS n_docs, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT sh, n_docs,
+                 row_number() OVER (ORDER BY n_docs DESC, sh) AS rk
+          FROM (SELECT sh, count(*) AS n_docs
+                FROM (SELECT doc_id,
+                             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     FOR i IN range(1, greatest(len(t) - 3, 0) + 2)])) AS sh
+                      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+                GROUP BY sh HAVING count(*) >= 2))
+    WHERE rk <= 20
+""")
+def corpus_top_ngrams_q(spark, sf):
+    """boilerplate mining: the 20 most document-frequent word 3-grams
+    (verbatim n-grams shared across many docs are templates/chrome to
+    strip before training)."""
+    docs = _t(spark, sf, "documents")
+    return (textstats.corpus_top_ngrams(docs, n=3, k=20, normalize=False)
+            .select("ngram", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("rk").cast("long").alias("rk")))
+
+
 @query("char_entropy", """
     SELECT doc_id, round(entropy(ch), 4) AS char_entropy
     FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)

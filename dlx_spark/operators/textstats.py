@@ -120,6 +120,31 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
     )
 
 
+def corpus_top_ngrams(df: DataFrame, n: int = 3, k: int = 20,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      min_docs: int = 2, normalize: bool = True) -> DataFrame:
+    """(ngram, n_docs, rk): the corpus's k most document-frequent word
+    n-grams — template/boilerplate mining (an n-gram shared verbatim by
+    many documents is navigation chrome, license text, or a scraper
+    artifact, and a candidate for stripping before training).
+
+    Distinct n-grams per doc (flat map) → partial-agg count by n-gram →
+    global top-k.  The shuffle carries (ngram, partial count); the
+    top-k is a TakeOrdered, not a full sort.  Ties break on the n-gram
+    string so the result set is unique."""
+    from pyspark.sql import Window
+
+    from dlx_spark.operators.dedup import word_shingle_strings
+
+    counts = (word_shingle_strings(df, text_col, id_col, n, normalize)
+              .groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+              .filter(F.col("n_docs") >= min_docs))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("sh"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.col("sh").alias("ngram"), "n_docs", "rk"))
+
+
 def char_entropy(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(id, char_entropy): Shannon entropy (bits) of the per-document

@@ -544,3 +544,13 @@ def test_char_entropy(spark):
     assert out[1] == 0.0                                  # single symbol
     assert out[2] == pytest.approx(1.0)                   # two equal symbols
     assert out[3] == pytest.approx(round(math.log2(4), 4))
+
+
+def test_corpus_top_ngrams(spark, docs):
+    out = textstats.corpus_top_ngrams(docs, n=3, k=5, normalize=False).collect()
+    by_rank = [(r.ngram, r.n_docs) for r in sorted(out, key=lambda r: r.rk)]
+    # docs 1 and 2 are identical, doc 3 nearly so: their shared 3-grams
+    # dominate; every returned n-gram must clear min_docs
+    assert by_rank[0][1] == 3
+    assert all(n >= 2 for _, n in by_rank)
+    assert len(by_rank) <= 5
