@@ -989,6 +989,28 @@ def unicode_nfc(spark, sf):
                       F.length("norm_text").cast("long").alias("n_chars_nfc"))
 
 
+@query("funnel", """
+    WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY 1),
+    s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT 1 AS step, 'view' AS step_name,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+""")
+def funnel_q(spark, sf):
+    """ordered-funnel conversion (view → click → purchase): each step
+    counts a user only when its first qualifying event falls strictly
+    after the user's previous step — the event-analytics staple."""
+    ev = _t(spark, sf, "events")
+    return asof.funnel_counts(ev, ["view", "click", "purchase"])
+
+
 @query("corpus_top_ngrams", """
     SELECT sh AS ngram, CAST(n_docs AS BIGINT) AS n_docs, CAST(rk AS BIGINT) AS rk
     FROM (SELECT sh, n_docs,

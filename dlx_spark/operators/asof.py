@@ -75,6 +75,38 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     )
 
 
+def funnel_counts(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel conversion: (step, step_name, n_users) — how many
+    users performed each step strictly AFTER their previous step's
+    first occurrence (view → click → purchase and the like).
+
+    Multi-pass cascade: pass i joins step-i events to the users who
+    reached step i-1 and takes the min qualifying timestamp — one
+    partial-agg groupBy per step, each shuffle carrying one timestamp
+    per surviving user.  Funnels are 3-5 steps deep, so the pass count
+    is a small constant; each pass's survivor set only shrinks.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached = None
+    rows = []
+    for i, step in enumerate(steps):
+        ev = events.select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"),
+                           F.col(type_col).alias("_ty")).filter(F.col("_ty") == step)
+        if reached is not None:
+            ev = ev.join(reached, "_u").filter(F.col("_ts") > F.col("_t")).drop("_t")
+        reached = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        rows.append(reached.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+                    .select(F.lit(i + 1).alias("step"),
+                            F.lit(step).alias("step_name"), "n_users"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def range_join(points: DataFrame, ranges: DataFrame, point_col: str = "ts",
                lo_col: str = "lo", hi_col: str = "hi",
                by: list[str] | tuple[str, ...] = (),

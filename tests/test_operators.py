@@ -172,6 +172,28 @@ def test_asof_join_null_timestamp_right_rows_never_match(spark, timeline):
     assert all(r.value is None for r in out)
 
 
+def test_funnel_counts(spark):
+    from dlx_spark.operators.asof import funnel_counts
+    rows = [
+        # user 1 completes view -> click -> buy in order
+        (1, "2024-01-01 00:00:00", "view"), (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "buy"),
+        # user 2 clicks BEFORE viewing: click must not count
+        (2, "2024-01-01 00:01:00", "click"), (2, "2024-01-01 00:02:00", "view"),
+        # user 3 views only
+        (3, "2024-01-01 00:00:00", "view"),
+        # user 4 never views: drops at step 1
+        (4, "2024-01-01 00:00:00", "click"), (4, "2024-01-01 00:01:00", "buy"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_type string") \
+              .withColumn("ts", F.to_timestamp("ts"))
+    out = {r.step: (r.step_name, r.n_users)
+           for r in funnel_counts(ev, ["view", "click", "buy"]).collect()}
+    assert out[1] == ("view", 3)          # users 1, 2, 3
+    assert out[2] == ("click", 1)         # only user 1 clicked after viewing
+    assert out[3] == ("buy", 1)
+
+
 def test_asof_join_tolerance(spark, timeline):
     from dlx_spark.operators.asof import asof_join
     clicks = timeline.filter("kind = 'click'").select("event_id", "user_id", "ts")
