@@ -552,6 +552,22 @@ def test_multimodal_pipeline(spark, docs):
     assert all(r["count"] >= 1 for r in per_doc)
 
 
+def test_multimodal_features_feed_similarity(spark, docs):
+    """The extract_features output composes directly with the ANN
+    operators (the docstring's claim): media → features → knn_join,
+    and exact duplicates must be each other's nearest neighbor."""
+    media = multimodal.synthetic_media(spark, docs)
+    feats = (multimodal.extract_features(media, dim=16)
+             .select(F.col("doc_id").alias("vec_id"),
+                     F.col("features").alias("embedding")))
+    out = similarity.knn_join(feats, feats, k=2, n_planes=2).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append((r.corpus_id, r.cosine))
+    # docs 1 and 2 share a payload → identical fake features → cosine 1
+    assert any(c == 2 and pytest.approx(1.0) == cos for c, cos in by_probe[1])
+
+
 def test_multimodal_strict_mode(spark, docs):
     media = multimodal.synthetic_media(spark, docs)
     with pytest.raises(Exception):  # NotImplementedError inside executor
