@@ -55,28 +55,38 @@ def main() -> None:
     # projection-only queries.
     from pyspark.sql import functions as F
 
+    # per-query error isolation: one failing query must never abort the
+    # run — record the failure and keep timing the rest
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = contract.Q[name]
         best = None
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "runs_per_query": 2,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

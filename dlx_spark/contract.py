@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dlx_spark.operators import (
     asof, chunking, dedup, multimodal, redact, sampling, similarity, textstats)
+from dlx_spark.operators.common import epoch_seconds
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -490,7 +491,7 @@ def sessionization(spark, sf):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         _t(spark, sf, "events")
-        .withColumn("gap_s", F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+        .withColumn("gap_s", epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              (1 + F.sum(F.when(F.col("gap_s") > 1800, 1).otherwise(0))).alias("n_sessions"))

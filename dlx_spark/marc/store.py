@@ -215,18 +215,26 @@ class MarcStore:
         # to_row() already resolved linked values through the in-process
         # auth index (they ride as caches in the nested rows), so the
         # whole derivation is a map-only projection — zero shuffles.
+        # Materialize ONCE to a scratch parquet (distributed) instead of
+        # the old collect()/createDataFrame driver round-trip, so bulk
+        # batches never funnel record rows through the driver.
+        name = "bibs" if record_type == "bib" else "auths"
         new_df = self.spark.createDataFrame([r.to_row() for r in records],
                                             schema=schemas.MARC)
         derived = mdf.derive_text_words(new_df, headings=None)
         derived = mdf.derive_logical_fields(derived, record_type, headings=None)
-        derived_rows = derived.collect()
-        derived = self.spark.createDataFrame(derived_rows, schema=derived.schema)
+        staged = self._stage(derived, f"_stage_commit_{name}")
 
-        # 5. history append (full new doc = next version)
-        self._append_history(record_type, derived_rows, prev_rows, user, now)
+        # 5. history append (full new doc = next version) — one
+        # distributed job over the staged frame
+        prev_id_df = self.spark.createDataFrame(
+            [(int(i),) for i in prev_rows], "record_id long")
+        self._append_history_frame(record_type, staged, user, now,
+                                   prev_id_df=prev_id_df)
 
         # 6. bucketed upsert
-        self._upsert(record_type, derived, ids)
+        self._upsert(record_type, staged, ids)
+        self._unstage(f"_stage_commit_{name}")
 
         out = ids
 
@@ -239,6 +247,101 @@ class MarcStore:
             if changed:
                 self._propagate_heading_changes([r.id for r in changed], user, now)
         return out
+
+    def commit_frame(self, df: DataFrame, record_type: str = "bib",
+                     user: str = "admin", now: datetime | None = None,
+                     auth_check: bool = True) -> int:
+        """Bulk-ingest commit: the whole pipeline (id assignment, auth
+        validation, audit stamps, derived columns, history, upsert) as
+        distributed jobs over a MARC-schema DataFrame — record rows
+        never materialize on the driver.  This is the 100 TB path used
+        by ``scripts/marc_import.py`` and the streaming ingest sink; the
+        record-object ``commit`` remains the interactive facade.
+
+        Input ``_id`` may be NULL (new records get ``max_id + seq``);
+        non-null ids upsert.  Ids must be unique within the frame.
+        Linked subfield values are resolved via the headings join (the
+        distributed analog of the reference's auth cache); intra-batch
+        xrefs to auths created in the SAME frame resolve on the next
+        derive, not this one.  Returns the number of records committed.
+        """
+        from pyspark.sql import Window
+
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        name = "bibs" if record_type == "bib" else "auths"
+        src = self._stage(df, f"_stage_ingest_{name}")
+        try:
+            # distributed auth validation: every xref must exist in auths
+            if auth_check:
+                bad = (mdf.explode_subfields(src, record_type)
+                       .filter(F.col("xref").isNotNull())
+                       .join(self.auths().select(F.col("_id").alias("xref")),
+                             "xref", "left_anti")
+                       .select("tag", "code", "xref").limit(1).collect())
+                if bad:
+                    raise InvalidAuthXref(record_type, bad[0]["tag"],
+                                          bad[0]["code"], bad[0]["xref"])
+
+            # id assignment for NULL-_id rows: max_id + dense sequence via
+            # per-partition offsets — the only driver data is one count per
+            # partition, never record rows
+            if src.filter(F.col("_id").isNull()).limit(1).count() > 0:
+                base_id = self.max_id(record_type)
+                tmp = self._stage(
+                    src.withColumn("_pid", F.spark_partition_id())
+                       .withColumn("_mid", F.monotonically_increasing_id()),
+                    f"_stage_ingest_ids_{name}")
+                counts = (tmp.filter(F.col("_id").isNull())
+                          .groupBy("_pid").count().collect())
+                offsets, acc = {}, 0
+                for row in sorted(counts, key=lambda r: r["_pid"]):
+                    offsets[row["_pid"]] = acc
+                    acc += row["count"]
+                omap = F.create_map(
+                    *[F.lit(x) for k, v in offsets.items() for x in (k, v)])
+                wn = Window.partitionBy("_pid").orderBy("_mid")
+                assigned = (tmp.filter(F.col("_id").isNull())
+                            .withColumn("_id", (F.lit(base_id) + omap[F.col("_pid")]
+                                                + F.row_number().over(wn)).cast("long")))
+                src = (tmp.filter(F.col("_id").isNotNull())
+                       .unionByName(assigned).drop("_pid", "_mid"))
+
+            # audit stamps: created preserved from the live row when present
+            live = self.table(record_type).select(
+                "_id", F.col("created").alias("_pc"),
+                F.col("created_user").alias("_pcu"))
+            stamped = (src.drop("updated", "user", "created", "created_user")
+                       .join(live, "_id", "left")
+                       .withColumn("updated", F.lit(now))
+                       .withColumn("user", F.lit(user))
+                       .withColumn("created", F.coalesce("_pc", F.lit(now)))
+                       .withColumn("created_user", F.coalesce("_pcu", F.lit(user)))
+                       .drop("_pc", "_pcu")
+                       .select(*[f.name for f in schemas.MARC.fields]))
+
+            # derived columns with linked values baked in via headings join
+            derived = mdf.derive_text_words(stamped, headings=self.headings())
+            derived = mdf.derive_logical_fields(derived, record_type, headings=None)
+            staged = self._stage(derived, f"_stage_commit_{name}")
+
+            # prev-id set for history created-stamps, computed as a join
+            # (lazily — the history write below runs before the upsert
+            # overwrites the live table it reads)
+            prev_id_df = (staged.select(F.col("_id").alias("record_id"))
+                          .join(self.table(record_type)
+                                .select(F.col("_id").alias("record_id")),
+                                "record_id", "left_semi"))
+            self._append_history_frame(record_type, staged, user, now,
+                                       prev_id_df=prev_id_df)
+            n = staged.count()
+            self._upsert(record_type, staged, ids=None)
+        finally:
+            for scratch in (f"_stage_ingest_{name}", f"_stage_ingest_ids_{name}",
+                            f"_stage_commit_{name}"):
+                self._unstage(scratch)
+            if record_type == "auth":
+                self._invalidate_auth_index()
+        return n
 
     @staticmethod
     def _heading_signature(rec: Marc | None):
@@ -267,21 +370,29 @@ class MarcStore:
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("pt", F.pmod(F.col("_id"), F.lit(self.N_BUCKETS)).cast("int"))
 
-    def _upsert(self, record_type: str, new_df: DataFrame, ids: list[int]) -> None:
+    def _upsert(self, record_type: str, new_df: DataFrame,
+                ids: list[int] | None) -> None:
         """Rewrite only the buckets containing touched ids (dynamic
         partition overwrite).  The union is staged to a scratch dir so
         the read and the overwrite of the same path never overlap.
-        Production swap-in: Delta/Iceberg MERGE INTO."""
+        Production swap-in: Delta/Iceberg MERGE INTO.
+
+        ``ids=None`` is the full-rebuild/bulk mode: the touched-id set is
+        expressed as an anti-join against ``new_df`` instead of a
+        driver-side ``isin`` list, so a whole-table rewrite never
+        enumerates ids on the driver (rebuild_derived at 100M records)."""
         name = "bibs" if record_type == "bib" else "auths"
         path = self._path(name)
-        buckets = sorted({i % self.N_BUCKETS for i in ids})
 
         if self._exists(name):
-            existing = (self.spark.read.parquet(path)
-                        .filter(F.col("pt").isin(buckets))
-                        .filter(~F.col("_id").isin(ids))
-                        .drop("pt"))
-            union = existing.unionByName(new_df, allowMissingColumns=True)
+            existing = self.spark.read.parquet(path)
+            if ids is not None:
+                buckets = sorted({i % self.N_BUCKETS for i in ids})
+                existing = (existing.filter(F.col("pt").isin(buckets))
+                            .filter(~F.col("_id").isin(ids)))
+            else:
+                existing = existing.join(new_df.select("_id"), "_id", "left_anti")
+            union = existing.drop("pt").unionByName(new_df, allowMissingColumns=True)
         else:
             union = new_df
 
@@ -300,32 +411,44 @@ class MarcStore:
         import shutil
         shutil.rmtree(self._path(name), ignore_errors=True)
 
-    def _append_history(self, record_type: str, rows: list, prev_rows: dict,
-                        user: str, now: datetime) -> None:
+    def _append_history_frame(self, record_type: str, df: DataFrame,
+                              user: str, now: datetime,
+                              prev_id_df: DataFrame | None = None) -> None:
+        """History append as ONE distributed job over the committed
+        frame: per-id version bases come from a semi-join-filtered
+        aggregate of the existing history, new-vs-update from a left
+        join against ``prev_id_df`` (ids that existed pre-commit).  No
+        record rows touch the driver."""
         name = f"{record_type}_history"
         existing = self.history_df(record_type)
-        ids = [r["_id"] for r in rows]
-        version_base = {
-            row["record_id"]: row["v"]
-            for row in (existing.filter(F.col("record_id").isin(ids))
-                        .groupBy("record_id").agg(F.max("version").alias("v")).collect())
-        }
-        hist_rows = []
-        for r in rows:
-            doc = {f.name: r[f.name] for f in schemas.MARC.fields}
-            hist_rows.append({
-                "record_id": r["_id"],
-                "version": version_base.get(r["_id"], 0) + 1,
-                "doc": doc,
-                "created_user": user if r["_id"] not in prev_rows else None,
-                "created_time": now if r["_id"] not in prev_rows else None,
-                "deleted_user": None, "deleted_time": None,
-                "restored_user": None, "restored_time": None,
-                "actions": [],
-                "merged_into": None, "merged_time": None,
-            })
-        (self.spark.createDataFrame(hist_rows, schema=schemas.HISTORY)
-         .write.mode("append").parquet(self._path(name)))
+        ids_df = df.select(F.col("_id").alias("record_id"))
+        vbase = (existing.join(ids_df, "record_id", "left_semi")
+                 .groupBy("record_id").agg(F.max("version").alias("_vbase")))
+        doc = F.struct(*[F.col(f.name) for f in schemas.MARC.fields]).alias("doc")
+        base = df.select(F.col("_id").alias("record_id"), doc) \
+                 .join(vbase, "record_id", "left")
+        if prev_id_df is not None:
+            prev = prev_id_df.select("record_id", F.lit(True).alias("_prev"))
+            base = base.join(prev, "record_id", "left")
+        else:
+            base = base.withColumn("_prev", F.lit(None).cast("boolean"))
+        is_new = F.col("_prev").isNull()
+        actions_t = schemas.HISTORY["actions"].dataType.simpleString()
+        hist = base.select(
+            "record_id",
+            (F.coalesce(F.col("_vbase"), F.lit(0)) + 1).cast("int").alias("version"),
+            "doc",
+            F.when(is_new, F.lit(user)).alias("created_user"),
+            F.when(is_new, F.lit(now)).alias("created_time"),
+            F.lit(None).cast("string").alias("deleted_user"),
+            F.lit(None).cast("timestamp").alias("deleted_time"),
+            F.lit(None).cast("string").alias("restored_user"),
+            F.lit(None).cast("timestamp").alias("restored_time"),
+            F.expr(f"cast(array() as {actions_t})").alias("actions"),
+            F.lit(None).cast("long").alias("merged_into"),
+            F.lit(None).cast("timestamp").alias("merged_time"),
+        )
+        hist.write.mode("append").parquet(self._path(name))
 
     # --- delete / restore / history -------------------------------------------
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .common import epoch_seconds
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: list[str] | tuple[str, ...] = ("user_id",),
@@ -66,7 +68,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
     m = F.col("_m")
     if tolerance_seconds is not None:
-        in_window = m[on].cast("long") >= F.col("_t").cast("long") - tolerance_seconds
+        in_window = epoch_seconds(m[on]) >= epoch_seconds(F.col("_t")) - tolerance_seconds
         m = F.when(m.isNotNull() & in_window, F.col("_m"))
 
     return matched.select(
@@ -122,10 +124,10 @@ def range_join(points: DataFrame, ranges: DataFrame, point_col: str = "ts",
     fine → range blowup.
     """
     by = list(by)
-    p = points.withColumn("_bucket", (F.col(point_col).cast("long") / bucket_seconds).cast("long"))
+    p = points.withColumn("_bucket", (epoch_seconds(point_col) / bucket_seconds).cast("long"))
     r = ranges.withColumn("_buckets", F.sequence(
-        (F.col(lo_col).cast("long") / bucket_seconds).cast("long"),
-        (F.col(hi_col).cast("long") / bucket_seconds).cast("long"),
+        (epoch_seconds(lo_col) / bucket_seconds).cast("long"),
+        (epoch_seconds(hi_col) / bucket_seconds).cast("long"),
     )).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
 
     # the interval test is part of the JOIN CONDITION (not a post-join

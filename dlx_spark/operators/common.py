@@ -4,7 +4,23 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Seconds-since-epoch as BIGINT for any temporal column.
+
+    Spark 4 forbids a direct ``TIMESTAMP_NTZ -> BIGINT`` cast
+    (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION), which is exactly what
+    the driver's ``events.ts`` parquet column is.  Routing through
+    ``cast("timestamp")`` first is legal for TIMESTAMP, TIMESTAMP_NTZ,
+    DATE and STRING alike, and is the identity for plain TIMESTAMP —
+    every piece of time arithmetic (sessionization gaps, as-of
+    tolerance, range-join bucketing) goes through this one expression
+    so the NTZ case can never regress in a single call site.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
 
 # logical-plan nodes that imply an exchange somewhere upstream; frames
 # containing them are already as wide as spark.sql.shuffle.partitions,

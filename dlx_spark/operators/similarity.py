@@ -66,11 +66,15 @@ def _signature_expr(vec_col: str, planes: np.ndarray):
 
 
 def lsh_buckets(df: DataFrame, n_planes: int = 16, seed: int = 42,
-                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                dim: int | None = None) -> DataFrame:
     """Assign each vector a random-hyperplane bucket (id, bucket, vec).
     At scale, write this out partitioned/bucketed by ``bucket`` so probe
-    queries prune partitions."""
-    dim = len(df.select(vec_col).first()[0])
+    queries prune partitions.
+
+    Pass ``dim`` to keep plan construction action-free; the ``first()``
+    probe is only a convenience fallback."""
+    dim = dim if dim is not None else len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     return spread_for_compute(df).select(F.col(id_col).alias("id"),
                      _signature_expr(vec_col, planes).alias("bucket"),
@@ -193,13 +197,17 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
 
 def knn_join(probes: DataFrame, corpus: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             n_planes: int = 6, seed: int = 42) -> DataFrame:
+             n_planes: int = 6, seed: int = 42,
+             dim: int | None = None) -> DataFrame:
     """For every probe row, its k nearest corpus rows by cosine.
 
     Bucketed equi-join on hyperplane signatures (both sides computed
     map-side) + per-probe top-k window.  Approximate: only same-bucket
-    candidates are ranked; raise n_planes for precision/speed trade."""
-    dim = len(corpus.select(vec_col).first()[0])
+    candidates are ranked; raise n_planes for precision/speed trade.
+
+    Pass ``dim`` to keep plan construction action-free; the ``first()``
+    probe is only a convenience fallback."""
+    dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
 
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"),

@@ -53,6 +53,12 @@ MARC = StructType([
     StructField("words", ArrayType(StringType()), True),
 ])
 
+# Ingest variant: identical to MARC but _id nullable — freshly parsed
+# records (mrk/xml/jsonl imports) have no id until commit_frame assigns
+# max_id + seq.
+MARC_INGEST = StructType(
+    [StructField("_id", LongType(), True)] + MARC.fields[1:])
+
 # Exploded subfields view — the query workhorse (SURVEY §1.3 repr 2)
 SUBFIELDS_EXPLODED = StructType([
     StructField("record_id", LongType(), False),

@@ -30,30 +30,21 @@ def run(argv=None) -> int:
     args = get_args(argv)
 
     from dlx_spark.session import get_spark
-    from dlx_spark.marc import AuthSet, BibSet
     from dlx_spark.marc.store import MarcStore
+    from dlx_spark.sources import marc_io
 
     spark = get_spark("marc-import")
     store = MarcStore(spark, args.store)
-    idx = store.auth_index()
-    cls = BibSet if args.type == "bib" else AuthSet
 
-    text = open(args.file, "r", encoding="utf8").read()
-    if args.format == "mrk":
-        recordset = cls.from_mrk(text, auth_control=not args.skip_auth_check,
-                                 auth_index=idx)
-    elif args.format == "xml":
-        recordset = cls.from_xml(text, auth_control=not args.skip_auth_check,
-                                 auth_index=idx)
-    else:
-        import json
-        docs = [json.loads(line) for line in text.splitlines() if line.strip()]
-        recordset = cls.from_dicts(docs, auth_index=idx)
-
-    records = list(recordset)
-    ids = store.commit(records, user=args.user,
-                       auth_check=not args.skip_auth_check)
-    print(f"imported {len(ids)} {args.type} records: {ids[:10]}{'...' if len(ids) > 10 else ''}")
+    # distributed end-to-end: executor-side parse (file splits fan out
+    # across the cluster) into nested rows, then the bulk commit_frame
+    # pipeline — record rows never materialize on the driver
+    reader = {"mrk": marc_io.read_mrk, "xml": marc_io.read_marcxml,
+              "jsonl": marc_io.read_jmarc_jsonl}[args.format]
+    df = reader(spark, args.file, record_type=args.type)
+    n = store.commit_frame(df, record_type=args.type, user=args.user,
+                           auth_check=not args.skip_auth_check)
+    print(f"imported {n} {args.type} records")
     return 0
 
 

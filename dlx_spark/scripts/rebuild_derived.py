@@ -46,11 +46,12 @@ def run(argv=None) -> int:
         t0 = time.time()
         # refresh linked-value caches from current headings, then derive;
         # _upsert stages the result before overwriting, so the lazy read
-        # of the same parquet path is safe
+        # of the same parquet path is safe.  ids=None = full-rebuild
+        # mode: the touched set is an anti-join, so no id list is ever
+        # collected to the driver (100M records = GB-scale otherwise)
         derived = mdf.derive_text_words(base, headings=headings)
         derived = mdf.derive_logical_fields(derived, rtype, headings=None)
-        ids = [r["_id"] for r in base.select("_id").collect()]
-        store._upsert(rtype, derived, ids)
+        store._upsert(rtype, derived, ids=None)
         print(f"{rtype}: rebuilt derived state for {n} records "
               f"in {time.time() - t0:.1f}s")
     return 0

@@ -80,7 +80,7 @@ def read_mrk(spark: SparkSession, path: str, record_type: str = "bib") -> DataFr
         return [_restore_xrefs_from_zero(rec, record_type).to_row()]
 
     rdd = _records_from_delimited(spark, path, "\n\n").flatMap(parse)
-    return spark.createDataFrame(rdd, schema=schemas.MARC)
+    return spark.createDataFrame(rdd, schema=schemas.MARC_INGEST)
 
 
 def read_mrc(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
@@ -100,7 +100,7 @@ def read_mrc(spark: SparkSession, path: str, record_type: str = "bib") -> DataFr
         return [_restore_xrefs_from_zero(rec, record_type).to_row()]
 
     rdd = _records_from_delimited(spark, path, "\u001d").flatMap(parse)
-    return spark.createDataFrame(rdd, schema=schemas.MARC)
+    return spark.createDataFrame(rdd, schema=schemas.MARC_INGEST)
 
 
 def read_marcxml(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
@@ -140,7 +140,7 @@ def read_marcxml(spark: SparkSession, path: str, record_type: str = "bib") -> Da
         return out
 
     rdd = _records_from_delimited(spark, path, "</record>").flatMap(parse)
-    return spark.createDataFrame(rdd, schema=schemas.MARC)
+    return spark.createDataFrame(rdd, schema=schemas.MARC_INGEST)
 
 
 def read_jmarc_jsonl(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
@@ -156,7 +156,7 @@ def read_jmarc_jsonl(spark: SparkSession, path: str, record_type: str = "bib") -
         return [cls(json.loads(line)).to_row()]
 
     rdd = spark.read.text(path).rdd.flatMap(lambda r: parse(r[0]))
-    return spark.createDataFrame(rdd, schema=schemas.MARC)
+    return spark.createDataFrame(rdd, schema=schemas.MARC_INGEST)
 
 
 def _rows_to_strings(df: DataFrame, record_type: str, fmt: str):

@@ -103,19 +103,31 @@ def incremental_commit_stream(spark: SparkSession, input_path: str, store,
     single exactly-once-per-batch pipeline.
 
     Returns the StreamingQuery; caller stops it."""
+    from dlx_spark import schemas
     from dlx_spark.marc.record import Auth, Bib
 
     cls = Bib if record_type == "bib" else Auth
     raw = spark.readStream.schema("value string").text(input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # parse executor-side (same parser as read_jmarc_jsonl) and feed
+        # the bulk commit_frame pipeline — the batch never funnels raw
+        # lines or record rows through the driver, so micro-batch size
+        # is bounded by the cluster, not driver memory
         import json
-        lines = [r["value"] for r in batch_df.collect() if r["value"] and r["value"].strip()]
-        if not lines:
+
+        def parse(line):
+            line = (line or "").strip()
+            if not line:
+                return []
+            return [cls(json.loads(line)).to_row()]
+
+        rows = batch_df.rdd.flatMap(lambda r: parse(r["value"]))
+        if rows.isEmpty():
             return
-        idx = store.auth_index()
-        records = [cls(json.loads(line), auth_index=idx) for line in lines]
-        store.commit(records, user=f"stream-batch-{batch_id}", auth_check=False)
+        nested = batch_df.sparkSession.createDataFrame(rows, schema=schemas.MARC_INGEST)
+        store.commit_frame(nested, record_type=record_type,
+                           user=f"stream-batch-{batch_id}", auth_check=False)
 
     writer = (raw.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation", checkpoint or f"{store.root}/_checkpoints/{record_type}")
