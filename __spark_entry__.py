@@ -3,8 +3,13 @@
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` maps
 every implemented SURVEY §2 / LLM-pipeline operator to a callable
 (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the DuckDB-
-equivalent SQL for every SQL-expressible entry (approximate operators —
-minhash-LSH, simhash, winnowing sketch — are rows-only by design).
+equivalent SQL for every entry except two: ``ivf_topk`` (pruned-probe
+ANN — the full machinery is oracle-checked via ``ivf_topk_exhaustive``,
+the pruned recall via pytest) and ``pack_sequences`` (sequential bin
+packing — its invariants are oracle-checked via ``pack_validity``).
+The approximate operators (minhash-LSH, simhash, hyperplane-LSH,
+winnowing sketch) ARE oracle-checked: their seeded hash families are
+engine-portable (md5) or baked into the oracle SQL as literals.
 
 Implementations live in ``dlx_spark.contract``.
 """

@@ -38,6 +38,13 @@ ORACLE: dict[str, str] = {}
 _EN = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
 _FR = ("le", "la", "les", "de", "des", "et", "est", "dans", "pour", "que")
 
+# DuckDB RE2 spells unicode escapes \x{..}; same ranges as
+# tokenizer.PUNCT_CLASS_JAVA (used by the oracles that must reproduce
+# normalized_text exactly)
+_PUNCT_DUCK = ("[\\x{0020}-\\x{002f}\\x{003a}-\\x{0040}\\x{005b}-\\x{0060}"
+               "\\x{007b}-\\x{007e}\\x{00a0}-\\x{00bf}\\x{2000}-\\x{206f}"
+               "\\x{20a0}-\\x{20cf}]+")
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver supplies its own SparkSession: pin UTC so timestamp
@@ -613,20 +620,120 @@ def ngram_jaccard(spark, sf):
     )
 
 
-@query("minhash_lsh")  # approximate by construction → rows-only check
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 42,
+                    min_match: int = 32) -> str:
+    """DuckDB SQL recomputing the ENTIRE minhash pipeline — shingles,
+    md5 shingle hashes, the seeded (a,b) permutation family baked in as
+    literals, banded candidate join, and the matching-position count —
+    so signature generation and banding are both hash-checked.  The
+    Spark side buckets on hash(slice(sig,...)); the oracle joins on the
+    slice CONTENT, which is the same grouping (a murmur collision could
+    only add a candidate, which the n_match filter then drops)."""
+    import numpy as np
+
+    p = dedup._MERSENNE
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, p, size=num_hashes).tolist()
+    b = rng.randint(0, p, size=num_hashes).tolist()
+    rows = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(xs, x -> ({ai} * (x % {p}) + {bi}) % {p}))"
+        for ai, bi in zip(a, b))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(
+                   lower(text), '{_PUNCT_DUCK}', ' ', 'g')), ' ') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 1)),
+            i -> array_to_string(t[i:i+2], ' '))) AS shs
+        FROM toks),
+    xs AS (
+        SELECT doc_id, list_transform(shs,
+            s -> CAST('0x' || substr(md5(s), 1, 8) AS UBIGINT)::BIGINT) AS xs
+        FROM sh),
+    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM xs),
+    banded AS (
+        SELECT doc_id, b, array_to_string(sig[b*{rows}+1:b*{rows}+{rows}], ',') AS key
+        FROM sig, generate_series(0, {bands - 1}) g(b)),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+    m AS (
+        SELECT id_a, id_b,
+               len(list_filter(generate_series(1, {num_hashes}),
+                               i -> sa.sig[i] = sb.sig[i])) AS n_match
+        FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+                  JOIN sig sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, CAST(n_match AS BIGINT) AS n_match
+    FROM m WHERE n_match >= {min_match}
+    """
+
+
+@query("minhash_lsh", _minhash_oracle())
 def minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup pairs (shingle → signature → banded buckets).
-    Not SQL-expressible → driver rows-only check; exactness is covered by
-    pytest against planted near-duplicates."""
+    """MinHash+LSH near-dup pairs (shingle → signature → banded buckets),
+    fully oracle-checked: the seeded permutation family is baked into the
+    oracle SQL as literals and the similarity is emitted as the integer
+    matching-position count (64ths), so there is zero float-rounding
+    exposure.  est_jaccard = n_match / 64."""
     docs = _t(spark, sf, "documents")
-    return dedup.minhash_near_duplicates(docs, threshold=0.5)
+    sigs = dedup.minhash_signatures(docs).cache()
+    cands = dedup.lsh_candidate_pairs(sigs, bands=16)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    n_match = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .withColumn("n_match", n_match.cast("long"))
+            .filter(F.col("n_match") >= 32)
+            .select("id_a", "id_b", "n_match"))
 
 
-@query("simhash")  # not SQL-expressible → rows-only check
+def _simhash_oracle() -> str:
+    """DuckDB SQL computing the EXACT same 64-bit simhash as
+    operators.dedup.simhash64_udf (token hash = first 64 bits of md5 —
+    chosen precisely so both engines agree bit-for-bit), then all pairs
+    with hamming <= 3.  The Spark side's 4x16-bit banding provably never
+    drops a hamming<=3 pair (pigeonhole), so the outputs are identical:
+    fingerprinting, banding, and the hamming filter are all hash-checked.
+    """
+    pw = ", ".join(f"({i}, {1 << i}::UBIGINT)" for i in range(64))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          t -> t != '')) AS tok
+        FROM documents),
+    th AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+        FROM toks),
+    pw(i, p) AS (VALUES {pw}),
+    bits AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th, generate_series(0, 63) g(i)
+        GROUP BY doc_id, i),
+    fp AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN p ELSE 0::UBIGINT END)
+                            AS UBIGINT) AS fp
+        FROM bits JOIN pw USING (i) GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+
+@query("simhash", _simhash_oracle())
 def simhash(spark, sf):
-    """SimHash near-dup pairs (64-bit fingerprint, banded hamming join)."""
+    """SimHash near-dup pairs (64-bit md5-token fingerprint, banded
+    hamming join).  Fully oracle-checked: the oracle recomputes the
+    fingerprints from scratch in SQL, so a regression anywhere in the
+    UDF, the banding, or the hamming filter fails the hash."""
     docs = _t(spark, sf, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=3)
+    return dedup.simhash_near_duplicates(docs, max_hamming=3) \
+        .withColumn("hamming", F.col("hamming").cast("long"))
 
 
 @query("cosine_topk", """
@@ -833,11 +940,42 @@ def quality_score(spark, sf):
     )
 
 
-@query("lsh_topk")  # approximate ANN → rows-only check
+def _plane_lit_sql(plane) -> str:
+    """A hyperplane as a DuckDB DOUBLE[] literal (full-precision reprs —
+    both engines parse the same decimal to the same IEEE double)."""
+    return "[" + ",".join(repr(float(x)) for x in plane) + "]"
+
+
+def _sig_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB expression computing the SAME sign-bit hyperplane signature
+    as operators.similarity._signature_expr: the planes are deterministic
+    (seeded numpy), so they can be baked into the oracle as literals —
+    making the LSH bucketing itself oracle-checkable."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    bits = [
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_lit_sql(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(bits)
+
+
+@query("lsh_topk", f"""
+    WITH sig AS (SELECT vec_id, embedding, ({_sig_sql(8)}) AS bucket FROM embeddings),
+         q AS (SELECT embedding AS qv, bucket AS qb FROM sig WHERE vec_id = 0)
+    SELECT s.vec_id,
+           round(list_cosine_similarity(s.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cosine
+    FROM sig s, q
+    WHERE bit_count(xor(s.bucket, q.qb)) <= 1
+    ORDER BY list_cosine_similarity(s.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, s.vec_id
+    LIMIT 10
+""")
 def lsh_topk(spark, sf):
     """hyperplane-LSH approximate nearest neighbors: scans only buckets
-    within hamming-1 of the query bucket (the 100 TB ANN path; exactness
-    vs brute force is pytest-covered)."""
+    within hamming-1 of the query bucket (the 100 TB ANN path).  The
+    seeded hyperplanes are baked into the oracle SQL as literals, so the
+    bucketing AND the pruned top-k are both hash-checked — a signature
+    or multiprobe regression now fails the oracle, not just a pytest."""
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     out = similarity.lsh_topk(emb, qvec, k=10, n_planes=8, multiprobe_hamming=1)
@@ -858,23 +996,57 @@ def ivf_topk(spark, sf):
     return out.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
-@query("knn_join")  # approximate (bucketed) → rows-only check
+@query("knn_join", f"""
+    WITH sig AS (SELECT vec_id, embedding, ({_sig_sql(4)}) AS bucket FROM embeddings)
+    SELECT probe_id, corpus_id, round(cos, 4) AS cosine, rank FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+               list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+        FROM sig p JOIN sig c ON p.bucket = c.bucket AND p.vec_id != c.vec_id
+        WHERE p.vec_id < 20)
+    WHERE rank <= 3
+""")
 def knn_join(spark, sf):
     """k-nearest-neighbors for every probe row via bucketed equi-join +
-    per-probe top-k window."""
+    per-probe top-k window.  The seeded hyperplane buckets are baked into
+    the oracle as literals, so the candidate join is hash-checked too."""
     emb = _t(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < 20)
     out = similarity.knn_join(probes, emb, k=3, n_planes=4)
-    return out.select("probe_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
+    return out.select("probe_id", "corpus_id", F.round("cosine", 4).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
 
 
-@query("fingerprint_minhash_sketch")  # rows-only: winnowing sketch
+@query("fingerprint_minhash_sketch", f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                   lower(text), '{_PUNCT_DUCK}', ' ', 'g')), ' '),
+                   x -> x != '') AS toks
+        FROM documents),
+    h AS (SELECT doc_id, list_transform(toks,
+              tk -> CAST('0x' || substr(md5(tk), 1, 8) AS UBIGINT)::BIGINT) AS hs
+          FROM t),
+    fp AS (SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 7, 1)),
+               i -> list_min(hs[i:i+7]))) AS fps
+           FROM h)
+    SELECT doc_id AS id, CAST(len(fps) AS BIGINT) AS n_grams,
+           list_min(fps) AS min_fp, list_max(fps) AS max_fp
+    FROM fp
+""")
 def fingerprint_minhash_sketch(spark, sf):
-    """document fingerprinting: winnowing sketch sizes per doc (the
-    sketch arrays themselves are pytest-covered)."""
+    """document fingerprinting: winnowing sketch per doc.  The md5-based
+    token hash makes the sketch engine-portable, so the oracle recomputes
+    the winnowing (token hashes, sliding-window minima, dedup) from
+    scratch in SQL and checks size + min/max of every doc's sketch."""
     docs = _t(spark, sf, "documents")
     fp = textstats.fingerprint(docs)
-    return fp.select("id", F.size("fingerprint").alias("n_grams"))
+    return fp.select("id", F.size("fingerprint").cast("long").alias("n_grams"),
+                     F.array_min("fingerprint").alias("min_fp"),
+                     F.array_max("fingerprint").alias("max_fp"))
 
 
 @query("multimodal_decode", """
@@ -1054,12 +1226,40 @@ def pack_sequences_q(spark, sf):
     """token-budget sample packing over the chunked corpus: FFD bin
     packing inside hash shards (value-sharded applyInPandas groups, so
     the assignment is deterministic on any cluster layout).  Bin packing
-    is not SQL-expressible → rows-only."""
+    is not SQL-expressible → rows-only; its invariants are the
+    oracle-checked `pack_validity` query."""
     chunks = chunking.chunk_documents(_t(spark, sf, "documents"),
                                       chunk_tokens=64, overlap=8,
                                       normalize=False)
     return (chunking.pack_sequences(chunks, budget=256, n_shards=16)
             .select("id", "chunk_id", "shard", "pack_id"))
+
+
+@query("pack_validity", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0),
+    s AS (SELECT doc_id, unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 56)) AS start,
+                 toks FROM t)
+    SELECT CAST(0 AS BIGINT) AS n_overfull,
+           CAST((SELECT count(*) FROM s) AS BIGINT) AS n_chunks
+""")
+def pack_validity_q(spark, sf):
+    """The bin-packing invariants as an oracle-checkable query: every
+    pack's token total fits the budget (n_overfull = 0) and every chunk
+    is assigned to exactly one pack (n_chunks equals the chunk count the
+    chunk_documents oracle independently derives).  The FFD assignment
+    itself stays rows-only (`pack_sequences`); a packing regression —
+    overfull packs, dropped or duplicated chunks — fails this hash."""
+    chunks = chunking.chunk_documents(_t(spark, sf, "documents"),
+                                      chunk_tokens=64, overlap=8,
+                                      normalize=False)
+    packed = chunking.pack_sequences(chunks, budget=256, n_shards=16)
+    per_pack = (packed.groupBy("shard", "pack_id")
+                .agg(F.sum("n_tokens").alias("tot"),
+                     F.count(F.lit(1)).alias("n")))
+    return per_pack.agg(
+        F.sum(F.when(F.col("tot") > 256, 1).otherwise(0)).cast("long").alias("n_overfull"),
+        F.sum("n").cast("long").alias("n_chunks"))
 
 
 @query("mix_corpora", """
@@ -1232,6 +1432,82 @@ def redact_pii_q(spark, sf):
     return (redact.redact_pii(docs)
             .select(F.col("id").alias("doc_id"), "clean_text",
                     "n_email", "n_ssn", "n_ip", "n_phone"))
+
+
+# ---------------------------------------------------------------------------
+# ANN / sketch verification (oracles for the approximate operators)
+# ---------------------------------------------------------------------------
+
+# The true near-dup pair set by EXACT 3-word-shingle Jaccard >= 0.5 —
+# the ground truth both approximate candidate generators must recover.
+# Raw space tokens (no normalization) for engine parity.
+_SHINGLE_PAIRS_ORACLE = """
+    WITH prepared AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        FROM documents)
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(l.sh, r.sh))), 4) AS jaccard
+    FROM prepared l JOIN prepared r ON l.doc_id < r.doc_id
+    WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5
+"""
+
+
+def _verify_pairs_exact(docs: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact-shingle-Jaccard verification of candidate (id_a, id_b)
+    pairs: the second stage of the candidates→verify near-dup pipeline.
+    Joining the (tiny) candidate set back to per-doc shingle arrays is a
+    broadcast-sized join at any corpus scale."""
+    sh = F.array_distinct(F.expr(
+        "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+        " i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))"))
+    shingled = docs.select(F.col("doc_id"), sh.alias("sh"))
+    a = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .filter(jac >= 0.5)
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))
+
+
+@query("minhash_lsh_verified", _SHINGLE_PAIRS_ORACLE)
+def minhash_lsh_verified(spark, sf):
+    """The full minhash near-dup pipeline, oracle-checked: LSH banded
+    candidates (approximate) verified by exact shingle Jaccard >= 0.5.
+    At J >= 0.85 (this corpus's near-dups) a 64-hash/16-band signature
+    misses a pair with p < 1e-5, so the emitted set equals the exact
+    all-pairs oracle — a banding or signature regression loses pairs
+    and fails the hash, which the rows-only `minhash_lsh` check never
+    caught."""
+    docs = _t(spark, sf, "documents")
+    sigs = dedup.minhash_signatures(docs, normalize=False)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=16)
+    return _verify_pairs_exact(docs, cands)
+
+
+@query("ivf_topk_exhaustive", """
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+    FROM embeddings
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+    LIMIT 10
+""")
+def ivf_topk_exhaustive(spark, sf):
+    """IVF with nprobe = n_centroids (scan every inverted list): the
+    k-means training, Arrow-batched list assignment, and rerank must
+    reproduce the exact brute-force top-k — oracle-checking the whole
+    IVF machinery.  The pruned-nprobe path stays `ivf_topk` (recall
+    bound pytest-covered)."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = similarity.ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=8)
+    return out.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

@@ -286,7 +286,10 @@ class MarcStore:
             # per-partition offsets — the only driver data is one count per
             # partition, never record rows
             if src.filter(F.col("_id").isNull()).limit(1).count() > 0:
-                base_id = self.max_id(record_type)
+                # seq base = max over store AND the frame's explicit ids,
+                # so same-frame upserts can't collide with assignments
+                frame_max = src.agg(F.max("_id")).first()[0] or 0
+                base_id = max(self.max_id(record_type), int(frame_max))
                 tmp = self._stage(
                     src.withColumn("_pid", F.spark_partition_id())
                        .withColumn("_mid", F.monotonically_increasing_id()),

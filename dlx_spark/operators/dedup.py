@@ -19,8 +19,6 @@ All operators take/return DataFrames and never collect to the driver.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -71,23 +69,31 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+                  normalize: bool = True) -> DataFrame:
     """(id, sh: array<int>) — word n-gram shingles as 32-bit hashes.
-    Pure projection (JVM expressions only)."""
+    Pure projection (JVM expressions only).  ``normalize=False`` splits
+    on plain spaces (engine-parity mode for oracle checks)."""
+    toks = (normalized_text(F.col(text_col)) if normalize else F.col(text_col))
+    # shingle hash = first 32 bits of md5 (via conv), not Spark's murmur
+    # hash(): md5 exists identically in every engine, which makes the
+    # downstream minhash signatures oracle-checkable cross-engine
     return (
         df.select(F.col(id_col).alias("id"),
-                  F.split(normalized_text(F.col(text_col)), " ").alias("toks"))
+                  F.split(toks, " ").alias("toks"))
         .withColumn("sh", F.expr(f"""
             array_distinct(transform(
                 sequence(0, greatest(size(toks) - {n}, 0)),
-                i -> hash(array_join(slice(toks, i + 1, {n}), ' '))))
+                i -> cast(conv(substring(md5(array_join(slice(toks, i + 1, {n}), ' ')),
+                               1, 8), 16, 10) as bigint)))
         """))
         .select("id", "sh")
     )
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       num_hashes: int = 64, shingle_n: int = 3, seed: int = 42) -> DataFrame:
+                       num_hashes: int = 64, shingle_n: int = 3, seed: int = 42,
+                       normalize: bool = True) -> DataFrame:
     """(id, sig: array<long>) — minhash signature per row.
 
     The permutation family h_i(x) = (a_i·x + b_i) mod p is generated
@@ -106,11 +112,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # one NULL shingle), but guard NULL/empty anyway: array_min over an
     # empty array would silently produce an all-NULL signature if the
     # shingling ever changed
-    shingled = word_shingles(spread_for_compute(df), text_col, id_col, shingle_n).withColumn(
+    shingled = word_shingles(spread_for_compute(df), text_col, id_col, shingle_n,
+                             normalize=normalize).withColumn(
         "xs", F.expr("transform(CASE WHEN sh IS NULL OR size(sh) = 0 THEN array(0) ELSE sh END,"
                      " x -> coalesce(x & 4294967295, 0))"))
+    # reduce x mod p BEFORE the multiply: a < 2^31 and x < 2^32 puts a*x
+    # right at the signed-64 edge (ANSI overflow); a * (x mod p) stays
+    # <= 2^62 in every engine
     mins = [
-        F.expr(f"array_min(transform(xs, x -> pmod({ai}L * x + {bi}L, {_MERSENNE}L)))").alias(f"h{i}")
+        F.expr(f"array_min(transform(xs, x -> pmod({ai}L * pmod(x, {_MERSENNE}L)"
+               f" + {bi}L, {_MERSENNE}L)))").alias(f"h{i}")
         for i, (ai, bi) in enumerate(zip(a, b))
     ]
     return shingled.select("id", *mins).select(
@@ -174,10 +185,15 @@ _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 
 def _token_hash64(tok: str) -> int:
+    """First 64 bits of md5 — chosen over a faster non-cryptographic
+    hash because md5 is available identically in every engine (Spark,
+    DuckDB, Python), which makes the whole simhash fingerprint
+    oracle-checkable cross-engine.  Memoized per executor; tokens repeat
+    heavily, so the amortized cost is a dict lookup."""
     h = _TOKEN_HASH_CACHE.get(tok)
     if h is None:
-        data = tok.encode("utf-8")
-        h = (zlib.crc32(data) << 32) | zlib.crc32(data[::-1] + b"\x01")
+        import hashlib
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
         if len(_TOKEN_HASH_CACHE) < 1_000_000:
             _TOKEN_HASH_CACHE[tok] = h
     return h
@@ -185,10 +201,10 @@ def _token_hash64(tok: str) -> int:
 
 @F.pandas_udf(LongType())
 def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash of whitespace tokens (crc32 ⊕ crc32(reversed) for
-    64 bits per token).  Bit-majority is vectorized with numpy per row;
-    token hashes are memoized per executor.  The whole fingerprint stage
-    is a map — zero shuffle."""
+    """64-bit SimHash of whitespace tokens (token hash = first 64 bits
+    of md5, engine-portable).  Bit-majority is vectorized with numpy per
+    row; token hashes are memoized per executor.  The whole fingerprint
+    stage is a map — zero shuffle."""
     bit_idx = np.arange(64, dtype=np.uint64)
     out = np.zeros(len(texts), dtype=np.int64)
     for row_i, t in enumerate(texts):

@@ -259,9 +259,14 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum 32-bit hash over
     each sliding window of token hashes, distinct.  (id, fingerprint:
-    array<int>).  Pure projection — robust to small edits, usable as a
-    near-dup sketch or for substring-level matching."""
+    array<bigint>).  Pure projection — robust to small edits, usable as a
+    near-dup sketch or for substring-level matching.
+
+    Token hash = first 32 bits of md5 (via conv), not Spark's murmur
+    ``hash()`` — md5 exists identically in every engine, so the whole
+    sketch is oracle-checkable cross-engine."""
     toks = tokens_col(F.col(text_col))
+    tok_hash = "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
     return df.select(
         F.col(id_col).alias("id"),
         F.array_sort(F.array_distinct(F.expr(f"""
@@ -271,6 +276,6 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 i -> array_min(transform(
                     slice(filter(split(trim(regexp_replace(lower({text_col}),
                         '{_PUNCT_SQL}', ' ')), ' '), t -> t != ''), i + 1, {window}),
-                    t -> hash(t))))
+                    {tok_hash})))
         """))).alias("fingerprint"),
     )

@@ -94,3 +94,75 @@ def test_encode_fn():
     assert encode_fn("S [2020]*x:y;z", "fr", "txt") == "S_^2020^!x#y%z-FR.txt"
     with pytest.raises(AssertionError):
         encode_fn(["x"], ["zz"], "pdf")
+
+
+# --- S3 surface (reference dlx/file/s3.py:8-44) ---------------------------
+
+class _FakeS3Client:
+    """Records upload_fileobj calls; used in place of boto3."""
+    store: dict = {}
+
+    def upload_fileobj(self, handle, bucket, key, ExtraArgs=None):
+        _FakeS3Client.store[(bucket, key)] = (handle.read(), ExtraArgs)
+
+
+def test_s3_connect_upload_reference_parity():
+    import io
+    from dlx_spark.files.s3 import S3
+
+    _FakeS3Client.store.clear()
+    S3.connected = False
+    try:
+        S3.upload(io.BytesIO(b"x"), "k", "text/plain")
+        assert False, "should raise when not connected"
+    except Exception as e:
+        assert "Not connected" in str(e)
+
+    S3.connect(bucket="b", client=_FakeS3Client())
+    assert S3.upload(io.BytesIO(b"hello"), "key1", "text/plain") is True
+    data, extra = _FakeS3Client.store[("b", "key1")]
+    assert data == b"hello"
+    assert extra == {"ContentType": "text/plain", "ContentDisposition": "inline"}
+
+
+def test_s3_uploader_filestore_hook(spark, tmp_path):
+    from dlx_spark.files import FileStore, Identifier
+    from dlx_spark.files.s3 import s3_uploader
+
+    _FakeS3Client.store.clear()
+    fs = FileStore(spark, str(tmp_path / "files"),
+                   uploader=s3_uploader("bkt", client=_FakeS3Client()))
+    rec = fs.import_from_binary(
+        b"content-bytes", identifiers=[Identifier("isbn", "x1")],
+        filename="f.txt", languages=["en"], mimetype="text/plain",
+        source="test")
+    data, extra = _FakeS3Client.store[("bkt", rec["_id"])]
+    assert data == b"content-bytes"
+    assert extra["ContentType"] == "text/plain"
+
+
+def test_s3_upload_frame_executor_side(spark, tmp_path):
+    from dlx_spark.files.s3 import upload_frame
+
+    out = str(tmp_path / "uploads")
+    import os
+    os.makedirs(out, exist_ok=True)
+
+    # defined inside the test so cloudpickle ships it by value — executor
+    # python workers can't import the test module.  Uploads land on the
+    # shared local filesystem, asserted from the driver.
+    class FsFakeClient:
+        def upload_fileobj(self, handle, bucket, key, ExtraArgs=None):
+            with open(os.path.join(out, f"{bucket}__{key}"), "wb") as f:
+                f.write(handle.read())
+            with open(os.path.join(out, f"{bucket}__{key}.meta"), "w") as f:
+                f.write(ExtraArgs["ContentType"])
+
+    df = spark.createDataFrame(
+        [("a1", bytearray(b"p1"), "image/png"), ("a2", bytearray(b"p2"), None)],
+        "_id string, payload binary, mimetype string")
+    upload_frame(df, "media", client_factory=FsFakeClient)
+    with open(os.path.join(out, "media__a1"), "rb") as f:
+        assert f.read() == b"p1"
+    with open(os.path.join(out, "media__a2.meta")) as f:
+        assert f.read() == "application/octet-stream"

@@ -346,3 +346,57 @@ def test_indicator_columns(auth_index):
     recs = list(BibSet.from_table(table, auth_control=False, auth_index=auth_index))
     f = recs[0].get_field("245")
     assert f.ind1 == "1" and f.ind2 == "2"
+
+
+# --- translated serializations (reference dlx/marc/__init__.py:1560-1608,
+# Config.auth_language_tag dlx/config.py:99-102) --------------------------
+
+TRANS_AUTH = {
+    "_id": 9,
+    "150": [{"indicators": [" ", " "],
+             "subfields": [{"code": "a", "value": "Climate change"}]}],
+    # translations live in the language tags mapped by auth_language_tag
+    "993": [{"indicators": [" ", " "],
+             "subfields": [{"code": "a", "value": "Changement climatique"}]}],
+    "994": [{"indicators": [" ", " "],
+             "subfields": [{"code": "a", "value": "Cambio climatico"}]}],
+}
+
+TRANS_BIB = {
+    "_id": 7,
+    "245": [{"indicators": [" ", " "],
+             "subfields": [{"code": "a", "value": "A title"}]}],
+    "650": [{"indicators": [" ", " "], "subfields": [{"code": "a", "xref": 9}]}],
+}
+
+
+@pytest.fixture
+def trans_bib():
+    from dlx_spark.marc import AuthSet
+    idx = AuthSet.from_dicts([TRANS_AUTH]).build_index()
+    return Bib(TRANS_BIB, auth_index=idx)
+
+
+def test_to_xml_translated(trans_bib):
+    xml_fr = trans_bib.to_xml(language="fr")
+    assert '<subfield code="a">Changement climatique</subfield>' in xml_fr
+    assert '<subfield code="0">9</subfield>' in xml_fr     # xref still emitted
+    assert "A title" in xml_fr                             # unlinked untouched
+    xml_es = trans_bib.to_xml(language="es")
+    assert "Cambio climatico" in xml_es
+    # no language -> base heading
+    assert '<subfield code="a">Climate change</subfield>' in trans_bib.to_xml()
+
+
+def test_to_mrk_translated(trans_bib):
+    assert "$aChangement climatique$09" in trans_bib.to_mrk(language="fr")
+    assert "$aClimate change$09" in trans_bib.to_mrk()
+
+
+def test_heading_value_by_language(trans_bib):
+    auth = trans_bib.get_field("650").subfields[0]._auth_index.get(9)
+    assert auth.heading_value("a") == "Climate change"
+    assert auth.heading_value("a", "fr") == "Changement climatique"
+    assert auth.heading_value("a", "es") == "Cambio climatico"
+    # unmapped language falls back to None (reference returns None)
+    assert auth.heading_value("a", "zz") is None

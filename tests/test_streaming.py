@@ -164,3 +164,36 @@ def test_stateless_operators_compose_with_streams(spark, tmp_path):
 
     scored = quality_score(stream)
     assert scored.isStreaming
+
+
+def test_incremental_commit_stream_large_batch_distributed(spark, tmp_path):
+    """Batch-size robustness for the streaming ingest sink: a 2k-record
+    micro-batch (mixed new/id-less rows) commits through the distributed
+    commit_frame path — ids assigned as a dense max+seq sequence, history
+    versioned, no record rows on the driver (the sink parses executor-
+    side; there is no collect() of raw lines to funnel through)."""
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_big"))
+    inbox = tmp_path / "inbox_big"
+    inbox.mkdir()
+    n = 2000
+    lines = []
+    for i in range(n):
+        doc = {"245": [{"indicators": [" ", " "],
+                        "subfields": [{"code": "a", "value": f"Doc number {i}"}]}]}
+        if i % 2 == 0:
+            doc["_id"] = i + 1           # half carry explicit ids
+        lines.append(json.dumps(doc))
+    (inbox / "big.jsonl").write_text("\n".join(lines))
+
+    q = streaming.incremental_commit_stream(spark, str(inbox), store)
+    assert q.awaitTermination(300)
+
+    bibs = store.bibs()
+    assert bibs.count() == n
+    # explicit (odd) ids kept; id-less rows got a dense max+seq block
+    # starting above the batch max (1999 -> 2000..2999)
+    ids = sorted(r["_id"] for r in bibs.select("_id").collect())
+    assert ids == sorted(list(range(1, n, 2)) + list(range(n, n + n // 2)))
+    assert store.history_df("bib").count() == n
