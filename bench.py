@@ -20,6 +20,8 @@ HEADLINE = [
     "latest_by_key",
     "topk_per_group",
     "sessionization",
+    "asof_join",
+    "range_join",
     "windowed_agg",
     "dedup_exact",
     "ngram_jaccard",

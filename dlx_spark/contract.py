@@ -1459,12 +1459,17 @@ _SHINGLE_PAIRS_ORACLE = """
 def _verify_pairs_exact(docs: DataFrame, cands: DataFrame) -> DataFrame:
     """Exact-shingle-Jaccard verification of candidate (id_a, id_b)
     pairs: the second stage of the candidates→verify near-dup pipeline.
-    Joining the (tiny) candidate set back to per-doc shingle arrays is a
-    broadcast-sized join at any corpus scale."""
+    Only docs that appear in a candidate pair are shingled (semi-join
+    pruning) — at corpus scale the candidate set is tiny, so the verify
+    stage never rescans the full table."""
+    cand_ids = (cands.select(F.col("id_a").alias("doc_id"))
+                .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+                .distinct())
     sh = F.array_distinct(F.expr(
         "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
         " i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))"))
-    shingled = docs.select(F.col("doc_id"), sh.alias("sh"))
+    shingled = (docs.join(cand_ids, "doc_id", "left_semi")
+                .select(F.col("doc_id"), sh.alias("sh")))
     a = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -590,29 +590,38 @@ class MarcStore:
         if idx.get(gaining_id) is None or idx.get(losing_id) is None:
             raise Exception("both auths must exist")
 
+        # losing→gaining rewrite + post-rewrite field dedup as pure array
+        # expressions, committed through the distributed commit_frame —
+        # an auth attached to 100k bibs rewrites with cluster
+        # parallelism, no record rows on the driver.  The rewritten
+        # subfield's cached value is NULLed; commit_frame's derive
+        # re-resolves it from the gaining auth's heading.
+        rewrite = f"""transform(datafields, f -> struct(
+            f.tag as tag, f.ind1 as ind1, f.ind2 as ind2,
+            transform(f.subfields, s -> IF(s.xref = {losing_id}L,
+                named_struct('code', s.code, 'value', CAST(NULL AS STRING),
+                             'xref', {gaining_id}L),
+                s)) as subfields))"""
+        # duplicate-field signature parity with Datafield.signature():
+        # tag, indicators, and per-subfield (code, xref-or-value) — the
+        # cached value of a LINKED subfield must not distinguish fields
+        sig = lambda v: (
+            f"struct({v}.tag, {v}.ind1, {v}.ind2, "
+            f"transform({v}.subfields, s -> struct(s.code, "
+            f"IF(s.xref IS NOT NULL, CAST(NULL AS STRING), s.value), s.xref)))")
+        dedup_fields = (f"filter(_dfrw, (f, i) -> NOT exists(slice(_dfrw, 1, i), "
+                        f"g -> {sig('g')} <=> {sig('f')}))")
+
         for rtype in ("bib", "auth"):
-            attached_rows = mdf.in_use(self.table(rtype), losing_id).collect()
-            if not attached_rows:
+            attached = mdf.in_use(self.table(rtype), losing_id)
+            if attached.limit(1).count() == 0:
                 continue
-            updated = []
-            for row in attached_rows:
-                rec = _RECORD_CLASS[rtype].from_row(row, auth_index=idx)
-                for field in rec.fields:
-                    if not isinstance(field, Datafield):
-                        continue
-                    for i, sub in enumerate(field.subfields):
-                        if isinstance(sub, Linked) and sub.xref == losing_id:
-                            field.subfields[i] = Linked(sub.code, gaining_id, auth_index=idx)
-                # drop duplicate fields after rewrite (reference 2181-2182)
-                seen, unique = set(), []
-                for f in rec.fields:
-                    sig = f.signature() if isinstance(f, Datafield) else (f.tag, f.value)
-                    if sig not in seen:
-                        seen.add(sig)
-                        unique.append(f)
-                rec.fields = unique
-                updated.append(rec)
-            self.commit(updated, user=user, now=now, update_attached=False)
+            rewritten = (attached
+                         .withColumn("_dfrw", F.expr(rewrite))
+                         .withColumn("datafields", F.expr(dedup_fields))
+                         .drop("_dfrw"))
+            self.commit_frame(rewritten, record_type=rtype, user=user, now=now,
+                              auth_check=False)
 
         self.delete("auth", losing_id, user=user, now=now)
         log_row = [{"gaining": gaining_id, "losing": losing_id, "user": user, "time": now}]
@@ -633,9 +642,11 @@ class MarcStore:
     def _propagate_heading_changes(self, changed_ids: list[int], user: str,
                                    now: datetime) -> None:
         """Recommit every record attached to a changed auth so cached
-        linked values, text/words and logical fields refresh.  One batch
-        per record type; recursion guarded (update_attached=False)."""
-        idx = self.auth_index()
+        linked values, text/words and logical fields refresh.  One
+        DISTRIBUTED commit_frame batch per record type (the derive step
+        re-resolves linked values from the just-committed headings) —
+        attached sets of any size propagate without a driver collect.
+        Recursion is structural: commit_frame never propagates."""
 
         def linked_to(aid: int):
             def field_pred(f):
@@ -643,26 +654,16 @@ class MarcStore:
             return F.exists("datafields", field_pred)
 
         for rtype in ("bib", "auth"):
-            table = self.table(rtype)
             pred = None
             for aid in changed_ids:
                 p = linked_to(aid)
                 pred = p if pred is None else (pred | p)
-            attached_rows = table.filter(pred).collect() if pred is not None else []
-            if rtype == "auth":
-                attached_rows = [r for r in attached_rows if r["_id"] not in changed_ids]
-            if not attached_rows:
+            if pred is None:
                 continue
-            recs = [_RECORD_CLASS[rtype].from_row(r, auth_index=idx) for r in attached_rows]
-            for rec in recs:
-                self._refresh_cached_values(rec, idx)
-            self.commit(recs, user=user, now=now, auth_check=False, update_attached=False)
-
-    @staticmethod
-    def _refresh_cached_values(rec: Marc, idx: AuthIndex) -> None:
-        for field in rec.fields:
-            if isinstance(field, Datafield):
-                for sub in field.subfields:
-                    if isinstance(sub, Linked):
-                        sub._auth_index = idx
-                        sub._cached = None
+            attached = self.table(rtype).filter(pred)
+            if rtype == "auth":
+                attached = attached.filter(~F.col("_id").isin(changed_ids))
+            if attached.limit(1).count() == 0:
+                continue
+            self.commit_frame(attached, record_type=rtype, user=user, now=now,
+                              auth_check=False)

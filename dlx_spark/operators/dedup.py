@@ -112,16 +112,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # one NULL shingle), but guard NULL/empty anyway: array_min over an
     # empty array would silently produce an all-NULL signature if the
     # shingling ever changed
+    # reduce x mod p ONCE here, not inside each of the 64 min-exprs:
+    # a < 2^31 times an unreduced x < 2^32 sits right at the signed-64
+    # edge (ANSI overflow); a * (x mod p) stays <= 2^62 in every engine
     shingled = word_shingles(spread_for_compute(df), text_col, id_col, shingle_n,
                              normalize=normalize).withColumn(
         "xs", F.expr("transform(CASE WHEN sh IS NULL OR size(sh) = 0 THEN array(0) ELSE sh END,"
-                     " x -> coalesce(x & 4294967295, 0))"))
-    # reduce x mod p BEFORE the multiply: a < 2^31 and x < 2^32 puts a*x
-    # right at the signed-64 edge (ANSI overflow); a * (x mod p) stays
-    # <= 2^62 in every engine
+                     f" x -> pmod(coalesce(x & 4294967295, 0), {_MERSENNE}L))"))
     mins = [
-        F.expr(f"array_min(transform(xs, x -> pmod({ai}L * pmod(x, {_MERSENNE}L)"
-               f" + {bi}L, {_MERSENNE}L)))").alias(f"h{i}")
+        F.expr(f"array_min(transform(xs, x -> pmod({ai}L * x + {bi}L, {_MERSENNE}L)))").alias(f"h{i}")
         for i, (ai, bi) in enumerate(zip(a, b))
     ]
     return shingled.select("id", *mins).select(
