@@ -1515,6 +1515,66 @@ def ivf_topk_exhaustive(spark, sf):
     return out.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+@query("approx_distinct_tokens", """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_n,
+           true AS hll_within_5pct
+    FROM tok GROUP BY lang ORDER BY lang
+""")
+def approx_distinct_tokens(spark, sf):
+    """HyperLogLog distinct-token counts per language — the sketch every
+    100 TB cardinality estimate uses (one pass, mergeable, no shuffle of
+    raw values).  Sketches differ across engines, so the check is a
+    property: the exact count must hash-match AND the HLL estimate must
+    sit within its 5% error envelope (rsd=0.02 → drift fails the gate)."""
+    tok = (_t(spark, sf, "documents")
+           .select("lang", F.explode(F.split("text", " ")).alias("tok")))
+    return (tok.groupBy("lang")
+            .agg(F.count_distinct("tok").alias("exact_n"),
+                 F.approx_count_distinct("tok", rsd=0.02).alias("hll_n"))
+            .select("lang", F.col("exact_n").cast("long").alias("exact_n"),
+                    (F.abs(F.col("hll_n") - F.col("exact_n"))
+                     <= 0.05 * F.col("exact_n")).alias("hll_within_5pct"))
+            .orderBy("lang"))
+
+
+@query("approx_quantile_value", """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS p50_ok, true AS p95_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+""")
+def approx_quantile_value(spark, sf):
+    """Greenwald-Khanna quantile sketch per event type (the mergeable
+    one-pass quantile every large-scale profile job uses).  Property
+    check: the sketch's p50/p95 must land within the value range of
+    ranks ±1% around the target rank, computed exactly in the same job
+    (exact rank bounds via window; the oracle pins group counts and the
+    two booleans)."""
+    ev = _t(spark, sf, "events")
+    approx = (ev.groupBy("event_type")
+              .agg(F.percentile_approx("value", [0.5, 0.95], 10000).alias("q"),
+                   F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select("event_type", "value", F.row_number().over(w).alias("rk"))
+    bounds = (ranked.join(approx.select("event_type", "n"), "event_type")
+              .groupBy("event_type")
+              .agg(*[F.min(F.when((F.col("rk") >= F.floor(q * F.col("n") - 0.01 * F.col("n")))
+                                  & (F.col("rk") <= F.ceil(q * F.col("n") + 0.01 * F.col("n"))),
+                                  F.col("value"))).alias(f"lo_{name}")
+                     for q, name in [(0.5, "p50"), (0.95, "p95")]],
+                   *[F.max(F.when((F.col("rk") >= F.floor(q * F.col("n") - 0.01 * F.col("n")))
+                                  & (F.col("rk") <= F.ceil(q * F.col("n") + 0.01 * F.col("n"))),
+                                  F.col("value"))).alias(f"hi_{name}")
+                     for q, name in [(0.5, "p50"), (0.95, "p95")]]))
+    return (approx.join(bounds, "event_type")
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    ((F.col("q")[0] >= F.col("lo_p50")) & (F.col("q")[0] <= F.col("hi_p50"))).alias("p50_ok"),
+                    ((F.col("q")[1] >= F.col("lo_p95")) & (F.col("q")[1] <= F.col("hi_p95"))).alias("p95_ok"))
+            .orderBy("event_type"))
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship: the pricing-summary aggregate at sf0.001."""
     return agg_summary(spark, "/root/testdata/sf0.001")

@@ -271,6 +271,8 @@ class MarcStore:
         name = "bibs" if record_type == "bib" else "auths"
         src = self._stage(df, f"_stage_ingest_{name}")
         try:
+            if src.limit(1).count() == 0:
+                return 0
             # distributed auth validation: every xref must exist in auths
             if auth_check:
                 bad = (mdf.explode_subfields(src, record_type)
