@@ -1575,6 +1575,26 @@ def approx_quantile_value(spark, sf):
             .orderBy("event_type"))
 
 
+@query("salted_group_counts", """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+""")
+def salted_group_counts(spark, sf):
+    """Skew-safe aggregation (operators/skew.py): two-stage salted
+    count + salted exact-distinct, verified against the plain GROUP BY
+    oracle — the salting must be a pure execution-strategy change with
+    zero effect on results.  This is the pattern for hot keys whose
+    single reducer would bottleneck a 100 TB aggregate."""
+    from dlx_spark.operators import skew
+
+    ev = _t(spark, sf, "events")
+    counts = skew.salted_group_count(ev, "user_id")
+    distinct = skew.salted_count_distinct(ev, "user_id", "event_type")
+    return (counts.join(distinct, "user_id")
+            .select("user_id", "n", F.col("n_distinct").alias("n_types")))
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship: the pricing-summary aggregate at sf0.001."""
     return agg_summary(spark, "/root/testdata/sf0.001")
