@@ -255,3 +255,20 @@ def test_import_batch_validates_before_upload(spark, tmp_path):
              "languages": ["EN"], "mimetype": "t", "source": "s"},
         ])
     assert uploaded == []  # nothing uploaded before the conflict surfaced
+
+
+def test_every_contract_query_is_oracle_checked_or_whitelisted():
+    """Coverage invariant: every queries() entry must have a DuckDB
+    oracle; rows-only checks are reserved for the two genuinely
+    non-SQL-expressible operators, each of which carries an
+    oracle-checked companion (ivf_topk -> ivf_topk_exhaustive,
+    pack_sequences -> pack_validity).  A new query added without an
+    oracle fails here instead of silently weakening the gate."""
+    from dlx_spark import contract
+
+    rows_only_allowed = {"ivf_topk", "pack_sequences"}
+    missing = set(contract.Q) - set(contract.ORACLE) - rows_only_allowed
+    assert not missing, f"queries without oracle or whitelist entry: {sorted(missing)}"
+    # the whitelisted ops' companions must exist and be oracle-checked
+    assert "ivf_topk_exhaustive" in contract.ORACLE
+    assert "pack_validity" in contract.ORACLE
