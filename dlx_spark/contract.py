@@ -1595,6 +1595,31 @@ def salted_group_counts(spark, sf):
             .select("user_id", "n", F.col("n_distinct").alias("n_types")))
 
 
+# GPT-2-style pretokenizer, ASCII classes only so the Java and RE2
+# regex engines agree: contraction suffixes, space-prefixed letter runs,
+# digit runs, punctuation runs, residual whitespace
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@query("token_count_bpe", f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+""")
+def token_count_bpe(spark, sf):
+    """BPE-style token counting: a GPT-2-ish pretokenizer regex (the
+    standard proxy for LLM token budgets when the real tokenizer isn't
+    on the cluster) next to the whitespace count.  regexp_count is pure
+    JVM — no UDF in the hot path."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_PAT)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"))
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship: the pricing-summary aggregate at sf0.001."""
     return agg_summary(spark, "/root/testdata/sf0.001")
