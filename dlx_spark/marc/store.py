@@ -122,7 +122,15 @@ class MarcStore:
     # --- reads ---------------------------------------------------------------
 
     def get(self, record_type: str, rid: int) -> Marc | None:
-        rows = self.table(record_type).filter(F.col("_id") == rid).collect()
+        # prune to the one pt bucket holding this id (pt = _id % N) so a
+        # point read lists/scans 1/N of the table's files
+        name = "bibs" if record_type == "bib" else "auths"
+        if not self._exists(name):
+            return None
+        rows = (self.spark.read.parquet(self._path(name))
+                .filter((F.col("pt") == int(rid) % self.N_BUCKETS)
+                        & (F.col("_id") == rid))
+                .drop("pt").collect())
         if not rows:
             return None
         return _RECORD_CLASS[record_type].from_row(rows[0], auth_index=self.auth_index())
@@ -406,6 +414,23 @@ class MarcStore:
         (self._with_bucket(staged)
          .write.mode("overwrite").partitionBy("pt").parquet(path))
         self._unstage(f"_stage_{name}")
+
+    def compact(self, record_type: str) -> None:
+        """Fold the small files that per-commit dynamic overwrites leave
+        behind into one file per pt bucket — the maintenance job any
+        upsert-heavy parquet layout needs (the Delta/Iceberg OPTIMIZE
+        analog).  One distributed rewrite; no rows touch the driver."""
+        name = "bibs" if record_type == "bib" else "auths"
+        if not self._exists(name):
+            return
+        live = self.spark.read.parquet(self._path(name))
+        staged = self._stage(
+            live.repartition(self.N_BUCKETS, "pt").drop("pt"),
+            f"_stage_compact_{name}")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (self._with_bucket(staged)
+         .write.mode("overwrite").partitionBy("pt").parquet(self._path(name)))
+        self._unstage(f"_stage_compact_{name}")
 
     def _stage(self, df: DataFrame, name: str) -> DataFrame:
         p = self._path(name)

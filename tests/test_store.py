@@ -194,3 +194,40 @@ def test_commit_frame_bulk_ingest_distributed(spark, tmp_path):
     hist = store.history_df("bib")
     assert hist.count() == n + 1500
     assert hist.filter(F.col("version") == 2).count() == 1000
+
+
+def test_get_prunes_to_one_bucket(store):
+    """Point reads must filter on the pt partition column so the scan
+    prunes to 1/N of the table's partition directories."""
+    rec = store.get("bib", 1)
+    assert rec is not None and rec.id == 1
+    # plan-level: the partition filter must appear in a pruned read
+    from pyspark.sql import functions as F
+    name = "bibs"
+    df = (store.spark.read.parquet(store._path(name))
+          .filter((F.col("pt") == 1 % store.N_BUCKETS) & (F.col("_id") == 1)))
+    plan = df._jdf.queryExecution().executedPlan().toString().replace("\n", " ")
+    assert "PartitionFilters" in plan and "pt" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_compact_folds_files(spark, tmp_path):
+    import glob
+    from dlx_spark.marc.record import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_compact"))
+    # several commits -> several file generations per bucket
+    for wave in range(3):
+        recs = [Bib({"245": [{"indicators": [" ", " "],
+                              "subfields": [{"code": "a", "value": f"w{wave} r{i}"}]}]})
+                for i in range(8)]
+        store.commit(recs, auth_check=False)
+    before = len(glob.glob(str(tmp_path / "wh_compact" / "bibs" / "pt=*" / "*.parquet")))
+    n_before = store.bibs().count()
+    store.compact("bib")
+    after = len(glob.glob(str(tmp_path / "wh_compact" / "bibs" / "pt=*" / "*.parquet")))
+    assert store.bibs().count() == n_before == 24
+    assert after <= store.N_BUCKETS
+    assert after < before
+    # content unchanged
+    assert store.get("bib", 1).get_value("245", "a") == "w0 r0"
