@@ -94,6 +94,16 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id",
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream.  The static side re-resolves per micro-batch (so a refreshed
+    dimension table is picked up) and broadcasts when small — the
+    standard shape for decorating an event stream with slowly-changing
+    reference data at any scale."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def incremental_commit_stream(spark: SparkSession, input_path: str, store,
                               record_type: str = "bib",
                               checkpoint: str | None = None):
@@ -109,7 +119,24 @@ def incremental_commit_stream(spark: SparkSession, input_path: str, store,
     cls = Bib if record_type == "bib" else Auth
     raw = spark.readStream.schema("value string").text(input_path)
 
+    import os
+
+    commits_log = os.path.join(store.root, f"_stream_commits_{record_type}")
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: after a crash the last batch
+        # replays, and replaying a commit is NOT idempotent here (id-less
+        # rows would get fresh ids; history would double-append).  The
+        # batch-id ledger turns it exactly-once: skip batches already
+        # recorded, record AFTER the commit lands.
+        session = batch_df.sparkSession
+        if os.path.isdir(commits_log) and any(
+                f.endswith(".parquet") for f in os.listdir(commits_log)):
+            seen = session.read.parquet(commits_log) \
+                .filter(F.col("batch_id") == batch_id).limit(1).count()
+            if seen:
+                return
+
         # parse executor-side (same parser as read_jmarc_jsonl) and feed
         # the bulk commit_frame pipeline — the batch never funnels raw
         # lines or record rows through the driver, so micro-batch size
@@ -123,11 +150,12 @@ def incremental_commit_stream(spark: SparkSession, input_path: str, store,
             return [cls(json.loads(line)).to_row()]
 
         rows = batch_df.rdd.flatMap(lambda r: parse(r["value"]))
-        if rows.isEmpty():
-            return
-        nested = batch_df.sparkSession.createDataFrame(rows, schema=schemas.MARC_INGEST)
-        store.commit_frame(nested, record_type=record_type,
-                           user=f"stream-batch-{batch_id}", auth_check=False)
+        if not rows.isEmpty():
+            nested = session.createDataFrame(rows, schema=schemas.MARC_INGEST)
+            store.commit_frame(nested, record_type=record_type,
+                               user=f"stream-batch-{batch_id}", auth_check=False)
+        (session.createDataFrame([(int(batch_id),)], "batch_id long")
+         .write.mode("append").parquet(commits_log))
 
     writer = (raw.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation", checkpoint or f"{store.root}/_checkpoints/{record_type}")

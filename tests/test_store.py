@@ -231,3 +231,29 @@ def test_compact_folds_files(spark, tmp_path):
     assert after < before
     # content unchanged
     assert store.get("bib", 1).get_value("245", "a") == "w0 r0"
+
+
+def test_commit_frame_distributed_auth_check(spark, tmp_path, auth_docs):
+    """commit_frame's join-based auth validation: a frame with an xref
+    that no auth satisfies must raise InvalidAuthXref; valid xrefs pass
+    and resolve their heading values at derive time."""
+    from dlx_spark.marc.record import InvalidAuthXref
+    from dlx_spark.marc import Auth
+
+    store = MarcStore(spark, str(tmp_path / "wh_authchk"))
+    store.commit([Auth(d) for d in auth_docs], user="seed", now=T0)
+
+    def frame(xref):
+        return spark.createDataFrame([{
+            "_id": None,
+            "datafields": [{"tag": "650", "ind1": " ", "ind2": " ",
+                            "subfields": [{"code": "a", "value": None, "xref": xref}]}],
+        }], schema=__import__("dlx_spark.schemas", fromlist=["MARC_INGEST"]).MARC_INGEST)
+
+    with pytest.raises(InvalidAuthXref):
+        store.commit_frame(frame(99), record_type="bib", user="u")
+
+    assert store.commit_frame(frame(1), record_type="bib", user="u") == 1
+    row = store.bibs().first()    # bib ids count separately from auths -> id 1
+    sub = [s for f in row["datafields"] if f["tag"] == "650" for s in f["subfields"]][0]
+    assert sub["value"] == "Header" and sub["xref"] == 1

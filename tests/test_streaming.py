@@ -197,3 +197,51 @@ def test_incremental_commit_stream_large_batch_distributed(spark, tmp_path):
     ids = sorted(r["_id"] for r in bibs.select("_id").collect())
     assert ids == sorted(list(range(1, n, 2)) + list(range(n, n + n // 2)))
     assert store.history_df("bib").count() == n
+
+
+def test_incremental_commit_stream_batch_ledger_idempotent(spark, tmp_path):
+    """The batch-id ledger makes foreachBatch replay harmless: manually
+    re-running a recorded batch must not re-commit (no duplicate ids, no
+    extra history versions)."""
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_ledger"))
+    inbox = tmp_path / "inbox_ledger"
+    inbox.mkdir()
+    doc = {"245": [{"indicators": [" ", " "],
+                    "subfields": [{"code": "a", "value": "Ledger doc"}]}]}
+    (inbox / "b1.jsonl").write_text(json.dumps(doc))
+
+    q = streaming.incremental_commit_stream(spark, str(inbox), store)
+    assert q.awaitTermination(120)
+    assert store.bibs().count() == 1
+
+    # simulate a replay of batch 0: run the stream again with a FRESH
+    # checkpoint (so Spark re-delivers the same file as batch 0); the
+    # ledger must swallow it
+    q2 = streaming.incremental_commit_stream(
+        spark, str(inbox), store,
+        checkpoint=str(tmp_path / "ck_replay"))
+    assert q2.awaitTermination(120)
+    assert store.bibs().count() == 1
+    assert store.history_df("bib").count() == 1
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], "user_id long, tier string")
+    events_dir = tmp_path / "enrich_events"
+    events_dir.mkdir()
+    rows = [{"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1,
+             "event_type": "view", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:06:00", "user_id": 3,
+             "event_type": "view", "value": 2.0, "props": "{}"}]
+    (events_dir / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    ev = streaming.read_events_stream(spark, str(events_dir))
+    out = streaming.enrich_stream(ev, dim)
+    q = (out.writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r.event_id: r.tier for r in spark.sql("select * from enriched").collect()}
+    assert got == {1: "gold", 2: None}
