@@ -181,6 +181,11 @@ class Subfield:
     def to_dict(self) -> dict:
         raise NotImplementedError
 
+    @classmethod
+    def is_linked(cls) -> bool:
+        """Reference parity (dlx/marc/__init__.py:2678-2683)."""
+        return cls.__name__ == "Linked"
+
 
 class Literal(Subfield):
     def __init__(self, code: str, value: str | None = None):
@@ -775,6 +780,61 @@ class Marc:
     def is_diff(self, other: "Marc") -> bool:
         return Diff(self, other).different
 
+    def get_text(self, tag):
+        """Reference parity: Marc.get_text is an unimplemented stub in
+        the reference too (dlx/marc/__init__.py:749-750)."""
+        return None
+
+    # --- deprecated matcher shims (reference dlx/marc/__init__.py:491-568) —
+    # kept for API parity; data source is an explicit DataFrame instead of
+    # the reference's global DB handle
+
+    @classmethod
+    def set_class(cls):
+        """The companion set class (reference Bib.set_class/Auth.set_class);
+        resolved lazily to avoid the record<->set import cycle."""
+        from dlx_spark.marc import set as mset
+        return mset.BibSet if cls.record_type == "bib" else mset.AuthSet
+
+    @classmethod
+    def match_id(cls, df, idx, auth_index: AuthIndex | None = None):
+        import warnings
+        warnings.warn("match_id() is deprecated. Use MarcStore.get() / "
+                      "MarcSet.from_ids()", DeprecationWarning, stacklevel=2)
+        recs = list(cls.set_class().from_ids(df, [idx], auth_index=auth_index))
+        return recs[0] if recs else None
+
+    @classmethod
+    def match_ids(cls, df, *ids, auth_index: AuthIndex | None = None):
+        import warnings
+        warnings.warn("match_ids() is deprecated. Use MarcSet.from_ids()",
+                      DeprecationWarning, stacklevel=2)
+        yield from cls.set_class().from_ids(df, list(ids), auth_index=auth_index)
+
+    @classmethod
+    def match(cls, df, *matchers, auth_index: AuthIndex | None = None):
+        import warnings
+        warnings.warn("match() is deprecated. Use MarcSet.from_query()",
+                      DeprecationWarning, stacklevel=2)
+        for m in matchers:
+            yield from cls.set_class().from_query(df, m, auth_index=auth_index)
+
+    @classmethod
+    def find(cls, df, predicate, auth_index: AuthIndex | None = None):
+        import warnings
+        warnings.warn("find() is deprecated. Use MarcSet.from_query()",
+                      DeprecationWarning, stacklevel=2)
+        yield from cls.set_class().from_query(df, predicate, auth_index=auth_index)
+
+    @classmethod
+    def find_one(cls, df, predicate, auth_index: AuthIndex | None = None):
+        import warnings
+        warnings.warn("find_one() is deprecated. Use Marc.from_query()",
+                      DeprecationWarning, stacklevel=2)
+        for rec in cls.set_class().from_query(df, predicate, auth_index=auth_index):
+            return rec
+        return None
+
 
 class Bib(Marc):
     record_type = "bib"
@@ -790,6 +850,28 @@ class Bib(Marc):
 
     def date(self) -> str:
         return self.get_value("269", "a")
+
+    def files(self, file_store, *langs) -> list[str]:
+        """URIs of the latest file per language for this bib's symbol
+        (reference Bib.files, dlx/marc/__init__.py:1815-1825).  The data
+        source is an explicit FileStore instead of the global DB."""
+        from dlx_spark.files import Identifier
+        langs = list(langs) or ["AR", "ZH", "EN", "FR", "ES", "RU", "DE"]
+        symbol = self.symbol()
+        out = []
+        for lang in langs:
+            f = file_store.latest_by_identifier_language(
+                Identifier("symbol", symbol), lang)
+            if f is not None:
+                out.append(f["uri"])
+        return out
+
+    def file(self, file_store, lang: str) -> str | None:
+        """URI of the latest file in ``lang`` (reference Bib.file)."""
+        from dlx_spark.files import Identifier
+        f = file_store.latest_by_identifier_language(
+            Identifier("symbol", self.symbol()), lang)
+        return f["uri"] if f is not None else None
 
 
 class Auth(Marc):
@@ -814,6 +896,61 @@ class Auth(Marc):
             tf = self.get_field(ttag)
             return tf.get_value(code) if tf else None
         return hf.get_value(code) or None
+
+    @classmethod
+    def build_cache(cls, store) -> AuthIndex:
+        """Reference Auth.build_cache (dlx/marc/__init__.py:1842-1874):
+        prime the lookup cache for long batch operations.  Here that IS
+        the store's memoized AuthIndex."""
+        return store.auth_index()
+
+    @classmethod
+    def partial_lookup(cls, headings, tag: str, code: str, string: str, *,
+                       record_type: str, limit: int = 25) -> list[tuple[str, int]]:
+        """Typeahead lookup (reference Auth.partial_lookup,
+        dlx/marc/__init__.py:1996-2041): (value, xref) pairs whose
+        heading matches ``string``, resolved through the bib/auth field's
+        authority source tag.  ``headings`` is the auth-headings
+        DataFrame (store.headings())."""
+        auth_tag = config.authority_source_tag(record_type, tag, code)
+        if auth_tag is None:
+            return []
+        from dlx_spark.marc import dataframe as mdf
+        rows = mdf.partial_lookup(headings, string, code=code, tag=auth_tag,
+                                  limit=limit).collect()
+        return [(r["value"], r["auth_id"]) for r in rows]
+
+    def in_use(self, store, *, usage_type: str | None = None) -> Optional[int]:
+        """Count of records referencing this auth (reference
+        dlx/marc/__init__.py:2091-2125)."""
+        if not self.id:
+            return None
+        from dlx_spark.marc import dataframe as mdf
+        def count(table):
+            return mdf.in_use(table, self.id).count()
+        if usage_type is None:
+            return count(store.bibs()) + count(store.auths())
+        if usage_type == "bib":
+            return count(store.bibs())
+        if usage_type == "auth":
+            return count(store.auths())
+        raise Exception("Invalid usage_type")
+
+    def list_attached(self, store, usage_type: str | None = None) -> list["Marc"]:
+        """Records attached to this auth (reference
+        dlx/marc/__init__.py:2127-2141)."""
+        from dlx_spark.marc import dataframe as mdf
+        idx = store.auth_index()
+        def records(table, cls_):
+            return [cls_.from_row(r, auth_index=idx)
+                    for r in mdf.in_use(table, self.id).collect()]
+        if usage_type == "bib":
+            return records(store.bibs(), Bib)
+        if usage_type == "auth":
+            return records(store.auths(), Auth)
+        if usage_type is None:
+            return records(store.bibs(), Bib) + records(store.auths(), Auth)
+        raise Exception('Invalid "usage_type"')
 
 
 class Diff:

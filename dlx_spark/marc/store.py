@@ -604,6 +604,14 @@ class MarcStore:
             out = out.filter(F.col("deleted_time") < date_to)
         return out
 
+    def deleted_by_date(self, record_type: str, date_from: datetime,
+                        date_to: datetime | None = None):
+        """Yield ids of records deleted (and not restored) in the window
+        (reference History.deleted_by_date, dlx/marc/__init__.py:2372-2384)."""
+        out = self.find_deleted(record_type, date_from=date_from, date_to=date_to)
+        for row in out.orderBy("record_id").collect():
+            yield row["record_id"]
+
     # --- auth merge -----------------------------------------------------------
 
     def merge(self, gaining_id: int, losing_id: int, user: str = "admin",

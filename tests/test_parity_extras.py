@@ -199,3 +199,93 @@ def test_update_auth_use_counts(spark, tmp_path, auth_docs, bib_docs):
     st.commit([Bib(d, auth_index=idx) for d in bib_docs], now=T0)
     counts = {r.auth_id: r.bib_use_count for r in st.update_auth_use_counts().collect()}
     assert counts == {1: 2, 2: 1}
+
+
+# --- deprecated matcher shims + auth facade (reference parity round 2) ---
+
+def test_deprecated_matcher_shims(spark, bibs_df, auth_index):
+    import warnings
+    from dlx_spark.marc import Bib
+    from dlx_spark.marc.query import Condition
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rec = Bib.match_id(bibs_df, 1, auth_index=auth_index)
+        assert rec.id == 1
+        recs = list(Bib.match_ids(bibs_df, 1, 2, auth_index=auth_index))
+        assert sorted(r.id for r in recs) == [1, 2]
+        found = list(Bib.find(bibs_df, Condition("245", {"a": "This"}),
+                              auth_index=auth_index))
+        assert [r.id for r in found] == [1]
+        one = Bib.find_one(bibs_df, Condition("245", {"a": "This"}),
+                           auth_index=auth_index)
+        assert one.id == 1
+        depr = [x for x in w if issubclass(x.category, DeprecationWarning)
+                and "deprecated" in str(x.message)]
+        assert len(depr) >= 4    # one per shim call
+
+
+def test_subfield_is_linked():
+    from dlx_spark.marc.record import Linked, Literal, Subfield
+    assert Linked.is_linked() is True
+    assert Literal.is_linked() is False
+    assert Subfield.is_linked() is False
+
+
+def test_auth_facade_in_use_and_list_attached(spark, tmp_path, auth_docs, bib_docs):
+    from dlx_spark.marc import Auth, Bib
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_facade"))
+    store.commit([Auth(d) for d in auth_docs], user="s")
+    idx = store.auth_index()
+    store.commit([Bib(d, auth_index=idx) for d in bib_docs], user="s")
+
+    a1 = store.get("auth", 1)
+    assert a1.in_use(store) == 2                      # both bibs use auth 1
+    assert a1.in_use(store, usage_type="bib") == 2
+    assert a1.in_use(store, usage_type="auth") == 0
+    attached = a1.list_attached(store, "bib")
+    assert sorted(r.id for r in attached) == [1, 2]
+
+    # build_cache returns the memoized index
+    assert Auth.build_cache(store) is store.auth_index()
+
+    # partial_lookup resolves through the bib field's source tag
+    pairs = Auth.partial_lookup(store.headings(), "650", "a", "head",
+                                record_type="bib")
+    assert (("Header", 1) in pairs) or any(x == 1 for _, x in pairs)
+
+
+def test_deleted_by_date_generator(spark, tmp_path, auth_docs, bib_docs):
+    from datetime import datetime
+    from dlx_spark.marc import Auth, Bib
+    from dlx_spark.marc.store import MarcStore
+
+    t0 = datetime(2026, 1, 1)
+    t1 = datetime(2026, 1, 5)
+    store = MarcStore(spark, str(tmp_path / "wh_dbd"))
+    store.commit([Auth(d) for d in auth_docs], user="s", now=t0)
+    idx = store.auth_index()
+    store.commit([Bib(d, auth_index=idx) for d in bib_docs], user="s", now=t0)
+    store.delete("bib", 2, user="d", now=t1)
+    assert list(store.deleted_by_date("bib", datetime(2026, 1, 4))) == [2]
+    assert list(store.deleted_by_date("bib", datetime(2026, 1, 6))) == []
+
+
+def test_bib_files_facade(spark, tmp_path, auth_docs, bib_docs):
+    from dlx_spark.files import FileStore, Identifier
+    from dlx_spark.marc import Bib
+
+    fs = FileStore(spark, str(tmp_path / "files_facade"))
+    fs.import_from_binary(b"doc-en", identifiers=[Identifier("symbol", "A/1")],
+                          languages=["EN"], mimetype="text/plain", source="t")
+    fs.import_from_binary(b"doc-fr", identifiers=[Identifier("symbol", "A/1")],
+                          languages=["FR"], mimetype="text/plain", source="t")
+
+    bib = Bib({"_id": 9, "191": [{"indicators": [" ", " "],
+                                  "subfields": [{"code": "a", "value": "A/1"}]}]})
+    uris = bib.files(fs)
+    assert len(uris) == 2
+    assert bib.file(fs, "EN") is not None
+    assert bib.file(fs, "ES") is None
