@@ -400,3 +400,27 @@ def test_heading_value_by_language(trans_bib):
     assert auth.heading_value("a", "es") == "Cambio climatico"
     # unmapped language falls back to None (reference returns None)
     assert auth.heading_value("a", "zz") is None
+
+
+def test_excel_marc_script(tmp_path, capsys):
+    """Reference dlx/scripts/excel_marc.py parity: excel in, defaults
+    merged, 008 language splice, mrk out."""
+    from dlx_spark.scripts import excel_marc
+
+    src = BibSet.from_mrk(
+        "=001  1\n=041  \\\\$afre\n=049  \\\\$aENG\n=245  10$aExcel record\n")
+    path = str(tmp_path / "in.xlsx")
+    src.to_excel(path)
+
+    dset = BibSet.from_mrk("=500  \\\\$aDefault note\n")
+    dpath = str(tmp_path / "defaults.xlsx")
+    dset.to_excel(dpath, write_id=False)
+
+    out = str(tmp_path / "out.mrk")
+    assert excel_marc.run(["--file", path, "--type", "bib", "--format", "mrk",
+                           "--defaults", dpath, "--out", out]) == 0
+    text = open(out).read()
+    assert "$aExcel record" in text
+    assert "$aDefault note" in text          # defaults filled in
+    m = [l for l in text.splitlines() if l.startswith("=008")]
+    assert m and "ENG" in m[0] and "fre" in m[0]   # 008 splice applied
