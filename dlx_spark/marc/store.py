@@ -390,9 +390,10 @@ class MarcStore:
         the read and the overwrite of the same path never overlap.
         Production swap-in: Delta/Iceberg MERGE INTO.
 
-        ``ids=None`` is the full-rebuild/bulk mode: the touched-id set is
-        expressed as an anti-join against ``new_df`` instead of a
-        driver-side ``isin`` list, so a whole-table rewrite never
+        ``ids=None`` is the distributed mode: touched BUCKETS come from a
+        tiny distinct-pmod aggregate of ``new_df`` (<= N_BUCKETS rows to
+        the driver, never ids), the touched-id set is an anti-join — so
+        a small batch rewrites only its buckets and a full rebuild never
         enumerates ids on the driver (rebuild_derived at 100M records)."""
         name = "bibs" if record_type == "bib" else "auths"
         path = self._path(name)
@@ -404,7 +405,11 @@ class MarcStore:
                 existing = (existing.filter(F.col("pt").isin(buckets))
                             .filter(~F.col("_id").isin(ids)))
             else:
-                existing = existing.join(new_df.select("_id"), "_id", "left_anti")
+                buckets = sorted(r["pt"] for r in new_df.select(
+                    F.pmod(F.col("_id"), F.lit(self.N_BUCKETS)).cast("int")
+                    .alias("pt")).distinct().collect())
+                existing = (existing.filter(F.col("pt").isin(buckets))
+                            .join(new_df.select("_id"), "_id", "left_anti"))
             union = existing.drop("pt").unionByName(new_df, allowMissingColumns=True)
         else:
             union = new_df

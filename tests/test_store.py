@@ -257,3 +257,35 @@ def test_commit_frame_distributed_auth_check(spark, tmp_path, auth_docs):
     row = store.bibs().first()    # bib ids count separately from auths -> id 1
     sub = [s for f in row["datafields"] if f["tag"] == "650" for s in f["subfields"]][0]
     assert sub["value"] == "Header" and sub["xref"] == 1
+
+
+def test_commit_frame_small_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """A small commit_frame batch must rewrite only the pt buckets its
+    ids map to — not the whole table (the dynamic-partition-overwrite
+    contract that keeps streaming micro-batches O(batch), not O(table))."""
+    import glob
+    from dlx_spark.marc.record import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_buckets"))
+    recs = [Bib({"_id": i, "245": [{"indicators": [" ", " "],
+                                    "subfields": [{"code": "a", "value": f"r{i}"}]}]})
+            for i in range(1, 33)]          # covers every bucket
+    store.commit(recs, auth_check=False)
+
+    def files_by_bucket():
+        out = {}
+        for p in glob.glob(str(tmp_path / "wh_buckets" / "bibs" / "pt=*" / "*.parquet")):
+            parts = p.split("/")
+            out.setdefault(parts[-2], set()).add(parts[-1])
+        return out
+
+    before = files_by_bucket()
+    # touch only _id=1 (bucket pt=1) through the frame path
+    one = store.bibs().filter(F.col("_id") == 1)
+    assert store.commit_frame(one, record_type="bib", user="u2",
+                              auth_check=False) == 1
+    after = files_by_bucket()
+    touched = {b for b in after if after[b] != before.get(b)}
+    assert touched == {"pt=1"}, f"rewrote {touched}, expected only pt=1"
+    assert store.bibs().count() == 32
