@@ -113,27 +113,47 @@ def incremental_commit_stream(spark: SparkSession, input_path: str, store,
     single exactly-once-per-batch pipeline.
 
     Returns the StreamingQuery; caller stops it."""
+    checkpoint = checkpoint or f"{store.root}/_checkpoints/{record_type}"
+    raw = spark.readStream.schema("value string").text(input_path)
+    process_batch = make_commit_batch_fn(store, record_type, checkpoint)
+    writer = (raw.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint)
+              .trigger(availableNow=True))
+    return writer.start()
+
+
+def make_commit_batch_fn(store, record_type: str, checkpoint: str):
+    """The foreachBatch function behind ``incremental_commit_stream``,
+    exposed for direct testing of its replay semantics.
+
+    foreachBatch is at-least-once: after a crash the last micro-batch
+    replays with the SAME batch_id, and replaying a commit is NOT
+    idempotent here (id-less rows would get fresh ids; history would
+    double-append).  A (stream-instance, batch_id) ledger turns it
+    exactly-once: skip batches already recorded, record AFTER the commit
+    lands.  The stream instance is identified by the checkpoint path, so
+    a NEW stream (fresh checkpoint, batch ids restarting at 0) is never
+    confused with a replay.  Scale note: the ledger accretes one tiny
+    file per batch — compact or swap for a transactional table when
+    batch counts reach the many-thousands."""
+    import hashlib
+    import os
+
     from dlx_spark import schemas
     from dlx_spark.marc.record import Auth, Bib
 
     cls = Bib if record_type == "bib" else Auth
-    raw = spark.readStream.schema("value string").text(input_path)
-
-    import os
-
+    stream_key = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
     commits_log = os.path.join(store.root, f"_stream_commits_{record_type}")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: after a crash the last batch
-        # replays, and replaying a commit is NOT idempotent here (id-less
-        # rows would get fresh ids; history would double-append).  The
-        # batch-id ledger turns it exactly-once: skip batches already
-        # recorded, record AFTER the commit lands.
         session = batch_df.sparkSession
         if os.path.isdir(commits_log) and any(
                 f.endswith(".parquet") for f in os.listdir(commits_log)):
-            seen = session.read.parquet(commits_log) \
-                .filter(F.col("batch_id") == batch_id).limit(1).count()
+            seen = (session.read.parquet(commits_log)
+                    .filter((F.col("stream") == stream_key)
+                            & (F.col("batch_id") == batch_id))
+                    .limit(1).count())
             if seen:
                 return
 
@@ -154,10 +174,8 @@ def incremental_commit_stream(spark: SparkSession, input_path: str, store,
             nested = session.createDataFrame(rows, schema=schemas.MARC_INGEST)
             store.commit_frame(nested, record_type=record_type,
                                user=f"stream-batch-{batch_id}", auth_check=False)
-        (session.createDataFrame([(int(batch_id),)], "batch_id long")
+        (session.createDataFrame([(stream_key, int(batch_id))],
+                                 "stream string, batch_id long")
          .write.mode("append").parquet(commits_log))
 
-    writer = (raw.writeStream.foreachBatch(process_batch)
-              .option("checkpointLocation", checkpoint or f"{store.root}/_checkpoints/{record_type}")
-              .trigger(availableNow=True))
-    return writer.start()
+    return process_batch

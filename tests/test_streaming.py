@@ -200,31 +200,32 @@ def test_incremental_commit_stream_large_batch_distributed(spark, tmp_path):
 
 
 def test_incremental_commit_stream_batch_ledger_idempotent(spark, tmp_path):
-    """The batch-id ledger makes foreachBatch replay harmless: manually
-    re-running a recorded batch must not re-commit (no duplicate ids, no
-    extra history versions)."""
+    """Replay semantics of the ingest sink, exercised on the foreachBatch
+    function directly: a crash-replay (same stream instance, same
+    batch_id) is swallowed by the ledger; a NEW stream instance (fresh
+    checkpoint, batch ids restarting at 0) is NOT skipped."""
     from dlx_spark.marc.store import MarcStore
 
     store = MarcStore(spark, str(tmp_path / "wh_ledger"))
-    inbox = tmp_path / "inbox_ledger"
-    inbox.mkdir()
     doc = {"245": [{"indicators": [" ", " "],
                     "subfields": [{"code": "a", "value": "Ledger doc"}]}]}
-    (inbox / "b1.jsonl").write_text(json.dumps(doc))
+    batch = spark.createDataFrame([(json.dumps(doc),)], "value string")
 
-    q = streaming.incremental_commit_stream(spark, str(inbox), store)
-    assert q.awaitTermination(120)
+    fn = streaming.make_commit_batch_fn(store, "bib", str(tmp_path / "ck_a"))
+    fn(batch, 0)
     assert store.bibs().count() == 1
-
-    # simulate a replay of batch 0: run the stream again with a FRESH
-    # checkpoint (so Spark re-delivers the same file as batch 0); the
-    # ledger must swallow it
-    q2 = streaming.incremental_commit_stream(
-        spark, str(inbox), store,
-        checkpoint=str(tmp_path / "ck_replay"))
-    assert q2.awaitTermination(120)
+    # crash-replay: same stream, same batch id -> swallowed
+    fn(batch, 0)
     assert store.bibs().count() == 1
     assert store.history_df("bib").count() == 1
+    # next batch of the same stream commits
+    fn(batch, 1)
+    assert store.bibs().count() == 2
+
+    # a NEW stream instance restarts at batch 0 — must NOT be skipped
+    fn2 = streaming.make_commit_batch_fn(store, "bib", str(tmp_path / "ck_b"))
+    fn2(batch, 0)
+    assert store.bibs().count() == 3
 
 
 def test_enrich_stream_static_join(spark, tmp_path):
