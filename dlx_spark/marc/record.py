@@ -392,7 +392,15 @@ class Marc:
         for key, value in doc.items():
             if key == "_id":
                 self.id = int(value) if value is not None else None
-            elif key in ("created", "created_user", "updated", "user", "basket"):
+            elif key in ("created", "updated"):
+                # to_json stringifies datetimes (default=str); a JSON
+                # round-trip must coerce them back or to_row() hands a
+                # str to the TimestampType column
+                if isinstance(value, str):
+                    from datetime import datetime as _dt
+                    value = _dt.fromisoformat(value)
+                setattr(self, key, value)
+            elif key in ("created_user", "user", "basket"):
                 setattr(self, key, value)
             elif key == "text":
                 self.text = value

@@ -90,6 +90,30 @@ def main() -> None:
           f"stable 10% sample: {n_sampled} docs; {n_chunks} chunks; "
           f"{n_redacted} docs with PII hits; {n_survivors} dedup survivors")
 
+    # 6. storage-layout operators: a written LSH index probes with
+    # partition pruning; bulk ingest commits a DataFrame end-to-end with
+    # no record rows on the driver
+    from dlx_spark.operators import bucketing
+    from dlx_spark.marc.store import MarcStore
+    from dlx_spark.sources import marc_io
+
+    with tempfile.TemporaryDirectory() as tmp:
+        bucketing.write_lsh_index(emb, f"{tmp}/lsh_idx", n_planes=6, dim=64)
+        probed = bucketing.probe_lsh_index(spark, f"{tmp}/lsh_idx", qvec, k=3,
+                                           n_planes=6).collect()
+        print(f"LSH index probe (partition-pruned): "
+              f"{[(r.id, round(r.cosine, 3)) for r in probed]}")
+
+        store = MarcStore(spark, f"{tmp}/wh")
+        jsonl = f"{tmp}/in.jsonl"
+        with open(jsonl, "w") as fh:
+            for rec in list(recs)[:2]:
+                fh.write(rec.to_json() + "\n")
+        n = store.commit_frame(marc_io.read_jmarc_jsonl(spark, jsonl),
+                               record_type="bib", auth_check=False)
+        print(f"bulk commit_frame ingested {n} records; "
+              f"store now holds {store.bibs().count()} bibs")
+
     spark.stop()
     print("demo complete")
 

@@ -424,3 +424,18 @@ def test_excel_marc_script(tmp_path, capsys):
     assert "$aDefault note" in text          # defaults filled in
     m = [l for l in text.splitlines() if l.startswith("=008")]
     assert m and "ENG" in m[0] and "fre" in m[0]   # 008 splice applied
+
+
+def test_json_roundtrip_preserves_timestamps():
+    """to_json stringifies audit datetimes (default=str); parsing the
+    JSON back must coerce them to datetime so to_row() fits the
+    TimestampType columns — the jsonl export/ingest round trip."""
+    import json as _json
+    from datetime import datetime
+
+    b = Bib({"_id": 5, "245": [{"indicators": [" ", " "],
+                                "subfields": [{"code": "a", "value": "T"}]}]})
+    b.created = b.updated = datetime(2026, 3, 4, 5, 6, 7, 123456)
+    back = Bib(_json.loads(b.to_json()))
+    assert back.created == b.created and isinstance(back.created, datetime)
+    assert back.to_row()["created"] == b.created
