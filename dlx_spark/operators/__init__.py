@@ -3,4 +3,5 @@ multimodal plumbing — the large-scale training-data-pipeline surface
 built on the same tokenizer/join machinery as the MARC engine."""
 
 from dlx_spark.operators import (  # noqa: F401
-    asof, chunking, dedup, redact, sampling, similarity, textstats, multimodal)
+    asof, bucketing, chunking, dedup, multimodal, redact, sampling, similarity,
+    skew, textstats)
