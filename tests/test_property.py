@@ -104,3 +104,45 @@ def test_tokenizer_invariants(s):
     # but stemming never raises and always returns a string
     for w in split_words(s):
         assert isinstance(stem(w), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=_string.printable, max_size=60))
+def test_md5_token_hash_matches_duckdb(tok):
+    """The engine-portable 64-bit md5 token hash (simhash) and the
+    32-bit variant (minhash shingles / winnowing) must agree with the
+    DuckDB expressions the oracles use, for arbitrary printable text."""
+    import duckdb
+
+    from dlx_spark.operators.dedup import _token_hash64
+
+    con = duckdb.connect()
+    got64 = con.execute(
+        "SELECT CAST('0x' || substr(md5(?), 1, 16) AS UBIGINT)", [tok]
+    ).fetchone()[0]
+    assert _token_hash64(tok) == got64
+
+    import hashlib
+    got32 = con.execute(
+        "SELECT CAST('0x' || substr(md5(?), 1, 8) AS UBIGINT)", [tok]
+    ).fetchone()[0]
+    assert int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) == got32
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_minhash_permutation_no_overflow(x):
+    """The affine permutation family must stay within signed-64 for any
+    32-bit shingle hash once reduced mod p — the ANSI-overflow guard."""
+    import numpy as np
+
+    from dlx_spark.operators.dedup import _MERSENNE
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MERSENNE, size=64)
+    b = rng.randint(0, _MERSENNE, size=64)
+    xr = x % _MERSENNE
+    for ai, bi in zip(a[:4], b[:4]):
+        v = int(ai) * xr + int(bi)
+        assert v < 2**63
+        assert 0 <= v % _MERSENNE < _MERSENNE
