@@ -289,3 +289,75 @@ def test_bib_files_facade(spark, tmp_path, auth_docs, bib_docs):
     assert len(uris) == 2
     assert bib.file(fs, "EN") is not None
     assert bib.file(fs, "ES") is None
+
+
+def test_auth_deleted_subfield_sequence(spark, tmp_path):
+    """Reference regression sequence (tests/test_marc.py:1148-1159): an
+    auth loses a heading subfield, recommits, and an attached bib then
+    updates — formerly an error in the reference; must stay clean."""
+    from dlx_spark.marc import Auth, Bib
+    from dlx_spark.marc.query import Query
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_delsub"))
+    auth = Auth().set("110", "a", "will NOT be deleted", auth_control=False) \
+                 .set("110", "z", "will be deleted", auth_control=False)
+    store.commit([auth])
+    idx = store.auth_index()
+    bib = Bib(auth_index=idx).set("710", "a", auth.id).set("710", "z", auth.id)
+    store.commit([bib])
+
+    auth2 = store.get("auth", auth.id)
+    auth2.heading_field.delete_subfield("z")
+    store.commit([auth2])
+    bib2 = store.get("bib", bib.id)
+    bib2.set("999", "a", "updated", auth_control=False)
+    store.commit([bib2])            # must not raise
+
+    q = Query.from_string('710:"will not be deleted"')
+    assert q is not None
+
+
+def test_non_controlled_linked_subfield(spark, tmp_path):
+    """Reference tests/test_marc.py:1161-1180: a Linked subfield on a
+    NON-auth-controlled code resolves to no value and fails validation.
+    Divergence (documented): the reference's Mongo round trip silently
+    DROPS the null-valued subfield; here the xref is preserved on an
+    unvalidated commit — data is never silently lost."""
+    import pytest as _pytest
+
+    from dlx_spark import config
+    from dlx_spark.marc import Auth, Bib
+    from dlx_spark.marc.record import Datafield, Linked
+    from dlx_spark.marc.store import MarcStore
+
+    assert config.is_authority_controlled("bib", "710", "9") is False
+
+    store = MarcStore(spark, str(tmp_path / "wh_nonauth"))
+    a = Auth().set("110", "a", "Corp name", auth_control=False)
+    store.commit([a])
+    idx = store.auth_index()
+
+    bib = Bib(auth_index=idx)
+    bib.fields.append(Datafield("710", " ", " ",
+                                [Linked("a", a.id, auth_index=idx),
+                                 Linked("9", a.id, auth_index=idx)], "bib"))
+    assert bib.get_value("710", "a")
+    assert not bib.get_value("710", "9")       # no heading $9 -> no value
+
+    store.commit([bib], auth_check=False)      # unvalidated commit works
+    back = store.get("bib", bib.id)
+    assert back.get_field("710") is not None
+
+    from dlx_spark.marc.store import InvalidNonAuthField
+    with _pytest.raises(InvalidNonAuthField):
+        store.commit([store.get("bib", bib.id)], auth_check=True)
+
+
+def test_xml_encoding_non_ascii():
+    """Reference tests/test_marc.py:811-817: non-ASCII survives to_xml."""
+    from dlx_spark.marc import Bib
+
+    bib = Bib().set("245", "a", "Title with an é", auth_control=False)
+    xml = bib.to_xml(write_id=False)
+    assert "Title with an é" in xml
