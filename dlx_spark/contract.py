@@ -1620,6 +1620,354 @@ def token_count_bpe(spark, sf):
         F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"))
 
 
+# ---------------------------------------------------------------------------
+# Driver-window consolidation
+# ---------------------------------------------------------------------------
+# The driver's correctness gate checks the FIRST 50 ``queries()`` entries;
+# with 72 fine-grained queries, 22 (including the round-2 verification
+# flagships) never got a driver-side row.  The merged queries below fold
+# near-redundant basics into schema-aligned unions/joins of the SAME green
+# building blocks — every Spark branch calls the original query function
+# and every oracle wraps the original oracle SQL as a subquery, so the
+# semantics checked are identical, just packed densely enough that the
+# whole registry fits the 50-slot window (plus the two rows-only-by-design
+# entries pinned to positions 51-52, each with an oracle-checked companion
+# inside the window).  The fine-grained originals stay importable in
+# ``BENCH`` for bench.py / plan tests / round-over-round comparability.
+
+
+@query("text_semantics", f"""
+    SELECT doc_id, 'regex' AS mode FROM ({ORACLE['regex_match']}) t1
+    UNION ALL
+    SELECT doc_id, 'words_all' AS mode FROM ({ORACLE['text_words_all']}) t2
+    UNION ALL
+    SELECT doc_id, 'negation' AS mode FROM ({ORACLE['text_negation']}) t3
+    UNION ALL
+    SELECT doc_id, 'phrase' AS mode FROM ({ORACLE['text_phrase']}) t4
+""")
+def text_semantics(spark, sf):
+    """Text-search DSL semantics in one labeled union: /regex/ value
+    form, words-$all containment, -word negation, "phrase" match
+    (query.py:118-150, 698-751)."""
+    return (
+        regex_match(spark, sf).select("doc_id", F.lit("regex").alias("mode"))
+        .unionAll(text_words_all(spark, sf).select("doc_id", F.lit("words_all").alias("mode")))
+        .unionAll(text_negation(spark, sf).select("doc_id", F.lit("negation").alias("mode")))
+        .unionAll(text_phrase(spark, sf).select("doc_id", F.lit("phrase").alias("mode")))
+    )
+
+
+@query("scalar_stats", f"""
+    SELECT (SELECT cnt FROM ({ORACLE['count_filtered']}) t1) AS cnt,
+           (SELECT max_id FROM ({ORACLE['max_id']}) t2) AS max_id,
+           c.qty_price_corr, c.disc_price_corr
+    FROM ({ORACLE['correlation']}) c
+""")
+def scalar_stats(spark, sf):
+    """one-row scalar surface: filtered count (MarcSet.count), max id
+    (Marc.max_id) and Pearson correlations, cross-joined into one row."""
+    return (count_filtered(spark, sf)
+            .crossJoin(max_id(spark, sf))
+            .crossJoin(correlation(spark, sf)))
+
+
+@query("setops_combined", f"""
+    SELECT o_custkey, 'except' AS op FROM ({ORACLE['setops_except']}) t1
+    UNION ALL
+    SELECT o_custkey, 'intersect' AS op FROM ({ORACLE['setops_intersect']}) t2
+""")
+def setops_combined(spark, sf):
+    """Diff / $nin set semantics: EXCEPT and INTERSECT branches labeled
+    in one union (dlx/marc/__init__.py:2235-2282)."""
+    return (
+        setops_except(spark, sf).select("o_custkey", F.lit("except").alias("op"))
+        .unionAll(setops_intersect(spark, sf).select("o_custkey", F.lit("intersect").alias("op")))
+    )
+
+
+@query("union_buckets", f"""
+    SELECT o_orderkey, bucket FROM ({ORACLE['union_sets']}) t1
+    UNION ALL
+    SELECT o_orderkey, 'picked' AS bucket FROM orders
+    WHERE o_orderkey IN (1, 2, 3, 7, 32, 33, 34, 36, 38, 39)
+""")
+def union_buckets(spark, sf):
+    """union-across-collections plus the from_ids {_id: {$in: ids}}
+    point-read shape as a third labeled branch."""
+    picked = (_t(spark, sf, "orders")
+              .filter(F.col("o_orderkey").isin([1, 2, 3, 7, 32, 33, 34, 36, 38, 39]))
+              .select("o_orderkey", F.lit("picked").alias("bucket")))
+    return union_sets(spark, sf).unionAll(picked)
+
+
+@query("flag_status_stats", f"""
+    SELECT 'rollup' AS mode, l_returnflag, l_linestatus, n, sum_qty AS val
+    FROM ({ORACLE['rollup_agg']}) t1
+    UNION ALL
+    SELECT 'cum_share' AS mode, l_returnflag, l_linestatus, n, cum_share AS val
+    FROM ({ORACLE['cumulative_share']}) t2
+""")
+def flag_status_stats(spark, sf):
+    """hierarchical ROLLUP subtotals and the running-share window over
+    the same pre-aggregated frame, labeled in one union."""
+    roll = rollup_agg(spark, sf).select(
+        F.lit("rollup").alias("mode"), "l_returnflag", "l_linestatus", "n",
+        F.col("sum_qty").alias("val"))
+    cum = cumulative_share(spark, sf).select(
+        F.lit("cum_share").alias("mode"), "l_returnflag", "l_linestatus",
+        F.col("n").cast("long").alias("n"), F.col("cum_share").alias("val"))
+    return roll.unionAll(cum)
+
+
+@query("group_profile", """
+    SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k
+    FROM events GROUP BY event_type
+""")
+def group_profile(spark, sf):
+    """calculate_auth_use group-count shape plus schemaless-JSON field
+    extraction, one partial-agg pass (group_counts + json_extract)."""
+    return (
+        _t(spark, sf, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 2).alias("avg_value"),
+             F.round(F.avg("k"), 2).alias("avg_k"))
+    )
+
+
+@query("token_stats", f"""
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+""")
+def token_stats(spark, sf):
+    """token counting: whitespace and GPT-2-ish BPE pretokenizer counts
+    in one pure-JVM projection (token_count + token_count_bpe)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count("text", F.lit(_BPE_PAT)).cast("long").alias("n_bpe_tokens"))
+
+
+@query("lang_quality", f"""
+    SELECT l.doc_id, l.en_hits, l.fr_hits, q.n_tokens, q.alpha_ratio,
+           q.stop_ratio, q.mean_word_len
+    FROM ({ORACLE['lang_scores']}) l JOIN ({ORACLE['quality_score']}) q
+      ON l.doc_id = q.doc_id
+""")
+def lang_quality(spark, sf):
+    """language-ID marker scores and quality features in one per-doc
+    frame (lang_scores + quality_score, joined on doc_id)."""
+    return lang_scores(spark, sf).join(quality_score(spark, sf), "doc_id")
+
+
+@query("doc_profile", f"""
+    SELECT r.doc_id, r.rep_ratio, e.char_entropy, u.norm_text, u.n_chars_nfc
+    FROM ({ORACLE['repetition_ratio']}) r
+    JOIN ({ORACLE['char_entropy']}) e ON r.doc_id = e.doc_id
+    JOIN ({ORACLE['unicode_nfc']}) u ON r.doc_id = u.doc_id
+""")
+def doc_profile(spark, sf):
+    """per-document text profile: token repetition ratio, character
+    Shannon entropy, and NFC-normalized text, joined on doc_id
+    (repetition_ratio + char_entropy + unicode_nfc)."""
+    return (repetition_ratio_q(spark, sf)
+            .join(char_entropy_q(spark, sf), "doc_id")
+            .join(unicode_nfc(spark, sf), "doc_id"))
+
+
+@query("sample_splits", f"""
+    SELECT doc_id, lang, 'uniform' AS strategy
+    FROM ({ORACLE['deterministic_sample']}) t1
+    UNION ALL
+    SELECT doc_id, lang, 'stratified' AS strategy
+    FROM ({ORACLE['stratified_sample']}) t2
+""")
+def sample_splits(spark, sf):
+    """hash-keyed reproducible sampling, uniform 10% and per-stratum
+    {en: 10%, de: 50%}, labeled in one union."""
+    return (
+        deterministic_sample_q(spark, sf)
+        .select("doc_id", "lang", F.lit("uniform").alias("strategy"))
+        .unionAll(stratified_sample_q(spark, sf)
+                  .select("doc_id", "lang", F.lit("stratified").alias("strategy")))
+    )
+
+
+@query("mix_quantile", f"""
+    SELECT doc_id, lang, 'mix' AS mode FROM ({ORACLE['mix_corpora']}) t1
+    UNION ALL
+    SELECT doc_id, lang, 'band' AS mode FROM ({ORACLE['quantile_band']}) t2
+""")
+def mix_quantile(spark, sf):
+    """weighted corpus mixing and the per-language percent-rank quality
+    band, labeled in one union (mix_corpora + quantile_band)."""
+    return (
+        mix_corpora_q(spark, sf).select("doc_id", "lang", F.lit("mix").alias("mode"))
+        .unionAll(quantile_band_q(spark, sf)
+                  .select("doc_id", "lang", F.lit("band").alias("mode")))
+    )
+
+
+@query("dup_cluster_survivors", f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES}, {_WALK_CTES},
+    comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+    SELECT d.doc_id, d.lang, CAST(c.component AS BIGINT) AS component,
+           (c.component IS NULL OR d.doc_id = c.component) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+""")
+def dup_cluster_survivors(spark, sf):
+    """near-dedup end-to-end with BOTH artifacts cross-checked in one
+    frame: connected-component labels from iterative min-label
+    propagation, and the survivor flag computed independently by
+    dedup_near's anti-join — the oracle's recursive walk must agree with
+    each, and they must agree with each other (a survivor is exactly a
+    doc that is its component's minimum or is unclustered)."""
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard(spark, sf).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"))
+    surv = (dedup.dedup_near(docs, pairs).select("doc_id")
+            .withColumn("is_survivor", F.lit(True)))
+    return (docs.select("doc_id", "lang")
+            .join(comp, "doc_id", "left")
+            .join(surv, "doc_id", "left")
+            .na.fill({"is_survivor": False})
+            .select("doc_id", "lang", "component", "is_survivor"))
+
+
+@query("minhash_neardup", f"""
+    SELECT id_a, id_b, CAST(n_match AS DOUBLE) AS score, 'candidates' AS stage
+    FROM ({_minhash_oracle()}) t1
+    UNION ALL
+    SELECT id_a, id_b, jaccard AS score, 'verified' AS stage
+    FROM ({_SHINGLE_PAIRS_ORACLE}) t2
+""")
+def minhash_neardup(spark, sf):
+    """the full minhash near-dup pipeline in one labeled union:
+    'candidates' = banded LSH pairs with their matching-position count
+    (the seeded permutation family baked into the oracle as literals);
+    'verified' = candidates confirmed by exact shingle Jaccard >= 0.5,
+    which at this corpus's similarity level equals the exact all-pairs
+    oracle (minhash_lsh + minhash_lsh_verified)."""
+    cands = (minhash_lsh(spark, sf)
+             .select("id_a", "id_b", F.col("n_match").cast("double").alias("score"),
+                     F.lit("candidates").alias("stage")))
+    verified = (minhash_lsh_verified(spark, sf)
+                .select("id_a", "id_b", F.col("jaccard").alias("score"),
+                        F.lit("verified").alias("stage")))
+    return cands.unionAll(verified)
+
+
+@query("cosine_sim", f"""
+    SELECT CAST(0 AS BIGINT) AS id_a, vec_id AS id_b, cosine, 'topk' AS mode
+    FROM ({ORACLE['cosine_topk']}) t1
+    UNION ALL
+    SELECT id_a, id_b, cosine, 'neardup' AS mode
+    FROM ({ORACLE['embedding_neardup']}) t2
+""")
+def cosine_sim(spark, sf):
+    """embedding similarity surface in one labeled union: exact
+    brute-force cosine top-k for query vec 0, and label-blocked
+    embedding-cosine near-dup pairs (cosine_topk + embedding_neardup)."""
+    topk = cosine_topk(spark, sf).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("vec_id").alias("id_b"),
+        "cosine", F.lit("topk").alias("mode"))
+    nd = embedding_neardup(spark, sf).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine", F.lit("neardup").alias("mode"))
+    return topk.unionAll(nd)
+
+
+@query("approx_sketches", f"""
+    SELECT lang AS grp, exact_n AS n, hll_within_5pct AS ok_a, true AS ok_b,
+           'hll_distinct' AS sketch
+    FROM ({ORACLE['approx_distinct_tokens']}) t1
+    UNION ALL
+    SELECT event_type AS grp, n, p50_ok AS ok_a, p95_ok AS ok_b,
+           'quantile' AS sketch
+    FROM ({ORACLE['approx_quantile_value']}) t2
+""")
+def approx_sketches(spark, sf):
+    """mergeable-sketch property checks in one labeled union: HLL
+    distinct-token counts within the 5% envelope per language, and
+    Greenwald-Khanna p50/p95 within exact rank bounds per event type
+    (approx_distinct_tokens + approx_quantile_value)."""
+    hll = approx_distinct_tokens(spark, sf).select(
+        F.col("lang").alias("grp"), F.col("exact_n").alias("n"),
+        F.col("hll_within_5pct").alias("ok_a"), F.lit(True).alias("ok_b"),
+        F.lit("hll_distinct").alias("sketch"))
+    qs = approx_quantile_value(spark, sf).select(
+        F.col("event_type").alias("grp"), "n",
+        F.col("p50_ok").alias("ok_a"), F.col("p95_ok").alias("ok_b"),
+        F.lit("quantile").alias("sketch"))
+    return hll.unionAll(qs)
+
+
+# ---------------------------------------------------------------------------
+# Registry finalization
+# ---------------------------------------------------------------------------
+# BENCH keeps every query — fine-grained originals AND merged — addressable
+# by name for bench.py, plan tests and tools; Q/ORACLE are rebuilt in the
+# explicit driver order: 50 oracle-checked entries first (the driver's
+# correctness window), then the two rows-only-by-design entries whose
+# oracle-checked companions (ivf_topk_exhaustive, pack_validity) sit inside
+# the window.
+
+BENCH: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(Q)
+BENCH_ORACLE: dict[str, str] = dict(ORACLE)
+
+DRIVER_ORDER = [
+    # §2.1/§2.2 scans + predicates
+    "from_query_filter", "sort_skip_limit", "scalar_stats", "distinct_values",
+    "date_range", "text_semantics",
+    # §2.3 joins
+    "lookup_join", "exists_semijoin", "not_exists_antijoin", "multiway_join",
+    # §2.4 aggregation / windows / set ops
+    "flag_status_stats", "agg_summary", "group_profile", "latest_by_key",
+    "topk_per_group", "setops_combined", "union_buckets", "pivot_counts",
+    # temporal
+    "sessionization", "asof_join", "range_join", "windowed_agg",
+    # dedup family
+    "dedup_exact", "ngram_jaccard", "minhash_neardup", "simhash",
+    "dup_cluster_survivors", "contamination",
+    # similarity / ANN
+    "cosine_sim", "lsh_topk", "knn_join", "ivf_topk_exhaustive",
+    # text analysis
+    "token_stats", "lang_quality", "doc_profile", "tfidf_topk",
+    "fingerprint_minhash_sketch", "corpus_top_ngrams",
+    # sampling / splits
+    "sample_splits", "mix_quantile", "leakage_safe_split",
+    # corpus prep
+    "chunk_documents", "pack_validity", "redact_pii", "multimodal_decode",
+    # stats / misc surfaces
+    "median_metrics", "sql_passthrough", "funnel", "approx_sketches",
+    "salted_group_counts",
+    # rows-only by design (positions 51-52, outside the driver window;
+    # companions ivf_topk_exhaustive / pack_validity are inside it)
+    "ivf_topk", "pack_sequences",
+]
+
+assert len(DRIVER_ORDER) == 52, len(DRIVER_ORDER)
+assert len(set(DRIVER_ORDER)) == 52
+_missing = [n for n in DRIVER_ORDER if n not in BENCH]
+assert not _missing, _missing
+_unoracled = [n for n in DRIVER_ORDER[:50] if n not in BENCH_ORACLE]
+assert not _unoracled, _unoracled
+
+Q = {name: BENCH[name] for name in DRIVER_ORDER}
+ORACLE = {name: BENCH_ORACLE[name] for name in DRIVER_ORDER
+          if name in BENCH_ORACLE}
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship: the pricing-summary aggregate at sf0.001."""
     return agg_summary(spark, "/root/testdata/sf0.001")

@@ -269,6 +269,28 @@ def test_every_contract_query_is_oracle_checked_or_whitelisted():
     rows_only_allowed = {"ivf_topk", "pack_sequences"}
     missing = set(contract.Q) - set(contract.ORACLE) - rows_only_allowed
     assert not missing, f"queries without oracle or whitelist entry: {sorted(missing)}"
+    # same invariant over the full fine-grained battery behind the
+    # merged driver entries
+    missing = set(contract.BENCH) - set(contract.BENCH_ORACLE) - rows_only_allowed
+    assert not missing, f"BENCH queries without oracle: {sorted(missing)}"
     # the whitelisted ops' companions must exist and be oracle-checked
     assert "ivf_topk_exhaustive" in contract.ORACLE
     assert "pack_validity" in contract.ORACLE
+
+
+def test_driver_window_covers_every_oracle():
+    """The driver's correctness gate checks the FIRST 50 queries() \
+    entries.  Lock the registry to exactly 50 oracle-checked entries \
+    followed by the two rows-only-by-design ones, so every oracle gets \
+    a driver-side green row and nothing silently falls outside the \
+    window again (round-2 verdict item #1)."""
+    from dlx_spark import contract
+
+    names = list(contract.Q)
+    assert len(names) == 52
+    in_window, outside = names[:50], names[50:]
+    assert all(n in contract.ORACLE for n in in_window), \
+        [n for n in in_window if n not in contract.ORACLE]
+    assert outside == ["ivf_topk", "pack_sequences"]
+    # oracle_sql() must expose exactly the in-window oracles
+    assert set(contract.ORACLE) == set(in_window)

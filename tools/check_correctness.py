@@ -40,8 +40,10 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--all"]
+    use_all = "--all" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from dlx_spark.session import get_spark
@@ -53,8 +55,14 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if use_all:
+        # full fine-grained battery (the merged driver entries are built
+        # from these), not just the 52-entry driver registry
+        from dlx_spark import contract
+        qs, oracles = dict(contract.BENCH), dict(contract.BENCH_ORACLE)
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failures = []
 
     for name, fn in qs.items():
