@@ -8,9 +8,9 @@ Four families, each designed for 100 TB-scale execution:
                      expressions) → banded bucket join (shuffle only on
                      (band, bucket-hash) keys, so candidate generation is
                      linear, never O(n²))
-- simhash          — per-row fingerprint via one Arrow-batched pandas UDF
-                     (no shuffle at all for fingerprinting; hamming-join
-                     by rotating band keys for candidates)
+- simhash          — per-row fingerprint as a pure JVM expression tree
+                     (no shuffle and no Python worker for fingerprinting;
+                     hamming-join by rotating band keys for candidates)
 - n-gram Jaccard   — blocked self-join on cheap keys, exact Jaccard on
                      token sets for verification
 
@@ -20,9 +20,7 @@ All operators take/return DataFrames and never collect to the driver.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
 
 from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
 from dlx_spark.operators.common import spread_for_compute
@@ -180,49 +178,72 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
 # SimHash
 # ---------------------------------------------------------------------------
 
-_TOKEN_HASH_CACHE: dict[str, int] = {}
-
-
 def _token_hash64(tok: str) -> int:
     """First 64 bits of md5 — chosen over a faster non-cryptographic
     hash because md5 is available identically in every engine (Spark,
     DuckDB, Python), which makes the whole simhash fingerprint
-    oracle-checkable cross-engine.  Memoized per executor; tokens repeat
-    heavily, so the amortized cost is a dict lookup."""
-    h = _TOKEN_HASH_CACHE.get(tok)
-    if h is None:
-        import hashlib
-        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
-        if len(_TOKEN_HASH_CACHE) < 1_000_000:
-            _TOKEN_HASH_CACHE[tok] = h
-    return h
+    oracle-checkable cross-engine.  This Python form is the reference
+    for the hash contract (property-tested against DuckDB); the hot
+    path is the pure JVM expression in ``simhash64_expr``."""
+    import hashlib
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
 
 
-@F.pandas_udf(LongType())
-def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash of whitespace tokens (token hash = first 64 bits
-    of md5, engine-portable).  Bit-majority is vectorized with numpy per
-    row; token hashes are memoized per executor.  The whole fingerprint
-    stage is a map — zero shuffle."""
-    bit_idx = np.arange(64, dtype=np.uint64)
-    out = np.zeros(len(texts), dtype=np.int64)
-    for row_i, t in enumerate(texts):
-        if not t:
-            continue
-        hashes = np.fromiter((_token_hash64(tok) for tok in t.lower().split()),
-                             dtype=np.uint64)
-        if hashes.size == 0:
-            continue
-        bits = (hashes[:, None] >> bit_idx) & np.uint64(1)      # (n_tok, 64)
-        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)       # ±1 majority
-        fp = int(((acc > 0).astype(np.uint64) << bit_idx).sum())
-        out[row_i] = fp - (1 << 64) if fp >= (1 << 63) else fp
-    return pd.Series(out)
+def simhash64_expr(text_col: str) -> F.Column:
+    """64-bit SimHash as a pure JVM expression — no Python worker in the
+    fingerprint stage (the round-2 verdict's last hot-path UDF).
+
+    Token hash = first 64 bits of md5 (engine-portable, same contract as
+    ``_token_hash64``), assembled as a signed long from two 32-bit
+    halves so the >2^63 range never overflows a cast.  One aggregate
+    pass over the token array maintains all 64 ±1 majority counters via
+    ``zip_with`` — each token is md5-hashed exactly once even after
+    Catalyst collapses projections, because the token array appears only
+    as the single aggregate input.  Bit i of the result is set iff more
+    token hashes have bit i set than cleared; the signed/unsigned
+    difference is bit-pattern-free (the oracle's UBIGINT and this LONG
+    xor/bit_count identically)."""
+    # SWAR majority count: accumulator k (k < 16) packs FOUR 16-bit
+    # set-bit counters for bit positions {k, k+16, k+32, k+48}, so each
+    # token costs 16 mask-and-adds instead of 64 (mask
+    # 0x0001000100010001 pulls those four bits into the counters' low
+    # bits in one AND); element 17 counts tokens.  The FINISH lambda of
+    # aggregate() binds the accumulator array once (no re-evaluation of
+    # the md5 pass, no re-tokenization) and unpacks: bit p is set iff
+    # 2*count_p > n_tokens.  Counters are exact up to 65535 tokens per
+    # document; beyond that a field would silently wrap, so the
+    # expression raises instead (chunk first — corpus prep always does).
+    mask = 0x0001000100010001
+    toks = f"filter(split(lower({text_col}), ' '), t -> t != '')"
+    return F.coalesce(F.expr(f"""
+        aggregate(
+          transform({toks},
+                    t -> shiftleft(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), 32)
+                         + CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)),
+          array_repeat(CAST(0 AS BIGINT), 17),
+          (acc, h) -> zip_with(acc, sequence(0, 16),
+                               (a, k) -> a + CASE WHEN k = 16 THEN 1
+                                             ELSE shiftright(h, k) & {mask} END),
+          acc -> CASE WHEN element_at(acc, 17) > 65535 THEN
+                   CAST(raise_error('simhash64_expr: document exceeds 65535 tokens; chunk before fingerprinting') AS BIGINT)
+                 ELSE
+                   aggregate(
+                     zip_with(slice(acc, 1, 16), sequence(0, 15),
+                       (a, k) -> aggregate(
+                         transform(sequence(0, 3),
+                           j -> CASE WHEN 2 * (shiftright(a, 16 * j) & 65535)
+                                     > element_at(acc, 17)
+                                THEN shiftleft(CAST(1 AS BIGINT), k + 16 * j)
+                                ELSE CAST(0 AS BIGINT) END),
+                         CAST(0 AS BIGINT), (x, y) -> x + y)),
+                     CAST(0 AS BIGINT), (x, y) -> x + y)
+                 END)
+    """), F.lit(0).cast("long"))
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return spread_for_compute(df).select(
-        F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash"))
+        F.col(id_col).alias("id"), simhash64_expr(text_col).alias("simhash"))
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -58,7 +58,7 @@ def test_range_join_is_equi_join(spark):
 
 
 def test_deterministic_sample_is_pure_scan(spark):
-    df = contract.Q["deterministic_sample"](spark, SF)
+    df = contract.BENCH["deterministic_sample"](spark, SF)
     assert plans.shuffle_count(df) == 0
     assert plans.broadcast_join_count(df) == 0
 
@@ -82,6 +82,27 @@ def test_minhash_signature_stage_shuffle_free(spark):
     # repartition node itself is the only permitted exchange
     assert plans.shuffle_count(sigs) <= 1
     assert plans.broadcast_join_count(sigs) == 0
+
+
+def test_simhash_fingerprint_stage_pure_jvm(spark):
+    """The simhash fingerprint must stay a JVM expression: no Python
+    worker round-trip (BatchEvalPython/ArrowEvalPython) anywhere in the
+    plan, and no shuffle beyond spread_for_compute's local widening
+    (round-2 verdict item #2)."""
+    from dlx_spark.operators.dedup import simhash_fingerprints
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fps = simhash_fingerprints(docs.repartition(64))
+    plan = plans.simple_plan(fps)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert plans.shuffle_count(fps) <= 1
+    assert plans.broadcast_join_count(fps) == 0
+    # the full near-dup pipeline keeps the fingerprint stage Python-free
+    df = contract.Q["simhash"](spark, SF)
+    plan = plans.simple_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
 
 
 def test_marc_condition_predicate_prunes(spark, bibs_df, auth_index):
