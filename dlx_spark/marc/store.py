@@ -104,12 +104,33 @@ class MarcStore:
     def headings(self) -> DataFrame:
         return mdf.auth_headings(self.auths())
 
+    # Above this many auth records the driver-side cache stops being
+    # "broadcast-sized" and becomes a multi-GB driver structure; the
+    # distributed paths (commit_frame's headings join, resolve_values)
+    # don't need it, so refuse instead of silently degrading.
+    AUTH_INDEX_MAX_ROWS = 5_000_000
+
     def auth_index(self) -> AuthIndex:
         """The in-process authority dimension (broadcast-sized by the
         same argument as the reference's Auth.build_cache).  Memoized
         per store and invalidated by every auth write, so repeated
-        reads/commits don't rescan the auths table."""
+        reads/commits don't rescan the auths table.
+
+        Guarded: if the auths table exceeds ``AUTH_INDEX_MAX_ROWS``
+        this raises rather than pulling a multi-GB dimension onto the
+        driver — use the distributed resolution paths instead
+        (``MarcStore.commit_frame`` resolves xrefs via the headings
+        join; ``MarcDataFrame.resolve_values`` is a broadcast join)."""
         if self._auth_index is None:
+            n = self.auths().count()
+            if n > self.AUTH_INDEX_MAX_ROWS:
+                raise RuntimeError(
+                    f"auth_index(): auths table has {n:,} rows, above the "
+                    f"driver-cache cap of {self.AUTH_INDEX_MAX_ROWS:,}. The "
+                    "record-at-a-time facade cannot hold this dimension in "
+                    "driver memory; use the distributed paths instead "
+                    "(commit_frame for bulk writes, resolve_values for "
+                    "linked-value reads).")
             idx = AuthIndex()
             for row in self.auths().toLocalIterator():
                 idx.add(Auth.from_row(row, auth_index=idx))
@@ -269,9 +290,13 @@ class MarcStore:
         Input ``_id`` may be NULL (new records get ``max_id + seq``);
         non-null ids upsert.  Ids must be unique within the frame.
         Linked subfield values are resolved via the headings join (the
-        distributed analog of the reference's auth cache); intra-batch
-        xrefs to auths created in the SAME frame resolve on the next
-        derive, not this one.  Returns the number of records committed.
+        distributed analog of the reference's auth cache).  For auth
+        frames, validation accepts xrefs to auths carried (with explicit
+        ids) in the SAME frame — the intra-file see-also case — though
+        their linked VALUES still resolve on the next derive; xrefs to
+        rows whose ids are assigned inside this call (NULL ``_id``)
+        cannot be referenced intra-frame.  Returns the number of
+        records committed.
         """
         from pyspark.sql import Window
 
@@ -281,12 +306,21 @@ class MarcStore:
         try:
             if src.limit(1).count() == 0:
                 return 0
-            # distributed auth validation: every xref must exist in auths
+            # distributed auth validation: every xref must exist in auths —
+            # or, for an auth frame, in the frame itself: authority files
+            # commonly carry intra-file see-also (5xx) xrefs between
+            # records of the same import, which the reference's
+            # sequential commit accepts because earlier records land
+            # before later ones validate
             if auth_check:
+                known = self.auths().select(F.col("_id").alias("xref"))
+                if record_type == "auth":
+                    known = known.unionByName(
+                        src.filter(F.col("_id").isNotNull())
+                           .select(F.col("_id").alias("xref")))
                 bad = (mdf.explode_subfields(src, record_type)
                        .filter(F.col("xref").isNotNull())
-                       .join(self.auths().select(F.col("_id").alias("xref")),
-                             "xref", "left_anti")
+                       .join(known, "xref", "left_anti")
                        .select("tag", "code", "xref").limit(1).collect())
                 if bad:
                     raise InvalidAuthXref(record_type, bad[0]["tag"],

@@ -12,15 +12,24 @@ def epoch_seconds(col: Column | str) -> Column:
 
     Spark 4 forbids a direct ``TIMESTAMP_NTZ -> BIGINT`` cast
     (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION), which is exactly what
-    the driver's ``events.ts`` parquet column is.  Routing through
-    ``cast("timestamp")`` first is legal for TIMESTAMP, TIMESTAMP_NTZ,
-    DATE and STRING alike, and is the identity for plain TIMESTAMP —
-    every piece of time arithmetic (sessionization gaps, as-of
-    tolerance, range-join bucketing) goes through this one expression
-    so the NTZ case can never regress in a single call site.
+    the driver's ``events.ts`` parquet column is.  A TIMESTAMP_NTZ
+    input is measured as pure wall-clock seconds from the NTZ epoch
+    (``timestampdiff`` on NTZ operands) — NOT routed through
+    ``cast("timestamp")``, which would re-interpret the wall time in
+    the session timezone and skew gap/tolerance/bucket arithmetic by an
+    hour across DST transitions in non-UTC sessions.  TIMESTAMP keeps
+    instant semantics; DATE/STRING take the standard session-tz cast.
+    The ``typeof`` dispatch is constant-folded per plan, so there is no
+    per-row branch.  Every piece of time arithmetic (sessionization
+    gaps, as-of tolerance, range-join bucketing) goes through this one
+    expression so neither case can regress in a single call site.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("timestamp").cast("long")
+    wall = F.timestamp_diff(
+        "SECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"))
+    return (F.when(F.typeof(c) == "timestamp_ntz", wall)
+            .otherwise(c.cast("timestamp").cast("long")))
 
 # logical-plan nodes that imply an exchange somewhere upstream; frames
 # containing them are already as wide as spark.sql.shuffle.partitions,

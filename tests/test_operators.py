@@ -592,3 +592,42 @@ def test_corpus_top_ngrams(spark, docs):
     assert by_rank[0][1] == 3
     assert all(n >= 2 for _, n in by_rank)
     assert len(by_rank) <= 5
+
+
+def test_epoch_seconds_ntz_is_timezone_stable(spark):
+    """TIMESTAMP_NTZ arithmetic must be pure wall-clock: in a non-UTC
+    session, routing NTZ through cast('timestamp') skews gaps by an
+    hour across DST transitions (advice item r2).  epoch_seconds must
+    return the same values whatever the session timezone, and plain
+    TIMESTAMP must keep instant semantics."""
+    from pyspark.sql import functions as F
+    from dlx_spark.operators.common import epoch_seconds
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # spring-forward 2026-03-08 02:00 America/New_York
+        df = spark.sql("""
+            SELECT TIMESTAMP_NTZ'2026-03-08 01:30:00' AS a,
+                   TIMESTAMP_NTZ'2026-03-08 03:30:00' AS b,
+                   TIMESTAMP'2026-03-08 01:30:00' AS ta,
+                   TIMESTAMP'2026-03-08 03:30:00' AS tb
+        """)
+        gaps = {}
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = df.select(
+                (epoch_seconds("b") - epoch_seconds("a")).alias("ntz_gap"),
+                (epoch_seconds("tb") - epoch_seconds("ta")).alias("tz_gap"),
+                epoch_seconds("a").alias("a_abs"),
+            ).collect()[0]
+            gaps[tz] = row
+        # NTZ: wall-clock 2h in every session timezone
+        assert gaps["UTC"].ntz_gap == 7200
+        assert gaps["America/New_York"].ntz_gap == 7200
+        # and the absolute NTZ epoch is timezone-independent too
+        assert gaps["UTC"].a_abs == gaps["America/New_York"].a_abs
+        # TIMESTAMP columns are fixed instants (parsed once at analysis
+        # time): their gap is the same in every session timezone
+        assert gaps["UTC"].tz_gap == gaps["America/New_York"].tz_gap == 7200
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

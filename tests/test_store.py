@@ -289,3 +289,59 @@ def test_commit_frame_small_batch_rewrites_only_touched_buckets(spark, tmp_path)
     touched = {b for b in after if after[b] != before.get(b)}
     assert touched == {"pt=1"}, f"rewrote {touched}, expected only pt=1"
     assert store.bibs().count() == 32
+
+
+def test_auth_index_refuses_oversized_dimension(store, monkeypatch):
+    """The driver-side facade cache must refuse to materialize an auth
+    dimension above AUTH_INDEX_MAX_ROWS and point at the distributed
+    paths instead of silently building a multi-GB dict (round-2 verdict
+    item #3)."""
+    store._invalidate_auth_index()
+    big = MarcStore.AUTH_INDEX_MAX_ROWS + 1
+
+    class FakeAuths:
+        def count(self):
+            return big
+
+        def toLocalIterator(self):  # pragma: no cover - must not be reached
+            raise AssertionError("oversized dimension was materialized")
+
+    monkeypatch.setattr(store, "auths", lambda: FakeAuths())
+    with pytest.raises(RuntimeError, match="commit_frame"):
+        store.auth_index()
+    # under the cap the memoized build still works
+    monkeypatch.undo()
+    store._invalidate_auth_index()
+    idx = store.auth_index()
+    assert idx is store.auth_index()    # memoized
+
+
+def test_commit_frame_accepts_intra_frame_auth_xrefs(spark, tmp_path):
+    """An auth import whose records see-also-reference other auths in
+    the SAME frame (5xx xrefs, the standard authority-file shape) must
+    validate — the reference's sequential commit accepts these.  Xrefs
+    to ids absent from both the store and the frame still raise."""
+    from dlx_spark.marc.record import InvalidAuthXref
+    from dlx_spark.schemas import MARC_INGEST
+
+    store = MarcStore(spark, str(tmp_path / "wh_intrafile"))
+
+    def auth_row(rid, heading, see_also_xref=None):
+        fields = [{"tag": "100", "ind1": " ", "ind2": " ",
+                   "subfields": [{"code": "a", "value": heading}]}]
+        if see_also_xref is not None:
+            fields.append({"tag": "500", "ind1": " ", "ind2": " ",
+                           "subfields": [{"code": "a", "value": None,
+                                          "xref": see_also_xref}]})
+        return {"_id": rid, "datafields": fields}
+
+    frame = spark.createDataFrame(
+        [auth_row(1, "Alpha", see_also_xref=2),
+         auth_row(2, "Beta", see_also_xref=1)], schema=MARC_INGEST)
+    assert store.commit_frame(frame, record_type="auth", user="u") == 2
+    assert store.auths().count() == 2
+
+    dangling = spark.createDataFrame(
+        [auth_row(3, "Gamma", see_also_xref=99)], schema=MARC_INGEST)
+    with pytest.raises(InvalidAuthXref):
+        store.commit_frame(dangling, record_type="auth", user="u")
