@@ -69,6 +69,7 @@ class MarcStore:
         self.root = root
         self._auth_index: AuthIndex | None = None
         os.makedirs(root, exist_ok=True)
+        self._recover()
 
     # --- paths / raw IO -----------------------------------------------------
 
@@ -279,7 +280,8 @@ class MarcStore:
 
     def commit_frame(self, df: DataFrame, record_type: str = "bib",
                      user: str = "admin", now: datetime | None = None,
-                     auth_check: bool = True) -> int:
+                     auth_check: bool = True,
+                     prev_ids: DataFrame | None = None) -> int:
         """Bulk-ingest commit: the whole pipeline (id assignment, auth
         validation, audit stamps, derived columns, history, upsert) as
         distributed jobs over a MARC-schema DataFrame — record rows
@@ -297,6 +299,12 @@ class MarcStore:
         rows whose ids are assigned inside this call (NULL ``_id``)
         cannot be referenced intra-frame.  Returns the number of
         records committed.
+
+        ``prev_ids`` (a DataFrame with one ``record_id`` column) fixes
+        which ids count as pre-existing for history created-stamps;
+        when omitted it is derived from the live table.  A replaying
+        caller (the streaming sink) passes the snapshot it took before
+        its first attempt so a re-run stamps history identically.
         """
         from pyspark.sql import Window
 
@@ -374,10 +382,11 @@ class MarcStore:
             # prev-id set for history created-stamps, computed as a join
             # (lazily — the history write below runs before the upsert
             # overwrites the live table it reads)
+            prev_source = (prev_ids if prev_ids is not None
+                           else self.table(record_type)
+                                .select(F.col("_id").alias("record_id")))
             prev_id_df = (staged.select(F.col("_id").alias("record_id"))
-                          .join(self.table(record_type)
-                                .select(F.col("_id").alias("record_id")),
-                                "record_id", "left_semi"))
+                          .join(prev_source, "record_id", "left_semi"))
             self._append_history_frame(record_type, staged, user, now,
                                        prev_id_df=prev_id_df)
             n = staged.count()
@@ -446,13 +455,11 @@ class MarcStore:
                             .join(new_df.select("_id"), "_id", "left_anti"))
             union = existing.drop("pt").unionByName(new_df, allowMissingColumns=True)
         else:
+            buckets = None
             union = new_df
 
-        staged = self._stage(union, f"_stage_{name}")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (self._with_bucket(staged)
-         .write.mode("overwrite").partitionBy("pt").parquet(path))
-        self._unstage(f"_stage_{name}")
+        self._stage(union, f"_stage_{name}")
+        self._overwrite_buckets(name, f"_stage_{name}", buckets)
 
     def compact(self, record_type: str) -> None:
         """Fold the small files that per-commit dynamic overwrites leave
@@ -463,13 +470,81 @@ class MarcStore:
         if not self._exists(name):
             return
         live = self.spark.read.parquet(self._path(name))
-        staged = self._stage(
-            live.repartition(self.N_BUCKETS, "pt").drop("pt"),
-            f"_stage_compact_{name}")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (self._with_bucket(staged)
-         .write.mode("overwrite").partitionBy("pt").parquet(self._path(name)))
-        self._unstage(f"_stage_compact_{name}")
+        self._stage(live.repartition(self.N_BUCKETS, "pt").drop("pt"),
+                    f"_stage_compact_{name}")
+        self._overwrite_buckets(name, f"_stage_compact_{name}", None)
+
+    # --- crash-safe bucket swap ----------------------------------------------
+    #
+    # The stage-then-overwrite window in _upsert/compact/_remove_live is not
+    # atomic on a plain parquet store: a crash after the staged union lands
+    # but during the dynamic partition overwrite can tear the live table
+    # (some buckets new, some old, or a bucket dir half-written).  A
+    # write-ahead marker makes the swap REDOABLE: the marker (atomic
+    # tmp+rename) records the stage path and the touched buckets before the
+    # overwrite starts, and is removed only after it completes; reopening
+    # the store replays any pending swap from the still-present stage (the
+    # stage holds the full post-image of every touched bucket, so replaying
+    # is idempotent).  Production swap-in: a Delta/Iceberg transaction log.
+
+    def _txn_path(self, name: str) -> str:
+        return os.path.join(self.root, f"_txn_{name}.json")
+
+    def _write_txn_marker(self, name: str, payload: dict) -> None:
+        import json
+        tmp = self._txn_path(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, self._txn_path(name))
+
+    def _clear_txn_marker(self, name: str) -> None:
+        try:
+            os.remove(self._txn_path(name))
+        except FileNotFoundError:
+            pass
+
+    def _overwrite_buckets(self, name: str, stage_name: str,
+                           buckets: list[int] | None) -> None:
+        """Swap the staged post-image into the live table's touched
+        buckets under a write-ahead marker.  ``buckets`` is the full set
+        the caller touched; any touched bucket with NO rows in the stage
+        is dropped outright (dynamic overwrite alone would leave its old
+        files behind)."""
+        self._write_txn_marker(name, {"stage": stage_name,
+                                      "buckets": buckets})
+        self._apply_overwrite(name, stage_name, buckets)
+        self._clear_txn_marker(name)
+        self._unstage(stage_name)
+
+    def _apply_overwrite(self, name: str, stage_name: str,
+                         buckets: list[int] | None) -> None:
+        import shutil
+        staged = self.spark.read.parquet(self._path(stage_name))
+        present: set[int] = set()
+        if staged.limit(1).count():
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            bucketed = self._with_bucket(staged)
+            bucketed.write.mode("overwrite").partitionBy("pt").parquet(self._path(name))
+            present = {r["pt"] for r in bucketed.select("pt").distinct().collect()}
+        for b in buckets or []:
+            if b not in present:
+                shutil.rmtree(os.path.join(self._path(name), f"pt={b}"),
+                              ignore_errors=True)
+
+    def _recover(self) -> None:
+        """Replay any bucket swap whose marker survived a crash.  Called
+        on open; a no-op when no marker exists."""
+        import glob
+        import json
+        for marker in glob.glob(os.path.join(self.root, "_txn_*.json")):
+            name = os.path.basename(marker)[len("_txn_"):-len(".json")]
+            with open(marker) as fh:
+                payload = json.load(fh)
+            stage_name = payload["stage"]
+            if os.path.isdir(self._path(stage_name)):
+                self._apply_overwrite(name, stage_name, payload.get("buckets"))
+                self._unstage(stage_name)
+            self._clear_txn_marker(name)
 
     def _stage(self, df: DataFrame, name: str) -> DataFrame:
         p = self._path(name)
@@ -566,17 +641,10 @@ class MarcStore:
                 .filter(F.col("pt").isin(buckets))
                 .filter(~F.col("_id").isin(ids))
                 .drop("pt"))
-        staged = self._stage(keep, f"_stage_{name}")
-        if staged.limit(1).count():
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            (self._with_bucket(staged)
-             .write.mode("overwrite").partitionBy("pt").parquet(path))
-        else:
-            # bucket emptied entirely: drop its partition directories
-            import shutil
-            for b in buckets:
-                shutil.rmtree(os.path.join(path, f"pt={b}"), ignore_errors=True)
-        self._unstage(f"_stage_{name}")
+        self._stage(keep, f"_stage_{name}")
+        # _overwrite_buckets drops any touched bucket the stage left empty
+        # (dynamic overwrite alone would keep its old files)
+        self._overwrite_buckets(name, f"_stage_{name}", buckets)
 
     def restore(self, record_type: str, rid: int, user: str = "admin",
                 now: datetime | None = None) -> Marc:

@@ -122,60 +122,191 @@ def incremental_commit_stream(spark: SparkSession, input_path: str, store,
     return writer.start()
 
 
+LEDGER_COMPACT_EVERY = 64
+
+
 def make_commit_batch_fn(store, record_type: str, checkpoint: str):
     """The foreachBatch function behind ``incremental_commit_stream``,
     exposed for direct testing of its replay semantics.
 
     foreachBatch is at-least-once: after a crash the last micro-batch
-    replays with the SAME batch_id, and replaying a commit is NOT
-    idempotent here (id-less rows would get fresh ids; history would
-    double-append).  A (stream-instance, batch_id) ledger turns it
-    exactly-once: skip batches already recorded, record AFTER the commit
-    lands.  The stream instance is identified by the checkpoint path, so
-    a NEW stream (fresh checkpoint, batch ids restarting at 0) is never
-    confused with a replay.  Scale note: the ledger accretes one tiny
-    file per batch — compact or swap for a transactional table when
-    batch counts reach the many-thousands."""
+    replays with the SAME batch_id, and a naive replayed commit would
+    duplicate records (fresh ids for id-less rows) and double-append
+    history.  This sink makes the replay EXACTLY-ONCE by making the
+    batch itself deterministic and every crash window recoverable:
+
+    1. The batch is parsed executor-side and STAGED to parquet with ids
+       pre-assigned deterministically (``max_id`` + row_number over a
+       content-hash order) and a snapshot of which ids pre-existed in
+       the live table; a replay reuses the stage, so ids and history
+       created-stamps cannot drift between attempts.
+    2. An INTENT marker (atomic rename) records, before the commit, the
+       batch timestamp and the history part-files that existed; a replay
+       that finds the marker first deletes any history files the crashed
+       attempt appended, lets the store's own txn recovery repair a torn
+       upsert, then re-runs the commit from the stage — which is now
+       idempotent (explicit ids, fixed ``now``, snapshot ``prev_ids``).
+    3. The (stream-instance, batch_id) LEDGER row is appended only after
+       the commit lands; the marker is removed last.  A crash between
+       commit and ledger replays into the recovery path above, not into
+       a duplicate commit.
+
+    The stream instance is the checkpoint path PLUS the run id Spark
+    writes into ``{checkpoint}/metadata`` at stream start, so a deleted
+    and recreated checkpoint (batch ids restarting at 0) is a new stream,
+    never mistaken for a replay.  The ledger self-compacts every
+    ``LEDGER_COMPACT_EVERY`` batches (ledger rows are idempotent facts,
+    so compaction needs no atomic swap: add the merged file, then drop
+    the old ones)."""
     import hashlib
+    import json
     import os
+    import shutil
+    from datetime import datetime, timezone
 
     from dlx_spark import schemas
     from dlx_spark.marc.record import Auth, Bib
 
     cls = Bib if record_type == "bib" else Auth
-    stream_key = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
     commits_log = os.path.join(store.root, f"_stream_commits_{record_type}")
+    hist_dir = store._path(f"{record_type}_history")
+    _key_cache: dict[str, str] = {}
+
+    def stream_key() -> str:
+        if "k" not in _key_cache:
+            run_id = ""
+            meta = os.path.join(checkpoint, "metadata")
+            try:
+                with open(meta) as fh:
+                    run_id = json.load(fh).get("id", "")
+            except (OSError, ValueError):
+                pass  # direct-driven tests / pre-start probes: path-only key
+            raw = f"{os.path.abspath(checkpoint)}:{run_id}"
+            _key_cache["k"] = hashlib.md5(raw.encode()).hexdigest()[:16]
+        return _key_cache["k"]
+
+    def ledger_has(session, key: str, batch_id: int) -> bool:
+        if not (os.path.isdir(commits_log) and any(
+                f.endswith(".parquet") for f in os.listdir(commits_log))):
+            return False
+        return bool(session.read.parquet(commits_log)
+                    .filter((F.col("stream") == key)
+                            & (F.col("batch_id") == batch_id))
+                    .limit(1).count())
+
+    def ledger_append(session, key: str, batch_id: int) -> None:
+        (session.createDataFrame([(key, int(batch_id))],
+                                 "stream string, batch_id long")
+         .write.mode("append").parquet(commits_log))
+        files = [f for f in os.listdir(commits_log) if f.endswith(".parquet")]
+        if len(files) > LEDGER_COMPACT_EVERY:
+            tmp = commits_log + "__compact_tmp"
+            (session.read.parquet(commits_log).distinct().coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part),
+                       os.path.join(commits_log, f"compact-{key}-{batch_id}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+            for f in files:  # pre-compaction list only; new rows are safe
+                try:
+                    os.remove(os.path.join(commits_log, f))
+                except FileNotFoundError:
+                    pass
+
+    def marc_to_iso(dt: datetime) -> str:
+        return dt.isoformat()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
-        if os.path.isdir(commits_log) and any(
-                f.endswith(".parquet") for f in os.listdir(commits_log)):
-            seen = (session.read.parquet(commits_log)
-                    .filter((F.col("stream") == stream_key)
-                            & (F.col("batch_id") == batch_id))
-                    .limit(1).count())
-            if seen:
+        key = stream_key()
+        os.makedirs(commits_log, exist_ok=True)
+        marker_path = os.path.join(commits_log, f"_intent_{key}_{batch_id}.json")
+        stage_path = os.path.join(commits_log, f"_batch_{key}_{batch_id}")
+
+        if ledger_has(session, key, batch_id):
+            # crash landed between ledger append and cleanup: finish it
+            try:
+                os.remove(marker_path)
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(stage_path, ignore_errors=True)
+            return
+
+        if os.path.exists(marker_path):
+            # crashed attempt: undo its history append (files not in the
+            # pre-commit snapshot), repair any torn bucket swap, then
+            # fall through to the idempotent re-run from the stage
+            with open(marker_path) as fh:
+                marker = json.load(fh)
+            if marker["history_files"] is None:
+                shutil.rmtree(hist_dir, ignore_errors=True)
+            elif os.path.isdir(hist_dir):
+                keep = set(marker["history_files"])
+                for f in os.listdir(hist_dir):
+                    if f.endswith(".parquet") and f not in keep:
+                        os.remove(os.path.join(hist_dir, f))
+            store._recover()
+        else:
+            # fresh attempt: parse executor-side (same parser as
+            # read_jmarc_jsonl) — the batch never funnels raw lines or
+            # record rows through the driver, so micro-batch size is
+            # bounded by the cluster, not driver memory
+
+            def parse(line):
+                line = (line or "").strip()
+                if not line:
+                    return []
+                return [cls(json.loads(line)).to_row()]
+
+            rows = batch_df.rdd.flatMap(lambda r: parse(r["value"]))
+            if rows.isEmpty():
+                ledger_append(session, key, batch_id)
                 return
-
-        # parse executor-side (same parser as read_jmarc_jsonl) and feed
-        # the bulk commit_frame pipeline — the batch never funnels raw
-        # lines or record rows through the driver, so micro-batch size
-        # is bounded by the cluster, not driver memory
-        import json
-
-        def parse(line):
-            line = (line or "").strip()
-            if not line:
-                return []
-            return [cls(json.loads(line)).to_row()]
-
-        rows = batch_df.rdd.flatMap(lambda r: parse(r["value"]))
-        if not rows.isEmpty():
             nested = session.createDataFrame(rows, schema=schemas.MARC_INGEST)
-            store.commit_frame(nested, record_type=record_type,
-                               user=f"stream-batch-{batch_id}", auth_check=False)
-        (session.createDataFrame([(stream_key, int(batch_id))],
-                                 "stream string, batch_id long")
-         .write.mode("append").parquet(commits_log))
+
+            # deterministic id pre-assignment: max_id + row_number over a
+            # content-hash order, so a replay derives the SAME ids.  The
+            # global window is one single-task shuffle over ONE bounded
+            # micro-batch — not a scale concern.
+            from pyspark.sql import Window
+            frame_max = nested.agg(F.max("_id")).first()[0] or 0
+            base = max(store.max_id(record_type), int(frame_max))
+            ordkey = F.xxhash64(F.to_json(F.struct(*nested.columns)))
+            wn = Window.orderBy(ordkey)
+            assigned = (nested.filter(F.col("_id").isNull())
+                        .withColumn("_id", (F.lit(base)
+                                            + F.row_number().over(wn)).cast("long")))
+            nested = (nested.filter(F.col("_id").isNotNull())
+                      .unionByName(assigned))
+
+            # snapshot which ids pre-exist live, baked into the stage so
+            # replayed history created-stamps match the first attempt
+            live_ids = (store.table(record_type)
+                        .select(F.col("_id"), F.lit(True).alias("_existed")))
+            (nested.join(live_ids, "_id", "left")
+             .withColumn("_existed", F.coalesce("_existed", F.lit(False)))
+             .write.mode("overwrite").parquet(stage_path))
+
+            pre_hist = (sorted(f for f in os.listdir(hist_dir)
+                               if f.endswith(".parquet"))
+                        if os.path.isdir(hist_dir) else None)
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
+            tmp = marker_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"now": marc_to_iso(now),
+                           "history_files": pre_hist}, fh)
+            os.replace(tmp, marker_path)
+            marker = {"now": marc_to_iso(now), "history_files": pre_hist}
+
+        staged = session.read.parquet(stage_path)
+        store.commit_frame(staged.drop("_existed"), record_type=record_type,
+                           user=f"stream:{key}:{batch_id}",
+                           now=datetime.fromisoformat(marker["now"]),
+                           auth_check=False,
+                           prev_ids=staged.filter(F.col("_existed"))
+                                          .select(F.col("_id").alias("record_id")))
+        ledger_append(session, key, batch_id)
+        os.remove(marker_path)
+        shutil.rmtree(stage_path, ignore_errors=True)
 
     return process_batch

@@ -345,3 +345,76 @@ def test_commit_frame_accepts_intra_frame_auth_xrefs(spark, tmp_path):
         [auth_row(3, "Gamma", see_also_xref=99)], schema=MARC_INGEST)
     with pytest.raises(InvalidAuthXref):
         store.commit_frame(dangling, record_type="auth", user="u")
+
+
+# --- crash-safe bucket swap ---------------------------------------------------
+
+
+def _seed_plain(spark, tmp_path, name, n=8):
+    st = MarcStore(spark, str(tmp_path / name))
+    recs = [Bib().set("245", "a", f"Doc {i}", auth_control=False)
+            for i in range(n)]
+    st.commit(recs, user="u", now=T0)
+    return st
+
+
+def test_crash_before_swap_recovers_on_open(spark, tmp_path, monkeypatch):
+    """A commit that crashes AFTER the staged union lands but BEFORE the
+    dynamic overwrite leaves a write-ahead marker; reopening the store
+    replays the swap, so the commit completes instead of tearing."""
+    import os
+
+    st = _seed_plain(spark, tmp_path, "wh_crash1")
+
+    def boom(self, name, stage_name, buckets):
+        raise RuntimeError("crash before swap")
+    monkeypatch.setattr(MarcStore, "_apply_overwrite", boom)
+    rec = st.get("bib", 1)
+    rec.set("245", "a", "Changed title", auth_control=False)
+    with pytest.raises(RuntimeError):
+        st.commit([rec], user="u2", now=T1)
+    monkeypatch.undo()
+
+    st2 = MarcStore(spark, st.root)           # recovery runs here
+    assert st2.get("bib", 1).get_value("245", "a") == "Changed title"
+    assert st2.bibs().count() == 8
+    assert not os.path.exists(os.path.join(st.root, "_txn_bibs.json"))
+    assert not os.path.isdir(os.path.join(st.root, "_stage_bibs"))
+
+
+def test_torn_swap_repaired_on_open(spark, tmp_path, monkeypatch):
+    """A crash MID-overwrite (one bucket dir lost) is repaired by
+    replaying the swap from the still-present stage: every touched
+    bucket's post-image is restored, no hole."""
+    import os
+    import shutil
+
+    st = _seed_plain(spark, tmp_path, "wh_crash2", n=16)
+    real = MarcStore._apply_overwrite
+
+    def torn(self, name, stage_name, buckets):
+        real(self, name, stage_name, buckets)
+        shutil.rmtree(os.path.join(self.root, "bibs", "pt=1"),
+                      ignore_errors=True)
+        raise RuntimeError("crash mid-swap")
+    monkeypatch.setattr(MarcStore, "_apply_overwrite", torn)
+    rec = st.get("bib", 1)
+    rec.set("245", "a", "Rewritten", auth_control=False)
+    with pytest.raises(RuntimeError):
+        st.commit([rec], user="u2", now=T1)
+    monkeypatch.undo()
+
+    st2 = MarcStore(spark, st.root)
+    assert st2.bibs().count() == 16
+    assert st2.get("bib", 1).get_value("245", "a") == "Rewritten"
+
+
+def test_remove_live_drops_emptied_buckets(spark, tmp_path):
+    """Multi-id removal where one bucket empties entirely while another
+    keeps rows: the emptied bucket's old files must be dropped (dynamic
+    overwrite alone would leave the deleted ids live)."""
+    st = _seed_plain(spark, tmp_path, "wh_rm", n=32)
+    # ids 1..32 -> two per pt bucket (pt = id % 16)
+    st._remove_live("bib", [1, 17, 2])        # empties pt=1; pt=2 keeps 18
+    ids = sorted(r["_id"] for r in st.bibs().select("_id").collect())
+    assert ids == sorted(set(range(1, 33)) - {1, 17, 2})

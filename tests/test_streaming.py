@@ -246,3 +246,135 @@ def test_enrich_stream_static_join(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {r.event_id: r.tier for r in spark.sql("select * from enriched").collect()}
     assert got == {1: "gold", 2: None}
+
+
+def test_stream_replay_after_crash_between_commit_and_ledger(spark, tmp_path, monkeypatch):
+    """The advisor's crash window: the data commit lands but the process
+    dies before the ledger row is appended.  The replay must NOT
+    duplicate — the intent marker routes it through recovery (undo the
+    crashed attempt's history files, re-run the now-idempotent commit)."""
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_cw"))
+    docs = [{"245": [{"indicators": [" ", " "],
+                      "subfields": [{"code": "a", "value": f"Crash doc {i}"}]}]}
+            for i in range(3)]
+    batch = spark.createDataFrame([(json.dumps(d),) for d in docs],
+                                  "value string")
+    fn = streaming.make_commit_batch_fn(store, "bib", str(tmp_path / "ck_cw"))
+
+    real = MarcStore.commit_frame
+
+    def commit_then_die(self, *a, **k):
+        real(self, *a, **k)
+        raise RuntimeError("crash after commit, before ledger")
+    monkeypatch.setattr(MarcStore, "commit_frame", commit_then_die)
+    with pytest.raises(RuntimeError):
+        fn(batch, 0)
+    monkeypatch.undo()
+    assert store.bibs().count() == 3          # data landed, ledger did not
+
+    fn(batch, 0)                              # crash-replay
+    assert store.bibs().count() == 3          # no duplicates
+    hist = store.history_df("bib")
+    assert hist.count() == 3                  # exactly one version each
+    assert [r["version"] for r in hist.collect()] == [1, 1, 1]
+    # replayed ids identical to a clean run: dense 1..3
+    assert sorted(r["_id"] for r in store.bibs().select("_id").collect()) == [1, 2, 3]
+
+
+def test_stream_replay_after_crash_mid_commit(spark, tmp_path, monkeypatch):
+    """Crash BETWEEN the history append and the live upsert inside
+    commit_frame: the replay undoes the half-committed history and
+    re-runs from the deterministic stage — final state matches a clean
+    single run exactly."""
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_mc"))
+    docs = [{"245": [{"indicators": [" ", " "],
+                      "subfields": [{"code": "a", "value": f"Mid doc {i}"}]}]}
+            for i in range(4)]
+    batch = spark.createDataFrame([(json.dumps(d),) for d in docs],
+                                  "value string")
+    fn = streaming.make_commit_batch_fn(store, "bib", str(tmp_path / "ck_mc"))
+
+    real_upsert = MarcStore._upsert
+    state = {"raised": False}
+
+    def upsert_boom(self, *a, **k):
+        if not state["raised"]:
+            state["raised"] = True
+            raise RuntimeError("crash mid-commit")
+        return real_upsert(self, *a, **k)
+    monkeypatch.setattr(MarcStore, "_upsert", upsert_boom)
+    with pytest.raises(RuntimeError):
+        fn(batch, 0)
+    # history was appended by the crashed attempt; live was not
+    assert store.history_df("bib").count() == 4
+    assert store.bibs().count() == 0
+
+    fn(batch, 0)                              # crash-replay -> recovery
+    assert store.bibs().count() == 4
+    hist = store.history_df("bib")
+    assert hist.count() == 4
+    assert sorted(r["version"] for r in hist.collect()) == [1, 1, 1, 1]
+    assert all(r["created_user"] is not None for r in hist.collect())
+    assert sorted(r["_id"] for r in store.bibs().select("_id").collect()) == [1, 2, 3, 4]
+
+
+def test_stream_recreated_checkpoint_is_new_stream(spark, tmp_path):
+    """A checkpoint deleted and recreated at the SAME path restarts batch
+    ids at 0 — the run id Spark writes into {checkpoint}/metadata keys
+    the ledger, so the new stream's batch 0 must commit, not be skipped
+    as a replay."""
+    import shutil
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_nonce"))
+    doc = {"245": [{"indicators": [" ", " "],
+                    "subfields": [{"code": "a", "value": "Nonce doc"}]}]}
+    batch = spark.createDataFrame([(json.dumps(doc),)], "value string")
+
+    ck = tmp_path / "ck_nonce"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "run-aaaa"}))
+    fn = streaming.make_commit_batch_fn(store, "bib", str(ck))
+    fn(batch, 0)
+    fn(batch, 0)                              # same run: replay, skipped
+    assert store.bibs().count() == 1
+
+    shutil.rmtree(ck)                         # user deletes the checkpoint
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "run-bbbb"}))
+    fn2 = streaming.make_commit_batch_fn(store, "bib", str(ck))
+    fn2(batch, 0)                             # new run id -> NOT a replay
+    assert store.bibs().count() == 2
+
+
+def test_stream_ledger_compaction_bounded(spark, tmp_path, monkeypatch):
+    """Long-lived stream: the per-batch ledger files are folded together
+    every LEDGER_COMPACT_EVERY batches, so the file count stays bounded
+    while replay detection keeps working across the compactions."""
+    import os
+    from dlx_spark.marc.store import MarcStore
+
+    monkeypatch.setattr(streaming, "LEDGER_COMPACT_EVERY", 10)
+    store = MarcStore(spark, str(tmp_path / "wh_compact"))
+    doc = {"245": [{"indicators": [" ", " "],
+                    "subfields": [{"code": "a", "value": "Compact doc"}]}]}
+    real_batch = spark.createDataFrame([(json.dumps(doc),)], "value string")
+    empty = spark.createDataFrame([], "value string")
+    fn = streaming.make_commit_batch_fn(store, "bib", str(tmp_path / "ck_compact"))
+
+    fn(real_batch, 0)
+    for b in range(1, 31):                    # 30 empty batches
+        fn(empty, b)
+
+    ledger = os.path.join(store.root, "_stream_commits_bib")
+    files = [f for f in os.listdir(ledger) if f.endswith(".parquet")]
+    assert len(files) <= 12                   # bounded, not 31
+    rows = spark.read.parquet(ledger)
+    assert rows.select("batch_id").distinct().count() == 31
+    fn(real_batch, 0)                         # replay across compaction
+    fn(empty, 15)
+    assert store.bibs().count() == 1
