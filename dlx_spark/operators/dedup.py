@@ -407,7 +407,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     Blocking key: (language, length bucket, first token) — cheap,
     high-precision blocking that keeps the join linear-ish.  Exact
     Jaccard via array_intersect/array_union on distinct token arrays.
-    Returns (id_a, id_b, jaccard ≥ threshold)."""
+    Returns (id_a, id_b, jaccard ≥ threshold).
+
+    Recall is bounded by the blocking, not the Jaccard math: a near-dup
+    pair whose FIRST token differs (or whose lengths straddle a log2
+    bucket edge) never meets in a block.  Measured on a seeded corpus
+    where half the planted pairs differ in their first token, recall is
+    ~0.5 with exact precision; the minhash/LSH path (which blocks on
+    signature bands, not surface tokens) recovers ≥90% of those misses
+    (tests/test_property.py::test_blocked_jaccard_recall_measured)."""
     toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
     prepared = spread_for_compute(df).select(
         F.col(id_col).alias("id"), toks.alias("toks"),
