@@ -125,14 +125,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
+                        bucket_cap: int | None = None) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` slices, bucket-join
     on (band_idx, slice-hash).  Returns candidate (id_a, id_b) pairs
     (id_a < id_b), deduplicated.
 
     The only shuffle keys are the band buckets — identical rows collide,
     unrelated rows almost never do, so this stays near-linear at 100 TB
-    (skewed mega-buckets are handled by AQE skew splitting).
+    with one caveat: a MEGA-BUCKET (m near-identical docs sharing a band
+    slice) expands to m²/2 pairs, and AQE skew splitting does NOT save
+    it — skew detection looks at the join's INPUT partition sizes, and a
+    mega-bucket's input rows are kilobytes; the blow-up is in the output.
+    ``bucket_cap`` is the scale lever: buckets larger than the cap emit a
+    STAR (min-id representative ↔ each member, m−1 pairs) instead of the
+    full m²/2 expansion.  For transitive-closure consumers
+    (connected_components / dedup_clusters / dedup_near) the star is
+    exactly equivalent — every bucket member stays connected — while the
+    worst-case output drops from quadratic to linear.  Pair-level
+    consumers that re-verify similarity see member↔representative pairs
+    for capped buckets rather than all member↔member pairs.
     """
     banded = signatures.select(
         "id",
@@ -141,28 +153,50 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
                       b -> hash(slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands})))
         """)).alias("band", "bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(right, on=[F.col("l.band") == F.col("r.band"),
-                             F.col("l.bucket") == F.col("r.bucket"),
-                             F.col("l.id") < F.col("r.id")])
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    if bucket_cap is None:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        return (
+            left.join(right, on=[F.col("l.band") == F.col("r.band"),
+                                 F.col("l.bucket") == F.col("r.bucket"),
+                                 F.col("l.id") < F.col("r.id")])
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+
+    # capped mode trades the self-join for ONE groupBy shuffle: each
+    # bucket's sorted member list expands in-expression — all pairs when
+    # small, the min-id star when over the cap.  (A bucket's list row is
+    # linear in its membership; the quadratic blow-up never materializes.)
+    grouped = (banded.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = F.expr(f"""
+        CASE WHEN size(ids) <= {int(bucket_cap)} THEN
+          flatten(transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids) - i - 1),
+                      y -> named_struct('id_a', x, 'id_b', y))))
+        ELSE
+          transform(slice(ids, 2, size(ids) - 1),
+                    y -> named_struct('id_a', element_at(ids, 1), 'id_b', y))
+        END""")
+    return (grouped.select(F.explode(pairs).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
-                            threshold: float = 0.8, seed: int = 42) -> DataFrame:
+                            threshold: float = 0.8, seed: int = 42,
+                            bucket_cap: int | None = None) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by estimated Jaccard
     (fraction of agreeing signature components ≥ threshold).
-    Returns (id_a, id_b, est_jaccard)."""
+    Returns (id_a, id_b, est_jaccard).  ``bucket_cap`` bounds mega-bucket
+    expansion (see ``lsh_candidate_pairs``)."""
     # the signature relation feeds three plan branches (banding + both
     # sides of the verify join): cache it so the 64-hash projection runs
     # once, not three times
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, bucket_cap=bucket_cap)
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     return (

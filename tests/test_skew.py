@@ -66,3 +66,37 @@ def test_salted_join_rejects_outer(spark):
     dim = spark.createDataFrame([(1, "d")], "k long, attr string")
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="full")
+
+
+def test_lsh_bucket_cap_star_equivalence(spark):
+    """Mega-bucket handling in LSH candidate generation: capped buckets
+    emit a min-id star instead of the full m^2/2 expansion.  The star
+    must yield EXACTLY the same connected components / survivors as the
+    full expansion — only the pair count (the 100 TB cost) shrinks."""
+    import random
+
+    from dlx_spark.operators import dedup
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(300)]
+    clone = " ".join(rng.sample(vocab, 30))
+    rows = [(i, clone) for i in range(1, 61)]             # one mega-cluster
+    rows += [(100 + i, " ".join(rng.sample(vocab, 30))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = dedup.minhash_near_duplicates(df, threshold=0.8)
+    capped = dedup.minhash_near_duplicates(df, threshold=0.8, bucket_cap=8)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full >= 60 * 59 / 2                          # quadratic blow-up
+    assert n_capped < n_full / 10                         # star stays linear
+
+    def clusters(pairs):
+        return {(r["id"], r["component"], r["is_survivor"])
+                for r in dedup.dedup_clusters(pairs).collect()}
+    assert clusters(capped) == clusters(full)
+
+    # end-to-end dedup result identical too
+    kept_full = sorted(r["doc_id"] for r in dedup.dedup_near(df, full).collect())
+    kept_capped = sorted(r["doc_id"] for r in dedup.dedup_near(df, capped).collect())
+    assert kept_capped == kept_full
+    assert 1 in kept_full and 2 not in kept_full          # min id survives

@@ -8,6 +8,15 @@ corpus multiplier grows, because every stage is a partition-parallel
 map or a key-bucketed join with no driver-side state.
 
 Usage: python tools/scale_probe.py [multiplier]
+       python tools/scale_probe.py --skew [n_clones]
+
+``--skew`` is the mega-bucket stress: it plants ``n_clones`` (default
+3000) identical documents in the sf corpus — every clone collides in
+every LSH band, the worst-case skew for candidate generation — and
+times ``lsh_candidate_pairs`` with full quadratic expansion vs the
+``bucket_cap`` star path.  AQE skew splitting cannot help here (the
+skew is in the join's OUTPUT, its input partitions are kilobytes); the
+cap is what keeps the stage linear, and this probe measures by how much.
 """
 
 from __future__ import annotations
@@ -22,7 +31,63 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def skew_main() -> None:
+    n_clones = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark import get_spark
+    from dlx_spark.operators import dedup
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("lsh_skew_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    clone_text = docs.orderBy("doc_id").first()["text"]
+    clones = (spark.range(n_clones)
+              .select((F.col("id") + 10_000_000).alias("doc_id"),
+                      F.lit(clone_text).alias("text")))
+    corpus = docs.unionByName(clones)
+
+    workdir = tempfile.mkdtemp(prefix="dlx_spark_skew_")
+    try:
+        corpus.repartition(cpus).write.parquet(os.path.join(workdir, "docs"))
+        corpus = spark.read.parquet(os.path.join(workdir, "docs"))
+        sigs = dedup.minhash_signatures(corpus)
+        sigs.write.parquet(os.path.join(workdir, "sigs"))
+        sigs = spark.read.parquet(os.path.join(workdir, "sigs"))
+
+        t0 = _t.time()
+        n_full = dedup.lsh_candidate_pairs(sigs).count()
+        t_full = round(_t.time() - t0, 2)
+        t0 = _t.time()
+        n_capped = dedup.lsh_candidate_pairs(sigs, bucket_cap=64).count()
+        t_capped = round(_t.time() - t0, 2)
+
+        print(json.dumps({
+            "metric": "lsh_skew_probe",
+            "n_docs": corpus.count(),
+            "n_clones": n_clones,
+            "full_pairs": n_full,
+            "full_sec": t_full,
+            "capped_pairs": n_capped,
+            "capped_sec": t_capped,
+            "speedup": round(t_full / t_capped, 1) if t_capped else None,
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_main()
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
     from pyspark.sql import functions as F
