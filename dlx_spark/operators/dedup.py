@@ -125,6 +125,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def band_buckets(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """(id, band, bucket) — the banded LSH keys for each signature: the
+    signature is cut into ``bands`` equal slices and each slice is
+    hashed to one bucket key.  Pure flat-map (posexplode of a per-row
+    transform); the shared primitive behind ``lsh_candidate_pairs`` and
+    the persisted incremental index (operators/dedup_index.py)."""
+    return signatures.select(
+        "id",
+        F.posexplode(F.expr(f"""
+            transform(sequence(0, {bands - 1}),
+                      b -> hash(slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands})))
+        """)).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
                         bucket_cap: int | None = None) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` slices, bucket-join
@@ -146,13 +161,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     consumers that re-verify similarity see member↔representative pairs
     for capped buckets rather than all member↔member pairs.
     """
-    banded = signatures.select(
-        "id",
-        F.posexplode(F.expr(f"""
-            transform(sequence(0, {bands - 1}),
-                      b -> hash(slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands})))
-        """)).alias("band", "bucket"),
-    )
+    banded = band_buckets(signatures, bands)
     if bucket_cap is None:
         left = banded.alias("l")
         right = banded.alias("r")

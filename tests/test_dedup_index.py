@@ -1,0 +1,193 @@
+"""Incremental dedup index tests.
+
+The correctness anchor: probing a split corpus must produce EXACTLY the
+cross-partition subset of the full-corpus results — the full-corpus
+paths (minhash_near_duplicates, dedup_exact) are themselves
+driver-oracled, so equality here chains incremental correctness to the
+DuckDB oracle.  The plan tests assert the scale property: a probe never
+reads corpus text and never shuffles index data.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlx_spark.operators import dedup
+from dlx_spark.operators.dedup_index import DigestIndex, MinHashIndex
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+         "pi", "rho", "sigma", "tau", "upsilon"]
+
+
+def _corpus_rows(n=120, seed=11):
+    """Docs with planted near-dup pairs and exact dups spanning the
+    corpus/batch split (ids >= split are 'the new batch')."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        words = [rng.choice(VOCAB) for _ in range(30)]
+        rows.append((i, " ".join(words)))
+    # exact dups across the split: batch doc 200+j repeats corpus doc j
+    for j in range(5):
+        rows.append((200 + j, rows[j][1]))
+    # near dups across the split: one word changed
+    for j in range(5, 12):
+        words = rows[j][1].split()
+        words[7] = "CHANGED"
+        rows.append((210 + j, " ".join(words)))
+    # fresh batch-only docs with no corpus relative
+    fresh = []
+    for j in range(10):
+        words = [rng.choice(VOCAB) + "x" for _ in range(30)]
+        fresh.append((240 + j, " ".join(words)))
+    rows.extend(fresh)
+    # an intra-batch-only near-dup pair: 261 ~ 260 (min-id 260 survives)
+    words = fresh[0][1].split()
+    base = [w for w in words]
+    rows.append((260, " ".join(base)))
+    mutated = list(base)
+    mutated[3] = "MUTANT"
+    rows.append((261, " ".join(mutated)))
+    # an intra-batch exact duplicate for the digest index: 262 == 241
+    rows.append((262, fresh[1][1]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    rows = _corpus_rows()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") < 200)
+    batch = df.filter(F.col("doc_id") >= 200)
+    return df, corpus, batch
+
+
+def test_minhash_probe_equals_full_cross_pairs(spark, split_corpus):
+    full_df, corpus, batch = split_corpus
+    idx = MinHashIndex.create(corpus, "t_mh_idx")
+    try:
+        got = {(r["corpus_id"], r["batch_id"], round(r["est_jaccard"], 6))
+               for r in idx.probe(batch, threshold=0.7).collect()}
+        full = dedup.minhash_near_duplicates(full_df, threshold=0.7)
+        want = {(r["id_a"], r["id_b"], round(r["est_jaccard"], 6))
+                for r in full.collect()
+                if r["id_a"] < 200 <= r["id_b"]}
+        assert got == want
+        assert len(want) >= 10   # the planted cross-split dups were found
+    finally:
+        idx.drop()
+
+
+def test_minhash_dedup_batch_matches_full_survivor_rule(spark, split_corpus):
+    full_df, corpus, batch = split_corpus
+    idx = MinHashIndex.create(corpus, "t_mh_idx2")
+    try:
+        clean = idx.dedup_batch(batch, threshold=0.7)
+        got = sorted(r["doc_id"] for r in clean.collect())
+
+        # expected: drop batch docs linked to corpus; among the rest,
+        # min-id per connected component of intra-batch pairs survives
+        pairs = dedup.minhash_near_duplicates(full_df, threshold=0.7)
+        cross_dups = {r["id_b"] for r in pairs.collect()
+                      if r["id_a"] < 200 <= r["id_b"]}
+        remaining = batch.filter(~F.col("doc_id").isin(list(cross_dups)))
+        intra = dedup.minhash_near_duplicates(remaining, threshold=0.7)
+        want = sorted(r["doc_id"]
+                      for r in dedup.dedup_near(remaining, intra).collect())
+        assert got == want
+        assert len(got) >= 8   # the fresh batch-only docs survived
+        assert 260 not in got or 240 not in got  # 240/260 exact pair deduped
+
+        # the survivors were appended: probing one of them again hits
+        one = clean.limit(1)
+        reprobe = idx.probe(one.withColumn("doc_id", F.col("doc_id") + 100000),
+                            threshold=0.99)
+        assert reprobe.count() >= 1
+    finally:
+        idx.drop()
+
+
+def test_minhash_probe_plan_never_touches_corpus_text(spark, split_corpus, tmp_path):
+    _, corpus, batch = split_corpus
+    corpus_path = str(tmp_path / "corpus_docs")
+    corpus.write.parquet(corpus_path)
+    stored = spark.read.parquet(corpus_path)
+    idx = MinHashIndex.create(stored, "t_mh_idx3")
+    try:
+        probed = idx.probe(batch, threshold=0.7)
+        probed.collect()
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        # scale property 1: the corpus parquet (text) is not in the plan
+        assert "corpus_docs" not in plan
+        # scale property 2: the batch band keys are broadcast, so index
+        # band data streams map-side through a BroadcastHashJoin
+        assert "BroadcastHashJoin" in plan
+    finally:
+        idx.drop()
+
+
+def test_digest_index_matches_full_exact_dedup(spark, split_corpus):
+    full_df, corpus, batch = split_corpus
+    idx = DigestIndex.create(corpus, "t_dg_idx")
+    try:
+        clean = idx.dedup_batch(batch)
+        got = sorted(r["doc_id"] for r in clean.collect())
+        # expected: batch rows surviving a full-corpus exact dedup
+        want = sorted(r["doc_id"]
+                      for r in dedup.dedup_exact(full_df).collect()
+                      if r["doc_id"] >= 200)
+        assert got == want
+        # the 5 exact clones of corpus docs were dropped
+        assert not any(200 <= d < 205 for d in got)
+
+        # append worked: an exact clone of a batch survivor is now caught
+        clone = spark.createDataFrame(
+            [(999_999, batch.filter(F.col("doc_id") == got[0])
+              .first()["text"])], "doc_id long, text string")
+        assert idx.filter_new(clone).count() == 0
+    finally:
+        idx.drop()
+
+
+def test_digest_antijoin_shuffles_batch_only(spark, split_corpus):
+    """The bucketed digest table satisfies the anti-join's distribution
+    from its layout: with broadcast disabled, the only Exchange in the
+    plan is the (small) batch side."""
+    _, corpus, batch = split_corpus
+    idx = DigestIndex.create(corpus, "t_dg_idx2")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh = idx._batch_digests(batch).join(
+            spark.table("t_dg_idx2_digests"), "digest", "left_anti")
+        fresh.count()
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange") \
+            - plan.count("ReusedExchange")
+        assert n_shuffles <= 1, plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        idx.drop()
+
+
+def test_meta_roundtrip_and_reopen(spark, split_corpus):
+    _, corpus, batch = split_corpus
+    MinHashIndex.create(corpus, "t_mh_idx4", num_hashes=32, bands=8,
+                        shingle_n=2, seed=7)
+    try:
+        reopened = MinHashIndex(spark, "t_mh_idx4")
+        assert reopened.params["num_hashes"] == 32
+        assert reopened.params["bands"] == 8
+        assert reopened.params["seed"] == 7
+        # a probe through the reopened handle uses the persisted family:
+        # an exact clone of a corpus doc must match with est_jaccard 1.0
+        clone = corpus.limit(1).withColumn("doc_id", F.lit(888_888).cast("long"))
+        hits = reopened.probe(clone, threshold=0.99).collect()
+        assert any(r["est_jaccard"] == 1.0 for r in hits)
+    finally:
+        reopened.drop()
