@@ -9,6 +9,15 @@ map or a key-bucketed join with no driver-side state.
 
 Usage: python tools/scale_probe.py [multiplier]
        python tools/scale_probe.py --skew [n_clones]
+       python tools/scale_probe.py --incremental [multiplier]
+
+``--incremental`` measures the point of the persisted dedup index
+(operators/dedup_index.py): dedup one fixed-size daily batch against a
+corpus ``multiplier``× the sf size, comparing the index probe against
+what a full re-run of minhash LSH over corpus+batch would cost.  The
+probe's cost should track the BATCH (plus a map-side scan of the
+compact index), not the corpus — the gap widens linearly with corpus
+size, which is exactly the 100 TB argument.
 
 ``--skew`` is the mega-bucket stress: it plants ``n_clones`` (default
 3000) identical documents in the sf corpus — every clone collides in
@@ -84,9 +93,91 @@ def skew_main() -> None:
     spark.stop()
 
 
+def incremental_main() -> None:
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark import get_spark
+    from dlx_spark.operators import dedup
+    from dlx_spark.operators.dedup_index import MinHashIndex
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("incremental_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    # salt every token per replica so replicas are shingle-disjoint —
+    # otherwise the corpus is mult-fold duplicated and BOTH runs drown
+    # in the quadratic pair output instead of measuring the recompute
+    def salted(df, i):
+        return df.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(F.split(F.col("text"), " "),
+                            lambda t: F.concat(t, F.lit(f"_{i}"))),
+                " ").alias("text"))
+
+    big = None
+    for i in range(mult):
+        d = salted(docs, i)
+        big = d if big is None else big.unionByName(d)
+
+    workdir = tempfile.mkdtemp(prefix="dlx_spark_incr_")
+    try:
+        big.repartition(cpus).write.parquet(os.path.join(workdir, "corpus"))
+        corpus = spark.read.parquet(os.path.join(workdir, "corpus"))
+        n_corpus = corpus.count()
+        # the daily increment: one sf worth of docs, fresh ids, every one
+        # an exact clone of one corpus doc (full verify load, clean links)
+        batch = salted(docs, 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(900_000_000))
+        batch.write.parquet(os.path.join(workdir, "batch"))
+        batch = spark.read.parquet(os.path.join(workdir, "batch"))
+        n_batch = batch.count()
+
+        t0 = time.time()
+        idx = MinHashIndex.create(corpus, "probe_incr_idx")
+        t_index = round(time.time() - t0, 2)
+        try:
+            t0 = time.time()
+            n_links = idx.probe(batch, threshold=0.8).count()
+            t_probe = round(time.time() - t0, 2)
+
+            # the alternative the index replaces: full re-run over
+            # corpus ∪ batch (re-shingles and re-hashes ALL history)
+            t0 = time.time()
+            n_full = (dedup.minhash_near_duplicates(corpus.unionByName(batch))
+                      .count())
+            t_full = round(time.time() - t0, 2)
+        finally:
+            idx.drop()
+
+        print(json.dumps({
+            "metric": "incremental_dedup_probe",
+            "n_corpus": n_corpus,
+            "n_batch": n_batch,
+            "multiplier": mult,
+            "index_build_sec": t_index,
+            "probe_sec": t_probe,
+            "probe_links": n_links,
+            "full_rerun_sec": t_full,
+            "full_rerun_pairs": n_full,
+            "probe_speedup": round(t_full / t_probe, 1) if t_probe else None,
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        incremental_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
