@@ -176,6 +176,13 @@ class MinHashIndex:
         return dedup.minhash_signatures(batch, p["text_col"], p["id_col"],
                                         p["num_hashes"], p["shingle_n"], p["seed"])
 
+    def _refresh(self) -> None:
+        # appends may come from another session (a foreachBatch sink's
+        # micro-batch session); drop this session's cached file listing
+        # so index reads always see the latest appended state
+        for suffix in ("_sigs", "_bands"):
+            self.spark.catalog.refreshTable(f"{self.name}{suffix}")
+
     def probe(self, batch: DataFrame, threshold: float = 0.8) -> DataFrame:
         """(corpus_id, batch_id, est_jaccard): near-duplicate links from
         each batch document to already-ingested documents.
@@ -185,6 +192,7 @@ class MinHashIndex:
         same banding, same verify rule) — pytest-locked equivalence.
         """
         p = self.params
+        self._refresh()
         bsigs = self._batch_sigs(batch).cache()
         bbands = (dedup.band_buckets(bsigs, p["bands"])
                   .withColumnRenamed("id", "batch_id"))
@@ -207,11 +215,23 @@ class MinHashIndex:
 
     # -- write paths ---------------------------------------------------
 
-    def append(self, batch_survivors: DataFrame) -> None:
+    def append(self, batch_survivors: DataFrame, if_absent: bool = False) -> None:
         """Append a deduped batch's signatures and band keys so later
-        batches dedup against it.  Bucketed appends preserve the layout."""
+        batches dedup against it.  Bucketed appends preserve the layout.
+
+        ``if_absent=True`` makes the append idempotent (only ids not
+        already indexed are added) — required for at-least-once stream
+        sinks, where a crashed micro-batch replays its append.  The
+        batch signatures are checkpointed before the first write so the
+        anti-join is not re-evaluated against the just-updated table
+        (which would silently empty the band write)."""
         p = self.params
         sigs = self._batch_sigs(batch_survivors)
+        if if_absent:
+            self._refresh()
+            existing = self.spark.table(f"{self.name}_sigs").select("id")
+            sigs = sigs.join(existing, "id", "left_anti")
+        sigs = sigs.localCheckpoint(eager=True)
         (sigs.write.mode("append")
          .bucketBy(p["n_buckets"], "id").sortBy("id")
          .saveAsTable(f"{self.name}_sigs"))
@@ -220,22 +240,33 @@ class MinHashIndex:
          .saveAsTable(f"{self.name}_bands"))
 
     def dedup_batch(self, batch: DataFrame, threshold: float = 0.8,
-                    bucket_cap: int | None = None) -> DataFrame:
+                    bucket_cap: int | None = None,
+                    replay_safe: bool = False) -> DataFrame:
         """The per-increment near-dedup: drop batch docs near-duplicating
         the corpus (corpus always wins — it was ingested first), then
         near-dedup the remainder against ITSELF (min-id survivor per
         connected component, same rule as the full-corpus path), append
-        the survivors' state, and return the clean batch."""
+        the survivors' state, and return the clean batch.
+
+        ``replay_safe=True`` is the at-least-once stream mode: matches
+        whose corpus side IS one of this batch's own ids are ignored (a
+        crashed prior attempt may have appended this very batch), and
+        the append is ``if_absent`` — so a replayed batch produces the
+        SAME clean frame as its first attempt and leaves the index
+        unchanged."""
         p = self.params
         id_col = p["id_col"]
-        vs_corpus = self.probe(batch, threshold).select(
-            F.col("batch_id").alias("_dup")).distinct()
+        vs_corpus = self.probe(batch, threshold)
+        if replay_safe:
+            own = batch.select(F.col(id_col).alias("corpus_id"))
+            vs_corpus = vs_corpus.join(own, "corpus_id", "left_anti")
+        vs_corpus = vs_corpus.select(F.col("batch_id").alias("_dup")).distinct()
         remaining = batch.join(vs_corpus, F.col(id_col) == F.col("_dup"), "left_anti")
         intra = dedup.minhash_near_duplicates(
             remaining, p["text_col"], id_col, p["num_hashes"], p["bands"],
             p["shingle_n"], threshold, p["seed"], bucket_cap=bucket_cap)
         clean = dedup.dedup_near(remaining, intra, id_col).localCheckpoint(eager=True)
-        self.append(clean)
+        self.append(clean, if_absent=replay_safe)
         return clean
 
     def drop(self) -> None:

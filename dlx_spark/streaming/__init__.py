@@ -94,6 +94,57 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
     )
 
 
+def make_neardedup_batch_fn(index_name: str, out_path: str,
+                            threshold: float = 0.8):
+    """foreachBatch function for streaming near-dedup ingest: each
+    micro-batch is deduped against EVERY previously ingested document
+    via the persisted MinHashIndex (operators/dedup_index.py), and the
+    survivors land in ``out_path/batch=<id>/``.
+
+    Exactly-once by construction under foreachBatch's at-least-once
+    contract, with no ledger: a replayed batch (same batch_id) runs in
+    ``replay_safe`` mode — index matches against the batch's own ids
+    (appended by the crashed attempt) are ignored, so the clean frame
+    is identical to the first attempt's; the index append is
+    ``if_absent`` (a no-op on replay); and the output directory is
+    keyed by batch_id and overwritten, so re-writing it is idempotent.
+    Requires doc ids unique across the stream's lifetime (standard for
+    ingest pipelines; collisions would be mistaken for replays).
+
+    Exposed separately from the stream starter so tests can drive
+    crash/replay sequences directly."""
+    import os
+
+    from dlx_spark.operators.dedup_index import MinHashIndex
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        idx = MinHashIndex(session, index_name)
+        clean = idx.dedup_batch(batch_df, threshold, replay_safe=True)
+        (clean.write.mode("overwrite")
+         .parquet(os.path.join(out_path, f"batch={batch_id}")))
+
+    return process_batch
+
+
+def neardedup_ingest_stream(spark: SparkSession, input_path: str,
+                            index_name: str, out_path: str, checkpoint: str,
+                            threshold: float = 0.8,
+                            schema: str = "doc_id long, text string"):
+    """Streaming corpus ingest with cross-batch near-dedup: a JSONL file
+    stream driven through ``foreachBatch`` into ``MinHashIndex.
+    dedup_batch`` — the streaming form of the batch incremental-dedup
+    workflow (create the index on the existing corpus first with
+    ``MinHashIndex.create``).  Swap the file source for Kafka without
+    touching the sink.  Returns the StreamingQuery; caller stops it."""
+    docs = spark.readStream.schema(schema).json(input_path)
+    fn = make_neardedup_batch_fn(index_name, out_path, threshold)
+    return (docs.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id",
                   how: str = "left") -> DataFrame:
     """Stream-static enrichment join: attach dimension attributes to a

@@ -175,6 +175,99 @@ def test_digest_antijoin_shuffles_batch_only(spark, split_corpus):
         idx.drop()
 
 
+def test_streaming_neardedup_ingest(spark, split_corpus, tmp_path):
+    """End-to-end availableNow stream: batches flow through foreachBatch
+    into the index; cross-batch dups are dropped; a replayed batch
+    changes nothing (exactly-once by construction)."""
+    import json as jsonlib
+
+    from dlx_spark.streaming import make_neardedup_batch_fn, neardedup_ingest_stream
+
+    _, corpus, batch = split_corpus
+    MinHashIndex.create(corpus, "t_mh_stream")
+    out = str(tmp_path / "clean")
+    try:
+        # micro-batch 1: the usual batch; micro-batch 2: clones of two
+        # batch-1 survivors (must be dropped) + one brand-new doc
+        indir = tmp_path / "in"
+        indir.mkdir()
+        rows1 = [{"doc_id": r["doc_id"], "text": r["text"]}
+                 for r in batch.collect()]
+        (indir / "b1.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in rows1))
+        q = neardedup_ingest_stream(
+            spark, str(indir), "t_mh_stream", out,
+            str(tmp_path / "ckpt"), threshold=0.7)
+        q.awaitTermination(120)
+
+        clean1 = {r["doc_id"] for r in
+                  spark.read.parquet(out + "/batch=0").collect()}
+        assert len(clean1) >= 8
+
+        surv = sorted(clean1)[:2]
+        surv_text = {r["doc_id"]: r["text"] for r in batch.collect()}
+        rows2 = [{"doc_id": 500 + i, "text": surv_text[s]}
+                 for i, s in enumerate(surv)]
+        rows2.append({"doc_id": 600,
+                      "text": " ".join(f"brandnew{i}" for i in range(30))})
+        (indir / "b2.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in rows2))
+        q = neardedup_ingest_stream(
+            spark, str(indir), "t_mh_stream", out,
+            str(tmp_path / "ckpt"), threshold=0.7)
+        q.awaitTermination(120)
+
+        clean2 = {r["doc_id"] for r in
+                  spark.read.parquet(out + "/batch=1").collect()}
+        assert clean2 == {600}, clean2
+
+        # replay batch 1 through the raw fn (simulating a foreachBatch
+        # redelivery): output identical, index unchanged
+        spark.catalog.refreshTable("t_mh_stream_sigs")  # appends came from the stream's session
+        n_sigs = spark.table("t_mh_stream_sigs").count()
+        assert n_sigs > 120  # corpus + batch-0 survivors + doc 600
+        fn = make_neardedup_batch_fn("t_mh_stream", out, threshold=0.7)
+        replay_df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows1],
+            "doc_id long, text string")
+        fn(replay_df, 0)
+        assert {r["doc_id"] for r in
+                spark.read.parquet(out + "/batch=0").collect()} == clean1
+        assert spark.table("t_mh_stream_sigs").count() == n_sigs
+    finally:
+        MinHashIndex(spark, "t_mh_stream").drop()
+
+
+def test_streaming_neardedup_crash_window(spark, split_corpus, tmp_path):
+    """Crash between the index append and the output write: the replay
+    must still produce the full clean output (not an empty one), because
+    replay_safe ignores the batch's own ids in the index."""
+    from dlx_spark.streaming import make_neardedup_batch_fn
+
+    _, corpus, batch = split_corpus
+    idx = MinHashIndex.create(corpus, "t_mh_crash")
+    out = str(tmp_path / "clean")
+    try:
+        # first attempt reaches the index append, then "crashes" before
+        # writing output: simulate by running dedup_batch directly
+        first = idx.dedup_batch(batch, threshold=0.7, replay_safe=True)
+        want = {r["doc_id"] for r in first.collect()}
+        assert want  # survivors exist
+
+        # the redelivered micro-batch runs the full sink
+        fn = make_neardedup_batch_fn("t_mh_crash", out, threshold=0.7)
+        fn(batch, 0)
+        got = {r["doc_id"] for r in
+               spark.read.parquet(out + "/batch=0").collect()}
+        assert got == want
+        # and the index holds exactly one signature row per survivor
+        dup_ids = (spark.table("t_mh_crash_sigs").groupBy("id").count()
+                   .filter("count > 1").count())
+        assert dup_ids == 0
+    finally:
+        idx.drop()
+
+
 def test_meta_roundtrip_and_reopen(spark, split_corpus):
     _, corpus, batch = split_corpus
     MinHashIndex.create(corpus, "t_mh_idx4", num_hashes=32, bands=8,
