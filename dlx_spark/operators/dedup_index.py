@@ -47,6 +47,44 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dlx_spark.operators import dedup
 
 
+def _compact_table(spark: SparkSession, table: str, key: str,
+                   n_buckets: int) -> None:
+    """Rewrite a bucketed table into one file per bucket.
+
+    Append-only indexes accrete one file per bucket per appended batch
+    (a year of daily ingest = 365 × n_buckets files); this is the
+    OPTIMIZE analog, and it is SHUFFLE-FREE: forcing a bucketed scan
+    gives exactly one input partition per bucket (autoBucketedScan
+    would otherwise split by file and an explicit repartition gets
+    optimized away as redundant against the table's logical bucketing),
+    so each write task holds one whole bucket and emits one file.  The
+    swap is DROP + RENAME of a staged table; a crash between the two is
+    repaired by ``_recover_compaction`` on next open (the staged table
+    holds the full data either way).
+    """
+    tmp = f"{table}__compact"
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        (spark.table(table).write.mode("overwrite")
+         .bucketBy(n_buckets, key).sortBy(key).saveAsTable(tmp))
+    finally:
+        spark.conf.set(conf, old)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
+def _recover_compaction(spark: SparkSession, table: str) -> None:
+    """If a compaction crashed between DROP and RENAME, finish it."""
+    tmp = f"{table}__compact"
+    if spark.catalog.tableExists(tmp):
+        if not spark.catalog.tableExists(table):
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        else:  # crashed before DROP: staged copy is redundant
+            spark.sql(f"DROP TABLE {tmp}")
+
+
 def _write_meta(spark: SparkSession, name: str, params: dict) -> None:
     spark.createDataFrame([(json.dumps(params),)], "params string") \
         .write.mode("overwrite").saveAsTable(f"{name}_meta")
@@ -64,7 +102,12 @@ class DigestIndex:
     def __init__(self, spark: SparkSession, name: str):
         self.spark = spark
         self.name = name
+        _recover_compaction(spark, f"{name}_digests")
         self.params = _read_meta(spark, name)
+
+    def compact(self) -> None:
+        _compact_table(self.spark, f"{self.name}_digests", "digest",
+                       self.params["n_buckets"])
 
     @classmethod
     def create(cls, df: DataFrame, name: str, text_col: str = "text",
@@ -143,7 +186,18 @@ class MinHashIndex:
     def __init__(self, spark: SparkSession, name: str):
         self.spark = spark
         self.name = name
+        for suffix in ("_sigs", "_bands"):
+            _recover_compaction(spark, f"{name}{suffix}")
         self.params = _read_meta(spark, name)
+
+    def compact(self) -> None:
+        """Fold each index table to one file per bucket (run after every
+        N appended batches — same cadence logic as the streaming commit
+        ledger's self-compaction)."""
+        _compact_table(self.spark, f"{self.name}_sigs", "id",
+                       self.params["n_buckets"])
+        _compact_table(self.spark, f"{self.name}_bands", "bucket",
+                       self.params["n_buckets"])
 
     # -- construction -------------------------------------------------
 

@@ -268,6 +268,42 @@ def test_streaming_neardedup_crash_window(spark, split_corpus, tmp_path):
         idx.drop()
 
 
+def test_compact_folds_appended_files(spark, split_corpus):
+    """Repeated appends accrete files; compact() folds each table to one
+    file per bucket with identical probe results, and a crash between
+    DROP and RENAME is repaired on reopen."""
+    _, corpus, batch = split_corpus
+    idx = MinHashIndex.create(corpus, "t_mh_cpt", n_buckets=4)
+    try:
+        for i in range(3):
+            idx.append(batch.withColumn(
+                "doc_id", F.col("doc_id") + (1000 * (i + 1))))
+        before_files = len(spark.table("t_mh_cpt_sigs").inputFiles())
+        assert before_files > 4
+        clone = corpus.limit(1).withColumn("doc_id", F.lit(777_777).cast("long"))
+        before = {(r["corpus_id"], r["batch_id"])
+                  for r in idx.probe(clone, 0.99).collect()}
+
+        idx.compact()
+        assert len(spark.table("t_mh_cpt_sigs").inputFiles()) == 4
+        assert len(spark.table("t_mh_cpt_bands").inputFiles()) == 4
+        after = {(r["corpus_id"], r["batch_id"])
+                 for r in idx.probe(clone, 0.99).collect()}
+        assert after == before and len(after) >= 1
+
+        # simulate the crash window: staged table exists, live one dropped
+        from dlx_spark.operators.dedup_index import _compact_table
+        spark.sql("ALTER TABLE t_mh_cpt_sigs RENAME TO t_mh_cpt_sigs__compact")
+        reopened = MinHashIndex(spark, "t_mh_cpt")  # recovers on open
+        assert spark.catalog.tableExists("t_mh_cpt_sigs")
+        assert not spark.catalog.tableExists("t_mh_cpt_sigs__compact")
+        again = {(r["corpus_id"], r["batch_id"])
+                 for r in reopened.probe(clone, 0.99).collect()}
+        assert again == before
+    finally:
+        idx.drop()
+
+
 def test_meta_roundtrip_and_reopen(spark, split_corpus):
     _, corpus, batch = split_corpus
     MinHashIndex.create(corpus, "t_mh_idx4", num_hashes=32, bands=8,
