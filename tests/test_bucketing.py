@@ -83,6 +83,42 @@ def test_lsh_index_prunes_partitions_and_matches_exact(spark, tmp_path):
     assert len(set(got) & set(exact)) >= 4   # clustered data: near-exact
 
 
+def test_knn_join_lsh_index_matches_onthefly_and_prunes(spark, tmp_path):
+    """Batch probe against the written index must equal the on-the-fly
+    knn_join at hamming 0 (same planes), and its scan must be pruned by
+    dynamic partition pruning from the broadcast probe side."""
+    vecs = _vectors(spark)
+    path = str(tmp_path / "lsh_idx_b")
+    bucketing.write_lsh_index(vecs, path, n_planes=6, dim=8)
+
+    probes = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+
+    got = bucketing.knn_join_lsh_index(
+        spark, path, probes, k=3, n_planes=6, multiprobe_hamming=0, dim=8)
+    want = similarity.knn_join(probes, vecs, k=3, n_planes=6, dim=8)
+    g = {(r["probe_id"], r["corpus_id"], r["rank"]) for r in got.collect()}
+    w = {(r["probe_id"], r["corpus_id"], r["rank"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    # multiprobe recall: hamming-1 probe must contain the exact best
+    # neighbor for most probes (clustered data)
+    got1 = bucketing.knn_join_lsh_index(
+        spark, path, probes, k=3, n_planes=6, multiprobe_hamming=1, dim=8)
+    hits = 0
+    probes_rows = probes.collect()
+    for r in probes_rows:
+        exact = [x["id"] for x in similarity.cosine_topk(
+            vecs, r["embedding"], k=1).collect()]
+        mine = [x["corpus_id"] for x in got1.filter(
+            F.col("probe_id") == r["vec_id"]).collect()]
+        hits += int(exact[0] in mine)
+    assert hits >= len(probes_rows) - 1
+
+
 def test_ivf_index_prunes_partitions_and_matches_exact(spark, tmp_path):
     vecs = _vectors(spark)
     path = str(tmp_path / "ivf_idx")
