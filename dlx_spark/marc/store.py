@@ -123,11 +123,14 @@ class MarcStore:
         (``MarcStore.commit_frame`` resolves xrefs via the headings
         join; ``MarcDataFrame.resolve_values`` is a broadcast join)."""
         if self._auth_index is None:
-            n = self.auths().count()
+            # cap probe stops scanning at cap+1 rows instead of a full
+            # count() pass (the index rebuilds after every auth write,
+            # so a whole-table pre-count would double rebuild I/O)
+            n = self.auths().limit(self.AUTH_INDEX_MAX_ROWS + 1).count()
             if n > self.AUTH_INDEX_MAX_ROWS:
                 raise RuntimeError(
-                    f"auth_index(): auths table has {n:,} rows, above the "
-                    f"driver-cache cap of {self.AUTH_INDEX_MAX_ROWS:,}. The "
+                    f"auth_index(): auths table exceeds the "
+                    f"driver-cache cap of {self.AUTH_INDEX_MAX_ROWS:,} rows. The "
                     "record-at-a-time facade cannot hold this dimension in "
                     "driver memory; use the distributed paths instead "
                     "(commit_frame for bulk writes, resolve_values for "

@@ -109,14 +109,24 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
     hamming 0/1/2 with 4 planes) — use fewer planes and a wider
     multiprobe there, more planes on clustered real-world embeddings.
     """
-    dim = dim if dim is not None else len(probes.select(vec_col).first()[0])
-    planes = similarity.hyperplanes(dim, n_planes, seed)
-    masks = [m for m in range(1 << n_planes)
-             if bin(m).count("1") <= multiprobe_hamming]
-    if len(masks) > 4096:
+    from itertools import combinations
+    from math import comb
+
+    n_masks = sum(comb(n_planes, i) for i in range(multiprobe_hamming + 1))
+    if n_masks > 4096:
         raise ValueError(
-            f"multiprobe expansion of {len(masks)} buckets per probe is "
+            f"multiprobe expansion of {n_masks} buckets per probe is "
             "degenerate — lower multiprobe_hamming or n_planes")
+    masks = [sum(1 << b for b in bits)
+             for h in range(multiprobe_hamming + 1)
+             for bits in combinations(range(n_planes), h)]
+
+    if dim is None:
+        head = probes.select(vec_col).first()
+        if head is None:
+            raise ValueError("probes is empty and dim was not provided")
+        dim = len(head[0])
+    planes = similarity.hyperplanes(dim, n_planes, seed)
 
     p = (probes.select(F.col(id_col).alias("probe_id"),
                        F.col(vec_col).alias("pvec"),
@@ -127,20 +137,7 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
 
     idx = spark.read.parquet(path).select(
         F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "bucket")
-    dot = ("aggregate(zip_with(pvec, cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-           " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    norm = lambda v: (f"sqrt(aggregate({v}, CAST(0.0 AS DOUBLE),"
-                      " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    joined = (idx.join(F.broadcast(p), "bucket")
-              .withColumn("cosine", F.expr(
-                  f"{dot} / (greatest({norm('pvec')}, 1e-12)"
-                  f" * greatest({norm('cvec')}, 1e-12))")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
-                                               F.asc("corpus_id"))
-    return (joined.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("probe_id", "corpus_id", "cosine", "rank"))
+    return similarity.topk_per_probe(idx.join(F.broadcast(p), "bucket"), k)
 
 
 def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,

@@ -141,7 +141,8 @@ def band_buckets(signatures: DataFrame, bands: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
-                        bucket_cap: int | None = None) -> DataFrame:
+                        bucket_cap: int | None = None,
+                        mark_capped: bool = False) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` slices, bucket-join
     on (band_idx, slice-hash).  Returns candidate (id_a, id_b) pairs
     (id_a < id_b), deduplicated.
@@ -159,19 +160,24 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     exactly equivalent — every bucket member stays connected — while the
     worst-case output drops from quadratic to linear.  Pair-level
     consumers that re-verify similarity see member↔representative pairs
-    for capped buckets rather than all member↔member pairs.
+    for capped buckets rather than all member↔member pairs —
+    ``mark_capped=True`` adds a ``capped`` column (true when the pair's
+    only evidence is a capped bucket's star) so verifiers can exempt
+    those connectivity edges instead of silently dropping a genuine
+    near-dup pair whose star representative happens to be dissimilar.
     """
     banded = band_buckets(signatures, bands)
     if bucket_cap is None:
         left = banded.alias("l")
         right = banded.alias("r")
-        return (
+        out = (
             left.join(right, on=[F.col("l.band") == F.col("r.band"),
                                  F.col("l.bucket") == F.col("r.bucket"),
                                  F.col("l.id") < F.col("r.id")])
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
+        return out.withColumn("capped", F.lit(False)) if mark_capped else out
 
     # capped mode trades the self-join for ONE groupBy shuffle: each
     # bucket's sorted member list expands in-expression — all pairs when
@@ -184,13 +190,20 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
         CASE WHEN size(ids) <= {int(bucket_cap)} THEN
           flatten(transform(ids, (x, i) ->
             transform(slice(ids, i + 2, size(ids) - i - 1),
-                      y -> named_struct('id_a', x, 'id_b', y))))
+                      y -> named_struct('id_a', x, 'id_b', y, 'capped', false))))
         ELSE
           transform(slice(ids, 2, size(ids) - 1),
-                    y -> named_struct('id_a', element_at(ids, 1), 'id_b', y))
+                    y -> named_struct('id_a', element_at(ids, 1), 'id_b', y,
+                                      'capped', true))
         END""")
-    return (grouped.select(F.explode(pairs).alias("p"))
-            .select("p.id_a", "p.id_b").distinct())
+    exploded = (grouped.select(F.explode(pairs).alias("p"))
+                .select("p.id_a", "p.id_b", "p.capped"))
+    if not mark_capped:
+        return exploded.select("id_a", "id_b").distinct()
+    # a pair seen in any small bucket is genuinely verifiable; it is a
+    # pure connectivity edge only when EVERY sighting was a capped star
+    return (exploded.groupBy("id_a", "id_b")
+            .agg(F.min("capped").alias("capped")))
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -200,21 +213,30 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
     """Near-duplicate pairs: LSH candidates verified by estimated Jaccard
     (fraction of agreeing signature components ≥ threshold).
     Returns (id_a, id_b, est_jaccard).  ``bucket_cap`` bounds mega-bucket
-    expansion (see ``lsh_candidate_pairs``)."""
+    expansion (see ``lsh_candidate_pairs``); a capped bucket's star
+    edges are retained UNVERIFIED (they are connectivity edges — the
+    representative may be dissimilar to two members that are near-dups
+    of each other, and dropping the star would silently split their
+    cluster), so with a cap the output can include sub-threshold
+    member↔representative rows."""
     # the signature relation feeds three plan branches (banding + both
     # sides of the verify join): cache it so the 64-hash projection runs
     # once, not three times
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
-    cands = lsh_candidate_pairs(sigs, bands, bucket_cap=bucket_cap)
+    capped = bucket_cap is not None
+    cands = lsh_candidate_pairs(sigs, bands, bucket_cap=bucket_cap,
+                                mark_capped=capped)
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    return (
+    joined = (
         cands.join(a, "id_a").join(b, "id_b")
         .withColumn("est_jaccard", F.expr(
             "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
     )
+    keep = F.col("est_jaccard") >= threshold
+    if capped:
+        keep = keep | F.col("capped")
+    return joined.filter(keep).select("id_a", "id_b", "est_jaccard")
 
 
 # ---------------------------------------------------------------------------

@@ -48,7 +48,7 @@ from dlx_spark.operators import dedup
 
 
 def _compact_table(spark: SparkSession, table: str, key: str,
-                   n_buckets: int) -> None:
+                   n_buckets: int, distinct: bool = False) -> None:
     """Rewrite a bucketed table into one file per bucket.
 
     Append-only indexes accrete one file per bucket per appended batch
@@ -67,7 +67,15 @@ def _compact_table(spark: SparkSession, table: str, key: str,
     old = spark.conf.get(conf)
     spark.conf.set(conf, "false")
     try:
-        (spark.table(table).write.mode("overwrite")
+        src = spark.table(table)
+        if distinct:
+            # fold exact-duplicate rows (e.g. replayed band appends).
+            # dropDuplicates shuffles by ALL columns, which would break
+            # the task↔bucket alignment, so explicitly re-align on the
+            # bucket key afterwards (this repartition is NOT redundant
+            # here — the aggregate's output partitioning differs)
+            src = src.dropDuplicates().repartition(n_buckets, F.col(key))
+        (src.write.mode("overwrite")
          .bucketBy(n_buckets, key).sortBy(key).saveAsTable(tmp))
     finally:
         spark.conf.set(conf, old)
@@ -193,11 +201,13 @@ class MinHashIndex:
     def compact(self) -> None:
         """Fold each index table to one file per bucket (run after every
         N appended batches — same cadence logic as the streaming commit
-        ledger's self-compaction)."""
+        ledger's self-compaction).  Band rows are deduplicated here: a
+        crash between append()'s two writes can leave duplicate band
+        keys (harmless to probe correctness, see append)."""
         _compact_table(self.spark, f"{self.name}_sigs", "id",
                        self.params["n_buckets"])
         _compact_table(self.spark, f"{self.name}_bands", "bucket",
-                       self.params["n_buckets"])
+                       self.params["n_buckets"], distinct=True)
 
     # -- construction -------------------------------------------------
 
@@ -278,7 +288,17 @@ class MinHashIndex:
         sinks, where a crashed micro-batch replays its append.  The
         batch signatures are checkpointed before the first write so the
         anti-join is not re-evaluated against the just-updated table
-        (which would silently empty the band write)."""
+        (which would silently empty the second write).
+
+        Crash-safety across the two table writes: bands are written
+        FIRST and the replay guard keys on the LAST-written table
+        (_sigs).  A crash between the writes leaves band keys without
+        signatures; the replay's anti-join still sees those ids as
+        absent, so both writes re-run — at worst duplicating band rows,
+        which probe() dedups (candidates pass through distinct()) and
+        compact() physically drops.  The reverse order would lose the
+        batch's band keys forever (the guard would see the sigs and
+        skip), silently disabling dedup against those documents."""
         p = self.params
         sigs = self._batch_sigs(batch_survivors)
         if if_absent:
@@ -286,12 +306,12 @@ class MinHashIndex:
             existing = self.spark.table(f"{self.name}_sigs").select("id")
             sigs = sigs.join(existing, "id", "left_anti")
         sigs = sigs.localCheckpoint(eager=True)
-        (sigs.write.mode("append")
-         .bucketBy(p["n_buckets"], "id").sortBy("id")
-         .saveAsTable(f"{self.name}_sigs"))
         (dedup.band_buckets(sigs, p["bands"]).write.mode("append")
          .bucketBy(p["n_buckets"], "bucket").sortBy("bucket")
          .saveAsTable(f"{self.name}_bands"))
+        (sigs.write.mode("append")
+         .bucketBy(p["n_buckets"], "id").sortBy("id")
+         .saveAsTable(f"{self.name}_sigs"))
 
     def dedup_batch(self, batch: DataFrame, threshold: float = 0.8,
                     bucket_cap: int | None = None,

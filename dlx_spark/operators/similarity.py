@@ -195,6 +195,29 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     )
 
 
+def pairwise_cosine_expr(pvec: str = "pvec", cvec: str = "cvec") -> F.Column:
+    """Cosine between two vector COLUMNS as a pure JVM expression (the
+    shared rerank kernel of ``knn_join`` and the persisted-index probe,
+    bucketing.knn_join_lsh_index)."""
+    dot = (f"aggregate(zip_with({pvec}, {cvec}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+           " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    norm = lambda v: (f"sqrt(aggregate({v}, CAST(0.0 AS DOUBLE),"
+                      " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    return F.expr(f"{dot} / (greatest({norm(pvec)}, 1e-12)"
+                  f" * greatest({norm(cvec)}, 1e-12))")
+
+
+def topk_per_probe(candidates: DataFrame, k: int) -> DataFrame:
+    """Rerank candidate (probe_id, corpus_id, pvec, cvec) rows: exact
+    cosine, row_number window per probe, keep the top k."""
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
+                                               F.asc("corpus_id"))
+    return (candidates.withColumn("cosine", pairwise_cosine_expr())
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "corpus_id", "cosine", "rank"))
+
+
 def knn_join(probes: DataFrame, corpus: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_planes: int = 6, seed: int = 42,
@@ -214,16 +237,6 @@ def knn_join(probes: DataFrame, corpus: DataFrame, k: int = 5,
                       _signature_expr(vec_col, planes).alias("bucket"))
     c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"),
                       _signature_expr(vec_col, planes).alias("bucket"))
-    dot = "aggregate(zip_with(pvec, cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    norm = lambda v: f"sqrt(aggregate({v}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    joined = (
-        p.join(c, "bucket")
-        .filter(F.col("probe_id") != F.col("corpus_id"))
-        .withColumn("cosine", F.expr(f"{dot} / (greatest({norm('pvec')}, 1e-12) * greatest({norm('cvec')}, 1e-12))"))
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "corpus_id", "cosine", "rank")
-    )
+    joined = (p.join(c, "bucket")
+              .filter(F.col("probe_id") != F.col("corpus_id")))
+    return topk_per_probe(joined, k)

@@ -304,6 +304,63 @@ def test_compact_folds_appended_files(spark, split_corpus):
         idx.drop()
 
 
+def test_append_crash_between_band_and_sig_writes(spark, split_corpus):
+    """append writes bands first and keys the replay guard on sigs: a
+    crash between the two writes must NOT lose the batch's band keys —
+    the replayed append re-runs both writes, at worst duplicating band
+    rows, which probe() dedups and compact() physically removes."""
+    from dlx_spark.operators import dedup
+
+    _, corpus, batch = split_corpus
+    idx = MinHashIndex.create(corpus, "t_mh_crash2", n_buckets=4)
+    try:
+        # simulate the crashed first attempt: bands written, sigs not
+        p = idx.params
+        sigs = idx._batch_sigs(batch)
+        (dedup.band_buckets(sigs, p["bands"]).write.mode("append")
+         .bucketBy(p["n_buckets"], "bucket").sortBy("bucket")
+         .saveAsTable("t_mh_crash2_bands"))
+
+        # the replayed append must still index the batch fully
+        idx.append(batch, if_absent=True)
+        spark.catalog.refreshTable("t_mh_crash2_sigs")
+        batch_ids = {r["doc_id"] for r in batch.collect()}
+        indexed = {r["id"] for r in spark.table("t_mh_crash2_sigs").collect()}
+        assert batch_ids <= indexed
+
+        # duplicate band rows exist but probe results are still unique
+        clone = batch.limit(1).withColumn("doc_id", F.lit(444_444).cast("long"))
+        hits = idx.probe(clone, 0.99).collect()
+        keys = [(r["corpus_id"], r["batch_id"]) for r in hits]
+        assert len(keys) == len(set(keys)) and len(keys) >= 1
+
+        # compaction folds the duplicates away
+        idx.compact()
+        bands = spark.table("t_mh_crash2_bands")
+        assert bands.count() == bands.distinct().count()
+        assert len(bands.inputFiles()) == 4
+    finally:
+        idx.drop()
+
+
+def test_capped_star_edges_survive_verification(spark):
+    """A capped bucket's star edges are connectivity edges: the verify
+    filter must not drop them even when their est_jaccard is below the
+    threshold (here: an impossible threshold kills every verified pair,
+    so anything left came through the capped exemption)."""
+    from dlx_spark.operators import dedup
+
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(i, text) for i in range(6)],
+                               "doc_id long, text string")
+    none = dedup.minhash_near_duplicates(df, threshold=1.5)
+    assert none.count() == 0
+    starred = dedup.minhash_near_duplicates(df, threshold=1.5, bucket_cap=2)
+    got = {(r["id_a"], r["id_b"]) for r in starred.collect()}
+    # min-id star over one mega-bucket of 6 identical docs
+    assert got == {(0, b) for b in range(1, 6)}
+
+
 def test_meta_roundtrip_and_reopen(spark, split_corpus):
     _, corpus, batch = split_corpus
     MinHashIndex.create(corpus, "t_mh_idx4", num_hashes=32, bands=8,

@@ -300,6 +300,10 @@ def test_auth_index_refuses_oversized_dimension(store, monkeypatch):
     big = MarcStore.AUTH_INDEX_MAX_ROWS + 1
 
     class FakeAuths:
+        def limit(self, n):
+            assert n == MarcStore.AUTH_INDEX_MAX_ROWS + 1  # capped probe, not a full count
+            return self
+
         def count(self):
             return big
 
