@@ -1,0 +1,91 @@
+"""Incremental training-corpus pipeline — runnable as-is:
+
+    python examples/incremental_pipeline.py [sf_dir]
+
+The 100 TB daily-ingest workflow in miniature:
+
+1. day 0: build the corpus dedup state once (DigestIndex + MinHashIndex)
+2. day 1: a new batch arrives as a JSONL file stream — near-dedup it
+   against ALL history via the streaming foreachBatch sink (exact-once
+   replays, survivors appended to the index)
+3. day 2: another increment, this time through the batch API
+4. maintenance: compact the append-accreted index files
+No step ever recomputes or rescans previously ingested text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark import get_spark
+    from dlx_spark.operators.dedup_index import DigestIndex, MinHashIndex
+    from dlx_spark.streaming import neardedup_ingest_stream
+
+    spark = get_spark("incremental_pipeline", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="dlx_incr_demo_")
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    day0 = docs.filter(F.col("doc_id") % 3 == 0)
+    day1 = docs.filter(F.col("doc_id") % 3 == 1)  # fresh + some near-dups
+    day2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    try:
+        # ---- day 0: index the existing corpus once -------------------
+        mh = MinHashIndex.create(day0, "demo_mh")
+        dg = DigestIndex.create(day0, "demo_dg")
+        print(f"day0: indexed {day0.count()} docs")
+
+        # ---- day 1: streaming ingest with cross-batch near-dedup -----
+        indir = os.path.join(work, "incoming")
+        os.makedirs(indir)
+        with open(os.path.join(indir, "day1.json"), "w") as fh:
+            for r in day1.collect():
+                fh.write(json.dumps({"doc_id": r["doc_id"],
+                                     "text": r["text"]}) + "\n")
+            # plus five exact clones of day-0 docs: must be dropped
+            for i, r in enumerate(day0.limit(5).collect()):
+                fh.write(json.dumps({"doc_id": 9_000_000 + i,
+                                     "text": r["text"]}) + "\n")
+        q = neardedup_ingest_stream(
+            spark, indir, "demo_mh", os.path.join(work, "clean"),
+            os.path.join(work, "ckpt"), threshold=0.8)
+        q.awaitTermination(120)
+        clean1 = spark.read.parquet(os.path.join(work, "clean", "batch=0"))
+        print(f"day1 (stream): {day1.count() + 5} arrived, "
+              f"{clean1.count()} survived near-dedup vs all history")
+
+        # ---- day 2: batch API, exact dedup first, then near-dedup ----
+        exact_new = dg.dedup_batch(day2)
+        clean2 = mh.dedup_batch(exact_new, threshold=0.8)
+        print(f"day2 (batch): {day2.count()} arrived, "
+              f"{exact_new.count()} after exact dedup, "
+              f"{clean2.count()} after near-dedup")
+
+        # ---- maintenance: fold appended files ------------------------
+        before = len(spark.table("demo_mh_sigs").inputFiles())
+        mh.compact()
+        after = len(spark.table("demo_mh_sigs").inputFiles())
+        print(f"compaction: signature table {before} -> {after} files")
+    finally:
+        MinHashIndex(spark, "demo_mh").drop()
+        DigestIndex(spark, "demo_dg").drop()
+        shutil.rmtree(work, ignore_errors=True)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
