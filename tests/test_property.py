@@ -225,3 +225,48 @@ def test_blocked_jaccard_recall_measured(spark):
           for r in minhash_near_duplicates(df, threshold=0.5).collect()}
     recovered = len(missed & mh) / len(missed)
     assert recovered >= 0.9
+
+
+def test_capped_star_cluster_equivalence_randomized(spark):
+    """On a randomized corpus with planted near-dup clusters, the
+    bucket_cap star expansion must produce the SAME dedup clusters as
+    full quadratic expansion: star edges are connectivity edges (kept
+    unverified), so transitive closure is preserved even though the
+    emitted pair sets differ."""
+    import random
+
+    from dlx_spark.operators.dedup import (connected_components,
+                                           minhash_near_duplicates)
+
+    rng = random.Random(23)
+    vocab = [f"t{i:03d}" for i in range(500)]
+    docs = []
+    next_id = 0
+    # 12 clusters of sizes 2..12: members are light mutations of a base
+    for size in range(2, 13):
+        base = rng.sample(vocab, 30)
+        for m in range(size):
+            toks = list(base)
+            if m:  # mutate one mid token per member
+                toks[10 + (m % 10)] = rng.choice(
+                    [w for w in vocab if w not in base])
+            docs.append((next_id, " ".join(toks)))
+            next_id += 1
+    # plus unique background docs
+    for _ in range(60):
+        docs.append((next_id, " ".join(rng.sample(vocab, 30))))
+        next_id += 1
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def clusters(pairs):
+        comp = connected_components(pairs)
+        out = {}
+        for r in comp.collect():
+            out.setdefault(r["component"], set()).add(r["id"])
+        return {frozenset(v) for v in out.values()}
+
+    full = clusters(minhash_near_duplicates(df, threshold=0.6))
+    capped = clusters(minhash_near_duplicates(df, threshold=0.6,
+                                              bucket_cap=3))
+    assert capped == full and len(full) >= 8
