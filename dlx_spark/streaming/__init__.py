@@ -95,11 +95,12 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
 
 
 def make_neardedup_batch_fn(index_name: str, out_path: str,
-                            threshold: float = 0.8):
+                            threshold: float = 0.8,
+                            checkpoint: str | None = None):
     """foreachBatch function for streaming near-dedup ingest: each
     micro-batch is deduped against EVERY previously ingested document
     via the persisted MinHashIndex (operators/dedup_index.py), and the
-    survivors land in ``out_path/batch=<id>/``.
+    survivors land in ``out_path/run=<id>/batch=<id>/``.
 
     Exactly-once by construction under foreachBatch's at-least-once
     contract, with no ledger: a replayed batch (same batch_id) runs in
@@ -111,18 +112,57 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
     Requires doc ids unique across the stream's lifetime (standard for
     ingest pipelines; collisions would be mistaken for replays).
 
+    The ``run=`` level guards the deleted-and-recreated-checkpoint
+    case: batch ids restart at 0 there, and without the run key the new
+    stream's batch 0 would silently OVERWRITE the old output.  The run
+    id comes from the checkpoint's Spark-written metadata (same scheme
+    as the commit sink's stream key).  ``run=``/``batch=`` are
+    hive-style, so ``spark.read.parquet(out_path)`` discovers both as
+    partition columns.
+
+    The replay-vs-resend ambiguity (a re-sent identical doc id looks
+    exactly like a crash replay to the index) is resolved by a per-run
+    ATTEMPT MARKER written before the dedup: marker present → this run
+    already attempted this batch_id, so index matches against the
+    batch's own ids are its crashed append and must be ignored
+    (``replay_safe``); marker absent → first sight in this run, so a
+    doc whose id is already indexed (a previous run ingested it) is a
+    genuine duplicate and is DROPPED rather than re-emitted.  Marker
+    and output live on the driver-visible filesystem like the commit
+    sink's ledger (swap for object-store markers at scale).
+
     Exposed separately from the stream starter so tests can drive
     crash/replay sequences directly."""
+    import json
     import os
 
     from dlx_spark.operators.dedup_index import MinHashIndex
 
+    def run_id() -> str:
+        if checkpoint:
+            try:
+                with open(os.path.join(checkpoint, "metadata")) as fh:
+                    rid = json.load(fh).get("id", "")
+                if rid:
+                    return rid
+            except (OSError, ValueError):
+                pass
+        return "default"
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
+        rdir = os.path.join(out_path, f"run={run_id()}")
+        final = os.path.join(rdir, f"batch={batch_id}")
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            return  # output committed; index appends precede it — done
+        marker = os.path.join(rdir, f"_attempt_batch_{batch_id}")
+        replay = os.path.exists(marker)
+        os.makedirs(rdir, exist_ok=True)
+        open(marker, "w").close()
         idx = MinHashIndex(session, index_name)
-        clean = idx.dedup_batch(batch_df, threshold, replay_safe=True)
-        (clean.write.mode("overwrite")
-         .parquet(os.path.join(out_path, f"batch={batch_id}")))
+        clean = idx.dedup_batch(batch_df, threshold, replay_safe=replay)
+        clean.write.mode("overwrite").parquet(final)
+        os.remove(marker)
 
     return process_batch
 
@@ -138,7 +178,8 @@ def neardedup_ingest_stream(spark: SparkSession, input_path: str,
     ``MinHashIndex.create``).  Swap the file source for Kafka without
     touching the sink.  Returns the StreamingQuery; caller stops it."""
     docs = spark.readStream.schema(schema).json(input_path)
-    fn = make_neardedup_batch_fn(index_name, out_path, threshold)
+    fn = make_neardedup_batch_fn(index_name, out_path, threshold,
+                                 checkpoint=checkpoint)
     return (docs.writeStream.foreachBatch(fn)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)

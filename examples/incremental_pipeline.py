@@ -64,7 +64,8 @@ def main() -> None:
             spark, indir, "demo_mh", os.path.join(work, "clean"),
             os.path.join(work, "ckpt"), threshold=0.8)
         q.awaitTermination(120)
-        clean1 = spark.read.parquet(os.path.join(work, "clean", "batch=0"))
+        clean1 = (spark.read.parquet(os.path.join(work, "clean"))
+                  .filter(F.col("batch") == 0))
         print(f"day1 (stream): {day1.count() + 5} arrived, "
               f"{clean1.count()} survived near-dedup vs all history")
 

@@ -200,8 +200,11 @@ def test_streaming_neardedup_ingest(spark, split_corpus, tmp_path):
             str(tmp_path / "ckpt"), threshold=0.7)
         q.awaitTermination(120)
 
-        clean1 = {r["doc_id"] for r in
-                  spark.read.parquet(out + "/batch=0").collect()}
+        def read_batch(n):
+            return {r["doc_id"] for r in spark.read.parquet(out)
+                    .filter(F.col("batch") == n).collect()}
+
+        clean1 = read_batch(0)
         assert len(clean1) >= 8
 
         surv = sorted(clean1)[:2]
@@ -217,8 +220,7 @@ def test_streaming_neardedup_ingest(spark, split_corpus, tmp_path):
             str(tmp_path / "ckpt"), threshold=0.7)
         q.awaitTermination(120)
 
-        clean2 = {r["doc_id"] for r in
-                  spark.read.parquet(out + "/batch=1").collect()}
+        clean2 = read_batch(1)
         assert clean2 == {600}, clean2
 
         # replay batch 1 through the raw fn (simulating a foreachBatch
@@ -226,14 +228,33 @@ def test_streaming_neardedup_ingest(spark, split_corpus, tmp_path):
         spark.catalog.refreshTable("t_mh_stream_sigs")  # appends came from the stream's session
         n_sigs = spark.table("t_mh_stream_sigs").count()
         assert n_sigs > 120  # corpus + batch-0 survivors + doc 600
-        fn = make_neardedup_batch_fn("t_mh_stream", out, threshold=0.7)
+        # same checkpoint → same run id → the replay overwrites (not
+        # duplicates) the original batch-0 directory
+        fn = make_neardedup_batch_fn("t_mh_stream", out, threshold=0.7,
+                                     checkpoint=str(tmp_path / "ckpt"))
         replay_df = spark.createDataFrame(
             [(r["doc_id"], r["text"]) for r in rows1],
             "doc_id long, text string")
         fn(replay_df, 0)
-        assert {r["doc_id"] for r in
-                spark.read.parquet(out + "/batch=0").collect()} == clean1
+        assert read_batch(0) == clean1
         assert spark.table("t_mh_stream_sigs").count() == n_sigs
+
+        # deleted-and-recreated checkpoint: batch ids restart at 0 but
+        # land under a NEW run= directory — the old output is intact and
+        # the re-sent (already indexed) docs dedup to nothing
+        import shutil
+        shutil.rmtree(str(tmp_path / "ckpt"))
+        q = neardedup_ingest_stream(
+            spark, str(indir), "t_mh_stream", out,
+            str(tmp_path / "ckpt"), threshold=0.7)
+        q.awaitTermination(120)
+        import os
+        run_dirs = [d for d in os.listdir(out) if d.startswith("run=")]
+        assert len(run_dirs) >= 2  # new run id, old outputs untouched
+        # the re-sent docs (identical ids, no attempt marker in the new
+        # run) are recognized as already ingested and dropped — reading
+        # ALL runs still yields exactly the original clean sets
+        assert read_batch(0) == clean1 and read_batch(1) == {600}
     finally:
         MinHashIndex(spark, "t_mh_stream").drop()
 
@@ -244,22 +265,29 @@ def test_streaming_neardedup_crash_window(spark, split_corpus, tmp_path):
     replay_safe ignores the batch's own ids in the index."""
     from dlx_spark.streaming import make_neardedup_batch_fn
 
+    import os
+
     _, corpus, batch = split_corpus
     idx = MinHashIndex.create(corpus, "t_mh_crash")
     out = str(tmp_path / "clean")
     try:
-        # first attempt reaches the index append, then "crashes" before
-        # writing output: simulate by running dedup_batch directly
-        first = idx.dedup_batch(batch, threshold=0.7, replay_safe=True)
+        # first attempt: the sink writes its attempt marker, dedups and
+        # appends (replay_safe=False — marker was absent), then
+        # "crashes" before writing the output directory
+        os.makedirs(out + "/run=default", exist_ok=True)
+        open(out + "/run=default/_attempt_batch_0", "w").close()
+        first = idx.dedup_batch(batch, threshold=0.7, replay_safe=False)
         want = {r["doc_id"] for r in first.collect()}
         assert want  # survivors exist
 
-        # the redelivered micro-batch runs the full sink
+        # the redelivered micro-batch sees the marker and runs the full
+        # sink in replay mode
         fn = make_neardedup_batch_fn("t_mh_crash", out, threshold=0.7)
         fn(batch, 0)
         got = {r["doc_id"] for r in
-               spark.read.parquet(out + "/batch=0").collect()}
+               spark.read.parquet(out + "/run=default/batch=0").collect()}
         assert got == want
+        assert not os.path.exists(out + "/run=default/_attempt_batch_0")
         # and the index holds exactly one signature row per survivor
         dup_ids = (spark.table("t_mh_crash_sigs").groupBy("id").count()
                    .filter("count > 1").count())
