@@ -29,9 +29,23 @@ from dlx_spark.operators.common import spread_for_compute
 _MERSENNE = (1 << 31) - 1
 
 
+def _require_col_name(name, value) -> None:
+    """Column-name params must be strings: a positional mix-up (e.g.
+    ``simhash_near_duplicates(df, 3)`` putting max_hamming into
+    text_col) otherwise constant-folds ``lower(3)`` into the SAME
+    fingerprint/signature for every row — silent garbage (every pair
+    becomes a 'duplicate') instead of an error."""
+    if not isinstance(value, str):
+        raise TypeError(
+            f"{name} must be a column name (str), got {value!r} — "
+            "check positional arguments")
+
+
 def normalized_text(col):
     """lower + collapse punctuation/whitespace — the canonical form used
     by every dedup family so they agree on what 'same content' means."""
+    if not isinstance(col, (str, F.Column)):
+        _require_col_name("text_col", col)
     return F.trim(F.regexp_replace(F.lower(col), PUNCT_CLASS_JAVA + "+", " "))
 
 
@@ -72,6 +86,8 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     """(id, sh: array<int>) — word n-gram shingles as 32-bit hashes.
     Pure projection (JVM expressions only).  ``normalize=False`` splits
     on plain spaces (engine-parity mode for oracle checks)."""
+    _require_col_name("text_col", text_col)
+    _require_col_name("id_col", id_col)
     toks = (normalized_text(F.col(text_col)) if normalize else F.col(text_col))
     # shingle hash = first 32 bits of md5 (via conv), not Spark's murmur
     # hash(): md5 exists identically in every engine, which makes the
@@ -278,6 +294,7 @@ def simhash64_expr(text_col: str) -> F.Column:
     # 2*count_p > n_tokens.  Counters are exact up to 65535 tokens per
     # document; beyond that a field would silently wrap, so the
     # expression raises instead (chunk first — corpus prep always does).
+    _require_col_name("text_col", text_col)
     mask = 0x0001000100010001
     toks = f"filter(split(lower({text_col}), ' '), t -> t != '')"
     return F.coalesce(F.expr(f"""
@@ -355,6 +372,8 @@ def word_shingle_strings(df: DataFrame, text_col: str, id_col: str, n: int,
     one shingle (mirroring word_shingles' hashed variant).  String keys
     keep the operator engine-portable (hash() is engine-specific); at
     extreme scale swap the join key for a hash, trading oracle parity."""
+    _require_col_name("text_col", text_col)
+    _require_col_name("id_col", id_col)
     toks = (normalized_text(F.col(text_col)) if normalize else F.col(text_col))
     return (
         df.select(F.col(id_col).alias("id"), F.split(toks, " ").alias("t"))
@@ -481,6 +500,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     ~0.5 with exact precision; the minhash/LSH path (which blocks on
     signature bands, not surface tokens) recovers ≥90% of those misses
     (tests/test_property.py::test_blocked_jaccard_recall_measured)."""
+    _require_col_name("text_col", text_col)
+    _require_col_name("id_col", id_col)
     toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
     prepared = spread_for_compute(df).select(
         F.col(id_col).alias("id"), toks.alias("toks"),

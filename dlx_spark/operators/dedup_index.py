@@ -10,6 +10,10 @@ indexes persist the corpus's dedup STATE instead:
                         a table bucketed by digest.  Exact dedup of a
                         batch is one anti-join whose bucketed side needs
                         no Exchange; the corpus text is never touched.
+- ``SimHashIndex``    — the 64-bit fingerprints plus their 4×16-bit
+                        pigeonhole band keys, persisted the same way;
+                        probes find hamming-≤3 neighbors of a batch
+                        against all history.
 - ``MinHashIndex``    — the banded LSH keys (band, bucket, id) plus the
                         64-hash signatures (id, sig), both persisted.
                         Probing a batch computes signatures for the
@@ -345,4 +349,112 @@ class MinHashIndex:
 
     def drop(self) -> None:
         for suffix in ("_bands", "_sigs", "_meta"):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{suffix}")
+
+
+class SimHashIndex:
+    """Hamming-near-dup state: persisted 64-bit fingerprints plus their
+    4×16-bit pigeonhole band keys (two fingerprints within hamming 3
+    must agree on at least one band — dedup.simhash_near_duplicates'
+    candidate rule, applied incrementally).
+
+    Tables:
+      {name}_fps    (id long, simhash long, band int, key long)  bucketed by key
+      {name}_meta   (params json)
+
+    One table (the fingerprint rides along with each band row — 4×8
+    bytes of duplication buys the verify step a join-free plan): a probe
+    computes the batch's fingerprints (pure JVM expression), broadcasts
+    its band keys, and evaluates hamming distance directly on the
+    joined rows.  Probe results are pytest-locked to equal the
+    cross-partition subset of the full-corpus (oracle-green)
+    ``simhash_near_duplicates``.
+    """
+
+    N_BANDS = 4
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark = spark
+        self.name = name
+        _recover_compaction(spark, f"{name}_fps")
+        self.params = _read_meta(spark, name)
+
+    def compact(self) -> None:
+        _compact_table(self.spark, f"{self.name}_fps", "key",
+                       self.params["n_buckets"], distinct=True)
+
+    @classmethod
+    def create(cls, df: DataFrame, name: str, text_col: str = "text",
+               id_col: str = "doc_id", n_buckets: int = 32) -> "SimHashIndex":
+        spark = df.sparkSession
+        (cls._banded_fps(df, text_col, id_col).write.mode("overwrite")
+         .bucketBy(n_buckets, "key").sortBy("key").saveAsTable(f"{name}_fps"))
+        _write_meta(spark, name, {"text_col": text_col, "id_col": id_col,
+                                  "n_buckets": n_buckets})
+        return cls(spark, name)
+
+    @classmethod
+    def _banded_fps(cls, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        fps = dedup.simhash_fingerprints(df, text_col, id_col)
+        return fps.select(
+            "id", "simhash",
+            F.posexplode(F.array(*[
+                F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(cls.N_BANDS)
+            ])).alias("band", "key"))
+
+    def _refresh(self) -> None:
+        self.spark.catalog.refreshTable(f"{self.name}_fps")
+
+    def probe(self, batch: DataFrame, max_hamming: int = 3) -> DataFrame:
+        """(corpus_id, batch_id, hamming): every batch doc within
+        ``max_hamming`` of an already-ingested fingerprint."""
+        p = self.params
+        self._refresh()
+        b = (self._banded_fps(batch, p["text_col"], p["id_col"])
+             .select(F.col("id").alias("batch_id"),
+                     F.col("simhash").alias("fp_b"), "band", "key"))
+        idx = self.spark.table(f"{self.name}_fps")
+        return (
+            idx.join(F.broadcast(b), ["band", "key"])
+            .withColumn("hamming",
+                        F.bit_count(F.col("simhash").bitwiseXOR(F.col("fp_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("id").alias("corpus_id"), "batch_id", "hamming")
+            .distinct()
+        )
+
+    def append(self, batch_survivors: DataFrame, if_absent: bool = False) -> None:
+        p = self.params
+        rows = self._banded_fps(batch_survivors, p["text_col"], p["id_col"])
+        if if_absent:
+            self._refresh()
+            existing = (self.spark.table(f"{self.name}_fps")
+                        .select("id").distinct())
+            rows = rows.join(existing, "id", "left_anti")
+        (rows.write.mode("append")
+         .bucketBy(p["n_buckets"], "key").sortBy("key")
+         .saveAsTable(f"{self.name}_fps"))
+
+    def dedup_batch(self, batch: DataFrame, max_hamming: int = 3,
+                    replay_safe: bool = False) -> DataFrame:
+        """Drop batch docs within ``max_hamming`` of the corpus, then
+        hamming-dedup the remainder against itself (min-id survivor per
+        connected component), append survivors, return the clean batch."""
+        p = self.params
+        id_col = p["id_col"]
+        vs_corpus = self.probe(batch, max_hamming)
+        if replay_safe:
+            own = batch.select(F.col(id_col).alias("corpus_id"))
+            vs_corpus = vs_corpus.join(own, "corpus_id", "left_anti")
+        drop = vs_corpus.select(F.col("batch_id").alias("_dup")).distinct()
+        remaining = batch.join(drop, F.col(id_col) == F.col("_dup"), "left_anti")
+        intra = dedup.simhash_near_duplicates(remaining, p["text_col"], id_col,
+                                              max_hamming)
+        clean = dedup.dedup_near(remaining, intra, id_col).localCheckpoint(eager=True)
+        self.append(clean, if_absent=replay_safe)
+        return clean
+
+    def drop(self) -> None:
+        for suffix in ("_fps", "_meta"):
             self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{suffix}")

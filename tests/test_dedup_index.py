@@ -16,7 +16,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from dlx_spark.operators import dedup
-from dlx_spark.operators.dedup_index import DigestIndex, MinHashIndex
+from dlx_spark.operators.dedup_index import (DigestIndex, MinHashIndex,
+                                             SimHashIndex)
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
          "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
@@ -387,6 +388,38 @@ def test_capped_star_edges_survive_verification(spark):
     got = {(r["id_a"], r["id_b"]) for r in starred.collect()}
     # min-id star over one mega-bucket of 6 identical docs
     assert got == {(0, b) for b in range(1, 6)}
+
+
+def test_simhash_index_probe_equals_full_cross_pairs(spark, split_corpus):
+    full_df, corpus, batch = split_corpus
+    idx = SimHashIndex.create(corpus, "t_sh_idx", n_buckets=4)
+    try:
+        got = {(r["corpus_id"], r["batch_id"], r["hamming"])
+               for r in idx.probe(batch, max_hamming=3).collect()}
+        full = dedup.simhash_near_duplicates(full_df, max_hamming=3)
+        want = {(r["id_a"], r["id_b"], r["hamming"])
+                for r in full.collect()
+                if r["id_a"] < 200 <= r["id_b"]}
+        assert got == want
+        assert len(want) >= 5   # the exact clones collide at hamming 0
+
+        # dedup_batch: clean == full survivor rule restricted to batch
+        clean = idx.dedup_batch(batch, max_hamming=3)
+        cross = {b for (_, b, _) in want}
+        remaining = batch.filter(~F.col("doc_id").isin(list(cross)))
+        intra = dedup.simhash_near_duplicates(remaining, max_hamming=3)
+        expected = sorted(r["doc_id"]
+                          for r in dedup.dedup_near(remaining, intra).collect())
+        assert sorted(r["doc_id"] for r in clean.collect()) == expected
+
+        # appended: a clone of a survivor now collides at hamming 0
+        one = clean.limit(1).withColumn("doc_id", F.lit(555_555).cast("long"))
+        assert idx.probe(one, max_hamming=0).count() >= 1
+
+        idx.compact()
+        assert len(spark.table("t_sh_idx_fps").inputFiles()) == 4
+    finally:
+        idx.drop()
 
 
 def test_meta_roundtrip_and_reopen(spark, split_corpus):
