@@ -328,6 +328,35 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
         F.col(id_col).alias("id"), simhash64_expr(text_col).alias("simhash"))
 
 
+SIMHASH_BANDS = 4
+
+
+def simhash_band_keys(fps: DataFrame) -> DataFrame:
+    """(id, simhash, band, key) — the 4×16-bit pigeonhole band keys of a
+    (id, simhash) frame.  Shared by the self-join candidate generation
+    below and the persisted incremental index (dedup_index.SimHashIndex)
+    so the two paths can never disagree on the candidate rule."""
+    return fps.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(SIMHASH_BANDS)
+        ])).alias("band", "key"),
+    )
+
+
+def check_simhash_hamming(max_hamming: int) -> None:
+    """The 4-band pigeonhole guarantees a shared band only for pairs
+    within hamming ``SIMHASH_BANDS - 1``; a larger threshold would
+    silently miss pairs (e.g. hamming 4 spread one bit per band), so
+    refuse it instead."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds what {SIMHASH_BANDS}-band "
+            f"pigeonhole banding can guarantee (<= {SIMHASH_BANDS - 1}); "
+            "pairs beyond that would be silently missed")
+
+
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
@@ -335,16 +364,11 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
     Candidate generation: 4 × 16-bit band keys — two fingerprints within
     hamming 3 must agree on at least one band (pigeonhole), so the join
     is an equi-join on (band, 16-bit slice), never a cross join."""
+    check_simhash_hamming(max_hamming)
     # fingerprints feed both sides of the candidate join: cache so the
     # pandas-UDF stage runs once
     fps = simhash_fingerprints(df, text_col, id_col).cache()
-    banded = fps.select(
-        "id", "simhash",
-        F.posexplode(F.array(*[
-            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)
-        ])).alias("band", "key"),
-    )
+    banded = simhash_band_keys(fps)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(r, on=[F.col("l.band") == F.col("r.band"),

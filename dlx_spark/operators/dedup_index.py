@@ -371,8 +371,6 @@ class SimHashIndex:
     ``simhash_near_duplicates``.
     """
 
-    N_BANDS = 4
-
     def __init__(self, spark: SparkSession, name: str):
         self.spark = spark
         self.name = name
@@ -395,13 +393,10 @@ class SimHashIndex:
 
     @classmethod
     def _banded_fps(cls, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        fps = dedup.simhash_fingerprints(df, text_col, id_col)
-        return fps.select(
-            "id", "simhash",
-            F.posexplode(F.array(*[
-                F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                for i in range(cls.N_BANDS)
-            ])).alias("band", "key"))
+        # dedup.simhash_band_keys is the single source of the candidate
+        # rule, shared with the full-corpus self-join path
+        return dedup.simhash_band_keys(
+            dedup.simhash_fingerprints(df, text_col, id_col))
 
     def _refresh(self) -> None:
         self.spark.catalog.refreshTable(f"{self.name}_fps")
@@ -409,6 +404,7 @@ class SimHashIndex:
     def probe(self, batch: DataFrame, max_hamming: int = 3) -> DataFrame:
         """(corpus_id, batch_id, hamming): every batch doc within
         ``max_hamming`` of an already-ingested fingerprint."""
+        dedup.check_simhash_hamming(max_hamming)
         p = self.params
         self._refresh()
         b = (self._banded_fps(batch, p["text_col"], p["id_col"])

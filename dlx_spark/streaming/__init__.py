@@ -121,40 +121,74 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
     partition columns.
 
     The replay-vs-resend ambiguity (a re-sent identical doc id looks
-    exactly like a crash replay to the index) is resolved by a per-run
-    ATTEMPT MARKER written before the dedup: marker present → this run
-    already attempted this batch_id, so index matches against the
-    batch's own ids are its crashed append and must be ignored
-    (``replay_safe``); marker absent → first sight in this run, so a
-    doc whose id is already indexed (a previous run ingested it) is a
-    genuine duplicate and is DROPPED rather than re-emitted.  Marker
-    and output live on the driver-visible filesystem like the commit
-    sink's ledger (swap for object-store markers at scale).
+    exactly like a crash replay to the index) is resolved by two
+    sink-owned markers per (run, batch): a COMMITTED marker written
+    after the output lands (a redelivered committed batch skips — no
+    reliance on parquet's _SUCCESS, which object-store configs often
+    disable), and an ATTEMPT marker written before the dedup: attempt
+    marker present → this run already attempted this batch_id, so
+    index matches against the batch's own ids are its crashed append
+    and must be ignored (``replay_safe``); absent → first sight in
+    this run, so a doc whose id is already indexed (a previous run
+    ingested it) is a genuine duplicate and is DROPPED rather than
+    re-emitted.  An attempt marker left behind by ANOTHER run (crash +
+    checkpoint deletion) makes the sink refuse to start — those
+    documents are indexed but unemitted, and proceeding would drop
+    them forever.  Markers and output live on the driver-visible
+    filesystem like the commit sink's ledger (swap for object-store
+    markers at scale).
 
     Exposed separately from the stream starter so tests can drive
     crash/replay sequences directly."""
+    import glob
     import json
     import os
 
     from dlx_spark.operators.dedup_index import MinHashIndex
 
+    _rid: dict[str, str] = {}
+
     def run_id() -> str:
-        if checkpoint:
-            try:
-                with open(os.path.join(checkpoint, "metadata")) as fh:
-                    rid = json.load(fh).get("id", "")
-                if rid:
-                    return rid
-            except (OSError, ValueError):
-                pass
-        return "default"
+        # constant for the stream's lifetime — read the checkpoint
+        # metadata once, not per micro-batch
+        if "v" not in _rid:
+            rid = ""
+            if checkpoint:
+                try:
+                    with open(os.path.join(checkpoint, "metadata")) as fh:
+                        rid = json.load(fh).get("id", "")
+                except (OSError, ValueError):
+                    pass
+            _rid["v"] = rid or "default"
+        return _rid["v"]
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
         rdir = os.path.join(out_path, f"run={run_id()}")
         final = os.path.join(rdir, f"batch={batch_id}")
-        if os.path.exists(os.path.join(final, "_SUCCESS")):
-            return  # output committed; index appends precede it — done
+        # completion is tracked by our own marker, not parquet's
+        # _SUCCESS file (which is disabled on many object-store
+        # configs): a redelivered committed batch must skip, never
+        # overwrite good output with a now-all-duplicates empty frame
+        committed = os.path.join(rdir, f"_committed_batch_{batch_id}")
+        if os.path.exists(committed):
+            return
+        # an attempt marker left by ANOTHER run means a batch crashed
+        # mid-append and its checkpoint was then deleted: those
+        # documents are in the index but in no run's output, and this
+        # run would wrongly drop them as 'already ingested'.  Refuse and
+        # tell the operator to restore the original checkpoint so the
+        # crashed batch replays in its own run.
+        foreign = [m for m in glob.glob(
+            os.path.join(out_path, "run=*", "_attempt_batch_*"))
+            if not m.startswith(rdir + os.sep)]
+        if foreign:
+            raise RuntimeError(
+                "unresolved crashed micro-batch(es) from a previous run: "
+                f"{foreign}. Their documents are indexed but were never "
+                "emitted; restore that run's checkpoint so the batch "
+                "replays (or remove the marker after manual recovery) "
+                "before starting a new run.")
         marker = os.path.join(rdir, f"_attempt_batch_{batch_id}")
         replay = os.path.exists(marker)
         os.makedirs(rdir, exist_ok=True)
@@ -162,6 +196,7 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
         idx = MinHashIndex(session, index_name)
         clean = idx.dedup_batch(batch_df, threshold, replay_safe=replay)
         clean.write.mode("overwrite").parquet(final)
+        open(committed, "w").close()
         os.remove(marker)
 
     return process_batch

@@ -82,8 +82,11 @@ def main() -> None:
         after = len(spark.table("demo_mh_sigs").inputFiles())
         print(f"compaction: signature table {before} -> {after} files")
     finally:
-        MinHashIndex(spark, "demo_mh").drop()
-        DigestIndex(spark, "demo_dg").drop()
+        # guard the drops so a setup failure (bad sf_dir) surfaces its
+        # own error instead of a TABLE_OR_VIEW_NOT_FOUND from cleanup
+        for cls, name in ((MinHashIndex, "demo_mh"), (DigestIndex, "demo_dg")):
+            if spark.catalog.tableExists(f"{name}_meta"):
+                cls(spark, name).drop()
         shutil.rmtree(work, ignore_errors=True)
     print("done")
 

@@ -229,8 +229,10 @@ def test_streaming_neardedup_ingest(spark, split_corpus, tmp_path):
         spark.catalog.refreshTable("t_mh_stream_sigs")  # appends came from the stream's session
         n_sigs = spark.table("t_mh_stream_sigs").count()
         assert n_sigs > 120  # corpus + batch-0 survivors + doc 600
-        # same checkpoint → same run id → the replay overwrites (not
-        # duplicates) the original batch-0 directory
+        # same checkpoint → same run id.  Committed-marker path: the
+        # redelivery of the fully committed batch skips entirely.
+        import glob
+        import os
         fn = make_neardedup_batch_fn("t_mh_stream", out, threshold=0.7,
                                      checkpoint=str(tmp_path / "ckpt"))
         replay_df = spark.createDataFrame(
@@ -238,6 +240,20 @@ def test_streaming_neardedup_ingest(spark, split_corpus, tmp_path):
             "doc_id long, text string")
         fn(replay_df, 0)
         assert read_batch(0) == clean1
+        assert spark.table("t_mh_stream_sigs").count() == n_sigs
+
+        # crash-window path through the REAL sink: strip the committed
+        # marker and plant the attempt marker (as a crashed first
+        # attempt would leave them) — the redelivery must rebuild the
+        # same output via replay_safe, not emit empty
+        [rdir] = {os.path.dirname(p) for p in
+                  glob.glob(out + "/run=*/_committed_batch_0")}
+        os.remove(os.path.join(rdir, "_committed_batch_0"))
+        open(os.path.join(rdir, "_attempt_batch_0"), "w").close()
+        fn(replay_df, 0)
+        assert read_batch(0) == clean1
+        assert os.path.exists(os.path.join(rdir, "_committed_batch_0"))
+        assert not os.path.exists(os.path.join(rdir, "_attempt_batch_0"))
         assert spark.table("t_mh_stream_sigs").count() == n_sigs
 
         # deleted-and-recreated checkpoint: batch ids restart at 0 but
@@ -249,13 +265,24 @@ def test_streaming_neardedup_ingest(spark, split_corpus, tmp_path):
             spark, str(indir), "t_mh_stream", out,
             str(tmp_path / "ckpt"), threshold=0.7)
         q.awaitTermination(120)
-        import os
         run_dirs = [d for d in os.listdir(out) if d.startswith("run=")]
         assert len(run_dirs) >= 2  # new run id, old outputs untouched
         # the re-sent docs (identical ids, no attempt marker in the new
         # run) are recognized as already ingested and dropped — reading
         # ALL runs still yields exactly the original clean sets
         assert read_batch(0) == clean1 and read_batch(1) == {600}
+
+        # foreign attempt marker (crash + checkpoint deletion): a fresh
+        # run must refuse rather than silently drop indexed-but-
+        # unemitted documents
+        other = [d for d in run_dirs][0]
+        foreign_marker = os.path.join(out, other, "_attempt_batch_9")
+        open(foreign_marker, "w").close()
+        fresh_fn = make_neardedup_batch_fn("t_mh_stream", out, threshold=0.7,
+                                           checkpoint=None)
+        with pytest.raises(RuntimeError, match="unresolved crashed"):
+            fresh_fn(replay_df, 0)
+        os.remove(foreign_marker)
     finally:
         MinHashIndex(spark, "t_mh_stream").drop()
 
@@ -418,6 +445,13 @@ def test_simhash_index_probe_equals_full_cross_pairs(spark, split_corpus):
 
         idx.compact()
         assert len(spark.table("t_sh_idx_fps").inputFiles()) == 4
+
+        # the 4-band pigeonhole cannot guarantee recall beyond hamming
+        # 3: larger thresholds must refuse, not silently miss pairs
+        with pytest.raises(ValueError, match="pigeonhole"):
+            idx.probe(batch, max_hamming=4)
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dedup.simhash_near_duplicates(full_df, max_hamming=4)
     finally:
         idx.drop()
 

@@ -43,11 +43,25 @@ def test_minhash_near_duplicates(spark, docs):
 
 
 def test_simhash_near_duplicates(spark, docs):
+    # doc 3's one-word edit lands at hamming 4 — beyond what the 4-band
+    # pigeonhole guarantees, so the operator now REFUSES max_hamming=6
+    # (it used to silently return partial recall there) and doc 6's
+    # closer edit (hamming 3) is the in-contract near-dup case
+    base = docs.filter(F.col("doc_id") == 1).first()["text"]
+    extra = spark.createDataFrame(
+        [(6, base.replace("tonight", "nightly"), "en", "s6", len(base))],
+        docs.schema)
     pairs = {(r.id_a, r.id_b): r.hamming
-             for r in dedup.simhash_near_duplicates(docs, max_hamming=6).collect()}
+             for r in dedup.simhash_near_duplicates(
+                 docs.unionByName(extra), max_hamming=3).collect()}
     assert pairs.get((1, 2)) == 0
-    assert (1, 3) in pairs
+    assert (1, 6) in pairs and pairs[(1, 6)] <= 3
+    assert (1, 3) not in pairs                  # hamming 4: out of contract
     assert not any({a, b} == {1, 4} for a, b in pairs)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_duplicates(docs, max_hamming=6)
 
 
 def test_ngram_jaccard(spark, docs):
