@@ -326,6 +326,15 @@ class MinHashIndex:
         connected component, same rule as the full-corpus path), append
         the survivors' state, and return the clean batch.
 
+        Greedy-prefix semantics: a batch doc is dropped only if it
+        near-matches an appended SURVIVOR or a same-batch doc.  A
+        full-corpus run's transitive closure can additionally drop docs
+        linked only through earlier-DROPPED intermediates (chain-shaped
+        clusters: A~B dropped, B~C but C!~A — C survives here, not
+        there).  For star-shaped clusters (members all matching the
+        survivor — the common shape for crawl dups) the two agree
+        exactly; the pytest equivalence suite locks that case.
+
         ``replay_safe=True`` is the at-least-once stream mode: matches
         whose corpus side IS one of this batch's own ids are ignored (a
         crashed prior attempt may have appended this very batch), and
@@ -436,7 +445,9 @@ class SimHashIndex:
                     replay_safe: bool = False) -> DataFrame:
         """Drop batch docs within ``max_hamming`` of the corpus, then
         hamming-dedup the remainder against itself (min-id survivor per
-        connected component), append survivors, return the clean batch."""
+        connected component), append survivors, return the clean batch.
+        Greedy-prefix semantics vs a full-corpus run: see
+        ``MinHashIndex.dedup_batch``."""
         p = self.params
         id_col = p["id_col"]
         vs_corpus = self.probe(batch, max_hamming)
