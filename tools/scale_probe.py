@@ -211,6 +211,11 @@ def main() -> None:
         timings["minhash_signatures"] = round(time.time() - t0, 2)
 
         t0 = time.time()
+        # bit_xor, not sum: ANSI mode overflows summing 64-bit values
+        dedup.simhash_fingerprints(corpus).agg(F.bit_xor("simhash")).collect()
+        timings["simhash_fingerprints"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
         n_pairs = dedup.minhash_near_duplicates(corpus).count()
         timings["minhash_lsh_full"] = round(time.time() - t0, 2)
 
