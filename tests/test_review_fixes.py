@@ -294,3 +294,20 @@ def test_driver_window_covers_every_oracle():
     assert outside == ["ivf_topk", "pack_sequences"]
     # oracle_sql() must expose exactly the in-window oracles
     assert set(contract.ORACLE) == set(in_window)
+
+
+def test_bench_headline_set_is_frozen():
+    """bench.py's headline set is the round-over-round comparability
+    contract: the driver compares BENCH_r{N} totals across rounds, so
+    adding/removing/reordering queries would silently change what the
+    total measures.  New operators get scale evidence via
+    tools/scale_probe.py instead."""
+    import bench
+
+    assert bench.HEADLINE == [
+        "agg_summary", "multiway_join", "lookup_join", "latest_by_key",
+        "topk_per_group", "sessionization", "asof_join", "range_join",
+        "windowed_agg", "dedup_exact", "ngram_jaccard", "minhash_lsh",
+        "simhash", "cosine_topk", "token_count", "quality_score",
+        "multimodal_decode", "chunk_documents", "redact_pii",
+    ]
