@@ -85,6 +85,14 @@ def main() -> None:
     # n_queries_timed says how many of the 19 the total would cover
     total = round(sum(timings.values()), 3) if not errors else None
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # machine-load telemetry: a loaded machine inflates every query
+    # uniformly (r3 recorded 12.1 s where a quiet re-run measured 9.2 s);
+    # recording loadavg + cpu count makes such runs self-identifying
+    # without a re-run
+    try:
+        load1, load5, load15 = (round(v, 2) for v in os.getloadavg())
+    except OSError:
+        load1 = load5 = load15 = None
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -94,6 +102,8 @@ def main() -> None:
         "n_queries_total": len(HEADLINE),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg": [load1, load5, load15],
+        "n_cpus": os.cpu_count(),
     }
     if errors:
         out["errors"] = errors

@@ -137,7 +137,11 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
 
     idx = spark.read.parquet(path).select(
         F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "bucket")
-    return similarity.topk_per_probe(idx.join(F.broadcast(p), "bucket"), k)
+    # same self-match rule as knn_join (its pytest oracle): re-probing an
+    # already-indexed row must not spend a result slot on itself
+    joined = (idx.join(F.broadcast(p), "bucket")
+              .filter(F.col("probe_id") != F.col("corpus_id")))
+    return similarity.topk_per_probe(joined, k)
 
 
 def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,

@@ -178,9 +178,14 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     consumers that re-verify similarity see member↔representative pairs
     for capped buckets rather than all member↔member pairs —
     ``mark_capped=True`` adds a ``capped`` column (true when the pair's
-    only evidence is a capped bucket's star) so verifiers can exempt
-    those connectivity edges instead of silently dropping a genuine
-    near-dup pair whose star representative happens to be dissimilar.
+    only evidence is a capped bucket's star) so consumers can tell
+    connectivity edges from genuine co-bucket pairs.  NOTE: exempting
+    capped edges from similarity verification links dissimilar docs that
+    merely collide on one band slice — ``minhash_near_duplicates``
+    therefore does NOT use this star for its capped mode; it emits
+    verified chain edges in signature order instead.  The star here is
+    for candidate-level/connectivity-only consumers (e.g. bucket-size
+    probes) where no verification follows.
     """
     banded = band_buckets(signatures, bands)
     if bucket_cap is None:
@@ -222,37 +227,107 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
             .agg(F.min("capped").alias("capped")))
 
 
+_EST_JACCARD = ("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+                " / size(sig_a)")
+
+
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
                             threshold: float = 0.8, seed: int = 42,
-                            bucket_cap: int | None = None) -> DataFrame:
+                            bucket_cap: int | None = 1000,
+                            eager: bool = False) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by estimated Jaccard
     (fraction of agreeing signature components ≥ threshold).
-    Returns (id_a, id_b, est_jaccard).  ``bucket_cap`` bounds mega-bucket
-    expansion (see ``lsh_candidate_pairs``); a capped bucket's star
-    edges are retained UNVERIFIED (they are connectivity edges — the
-    representative may be dissimilar to two members that are near-dups
-    of each other, and dropping the star would silently split their
-    cluster), so with a cap the output can include sub-threshold
-    member↔representative rows."""
-    # the signature relation feeds three plan branches (banding + both
-    # sides of the verify join): cache it so the 64-hash projection runs
-    # once, not three times
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
-    capped = bucket_cap is not None
-    cands = lsh_candidate_pairs(sigs, bands, bucket_cap=bucket_cap,
-                                mark_capped=capped)
+    Returns (id_a, id_b, est_jaccard) — EVERY emitted pair passes the
+    verify rule; no unverified connectivity edges (a capped bucket's
+    min-id star previously rode through unverified, which let a single
+    band collision link genuinely dissimilar docs and delete them
+    downstream — a precision bug, not a trade-off).
+
+    ``bucket_cap`` (default 1000; ``None`` = uncapped, the oracle-parity
+    mode) bounds mega-bucket expansion: buckets up to the cap expand to
+    all member pairs; larger buckets emit a CHAIN of consecutive pairs
+    in full-signature order instead of the m²/2 expansion.  Sorting by
+    the whole signature puts near-identical docs adjacent, so each true
+    near-dup sub-cluster inside a mega-bucket forms a verified sub-chain
+    (its boundary edges to dissimilar colliders fail verification and
+    split the bucket correctly).  Worst-case output and compute stay
+    linear in the bucket size.  Recall caveat: a mega-bucket member pair
+    that is near-dup but NOT chain-adjacent relies on the intermediate
+    chain members verifying; an adversarial ordering can split one
+    cluster into two (the same approximation class as blocking — the
+    uncapped mode is exact w.r.t. banding).
+
+    ``eager=True`` materializes the signature relation via an eager
+    ``localCheckpoint`` instead of ``cache()`` — blocks are reclaimed on
+    GC rather than pinned until an explicit unpersist, which matters for
+    long-lived callers (the streaming ingest sink runs this once per
+    micro-batch)."""
+    # the signature relation feeds several plan branches (banding + both
+    # sides of the verify join + the chain path): materialize it so the
+    # 64-hash projection runs once
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    sigs = sigs.localCheckpoint(eager=True) if eager else sigs.cache()
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    joined = (
-        cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("est_jaccard", F.expr(
-            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"))
-    )
-    keep = F.col("est_jaccard") >= threshold
-    if capped:
-        keep = keep | F.col("capped")
-    return joined.filter(keep).select("id_a", "id_b", "est_jaccard")
+
+    if bucket_cap is None:
+        cands = lsh_candidate_pairs(sigs, bands)
+        return (cands.join(a, "id_a").join(b, "id_b")
+                .withColumn("est_jaccard", F.expr(_EST_JACCARD))
+                .filter(F.col("est_jaccard") >= threshold)
+                .select("id_a", "id_b", "est_jaccard"))
+
+    banded = band_buckets(sigs, bands)
+    # mega-buckets are rare by construction (they need m docs agreeing on
+    # one band slice), so the over-cap bucket list is small: broadcast it
+    # to split the banded rows without shuffling them
+    big = (banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > int(bucket_cap)).select("band", "bucket"))
+    small = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    mega = banded.join(F.broadcast(big), ["band", "bucket"], "left_semi")
+
+    # small buckets: all member pairs (in-expression expansion — one
+    # groupBy shuffle, never quadratic past the cap), verified via the
+    # signature join
+    grouped = (small.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = F.expr("""
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids) - i - 1),
+                    y -> named_struct('id_a', x, 'id_b', y))))""")
+    small_pairs = (grouped.select(F.explode(pairs).alias("p"))
+                   .select("p.id_a", "p.id_b").distinct()
+                   .join(a, "id_a").join(b, "id_b")
+                   .withColumn("est_jaccard", F.expr(_EST_JACCARD))
+                   .filter(F.col("est_jaccard") >= threshold)
+                   .select("id_a", "id_b", "est_jaccard"))
+
+    # mega-buckets: consecutive pairs in (sig, id) order via lag() — no
+    # collect_list (a 10M-member bucket would put 64 longs × 10M in one
+    # aggregate row), one window sort per bucket, verification inline
+    # since both signatures are already on the row
+    from pyspark.sql import Window
+    w = Window.partitionBy("band", "bucket").orderBy("sig", "id")
+    chain_pairs = (
+        mega.join(sigs, "id")
+        .withColumn("_pid", F.lag("id").over(w))
+        .withColumn("_psig", F.lag("sig").over(w))
+        .filter(F.col("_pid").isNotNull())
+        .select(F.least("_pid", "id").alias("id_a"),
+                F.greatest("_pid", "id").alias("id_b"),
+                F.col("_psig").alias("sig_a"), F.col("sig").alias("sig_b"))
+        .withColumn("est_jaccard", F.expr(_EST_JACCARD))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard"))
+
+    # a pair can surface in both paths (small bucket in one band, capped
+    # in another); est_jaccard is a pure function of the two signatures,
+    # so max() over duplicates is just deduplication
+    return (small_pairs.unionByName(chain_pairs)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("est_jaccard").alias("est_jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -358,16 +433,19 @@ def check_simhash_hamming(max_hamming: int) -> None:
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3, eager: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Candidate generation: 4 × 16-bit band keys — two fingerprints within
     hamming 3 must agree on at least one band (pigeonhole), so the join
-    is an equi-join on (band, 16-bit slice), never a cross join."""
+    is an equi-join on (band, 16-bit slice), never a cross join.
+    ``eager=True``: materialize via eager localCheckpoint instead of
+    cache() (GC-reclaimed — for per-micro-batch callers)."""
     check_simhash_hamming(max_hamming)
-    # fingerprints feed both sides of the candidate join: cache so the
-    # pandas-UDF stage runs once
-    fps = simhash_fingerprints(df, text_col, id_col).cache()
+    # the fingerprint relation feeds both sides of the candidate join:
+    # materialize it so the (pure JVM) aggregate pass runs once
+    fps = simhash_fingerprints(df, text_col, id_col)
+    fps = fps.localCheckpoint(eager=True) if eager else fps.cache()
     banded = simhash_band_keys(fps)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
@@ -437,39 +515,76 @@ def cross_corpus_overlap(corpus: DataFrame, benchmark: DataFrame,
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50, reliable: bool = False) -> DataFrame:
     """(id, component): transitive closure over near-duplicate pairs,
     labeling every node with the SMALLEST id reachable from it — the
     canonical-survivor rule dedup needs (pairwise output alone splits a
     3-doc cluster {A~B, B~C} into two overlapping pairs).
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels — one shuffle join plus one
-    partial-agg groupBy per round, converging in graph-diameter rounds
-    (near-dup clusters are shallow stars: a handful).  Labels are
-    localCheckpoint'ed each round so the plan/lineage stays O(1) deep,
-    and the per-round state is one row per distinct node in ``pairs`` —
-    tiny relative to the corpus even at 100 TB.
+    Min-label propagation with pointer jumping: each round every node
+    takes the min of its own label and its neighbors' labels (one
+    shuffle join + one partial-agg groupBy), then shortcuts through its
+    representative — ``comp := comp(comp)`` (one more join on the label
+    relation).  The jump step makes the propagated distance roughly
+    DOUBLE per round, so convergence is O(log diameter) rounds instead
+    of O(diameter) — the difference between 6 rounds and 10M rounds on
+    a 10M-node chain (which capped mega-bucket chains can legitimately
+    produce).  Labels are checkpointed each round so the plan/lineage
+    stays O(1) deep, and the per-round state is one row per distinct
+    node in ``pairs`` — tiny relative to the corpus even at 100 TB.
+
+    ``reliable=False`` (default) uses ``localCheckpoint``: blocks live on
+    executors, so an executor loss mid-propagation fails the job (fast,
+    fine for short interactive runs).  ``reliable=True`` uses
+    ``checkpoint()`` against the session's checkpoint dir
+    (``spark.sparkContext.setCheckpointDir`` — required, raises if
+    unset): per-round state lands on the reliable store (HDFS/S3), so a
+    lost executor recomputes from the last round instead of failing the
+    whole run — the right trade for long iterative jobs on preemptible
+    clusters, at the cost of one round-trip write per round.
     """
+    if reliable:
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs a checkpoint dir: call "
+                "spark.sparkContext.setCheckpointDir(<reliable path>) first")
+
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        return df.checkpoint(eager=eager) if reliable \
+            else df.localCheckpoint(eager=eager)
+
     e = pairs.select(F.col(id_a).cast("long").alias("a"),
                      F.col(id_b).cast("long").alias("b"))
-    edges = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-             .distinct().localCheckpoint(eager=False))
-    labels = (edges.select(F.col("a").alias("id")).distinct()
-              .withColumn("comp", F.col("id")).localCheckpoint(eager=False))
+    edges = _ckpt(e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        eager=False)
+    labels = _ckpt(edges.select(F.col("a").alias("id")).distinct()
+                   .withColumn("comp", F.col("id")), eager=False)
     converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["b"] == labels["id"])
                  .groupBy("a").agg(F.min("comp").alias("ncomp")))
-        # fold the convergence flag into the same join that builds the
-        # next labels, so each round runs exactly one join + one count
-        # on the checkpointed result (no second comparison join)
-        new = (labels.join(neigh, labels["id"] == neigh["a"], "left")
-               .select("id",
-                       F.least(F.col("comp"),
-                               F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
-                       (F.col("ncomp") < F.col("comp")).alias("_changed"))
-               .localCheckpoint(eager=True))
+        stepped = (labels.join(neigh, labels["id"] == neigh["a"], "left")
+                   .select("id", "comp",
+                           F.least(F.col("comp"),
+                                   F.coalesce(F.col("ncomp"), F.col("comp")))
+                           .alias("_c1")))
+        # pointer jump: every label value is itself a node id (labels
+        # start as ids and only take min() over other labels), so one
+        # join against the label relation resolves comp(comp) — the
+        # shortcut that makes convergence O(log diameter).  The
+        # convergence flag folds into the same pass: one count on the
+        # checkpointed result per round, no extra comparison join.
+        rep = labels.select(F.col("id").alias("_c1"),
+                            F.col("comp").alias("_c2"))
+        jumped = F.least(F.col("_c1"), F.coalesce(F.col("_c2"), F.col("_c1")))
+        new = _ckpt(
+            stepped.join(rep, "_c1", "left")
+            .select("id", jumped.alias("_comp"),
+                    (jumped < F.col("comp")).alias("_changed"))
+            .withColumnRenamed("_comp", "comp"),
+            eager=True)
         changed = new.filter(F.col("_changed")).count()
         labels = new.drop("_changed")
         if changed == 0:

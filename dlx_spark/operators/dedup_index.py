@@ -50,6 +50,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dlx_spark.operators import dedup
 
+# Probe-side broadcast gate: a daily-increment batch's band keys are a
+# few MB and belong in a broadcast (zero shuffle of index data), but a
+# backfill-sized batch would blow the driver/executor broadcast memory.
+# Above this many band-key rows (~50-100 MB serialized) the probe falls
+# back to a plain equi-join on (band, bucket): the index side is
+# bucketed by bucket, so its layout already satisfies the join's
+# distribution and only the batch side shuffles.
+PROBE_BROADCAST_ROW_CAP = 2_000_000
+
 
 def _compact_table(spark: SparkSession, table: str, key: str,
                    n_buckets: int, distinct: bool = False) -> None:
@@ -251,21 +260,33 @@ class MinHashIndex:
         for suffix in ("_sigs", "_bands"):
             self.spark.catalog.refreshTable(f"{self.name}{suffix}")
 
-    def probe(self, batch: DataFrame, threshold: float = 0.8) -> DataFrame:
+    def probe(self, batch: DataFrame, threshold: float = 0.8,
+              broadcast_row_cap: int | None = None) -> DataFrame:
         """(corpus_id, batch_id, est_jaccard): near-duplicate links from
         each batch document to already-ingested documents.
 
         Exactly the cross-partition subset of what a full-corpus
         ``minhash_near_duplicates`` run would emit (same signatures,
         same banding, same verify rule) — pytest-locked equivalence.
-        """
+
+        The batch's band keys broadcast only while they fit
+        (``broadcast_row_cap`` rows, default PROBE_BROADCAST_ROW_CAP);
+        a backfill-sized batch instead equi-joins on (band, bucket)
+        against the bucketed index, shuffling the batch side only.
+        Batch signatures are materialized via eager localCheckpoint
+        (blocks reclaimed on GC — a per-micro-batch cache() here would
+        accumulate for the stream's lifetime)."""
         p = self.params
+        cap = PROBE_BROADCAST_ROW_CAP if broadcast_row_cap is None \
+            else broadcast_row_cap
         self._refresh()
-        bsigs = self._batch_sigs(batch).cache()
+        bsigs = self._batch_sigs(batch).localCheckpoint(eager=True)
         bbands = (dedup.band_buckets(bsigs, p["bands"])
                   .withColumnRenamed("id", "batch_id"))
+        if bsigs.count() * p["bands"] <= cap:
+            bbands = F.broadcast(bbands)
         ibands = self.spark.table(f"{self.name}_bands")
-        cands = (ibands.join(F.broadcast(bbands), ["band", "bucket"])
+        cands = (ibands.join(bbands, ["band", "bucket"])
                  .select(F.col("id").alias("corpus_id"), "batch_id")
                  .distinct())
         isigs = self.spark.table(f"{self.name}_sigs")
@@ -318,7 +339,7 @@ class MinHashIndex:
          .saveAsTable(f"{self.name}_sigs"))
 
     def dedup_batch(self, batch: DataFrame, threshold: float = 0.8,
-                    bucket_cap: int | None = None,
+                    bucket_cap: int | None = 1000,
                     replay_safe: bool = False) -> DataFrame:
         """The per-increment near-dedup: drop batch docs near-duplicating
         the corpus (corpus always wins — it was ingested first), then
@@ -340,7 +361,12 @@ class MinHashIndex:
         crashed prior attempt may have appended this very batch), and
         the append is ``if_absent`` — so a replayed batch produces the
         SAME clean frame as its first attempt and leaves the index
-        unchanged."""
+        unchanged.
+
+        ``bucket_cap`` defaults to 1000 (linear worst-case intra-batch
+        pair expansion, all pairs verified — see
+        ``minhash_near_duplicates``); pass ``None`` for the uncapped
+        exact-w.r.t.-banding mode."""
         p = self.params
         id_col = p["id_col"]
         vs_corpus = self.probe(batch, threshold)
@@ -351,7 +377,8 @@ class MinHashIndex:
         remaining = batch.join(vs_corpus, F.col(id_col) == F.col("_dup"), "left_anti")
         intra = dedup.minhash_near_duplicates(
             remaining, p["text_col"], id_col, p["num_hashes"], p["bands"],
-            p["shingle_n"], threshold, p["seed"], bucket_cap=bucket_cap)
+            p["shingle_n"], threshold, p["seed"], bucket_cap=bucket_cap,
+            eager=True)
         clean = dedup.dedup_near(remaining, intra, id_col).localCheckpoint(eager=True)
         self.append(clean, if_absent=replay_safe)
         return clean
@@ -410,18 +437,25 @@ class SimHashIndex:
     def _refresh(self) -> None:
         self.spark.catalog.refreshTable(f"{self.name}_fps")
 
-    def probe(self, batch: DataFrame, max_hamming: int = 3) -> DataFrame:
+    def probe(self, batch: DataFrame, max_hamming: int = 3,
+              broadcast_row_cap: int | None = None) -> DataFrame:
         """(corpus_id, batch_id, hamming): every batch doc within
-        ``max_hamming`` of an already-ingested fingerprint."""
+        ``max_hamming`` of an already-ingested fingerprint.  Broadcast
+        gating and eager materialization as in ``MinHashIndex.probe``."""
         dedup.check_simhash_hamming(max_hamming)
         p = self.params
+        cap = PROBE_BROADCAST_ROW_CAP if broadcast_row_cap is None \
+            else broadcast_row_cap
         self._refresh()
         b = (self._banded_fps(batch, p["text_col"], p["id_col"])
              .select(F.col("id").alias("batch_id"),
-                     F.col("simhash").alias("fp_b"), "band", "key"))
+                     F.col("simhash").alias("fp_b"), "band", "key")
+             .localCheckpoint(eager=True))
+        if b.count() <= cap:
+            b = F.broadcast(b)
         idx = self.spark.table(f"{self.name}_fps")
         return (
-            idx.join(F.broadcast(b), ["band", "key"])
+            idx.join(b, ["band", "key"])
             .withColumn("hamming",
                         F.bit_count(F.col("simhash").bitwiseXOR(F.col("fp_b"))))
             .filter(F.col("hamming") <= max_hamming)
@@ -457,7 +491,7 @@ class SimHashIndex:
         drop = vs_corpus.select(F.col("batch_id").alias("_dup")).distinct()
         remaining = batch.join(drop, F.col(id_col) == F.col("_dup"), "left_anti")
         intra = dedup.simhash_near_duplicates(remaining, p["text_col"], id_col,
-                                              max_hamming)
+                                              max_hamming, eager=True)
         clean = dedup.dedup_near(remaining, intra, id_col).localCheckpoint(eager=True)
         self.append(clean, if_absent=replay_safe)
         return clean

@@ -157,8 +157,19 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
                 try:
                     with open(os.path.join(checkpoint, "metadata")) as fh:
                         rid = json.load(fh).get("id", "")
-                except (OSError, ValueError):
-                    pass
+                except (OSError, ValueError) as exc:
+                    # NEVER fall back to the shared "default" run here: a
+                    # recreated stream landing in run=default could find
+                    # an older run=default committed marker for its
+                    # batch_id and silently skip emitting the batch.
+                    # "default" is reserved for checkpoint=None (direct-
+                    # driven tests).
+                    raise RuntimeError(
+                        f"checkpoint {checkpoint!r} was provided but its "
+                        "metadata is unreadable — refusing to guess a run "
+                        "id (a wrong one can silently skip batches); has "
+                        "the stream started and written "
+                        f"{checkpoint}/metadata?") from exc
             _rid["v"] = rid or "default"
         return _rid["v"]
 
@@ -171,17 +182,34 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
         # configs): a redelivered committed batch must skip, never
         # overwrite good output with a now-all-duplicates empty frame
         committed = os.path.join(rdir, f"_committed_batch_{batch_id}")
+        marker = os.path.join(rdir, f"_attempt_batch_{batch_id}")
         if os.path.exists(committed):
+            # a crash between writing the committed marker and removing
+            # the attempt marker leaves a stale attempt marker behind a
+            # fully committed batch — clean it up here, or every future
+            # run's foreign-marker scan would refuse to start over a
+            # batch that needs no recovery
+            try:
+                os.remove(marker)
+            except FileNotFoundError:
+                pass
             return
         # an attempt marker left by ANOTHER run means a batch crashed
         # mid-append and its checkpoint was then deleted: those
         # documents are in the index but in no run's output, and this
         # run would wrongly drop them as 'already ingested'.  Refuse and
         # tell the operator to restore the original checkpoint so the
-        # crashed batch replays in its own run.
+        # crashed batch replays in its own run.  Attempt markers whose
+        # sibling committed marker exists are the stale-cleanup case
+        # above, not a crash window — skip them.
+        def _is_stale(m: str) -> bool:
+            bid = os.path.basename(m)[len("_attempt_batch_"):]
+            return os.path.exists(
+                os.path.join(os.path.dirname(m), f"_committed_batch_{bid}"))
+
         foreign = [m for m in glob.glob(
             os.path.join(out_path, "run=*", "_attempt_batch_*"))
-            if not m.startswith(rdir + os.sep)]
+            if not m.startswith(rdir + os.sep) and not _is_stale(m)]
         if foreign:
             raise RuntimeError(
                 "unresolved crashed micro-batch(es) from a previous run: "
@@ -189,7 +217,6 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
                 "emitted; restore that run's checkpoint so the batch "
                 "replays (or remove the marker after manual recovery) "
                 "before starting a new run.")
-        marker = os.path.join(rdir, f"_attempt_batch_{batch_id}")
         replay = os.path.exists(marker)
         os.makedirs(rdir, exist_ok=True)
         open(marker, "w").close()

@@ -399,22 +399,67 @@ def test_append_crash_between_band_and_sig_writes(spark, split_corpus):
         idx.drop()
 
 
-def test_capped_star_edges_survive_verification(spark):
-    """A capped bucket's star edges are connectivity edges: the verify
-    filter must not drop them even when their est_jaccard is below the
-    threshold (here: an impossible threshold kills every verified pair,
-    so anything left came through the capped exemption)."""
+def test_capped_output_is_fully_verified(spark):
+    """The capped mode must emit ONLY pairs passing the verify rule —
+    no unverified connectivity edges (the old min-id star let a single
+    band collision link dissimilar docs, which dedup_near then deleted:
+    a precision bug).  An impossible threshold therefore empties the
+    capped output exactly like the uncapped one, and at a real
+    threshold every emitted pair's est_jaccard clears it and appears in
+    the uncapped (exact-w.r.t.-banding) pair set too."""
     from dlx_spark.operators import dedup
 
     text = " ".join(f"w{i}" for i in range(25))
     df = spark.createDataFrame([(i, text) for i in range(6)],
                                "doc_id long, text string")
-    none = dedup.minhash_near_duplicates(df, threshold=1.5)
-    assert none.count() == 0
-    starred = dedup.minhash_near_duplicates(df, threshold=1.5, bucket_cap=2)
-    got = {(r["id_a"], r["id_b"]) for r in starred.collect()}
-    # min-id star over one mega-bucket of 6 identical docs
-    assert got == {(0, b) for b in range(1, 6)}
+    assert dedup.minhash_near_duplicates(df, threshold=1.5,
+                                         bucket_cap=None).count() == 0
+    assert dedup.minhash_near_duplicates(df, threshold=1.5,
+                                         bucket_cap=2).count() == 0
+
+    capped = dedup.minhash_near_duplicates(df, threshold=0.8, bucket_cap=2)
+    rows = capped.collect()
+    assert rows and all(r["est_jaccard"] >= 0.8 for r in rows)
+    full = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_near_duplicates(df, threshold=0.8,
+                                          bucket_cap=None).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in rows} <= full
+
+
+def test_capped_mega_bucket_does_not_link_dissimilar_colliders(spark):
+    """The advisor's precision scenario: a mega-bucket containing one
+    true near-dup sub-cluster plus docs dissimilar to it must not link
+    the dissimilar docs to anything.  Signatures are injected directly
+    (forcing a shared band bucket between dissimilar docs is otherwise
+    astronomically unlikely), exercising the chain-in-signature-order
+    path below minhash_near_duplicates via lsh_candidate_pairs-free
+    plumbing."""
+    from dlx_spark.operators import dedup
+
+    # 5 docs sharing band 0's slice (first 4 sig values) — a capped
+    # bucket with cap 3.  Docs 0-2 are near-identical signatures (60/64
+    # agree); docs 3-4 agree with nobody beyond the colliding band.
+    base = list(range(100, 164))
+    near = lambda k: base[:60] + [900 + 10 * k + j for j in range(4)]
+    far = lambda k: base[:4] + [5000 + 100 * k + j for j in range(60)]
+    sigs = [(0, near(0)), (1, near(1)), (2, near(2)),
+            (3, far(0)), (4, far(1))]
+    sdf = spark.createDataFrame(sigs, "id long, sig array<bigint>")
+
+    # sanity: all five really do share the band-0 bucket
+    b0 = dedup.band_buckets(sdf, bands=16).filter("band = 0")
+    assert b0.select("bucket").distinct().count() == 1
+
+    # drive the public operator's capped logic on the injected
+    # signatures by patching the signature stage
+    import unittest.mock as mock
+    with mock.patch.object(dedup, "minhash_signatures", return_value=sdf):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 dedup.minhash_near_duplicates(
+                     spark.range(0), threshold=0.8, bucket_cap=3).collect()}
+    # the true sub-cluster links; the dissimilar colliders link to nothing
+    assert pairs and pairs <= {(0, 1), (0, 2), (1, 2)}
+    assert not any(3 in p or 4 in p for p in pairs)
 
 
 def test_simhash_index_probe_equals_full_cross_pairs(spark, split_corpus):
