@@ -13,13 +13,12 @@ set-scale imports).
 from __future__ import annotations
 
 import hashlib
-import os
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dlx_spark import schemas
+from dlx_spark import fsio, schemas
 
 # ISO 639-1 two-letter codes (public table); validation mirror of the
 # reference's ISO6391 map (dlx/util.py:185-375)
@@ -89,14 +88,14 @@ class FileStore:
         self.spark = spark
         self.root = root
         self.uploader = uploader or (lambda payload, checksum, mimetype: True)
-        os.makedirs(root, exist_ok=True)
+        fsio.mkdirs(spark, root)
 
     @property
     def _path(self) -> str:
-        return os.path.join(self.root, "files")
+        return fsio.join(self.root, "files")
 
     def df(self) -> DataFrame:
-        if not os.path.isdir(self._path) or not os.listdir(self._path):
+        if not fsio.listdir(self.spark, self._path):
             return self.spark.createDataFrame([], schema=schemas.FILE)
         return self.spark.read.parquet(self._path)
 
@@ -136,11 +135,10 @@ class FileStore:
         existing = self.df().filter(F.col("_id") != checksum) if overwrite else self.df()
         new_df = self.spark.createDataFrame([row], schema=schemas.FILE)
         union = existing.unionByName(new_df)
-        staged = os.path.join(self.root, "_stage_files")
+        staged = fsio.join(self.root, "_stage_files")
         union.write.mode("overwrite").parquet(staged)
         self.spark.read.parquet(staged).write.mode("overwrite").parquet(self._path)
-        import shutil
-        shutil.rmtree(staged, ignore_errors=True)
+        fsio.rmtree(self.spark, staged)
         return row
 
     def import_batch(self, items: list[dict], overwrite: bool = False,
@@ -192,11 +190,10 @@ class FileStore:
         new_ids = [r["_id"] for r in rows]
         existing = self.df().filter(~F.col("_id").isin(new_ids))
         union = existing.unionByName(self.spark.createDataFrame(rows, schema=schemas.FILE))
-        staged = os.path.join(self.root, "_stage_files")
+        staged = fsio.join(self.root, "_stage_files")
         union.write.mode("overwrite").parquet(staged)
         self.spark.read.parquet(staged).write.mode("overwrite").parquet(self._path)
-        import shutil
-        shutil.rmtree(staged, ignore_errors=True)
+        fsio.rmtree(self.spark, staged)
         return rows
 
     def import_from_path(self, path: str, **kwargs) -> dict:

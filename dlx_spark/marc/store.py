@@ -29,12 +29,11 @@ and 4 thread families, dlx/marc/__init__.py:856-1234):
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dlx_spark import config, schemas
+from dlx_spark import config, fsio, schemas
 from dlx_spark.marc import dataframe as mdf
 from dlx_spark.marc.record import (
     Auth,
@@ -68,18 +67,19 @@ class MarcStore:
         self.spark = spark
         self.root = root
         self._auth_index: AuthIndex | None = None
-        os.makedirs(root, exist_ok=True)
+        fsio.mkdirs(spark, root)
         self._recover()
 
     # --- paths / raw IO -----------------------------------------------------
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return fsio.join(self.root, name)
 
     def _exists(self, name: str) -> bool:
-        p = self._path(name)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f.startswith("pt=") for f in os.listdir(p))
+        # one listing through the warehouse's own filesystem (fsio): the
+        # root may be a file:// / hdfs:// / s3a:// URI, not driver-local
+        return any(f.endswith(".parquet") or f.startswith("pt=")
+                   for f in fsio.listdir(self.spark, self._path(name)))
 
     def _empty(self, schema) -> DataFrame:
         return self.spark.createDataFrame([], schema=schema)
@@ -491,20 +491,15 @@ class MarcStore:
     # is idempotent).  Production swap-in: a Delta/Iceberg transaction log.
 
     def _txn_path(self, name: str) -> str:
-        return os.path.join(self.root, f"_txn_{name}.json")
+        return fsio.join(self.root, f"_txn_{name}.json")
 
     def _write_txn_marker(self, name: str, payload: dict) -> None:
         import json
-        tmp = self._txn_path(name) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-        os.replace(tmp, self._txn_path(name))
+        fsio.write_text_atomic(self.spark, self._txn_path(name),
+                               json.dumps(payload))
 
     def _clear_txn_marker(self, name: str) -> None:
-        try:
-            os.remove(self._txn_path(name))
-        except FileNotFoundError:
-            pass
+        fsio.remove(self.spark, self._txn_path(name))
 
     def _overwrite_buckets(self, name: str, stage_name: str,
                            buckets: list[int] | None) -> None:
@@ -521,7 +516,6 @@ class MarcStore:
 
     def _apply_overwrite(self, name: str, stage_name: str,
                          buckets: list[int] | None) -> None:
-        import shutil
         staged = self.spark.read.parquet(self._path(stage_name))
         present: set[int] = set()
         if staged.limit(1).count():
@@ -531,20 +525,24 @@ class MarcStore:
             present = {r["pt"] for r in bucketed.select("pt").distinct().collect()}
         for b in buckets or []:
             if b not in present:
-                shutil.rmtree(os.path.join(self._path(name), f"pt={b}"),
-                              ignore_errors=True)
+                fsio.rmtree(self.spark, fsio.join(self._path(name), f"pt={b}"))
 
     def _recover(self) -> None:
         """Replay any bucket swap whose marker survived a crash.  Called
-        on open; a no-op when no marker exists."""
-        import glob
+        on open; a no-op when no marker exists.  A torn marker (crash
+        mid-publish on a scheme with non-atomic rename) parses as
+        garbage and is discarded — the stage it would have pointed at is
+        re-derivable by re-running the interrupted commit."""
         import json
-        for marker in glob.glob(os.path.join(self.root, "_txn_*.json")):
-            name = os.path.basename(marker)[len("_txn_"):-len(".json")]
-            with open(marker) as fh:
-                payload = json.load(fh)
+        for marker in fsio.glob(self.spark, fsio.join(self.root, "_txn_*.json")):
+            name = fsio.basename(marker)[len("_txn_"):-len(".json")]
+            try:
+                payload = json.loads(fsio.read_text(self.spark, marker))
+            except ValueError:
+                fsio.remove(self.spark, marker)
+                continue
             stage_name = payload["stage"]
-            if os.path.isdir(self._path(stage_name)):
+            if fsio.is_dir(self.spark, self._path(stage_name)):
                 self._apply_overwrite(name, stage_name, payload.get("buckets"))
                 self._unstage(stage_name)
             self._clear_txn_marker(name)
@@ -555,8 +553,7 @@ class MarcStore:
         return self.spark.read.parquet(p)
 
     def _unstage(self, name: str) -> None:
-        import shutil
-        shutil.rmtree(self._path(name), ignore_errors=True)
+        fsio.rmtree(self.spark, self._path(name))
 
     def _append_history_frame(self, record_type: str, df: DataFrame,
                               user: str, now: datetime,

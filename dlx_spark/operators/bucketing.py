@@ -151,6 +151,61 @@ def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
 
+def append_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Incrementally add vectors to a written IVF index using the
+    EXISTING centroids (an Arrow-batched assignment + partitioned
+    append; no retraining, no rewrite of existing lists).
+
+    This is the fast ingest path, and it is exactly how an IVF layout
+    drifts: centroids trained on last month's distribution quantize a
+    shifted corpus badly (new-region vectors pile into whichever old
+    lists are least-wrong, so probes either miss them or must raise
+    nprobe).  Run ``refresh_ivf_index`` on a maintenance cadence — the
+    OPTIMIZE analog for the ANN layer."""
+    assigned = similarity.ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    assigned.write.mode("append").partitionBy("list_id").parquet(path)
+
+
+def refresh_ivf_index(spark: SparkSession, path: str, n_centroids: int = 16,
+                      iters: int = 5, seed: int = 42,
+                      sample_cap: int = 20_000) -> np.ndarray:
+    """Re-train the coarse quantizer on a fresh sample of the CURRENT
+    index contents and rewrite the assignment partitioned by the new
+    lists; returns the new centroids (probes need them — persist
+    alongside the index).  One full-index rewrite, staged then swapped:
+    a crash mid-swap is repaired by ``recover_ivf_index`` (the staged
+    copy holds the full post-image).  Swap I/O goes through the Hadoop
+    FileSystem API, so the index may live on any scheme."""
+    from dlx_spark import fsio
+
+    cur = spark.read.parquet(path).select(F.col("id").alias("vec_id"),
+                                          F.col("vec").alias("embedding"))
+    cents = similarity.ivf_centroids(cur, n_centroids=n_centroids, iters=iters,
+                                     seed=seed, vec_col="embedding",
+                                     sample_cap=sample_cap)
+    staged = path + "__refresh"
+    (similarity.ivf_assign(cur, cents, vec_col="embedding", id_col="vec_id")
+     .write.mode("overwrite").partitionBy("list_id").parquet(staged))
+    fsio.rmtree(spark, path)
+    fsio.rename(spark, staged, path)
+    return cents
+
+
+def recover_ivf_index(spark: SparkSession, path: str) -> None:
+    """Repair a refresh that crashed mid-swap: live missing + stage
+    present → publish the stage; both present → the crash predates the
+    swap, so the stale stage is dropped (re-run the refresh)."""
+    from dlx_spark import fsio
+
+    staged = path + "__refresh"
+    if fsio.exists(spark, staged):
+        if not fsio.exists(spark, path):
+            fsio.rename(spark, staged, path)
+        else:
+            fsio.rmtree(spark, staged)
+
+
 def probe_ivf_index(spark: SparkSession, path: str, centroids: np.ndarray,
                     query: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
     """Top-k over a written IVF index: rank centroids driver-side (a few

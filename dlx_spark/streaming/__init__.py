@@ -134,30 +134,32 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
     re-emitted.  An attempt marker left behind by ANOTHER run (crash +
     checkpoint deletion) makes the sink refuse to start — those
     documents are indexed but unemitted, and proceeding would drop
-    them forever.  Markers and output live on the driver-visible
-    filesystem like the commit sink's ledger (swap for object-store
-    markers at scale).
+    them forever.  Markers, metadata reads, and output all go through
+    the Hadoop FileSystem API (dlx_spark.fsio), so checkpoint/out_path
+    may live on file://, hdfs://, or an object store — atomicity
+    assumptions per scheme are documented in fsio.
 
     Exposed separately from the stream starter so tests can drive
     crash/replay sequences directly."""
-    import glob
     import json
-    import os
 
+    from dlx_spark import fsio
     from dlx_spark.operators.dedup_index import MinHashIndex
 
     _rid: dict[str, str] = {}
 
-    def run_id() -> str:
+    def run_id(session: SparkSession) -> str:
         # constant for the stream's lifetime — read the checkpoint
-        # metadata once, not per micro-batch
+        # metadata once, not per micro-batch.  All marker/metadata I/O
+        # goes through fsio (Hadoop FileSystem), so checkpoint and
+        # out_path may live on any scheme, not just the driver's disk.
         if "v" not in _rid:
             rid = ""
             if checkpoint:
                 try:
-                    with open(os.path.join(checkpoint, "metadata")) as fh:
-                        rid = json.load(fh).get("id", "")
-                except (OSError, ValueError) as exc:
+                    rid = json.loads(fsio.read_text(
+                        session, fsio.join(checkpoint, "metadata"))).get("id", "")
+                except Exception as exc:
                     # NEVER fall back to the shared "default" run here: a
                     # recreated stream landing in run=default could find
                     # an older run=default committed marker for its
@@ -175,24 +177,22 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
-        rdir = os.path.join(out_path, f"run={run_id()}")
-        final = os.path.join(rdir, f"batch={batch_id}")
+        rid = run_id(session)
+        rdir = fsio.join(out_path, f"run={rid}")
+        final = fsio.join(rdir, f"batch={batch_id}")
         # completion is tracked by our own marker, not parquet's
         # _SUCCESS file (which is disabled on many object-store
         # configs): a redelivered committed batch must skip, never
         # overwrite good output with a now-all-duplicates empty frame
-        committed = os.path.join(rdir, f"_committed_batch_{batch_id}")
-        marker = os.path.join(rdir, f"_attempt_batch_{batch_id}")
-        if os.path.exists(committed):
+        committed = fsio.join(rdir, f"_committed_batch_{batch_id}")
+        marker = fsio.join(rdir, f"_attempt_batch_{batch_id}")
+        if fsio.exists(session, committed):
             # a crash between writing the committed marker and removing
             # the attempt marker leaves a stale attempt marker behind a
             # fully committed batch — clean it up here, or every future
             # run's foreign-marker scan would refuse to start over a
             # batch that needs no recovery
-            try:
-                os.remove(marker)
-            except FileNotFoundError:
-                pass
+            fsio.remove(session, marker)
             return
         # an attempt marker left by ANOTHER run means a batch crashed
         # mid-append and its checkpoint was then deleted: those
@@ -201,15 +201,18 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
         # tell the operator to restore the original checkpoint so the
         # crashed batch replays in its own run.  Attempt markers whose
         # sibling committed marker exists are the stale-cleanup case
-        # above, not a crash window — skip them.
+        # above, not a crash window — skip them.  (Globbed paths come
+        # back scheme-qualified, so runs are compared by their run=
+        # directory NAME, never by string prefix.)
         def _is_stale(m: str) -> bool:
-            bid = os.path.basename(m)[len("_attempt_batch_"):]
-            return os.path.exists(
-                os.path.join(os.path.dirname(m), f"_committed_batch_{bid}"))
+            bid = fsio.basename(m)[len("_attempt_batch_"):]
+            return fsio.exists(
+                session, fsio.join(fsio.parent(m), f"_committed_batch_{bid}"))
 
-        foreign = [m for m in glob.glob(
-            os.path.join(out_path, "run=*", "_attempt_batch_*"))
-            if not m.startswith(rdir + os.sep) and not _is_stale(m)]
+        foreign = [m for m in fsio.glob(
+            session, fsio.join(out_path, "run=*", "_attempt_batch_*"))
+            if fsio.basename(fsio.parent(m)) != f"run={rid}"
+            and not _is_stale(m)]
         if foreign:
             raise RuntimeError(
                 "unresolved crashed micro-batch(es) from a previous run: "
@@ -217,14 +220,14 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
                 "emitted; restore that run's checkpoint so the batch "
                 "replays (or remove the marker after manual recovery) "
                 "before starting a new run.")
-        replay = os.path.exists(marker)
-        os.makedirs(rdir, exist_ok=True)
-        open(marker, "w").close()
+        replay = fsio.exists(session, marker)
+        fsio.mkdirs(session, rdir)
+        fsio.touch(session, marker)
         idx = MinHashIndex(session, index_name)
         clean = idx.dedup_batch(batch_df, threshold, replay_safe=replay)
         clean.write.mode("overwrite").parquet(final)
-        open(committed, "w").close()
-        os.remove(marker)
+        fsio.touch(session, committed)
+        fsio.remove(session, marker)
 
     return process_batch
 
@@ -314,34 +317,34 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str):
     the old ones)."""
     import hashlib
     import json
-    import os
-    import shutil
     from datetime import datetime, timezone
 
-    from dlx_spark import schemas
+    from dlx_spark import fsio, schemas
     from dlx_spark.marc.record import Auth, Bib
 
     cls = Bib if record_type == "bib" else Auth
-    commits_log = os.path.join(store.root, f"_stream_commits_{record_type}")
+    commits_log = fsio.join(store.root, f"_stream_commits_{record_type}")
     hist_dir = store._path(f"{record_type}_history")
     _key_cache: dict[str, str] = {}
 
-    def stream_key() -> str:
+    def stream_key(session) -> str:
         if "k" not in _key_cache:
             run_id = ""
-            meta = os.path.join(checkpoint, "metadata")
+            meta = fsio.join(checkpoint, "metadata")
             try:
-                with open(meta) as fh:
-                    run_id = json.load(fh).get("id", "")
-            except (OSError, ValueError):
+                run_id = json.loads(
+                    fsio.read_text(session, meta)).get("id", "")
+            except Exception:
                 pass  # direct-driven tests / pre-start probes: path-only key
-            raw = f"{os.path.abspath(checkpoint)}:{run_id}"
+            # the canonical scheme-qualified spelling, so /x, file:/x and
+            # file:///x derive the SAME persisted ledger key
+            raw = f"{fsio.qualified(session, checkpoint)}:{run_id}"
             _key_cache["k"] = hashlib.md5(raw.encode()).hexdigest()[:16]
         return _key_cache["k"]
 
     def ledger_has(session, key: str, batch_id: int) -> bool:
-        if not (os.path.isdir(commits_log) and any(
-                f.endswith(".parquet") for f in os.listdir(commits_log))):
+        if not any(f.endswith(".parquet")
+                   for f in fsio.listdir(session, commits_log)):
             return False
         return bool(session.read.parquet(commits_log)
                     .filter((F.col("stream") == key)
@@ -352,53 +355,50 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str):
         (session.createDataFrame([(key, int(batch_id))],
                                  "stream string, batch_id long")
          .write.mode("append").parquet(commits_log))
-        files = [f for f in os.listdir(commits_log) if f.endswith(".parquet")]
+        files = [f for f in fsio.listdir(session, commits_log)
+                 if f.endswith(".parquet")]
         if len(files) > LEDGER_COMPACT_EVERY:
             tmp = commits_log + "__compact_tmp"
             (session.read.parquet(commits_log).distinct().coalesce(1)
              .write.mode("overwrite").parquet(tmp))
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            os.replace(os.path.join(tmp, part),
-                       os.path.join(commits_log, f"compact-{key}-{batch_id}.parquet"))
-            shutil.rmtree(tmp, ignore_errors=True)
+            part = next(f for f in fsio.listdir(session, tmp)
+                        if f.endswith(".parquet"))
+            fsio.rename(session, fsio.join(tmp, part),
+                        fsio.join(commits_log,
+                                  f"compact-{key}-{batch_id}.parquet"),
+                        overwrite=True)
+            fsio.rmtree(session, tmp)
             for f in files:  # pre-compaction list only; new rows are safe
-                try:
-                    os.remove(os.path.join(commits_log, f))
-                except FileNotFoundError:
-                    pass
+                fsio.remove(session, fsio.join(commits_log, f))
 
     def marc_to_iso(dt: datetime) -> str:
         return dt.isoformat()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
-        key = stream_key()
-        os.makedirs(commits_log, exist_ok=True)
-        marker_path = os.path.join(commits_log, f"_intent_{key}_{batch_id}.json")
-        stage_path = os.path.join(commits_log, f"_batch_{key}_{batch_id}")
+        key = stream_key(session)
+        fsio.mkdirs(session, commits_log)
+        marker_path = fsio.join(commits_log, f"_intent_{key}_{batch_id}.json")
+        stage_path = fsio.join(commits_log, f"_batch_{key}_{batch_id}")
 
         if ledger_has(session, key, batch_id):
             # crash landed between ledger append and cleanup: finish it
-            try:
-                os.remove(marker_path)
-            except FileNotFoundError:
-                pass
-            shutil.rmtree(stage_path, ignore_errors=True)
+            fsio.remove(session, marker_path)
+            fsio.rmtree(session, stage_path)
             return
 
-        if os.path.exists(marker_path):
+        if fsio.exists(session, marker_path):
             # crashed attempt: undo its history append (files not in the
             # pre-commit snapshot), repair any torn bucket swap, then
             # fall through to the idempotent re-run from the stage
-            with open(marker_path) as fh:
-                marker = json.load(fh)
+            marker = json.loads(fsio.read_text(session, marker_path))
             if marker["history_files"] is None:
-                shutil.rmtree(hist_dir, ignore_errors=True)
-            elif os.path.isdir(hist_dir):
+                fsio.rmtree(session, hist_dir)
+            else:
                 keep = set(marker["history_files"])
-                for f in os.listdir(hist_dir):
+                for f in fsio.listdir(session, hist_dir):
                     if f.endswith(".parquet") and f not in keep:
-                        os.remove(os.path.join(hist_dir, f))
+                        fsio.remove(session, fsio.join(hist_dir, f))
             store._recover()
         else:
             # fresh attempt: parse executor-side (same parser as
@@ -441,16 +441,12 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str):
              .withColumn("_existed", F.coalesce("_existed", F.lit(False)))
              .write.mode("overwrite").parquet(stage_path))
 
-            pre_hist = (sorted(f for f in os.listdir(hist_dir)
+            pre_hist = (sorted(f for f in fsio.listdir(session, hist_dir)
                                if f.endswith(".parquet"))
-                        if os.path.isdir(hist_dir) else None)
+                        if fsio.is_dir(session, hist_dir) else None)
             now = datetime.now(timezone.utc).replace(tzinfo=None)
-            tmp = marker_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump({"now": marc_to_iso(now),
-                           "history_files": pre_hist}, fh)
-            os.replace(tmp, marker_path)
             marker = {"now": marc_to_iso(now), "history_files": pre_hist}
+            fsio.write_text_atomic(session, marker_path, json.dumps(marker))
 
         staged = session.read.parquet(stage_path)
         store.commit_frame(staged.drop("_existed"), record_type=record_type,
@@ -460,7 +456,7 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str):
                            prev_ids=staged.filter(F.col("_existed"))
                                           .select(F.col("_id").alias("record_id")))
         ledger_append(session, key, batch_id)
-        os.remove(marker_path)
-        shutil.rmtree(stage_path, ignore_errors=True)
+        fsio.remove(session, marker_path)
+        fsio.rmtree(session, stage_path)
 
     return process_batch

@@ -422,3 +422,42 @@ def test_remove_live_drops_emptied_buckets(spark, tmp_path):
     st._remove_live("bib", [1, 17, 2])        # empties pt=1; pt=2 keeps 18
     ids = sorted(r["_id"] for r in st.bibs().select("_id").collect())
     assert ids == sorted(set(range(1, 33)) - {1, 17, 2})
+
+
+def test_warehouse_under_file_scheme_uri(spark, tmp_path, monkeypatch):
+    """The whole store lifecycle — seed, upsert, crash-recovery replay —
+    must work when ``root`` is a ``file://``-scheme Hadoop URI rather
+    than a driver-local path: every marker/stage/bucket operation goes
+    through the Hadoop FileSystem API (dlx_spark.fsio), not os/shutil
+    (which would silently look at the driver's disk on hdfs:// or
+    s3a:// roots)."""
+    from dlx_spark import fsio
+
+    root = "file://" + str(tmp_path / "wh_uri")
+    st = MarcStore(spark, root)
+    recs = [Bib().set("245", "a", f"Doc {i}", auth_control=False)
+            for i in range(8)]
+    st.commit(recs, user="u", now=T0)
+    assert st.bibs().count() == 8
+
+    # crash before the bucket swap: the write-ahead marker lands on the
+    # URI filesystem and the reopen replays it from the stage
+    def boom(self, name, stage_name, buckets):
+        raise RuntimeError("crash before swap")
+    monkeypatch.setattr(MarcStore, "_apply_overwrite", boom)
+    rec = st.get("bib", 1)
+    rec.set("245", "a", "Changed via URI", auth_control=False)
+    with pytest.raises(RuntimeError):
+        st.commit([rec], user="u2", now=T1)
+    monkeypatch.undo()
+    assert fsio.exists(spark, root + "/_txn_bibs.json")
+
+    st2 = MarcStore(spark, root)              # recovery replays the swap
+    assert st2.get("bib", 1).get_value("245", "a") == "Changed via URI"
+    assert st2.bibs().count() == 8
+    assert not fsio.exists(spark, root + "/_txn_bibs.json")
+    assert not fsio.is_dir(spark, root + "/_stage_bibs")
+
+    # and the plain-path spelling of the same directory sees the data
+    st3 = MarcStore(spark, str(tmp_path / "wh_uri"))
+    assert st3.bibs().count() == 8

@@ -378,3 +378,38 @@ def test_stream_ledger_compaction_bounded(spark, tmp_path, monkeypatch):
     fn(real_batch, 0)                         # replay across compaction
     fn(empty, 15)
     assert store.bibs().count() == 1
+
+
+def test_commit_stream_under_file_scheme_root(spark, tmp_path):
+    """The streaming commit sink's ledger/intent-marker/stage protocol
+    must hold when the store root (and hence the ledger directory and
+    default checkpoint) is a ``file://``-scheme URI: all marker I/O goes
+    through the Hadoop FileSystem API, and the replay guard still
+    recognizes a redelivered batch."""
+    from dlx_spark import fsio
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, "file://" + str(tmp_path / "wh_uri_stream"))
+    inbox = tmp_path / "inbox_uri"
+    inbox.mkdir()
+    docs = [{"_id": None, "245": [{"indicators": [" ", " "],
+                                   "subfields": [{"code": "a",
+                                                  "value": f"Uri doc {i}"}]}]}
+            for i in range(3)]
+    (inbox / "b1.jsonl").write_text("\n".join(json.dumps(d) for d in docs))
+
+    q = streaming.incremental_commit_stream(spark, str(inbox), store)
+    assert q.awaitTermination(120)
+    assert store.bibs().count() == 3
+    ledger = store.root + "/_stream_commits_bib"
+    assert any(f.endswith(".parquet") for f in fsio.listdir(spark, ledger))
+
+    # redeliver batch 0 through the raw fn with the same checkpoint:
+    # the ledger row makes it a no-op (no duplicate commit)
+    ck = store.root + "/_checkpoints/bib"
+    fn = streaming.make_commit_batch_fn(store, "bib", ck)
+    batch = spark.createDataFrame(
+        [(json.dumps(d),) for d in docs], "value string")
+    fn(batch, 0)
+    assert store.bibs().count() == 3
+    assert len(store.history("bib", 1)) == 1
