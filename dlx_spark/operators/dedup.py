@@ -268,6 +268,21 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
     # 64-hash projection runs once
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     sigs = sigs.localCheckpoint(eager=True) if eager else sigs.cache()
+    return minhash_pairs_from_signatures(sigs, bands, threshold, bucket_cap)
+
+
+def minhash_pairs_from_signatures(sigs: DataFrame, bands: int = 16,
+                                  threshold: float = 0.8,
+                                  bucket_cap: int | None = 1000) -> DataFrame:
+    """``minhash_near_duplicates`` from a PRECOMPUTED ``(id, sig)``
+    relation — the reuse point for callers that already hold batch
+    signatures (``MinHashIndex.dedup_batch`` computes them once and
+    feeds probe, intra-batch dedup, and the index append from the same
+    materialized frame instead of re-shingling three times).
+
+    ``sigs`` is referenced by several plan branches; pass a MATERIALIZED
+    relation (cached / checkpointed / a table read), or the signature
+    projection re-runs per branch."""
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
 
@@ -446,6 +461,16 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
     # materialize it so the (pure JVM) aggregate pass runs once
     fps = simhash_fingerprints(df, text_col, id_col)
     fps = fps.localCheckpoint(eager=True) if eager else fps.cache()
+    return simhash_pairs_from_fingerprints(fps, max_hamming)
+
+
+def simhash_pairs_from_fingerprints(fps: DataFrame,
+                                    max_hamming: int = 3) -> DataFrame:
+    """``simhash_near_duplicates`` from a PRECOMPUTED ``(id, simhash)``
+    relation (band keys are a cheap projection of the fingerprint, so
+    only the text→fingerprint aggregate is worth reusing).  Pass a
+    materialized relation — it feeds both sides of the self-join."""
+    check_simhash_hamming(max_hamming)
     banded = simhash_band_keys(fps)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (

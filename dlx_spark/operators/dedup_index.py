@@ -276,11 +276,19 @@ class MinHashIndex:
         Batch signatures are materialized via eager localCheckpoint
         (blocks reclaimed on GC — a per-micro-batch cache() here would
         accumulate for the stream's lifetime)."""
+        bsigs = self._batch_sigs(batch).localCheckpoint(eager=True)
+        return self._probe_with_sigs(bsigs, threshold, broadcast_row_cap)
+
+    def _probe_with_sigs(self, bsigs: DataFrame, threshold: float,
+                         broadcast_row_cap: int | None = None) -> DataFrame:
+        """Probe core over MATERIALIZED batch signatures — the reuse
+        point for ``dedup_batch``, which computes the batch signatures
+        once and feeds probe, intra-batch dedup, and the append from
+        the same frame."""
         p = self.params
         cap = PROBE_BROADCAST_ROW_CAP if broadcast_row_cap is None \
             else broadcast_row_cap
         self._refresh()
-        bsigs = self._batch_sigs(batch).localCheckpoint(eager=True)
         bbands = (dedup.band_buckets(bsigs, p["bands"])
                   .withColumnRenamed("id", "batch_id"))
         if bsigs.count() * p["bands"] <= cap:
@@ -304,9 +312,12 @@ class MinHashIndex:
 
     # -- write paths ---------------------------------------------------
 
-    def append(self, batch_survivors: DataFrame, if_absent: bool = False) -> None:
+    def append(self, batch_survivors: DataFrame, if_absent: bool = False,
+               sigs: DataFrame | None = None) -> None:
         """Append a deduped batch's signatures and band keys so later
         batches dedup against it.  Bucketed appends preserve the layout.
+        ``sigs``: precomputed signatures of EXACTLY the survivor rows
+        (skips re-shingling — ``dedup_batch`` passes them).
 
         ``if_absent=True`` makes the append idempotent (only ids not
         already indexed are added) — required for at-least-once stream
@@ -325,7 +336,8 @@ class MinHashIndex:
         batch's band keys forever (the guard would see the sigs and
         skip), silently disabling dedup against those documents."""
         p = self.params
-        sigs = self._batch_sigs(batch_survivors)
+        if sigs is None:
+            sigs = self._batch_sigs(batch_survivors)
         if if_absent:
             self._refresh()
             existing = self.spark.table(f"{self.name}_sigs").select("id")
@@ -369,18 +381,27 @@ class MinHashIndex:
         exact-w.r.t.-banding mode."""
         p = self.params
         id_col = p["id_col"]
-        vs_corpus = self.probe(batch, threshold)
+        # ONE signature pass for the whole increment: probe, intra-batch
+        # dedup, and the index append all reuse this materialized frame
+        # (signatures are the dominant per-batch map cost — md5 over
+        # every shingle × num_hashes; re-deriving a subset is a cheap
+        # semi-join against the checkpointed blocks)
+        bsigs = self._batch_sigs(batch).localCheckpoint(eager=True)
+        vs_corpus = self._probe_with_sigs(bsigs, threshold)
         if replay_safe:
             own = batch.select(F.col(id_col).alias("corpus_id"))
             vs_corpus = vs_corpus.join(own, "corpus_id", "left_anti")
         vs_corpus = vs_corpus.select(F.col("batch_id").alias("_dup")).distinct()
         remaining = batch.join(vs_corpus, F.col(id_col) == F.col("_dup"), "left_anti")
-        intra = dedup.minhash_near_duplicates(
-            remaining, p["text_col"], id_col, p["num_hashes"], p["bands"],
-            p["shingle_n"], threshold, p["seed"], bucket_cap=bucket_cap,
-            eager=True)
+
+        def _sigs_of(rows: DataFrame) -> DataFrame:
+            return bsigs.join(rows.select(F.col(id_col).alias("id")),
+                              "id", "left_semi")
+
+        intra = dedup.minhash_pairs_from_signatures(
+            _sigs_of(remaining), p["bands"], threshold, bucket_cap)
         clean = dedup.dedup_near(remaining, intra, id_col).localCheckpoint(eager=True)
-        self.append(clean, if_absent=replay_safe)
+        self.append(clean, if_absent=replay_safe, sigs=_sigs_of(clean))
         return clean
 
     def drop(self) -> None:
@@ -442,16 +463,21 @@ class SimHashIndex:
         """(corpus_id, batch_id, hamming): every batch doc within
         ``max_hamming`` of an already-ingested fingerprint.  Broadcast
         gating and eager materialization as in ``MinHashIndex.probe``."""
-        dedup.check_simhash_hamming(max_hamming)
         p = self.params
+        bfps = (self._banded_fps(batch, p["text_col"], p["id_col"])
+                .localCheckpoint(eager=True))
+        return self._probe_with_fps(bfps, max_hamming, broadcast_row_cap)
+
+    def _probe_with_fps(self, bfps: DataFrame, max_hamming: int,
+                        broadcast_row_cap: int | None = None) -> DataFrame:
+        """Probe core over MATERIALIZED banded batch fingerprints."""
+        dedup.check_simhash_hamming(max_hamming)
         cap = PROBE_BROADCAST_ROW_CAP if broadcast_row_cap is None \
             else broadcast_row_cap
         self._refresh()
-        b = (self._banded_fps(batch, p["text_col"], p["id_col"])
-             .select(F.col("id").alias("batch_id"),
-                     F.col("simhash").alias("fp_b"), "band", "key")
-             .localCheckpoint(eager=True))
-        if b.count() <= cap:
+        b = bfps.select(F.col("id").alias("batch_id"),
+                        F.col("simhash").alias("fp_b"), "band", "key")
+        if bfps.count() <= cap:
             b = F.broadcast(b)
         idx = self.spark.table(f"{self.name}_fps")
         return (
@@ -463,9 +489,14 @@ class SimHashIndex:
             .distinct()
         )
 
-    def append(self, batch_survivors: DataFrame, if_absent: bool = False) -> None:
+    def append(self, batch_survivors: DataFrame, if_absent: bool = False,
+               banded_fps: DataFrame | None = None) -> None:
+        """``banded_fps``: precomputed banded fingerprint rows of EXACTLY
+        the survivor rows (skips the text aggregate — ``dedup_batch``
+        passes them)."""
         p = self.params
-        rows = self._banded_fps(batch_survivors, p["text_col"], p["id_col"])
+        rows = (banded_fps if banded_fps is not None
+                else self._banded_fps(batch_survivors, p["text_col"], p["id_col"]))
         if if_absent:
             self._refresh()
             existing = (self.spark.table(f"{self.name}_fps")
@@ -484,16 +515,25 @@ class SimHashIndex:
         ``MinHashIndex.dedup_batch``."""
         p = self.params
         id_col = p["id_col"]
-        vs_corpus = self.probe(batch, max_hamming)
+        # ONE fingerprint pass for the whole increment (see
+        # MinHashIndex.dedup_batch — same reuse rationale)
+        bfps = (self._banded_fps(batch, p["text_col"], p["id_col"])
+                .localCheckpoint(eager=True))
+        vs_corpus = self._probe_with_fps(bfps, max_hamming)
         if replay_safe:
             own = batch.select(F.col(id_col).alias("corpus_id"))
             vs_corpus = vs_corpus.join(own, "corpus_id", "left_anti")
         drop = vs_corpus.select(F.col("batch_id").alias("_dup")).distinct()
         remaining = batch.join(drop, F.col(id_col) == F.col("_dup"), "left_anti")
-        intra = dedup.simhash_near_duplicates(remaining, p["text_col"], id_col,
-                                              max_hamming, eager=True)
+
+        def _fps_of(rows: DataFrame) -> DataFrame:
+            return bfps.join(rows.select(F.col(id_col).alias("id")),
+                             "id", "left_semi")
+
+        intra = dedup.simhash_pairs_from_fingerprints(
+            _fps_of(remaining).select("id", "simhash").distinct(), max_hamming)
         clean = dedup.dedup_near(remaining, intra, id_col).localCheckpoint(eager=True)
-        self.append(clean, if_absent=replay_safe)
+        self.append(clean, if_absent=replay_safe, banded_fps=_fps_of(clean))
         return clean
 
     def drop(self) -> None:

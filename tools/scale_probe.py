@@ -78,6 +78,16 @@ def skew_main() -> None:
         n_capped = dedup.lsh_candidate_pairs(sigs, bucket_cap=64).count()
         t_capped = round(_t.time() - t0, 2)
 
+        # the PUBLIC capped operator: signature-order chain edges with
+        # inline verification (every emitted pair really passes the
+        # threshold) — the full end-to-end cost including signatures,
+        # the bucket-size split, the mega-bucket window sort, and the
+        # small-bucket verify join
+        t0 = _t.time()
+        n_verified = dedup.minhash_near_duplicates(
+            corpus, threshold=0.8, bucket_cap=64).count()
+        t_verified = round(_t.time() - t0, 2)
+
         print(json.dumps({
             "metric": "lsh_skew_probe",
             "n_docs": corpus.count(),
@@ -87,6 +97,8 @@ def skew_main() -> None:
             "capped_pairs": n_capped,
             "capped_sec": t_capped,
             "speedup": round(t_full / t_capped, 1) if t_capped else None,
+            "verified_chain_pairs": n_verified,
+            "verified_chain_sec": t_verified,
         }))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -146,6 +158,14 @@ def incremental_main() -> None:
             n_links = idx.probe(batch, threshold=0.8).count()
             t_probe = round(time.time() - t0, 2)
 
+            # the full increment op (probe + intra dedup + append),
+            # which since round 4 runs ONE signature pass for all three
+            t0 = time.time()
+            n_clean = idx.dedup_batch(
+                batch.withColumn("doc_id", F.col("doc_id") + 1),
+                threshold=0.8).count()
+            t_dedup_batch = round(time.time() - t0, 2)
+
             # the alternative the index replaces: full re-run over
             # corpus ∪ batch (re-shingles and re-hashes ALL history)
             t0 = time.time()
@@ -163,6 +183,8 @@ def incremental_main() -> None:
             "index_build_sec": t_index,
             "probe_sec": t_probe,
             "probe_links": n_links,
+            "dedup_batch_sec": t_dedup_batch,
+            "dedup_batch_survivors": n_clean,
             "full_rerun_sec": t_full,
             "full_rerun_pairs": n_full,
             "probe_speedup": round(t_full / t_probe, 1) if t_probe else None,
