@@ -150,38 +150,67 @@ class DigestIndex:
         return batch.withColumn(
             "digest", F.md5(dedup.normalized_text(F.col(p["text_col"]))))
 
-    def filter_new(self, batch: DataFrame) -> DataFrame:
+    def _refresh(self) -> None:
+        # appends may come from another session (a foreachBatch sink's
+        # micro-batch session); see MinHashIndex._refresh
+        self.spark.catalog.refreshTable(f"{self.name}_digests")
+
+    def filter_new(self, batch: DataFrame,
+                   replay_safe: bool = False) -> DataFrame:
         """Batch rows whose content has never been ingested: drops rows
         matching the index (anti-join on digest — the bucketed index
         side satisfies the join's distribution from its layout, so only
         the small batch side shuffles), then keeps the min-id row per
-        digest WITHIN the batch (same survivor rule as dedup_exact)."""
+        digest WITHIN the batch (same survivor rule as dedup_exact).
+
+        ``replay_safe=True`` is the at-least-once stream mode: index
+        rows whose ``keep_id`` IS one of this batch's own ids are
+        ignored (a crashed prior attempt may have appended this very
+        batch — matching against its own digests would wrongly empty
+        the replay).  Requires doc ids unique across the stream's
+        lifetime, like ``MinHashIndex.dedup_batch``."""
         p = self.params
+        self._refresh()
         idx = self.spark.table(f"{self.name}_digests")
+        if replay_safe:
+            own = batch.select(F.col(p["id_col"]).alias("keep_id"))
+            idx = idx.join(own, "keep_id", "left_anti")
         fresh = self._batch_digests(batch).join(idx, "digest", "left_anti")
         keep = (fresh.groupBy("digest")
                 .agg(F.min(F.col(p["id_col"])).alias("_kid")))
         return (fresh.join(keep, on=F.col(p["id_col"]) == F.col("_kid"), how="leftsemi")
                 .drop("digest"))
 
-    def append(self, batch_survivors: DataFrame) -> None:
+    def append(self, batch_survivors: DataFrame,
+               if_absent: bool = False) -> None:
         """Record a deduped batch's digests (append keeps the bucketed
-        layout; Spark validates the bucket spec against the catalog)."""
+        layout; Spark validates the bucket spec against the catalog).
+        ``if_absent=True`` makes the append idempotent (digests already
+        indexed are skipped) — required for at-least-once replays."""
         p = self.params
         digests = (self._batch_digests(batch_survivors)
                    .select("digest", F.col(p["id_col"]).alias("keep_id"))
                    .groupBy("digest").agg(F.min("keep_id").alias("keep_id")))
+        if if_absent:
+            self._refresh()
+            existing = self.spark.table(f"{self.name}_digests").select("digest")
+            digests = digests.join(existing, "digest", "left_anti") \
+                             .localCheckpoint(eager=True)
         (digests.write.mode("append")
          .bucketBy(p["n_buckets"], "digest").sortBy("digest")
          .saveAsTable(f"{self.name}_digests"))
 
-    def dedup_batch(self, batch: DataFrame) -> DataFrame:
+    def dedup_batch(self, batch: DataFrame,
+                    replay_safe: bool = False) -> DataFrame:
         """filter_new + append of the survivors, returning the clean
         batch.  (Materializes the survivors before appending so the
         returned frame does not re-run the anti-join against the
-        just-appended state.)"""
-        clean = self.filter_new(batch).localCheckpoint(eager=True)
-        self.append(clean)
+        just-appended state.)  ``replay_safe``: see ``filter_new`` —
+        a replayed batch produces the SAME clean frame as its first
+        attempt and leaves the index unchanged."""
+        clean = self.filter_new(batch, replay_safe=replay_safe) \
+                    .localCheckpoint(eager=True)
+        self.append(clean, if_absent=replay_safe)
         return clean
 
     def drop(self) -> None:

@@ -96,7 +96,8 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
 
 def make_neardedup_batch_fn(index_name: str, out_path: str,
                             threshold: float = 0.8,
-                            checkpoint: str | None = None):
+                            checkpoint: str | None = None,
+                            exact_index_name: str | None = None):
     """foreachBatch function for streaming near-dedup ingest: each
     micro-batch is deduped against EVERY previously ingested document
     via the persisted MinHashIndex (operators/dedup_index.py), and the
@@ -139,12 +140,18 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
     may live on file://, hdfs://, or an object store — atomicity
     assumptions per scheme are documented in fsio.
 
+    ``exact_index_name`` prepends an exact-dedup stage: each batch is
+    first filtered through the named ``DigestIndex`` (hash-identical
+    docs vs ALL history and within the batch), then near-deduped — the
+    standard two-stage corpus-prep pipeline, with both stages
+    replay-safe under the same marker protocol.
+
     Exposed separately from the stream starter so tests can drive
     crash/replay sequences directly."""
     import json
 
     from dlx_spark import fsio
-    from dlx_spark.operators.dedup_index import MinHashIndex
+    from dlx_spark.operators.dedup_index import DigestIndex, MinHashIndex
 
     _rid: dict[str, str] = {}
 
@@ -223,8 +230,12 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
         replay = fsio.exists(session, marker)
         fsio.mkdirs(session, rdir)
         fsio.touch(session, marker)
+        src = batch_df
+        if exact_index_name:
+            src = DigestIndex(session, exact_index_name).dedup_batch(
+                src, replay_safe=replay)
         idx = MinHashIndex(session, index_name)
-        clean = idx.dedup_batch(batch_df, threshold, replay_safe=replay)
+        clean = idx.dedup_batch(src, threshold, replay_safe=replay)
         clean.write.mode("overwrite").parquet(final)
         fsio.touch(session, committed)
         fsio.remove(session, marker)
@@ -235,7 +246,8 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
 def neardedup_ingest_stream(spark: SparkSession, input_path: str,
                             index_name: str, out_path: str, checkpoint: str,
                             threshold: float = 0.8,
-                            schema: str = "doc_id long, text string"):
+                            schema: str = "doc_id long, text string",
+                            exact_index_name: str | None = None):
     """Streaming corpus ingest with cross-batch near-dedup: a JSONL file
     stream driven through ``foreachBatch`` into ``MinHashIndex.
     dedup_batch`` — the streaming form of the batch incremental-dedup
@@ -244,7 +256,8 @@ def neardedup_ingest_stream(spark: SparkSession, input_path: str,
     touching the sink.  Returns the StreamingQuery; caller stops it."""
     docs = spark.readStream.schema(schema).json(input_path)
     fn = make_neardedup_batch_fn(index_name, out_path, threshold,
-                                 checkpoint=checkpoint)
+                                 checkpoint=checkpoint,
+                                 exact_index_name=exact_index_name)
     return (docs.writeStream.foreachBatch(fn)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)

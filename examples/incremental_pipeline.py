@@ -60,14 +60,17 @@ def main() -> None:
             for i, r in enumerate(day0.limit(5).collect()):
                 fh.write(json.dumps({"doc_id": 9_000_000 + i,
                                      "text": r["text"]}) + "\n")
+        # two-stage sink: exact dedup (DigestIndex) first, then
+        # near-dedup (MinHashIndex) — both stages replay-safe
         q = neardedup_ingest_stream(
             spark, indir, "demo_mh", os.path.join(work, "clean"),
-            os.path.join(work, "ckpt"), threshold=0.8)
+            os.path.join(work, "ckpt"), threshold=0.8,
+            exact_index_name="demo_dg")
         q.awaitTermination(120)
         clean1 = (spark.read.parquet(os.path.join(work, "clean"))
                   .filter(F.col("batch") == 0))
         print(f"day1 (stream): {day1.count() + 5} arrived, "
-              f"{clean1.count()} survived near-dedup vs all history")
+              f"{clean1.count()} survived exact+near dedup vs all history")
 
         # ---- day 2: batch API, exact dedup first, then near-dedup ----
         exact_new = dg.dedup_batch(day2)

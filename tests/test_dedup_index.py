@@ -626,3 +626,66 @@ def test_reader_during_compaction(spark, split_corpus):
         assert fresh == want
     finally:
         idx.drop()
+
+
+def test_digest_index_replay_safe(spark, split_corpus):
+    """At-least-once replay of an exact-dedup increment: a crashed
+    attempt's appended digests (keyed by the batch's own ids) must not
+    make the replay drop the whole batch — replay_safe reproduces the
+    first attempt's clean frame and leaves the index unchanged."""
+    _, corpus, batch = split_corpus
+    idx = DigestIndex.create(corpus, "t_dg_replay")
+    try:
+        first = idx.dedup_batch(batch, replay_safe=False)
+        want = sorted(r["doc_id"] for r in first.collect())
+        assert want
+        n_rows = spark.table("t_dg_replay_digests").count()
+
+        # naive replay (no replay_safe): everything looks ingested
+        assert idx.filter_new(batch).count() == 0
+        # replay_safe replay: identical output, no index growth, no dups
+        again = idx.dedup_batch(batch, replay_safe=True)
+        assert sorted(r["doc_id"] for r in again.collect()) == want
+        assert spark.table("t_dg_replay_digests").count() == n_rows
+        dups = (spark.table("t_dg_replay_digests").groupBy("digest").count()
+                .filter("count > 1").count())
+        assert dups == 0
+    finally:
+        idx.drop()
+
+
+def test_streaming_two_stage_exact_then_near_dedup(spark, split_corpus, tmp_path):
+    """The composed sink: exact dedup vs all history first, then
+    near-dedup — and a crash-window replay of the composed batch still
+    reproduces identical output with both indexes unchanged."""
+    from dlx_spark import fsio
+    from dlx_spark.streaming import make_neardedup_batch_fn
+
+    _, corpus, batch = split_corpus
+    DigestIndex.create(corpus, "t_dg_two")
+    MinHashIndex.create(corpus, "t_mh_two")
+    out = str(tmp_path / "two_stage")
+    try:
+        fn = make_neardedup_batch_fn("t_mh_two", out, threshold=0.7,
+                                     exact_index_name="t_dg_two")
+        fn(batch, 0)
+        got = {r["doc_id"] for r in
+               spark.read.parquet(out + "/run=default/batch=0").collect()}
+        # exact clones of corpus docs (200-204) die in stage 1; near
+        # dups (215-221) die in stage 2; fresh docs survive
+        assert got and not any(200 <= d < 205 for d in got)
+        assert not any(215 <= d <= 221 for d in got)
+        n_dg = spark.table("t_dg_two_digests").count()
+        n_mh = spark.table("t_mh_two_sigs").count()
+
+        # crash window: strip committed, plant attempt, replay
+        fsio.remove(spark, out + "/run=default/_committed_batch_0")
+        fsio.touch(spark, out + "/run=default/_attempt_batch_0")
+        fn(batch, 0)
+        assert {r["doc_id"] for r in
+                spark.read.parquet(out + "/run=default/batch=0").collect()} == got
+        assert spark.table("t_dg_two_digests").count() == n_dg
+        assert spark.table("t_mh_two_sigs").count() == n_mh
+    finally:
+        DigestIndex(spark, "t_dg_two").drop()
+        MinHashIndex(spark, "t_mh_two").drop()
