@@ -25,8 +25,13 @@ indexes persist the corpus's dedup STATE instead:
                         (signatures + bands are ~1-2 % of corpus text
                         bytes) with ZERO shuffle of index data, plus
                         work proportional to the batch.
+- ``EmbeddingIndex``  — vectors with hyperplane-LSH bucket keys; probes
+                        find cosine-≥threshold neighbors of a batch
+                        against all history with exact-cosine
+                        verification (the embedding-side analog of the
+                        MinHash index).
 
-Both indexes are append-only: after a batch is deduped, its survivors'
+All indexes are append-only: after a batch is deduped, its survivors'
 state is appended (bucketed appends keep the layout), so tomorrow's
 batch sees today's survivors.  Index parameters (hash family seed,
 bands, shingle width...) are persisted in a ``*_meta`` table at create
@@ -567,4 +572,168 @@ class SimHashIndex:
 
     def drop(self) -> None:
         for suffix in ("_fps", "_meta"):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{suffix}")
+
+
+class EmbeddingIndex:
+    """Embedding-cosine near-dup state: persisted vectors with their
+    hyperplane-LSH bucket keys — the embedding-side member of the
+    incremental index family (digest / minhash / simhash / embedding).
+
+    Tables:
+      {name}_vecs   (id long, vec array<...>, bucket long)  bucketed by bucket
+      {name}_meta   (params json incl. the hyperplane family: n_planes,
+                     seed, dim — the planes themselves are deterministic
+                     from these, never persisted)
+
+    A probe computes the batch's bucket keys map-side (pure JVM sign-bit
+    expressions), optionally explodes a multiprobe neighborhood,
+    broadcasts the batch side while it fits (size-gated like
+    ``MinHashIndex.probe``), and verifies candidates with the exact
+    cosine on the joined rows.  Probe results are pytest-locked to equal
+    the cross-partition subset of the full-corpus
+    ``similarity.cosine_near_duplicates`` run with the same family.
+    """
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark = spark
+        self.name = name
+        _recover_compaction(spark, f"{name}_vecs")
+        self.params = _read_meta(spark, name)
+
+    def compact(self) -> None:
+        _compact_table(self.spark, f"{self.name}_vecs", "bucket",
+                       self.params["n_buckets"], distinct=True)
+
+    @classmethod
+    def create(cls, df: DataFrame, name: str, vec_col: str = "embedding",
+               id_col: str = "vec_id", n_planes: int = 8, seed: int = 42,
+               n_buckets: int = 32, dim: int | None = None) -> "EmbeddingIndex":
+        from dlx_spark.operators import similarity
+
+        spark = df.sparkSession
+        if dim is None:
+            head = df.select(vec_col).first()
+            if head is None:
+                raise ValueError("cannot infer dim from an empty frame — pass dim")
+            dim = len(head[0])
+        params = {"vec_col": vec_col, "id_col": id_col, "n_planes": n_planes,
+                  "seed": seed, "dim": dim, "n_buckets": n_buckets}
+        buckets = similarity.lsh_buckets(df, n_planes=n_planes, seed=seed,
+                                         vec_col=vec_col, id_col=id_col, dim=dim)
+        (buckets.write.mode("overwrite")
+         .bucketBy(n_buckets, "bucket").sortBy("bucket")
+         .saveAsTable(f"{name}_vecs"))
+        _write_meta(spark, name, params)
+        return cls(spark, name)
+
+    def _batch_vecs(self, batch: DataFrame) -> DataFrame:
+        from dlx_spark.operators import similarity
+
+        p = self.params
+        return similarity.lsh_buckets(batch, n_planes=p["n_planes"],
+                                      seed=p["seed"], vec_col=p["vec_col"],
+                                      id_col=p["id_col"], dim=p["dim"])
+
+    def _refresh(self) -> None:
+        self.spark.catalog.refreshTable(f"{self.name}_vecs")
+
+    def probe(self, batch: DataFrame, threshold: float = 0.9,
+              multiprobe_hamming: int = 0,
+              broadcast_row_cap: int | None = None) -> DataFrame:
+        """(corpus_id, batch_id, cosine): every batch vector whose exact
+        cosine to an already-ingested vector clears ``threshold``, among
+        LSH candidates (``multiprobe_hamming`` widens the candidate
+        neighborhood for recall at diffuse regions)."""
+        bvecs = self._batch_vecs(batch).localCheckpoint(eager=True)
+        return self._probe_with_vecs(bvecs, threshold, multiprobe_hamming,
+                                     broadcast_row_cap)
+
+    def _probe_with_vecs(self, bvecs: DataFrame, threshold: float,
+                         multiprobe_hamming: int = 0,
+                         broadcast_row_cap: int | None = None) -> DataFrame:
+        from itertools import combinations
+
+        from dlx_spark.operators import similarity
+
+        p = self.params
+        cap = PROBE_BROADCAST_ROW_CAP if broadcast_row_cap is None \
+            else broadcast_row_cap
+        self._refresh()
+        masks = [sum(1 << b for b in bits)
+                 for h in range(multiprobe_hamming + 1)
+                 for bits in combinations(range(p["n_planes"]), h)]
+        b = bvecs.select(F.col("id").alias("batch_id"),
+                         F.col("vec").alias("pvec"), "bucket")
+        if multiprobe_hamming:
+            b = (b.withColumnRenamed("bucket", "b0")
+                 .withColumn("bucket", F.explode(F.array(
+                     *[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks])))
+                 .drop("b0"))
+        if bvecs.count() * len(masks) <= cap:
+            b = F.broadcast(b)
+        idx = self.spark.table(f"{self.name}_vecs").select(
+            F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "bucket")
+        return (idx.join(b, "bucket")
+                .withColumn("cosine", similarity.pairwise_cosine_expr())
+                .filter(F.col("cosine") >= threshold)
+                .groupBy("corpus_id", "batch_id")
+                .agg(F.max("cosine").alias("cosine")))
+
+    def append(self, batch_survivors: DataFrame, if_absent: bool = False,
+               vecs: DataFrame | None = None) -> None:
+        """``vecs``: precomputed (id, vec, bucket) rows of EXACTLY the
+        survivor rows (``dedup_batch`` passes them)."""
+        p = self.params
+        rows = vecs if vecs is not None else self._batch_vecs(batch_survivors)
+        if if_absent:
+            self._refresh()
+            existing = self.spark.table(f"{self.name}_vecs").select("id")
+            rows = rows.join(existing, "id", "left_anti") \
+                       .localCheckpoint(eager=True)
+        (rows.write.mode("append")
+         .bucketBy(p["n_buckets"], "bucket").sortBy("bucket")
+         .saveAsTable(f"{self.name}_vecs"))
+
+    def dedup_batch(self, batch: DataFrame, threshold: float = 0.9,
+                    multiprobe_hamming: int = 0,
+                    replay_safe: bool = False) -> DataFrame:
+        """Drop batch vectors near-duplicating the corpus (corpus wins),
+        cosine-dedup the remainder against itself (min-id survivor per
+        connected component), append survivors, return the clean batch.
+        Greedy-prefix semantics and ``replay_safe`` contract as in
+        ``MinHashIndex.dedup_batch``."""
+        from dlx_spark.operators import similarity
+
+        p = self.params
+        id_col = p["id_col"]
+        # ONE bucket/vector pass feeds probe, intra dedup, and append
+        bvecs = self._batch_vecs(batch).localCheckpoint(eager=True)
+        vs_corpus = self._probe_with_vecs(bvecs, threshold, multiprobe_hamming)
+        if replay_safe:
+            own = batch.select(F.col(id_col).alias("corpus_id"))
+            vs_corpus = vs_corpus.join(own, "corpus_id", "left_anti")
+        drop = vs_corpus.select(F.col("batch_id").alias("_dup")).distinct()
+        remaining = batch.join(drop, F.col(id_col) == F.col("_dup"), "left_anti")
+
+        def _vecs_of(rows: DataFrame) -> DataFrame:
+            return bvecs.join(rows.select(F.col(id_col).alias("id")),
+                              "id", "left_semi")
+
+        rem = _vecs_of(remaining)
+        l = rem.select(F.col("id").alias("id_a"),
+                       F.col("vec").alias("pvec"), "bucket")
+        r = rem.select(F.col("id").alias("id_b"),
+                       F.col("vec").alias("cvec"), "bucket")
+        intra = (l.join(r, "bucket")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .withColumn("cosine", similarity.pairwise_cosine_expr())
+                 .filter(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b"))
+        clean = dedup.dedup_near(remaining, intra, id_col).localCheckpoint(eager=True)
+        self.append(clean, if_absent=replay_safe, vecs=_vecs_of(clean))
+        return clean
+
+    def drop(self) -> None:
+        for suffix in ("_vecs", "_meta"):
             self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{suffix}")

@@ -218,6 +218,48 @@ def topk_per_probe(candidates: DataFrame, k: int) -> DataFrame:
             .select("probe_id", "corpus_id", "cosine", "rank"))
 
 
+def cosine_near_duplicates(df: DataFrame, threshold: float = 0.9,
+                           n_planes: int = 8, seed: int = 42,
+                           vec_col: str = "embedding", id_col: str = "vec_id",
+                           multiprobe_hamming: int = 0,
+                           dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine ≥ ``threshold`` among hyperplane-LSH candidates (same bucket,
+    or within ``multiprobe_hamming`` bit flips).  The embedding-side
+    analog of ``minhash_near_duplicates``: candidate generation is a
+    bucket equi-join (linear-ish), verification is the exact cosine on
+    the joined rows — every emitted pair is verified.  Approximate like
+    all LSH blocking: a near-dup pair split across distant buckets is
+    missed; raise ``multiprobe_hamming`` (or lower ``n_planes``) for
+    recall on diffuse data.  Shares its hyperplane family with
+    ``lsh_topk``/``knn_join``/``EmbeddingIndex`` (same ``seed``)."""
+    from itertools import combinations
+
+    dim = dim if dim is not None else len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    masks = [sum(1 << b for b in bits)
+             for h in range(multiprobe_hamming + 1)
+             for bits in combinations(range(n_planes), h)]
+
+    l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("pvec"),
+                  _signature_expr(vec_col, planes).alias("b0"))
+    if multiprobe_hamming:
+        l = l.withColumn("bucket", F.explode(F.array(
+            *[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks]))).drop("b0")
+    else:
+        l = l.withColumnRenamed("b0", "bucket")
+    r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("cvec"),
+                  _signature_expr(vec_col, planes).alias("bucket"))
+    pairs = (l.join(r, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", pairwise_cosine_expr())
+             .filter(F.col("cosine") >= threshold))
+    # multiprobe can surface one pair through several buckets; cosine is
+    # a pure function of the two vectors, so max() just deduplicates
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine")))
+
+
 def knn_join(probes: DataFrame, corpus: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_planes: int = 6, seed: int = 42,

@@ -158,3 +158,35 @@ def test_ivf_drift_and_refresh_cycle(spark, tmp_path):
     bucketing.recover_ivf_index(spark, path)
     assert not fsio.exists(spark, path + "__refresh")
     assert spark.read.parquet(path).count() == combined.count()
+
+
+def test_cosine_near_duplicates_recall_on_clusters(clustered):
+    """The LSH-blocked embedding pair operator vs exact all-pairs brute
+    force: precision is exact by construction (every emitted pair is
+    cosine-verified); recall on clustered data must stay high, and
+    multiprobe must only widen it."""
+    from pyspark.sql import functions as F
+
+    got = similarity.cosine_near_duplicates(clustered, threshold=0.9,
+                                            n_planes=6, dim=DIM)
+    rows = got.collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert all(r["cosine"] >= 0.9 for r in rows)
+
+    l = clustered.select(F.col("vec_id").alias("id_a"),
+                         F.col("embedding").alias("pvec"))
+    r = clustered.select(F.col("vec_id").alias("id_b"),
+                         F.col("embedding").alias("cvec"))
+    exact = {(x["id_a"], x["id_b"]) for x in
+             (l.crossJoin(r).filter(F.col("id_a") < F.col("id_b"))
+              .withColumn("cosine", similarity.pairwise_cosine_expr())
+              .filter(F.col("cosine") >= 0.9)).collect()}
+    assert pairs <= exact                      # exact precision
+    assert len(pairs) / len(exact) >= 0.8      # high recall on clusters
+
+    wide = {(r2["id_a"], r2["id_b"]) for r2 in
+            similarity.cosine_near_duplicates(
+                clustered, threshold=0.9, n_planes=6, dim=DIM,
+                multiprobe_hamming=1).collect()}
+    assert pairs <= wide <= exact
+    assert len(wide) >= len(pairs)

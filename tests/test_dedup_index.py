@@ -689,3 +689,129 @@ def test_streaming_two_stage_exact_then_near_dedup(spark, split_corpus, tmp_path
     finally:
         DigestIndex(spark, "t_dg_two").drop()
         MinHashIndex(spark, "t_mh_two").drop()
+
+
+# --- EmbeddingIndex ----------------------------------------------------------
+
+
+def _emb_rows(n_clusters=6, per=20, dim=12, seed=5):
+    """Clustered unit vectors: members of a cluster have pairwise cosine
+    ~0.99; cross-cluster ~0.  Ids < 100 form the corpus, >= 100 the
+    batch (each cluster contributes members to both sides)."""
+    import math
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = [0.0] * dim
+            v[(2 * c) % dim] = 1.0
+            v[(2 * c + 1) % dim] = 0.05 + 0.003 * j
+            v[(2 * c + 2) % dim] = 0.001 * rng.randrange(10)
+            nrm = math.sqrt(sum(x * x for x in v))
+            vid = (c * per + j) if j < per // 2 else (100 + c * per + j)
+            rows.append((vid, [x / nrm for x in v]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb_split(spark):
+    df = spark.createDataFrame(_emb_rows(),
+                               "vec_id long, embedding array<double>")
+    return df, df.filter("vec_id < 100"), df.filter("vec_id >= 100")
+
+
+def test_embedding_probe_equals_full_cross_pairs(spark, emb_split):
+    """EmbeddingIndex.probe == the cross-partition subset of the
+    full-corpus cosine_near_duplicates run with the same hyperplane
+    family — the same equivalence chain as the MinHash index."""
+    from dlx_spark.operators import similarity
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    full_df, corpus, batch = emb_split
+    idx = EmbeddingIndex.create(corpus, "t_emb_idx", n_planes=6)
+    try:
+        got = {(r["corpus_id"], r["batch_id"], round(r["cosine"], 6))
+               for r in idx.probe(batch, threshold=0.9).collect()}
+        full = similarity.cosine_near_duplicates(full_df, threshold=0.9,
+                                                 n_planes=6)
+        want = {(r["id_a"], r["id_b"], round(r["cosine"], 6))
+                for r in full.collect()
+                if r["id_a"] < 100 <= r["id_b"]}
+        assert got == want and len(want) >= 20
+    finally:
+        idx.drop()
+
+
+def test_embedding_dedup_batch_and_replay(spark, emb_split):
+    """dedup_batch drops batch vectors matching the corpus, dedups the
+    remainder intra-batch (min-id survivor), appends survivors — and a
+    replay_safe replay reproduces the identical clean frame with the
+    index unchanged."""
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    _, corpus, batch = emb_split
+    idx = EmbeddingIndex.create(corpus, "t_emb_idx2", n_planes=6)
+    try:
+        # expected rule, computed BEFORE dedup_batch mutates the index:
+        # drop batch vectors probe-matching the corpus, then min-id
+        # survivor per connected component of the intra-batch cosine
+        # pairs under the SAME hyperplane family
+        from dlx_spark.operators import dedup, similarity
+        cross = {r["batch_id"]
+                 for r in idx.probe(batch, threshold=0.9).collect()}
+
+        clean = idx.dedup_batch(batch, threshold=0.9)
+        got = sorted(r["vec_id"] for r in clean.collect())
+        remaining = batch.filter(~F.col("vec_id").isin(list(cross)))
+        intra = similarity.cosine_near_duplicates(remaining, threshold=0.9,
+                                                  n_planes=6,
+                                                  dim=len(_emb_rows()[0][1]))
+        want = sorted(r["vec_id"] for r in
+                      dedup.dedup_near(remaining, intra,
+                                       id_col="vec_id").collect())
+        assert got == want
+        # clusters share members across the split, so MOST of the batch
+        # is recognized as already ingested
+        assert len(got) < batch.count() / 2
+        n_rows = spark.table("t_emb_idx2_vecs").count()
+
+        # a genuinely new direction survives and is appended
+        import math
+        dim = len(_emb_rows()[0][1])
+        v = [0.0] * dim
+        v[dim - 1] = 1.0
+        novel = spark.createDataFrame([(500, v)],
+                                      "vec_id long, embedding array<double>")
+        clean2 = idx.dedup_batch(novel, threshold=0.9)
+        assert [r["vec_id"] for r in clean2.collect()] == [500]
+        spark.catalog.refreshTable("t_emb_idx2_vecs")
+        assert spark.table("t_emb_idx2_vecs").count() == n_rows + 1
+
+        # crash replay of the same batch: identical output, no growth
+        replay = idx.dedup_batch(novel, threshold=0.9, replay_safe=True)
+        assert [r["vec_id"] for r in replay.collect()] == [500]
+        spark.catalog.refreshTable("t_emb_idx2_vecs")
+        assert spark.table("t_emb_idx2_vecs").count() == n_rows + 1
+    finally:
+        idx.drop()
+
+
+def test_embedding_multiprobe_widens_recall(spark, emb_split):
+    """multiprobe_hamming > 0 can only ADD pairs (bit-flip neighborhoods
+    are supersets), and every added pair still passes the exact-cosine
+    verify."""
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    _, corpus, batch = emb_split
+    idx = EmbeddingIndex.create(corpus, "t_emb_idx3", n_planes=6)
+    try:
+        base = {(r["corpus_id"], r["batch_id"])
+                for r in idx.probe(batch, threshold=0.9).collect()}
+        wide_rows = idx.probe(batch, threshold=0.9,
+                              multiprobe_hamming=1).collect()
+        wide = {(r["corpus_id"], r["batch_id"]) for r in wide_rows}
+        assert base <= wide
+        assert all(r["cosine"] >= 0.9 for r in wide_rows)
+    finally:
+        idx.drop()
