@@ -94,14 +94,17 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
     )
 
 
-def make_neardedup_batch_fn(index_name: str, out_path: str,
-                            threshold: float = 0.8,
-                            checkpoint: str | None = None,
-                            exact_index_name: str | None = None):
-    """foreachBatch function for streaming near-dedup ingest: each
-    micro-batch is deduped against EVERY previously ingested document
-    via the persisted MinHashIndex (operators/dedup_index.py), and the
-    survivors land in ``out_path/run=<id>/batch=<id>/``.
+def make_exactly_once_dedup_sink(run_batch, out_path: str,
+                                 checkpoint: str | None = None):
+    """The marker protocol shared by every streaming dedup-ingest sink:
+    wraps ``run_batch(session, batch_df, replay) -> DataFrame`` (the
+    index-specific dedup step, which must honor the ``replay_safe``
+    contract) in the attempt/committed marker machinery, writing each
+    micro-batch's survivors to ``out_path/run=<id>/batch=<id>/``.
+    Used by ``make_neardedup_batch_fn`` (MinHash, optional digest
+    pre-stage) and ``make_embedding_dedup_batch_fn`` (EmbeddingIndex);
+    any future index that implements ``dedup_batch(..., replay_safe=)``
+    plugs in the same way.
 
     Exactly-once by construction under foreachBatch's at-least-once
     contract, with no ledger: a replayed batch (same batch_id) runs in
@@ -140,18 +143,11 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
     may live on file://, hdfs://, or an object store — atomicity
     assumptions per scheme are documented in fsio.
 
-    ``exact_index_name`` prepends an exact-dedup stage: each batch is
-    first filtered through the named ``DigestIndex`` (hash-identical
-    docs vs ALL history and within the batch), then near-deduped — the
-    standard two-stage corpus-prep pipeline, with both stages
-    replay-safe under the same marker protocol.
-
-    Exposed separately from the stream starter so tests can drive
+    Exposed separately from the stream starters so tests can drive
     crash/replay sequences directly."""
     import json
 
     from dlx_spark import fsio
-    from dlx_spark.operators.dedup_index import DigestIndex, MinHashIndex
 
     _rid: dict[str, str] = {}
 
@@ -230,17 +226,57 @@ def make_neardedup_batch_fn(index_name: str, out_path: str,
         replay = fsio.exists(session, marker)
         fsio.mkdirs(session, rdir)
         fsio.touch(session, marker)
-        src = batch_df
-        if exact_index_name:
-            src = DigestIndex(session, exact_index_name).dedup_batch(
-                src, replay_safe=replay)
-        idx = MinHashIndex(session, index_name)
-        clean = idx.dedup_batch(src, threshold, replay_safe=replay)
+        clean = run_batch(session, batch_df, replay)
         clean.write.mode("overwrite").parquet(final)
         fsio.touch(session, committed)
         fsio.remove(session, marker)
 
     return process_batch
+
+
+def make_neardedup_batch_fn(index_name: str, out_path: str,
+                            threshold: float = 0.8,
+                            checkpoint: str | None = None,
+                            exact_index_name: str | None = None):
+    """foreachBatch function for streaming near-dedup ingest: each
+    micro-batch is deduped against EVERY previously ingested document
+    via the persisted MinHashIndex (operators/dedup_index.py) under the
+    ``make_exactly_once_dedup_sink`` marker protocol.
+
+    ``exact_index_name`` prepends an exact-dedup stage: each batch is
+    first filtered through the named ``DigestIndex`` (hash-identical
+    docs vs ALL history and within the batch), then near-deduped — the
+    standard two-stage corpus-prep pipeline, with both stages
+    replay-safe under the same marker protocol."""
+    from dlx_spark.operators.dedup_index import DigestIndex, MinHashIndex
+
+    def run_batch(session, batch_df, replay):
+        src = batch_df
+        if exact_index_name:
+            src = DigestIndex(session, exact_index_name).dedup_batch(
+                src, replay_safe=replay)
+        return MinHashIndex(session, index_name).dedup_batch(
+            src, threshold, replay_safe=replay)
+
+    return make_exactly_once_dedup_sink(run_batch, out_path, checkpoint)
+
+
+def make_embedding_dedup_batch_fn(index_name: str, out_path: str,
+                                  threshold: float = 0.9,
+                                  multiprobe_hamming: int = 0,
+                                  checkpoint: str | None = None):
+    """foreachBatch function for streaming embedding near-dedup ingest:
+    each micro-batch of vectors is deduped against every previously
+    ingested vector via the persisted EmbeddingIndex, under the same
+    exactly-once marker protocol as the text sinks."""
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    def run_batch(session, batch_df, replay):
+        return EmbeddingIndex(session, index_name).dedup_batch(
+            batch_df, threshold, multiprobe_hamming=multiprobe_hamming,
+            replay_safe=replay)
+
+    return make_exactly_once_dedup_sink(run_batch, out_path, checkpoint)
 
 
 def neardedup_ingest_stream(spark: SparkSession, input_path: str,
@@ -259,6 +295,25 @@ def neardedup_ingest_stream(spark: SparkSession, input_path: str,
                                  checkpoint=checkpoint,
                                  exact_index_name=exact_index_name)
     return (docs.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
+def embedding_dedup_ingest_stream(spark: SparkSession, input_path: str,
+                                  index_name: str, out_path: str,
+                                  checkpoint: str, threshold: float = 0.9,
+                                  multiprobe_hamming: int = 0,
+                                  schema: str = "vec_id long, embedding array<double>"):
+    """Streaming embedding ingest with cross-batch cosine near-dedup —
+    the EmbeddingIndex form of ``neardedup_ingest_stream`` (create the
+    index on the existing vectors first with ``EmbeddingIndex.create``).
+    Returns the StreamingQuery; caller stops it."""
+    vecs = spark.readStream.schema(schema).json(input_path)
+    fn = make_embedding_dedup_batch_fn(index_name, out_path, threshold,
+                                       multiprobe_hamming,
+                                       checkpoint=checkpoint)
+    return (vecs.writeStream.foreachBatch(fn)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())

@@ -815,3 +815,58 @@ def test_embedding_multiprobe_widens_recall(spark, emb_split):
         assert all(r["cosine"] >= 0.9 for r in wide_rows)
     finally:
         idx.drop()
+
+
+def test_embedding_ingest_stream_end_to_end(spark, emb_split, tmp_path):
+    """availableNow embedding stream through the shared exactly-once
+    sink: cross-batch vector dups dropped, committed batch redelivery
+    skips, crash-window replay rebuilds identical output."""
+    import json as jsonlib
+
+    from dlx_spark import fsio
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+    from dlx_spark.streaming import (embedding_dedup_ingest_stream,
+                                     make_embedding_dedup_batch_fn)
+
+    _, corpus, batch = emb_split
+    EmbeddingIndex.create(corpus, "t_emb_stream", n_planes=6)
+    out = str(tmp_path / "emb_clean")
+    try:
+        indir = tmp_path / "emb_in"
+        indir.mkdir()
+        rows = [{"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                for r in batch.collect()]
+        (indir / "b1.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in rows))
+        q = embedding_dedup_ingest_stream(
+            spark, str(indir), "t_emb_stream", out,
+            str(tmp_path / "emb_ckpt"), threshold=0.9)
+        q.awaitTermination(120)
+
+        clean = {r["vec_id"] for r in spark.read.parquet(out)
+                 .filter(F.col("batch") == 0).collect()}
+        # most batch vectors duplicate corpus cluster members
+        assert len(clean) < len(rows) / 2
+        spark.catalog.refreshTable("t_emb_stream_vecs")
+        n_vecs = spark.table("t_emb_stream_vecs").count()
+
+        # crash-window replay through the raw fn: identical output
+        import glob as globmod
+        import os
+        fn = make_embedding_dedup_batch_fn(
+            "t_emb_stream", out, threshold=0.9,
+            checkpoint=str(tmp_path / "emb_ckpt"))
+        [rdir] = {os.path.dirname(pth) for pth in
+                  globmod.glob(out + "/run=*/_committed_batch_0")}
+        os.remove(os.path.join(rdir, "_committed_batch_0"))
+        open(os.path.join(rdir, "_attempt_batch_0"), "w").close()
+        replay_df = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in rows],
+            "vec_id long, embedding array<double>")
+        fn(replay_df, 0)
+        assert {r["vec_id"] for r in spark.read.parquet(out)
+                .filter(F.col("batch") == 0).collect()} == clean
+        spark.catalog.refreshTable("t_emb_stream_vecs")
+        assert spark.table("t_emb_stream_vecs").count() == n_vecs
+    finally:
+        EmbeddingIndex(spark, "t_emb_stream").drop()
