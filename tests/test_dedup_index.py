@@ -777,7 +777,6 @@ def test_embedding_dedup_batch_and_replay(spark, emb_split):
         n_rows = spark.table("t_emb_idx2_vecs").count()
 
         # a genuinely new direction survives and is appended
-        import math
         dim = len(_emb_rows()[0][1])
         v = [0.0] * dim
         v[dim - 1] = 1.0
