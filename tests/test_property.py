@@ -270,3 +270,27 @@ def test_capped_star_cluster_equivalence_randomized(spark):
     capped = clusters(minhash_near_duplicates(df, threshold=0.6,
                                               bucket_cap=3))
     assert capped == full and len(full) >= 8
+
+
+def test_connected_components_long_chain_scales_logarithmically(spark):
+    """The O(log diameter) convergence claim at real size: a 100k-node
+    chain (diameter 100k — the shape capped mega-bucket chains produce)
+    must fully converge well under the default 50-round cap, which only
+    pointer jumping makes possible (plain min-label propagation would
+    need 100k rounds).  Non-convergence warns, and warnings are errors
+    here."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark.operators.dedup import connected_components
+
+    n = 100_000
+    chain = spark.range(n).select(F.col("id").alias("id_a"),
+                                  (F.col("id") + 1).alias("id_b"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        comp = connected_components(chain)
+        bad = comp.filter(F.col("component") != 0).count()
+        total = comp.count()
+    assert bad == 0 and total == n + 1
