@@ -123,10 +123,17 @@ def read_text(spark: SparkSession, path: str) -> str:
 def remove(spark: SparkSession, path: str, missing_ok: bool = True) -> bool:
     """Delete a file (non-recursive).  Returns whether anything was
     deleted; raises FileNotFoundError when missing and not
-    ``missing_ok``."""
+    ``missing_ok``.  A delete that FAILS while the path still exists
+    (permission / lease errors surface as ``delete() == false`` on some
+    filesystems rather than an exception) always raises — mirroring
+    ``rename``'s failure handling — so no caller can mistake a failed
+    delete for success."""
     deleted = _fs(spark, path).delete(_jpath(spark, path), False)
-    if not deleted and not missing_ok and not exists(spark, path):
-        raise FileNotFoundError(path)
+    if not deleted:
+        if exists(spark, path):
+            raise OSError(f"delete {path} failed (path still exists)")
+        if not missing_ok:
+            raise FileNotFoundError(path)
     return bool(deleted)
 
 

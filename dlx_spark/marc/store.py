@@ -538,10 +538,13 @@ class MarcStore:
             name = fsio.basename(marker)[len("_txn_"):-len(".json")]
             try:
                 payload = json.loads(fsio.read_text(self.spark, marker))
-            except ValueError:
+                stage_name = payload["stage"]
+            except (ValueError, KeyError, TypeError):
+                # torn write (non-atomic rename schemes) or foreign
+                # content: never act on garbage — the interrupted commit
+                # re-runs from its caller
                 fsio.remove(self.spark, marker)
                 continue
-            stage_name = payload["stage"]
             if fsio.is_dir(self.spark, self._path(stage_name)):
                 self._apply_overwrite(name, stage_name, payload.get("buckets"))
                 self._unstage(stage_name)

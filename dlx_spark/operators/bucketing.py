@@ -185,25 +185,52 @@ def refresh_ivf_index(spark: SparkSession, path: str, n_centroids: int = 16,
                                      seed=seed, vec_col="embedding",
                                      sample_cap=sample_cap)
     staged = path + "__refresh"
+    aside = path + "__old"
     (similarity.ivf_assign(cur, cents, vec_col="embedding", id_col="vec_id")
      .write.mode("overwrite").partitionBy("list_id").parquet(staged))
-    fsio.rmtree(spark, path)
+    # rename-aside swap: the live index is MOVED (one atomic-per-scheme
+    # rename), never deleted in place — at no point does a crash leave a
+    # partially-deleted live dir as the only copy (rmtree(live) +
+    # rename(stage) had exactly that window, and recovery then dropped
+    # the stage, the sole full post-image).  Readers racing the swap see
+    # old-or-new, with a one-rename missing window instead of a
+    # deletion-sized one.
+    fsio.rmtree(spark, aside)  # leftover from a crashed earlier swap
+    fsio.rename(spark, path, aside)
     fsio.rename(spark, staged, path)
+    fsio.rmtree(spark, aside)
     return cents
 
 
 def recover_ivf_index(spark: SparkSession, path: str) -> None:
-    """Repair a refresh that crashed mid-swap: live missing + stage
-    present → publish the stage; both present → the crash predates the
-    swap, so the stale stage is dropped (re-run the refresh)."""
+    """Repair a refresh that crashed mid-swap.
+
+    With the rename-aside protocol, ``{path}__old`` existing means the
+    live index was already moved aside, so the staged copy (or the
+    already-published ``path``) is the authoritative post-image — prefer
+    it and drop the aside copy.  A stage WITHOUT the aside marker means
+    the crash predates the swap: the live index is intact and complete,
+    so the stale stage is dropped (re-run the refresh)."""
     from dlx_spark import fsio
 
     staged = path + "__refresh"
-    if fsio.exists(spark, staged):
-        if not fsio.exists(spark, path):
+    aside = path + "__old"
+    if fsio.exists(spark, aside):
+        # swap was in flight: publish the post-image
+        if fsio.exists(spark, staged):
+            fsio.rmtree(spark, path)  # cannot be complete mid-swap
             fsio.rename(spark, staged, path)
+        elif not fsio.exists(spark, path):
+            # no stage and no live: the aside copy is all we have —
+            # restore it (the refresh must be re-run)
+            fsio.rename(spark, aside, path)
+            return
+        fsio.rmtree(spark, aside)
+    elif fsio.exists(spark, staged):
+        if not fsio.exists(spark, path):
+            fsio.rename(spark, staged, path)  # legacy-protocol tail case
         else:
-            fsio.rmtree(spark, staged)
+            fsio.rmtree(spark, staged)  # pre-swap crash: live is intact
 
 
 def probe_ivf_index(spark: SparkSession, path: str, centroids: np.ndarray,

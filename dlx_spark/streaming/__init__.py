@@ -408,14 +408,23 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str):
             # file:///x derive the SAME persisted ledger key
             raw = f"{fsio.qualified(session, checkpoint)}:{run_id}"
             _key_cache["k"] = hashlib.md5(raw.encode()).hexdigest()[:16]
+            # ledger rows persisted before the qualified-spelling change
+            # were keyed on os.path.abspath(checkpoint) ('/x', no scheme);
+            # accept that spelling on READ so a stream resuming across the
+            # upgrade still recognizes its own committed batches instead
+            # of re-committing a redelivered one
+            import os
+            legacy = f"{os.path.abspath(checkpoint)}:{run_id}"
+            _key_cache["legacy"] = hashlib.md5(legacy.encode()).hexdigest()[:16]
         return _key_cache["k"]
 
     def ledger_has(session, key: str, batch_id: int) -> bool:
         if not any(f.endswith(".parquet")
                    for f in fsio.listdir(session, commits_log)):
             return False
+        keys = {key, _key_cache.get("legacy", key)}
         return bool(session.read.parquet(commits_log)
-                    .filter((F.col("stream") == key)
+                    .filter(F.col("stream").isin(sorted(keys))
                             & (F.col("batch_id") == batch_id))
                     .limit(1).count())
 

@@ -1,0 +1,253 @@
+"""Round-5 hardening tests: the ADVICE findings (IVF rename-aside swap,
+strict fsio.remove, legacy ledger-key acceptance) and the torn-marker
+recovery claims (fsio.py module docstring) that previously had no test
+behind them."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dlx_spark import fsio
+
+
+# ---------------------------------------------------------------------------
+# fsio.remove strict failure handling
+# ---------------------------------------------------------------------------
+
+def test_fsio_remove_raises_when_delete_fails_but_path_exists(spark, monkeypatch):
+    """A filesystem whose delete() returns false while the path still
+    exists (permission/lease failure) must raise, not report success."""
+
+    class _StubFs:
+        def delete(self, _p, _recursive):
+            return False
+
+        def exists(self, _p):
+            return True
+
+    monkeypatch.setattr(fsio, "_fs", lambda _s, _p: _StubFs())
+    with pytest.raises(OSError):
+        fsio.remove(spark, "/nonexistent/stub/marker", missing_ok=True)
+    with pytest.raises(OSError):
+        fsio.remove(spark, "/nonexistent/stub/marker", missing_ok=False)
+
+
+def test_fsio_remove_missing_semantics_unchanged(spark, tmp_path):
+    gone = str(tmp_path / "never_existed")
+    assert fsio.remove(spark, gone, missing_ok=True) is False
+    with pytest.raises(FileNotFoundError):
+        fsio.remove(spark, gone, missing_ok=False)
+    real = str(tmp_path / "real_marker")
+    fsio.touch(spark, real)
+    assert fsio.remove(spark, real) is True
+    assert not fsio.exists(spark, real)
+
+
+# ---------------------------------------------------------------------------
+# IVF rename-aside swap recovery
+# ---------------------------------------------------------------------------
+
+def _write_idx(spark, path, ids):
+    (spark.createDataFrame([(int(i), [float(i)], 0) for i in ids],
+                           "id long, vec array<double>, list_id int")
+     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+
+
+def _idx_ids(spark, path):
+    return {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+
+
+def test_recover_ivf_prefers_stage_when_aside_exists(spark, tmp_path):
+    """Crash after the live index was moved aside: the stage is the full
+    post-image and must be published — the pre-fix protocol (rmtree live
+    then rename) could leave a partially deleted live dir that recovery
+    kept while deleting the stage."""
+    from dlx_spark.operators import bucketing
+
+    path = str(tmp_path / "idx")
+    _write_idx(spark, path + "__refresh", [10, 11, 12])     # staged post-image
+    _write_idx(spark, path + "__old", [1, 2, 3])            # moved-aside live
+    bucketing.recover_ivf_index(spark, path)
+    assert _idx_ids(spark, path) == {10, 11, 12}
+    assert not fsio.exists(spark, path + "__old")
+    assert not fsio.exists(spark, path + "__refresh")
+
+
+def test_recover_ivf_drops_aside_after_publish(spark, tmp_path):
+    """Crash between publishing the stage and deleting the aside copy:
+    the live path already holds the new index; recovery just cleans up."""
+    from dlx_spark.operators import bucketing
+
+    path = str(tmp_path / "idx2")
+    _write_idx(spark, path, [10, 11, 12])                   # published stage
+    _write_idx(spark, path + "__old", [1, 2, 3])
+    bucketing.recover_ivf_index(spark, path)
+    assert _idx_ids(spark, path) == {10, 11, 12}
+    assert not fsio.exists(spark, path + "__old")
+
+
+def test_recover_ivf_restores_aside_when_nothing_else_survives(spark, tmp_path):
+    """Pathological double-crash: only the aside copy exists (the stage
+    was lost).  The old index is all there is — restore it rather than
+    leaving no index at all."""
+    from dlx_spark.operators import bucketing
+
+    path = str(tmp_path / "idx3")
+    _write_idx(spark, path + "__old", [1, 2, 3])
+    bucketing.recover_ivf_index(spark, path)
+    assert _idx_ids(spark, path) == {1, 2, 3}
+    assert not fsio.exists(spark, path + "__old")
+
+
+def test_recover_ivf_pre_swap_crash_keeps_live(spark, tmp_path):
+    """Stage present, live intact, no aside marker: the crash predates
+    the swap, the live index is complete — drop the stale stage."""
+    from dlx_spark.operators import bucketing
+
+    path = str(tmp_path / "idx4")
+    _write_idx(spark, path, [1, 2, 3])
+    _write_idx(spark, path + "__refresh", [10, 11])
+    bucketing.recover_ivf_index(spark, path)
+    assert _idx_ids(spark, path) == {1, 2, 3}
+    assert not fsio.exists(spark, path + "__refresh")
+
+
+def test_refresh_ivf_swap_leaves_no_residue(spark, tmp_path):
+    """A clean refresh ends with exactly the live path: no __old, no
+    __refresh, contents preserved."""
+    from dlx_spark.operators import bucketing, similarity
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.standard_normal(8)).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx5")
+    cents = similarity.ivf_centroids(df, n_centroids=4, seed=3)
+    bucketing.write_ivf_index(df, path, cents)
+    bucketing.refresh_ivf_index(spark, path, n_centroids=4, seed=3)
+    assert not fsio.exists(spark, path + "__old")
+    assert not fsio.exists(spark, path + "__refresh")
+    assert len(_idx_ids(spark, path)) == 60
+
+
+# ---------------------------------------------------------------------------
+# Legacy ledger-key acceptance across the qualified-spelling upgrade
+# ---------------------------------------------------------------------------
+
+def test_commit_stream_accepts_legacy_ledger_key(spark, tmp_path):
+    """Ledger rows persisted before the fsio.qualified key change were
+    keyed on os.path.abspath(checkpoint); a stream resuming across the
+    upgrade must still recognize those batches as committed instead of
+    re-committing a redelivered one."""
+    from dlx_spark import streaming
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_legacy"))
+    ck = str(tmp_path / "ck_legacy")
+    doc = {"245": [{"indicators": [" ", " "],
+                    "subfields": [{"code": "a", "value": "Legacy keyed"}]}]}
+    batch = spark.createDataFrame([(json.dumps(doc),)], "value string")
+
+    # simulate a pre-upgrade ledger: batch 0 committed under the legacy
+    # abspath-keyed spelling (run_id is empty for direct-driven batches)
+    legacy_key = hashlib.md5(
+        f"{os.path.abspath(ck)}:".encode()).hexdigest()[:16]
+    commits_log = fsio.join(store.root, "_stream_commits_bib")
+    (spark.createDataFrame([(legacy_key, 0)], "stream string, batch_id long")
+     .write.mode("append").parquet(commits_log))
+
+    fn = streaming.make_commit_batch_fn(store, "bib", ck)
+    fn(batch, 0)                       # redelivered batch 0: must be skipped
+    assert store.bibs().count() == 0
+    fn(batch, 1)                       # batch 1 is genuinely new: commits
+    assert store.bibs().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Torn-marker recovery (fsio docstring claims, now tested)
+# ---------------------------------------------------------------------------
+
+def test_store_recover_tolerates_torn_txn_marker(spark, tmp_path):
+    """A truncated / garbage transaction marker (the s3a torn-write
+    window: rename is copy+delete, so a reader can see a prefix) must
+    read as 'no pending work' — reopening the store discards it and the
+    committed state is untouched."""
+    from dlx_spark.marc.record import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_torn"))
+    store.commit(Bib({"_id": 7, "245": [{"indicators": [" ", " "],
+                                         "subfields": [{"code": "a",
+                                                        "value": "First"}]}]}))
+    assert store.bibs().count() == 1
+
+    # truncated-JSON, binary-garbage, and parseable-but-foreign payloads
+    fsio.write_text(spark, fsio.join(store.root, "_txn_torn.json"),
+                    '{"stage": "bib_stage_123", "buck')
+    fsio.write_text(spark, fsio.join(store.root, "_txn_binary.json"),
+                    "\x00\x7f garbage bytes \x01")
+    fsio.write_text(spark, fsio.join(store.root, "_txn_foreign.json"),
+                    '{"unrelated": true}')
+
+    # a fresh store open runs _recover over the root; garbage markers
+    # must neither crash it nor corrupt the committed state
+    store2 = MarcStore(spark, str(tmp_path / "wh_torn"))
+    assert store2.bibs().count() == 1
+    assert store2.get("bib", 7).get_value("245", "a") == "First"
+    for name in ("_txn_torn.json", "_txn_binary.json", "_txn_foreign.json"):
+        assert not fsio.exists(spark, fsio.join(store.root, name))
+    # committing through the reopened store still works
+    store2.commit(Bib({"_id": 8, "245": [{"indicators": [" ", " "],
+                                          "subfields": [{"code": "a",
+                                                         "value": "Second"}]}]}))
+    assert store2.bibs().count() == 2
+
+
+def test_dedup_index_meta_garbage_raises_clearly(spark, tmp_path):
+    """_read_meta over a corrupted params payload must raise a clear
+    parse error, never act on garbage parameters."""
+    from dlx_spark.operators import dedup_index
+
+    name = "torn_meta_idx"
+    spark.createDataFrame([("{not json",)], "params string") \
+        .write.mode("overwrite").saveAsTable(f"{name}_meta")
+    try:
+        with pytest.raises(ValueError):
+            dedup_index._read_meta(spark, name)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_meta")
+
+
+def test_streaming_sink_tolerates_torn_attempt_marker(spark, tmp_path):
+    """Sink attempt/committed markers are presence-only (touch files) —
+    their CONTENT is never parsed, so a torn write can at worst leave a
+    valid-but-garbage-bytes marker, which must drive the normal replay
+    path (replay_safe dedup), not crash or drop data."""
+    from dlx_spark.operators.dedup_index import MinHashIndex
+    from dlx_spark import streaming
+
+    docs = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "totally different content with its own words here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    MinHashIndex.create(df.limit(0), "torn_sink_idx", n_buckets=4)
+    out = str(tmp_path / "torn_out")
+    try:
+        fn = streaming.make_neardedup_batch_fn("torn_sink_idx", out)
+        run_dir = out + "/run=default"
+        fsio.mkdirs(spark, run_dir)
+        # garbage-content attempt marker from a "crashed" prior attempt
+        # of THIS run: presence → replay mode; content must not matter
+        fsio.write_text(spark, run_dir + "/_attempt_batch_0",
+                        '{"files": ["part-trunc')
+        fn(df, 0)
+        got = spark.read.parquet(out)
+        assert got.count() == 2
+        assert fsio.exists(spark, run_dir + "/_committed_batch_0")
+        assert not fsio.exists(spark, run_dir + "/_attempt_batch_0")
+    finally:
+        MinHashIndex(spark, "torn_sink_idx").drop()
