@@ -577,38 +577,55 @@ class SimHashIndex:
 
 class EmbeddingIndex:
     """Embedding-cosine near-dup state: persisted vectors with their
-    hyperplane-LSH bucket keys — the embedding-side member of the
-    incremental index family (digest / minhash / simhash / embedding).
+    banded hyperplane-LSH keys — the embedding-side member of the
+    incremental index family (digest / minhash / simhash / embedding),
+    laid out like ``MinHashIndex`` (slim key table + payload table, so
+    vectors are stored ONCE regardless of the band count).
 
     Tables:
-      {name}_vecs   (id long, vec array<...>, bucket long)  bucketed by bucket
-      {name}_meta   (params json incl. the hyperplane family: n_planes,
-                     seed, dim — the planes themselves are deterministic
-                     from these, never persisted)
+      {name}_vecs     (id long, vec array<...>, osig long)  bucketed by id
+      {name}_buckets  (band int, bucket long, id long)      bucketed by bucket
+      {name}_meta     (params json incl. the hyperplane family: n_planes,
+                       bands, seed, dim — the planes themselves are
+                       deterministic from these, never persisted; the
+                       chain-ordering family derives from the same seed)
 
-    A probe computes the batch's bucket keys map-side (pure JVM sign-bit
-    expressions), optionally explodes a multiprobe neighborhood,
-    broadcasts the batch side while it fits (size-gated like
-    ``MinHashIndex.probe``), and verifies candidates with the exact
-    cosine on the joined rows.  Probe results are pytest-locked to equal
-    the cross-partition subset of the full-corpus
-    ``similarity.cosine_near_duplicates`` run with the same family.
+    A probe computes the batch's band keys map-side (pure JVM sign-bit
+    expressions), broadcasts the batch side while it fits (size-gated
+    like ``MinHashIndex.probe``), joins the slim bucket table, and
+    verifies candidates with the exact cosine on the vectors joined
+    back by id.  ``bucket_cap`` bounds mega-bucket candidate output:
+    with only 2^n_planes buckets per band a dense embedding region
+    concentrates in one bucket, and an uncapped corpus×batch join there
+    is O(|corpus_bucket| × |batch_bucket|); over-cap buckets instead
+    verify each batch vector against its nearest corpus neighbors in
+    chain-ordering-signature order — linear output, and a true
+    near-duplicate still finds a verified corpus match because
+    near-identical vectors sort adjacent.  Probe results are
+    pytest-locked to equal the cross-partition subset of the
+    full-corpus ``similarity.cosine_near_duplicates`` run with the same
+    family (exact equality below the cap; the capped path preserves the
+    drop/keep decision).
     """
 
     def __init__(self, spark: SparkSession, name: str):
         self.spark = spark
         self.name = name
-        _recover_compaction(spark, f"{name}_vecs")
+        for suffix in ("_vecs", "_buckets"):
+            _recover_compaction(spark, f"{name}{suffix}")
         self.params = _read_meta(spark, name)
 
     def compact(self) -> None:
-        _compact_table(self.spark, f"{self.name}_vecs", "bucket",
+        _compact_table(self.spark, f"{self.name}_vecs", "id",
+                       self.params["n_buckets"])
+        _compact_table(self.spark, f"{self.name}_buckets", "bucket",
                        self.params["n_buckets"], distinct=True)
 
     @classmethod
     def create(cls, df: DataFrame, name: str, vec_col: str = "embedding",
-               id_col: str = "vec_id", n_planes: int = 8, seed: int = 42,
-               n_buckets: int = 32, dim: int | None = None) -> "EmbeddingIndex":
+               id_col: str = "vec_id", n_planes: int = 8, bands: int = 1,
+               seed: int = 42, n_buckets: int = 32,
+               dim: int | None = None) -> "EmbeddingIndex":
         from dlx_spark.operators import similarity
 
         spark = df.sparkSession
@@ -618,98 +635,211 @@ class EmbeddingIndex:
                 raise ValueError("cannot infer dim from an empty frame — pass dim")
             dim = len(head[0])
         params = {"vec_col": vec_col, "id_col": id_col, "n_planes": n_planes,
-                  "seed": seed, "dim": dim, "n_buckets": n_buckets}
-        buckets = similarity.lsh_buckets(df, n_planes=n_planes, seed=seed,
-                                         vec_col=vec_col, id_col=id_col, dim=dim)
-        (buckets.write.mode("overwrite")
+                  "bands": bands, "seed": seed, "dim": dim,
+                  "n_buckets": n_buckets}
+        oplanes = similarity.order_planes(dim, seed)
+        vrows = df.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"),
+                          similarity._order_sig_expr(vec_col, oplanes)
+                          .alias("osig"))
+        (vrows.write.mode("overwrite")
+         .bucketBy(n_buckets, "id").sortBy("id").saveAsTable(f"{name}_vecs"))
+        # band keys derive from the stored vectors (a cheap columnar
+        # re-read, not a second pass over the source)
+        stored = spark.table(f"{name}_vecs")
+        (similarity.banded_lsh_keys(stored, bands, n_planes, seed,
+                                    vec_col="vec", id_col="id", dim=dim)
+         .write.mode("overwrite")
          .bucketBy(n_buckets, "bucket").sortBy("bucket")
-         .saveAsTable(f"{name}_vecs"))
+         .saveAsTable(f"{name}_buckets"))
         _write_meta(spark, name, params)
         return cls(spark, name)
 
     def _batch_vecs(self, batch: DataFrame) -> DataFrame:
+        """(id, vec, osig) rows of a batch — the ONE per-increment
+        projection that probe, intra dedup, and append all reuse."""
         from dlx_spark.operators import similarity
 
         p = self.params
-        return similarity.lsh_buckets(batch, n_planes=p["n_planes"],
-                                      seed=p["seed"], vec_col=p["vec_col"],
-                                      id_col=p["id_col"], dim=p["dim"])
+        oplanes = similarity.order_planes(p["dim"], p["seed"])
+        return batch.select(F.col(p["id_col"]).alias("id"),
+                            F.col(p["vec_col"]).alias("vec"),
+                            similarity._order_sig_expr(p["vec_col"], oplanes)
+                            .alias("osig"))
+
+    def _band_keys(self, vecs: DataFrame) -> DataFrame:
+        from dlx_spark.operators import similarity
+
+        p = self.params
+        return similarity.banded_lsh_keys(vecs, p["bands"], p["n_planes"],
+                                          p["seed"], vec_col="vec",
+                                          id_col="id", dim=p["dim"])
 
     def _refresh(self) -> None:
-        self.spark.catalog.refreshTable(f"{self.name}_vecs")
+        for suffix in ("_vecs", "_buckets"):
+            self.spark.catalog.refreshTable(f"{self.name}{suffix}")
 
     def probe(self, batch: DataFrame, threshold: float = 0.9,
               multiprobe_hamming: int = 0,
-              broadcast_row_cap: int | None = None) -> DataFrame:
+              broadcast_row_cap: int | None = None,
+              bucket_cap: int | None = 1000) -> DataFrame:
         """(corpus_id, batch_id, cosine): every batch vector whose exact
         cosine to an already-ingested vector clears ``threshold``, among
-        LSH candidates (``multiprobe_hamming`` widens the candidate
-        neighborhood for recall at diffuse regions)."""
+        LSH candidates.  Recall levers as in
+        ``similarity.cosine_near_duplicates``: the index's ``bands``
+        (fixed at create time) are the scale path;
+        ``multiprobe_hamming`` is the single-band legacy knob.
+        ``bucket_cap`` (default 1000, ``None`` = uncapped) bounds
+        mega-bucket candidates via the nearest-in-order chain."""
         bvecs = self._batch_vecs(batch).localCheckpoint(eager=True)
         return self._probe_with_vecs(bvecs, threshold, multiprobe_hamming,
-                                     broadcast_row_cap)
+                                     broadcast_row_cap, bucket_cap)
 
     def _probe_with_vecs(self, bvecs: DataFrame, threshold: float,
                          multiprobe_hamming: int = 0,
-                         broadcast_row_cap: int | None = None) -> DataFrame:
-        from itertools import combinations
+                         broadcast_row_cap: int | None = None,
+                         bucket_cap: int | None = 1000) -> DataFrame:
+        from pyspark.sql import Window
 
         from dlx_spark.operators import similarity
 
         p = self.params
         cap = PROBE_BROADCAST_ROW_CAP if broadcast_row_cap is None \
             else broadcast_row_cap
+        if p["bands"] > 1 and multiprobe_hamming:
+            raise ValueError("multiprobe applies to single-band indexes; "
+                             "this index uses bands for recall")
         self._refresh()
-        masks = [sum(1 << b for b in bits)
-                 for h in range(multiprobe_hamming + 1)
-                 for bits in combinations(range(p["n_planes"]), h)]
-        b = bvecs.select(F.col("id").alias("batch_id"),
-                         F.col("vec").alias("pvec"), "bucket")
+        bb = self._band_keys(bvecs)
+        n_masks = 1
+        probe_keys = bb.withColumnRenamed("id", "batch_id")
         if multiprobe_hamming:
-            b = (b.withColumnRenamed("bucket", "b0")
-                 .withColumn("bucket", F.explode(F.array(
-                     *[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks])))
-                 .drop("b0"))
-        if bvecs.count() * len(masks) <= cap:
-            b = F.broadcast(b)
-        idx = self.spark.table(f"{self.name}_vecs").select(
-            F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "bucket")
-        return (idx.join(b, "bucket")
+            masks = similarity.multiprobe_masks(p["n_planes"],
+                                                multiprobe_hamming)
+            n_masks = len(masks)
+            probe_keys = probe_keys.select(
+                "batch_id", "band",
+                F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
+                                    for m in masks])).alias("bucket"))
+        if bvecs.count() * p["bands"] * n_masks <= cap:
+            probe_keys = F.broadcast(probe_keys)
+
+        idxb = self.spark.table(f"{self.name}_buckets")
+        idxv = self.spark.table(f"{self.name}_vecs")
+
+        if bucket_cap is None:
+            big = None
+            small_idxb = idxb
+        else:
+            big = (idxb.groupBy("band", "bucket")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") > int(bucket_cap))
+                   .select("band", "bucket"))
+            small_idxb = idxb.join(F.broadcast(big), ["band", "bucket"],
+                                   "left_anti")
+
+        cands = (small_idxb.join(probe_keys, ["band", "bucket"])
+                 .select(F.col("id").alias("corpus_id"), "batch_id")
+                 .distinct())
+        verified = (
+            cands
+            .join(idxv.select(F.col("id").alias("corpus_id"),
+                              F.col("vec").alias("cvec")), "corpus_id")
+            .join(bvecs.select(F.col("id").alias("batch_id"),
+                               F.col("vec").alias("pvec")), "batch_id")
+            .withColumn("cosine", similarity.pairwise_cosine_expr())
+            .filter(F.col("cosine") >= threshold)
+            .select("corpus_id", "batch_id", "cosine"))
+
+        if big is not None:
+            # mega-buckets: sort corpus + batch members together in
+            # (osig, id) order; each batch vector is verified against
+            # its nearest corpus neighbor on each side — linear output,
+            # and a true near-dup sorts adjacent to its match.
+            # (Multiprobe edges INTO a mega-bucket are dropped — the
+            # m × probe-row expansion is the blow-up the cap prevents.)
+            mega_c = (idxb.join(F.broadcast(big), ["band", "bucket"],
+                                "left_semi")
+                      .join(idxv, "id")
+                      .select("band", "bucket", "id", "vec", "osig",
+                              F.lit(True).alias("is_corpus")))
+            mega_b = (bb.join(F.broadcast(big), ["band", "bucket"],
+                              "left_semi")
+                      .join(bvecs, "id")
+                      .select("band", "bucket", "id", "vec", "osig",
+                              F.lit(False).alias("is_corpus")))
+            u = mega_c.unionByName(mega_b)
+            w = Window.partitionBy("band", "bucket").orderBy(
+                "osig", "id", "is_corpus")
+            cstruct = F.when(F.col("is_corpus"),
+                             F.struct(F.col("id").alias("cid"),
+                                      F.col("vec").alias("cvec")))
+            prev_c = F.last(cstruct, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1))
+            next_c = F.first(cstruct, ignorenulls=True).over(
+                w.rowsBetween(1, Window.unboundedFollowing))
+            chain = (
+                u.withColumn("_prev", prev_c).withColumn("_next", next_c)
+                .filter(~F.col("is_corpus"))
+                .select(F.col("id").alias("batch_id"),
+                        F.col("vec").alias("pvec"),
+                        F.explode(F.array_compact(
+                            F.array("_prev", "_next"))).alias("c"))
+                .select("batch_id", "pvec",
+                        F.col("c.cid").alias("corpus_id"),
+                        F.col("c.cvec").alias("cvec"))
                 .withColumn("cosine", similarity.pairwise_cosine_expr())
                 .filter(F.col("cosine") >= threshold)
-                .groupBy("corpus_id", "batch_id")
+                .select("corpus_id", "batch_id", "cosine"))
+            verified = verified.unionByName(chain)
+
+        return (verified.groupBy("corpus_id", "batch_id")
                 .agg(F.max("cosine").alias("cosine")))
 
     def append(self, batch_survivors: DataFrame, if_absent: bool = False,
                vecs: DataFrame | None = None) -> None:
-        """``vecs``: precomputed (id, vec, bucket) rows of EXACTLY the
-        survivor rows (``dedup_batch`` passes them)."""
+        """``vecs``: precomputed (id, vec, osig) rows of EXACTLY the
+        survivor rows (``dedup_batch`` passes them).
+
+        Crash-safety across the two table writes mirrors
+        ``MinHashIndex.append``: band keys are written FIRST and the
+        replay guard keys on the LAST-written table (_vecs), so a crash
+        between the writes at worst duplicates band rows (probe dedups
+        candidates; compact physically drops them)."""
         p = self.params
         rows = vecs if vecs is not None else self._batch_vecs(batch_survivors)
         if if_absent:
             self._refresh()
             existing = self.spark.table(f"{self.name}_vecs").select("id")
-            rows = rows.join(existing, "id", "left_anti") \
-                       .localCheckpoint(eager=True)
-        (rows.write.mode("append")
+            rows = rows.join(existing, "id", "left_anti")
+        rows = rows.localCheckpoint(eager=True)
+        (self._band_keys(rows).write.mode("append")
          .bucketBy(p["n_buckets"], "bucket").sortBy("bucket")
+         .saveAsTable(f"{self.name}_buckets"))
+        (rows.write.mode("append")
+         .bucketBy(p["n_buckets"], "id").sortBy("id")
          .saveAsTable(f"{self.name}_vecs"))
 
     def dedup_batch(self, batch: DataFrame, threshold: float = 0.9,
                     multiprobe_hamming: int = 0,
-                    replay_safe: bool = False) -> DataFrame:
+                    replay_safe: bool = False,
+                    bucket_cap: int | None = 1000) -> DataFrame:
         """Drop batch vectors near-duplicating the corpus (corpus wins),
         cosine-dedup the remainder against itself (min-id survivor per
         connected component), append survivors, return the clean batch.
         Greedy-prefix semantics and ``replay_safe`` contract as in
-        ``MinHashIndex.dedup_batch``."""
+        ``MinHashIndex.dedup_batch``.  The intra-batch dedup runs the
+        SAME candidate rule as the probe — bands, multiprobe neighbor
+        expansion, and the mega-bucket cap all apply to both sides."""
         from dlx_spark.operators import similarity
 
         p = self.params
         id_col = p["id_col"]
-        # ONE bucket/vector pass feeds probe, intra dedup, and append
+        # ONE vector/ordering pass feeds probe, intra dedup, and append
         bvecs = self._batch_vecs(batch).localCheckpoint(eager=True)
-        vs_corpus = self._probe_with_vecs(bvecs, threshold, multiprobe_hamming)
+        vs_corpus = self._probe_with_vecs(bvecs, threshold,
+                                          multiprobe_hamming,
+                                          bucket_cap=bucket_cap)
         if replay_safe:
             own = batch.select(F.col(id_col).alias("corpus_id"))
             vs_corpus = vs_corpus.join(own, "corpus_id", "left_anti")
@@ -721,19 +851,16 @@ class EmbeddingIndex:
                               "id", "left_semi")
 
         rem = _vecs_of(remaining)
-        l = rem.select(F.col("id").alias("id_a"),
-                       F.col("vec").alias("pvec"), "bucket")
-        r = rem.select(F.col("id").alias("id_b"),
-                       F.col("vec").alias("cvec"), "bucket")
-        intra = (l.join(r, "bucket")
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .withColumn("cosine", similarity.pairwise_cosine_expr())
-                 .filter(F.col("cosine") >= threshold)
-                 .select("id_a", "id_b"))
+        masks = (similarity.multiprobe_masks(p["n_planes"],
+                                             multiprobe_hamming)
+                 if multiprobe_hamming else None)
+        intra = (similarity.cosine_pairs_from_keys(
+            self._band_keys(rem), rem, threshold, bucket_cap, masks)
+            .select("id_a", "id_b"))
         clean = dedup.dedup_near(remaining, intra, id_col).localCheckpoint(eager=True)
         self.append(clean, if_absent=replay_safe, vecs=_vecs_of(clean))
         return clean
 
     def drop(self) -> None:
-        for suffix in ("_vecs", "_meta"):
+        for suffix in ("_vecs", "_buckets", "_meta"):
             self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{suffix}")

@@ -54,6 +54,57 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal(size=(n_planes, dim))
 
 
+# Chain-ordering signature for capped mega-buckets: a FINER hyperplane
+# family (32 planes, seed-derived) whose packed sign bits order a
+# bucket's members so near-identical vectors sort adjacent — the
+# embedding analog of sorting a minhash mega-bucket by its full
+# signature.  Seed offset keeps the family independent of the bucketing
+# planes while staying deterministic from the caller's seed.
+N_ORDER_PLANES = 32
+_ORDER_SEED_OFFSET = 7919
+
+
+def order_planes(dim: int, seed: int = 42) -> np.ndarray:
+    return hyperplanes(dim, N_ORDER_PLANES, seed + _ORDER_SEED_OFFSET)
+
+
+def _order_sig_expr(vec_col: str, oplanes: np.ndarray):
+    """Packed sign bits of the ordering family, plane 0 at the MOST
+    significant position — integer sort order == lexicographic sign-bit
+    order, so vectors agreeing on a sign-bit prefix (near-duplicates
+    agree on ~all of them) sort together."""
+    n = len(oplanes)
+    bits = []
+    for i, plane in enumerate(oplanes):
+        plit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in plane.tolist()) + ")"
+        dot = (f"aggregate(zip_with({vec_col}, {plit}, (x, y) -> CAST(x AS DOUBLE) * y),"
+               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << (n - 1 - i)}L ELSE 0L END)")
+    return F.expr(" + ".join(bits))
+
+
+def banded_lsh_keys(df: DataFrame, bands: int, n_planes: int, seed: int,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    dim: int | None = None) -> DataFrame:
+    """(id, band, bucket) — banded random-hyperplane LSH keys, the
+    embedding analog of minhash ``band_buckets``: ``bands`` independent
+    bands of ``n_planes`` planes each (bands × n_planes planes total,
+    one seeded family).  Two vectors are candidates when they agree on
+    ALL planes of AT LEAST ONE band (OR-of-ANDs): ``n_planes`` per band
+    sets precision (random-pair collision ≈ 2^-n_planes per band),
+    ``bands`` sets recall — the scale-correct recall lever, costing one
+    linear equi-join per band instead of multiprobe's combinatorial
+    bucket explosion.  Pure per-row projection (posexplode of the band
+    signature array); the only shuffles are whatever the consumer joins
+    on."""
+    dim = dim if dim is not None else len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bands * n_planes, seed)
+    sigs = [_signature_expr(vec_col, planes[b * n_planes:(b + 1) * n_planes])
+            for b in range(bands)]
+    return df.select(F.col(id_col).alias("id"),
+                     F.posexplode(F.array(*sigs)).alias("band", "bucket"))
+
+
 def _signature_expr(vec_col: str, planes: np.ndarray):
     """Sign-bit signature of a vector column vs fixed hyperplanes, as one
     integer bucket key — pure JVM expressions."""
@@ -218,46 +269,164 @@ def topk_per_probe(candidates: DataFrame, k: int) -> DataFrame:
             .select("probe_id", "corpus_id", "cosine", "rank"))
 
 
+def multiprobe_masks(n_planes: int, hamming: int) -> list[int]:
+    """All XOR masks within ``hamming`` bit flips of zero (including
+    zero).  Combinatorial in ``hamming`` — the legacy recall knob for
+    the single-band form; banding (``banded_lsh_keys``) is the
+    scale-correct lever (linear cost per band)."""
+    from itertools import combinations
+
+    return [sum(1 << b for b in bits)
+            for h in range(hamming + 1)
+            for bits in combinations(range(n_planes), h)]
+
+
+def cosine_pairs_from_keys(bb: DataFrame, vecs: DataFrame, threshold: float,
+                           bucket_cap: int | None = 1000,
+                           probe_masks: list[int] | None = None) -> DataFrame:
+    """Verified cosine near-dup pairs from precomputed LSH state — the
+    shared kernel of ``cosine_near_duplicates`` and the EmbeddingIndex
+    intra-batch dedup.
+
+    ``bb``:   (id, band, bucket) slim keys (``banded_lsh_keys``).
+    ``vecs``: (id, vec, osig) — the vectors plus their chain-ordering
+              signature (``_order_sig_expr`` over ``order_planes``).
+              Referenced by several plan branches: pass a MATERIALIZED
+              relation or the projection re-runs per branch.
+
+    Returns (id_a, id_b, cosine), id_a < id_b, every pair verified by
+    the exact cosine.  ``bucket_cap`` bounds mega-bucket expansion the
+    same way ``minhash_pairs_from_signatures`` does: buckets up to the
+    cap expand to all member pairs (in-expression, one groupBy shuffle);
+    larger buckets emit a CHAIN of consecutive pairs in
+    (order-signature, id) order, verified inline — near-identical
+    vectors agree on ~all ordering sign bits, so each true near-dup
+    sub-cluster forms a verified sub-chain while worst-case output and
+    compute stay linear in the bucket size.  ``None`` = uncapped
+    (exact w.r.t. the banding; the oracle-parity mode).
+
+    ``probe_masks`` (single-band legacy multiprobe): nonzero XOR masks
+    explode one side into neighboring buckets; those extra candidates
+    flow through the small-bucket path only (a multiprobe edge INTO a
+    mega-bucket is dropped — the chain already covers the bucket's own
+    cohesion, and m × probe-row expansion is the exact blow-up the cap
+    exists to prevent)."""
+    if bucket_cap is None:
+        big = None
+        small = bb
+    else:
+        big = (bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > int(bucket_cap)).select("band", "bucket"))
+        # mega-buckets need m rows agreeing on a whole band — the
+        # over-cap list is small; broadcast it to split without a shuffle
+        small = bb.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+
+    a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("pvec"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("cvec"))
+
+    # small buckets: all member pairs via in-expression expansion (one
+    # groupBy shuffle, output bounded by cap × rows), vectors joined
+    # back by id for the verify
+    grouped = (small.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    expand = F.expr("""
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids) - i - 1),
+                    y -> named_struct('id_a', x, 'id_b', y))))""")
+    cand = (grouped.select(F.explode(expand).alias("p"))
+            .select("p.id_a", "p.id_b"))
+
+    if probe_masks:
+        # legacy multiprobe (single-band): explode one side into the
+        # nonzero-XOR neighbor buckets, join against small buckets only
+        nz = [m for m in probe_masks if m]
+        l = bb.select(F.col("id").alias("id_a"), "band",
+                      F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
+                                          for m in nz])).alias("bucket"))
+        r = small.select(F.col("id").alias("id_b"), "band", "bucket")
+        cross = (l.join(r, ["band", "bucket"])
+                 .filter(F.col("id_a") != F.col("id_b"))
+                 .select(F.least("id_a", "id_b").alias("id_a"),
+                         F.greatest("id_a", "id_b").alias("id_b")))
+        cand = cand.unionByName(cross)
+
+    small_pairs = (cand.distinct()
+                   .join(a, "id_a").join(b, "id_b")
+                   .withColumn("cosine", pairwise_cosine_expr())
+                   .filter(F.col("cosine") >= threshold)
+                   .select("id_a", "id_b", "cosine"))
+    if big is None:
+        return (small_pairs.groupBy("id_a", "id_b")
+                .agg(F.max("cosine").alias("cosine")))
+
+    # mega-buckets: consecutive pairs in (osig, id) order via lag() —
+    # no collect_list of the mega membership, one window sort per
+    # bucket, verification inline (both vectors already on the row)
+    mega = bb.join(F.broadcast(big), ["band", "bucket"], "left_semi")
+    w = Window.partitionBy("band", "bucket").orderBy("osig", "id")
+    chain_pairs = (
+        mega.join(vecs, "id")
+        .withColumn("_pid", F.lag("id").over(w))
+        .withColumn("_pvec", F.lag("vec").over(w))
+        .filter(F.col("_pid").isNotNull())
+        .select(F.least("_pid", "id").alias("id_a"),
+                F.greatest("_pid", "id").alias("id_b"),
+                F.col("_pvec").alias("pvec"), F.col("vec").alias("cvec"))
+        .withColumn("cosine", pairwise_cosine_expr())
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine"))
+
+    # a pair can surface through both paths (small bucket in one band,
+    # capped in another) or several multiprobe buckets; cosine is a pure
+    # function of the two vectors, so max() just deduplicates
+    return (small_pairs.unionByName(chain_pairs)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine")))
+
+
 def cosine_near_duplicates(df: DataFrame, threshold: float = 0.9,
                            n_planes: int = 8, seed: int = 42,
                            vec_col: str = "embedding", id_col: str = "vec_id",
                            multiprobe_hamming: int = 0,
-                           dim: int | None = None) -> DataFrame:
+                           dim: int | None = None, bands: int = 1,
+                           bucket_cap: int | None = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
-    cosine ≥ ``threshold`` among hyperplane-LSH candidates (same bucket,
-    or within ``multiprobe_hamming`` bit flips).  The embedding-side
-    analog of ``minhash_near_duplicates``: candidate generation is a
-    bucket equi-join (linear-ish), verification is the exact cosine on
-    the joined rows — every emitted pair is verified.  Approximate like
-    all LSH blocking: a near-dup pair split across distant buckets is
-    missed; raise ``multiprobe_hamming`` (or lower ``n_planes``) for
-    recall on diffuse data.  Shares its hyperplane family with
-    ``lsh_topk``/``knn_join``/``EmbeddingIndex`` (same ``seed``)."""
-    from itertools import combinations
+    cosine ≥ ``threshold`` among hyperplane-LSH candidates.  The
+    embedding-side analog of ``minhash_near_duplicates``: candidate
+    generation is a banded bucket equi-join (linear), verification is
+    the exact cosine on the joined rows — every emitted pair is
+    verified.
 
+    Recall levers, in order of preference:
+
+    - ``bands`` (OR-of-ANDs amplification, ``banded_lsh_keys``): b
+      independent bands of ``n_planes`` planes — linear cost per band,
+      tunable recall, the 100 TB path.
+    - ``multiprobe_hamming`` (single-band only; raises with bands > 1):
+      explodes candidates combinatorially — kept for parity with
+      ``lsh_topk``'s probe semantics at small scale.
+
+    ``bucket_cap`` (default 1000; ``None`` = uncapped, exact w.r.t. the
+    banding) bounds mega-bucket expansion with inline-verified chain
+    pairs in ordering-signature order — see ``cosine_pairs_from_keys``.
+    With only 2^n_planes distinct buckets per band, a dense embedding
+    region (boilerplate docs, near-constant vectors) WILL concentrate
+    in one bucket; the cap keeps worst-case candidate output linear.
+
+    Shares its hyperplane family with ``lsh_topk``/``knn_join``/
+    ``EmbeddingIndex`` (same ``seed``; ``bands=1`` reproduces the
+    single-signature family exactly)."""
+    if bands > 1 and multiprobe_hamming:
+        raise ValueError("multiprobe applies to the single-band form; "
+                         "use bands for recall amplification instead")
     dim = dim if dim is not None else len(df.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    masks = [sum(1 << b for b in bits)
-             for h in range(multiprobe_hamming + 1)
-             for bits in combinations(range(n_planes), h)]
-
-    l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("pvec"),
-                  _signature_expr(vec_col, planes).alias("b0"))
-    if multiprobe_hamming:
-        l = l.withColumn("bucket", F.explode(F.array(
-            *[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks]))).drop("b0")
-    else:
-        l = l.withColumnRenamed("b0", "bucket")
-    r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("cvec"),
-                  _signature_expr(vec_col, planes).alias("bucket"))
-    pairs = (l.join(r, "bucket")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine", pairwise_cosine_expr())
-             .filter(F.col("cosine") >= threshold))
-    # multiprobe can surface one pair through several buckets; cosine is
-    # a pure function of the two vectors, so max() just deduplicates
-    return (pairs.groupBy("id_a", "id_b")
-            .agg(F.max("cosine").alias("cosine")))
+    bb = banded_lsh_keys(df, bands, n_planes, seed, vec_col, id_col, dim)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                     _order_sig_expr(vec_col, order_planes(dim, seed)).alias("osig"))
+    masks = (multiprobe_masks(n_planes, multiprobe_hamming)
+             if multiprobe_hamming else None)
+    return cosine_pairs_from_keys(bb, vecs, threshold, bucket_cap, masks)
 
 
 def knn_join(probes: DataFrame, corpus: DataFrame, k: int = 5,

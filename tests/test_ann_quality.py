@@ -190,3 +190,195 @@ def test_cosine_near_duplicates_recall_on_clusters(clustered):
                 multiprobe_hamming=1).collect()}
     assert pairs <= wide <= exact
     assert len(wide) >= len(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: mega-bucket caps + banded amplification for the embedding family
+# ---------------------------------------------------------------------------
+
+def _dense_plus_diffuse(spark, dense_n=80, diffuse_n=40, dim=12, seed=11):
+    """A dense near-duplicate region (the mega-bucket generator: all
+    ``dense_n`` vectors pairwise-cosine ~1) plus diffuse random
+    vectors."""
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for j in range(dense_n):
+        v = [1.0] + [0.001 * rng.randrange(5) for _ in range(dim - 1)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((j, [x / n for x in v]))
+    for j in range(diffuse_n):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((1000 + j, [x / n for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_capped_cosine_pairs_preserve_components(spark):
+    """The mega-bucket chain cap: capped pairs are a verified SUBSET of
+    the uncapped run, linear in bucket size, and connect exactly the
+    same components (the chain through a dense cluster keeps every
+    member linked) — the embedding port of the minhash verified-chain
+    property."""
+    from dlx_spark.operators import dedup
+
+    df = _dense_plus_diffuse(spark)
+    dim = 12
+    kw = dict(threshold=0.9, n_planes=6, dim=dim)
+    uncapped = similarity.cosine_near_duplicates(df, bucket_cap=None, **kw)
+    capped = similarity.cosine_near_duplicates(df, bucket_cap=10, **kw)
+    u = {(r["id_a"], r["id_b"]): r["cosine"] for r in uncapped.collect()}
+    c = {(r["id_a"], r["id_b"]): r["cosine"] for r in capped.collect()}
+    assert set(c) <= set(u)                    # subset, same cosines
+    assert all(abs(u[p] - c[p]) < 1e-9 for p in c)
+    assert all(v >= 0.9 for v in c.values())   # every chain edge verified
+    # linear worst case: the 80-member cluster contributes ~79 chain
+    # edges, not 80*79/2
+    assert len(c) < 3 * 80
+    assert len(u) >= 80 * 79 / 2               # uncapped is quadratic there
+
+    def comps(pairs_df):
+        cc = dedup.connected_components(pairs_df.select("id_a", "id_b"))
+        groups = {}
+        for r in cc.collect():
+            groups.setdefault(r["component"], set()).add(r["id"])
+        return {frozenset(g) for g in groups.values()}
+
+    assert comps(capped) == comps(uncapped)
+
+
+def _diffuse_twins(spark, n_pairs=200, dim=24, seed=13, target_cos=0.9):
+    """Diffuse corpus of random unit vectors, each with a twin at cosine
+    ~``target_cos`` — LSH's hard case (no cluster structure to lean on),
+    the fixture for recall-vs-candidate-budget comparisons."""
+    import random
+    rng = random.Random(seed)
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    alpha = target_cos
+    beta = math.sqrt(1 - alpha * alpha)
+    rows, truth = [], set()
+    for i in range(n_pairs):
+        base = unit()
+        noise = unit()
+        # orthogonalize the noise against base, renormalize
+        d = sum(a * b for a, b in zip(base, noise))
+        orth = [b - d * a for a, b in zip(base, noise)]
+        n = math.sqrt(sum(x * x for x in orth))
+        orth = [x / n for x in orth]
+        twin = [alpha * a + beta * o for a, o in zip(base, orth)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, twin))
+        truth.add((2 * i, 2 * i + 1))
+    return (spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            truth)
+
+
+def test_banded_beats_multiprobe_at_equal_candidate_budget(spark):
+    """Banded amplification (b bands × r planes, OR-of-ANDs) is the
+    scale-correct recall lever: on the diffuse-twin fixture it reaches
+    HIGHER recall than combinatorial multiprobe while generating no
+    more candidate pairs — and its cost is one linear equi-join per
+    band instead of a sum(C(n,h)) bucket explosion."""
+    df, truth = _diffuse_twins(spark)
+    dim = 24
+
+    def run(**kw):
+        # threshold below -1 keeps every candidate => candidate count;
+        # emitted pairs at the real threshold => recall
+        cands = similarity.cosine_near_duplicates(
+            df, threshold=-2.0, dim=dim, bucket_cap=None, **kw)
+        n_cands = cands.count()
+        hits = {(r["id_a"], r["id_b"])
+                for r in similarity.cosine_near_duplicates(
+                    df, threshold=0.85, dim=dim, bucket_cap=None, **kw)
+                .collect()}
+        recall = len(hits & truth) / len(truth)
+        return n_cands, recall
+
+    multi_cands, multi_recall = run(n_planes=8, multiprobe_hamming=1)
+    band_cands, band_recall = run(n_planes=7, bands=4)
+    assert band_cands <= multi_cands, (band_cands, multi_cands)
+    assert band_recall >= multi_recall, (band_recall, multi_recall)
+    assert band_recall >= 0.7
+
+
+def test_embedding_probe_bucket_cap_preserves_drop_decision(spark):
+    """A batch of near-duplicates of a dense (mega-bucket) corpus
+    region: with a small bucket_cap the probe output is LINEAR, yet
+    every batch vector that near-duplicates the corpus still gets at
+    least one verified corpus match — the drop/keep decision of
+    dedup_batch is preserved under the cap."""
+    import random
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    rng = random.Random(17)
+    dim = 12
+
+    def dense_vec():
+        v = [1.0] + [0.001 * rng.randrange(5) for _ in range(dim - 1)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    corpus = spark.createDataFrame(
+        [(i, dense_vec()) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    batch_rows = [(100 + i, dense_vec()) for i in range(20)] + \
+        [(200, [0.0] * (dim - 1) + [1.0])]      # one genuinely novel vector
+    batch = spark.createDataFrame(batch_rows,
+                                  "vec_id long, embedding array<double>")
+
+    idx = EmbeddingIndex.create(corpus, "t_emb_cap", n_planes=6)
+    try:
+        capped = idx.probe(batch, threshold=0.9, bucket_cap=10)
+        rows = capped.collect()
+        matched = {r["batch_id"] for r in rows}
+        assert all(r["cosine"] >= 0.9 for r in rows)
+        # every dense batch vector matched; the novel one did not
+        assert matched == {100 + i for i in range(20)}
+        # linear output: nearest-in-order chain, not 60×20 pairs
+        assert len(rows) <= 4 * 20
+        uncapped_matched = {r["batch_id"] for r in
+                            idx.probe(batch, threshold=0.9,
+                                      bucket_cap=None).collect()}
+        assert matched == uncapped_matched
+        # dedup_batch under the cap keeps only the novel vector
+        clean = idx.dedup_batch(batch, threshold=0.9, bucket_cap=10)
+        assert [r["vec_id"] for r in clean.collect()] == [200]
+    finally:
+        idx.drop()
+
+
+def test_embedding_index_bands_equivalence(spark):
+    """A bands>1 index probe equals the cross-partition subset of the
+    full-corpus banded cosine_near_duplicates run — the same
+    equivalence chain the single-band index is locked to."""
+    from pyspark.sql import functions as F
+
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    df, _ = _diffuse_twins(spark, n_pairs=60)
+    dim = 24
+    corpus = df.filter(F.col("vec_id") % 2 == 0)
+    batch = df.filter(F.col("vec_id") % 2 == 1)
+
+    idx = EmbeddingIndex.create(corpus, "t_emb_banded", n_planes=7, bands=4)
+    try:
+        got = {(r["corpus_id"], r["batch_id"], round(r["cosine"], 6))
+               for r in idx.probe(batch, threshold=0.85).collect()}
+        full_rows = similarity.cosine_near_duplicates(
+            df, threshold=0.85, n_planes=7, bands=4, dim=dim).collect()
+        want = {(r["id_a"], r["id_b"], round(r["cosine"], 6))
+                for r in full_rows
+                if r["id_a"] % 2 == 0 and r["id_b"] % 2 == 1}
+        want |= {(r["id_b"], r["id_a"], round(r["cosine"], 6))
+                 for r in full_rows
+                 if r["id_a"] % 2 == 1 and r["id_b"] % 2 == 0}
+        assert got == want
+        assert len(want) >= 30        # banded recall on diffuse twins
+    finally:
+        idx.drop()
