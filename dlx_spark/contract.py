@@ -946,12 +946,17 @@ def _plane_lit_sql(plane) -> str:
     return "[" + ",".join(repr(float(x)) for x in plane) + "]"
 
 
-def _sig_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+def _sig_sql(n_planes: int, dim: int = 64, seed: int = 42,
+             offset: int = 0, total: int | None = None) -> str:
     """DuckDB expression computing the SAME sign-bit hyperplane signature
     as operators.similarity._signature_expr: the planes are deterministic
     (seeded numpy), so they can be baked into the oracle as literals —
-    making the LSH bucketing itself oracle-checkable."""
-    planes = similarity.hyperplanes(dim, n_planes, seed)
+    making the LSH bucketing itself oracle-checkable.  ``offset``/
+    ``total`` select a band's slice of a larger seeded family (the
+    banded_lsh_keys layout: band i of r planes uses planes [i*r, (i+1)*r)
+    of hyperplanes(dim, bands*r, seed), with band-local bit weights)."""
+    planes = similarity.hyperplanes(dim, total or n_planes, seed)
+    planes = planes[offset:offset + n_planes]
     bits = [
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_lit_sql(p)}) > 0"
         f" THEN {1 << i} ELSE 0 END)"
@@ -980,6 +985,41 @@ def lsh_topk(spark, sf):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     out = similarity.lsh_topk(emb, qvec, k=10, n_planes=8, multiprobe_hamming=1)
     return out.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
+
+
+@query("embedding_lsh_pairs", f"""
+    WITH k AS (
+      SELECT vec_id, embedding, 0 AS band,
+             ({_sig_sql(6, offset=0, total=12)}) AS bucket FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS band,
+             ({_sig_sql(6, offset=6, total=12)}) AS bucket FROM embeddings
+    )
+    SELECT id_a, id_b, round(max(cos), 4) AS cosine FROM (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             list_cosine_similarity(l.embedding::DOUBLE[],
+                                    r.embedding::DOUBLE[]) AS cos
+      FROM k l JOIN k r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+    WHERE cos >= 0.35
+    GROUP BY id_a, id_b
+""")
+def embedding_lsh_pairs(spark, sf):
+    """LSH-blocked embedding near-dup pairs (similarity.
+    cosine_near_duplicates, 2 bands × 6 planes): candidates from the
+    banded hyperplane bucket join, every emitted pair verified by the
+    exact cosine.  The seeded band signatures are baked into the oracle
+    as plane literals, so the banding AND the blocked pair generation
+    are hash-checked — the label-blocked ``embedding_neardup`` checks
+    the verify kernel, this checks the real (LSH) blocking used at
+    scale.  Uncapped (``bucket_cap=None``) for exactness w.r.t. the
+    banding; the capped mode's chain equivalence is pytest-locked
+    (tests/test_ann_quality.py).  The 0.35 threshold is tuned to the
+    synthetic corpus like ``embedding_neardup``'s."""
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.cosine_near_duplicates(emb, threshold=0.35, n_planes=6,
+                                            bands=2, dim=64, bucket_cap=None)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 @query("ivf_topk")  # approximate ANN (k-means inverted lists) → rows-only
@@ -1015,7 +1055,7 @@ def knn_join(spark, sf):
     the oracle as literals, so the candidate join is hash-checked too."""
     emb = _t(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < 20)
-    out = similarity.knn_join(probes, emb, k=3, n_planes=4)
+    out = similarity.knn_join(probes, emb, k=3, n_planes=4, dim=64)
     return out.select("probe_id", "corpus_id", F.round("cosine", 4).alias("cosine"),
                       F.col("rank").cast("long").alias("rank"))
 
@@ -1872,11 +1912,16 @@ def minhash_neardup(spark, sf):
     UNION ALL
     SELECT id_a, id_b, cosine, 'neardup' AS mode
     FROM ({ORACLE['embedding_neardup']}) t2
+    UNION ALL
+    SELECT id_a, id_b, cosine, 'lshpairs' AS mode
+    FROM ({ORACLE['embedding_lsh_pairs']}) t3
 """)
 def cosine_sim(spark, sf):
     """embedding similarity surface in one labeled union: exact
-    brute-force cosine top-k for query vec 0, and label-blocked
-    embedding-cosine near-dup pairs (cosine_topk + embedding_neardup)."""
+    brute-force cosine top-k for query vec 0, label-blocked
+    embedding-cosine near-dup pairs, and banded-LSH-blocked near-dup
+    pairs — the bucket-blocked pair generation actually used at scale
+    (cosine_topk + embedding_neardup + embedding_lsh_pairs)."""
     topk = cosine_topk(spark, sf).select(
         F.lit(0).cast("long").alias("id_a"), F.col("vec_id").alias("id_b"),
         "cosine", F.lit("topk").alias("mode"))
@@ -1884,7 +1929,11 @@ def cosine_sim(spark, sf):
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "cosine", F.lit("neardup").alias("mode"))
-    return topk.unionAll(nd)
+    lsh = embedding_lsh_pairs(spark, sf).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine", F.lit("lshpairs").alias("mode"))
+    return topk.unionAll(nd).unionAll(lsh)
 
 
 @query("approx_sketches", f"""

@@ -112,3 +112,33 @@ def test_marc_condition_predicate_prunes(spark, bibs_df, auth_index):
     # the predicate is a pure Column: no joins, no shuffles
     assert plans.shuffle_count(filtered) == 0
     assert plans.broadcast_join_count(filtered) == 0
+
+
+def test_vector_operator_plan_construction_is_action_free(spark):
+    """Building the vector-operator plans with ``dim`` supplied must
+    trigger NO Spark job: a driver-side ``.first()`` during plan
+    construction (the convenience dim-inference fallback) would fire the
+    poison UDF below.  Guards the action-free default path the contract
+    and index call-sites rely on."""
+    from pyspark.sql import functions as F
+
+    from dlx_spark.operators import similarity
+
+    @F.udf("array<double>")
+    def boom(_):
+        raise RuntimeError("plan-time action fired")
+
+    df = spark.range(16).select(F.col("id").alias("vec_id"),
+                                boom("id").alias("embedding"))
+    # the poison actually detonates on any action
+    with pytest.raises(Exception):
+        df.first()
+
+    # plan construction alone must not evaluate the frame
+    similarity.lsh_buckets(df, dim=8)
+    similarity.banded_lsh_keys(df, bands=2, n_planes=4, seed=42, dim=8)
+    similarity.cosine_near_duplicates(df, dim=8)
+    similarity.cosine_near_duplicates(df, dim=8, bands=2, bucket_cap=50)
+    similarity.cosine_near_duplicates(df, dim=8, multiprobe_hamming=1,
+                                      bucket_cap=None)
+    similarity.knn_join(df, df, dim=8)
