@@ -10,6 +10,15 @@ map or a key-bucketed join with no driver-side state.
 Usage: python tools/scale_probe.py [multiplier]
        python tools/scale_probe.py --skew [n_clones]
        python tools/scale_probe.py --incremental [multiplier]
+       python tools/scale_probe.py --embedding [multiplier]
+
+``--embedding`` is the per-increment trend for the EmbeddingIndex (the
+4th index modality): the persisted index grows by one sf worth of
+vectors per step (appended, not rebuilt) and a FIXED batch is probed
+after each step.  The probe's cost must track the batch (a broadcast of
+its band keys against the slim bucket table plus a verify join sized by
+the candidates), not the corpus — the printed trend slope vs the corpus
+growth factor is the measured form of that claim.
 
 ``--incremental`` measures the point of the persisted dedup index
 (operators/dedup_index.py): dedup one fixed-size daily batch against a
@@ -194,12 +203,106 @@ def incremental_main() -> None:
     spark.stop()
 
 
+def embedding_main() -> None:
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark import get_spark
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("embedding_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = 64
+
+    # replica i circular-shifts every vector by i positions: replicas of
+    # the same base vector are ~uncorrelated (shifted random vectors),
+    # so the corpus grows without creating cross-replica near-dups —
+    # the probe then measures corpus-size cost, not link-count cost
+    def shifted(df, i):
+        s = i % dim
+        vec = (F.col("embedding") if s == 0 else
+               F.concat(F.slice("embedding", s + 1, dim - s),
+                        F.slice("embedding", 1, s)))
+        return df.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            vec.alias("embedding"))
+
+    workdir = tempfile.mkdtemp(prefix="dlx_spark_embp_")
+    try:
+        # fixed batch: exact clones of replica 0 under fresh ids — every
+        # batch vector carries a cosine-1.0 corpus link (full verify load)
+        shifted(emb, 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(900_000_000)) \
+            .write.parquet(os.path.join(workdir, "batch"))
+        batch = spark.read.parquet(os.path.join(workdir, "batch"))
+        n_batch = batch.count()
+
+        trend = []
+        idx = None
+        try:
+            for i in range(mult):
+                replica = shifted(emb, i)
+                t0 = time.time()
+                if idx is None:
+                    idx = EmbeddingIndex.create(replica, "probe_emb_idx",
+                                                n_planes=8, dim=dim)
+                else:
+                    idx.append(replica)
+                t_grow = round(time.time() - t0, 2)
+                t0 = time.time()
+                n_links = idx.probe(batch, threshold=0.95).count()
+                t_probe = round(time.time() - t0, 2)
+                trend.append({"corpus_mult": i + 1,
+                              "grow_sec": t_grow,
+                              "probe_sec": t_probe,
+                              "links": n_links})
+
+            t0 = time.time()
+            n_clean = idx.dedup_batch(batch, threshold=0.95).count()
+            t_dedup_batch = round(time.time() - t0, 2)
+        finally:
+            if idx is not None:
+                idx.drop()
+
+        # slope from the SECOND step when possible: the first probe pays
+        # JVM/codegen warmup and would flatter the trend
+        base_i = 1 if len(trend) > 2 else 0
+        base, last = trend[base_i]["probe_sec"], trend[-1]["probe_sec"]
+        slope = round(last / base, 2) if base else None
+        growth = round(trend[-1]["corpus_mult"] / trend[base_i]["corpus_mult"], 2)
+        print(json.dumps({
+            "metric": "embedding_incremental_probe",
+            "n_batch": n_batch,
+            "multiplier": mult,
+            "trend": trend,
+            # probe-cost growth vs corpus growth over the same steps:
+            # well below corpus_growth = the per-increment cost tracks
+            # the batch, not the corpus (the 100 TB claim, measured)
+            "probe_cost_growth": slope,
+            "corpus_growth": growth,
+            "dedup_batch_sec": t_dedup_batch,
+            "dedup_batch_survivors": n_clean,
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         incremental_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--embedding":
+        embedding_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
