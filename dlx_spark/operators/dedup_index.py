@@ -754,10 +754,15 @@ class EmbeddingIndex:
         if big is not None:
             # mega-buckets: sort corpus + batch members together in
             # (osig, id) order; each batch vector is verified against
-            # its nearest corpus neighbor on each side — linear output,
-            # and a true near-dup sorts adjacent to its match.
+            # the nearest corpus row on each side (however far — the
+            # ignorenulls scan skips interleaved batch rows) PLUS any
+            # corpus rows within CHAIN_WINDOW union positions, so up to
+            # a few closer-in-projection foreign corpus rows cannot
+            # hide the true match.  Linear output; a true near-dup
+            # sorts within ε of its match on the continuous projection.
             # (Multiprobe edges INTO a mega-bucket are dropped — the
             # m × probe-row expansion is the blow-up the cap prevents.)
+            CW = similarity.CHAIN_WINDOW
             mega_c = (idxb.join(F.broadcast(big), ["band", "bucket"],
                                 "left_semi")
                       .join(idxv, "id")
@@ -774,20 +779,23 @@ class EmbeddingIndex:
             cstruct = F.when(F.col("is_corpus"),
                              F.struct(F.col("id").alias("cid"),
                                       F.col("vec").alias("cvec")))
-            prev_c = F.last(cstruct, ignorenulls=True).over(
-                w.rowsBetween(Window.unboundedPreceding, -1))
-            next_c = F.first(cstruct, ignorenulls=True).over(
-                w.rowsBetween(1, Window.unboundedFollowing))
+            neighbors = [
+                F.last(cstruct, ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.first(cstruct, ignorenulls=True).over(
+                    w.rowsBetween(1, Window.unboundedFollowing)),
+            ] + [F.lag(cstruct, k).over(w) for k in range(1, CW + 1)] \
+              + [F.lead(cstruct, k).over(w) for k in range(1, CW + 1)]
             chain = (
-                u.withColumn("_prev", prev_c).withColumn("_next", next_c)
+                u.withColumn("_cands", F.array_compact(F.array(*neighbors)))
                 .filter(~F.col("is_corpus"))
                 .select(F.col("id").alias("batch_id"),
                         F.col("vec").alias("pvec"),
-                        F.explode(F.array_compact(
-                            F.array("_prev", "_next"))).alias("c"))
+                        F.explode("_cands").alias("c"))
                 .select("batch_id", "pvec",
                         F.col("c.cid").alias("corpus_id"),
                         F.col("c.cvec").alias("cvec"))
+                .distinct()
                 .withColumn("cosine", similarity.pairwise_cosine_expr())
                 .filter(F.col("cosine") >= threshold)
                 .select("corpus_id", "batch_id", "cosine"))

@@ -54,33 +54,39 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal(size=(n_planes, dim))
 
 
-# Chain-ordering signature for capped mega-buckets: a FINER hyperplane
-# family (32 planes, seed-derived) whose packed sign bits order a
-# bucket's members so near-identical vectors sort adjacent — the
-# embedding analog of sorting a minhash mega-bucket by its full
-# signature.  Seed offset keeps the family independent of the bucketing
-# planes while staying deterministic from the caller's seed.
-N_ORDER_PLANES = 32
+# Chain-ordering key for capped mega-buckets: the dot product with one
+# fixed seed-derived random direction, as a CONTINUOUS double.  Two
+# near-duplicate vectors differ in projection by at most ||v1 - v2||
+# (Cauchy-Schwarz against a unit direction), so they sort within an
+# ε-interval with NO discrete cliff — a sign-bit ordering key can throw
+# a cluster member far away on a single high-order bit flip, splitting
+# the verified chain.  Foreign bucket members whose projections land
+# inside a cluster's ε-interval can still interleave; the chain
+# therefore links each row to its CHAIN_WINDOW nearest predecessors
+# (sorted-neighborhood style), so a split needs CHAIN_WINDOW
+# consecutive interleavers — rare, and band redundancy amplifies
+# further.  Output stays linear: ≤ CHAIN_WINDOW pairs per row.
+# Seed offset keeps the direction independent of the bucketing planes
+# while staying deterministic from the caller's seed.
 _ORDER_SEED_OFFSET = 7919
+CHAIN_WINDOW = 3
 
 
 def order_planes(dim: int, seed: int = 42) -> np.ndarray:
-    return hyperplanes(dim, N_ORDER_PLANES, seed + _ORDER_SEED_OFFSET)
+    """One unit-normalized ordering direction (kept as a 2-D (1, dim)
+    array for symmetry with the bucketing plane family)."""
+    p = hyperplanes(dim, 1, seed + _ORDER_SEED_OFFSET)
+    return p / np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-12)
 
 
 def _order_sig_expr(vec_col: str, oplanes: np.ndarray):
-    """Packed sign bits of the ordering family, plane 0 at the MOST
-    significant position — integer sort order == lexicographic sign-bit
-    order, so vectors agreeing on a sign-bit prefix (near-duplicates
-    agree on ~all of them) sort together."""
-    n = len(oplanes)
-    bits = []
-    for i, plane in enumerate(oplanes):
-        plit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in plane.tolist()) + ")"
-        dot = (f"aggregate(zip_with({vec_col}, {plit}, (x, y) -> CAST(x AS DOUBLE) * y),"
-               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << (n - 1 - i)}L ELSE 0L END)")
-    return F.expr(" + ".join(bits))
+    """The chain-ordering projection ``<vec, direction>`` as a pure JVM
+    DOUBLE expression."""
+    plane = oplanes[0]
+    plit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in plane.tolist()) + ")"
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {plit}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
 
 def banded_lsh_keys(df: DataFrame, bands: int, n_planes: int, seed: int,
@@ -360,19 +366,23 @@ def cosine_pairs_from_keys(bb: DataFrame, vecs: DataFrame, threshold: float,
         return (small_pairs.groupBy("id_a", "id_b")
                 .agg(F.max("cosine").alias("cosine")))
 
-    # mega-buckets: consecutive pairs in (osig, id) order via lag() —
-    # no collect_list of the mega membership, one window sort per
-    # bucket, verification inline (both vectors already on the row)
+    # mega-buckets: each row pairs with its CHAIN_WINDOW predecessors in
+    # (osig, id) order via lag() — no collect_list of the mega
+    # membership, one window sort per bucket, verification inline (both
+    # vectors already on the row), output ≤ CHAIN_WINDOW × bucket size
     mega = bb.join(F.broadcast(big), ["band", "bucket"], "left_semi")
     w = Window.partitionBy("band", "bucket").orderBy("osig", "id")
+    prevs = F.array(*[F.struct(F.lag("id", k).over(w).alias("pid"),
+                               F.lag("vec", k).over(w).alias("pv"))
+                      for k in range(1, CHAIN_WINDOW + 1)])
     chain_pairs = (
         mega.join(vecs, "id")
-        .withColumn("_pid", F.lag("id").over(w))
-        .withColumn("_pvec", F.lag("vec").over(w))
-        .filter(F.col("_pid").isNotNull())
-        .select(F.least("_pid", "id").alias("id_a"),
-                F.greatest("_pid", "id").alias("id_b"),
-                F.col("_pvec").alias("pvec"), F.col("vec").alias("cvec"))
+        .withColumn("_prevs", prevs)
+        .select("id", "vec", F.explode("_prevs").alias("p"))
+        .filter(F.col("p.pid").isNotNull())
+        .select(F.least("p.pid", "id").alias("id_a"),
+                F.greatest("p.pid", "id").alias("id_b"),
+                F.col("p.pv").alias("pvec"), F.col("vec").alias("cvec"))
         .withColumn("cosine", pairwise_cosine_expr())
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine"))

@@ -340,8 +340,9 @@ def test_embedding_probe_bucket_cap_preserves_drop_decision(spark):
         assert all(r["cosine"] >= 0.9 for r in rows)
         # every dense batch vector matched; the novel one did not
         assert matched == {100 + i for i in range(20)}
-        # linear output: nearest-in-order chain, not 60×20 pairs
-        assert len(rows) <= 4 * 20
+        # linear output: nearest-in-order chain window (≤ 2·CHAIN_WINDOW
+        # + 2 candidates per batch vector), not 60×20 pairs
+        assert len(rows) <= (2 * similarity.CHAIN_WINDOW + 2) * 21
         uncapped_matched = {r["batch_id"] for r in
                             idx.probe(batch, threshold=0.9,
                                       bucket_cap=None).collect()}

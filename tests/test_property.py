@@ -294,3 +294,57 @@ def test_connected_components_long_chain_scales_logarithmically(spark):
         bad = comp.filter(F.col("component") != 0).count()
         total = comp.count()
     assert bad == 0 and total == n + 1
+
+
+def test_capped_cosine_chain_cluster_equivalence_randomized(spark):
+    """Embedding port of the capped-star suite: on a randomized corpus
+    with planted cosine near-dup clusters of varied sizes, the
+    bucket_cap chain path must produce the SAME dedup clusters as the
+    uncapped quadratic expansion — chain edges are verified inline, and
+    near-identical vectors sort adjacent in ordering-signature order, so
+    each cluster stays one component."""
+    import math
+    import random
+
+    from dlx_spark.operators.dedup import connected_components
+    from dlx_spark.operators.similarity import cosine_near_duplicates
+
+    rng = random.Random(29)
+    dim = 16
+    rows = []
+    next_id = 0
+    # clusters of sizes 2..12: tight perturbations of a random center
+    for size in range(2, 13):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in center))
+        center = [x / n for x in center]
+        for _ in range(size):
+            v = [c + rng.gauss(0, 0.01) for c in center]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((next_id, [x / n for x in v]))
+            next_id += 1
+    # diffuse background
+    for _ in range(50):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((next_id, [x / n for x in v]))
+        next_id += 1
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def clusters(pairs):
+        comp = connected_components(pairs.select("id_a", "id_b"))
+        out = {}
+        for r in comp.collect():
+            out.setdefault(r["component"], set()).add(r["id"])
+        return {frozenset(v) for v in out.values()}
+
+    kw = dict(threshold=0.98, n_planes=5, dim=dim)
+    full = clusters(cosine_near_duplicates(df, bucket_cap=None, **kw))
+    capped = clusters(cosine_near_duplicates(df, bucket_cap=3, **kw))
+    assert capped == full and len(full) >= 8
+    # and the banded form agrees with itself capped-vs-uncapped too
+    kwb = dict(threshold=0.98, n_planes=4, bands=3, dim=dim)
+    fullb = clusters(cosine_near_duplicates(df, bucket_cap=None, **kwb))
+    cappedb = clusters(cosine_near_duplicates(df, bucket_cap=3, **kwb))
+    assert cappedb == fullb

@@ -251,3 +251,34 @@ def test_streaming_sink_tolerates_torn_attempt_marker(spark, tmp_path):
         assert not fsio.exists(spark, run_dir + "/_attempt_batch_0")
     finally:
         MinHashIndex(spark, "torn_sink_idx").drop()
+
+
+def test_reader_during_ivf_refresh(spark, tmp_path):
+    """Reader contract around refresh_ivf_index's rename-aside swap: a
+    handle resolved BEFORE the refresh may fail (its file listing names
+    renamed-away paths) or may still answer, but must never answer
+    garbage; a FRESH read after the swap sees the complete re-assigned
+    index (same ids, same vectors, new list layout)."""
+    from dlx_spark.operators import bucketing, similarity
+
+    rng = np.random.RandomState(9)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx_reader")
+    cents = similarity.ivf_centroids(df, n_centroids=4, seed=9)
+    bucketing.write_ivf_index(df, path, cents)
+
+    before = spark.read.parquet(path)
+    want = {r["id"] for r in before.select("id").collect()}
+    assert want == set(range(80))
+
+    bucketing.refresh_ivf_index(spark, path, n_centroids=4, seed=10)
+    try:
+        got_old = {r["id"] for r in before.select("id").collect()}
+        assert got_old == want          # stale handle: right answer
+    except Exception:
+        pass                            # or a clean failure — never garbage
+    fresh = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+    assert fresh == want
+    assert not fsio.exists(spark, path + "__old")
+    assert not fsio.exists(spark, path + "__refresh")
