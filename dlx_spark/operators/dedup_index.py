@@ -53,7 +53,16 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dlx_spark import tableio
 from dlx_spark.operators import dedup
+
+
+def _be() -> "tableio.ParquetTableBackend":
+    """The active table-commit backend (dlx_spark.tableio) — every
+    catalog-table operation of the index classes routes through it, so
+    a transactional table format (Delta/Iceberg) slots in via
+    ``tableio.set_backend`` without touching any call-site here."""
+    return tableio.get_backend()
 
 # Probe-side broadcast gate: a daily-increment batch's band keys are a
 # few MB and belong in a broadcast (zero shuffle of index data), but a
@@ -85,7 +94,7 @@ def _compact_table(spark: SparkSession, table: str, key: str,
     old = spark.conf.get(conf)
     spark.conf.set(conf, "false")
     try:
-        src = spark.table(table)
+        src = _be().read(spark, table)
         if distinct:
             # fold exact-duplicate rows (e.g. replayed band appends).
             # dropDuplicates shuffles by ALL columns, which would break
@@ -93,31 +102,27 @@ def _compact_table(spark: SparkSession, table: str, key: str,
             # bucket key afterwards (this repartition is NOT redundant
             # here — the aggregate's output partitioning differs)
             src = src.dropDuplicates().repartition(n_buckets, F.col(key))
-        (src.write.mode("overwrite")
-         .bucketBy(n_buckets, key).sortBy(key).saveAsTable(tmp))
+        _be().write(src, tmp, key, n_buckets)
     finally:
         spark.conf.set(conf, old)
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    _be().replace(spark, table, tmp)
 
 
 def _recover_compaction(spark: SparkSession, table: str) -> None:
-    """If a compaction crashed between DROP and RENAME, finish it."""
-    tmp = f"{table}__compact"
-    if spark.catalog.tableExists(tmp):
-        if not spark.catalog.tableExists(table):
-            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-        else:  # crashed before DROP: staged copy is redundant
-            spark.sql(f"DROP TABLE {tmp}")
+    """If a compaction crashed mid-replace, finish it (backend-specific;
+    the parquet backend's DROP+RENAME window, a no-op for transactional
+    formats)."""
+    _be().recover_replace(spark, table, f"{table}__compact")
 
 
 def _write_meta(spark: SparkSession, name: str, params: dict) -> None:
-    spark.createDataFrame([(json.dumps(params),)], "params string") \
-        .write.mode("overwrite").saveAsTable(f"{name}_meta")
+    _be().write_plain(
+        spark.createDataFrame([(json.dumps(params),)], "params string"),
+        f"{name}_meta")
 
 
 def _read_meta(spark: SparkSession, name: str) -> dict:
-    return json.loads(spark.table(f"{name}_meta").first()["params"])
+    return json.loads(_be().read(spark, f"{name}_meta").first()["params"])
 
 
 class DigestIndex:
@@ -144,8 +149,7 @@ class DigestIndex:
                       F.col(id_col).alias("id"))
             .groupBy("digest").agg(F.min("id").alias("keep_id"))
         )
-        (digests.write.mode("overwrite")
-         .bucketBy(n_buckets, "digest").sortBy("digest").saveAsTable(f"{name}_digests"))
+        _be().write(digests, f"{name}_digests", "digest", n_buckets)
         _write_meta(spark, name, {"text_col": text_col, "id_col": id_col,
                                   "n_buckets": n_buckets})
         return cls(spark, name)
@@ -158,7 +162,7 @@ class DigestIndex:
     def _refresh(self) -> None:
         # appends may come from another session (a foreachBatch sink's
         # micro-batch session); see MinHashIndex._refresh
-        self.spark.catalog.refreshTable(f"{self.name}_digests")
+        _be().refresh(self.spark, f"{self.name}_digests")
 
     def filter_new(self, batch: DataFrame,
                    replay_safe: bool = False) -> DataFrame:
@@ -176,7 +180,7 @@ class DigestIndex:
         lifetime, like ``MinHashIndex.dedup_batch``."""
         p = self.params
         self._refresh()
-        idx = self.spark.table(f"{self.name}_digests")
+        idx = _be().read(self.spark, f"{self.name}_digests")
         if replay_safe:
             own = batch.select(F.col(p["id_col"]).alias("keep_id"))
             idx = idx.join(own, "keep_id", "left_anti")
@@ -198,12 +202,12 @@ class DigestIndex:
                    .groupBy("digest").agg(F.min("keep_id").alias("keep_id")))
         if if_absent:
             self._refresh()
-            existing = self.spark.table(f"{self.name}_digests").select("digest")
+            existing = _be().read(self.spark,
+                                  f"{self.name}_digests").select("digest")
             digests = digests.join(existing, "digest", "left_anti") \
                              .localCheckpoint(eager=True)
-        (digests.write.mode("append")
-         .bucketBy(p["n_buckets"], "digest").sortBy("digest")
-         .saveAsTable(f"{self.name}_digests"))
+        _be().append(digests, f"{self.name}_digests", "digest",
+                     p["n_buckets"])
 
     def dedup_batch(self, batch: DataFrame,
                     replay_safe: bool = False) -> DataFrame:
@@ -219,8 +223,8 @@ class DigestIndex:
         return clean
 
     def drop(self) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.name}_digests")
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.name}_meta")
+        _be().drop(self.spark, f"{self.name}_digests")
+        _be().drop(self.spark, f"{self.name}_meta")
 
 
 class MinHashIndex:
@@ -271,12 +275,10 @@ class MinHashIndex:
                                         shingle_n, seed)
         # one pass computes signatures; bands derive from the stored sigs
         # (a cheap re-read of the compact table, not a re-shingle)
-        (sigs.write.mode("overwrite")
-         .bucketBy(n_buckets, "id").sortBy("id").saveAsTable(f"{name}_sigs"))
-        stored = spark.table(f"{name}_sigs")
-        (dedup.band_buckets(stored, bands).write.mode("overwrite")
-         .bucketBy(n_buckets, "bucket").sortBy("bucket")
-         .saveAsTable(f"{name}_bands"))
+        _be().write(sigs, f"{name}_sigs", "id", n_buckets)
+        stored = _be().read(spark, f"{name}_sigs")
+        _be().write(dedup.band_buckets(stored, bands), f"{name}_bands",
+                    "bucket", n_buckets)
         _write_meta(spark, name, params)
         return cls(spark, name)
 
@@ -292,7 +294,7 @@ class MinHashIndex:
         # micro-batch session); drop this session's cached file listing
         # so index reads always see the latest appended state
         for suffix in ("_sigs", "_bands"):
-            self.spark.catalog.refreshTable(f"{self.name}{suffix}")
+            _be().refresh(self.spark, f"{self.name}{suffix}")
 
     def probe(self, batch: DataFrame, threshold: float = 0.8,
               broadcast_row_cap: int | None = None) -> DataFrame:
@@ -327,11 +329,11 @@ class MinHashIndex:
                   .withColumnRenamed("id", "batch_id"))
         if bsigs.count() * p["bands"] <= cap:
             bbands = F.broadcast(bbands)
-        ibands = self.spark.table(f"{self.name}_bands")
+        ibands = _be().read(self.spark, f"{self.name}_bands")
         cands = (ibands.join(bbands, ["band", "bucket"])
                  .select(F.col("id").alias("corpus_id"), "batch_id")
                  .distinct())
-        isigs = self.spark.table(f"{self.name}_sigs")
+        isigs = _be().read(self.spark, f"{self.name}_sigs")
         return (
             cands
             .join(isigs.select(F.col("id").alias("corpus_id"),
@@ -374,15 +376,13 @@ class MinHashIndex:
             sigs = self._batch_sigs(batch_survivors)
         if if_absent:
             self._refresh()
-            existing = self.spark.table(f"{self.name}_sigs").select("id")
+            existing = _be().read(self.spark,
+                                  f"{self.name}_sigs").select("id")
             sigs = sigs.join(existing, "id", "left_anti")
         sigs = sigs.localCheckpoint(eager=True)
-        (dedup.band_buckets(sigs, p["bands"]).write.mode("append")
-         .bucketBy(p["n_buckets"], "bucket").sortBy("bucket")
-         .saveAsTable(f"{self.name}_bands"))
-        (sigs.write.mode("append")
-         .bucketBy(p["n_buckets"], "id").sortBy("id")
-         .saveAsTable(f"{self.name}_sigs"))
+        _be().append(dedup.band_buckets(sigs, p["bands"]),
+                     f"{self.name}_bands", "bucket", p["n_buckets"])
+        _be().append(sigs, f"{self.name}_sigs", "id", p["n_buckets"])
 
     def dedup_batch(self, batch: DataFrame, threshold: float = 0.8,
                     bucket_cap: int | None = 1000,
@@ -440,7 +440,7 @@ class MinHashIndex:
 
     def drop(self) -> None:
         for suffix in ("_bands", "_sigs", "_meta"):
-            self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{suffix}")
+            _be().drop(self.spark, f"{self.name}{suffix}")
 
 
 class SimHashIndex:
@@ -476,8 +476,8 @@ class SimHashIndex:
     def create(cls, df: DataFrame, name: str, text_col: str = "text",
                id_col: str = "doc_id", n_buckets: int = 32) -> "SimHashIndex":
         spark = df.sparkSession
-        (cls._banded_fps(df, text_col, id_col).write.mode("overwrite")
-         .bucketBy(n_buckets, "key").sortBy("key").saveAsTable(f"{name}_fps"))
+        _be().write(cls._banded_fps(df, text_col, id_col),
+                    f"{name}_fps", "key", n_buckets)
         _write_meta(spark, name, {"text_col": text_col, "id_col": id_col,
                                   "n_buckets": n_buckets})
         return cls(spark, name)
@@ -490,7 +490,7 @@ class SimHashIndex:
             dedup.simhash_fingerprints(df, text_col, id_col))
 
     def _refresh(self) -> None:
-        self.spark.catalog.refreshTable(f"{self.name}_fps")
+        _be().refresh(self.spark, f"{self.name}_fps")
 
     def probe(self, batch: DataFrame, max_hamming: int = 3,
               broadcast_row_cap: int | None = None) -> DataFrame:
@@ -513,7 +513,7 @@ class SimHashIndex:
                         F.col("simhash").alias("fp_b"), "band", "key")
         if bfps.count() <= cap:
             b = F.broadcast(b)
-        idx = self.spark.table(f"{self.name}_fps")
+        idx = _be().read(self.spark, f"{self.name}_fps")
         return (
             idx.join(b, ["band", "key"])
             .withColumn("hamming",
@@ -533,12 +533,10 @@ class SimHashIndex:
                 else self._banded_fps(batch_survivors, p["text_col"], p["id_col"]))
         if if_absent:
             self._refresh()
-            existing = (self.spark.table(f"{self.name}_fps")
+            existing = (_be().read(self.spark, f"{self.name}_fps")
                         .select("id").distinct())
             rows = rows.join(existing, "id", "left_anti")
-        (rows.write.mode("append")
-         .bucketBy(p["n_buckets"], "key").sortBy("key")
-         .saveAsTable(f"{self.name}_fps"))
+        _be().append(rows, f"{self.name}_fps", "key", p["n_buckets"])
 
     def dedup_batch(self, batch: DataFrame, max_hamming: int = 3,
                     replay_safe: bool = False) -> DataFrame:
@@ -572,7 +570,7 @@ class SimHashIndex:
 
     def drop(self) -> None:
         for suffix in ("_fps", "_meta"):
-            self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{suffix}")
+            _be().drop(self.spark, f"{self.name}{suffix}")
 
 
 class EmbeddingIndex:
@@ -642,16 +640,14 @@ class EmbeddingIndex:
                           F.col(vec_col).alias("vec"),
                           similarity._order_sig_expr(vec_col, oplanes)
                           .alias("osig"))
-        (vrows.write.mode("overwrite")
-         .bucketBy(n_buckets, "id").sortBy("id").saveAsTable(f"{name}_vecs"))
+        _be().write(vrows, f"{name}_vecs", "id", n_buckets)
         # band keys derive from the stored vectors (a cheap columnar
         # re-read, not a second pass over the source)
-        stored = spark.table(f"{name}_vecs")
-        (similarity.banded_lsh_keys(stored, bands, n_planes, seed,
-                                    vec_col="vec", id_col="id", dim=dim)
-         .write.mode("overwrite")
-         .bucketBy(n_buckets, "bucket").sortBy("bucket")
-         .saveAsTable(f"{name}_buckets"))
+        stored = _be().read(spark, f"{name}_vecs")
+        _be().write(similarity.banded_lsh_keys(stored, bands, n_planes, seed,
+                                               vec_col="vec", id_col="id",
+                                               dim=dim),
+                    f"{name}_buckets", "bucket", n_buckets)
         _write_meta(spark, name, params)
         return cls(spark, name)
 
@@ -677,7 +673,7 @@ class EmbeddingIndex:
 
     def _refresh(self) -> None:
         for suffix in ("_vecs", "_buckets"):
-            self.spark.catalog.refreshTable(f"{self.name}{suffix}")
+            _be().refresh(self.spark, f"{self.name}{suffix}")
 
     def probe(self, batch: DataFrame, threshold: float = 0.9,
               multiprobe_hamming: int = 0,
@@ -724,8 +720,8 @@ class EmbeddingIndex:
         if bvecs.count() * p["bands"] * n_masks <= cap:
             probe_keys = F.broadcast(probe_keys)
 
-        idxb = self.spark.table(f"{self.name}_buckets")
-        idxv = self.spark.table(f"{self.name}_vecs")
+        idxb = _be().read(self.spark, f"{self.name}_buckets")
+        idxv = _be().read(self.spark, f"{self.name}_vecs")
 
         if bucket_cap is None:
             big = None
@@ -818,15 +814,13 @@ class EmbeddingIndex:
         rows = vecs if vecs is not None else self._batch_vecs(batch_survivors)
         if if_absent:
             self._refresh()
-            existing = self.spark.table(f"{self.name}_vecs").select("id")
+            existing = _be().read(self.spark,
+                                  f"{self.name}_vecs").select("id")
             rows = rows.join(existing, "id", "left_anti")
         rows = rows.localCheckpoint(eager=True)
-        (self._band_keys(rows).write.mode("append")
-         .bucketBy(p["n_buckets"], "bucket").sortBy("bucket")
-         .saveAsTable(f"{self.name}_buckets"))
-        (rows.write.mode("append")
-         .bucketBy(p["n_buckets"], "id").sortBy("id")
-         .saveAsTable(f"{self.name}_vecs"))
+        _be().append(self._band_keys(rows), f"{self.name}_buckets",
+                     "bucket", p["n_buckets"])
+        _be().append(rows, f"{self.name}_vecs", "id", p["n_buckets"])
 
     def dedup_batch(self, batch: DataFrame, threshold: float = 0.9,
                     multiprobe_hamming: int = 0,
@@ -871,4 +865,4 @@ class EmbeddingIndex:
 
     def drop(self) -> None:
         for suffix in ("_vecs", "_buckets", "_meta"):
-            self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{suffix}")
+            _be().drop(self.spark, f"{self.name}{suffix}")

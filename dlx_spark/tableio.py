@@ -1,0 +1,88 @@
+"""Pluggable table-commit backend: the single seam through which the
+incremental indexes (operators/dedup_index.py) create, append, read,
+swap, and drop their catalog tables.
+
+The engine ships plain-parquet bucketed tables with staged DROP+RENAME
+swaps and marker-based crash recovery; the single-writer concurrency
+contract documented in README comes from THAT backend, not from the
+operators.  A table format with a real commit protocol (Delta, Iceberg)
+lifts the contract to multi-writer by implementing this interface —
+``write``/``append`` become transactional commits, ``replace`` becomes
+an atomic metadata swap, ``recover_replace`` becomes a no-op — without
+touching any operator call-site: the index classes never call
+``saveAsTable``/``DROP TABLE`` directly.
+
+Swap a backend in with ``set_backend`` (process-wide) or per-index via
+the ``backend=`` constructor/classmethod parameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTableBackend:
+    """Plain-parquet catalog tables: bucketed ``saveAsTable`` writes,
+    non-atomic DROP+RENAME replace repaired by ``recover_replace`` on
+    next open.  Single-writer per table (README concurrency contract)."""
+
+    def write(self, df: DataFrame, table: str, key: str,
+              n_buckets: int) -> None:
+        """Create/overwrite ``table`` bucketed (and sorted) by ``key``."""
+        (df.write.mode("overwrite")
+         .bucketBy(n_buckets, key).sortBy(key).saveAsTable(table))
+
+    def append(self, df: DataFrame, table: str, key: str,
+               n_buckets: int) -> None:
+        """Append preserving the bucketed layout."""
+        (df.write.mode("append")
+         .bucketBy(n_buckets, key).sortBy(key).saveAsTable(table))
+
+    def write_plain(self, df: DataFrame, table: str) -> None:
+        """Create/overwrite a small unbucketed table (index metadata)."""
+        df.write.mode("overwrite").saveAsTable(table)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.table(table)
+
+    def refresh(self, spark: SparkSession, table: str) -> None:
+        """Invalidate cached file listings (appends may come from
+        another session, e.g. a foreachBatch micro-batch session)."""
+        spark.catalog.refreshTable(table)
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return spark.catalog.tableExists(table)
+
+    def drop(self, spark: SparkSession, table: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def replace(self, spark: SparkSession, table: str, staged: str) -> None:
+        """Publish ``staged`` as ``table``.  DROP + RENAME — not atomic;
+        a crash between the two is repaired by ``recover_replace``
+        (the staged table holds the full post-image either way)."""
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+
+    def recover_replace(self, spark: SparkSession, table: str,
+                        staged: str) -> None:
+        """Finish a ``replace`` that crashed between DROP and RENAME; a
+        transactional backend overrides this with a no-op."""
+        if spark.catalog.tableExists(staged):
+            if not spark.catalog.tableExists(table):
+                spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+            else:  # crashed before DROP: staged copy is redundant
+                spark.sql(f"DROP TABLE {staged}")
+
+
+_backend: ParquetTableBackend = ParquetTableBackend()
+
+
+def get_backend() -> ParquetTableBackend:
+    return _backend
+
+
+def set_backend(backend) -> None:
+    """Install a process-wide table backend (e.g. a Delta/Iceberg
+    implementation of the ParquetTableBackend interface)."""
+    global _backend
+    _backend = backend

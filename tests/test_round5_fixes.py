@@ -282,3 +282,66 @@ def test_reader_during_ivf_refresh(spark, tmp_path):
     assert fresh == want
     assert not fsio.exists(spark, path + "__old")
     assert not fsio.exists(spark, path + "__refresh")
+
+
+def test_table_backend_seam_routes_every_index_operation(spark):
+    """The pluggable table-commit backend (dlx_spark.tableio): a
+    recording subclass installed via set_backend must see EVERY catalog
+    operation of an index create/probe/append/compact/drop cycle — no
+    index call-site may reach saveAsTable/DROP TABLE directly — and the
+    results through the recording backend equal the plain run."""
+    from dlx_spark import tableio
+    from dlx_spark.operators.dedup_index import DigestIndex
+
+    class Recording(tableio.ParquetTableBackend):
+        def __init__(self):
+            self.calls = []
+
+        def write(self, df, table, key, n_buckets):
+            self.calls.append(("write", table))
+            super().write(df, table, key, n_buckets)
+
+        def write_plain(self, df, table):
+            self.calls.append(("write_plain", table))
+            super().write_plain(df, table)
+
+        def append(self, df, table, key, n_buckets):
+            self.calls.append(("append", table))
+            super().append(df, table, key, n_buckets)
+
+        def read(self, spark, table):
+            self.calls.append(("read", table))
+            return super().read(spark, table)
+
+        def replace(self, spark, table, staged):
+            self.calls.append(("replace", table))
+            super().replace(spark, table, staged)
+
+        def drop(self, spark, table):
+            self.calls.append(("drop", table))
+            super().drop(spark, table)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta")],
+        "doc_id long, text string")
+
+    rec = Recording()
+    tableio.set_backend(rec)
+    try:
+        idx = DigestIndex.create(docs, "t_seam_idx", n_buckets=2)
+        clean = sorted(r["doc_id"] for r in
+                       idx.dedup_batch(batch).collect())
+        assert clean == [11]
+        idx.compact()
+        idx.drop()
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
+
+    ops = {op for op, _ in rec.calls}
+    assert {"write", "write_plain", "append", "read",
+            "replace", "drop"} <= ops
+    tables = {t for _, t in rec.calls}
+    assert "t_seam_idx_digests" in tables and "t_seam_idx_meta" in tables
