@@ -88,7 +88,8 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
                        k: int = 5, n_planes: int = 8, seed: int = 42,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        multiprobe_hamming: int = 1,
-                       dim: int | None = None) -> DataFrame:
+                       dim: int | None = None,
+                       bucket_cap: int | None = None) -> DataFrame:
     """k nearest INDEXED rows for every probe row — the batch/incremental
     form of ``probe_lsh_index``, against a ``write_lsh_index`` layout.
 
@@ -137,6 +138,12 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
 
     idx = spark.read.parquet(path).select(
         F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "bucket")
+    # ``bucket_cap``: per-bucket candidate budget against dense regions
+    # (see similarity.knn_join) — bounds the probe-set × mega-bucket
+    # intermediate at the cost of possible recall, so off by default
+    if bucket_cap is not None:
+        idx = similarity.cap_bucket_members(idx, ["bucket"], "corpus_id",
+                                            bucket_cap)
     # same self-match rule as knn_join (its pytest oracle): re-probing an
     # already-indexed row must not spend a result slot on itself
     joined = (idx.join(F.broadcast(p), "bucket")

@@ -439,15 +439,40 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.9,
     return cosine_pairs_from_keys(bb, vecs, threshold, bucket_cap, masks)
 
 
+def cap_bucket_members(df: DataFrame, bucket_cols: list[str], id_col: str,
+                       cap: int) -> DataFrame:
+    """Candidate-budget cap for top-k probe joins: keep at most ``cap``
+    members per bucket, chosen in deterministic hash order (an unbiased
+    fixed sample — FAISS-style list truncation).  Unlike the near-dup
+    chain cap this DROPS candidates, trading bounded recall loss for a
+    hard bound on the probe-set × mega-bucket join blow-up: the
+    intermediate join output per bucket falls from |bucket| × |probes|
+    to cap × |probes|.  One window sort per over-cap bucket, O(m log m)."""
+    w = Window.partitionBy(*bucket_cols).orderBy(F.xxhash64(F.col(id_col)),
+                                                 F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(cap)).drop("_rn"))
+
+
 def knn_join(probes: DataFrame, corpus: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_planes: int = 6, seed: int = 42,
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None,
+             bucket_cap: int | None = None) -> DataFrame:
     """For every probe row, its k nearest corpus rows by cosine.
 
     Bucketed equi-join on hyperplane signatures (both sides computed
     map-side) + per-probe top-k window.  Approximate: only same-bucket
     candidates are ranked; raise n_planes for precision/speed trade.
+
+    ``bucket_cap`` bounds the candidate join against dense (mega)
+    corpus buckets via ``cap_bucket_members`` — a per-bucket candidate
+    BUDGET, not the near-dup chain (top-k needs the best candidates,
+    not connectivity).  Off by default: capping can drop true
+    neighbors, and the default contract is exact-w.r.t.-bucketing (the
+    driver oracle).  At 100 TB, set it to a few × k × expected bucket
+    occupancy so one boilerplate-dense region cannot quadratically
+    dominate the probe join.
 
     Pass ``dim`` to keep plan construction action-free; the ``first()``
     probe is only a convenience fallback."""
@@ -458,6 +483,8 @@ def knn_join(probes: DataFrame, corpus: DataFrame, k: int = 5,
                       _signature_expr(vec_col, planes).alias("bucket"))
     c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"),
                       _signature_expr(vec_col, planes).alias("bucket"))
+    if bucket_cap is not None:
+        c = cap_bucket_members(c, ["bucket"], "corpus_id", bucket_cap)
     joined = (p.join(c, "bucket")
               .filter(F.col("probe_id") != F.col("corpus_id")))
     return topk_per_probe(joined, k)
