@@ -9,7 +9,9 @@ The 100 TB daily-ingest workflow in miniature:
    against ALL history via the streaming foreachBatch sink (exact-once
    replays, survivors appended to the index)
 3. day 2: another increment, this time through the batch API
-4. maintenance: compact the append-accreted index files
+4. embeddings: the same incremental pattern on the vector side
+   (EmbeddingIndex — banded hyperplane LSH, cosine-verified)
+5. maintenance: compact the append-accreted index files
 No step ever recomputes or rescans previously ingested text.
 """
 
@@ -79,15 +81,35 @@ def main() -> None:
               f"{exact_new.count()} after exact dedup, "
               f"{clean2.count()} after near-dedup")
 
+        # ---- embeddings: the same pattern on the vector side ---------
+        from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .select("vec_id", "embedding"))
+        emb_day0 = emb.filter(F.col("vec_id") % 2 == 0)
+        # day-1 vectors: the odd half plus three exact clones of day-0
+        # vectors under fresh ids — the clones must be dropped
+        clones = (emb_day0.limit(3)
+                  .select((F.col("vec_id") + 9_000_000).alias("vec_id"),
+                          "embedding"))
+        emb_day1 = emb.filter(F.col("vec_id") % 2 == 1).unionByName(clones)
+        ei = EmbeddingIndex.create(emb_day0, "demo_emb", n_planes=8, dim=64)
+        clean_vecs = ei.dedup_batch(emb_day1, threshold=0.98)
+        print(f"embeddings: {emb_day1.count()} arrived, "
+              f"{clean_vecs.count()} survived cosine near-dedup vs history")
+
         # ---- maintenance: fold appended files ------------------------
         before = len(spark.table("demo_mh_sigs").inputFiles())
         mh.compact()
+        ei.compact()
         after = len(spark.table("demo_mh_sigs").inputFiles())
         print(f"compaction: signature table {before} -> {after} files")
     finally:
         # guard the drops so a setup failure (bad sf_dir) surfaces its
         # own error instead of a TABLE_OR_VIEW_NOT_FOUND from cleanup
-        for cls, name in ((MinHashIndex, "demo_mh"), (DigestIndex, "demo_dg")):
+        from dlx_spark.operators.dedup_index import EmbeddingIndex
+        for cls, name in ((MinHashIndex, "demo_mh"), (DigestIndex, "demo_dg"),
+                          (EmbeddingIndex, "demo_emb")):
             if spark.catalog.tableExists(f"{name}_meta"):
                 cls(spark, name).drop()
         shutil.rmtree(work, ignore_errors=True)
