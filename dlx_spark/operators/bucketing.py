@@ -50,36 +50,76 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 def write_lsh_index(df: DataFrame, path: str, n_planes: int = 8,
                     seed: int = 42, vec_col: str = "embedding",
-                    id_col: str = "vec_id", dim: int | None = None) -> None:
-    """Materialize the LSH bucket table partitioned by bucket: a probe
-    filtering on ``bucket IN (...)`` prunes partitions at the listing —
-    at 2^n_planes buckets, a hamming-1 multiprobe reads
-    (n_planes+1)/2^n_planes of the data."""
-    buckets = similarity.lsh_buckets(df, n_planes=n_planes, seed=seed,
-                                     vec_col=vec_col, id_col=id_col, dim=dim)
-    buckets.write.mode("overwrite").partitionBy("bucket").parquet(path)
+                    id_col: str = "vec_id", dim: int | None = None,
+                    bands: int = 1) -> None:
+    """Materialize the LSH bucket table partitioned by (band, bucket): a
+    probe filtering on the partition columns prunes at the listing — at
+    2^n_planes buckets per band, a single-bucket probe reads
+    1/2^n_planes of one band's copy.
+
+    ``bands`` > 1 writes the banded (OR-of-ANDs) layout: each vector is
+    stored once PER BAND (the classic LSH-forest storage trade — bands×
+    bytes for banded recall at probe time, each band still
+    partition-pruned).  Keep ``bands=1`` when multiprobe recall
+    suffices; use bands when the corpus is diffuse and multiprobe's
+    combinatorial bucket fan-out gets too wide."""
+    if dim is None:
+        head = df.select(vec_col).first()
+        if head is None:
+            raise ValueError("df is empty and dim was not provided")
+        dim = len(head[0])
+    keys = similarity.banded_lsh_keys(df, bands, n_planes, seed,
+                                      vec_col=vec_col, id_col=id_col, dim=dim)
+    rows = keys.join(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "id")
+    rows.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+
+
+def _query_band_buckets(query, n_planes: int, seed: int, bands: int,
+                        multiprobe_hamming: int) -> list[tuple[int, int]]:
+    """Driver-side (band, bucket) probe set for a query vector — the
+    planes are seeded, so this is pure arithmetic, no Spark job."""
+    if bands > 1 and multiprobe_hamming:
+        raise ValueError("multiprobe applies to single-band indexes; "
+                         "use bands for recall")
+    q = np.asarray(query, dtype=np.float64)
+    planes = similarity.hyperplanes(len(q), bands * n_planes, seed)
+    out = []
+    for b in range(bands):
+        sig = 0
+        for i, plane in enumerate(planes[b * n_planes:(b + 1) * n_planes]):
+            if float(plane @ q) > 0:
+                sig |= 1 << i
+        probe = {sig}
+        for _ in range(multiprobe_hamming):
+            probe |= {s ^ (1 << i) for s in list(probe)
+                      for i in range(n_planes)}
+        out.extend((b, p) for p in sorted(probe))
+    return out
 
 
 def probe_lsh_index(spark: SparkSession, path: str, query: list[float],
                     k: int = 10, n_planes: int = 8, seed: int = 42,
-                    multiprobe_hamming: int = 1) -> DataFrame:
-    """Top-k over a written LSH index: compute the probe bucket set
-    driver-side (hyperplanes are seeded), filter on the PARTITION column
-    so only matching bucket directories are scanned, exact-rerank the
-    survivors."""
-    q = np.asarray(query, dtype=np.float64)
-    planes = similarity.hyperplanes(len(q), n_planes, seed)
-    qsig = 0
-    for i, plane in enumerate(planes):
-        if float(plane @ q) > 0:
-            qsig |= 1 << i
-    probe = {qsig}
-    for _ in range(multiprobe_hamming):
-        probe |= {s ^ (1 << i) for s in list(probe) for i in range(n_planes)}
-
-    idx = spark.read.parquet(path).filter(F.col("bucket").isin(sorted(probe)))
-    return (idx.select("id", similarity._cosine_expr("vec", [float(x) for x in q])
-                       .alias("cosine"))
+                    multiprobe_hamming: int = 1, bands: int = 1) -> DataFrame:
+    """Top-k over a written LSH index: compute the probe (band, bucket)
+    set driver-side (hyperplanes are seeded), filter on the PARTITION
+    columns so only matching directories are scanned, exact-rerank the
+    survivors.  ``bands``/``multiprobe_hamming`` must match the written
+    layout's recall mode (banded layouts store each vector once per
+    band; probing ORs one bucket per band)."""
+    pairs = _query_band_buckets(query, n_planes, seed, bands,
+                                multiprobe_hamming)
+    cond = None
+    for b, p in pairs:
+        leg = (F.col("band") == b) & (F.col("bucket") == p)
+        cond = leg if cond is None else (cond | leg)
+    idx = spark.read.parquet(path).filter(cond)
+    if bands > 1:
+        # a vector can surface through several bands; fold before rerank
+        idx = idx.select("id", "vec").dropDuplicates(["id"])
+    q = [float(x) for x in query]
+    return (idx.select("id", similarity._cosine_expr("vec", q).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("id"))
             .limit(k))
 
@@ -89,7 +129,8 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        multiprobe_hamming: int = 1,
                        dim: int | None = None,
-                       bucket_cap: int | None = None) -> DataFrame:
+                       bucket_cap: int | None = None,
+                       bands: int = 1) -> DataFrame:
     """k nearest INDEXED rows for every probe row — the batch/incremental
     form of ``probe_lsh_index``, against a ``write_lsh_index`` layout.
 
@@ -113,6 +154,9 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
     from itertools import combinations
     from math import comb
 
+    if bands > 1 and multiprobe_hamming:
+        raise ValueError("multiprobe applies to single-band indexes; "
+                         "use bands for recall")
     n_masks = sum(comb(n_planes, i) for i in range(multiprobe_hamming + 1))
     if n_masks > 4096:
         raise ValueError(
@@ -127,27 +171,38 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
         if head is None:
             raise ValueError("probes is empty and dim was not provided")
         dim = len(head[0])
-    planes = similarity.hyperplanes(dim, n_planes, seed)
+    planes = similarity.hyperplanes(dim, bands * n_planes, seed)
+    sigs = [similarity._signature_expr(
+        vec_col, planes[b * n_planes:(b + 1) * n_planes])
+        for b in range(bands)]
 
-    p = (probes.select(F.col(id_col).alias("probe_id"),
-                       F.col(vec_col).alias("pvec"),
-                       similarity._signature_expr(vec_col, planes).alias("b0"))
-         .withColumn("bucket", F.explode(F.array(
-             *[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks])))
-         .drop("b0"))
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("pvec"),
+                      F.posexplode(F.array(*sigs)).alias("band", "b0"))
+    if multiprobe_hamming:
+        p = (p.withColumn("bucket", F.explode(F.array(
+            *[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks])))
+            .drop("b0"))
+    else:
+        p = p.withColumnRenamed("b0", "bucket")
 
     idx = spark.read.parquet(path).select(
-        F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"), "bucket")
+        F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"),
+        "band", "bucket")
     # ``bucket_cap``: per-bucket candidate budget against dense regions
     # (see similarity.knn_join) — bounds the probe-set × mega-bucket
     # intermediate at the cost of possible recall, so off by default
     if bucket_cap is not None:
-        idx = similarity.cap_bucket_members(idx, ["bucket"], "corpus_id",
-                                            bucket_cap)
+        idx = similarity.cap_bucket_members(idx, ["band", "bucket"],
+                                            "corpus_id", bucket_cap)
     # same self-match rule as knn_join (its pytest oracle): re-probing an
     # already-indexed row must not spend a result slot on itself
-    joined = (idx.join(F.broadcast(p), "bucket")
+    joined = (idx.join(F.broadcast(p), ["band", "bucket"])
               .filter(F.col("probe_id") != F.col("corpus_id")))
+    if bands > 1:
+        # a candidate can surface through several bands; fold before the
+        # rank window (duplicate rows would occupy duplicate ranks)
+        joined = joined.dropDuplicates(["probe_id", "corpus_id"])
     return similarity.topk_per_probe(joined, k)
 
 

@@ -132,3 +132,74 @@ def test_ivf_index_prunes_partitions_and_matches_exact(spark, tmp_path):
     got = [r["id"] for r in probed.collect()]
     exact = [r["id"] for r in similarity.cosine_topk(vecs, qvec, k=5).collect()]
     assert len(set(got) & set(exact)) >= 4
+
+
+def test_banded_lsh_index_layout_and_recall(spark, tmp_path):
+    """Banded persisted LSH index (LSH-forest layout): each vector is
+    stored once per band, probes OR one pruned (band, bucket) partition
+    per band, and banded recall on the diffuse-twin fixture beats the
+    single-band layout at the same planes-per-band."""
+    import math
+    import random
+
+    rng = random.Random(31)
+    dim = 24
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows, twins = [], {}
+    for i in range(120):
+        base = unit()
+        noise = unit()
+        d = sum(a * b for a, b in zip(base, noise))
+        orth = [b - d * a for a, b in zip(base, noise)]
+        n = math.sqrt(sum(x * x for x in orth))
+        twin = [0.9 * a + math.sqrt(1 - 0.81) * o / n
+                for a, o in zip(base, orth)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, twin))
+        twins[2 * i] = 2 * i + 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    single = str(tmp_path / "lsh_single")
+    banded = str(tmp_path / "lsh_banded")
+    bucketing.write_lsh_index(vecs, single, n_planes=7, dim=dim)
+    bucketing.write_lsh_index(vecs, banded, n_planes=7, bands=4, dim=dim)
+
+    # storage: one copy per band
+    n_single = spark.read.parquet(single).count()
+    n_banded = spark.read.parquet(banded).count()
+    assert n_single == 240 and n_banded == 4 * 240
+
+    # single-query probe finds the twin through SOME band
+    hits_s = hits_b = 0
+    probe_ids = [2 * i for i in range(0, 40)]
+    by_id = dict(rows)
+    for pid in probe_ids:
+        q = by_id[pid]
+        got_s = {r["id"] for r in bucketing.probe_lsh_index(
+            spark, single, q, k=2, n_planes=7,
+            multiprobe_hamming=0).collect()}
+        got_b = {r["id"] for r in bucketing.probe_lsh_index(
+            spark, banded, q, k=2, n_planes=7, bands=4,
+            multiprobe_hamming=0).collect()}
+        hits_s += int(twins[pid] in got_s)
+        hits_b += int(twins[pid] in got_b)
+    assert hits_b > hits_s            # banding buys recall
+    assert hits_b >= 0.6 * len(probe_ids)
+
+    # batch probe against the banded layout: candidates deduped across
+    # bands (one rank row per (probe, corpus) pair), every probe answered
+    probes = vecs.filter(F.col("vec_id") % 2 == 0).limit(20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    got = bucketing.knn_join_lsh_index(
+        spark, banded, probes, k=3, n_planes=7, bands=4,
+        multiprobe_hamming=0, dim=dim).collect()
+    per_probe = {}
+    for r in got:
+        per_probe.setdefault(r["probe_id"], []).append(r["corpus_id"])
+    assert all(len(v) == len(set(v)) for v in per_probe.values())
+    assert len(per_probe) >= 18       # nearly every probe found candidates
