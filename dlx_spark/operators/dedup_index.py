@@ -611,6 +611,7 @@ class EmbeddingIndex:
         self.name = name
         for suffix in ("_vecs", "_buckets"):
             _recover_compaction(spark, f"{name}{suffix}")
+        self._recover_rebucket()
         self.params = _read_meta(spark, name)
 
     def compact(self) -> None:
@@ -618,6 +619,57 @@ class EmbeddingIndex:
                        self.params["n_buckets"])
         _compact_table(self.spark, f"{self.name}_buckets", "bucket",
                        self.params["n_buckets"], distinct=True)
+
+    def rebucket(self, n_planes: int | None = None,
+                 bands: int | None = None) -> None:
+        """Re-derive the band-key table from the stored vectors under a
+        new hyperplane geometry — the maintenance op that keeps
+        per-increment probe cost flat as the corpus grows.
+
+        Per-batch probe candidates grow ∝ corpus / 2^n_planes (there
+        are only that many buckets per band), so an index created for
+        last quarter's corpus size gradually loses its pruning power.
+        This rewrites ONLY the slim key table (the vectors are the
+        payload table and are untouched), staged-then-swapped like
+        compaction: the staged META table is the commit point — written
+        last, so a crash beforehand leaves the live geometry fully
+        consistent and the re-run starts over, while recovery on next
+        open rolls a committed rebucket FORWARD (buckets swap, then
+        meta swap) so probes never see mismatched planes-vs-keys."""
+        from dlx_spark.operators import similarity
+
+        p = dict(self.params)
+        p["n_planes"] = int(n_planes or p["n_planes"])
+        p["bands"] = int(bands or p["bands"])
+        vecs = _be().read(self.spark, f"{self.name}_vecs")
+        keys = similarity.banded_lsh_keys(vecs, p["bands"], p["n_planes"],
+                                          p["seed"], vec_col="vec",
+                                          id_col="id", dim=p["dim"])
+        _be().write(keys, f"{self.name}_buckets__rebucket", "bucket",
+                    p["n_buckets"])
+        # commit point: staged meta present => the new geometry WILL be
+        # published (roll-forward); absent => staged keys are garbage
+        _be().write_plain(
+            self.spark.createDataFrame([(json.dumps(p),)], "params string"),
+            f"{self.name}_meta__rebucket")
+        self._recover_rebucket()
+        self.params = _read_meta(self.spark, self.name)
+
+    def _recover_rebucket(self) -> None:
+        """Finish (or discard) an interrupted ``rebucket``: a staged
+        meta table means the swap was committed — publish keys then
+        meta, in that order, so a crash mid-recovery re-enters here; a
+        staged key table WITHOUT the meta commit point is a dead stage
+        from a pre-commit crash and is dropped."""
+        spark = self.spark
+        meta_stage = f"{self.name}_meta__rebucket"
+        keys_stage = f"{self.name}_buckets__rebucket"
+        if _be().exists(spark, meta_stage):
+            if _be().exists(spark, keys_stage):
+                _be().replace(spark, f"{self.name}_buckets", keys_stage)
+            _be().replace(spark, f"{self.name}_meta", meta_stage)
+        elif _be().exists(spark, keys_stage):
+            _be().drop(spark, keys_stage)
 
     @classmethod
     def create(cls, df: DataFrame, name: str, vec_col: str = "embedding",

@@ -869,3 +869,62 @@ def test_embedding_ingest_stream_end_to_end(spark, emb_split, tmp_path):
         assert spark.table("t_emb_stream_vecs").count() == n_vecs
     finally:
         EmbeddingIndex(spark, "t_emb_stream").drop()
+
+
+def test_embedding_rebucket_regrows_plane_count(spark, emb_split):
+    """EmbeddingIndex.rebucket: re-deriving the key table under a new
+    hyperplane geometry must leave probe results equal to a FRESH index
+    created with that geometry (same payload, same seed), and the meta
+    commit-point protocol must survive crashes on either side of it."""
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    _, corpus, batch = emb_split
+    dim = len(_emb_rows()[0][1])
+    idx = EmbeddingIndex.create(corpus, "t_emb_rb", n_planes=4, dim=dim)
+    fresh = EmbeddingIndex.create(corpus, "t_emb_rb_fresh", n_planes=8,
+                                  bands=2, dim=dim)
+    try:
+        idx.rebucket(n_planes=8, bands=2)
+        assert idx.params["n_planes"] == 8 and idx.params["bands"] == 2
+        got = {(r["corpus_id"], r["batch_id"], round(r["cosine"], 6))
+               for r in idx.probe(batch, threshold=0.9).collect()}
+        want = {(r["corpus_id"], r["batch_id"], round(r["cosine"], 6))
+                for r in fresh.probe(batch, threshold=0.9).collect()}
+        assert got == want and len(want) >= 20
+        # key table rewritten once per band, payload untouched
+        spark.catalog.refreshTable("t_emb_rb_buckets")
+        assert (spark.table("t_emb_rb_buckets").count()
+                == 2 * spark.table("t_emb_rb_vecs").count())
+
+        # pre-commit crash: staged keys but NO staged meta -> discarded,
+        # live geometry still answers identically
+        spark.table("t_emb_rb_buckets").limit(3).write.mode("overwrite") \
+            .saveAsTable("t_emb_rb_buckets__rebucket")
+        reopened = EmbeddingIndex(spark, "t_emb_rb")
+        assert not spark.catalog.tableExists("t_emb_rb_buckets__rebucket")
+        assert reopened.params["n_planes"] == 8
+
+        # post-commit crash: BOTH stages present -> rolled forward
+        from dlx_spark.operators import similarity
+        import json as jsonlib
+        p2 = dict(reopened.params)
+        p2["n_planes"], p2["bands"] = 4, 1
+        keys2 = similarity.banded_lsh_keys(
+            spark.table("t_emb_rb_vecs"), 1, 4, p2["seed"],
+            vec_col="vec", id_col="id", dim=dim)
+        keys2.write.mode("overwrite").bucketBy(p2["n_buckets"], "bucket") \
+            .sortBy("bucket").saveAsTable("t_emb_rb_buckets__rebucket")
+        spark.createDataFrame([(jsonlib.dumps(p2),)], "params string") \
+            .write.mode("overwrite").saveAsTable("t_emb_rb_meta__rebucket")
+        rolled = EmbeddingIndex(spark, "t_emb_rb")
+        assert rolled.params["n_planes"] == 4 and rolled.params["bands"] == 1
+        assert not spark.catalog.tableExists("t_emb_rb_meta__rebucket")
+        assert not spark.catalog.tableExists("t_emb_rb_buckets__rebucket")
+        back = {(r["corpus_id"], r["batch_id"])
+                for r in rolled.probe(batch, threshold=0.9).collect()}
+        assert back  # the rolled-forward geometry answers
+    finally:
+        idx.drop()
+        fresh.drop()
+        for t in ("t_emb_rb_buckets__rebucket", "t_emb_rb_meta__rebucket"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
