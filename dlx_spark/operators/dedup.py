@@ -448,12 +448,19 @@ def check_simhash_hamming(max_hamming: int) -> None:
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                            max_hamming: int = 3, eager: bool = False) -> DataFrame:
+                            max_hamming: int = 3, eager: bool = False,
+                            bucket_cap: int | None = 1000) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Candidate generation: 4 × 16-bit band keys — two fingerprints within
     hamming 3 must agree on at least one band (pigeonhole), so the join
     is an equi-join on (band, 16-bit slice), never a cross join.
+    ``bucket_cap`` (default 1000; ``None`` = uncapped, the oracle-parity
+    mode) bounds mega-bucket expansion with verified CHAIN edges the
+    same way the minhash/embedding families do — a raw corpus with m
+    near-identical docs co-buckets them in every band, and the m²/2
+    true-pair output is itself the blow-up; see
+    ``simhash_pairs_from_fingerprints``.
     ``eager=True``: materialize via eager localCheckpoint instead of
     cache() (GC-reclaimed — for per-micro-batch callers)."""
     check_simhash_hamming(max_hamming)
@@ -461,18 +468,36 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
     # materialize it so the (pure JVM) aggregate pass runs once
     fps = simhash_fingerprints(df, text_col, id_col)
     fps = fps.localCheckpoint(eager=True) if eager else fps.cache()
-    return simhash_pairs_from_fingerprints(fps, max_hamming)
+    return simhash_pairs_from_fingerprints(fps, max_hamming, bucket_cap)
 
 
 def simhash_pairs_from_fingerprints(fps: DataFrame,
-                                    max_hamming: int = 3) -> DataFrame:
+                                    max_hamming: int = 3,
+                                    bucket_cap: int | None = 1000) -> DataFrame:
     """``simhash_near_duplicates`` from a PRECOMPUTED ``(id, simhash)``
     relation (band keys are a cheap projection of the fingerprint, so
     only the text→fingerprint aggregate is worth reusing).  Pass a
-    materialized relation — it feeds both sides of the self-join."""
+    materialized relation — it feeds both sides of the self-join.
+
+    ``bucket_cap`` bounds mega-buckets: a (band, key) group over the cap
+    emits hamming-verified chain edges in (simhash, id) order instead of
+    the full m²/2 expansion — identical/near-identical fingerprints sort
+    adjacent, so each true sub-cluster stays connected while worst-case
+    output is linear (``CHAIN_WINDOW`` links per row absorb occasional
+    interleavers; a high-order fingerprint bit flip can still split a
+    chain — the same approximation class as the minhash chain)."""
     check_simhash_hamming(max_hamming)
     banded = simhash_band_keys(fps)
-    l, r = banded.alias("l"), banded.alias("r")
+
+    if bucket_cap is not None:
+        big = (banded.groupBy("band", "key")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > int(bucket_cap)).select("band", "key"))
+        small = banded.join(F.broadcast(big), ["band", "key"], "left_anti")
+    else:
+        big, small = None, banded
+
+    l, r = small.alias("l"), small.alias("r")
     pairs = (
         l.join(r, on=[F.col("l.band") == F.col("r.band"),
                       F.col("l.key") == F.col("r.key"),
@@ -481,11 +506,36 @@ def simhash_pairs_from_fingerprints(fps: DataFrame,
                 F.col("l.simhash").alias("fp_a"), F.col("r.simhash").alias("fp_b"))
         .distinct()
     )
-    return (
+    verified = (
         pairs.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if big is None:
+        return verified
+
+    from pyspark.sql import Window
+
+    from dlx_spark.operators.similarity import CHAIN_WINDOW
+
+    mega = banded.join(F.broadcast(big), ["band", "key"], "left_semi")
+    w = Window.partitionBy("band", "key").orderBy("simhash", "id")
+    prevs = F.array(*[F.struct(F.lag("id", k).over(w).alias("pid"),
+                               F.lag("simhash", k).over(w).alias("pfp"))
+                      for k in range(1, CHAIN_WINDOW + 1)])
+    chain = (
+        mega.withColumn("_prevs", prevs)
+        .select("id", "simhash", F.explode("_prevs").alias("p"))
+        .filter(F.col("p.pid").isNotNull())
+        .select(F.least("p.pid", "id").alias("id_a"),
+                F.greatest("p.pid", "id").alias("id_b"),
+                F.bit_count(F.col("p.pfp").bitwiseXOR(F.col("simhash")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming))
+    # a pair can surface through both paths / several bands; hamming is
+    # a pure function of the two fingerprints, so min() just dedups
+    return (verified.unionByName(chain)
+            .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
 
 
 # ---------------------------------------------------------------------------

@@ -539,12 +539,15 @@ class SimHashIndex:
         _be().append(rows, f"{self.name}_fps", "key", p["n_buckets"])
 
     def dedup_batch(self, batch: DataFrame, max_hamming: int = 3,
-                    replay_safe: bool = False) -> DataFrame:
+                    replay_safe: bool = False,
+                    bucket_cap: int | None = 1000) -> DataFrame:
         """Drop batch docs within ``max_hamming`` of the corpus, then
         hamming-dedup the remainder against itself (min-id survivor per
         connected component), append survivors, return the clean batch.
         Greedy-prefix semantics vs a full-corpus run: see
-        ``MinHashIndex.dedup_batch``."""
+        ``MinHashIndex.dedup_batch``.  ``bucket_cap`` bounds intra-batch
+        mega-bucket expansion with verified chain edges (see
+        ``simhash_pairs_from_fingerprints``); ``None`` = uncapped."""
         p = self.params
         id_col = p["id_col"]
         # ONE fingerprint pass for the whole increment (see
@@ -563,7 +566,8 @@ class SimHashIndex:
                              "id", "left_semi")
 
         intra = dedup.simhash_pairs_from_fingerprints(
-            _fps_of(remaining).select("id", "simhash").distinct(), max_hamming)
+            _fps_of(remaining).select("id", "simhash").distinct(), max_hamming,
+            bucket_cap)
         clean = dedup.dedup_near(remaining, intra, id_col).localCheckpoint(eager=True)
         self.append(clean, if_absent=replay_safe, banded_fps=_fps_of(clean))
         return clean

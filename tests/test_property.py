@@ -348,3 +348,53 @@ def test_capped_cosine_chain_cluster_equivalence_randomized(spark):
     fullb = clusters(cosine_near_duplicates(df, bucket_cap=None, **kwb))
     cappedb = clusters(cosine_near_duplicates(df, bucket_cap=3, **kwb))
     assert cappedb == fullb
+
+
+def test_capped_simhash_chain_cluster_equivalence_randomized(spark):
+    """SimHash port of the capped-chain suite: planted near-identical
+    clusters (the mega-bucket generator for hamming LSH — identical
+    fingerprints co-bucket in every band) must produce the SAME dedup
+    clusters capped as uncapped, with linear capped output."""
+    import random
+
+    from dlx_spark.operators.dedup import (connected_components,
+                                           simhash_near_duplicates)
+
+    rng = random.Random(37)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    docs = []
+    next_id = 0
+    # one big identical cluster (40 exact clones — the mega-bucket
+    # case: hamming 0, co-bucketed in every band) plus smaller
+    # identical clusters and background
+    for size in (40, 6, 3):
+        base = " ".join(rng.sample(vocab, 30))
+        for _ in range(size):
+            docs.append((next_id, base))
+            next_id += 1
+    for _ in range(50):
+        docs.append((next_id, " ".join(rng.sample(vocab, 30))))
+        next_id += 1
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def clusters(pairs):
+        comp = connected_components(pairs.select("id_a", "id_b"))
+        out = {}
+        for r in comp.collect():
+            out.setdefault(r["component"], set()).add(r["id"])
+        return {frozenset(v) for v in out.values()}
+
+    full_pairs = simhash_near_duplicates(df, max_hamming=3, bucket_cap=None)
+    capped_pairs = simhash_near_duplicates(df, max_hamming=3, bucket_cap=8)
+    full_rows = full_pairs.collect()
+    capped_rows = capped_pairs.collect()
+    # capped is a verified subset with identical hamming values
+    f = {(r["id_a"], r["id_b"]): r["hamming"] for r in full_rows}
+    c = {(r["id_a"], r["id_b"]): r["hamming"] for r in capped_rows}
+    assert set(c) <= set(f) and all(f[p] == c[p] for p in c)
+    # the 40-doc cluster alone contributes >= 40*39/2 uncapped pairs;
+    # capped output stays linear in cluster size
+    assert len(f) >= 40 * 39 / 2
+    assert len(c) < 8 * next_id
+    assert clusters(capped_pairs) == clusters(full_pairs)
