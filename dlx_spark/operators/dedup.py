@@ -698,14 +698,28 @@ def dedup_near(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 # N-gram Jaccard (exact, blocked)
 # ---------------------------------------------------------------------------
 
+_JACCARD_LR = ("size(array_intersect(l_toks, r_toks))"
+               " / size(array_union(l_toks, r_toks))")
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        threshold: float = 0.5, block_on_lang: str | None = "lang") -> DataFrame:
+                        threshold: float = 0.5, block_on_lang: str | None = "lang",
+                        block_cap: int | None = 1000) -> DataFrame:
     """Exact word-set Jaccard over a blocked self-join.
 
     Blocking key: (language, length bucket, first token) — cheap,
     high-precision blocking that keeps the join linear-ish.  Exact
     Jaccard via array_intersect/array_union on distinct token arrays.
     Returns (id_a, id_b, jaccard ≥ threshold).
+
+    ``block_cap`` (default 1000; ``None`` = uncapped, the oracle-parity
+    mode) bounds mega-block expansion the same way the minhash /
+    simhash / embedding families do: a block with m near-identical
+    members would pay m²/2 exact-Jaccard evaluations AND emit a
+    quadratic true-pair set; over-cap blocks instead emit
+    Jaccard-verified CHAIN edges in sorted-token-array order (identical
+    token sets sort adjacent; ``CHAIN_WINDOW`` links per row absorb
+    interleavers) — linear output and compute.
 
     Recall is bounded by the blocking, not the Jaccard math: a near-dup
     pair whose FIRST token differs (or whose lengths straddle a log2
@@ -723,14 +737,48 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.floor(F.log2(F.size(toks) + 1)).alias("blk_len"),
         F.element_at(toks, 1).alias("blk_tok"),
     )
-    l, r = prepared.alias("l"), prepared.alias("r")
-    return (
-        l.join(r, on=[F.col("l.blk_lang") == F.col("r.blk_lang"),
-                      F.col("l.blk_len") == F.col("r.blk_len"),
-                      F.col("l.blk_tok") == F.col("r.blk_tok"),
-                      F.col("l.id") < F.col("r.id")])
+    blk = ["blk_lang", "blk_len", "blk_tok"]
+
+    if block_cap is not None:
+        big = (prepared.groupBy(*blk).agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > int(block_cap)).select(*blk))
+        small = prepared.join(F.broadcast(big), blk, "left_anti")
+    else:
+        big, small = None, prepared
+
+    l, r = small.alias("l"), small.alias("r")
+    pairs = (
+        l.join(r, on=[F.col(f"l.{c}") == F.col(f"r.{c}") for c in blk]
+               + [F.col("l.id") < F.col("r.id")])
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                 (F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks"))) /
                  F.size(F.array_union(F.col("l.toks"), F.col("r.toks")))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if big is None:
+        return pairs
+
+    from pyspark.sql import Window
+
+    from dlx_spark.operators.similarity import CHAIN_WINDOW
+
+    # mega-blocks: chain edges in sorted-token-array order (a doc
+    # belongs to exactly ONE block, so the two paths never emit the
+    # same pair — plain union, no dedupe needed)
+    mega = (prepared.join(F.broadcast(big), blk, "left_semi")
+            .withColumn("osort", F.sort_array("toks")))
+    w = Window.partitionBy(*blk).orderBy("osort", "id")
+    prevs = F.array(*[F.struct(F.lag("id", k).over(w).alias("pid"),
+                               F.lag("toks", k).over(w).alias("ptoks"))
+                      for k in range(1, CHAIN_WINDOW + 1)])
+    chain = (
+        mega.withColumn("_prevs", prevs)
+        .select("id", "toks", F.explode("_prevs").alias("p"))
+        .filter(F.col("p.pid").isNotNull())
+        .select(F.least("p.pid", "id").alias("id_a"),
+                F.greatest("p.pid", "id").alias("id_b"),
+                F.col("p.ptoks").alias("l_toks"), F.col("toks").alias("r_toks"))
+        .withColumn("jaccard", F.expr(_JACCARD_LR))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"))
+    return pairs.unionByName(chain)

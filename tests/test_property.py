@@ -398,3 +398,46 @@ def test_capped_simhash_chain_cluster_equivalence_randomized(spark):
     assert len(f) >= 40 * 39 / 2
     assert len(c) < 8 * next_id
     assert clusters(capped_pairs) == clusters(full_pairs)
+
+
+def test_capped_jaccard_chain_cluster_equivalence_randomized(spark):
+    """n-gram Jaccard port of the capped-chain suite: an identical-doc
+    mega-BLOCK (same lang/length/first-token, the quadratic case for
+    surface blocking) must produce the same dedup clusters capped as
+    uncapped, with linear capped output."""
+    import random
+
+    from dlx_spark.operators.dedup import (connected_components,
+                                           ngram_jaccard_pairs)
+
+    rng = random.Random(41)
+    vocab = [f"v{i:03d}" for i in range(300)]
+    docs = []
+    next_id = 0
+    for size in (35, 5, 2):
+        base = " ".join(["anchor"] + rng.sample(vocab, 20))
+        for _ in range(size):
+            docs.append((next_id, base, "en"))
+            next_id += 1
+    for _ in range(40):
+        docs.append((next_id, " ".join(["anchor"] + rng.sample(vocab, 20)),
+                     "en"))
+        next_id += 1
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+
+    def clusters(pairs):
+        comp = connected_components(pairs.select("id_a", "id_b"))
+        out = {}
+        for r in comp.collect():
+            out.setdefault(r["component"], set()).add(r["id"])
+        return {frozenset(v) for v in out.values()}
+
+    full = ngram_jaccard_pairs(df, threshold=0.9, block_cap=None)
+    capped = ngram_jaccard_pairs(df, threshold=0.9, block_cap=6)
+    f = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in full.collect()}
+    c = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in capped.collect()}
+    assert set(c) <= set(f) and all(f[p] == c[p] for p in c)
+    assert len(f) >= 35 * 34 / 2          # uncapped is quadratic
+    assert len(c) < 6 * next_id           # capped is linear
+    assert clusters(capped) == clusters(full)
