@@ -730,9 +730,14 @@ def simhash(spark, sf):
     """SimHash near-dup pairs (64-bit md5-token fingerprint, banded
     hamming join).  Fully oracle-checked: the oracle recomputes the
     fingerprints from scratch in SQL, so a regression anywhere in the
-    UDF, the banding, or the hamming filter fails the hash."""
+    UDF, the banding, or the hamming filter fails the hash.
+    ``bucket_cap=None`` pins the uncapped oracle-parity mode (exact
+    w.r.t. banding — same convention as the minhash oracle path); the
+    capped default's chain equivalence is property-locked in
+    tests/test_property.py."""
     docs = _t(spark, sf, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=3) \
+    return dedup.simhash_near_duplicates(docs, max_hamming=3,
+                                         bucket_cap=None) \
         .withColumn("hamming", F.col("hamming").cast("long"))
 
 

@@ -489,36 +489,38 @@ def simhash_pairs_from_fingerprints(fps: DataFrame,
     check_simhash_hamming(max_hamming)
     banded = simhash_band_keys(fps)
 
-    if bucket_cap is not None:
-        big = (banded.groupBy("band", "key")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .filter(F.col("_n") > int(bucket_cap)).select("band", "key"))
-        small = banded.join(F.broadcast(big), ["band", "key"], "left_anti")
-    else:
-        big, small = None, banded
+    def pairs_over(rel) -> DataFrame:
+        l, r = rel.alias("l"), rel.alias("r")
+        return (
+            l.join(r, on=[F.col("l.band") == F.col("r.band"),
+                          F.col("l.key") == F.col("r.key"),
+                          F.col("l.id") < F.col("r.id")])
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.simhash").alias("fp_a"),
+                    F.col("r.simhash").alias("fp_b"))
+            .distinct()
+            .withColumn("hamming",
+                        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
-    l, r = small.alias("l"), small.alias("r")
-    pairs = (
-        l.join(r, on=[F.col("l.band") == F.col("r.band"),
-                      F.col("l.key") == F.col("r.key"),
-                      F.col("l.id") < F.col("r.id")])
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.simhash").alias("fp_a"), F.col("r.simhash").alias("fp_b"))
-        .distinct()
-    )
-    verified = (
-        pairs.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    if big is None:
-        return verified
+    if bucket_cap is None:
+        return pairs_over(banded)
 
     from pyspark.sql import Window
 
     from dlx_spark.operators.similarity import CHAIN_WINDOW
 
-    mega = banded.join(F.broadcast(big), ["band", "key"], "left_semi")
+    # ONE window shuffle sizes every bucket; the small-side self-join
+    # then reuses that (band, key) partitioning, so the cap costs no
+    # extra scan branches (the agg+broadcast+anti formulation computed
+    # the banded relation three times)
+    sized = banded.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
+    small = sized.filter(F.col("_n") <= int(bucket_cap)).drop("_n")
+    mega = sized.filter(F.col("_n") > int(bucket_cap)).drop("_n")
+    verified = pairs_over(small)
+
     w = Window.partitionBy("band", "key").orderBy("simhash", "id")
     prevs = F.array(*[F.struct(F.lag("id", k).over(w).alias("pid"),
                                F.lag("simhash", k).over(w).alias("pfp"))
@@ -739,33 +741,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
     blk = ["blk_lang", "blk_len", "blk_tok"]
 
-    if block_cap is not None:
-        big = (prepared.groupBy(*blk).agg(F.count(F.lit(1)).alias("_n"))
-               .filter(F.col("_n") > int(block_cap)).select(*blk))
-        small = prepared.join(F.broadcast(big), blk, "left_anti")
-    else:
-        big, small = None, prepared
+    def pairs_over(rel) -> DataFrame:
+        l, r = rel.alias("l"), rel.alias("r")
+        return (
+            l.join(r, on=[F.col(f"l.{c}") == F.col(f"r.{c}") for c in blk]
+                   + [F.col("l.id") < F.col("r.id")])
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    (F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks"))) /
+                     F.size(F.array_union(F.col("l.toks"), F.col("r.toks")))).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
-    l, r = small.alias("l"), small.alias("r")
-    pairs = (
-        l.join(r, on=[F.col(f"l.{c}") == F.col(f"r.{c}") for c in blk]
-               + [F.col("l.id") < F.col("r.id")])
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                (F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks"))) /
-                 F.size(F.array_union(F.col("l.toks"), F.col("r.toks")))).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
-    if big is None:
-        return pairs
+    if block_cap is None:
+        return pairs_over(prepared)
 
     from pyspark.sql import Window
 
     from dlx_spark.operators.similarity import CHAIN_WINDOW
 
+    # ONE window shuffle sizes every block; the small-side self-join
+    # reuses that partitioning (see simhash_pairs_from_fingerprints)
+    sized = prepared.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*blk)))
+    small = sized.filter(F.col("_n") <= int(block_cap)).drop("_n")
+    pairs = pairs_over(small)
+
     # mega-blocks: chain edges in sorted-token-array order (a doc
     # belongs to exactly ONE block, so the two paths never emit the
     # same pair — plain union, no dedupe needed)
-    mega = (prepared.join(F.broadcast(big), blk, "left_semi")
+    mega = (sized.filter(F.col("_n") > int(block_cap)).drop("_n")
             .withColumn("osort", F.sort_array("toks")))
     w = Window.partitionBy(*blk).orderBy("osort", "id")
     prevs = F.array(*[F.struct(F.lag("id", k).over(w).alias("pid"),

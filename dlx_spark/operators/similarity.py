@@ -321,11 +321,14 @@ def cosine_pairs_from_keys(bb: DataFrame, vecs: DataFrame, threshold: float,
         big = None
         small = bb
     else:
-        big = (bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-               .filter(F.col("_n") > int(bucket_cap)).select("band", "bucket"))
-        # mega-buckets need m rows agreeing on a whole band — the
-        # over-cap list is small; broadcast it to split without a shuffle
-        small = bb.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+        # ONE window shuffle sizes every bucket AND materializes the
+        # (map-side expensive) signature projection once; the small-path
+        # groupBy below reuses the (band, bucket) partitioning — the
+        # agg+broadcast+anti formulation computed bb three times
+        sized = bb.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")))
+        small = sized.filter(F.col("_n") <= int(bucket_cap)).drop("_n")
+        big = sized.filter(F.col("_n") > int(bucket_cap)).drop("_n")
 
     a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("pvec"))
     b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("cvec"))
@@ -370,7 +373,7 @@ def cosine_pairs_from_keys(bb: DataFrame, vecs: DataFrame, threshold: float,
     # (osig, id) order via lag() — no collect_list of the mega
     # membership, one window sort per bucket, verification inline (both
     # vectors already on the row), output ≤ CHAIN_WINDOW × bucket size
-    mega = bb.join(F.broadcast(big), ["band", "bucket"], "left_semi")
+    mega = big
     w = Window.partitionBy("band", "bucket").orderBy("osig", "id")
     prevs = F.array(*[F.struct(F.lag("id", k).over(w).alias("pid"),
                                F.lag("vec", k).over(w).alias("pv"))
