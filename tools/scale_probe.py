@@ -114,6 +114,72 @@ def skew_main() -> None:
     spark.stop()
 
 
+def capfamilies_main() -> None:
+    """Capped-vs-uncapped A/B for the three round-5 chain caps (simhash,
+    n-gram Jaccard, embedding cosine) on a planted dense cluster — the
+    measured counterpart of --skew's minhash numbers."""
+    n_clones = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark import get_spark
+    from dlx_spark.operators import dedup, similarity
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("capfamilies_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    clone = docs.orderBy("doc_id").first()
+    clones = (spark.range(n_clones)
+              .select((F.col("id") + 10_000_000).alias("doc_id"),
+                      F.lit(clone["text"]).alias("text"),
+                      F.lit(clone["lang"]).alias("lang")))
+    corpus = docs.unionByName(clones)
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    evec = emb.orderBy("vec_id").first()["embedding"]
+    eclones = (spark.range(n_clones)
+               .select((F.col("id") + 10_000_000).alias("vec_id"),
+                       F.lit(list(evec)).cast("array<double>")
+                       .alias("embedding")))
+    ecorpus = emb.unionByName(eclones)
+
+    workdir = tempfile.mkdtemp(prefix="dlx_spark_capf_")
+    try:
+        corpus.repartition(cpus).write.parquet(os.path.join(workdir, "docs"))
+        corpus = spark.read.parquet(os.path.join(workdir, "docs"))
+        ecorpus.repartition(cpus).write.parquet(os.path.join(workdir, "vecs"))
+        ecorpus = spark.read.parquet(os.path.join(workdir, "vecs"))
+
+        out = {"metric": "cap_families_probe", "n_clones": n_clones,
+               "n_docs": corpus.count(), "n_vecs": ecorpus.count()}
+
+        def ab(family, run):
+            t0 = _t.time(); n_u = run(None).count(); tu = _t.time() - t0
+            t0 = _t.time(); n_c = run(64).count(); tc = _t.time() - t0
+            out[family] = {"uncapped_pairs": n_u,
+                           "uncapped_sec": round(tu, 2),
+                           "capped_pairs": n_c, "capped_sec": round(tc, 2),
+                           "speedup": round(tu / tc, 1) if tc else None}
+
+        ab("simhash", lambda cap: dedup.simhash_near_duplicates(
+            corpus, max_hamming=3, bucket_cap=cap))
+        ab("ngram_jaccard", lambda cap: dedup.ngram_jaccard_pairs(
+            corpus, threshold=0.9, block_cap=cap))
+        ab("cosine", lambda cap: similarity.cosine_near_duplicates(
+            ecorpus, threshold=0.95, n_planes=8, dim=64, bucket_cap=cap))
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
 def incremental_main() -> None:
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
@@ -303,6 +369,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--embedding":
         embedding_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--capfamilies":
+        capfamilies_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
