@@ -539,6 +539,8 @@ class MarcStore:
             try:
                 payload = json.loads(fsio.read_text(self.spark, marker))
                 stage_name = payload["stage"]
+                if not isinstance(stage_name, str):
+                    raise TypeError("non-string stage in txn marker")
             except (ValueError, KeyError, TypeError):
                 # torn write (non-atomic rename schemes) or foreign
                 # content: never act on garbage — the interrupted commit

@@ -68,21 +68,36 @@ def write_lsh_index(df: DataFrame, path: str, n_planes: int = 8,
         if head is None:
             raise ValueError("df is empty and dim was not provided")
         dim = len(head[0])
-    keys = similarity.banded_lsh_keys(df, bands, n_planes, seed,
-                                      vec_col=vec_col, id_col=id_col, dim=dim)
-    rows = keys.join(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        "id")
+    # band keys and payload in ONE per-row projection (posexplode of the
+    # band signature array) — joining slim keys back to the vectors
+    # would pay a corpus-sized shuffle for rows a projection produces
+    planes = similarity.hyperplanes(dim, bands * n_planes, seed)
+    sigs = [similarity._signature_expr(
+        vec_col, planes[b * n_planes:(b + 1) * n_planes])
+        for b in range(bands)]
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                     F.posexplode(F.array(*sigs)).alias("band", "bucket"))
     rows.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
 
 
-def _query_band_buckets(query, n_planes: int, seed: int, bands: int,
-                        multiprobe_hamming: int) -> list[tuple[int, int]]:
-    """Driver-side (band, bucket) probe set for a query vector — the
-    planes are seeded, so this is pure arithmetic, no Spark job."""
+def _resolve_multiprobe(multiprobe_hamming: int | None, bands: int) -> int:
+    """``None`` (the probe defaults) resolves to hamming-1 for
+    single-band layouts and 0 for banded layouts — the two recall
+    levers are mutually exclusive, and a banded call must not trip over
+    the single-band convenience default."""
+    if multiprobe_hamming is None:
+        return 1 if bands == 1 else 0
     if bands > 1 and multiprobe_hamming:
         raise ValueError("multiprobe applies to single-band indexes; "
                          "use bands for recall")
+    return multiprobe_hamming
+
+
+def _query_band_buckets(query, n_planes: int, seed: int, bands: int,
+                        multiprobe_hamming: int | None) -> list[tuple[int, int]]:
+    """Driver-side (band, bucket) probe set for a query vector — the
+    planes are seeded, so this is pure arithmetic, no Spark job."""
+    multiprobe_hamming = _resolve_multiprobe(multiprobe_hamming, bands)
     q = np.asarray(query, dtype=np.float64)
     planes = similarity.hyperplanes(len(q), bands * n_planes, seed)
     out = []
@@ -101,20 +116,30 @@ def _query_band_buckets(query, n_planes: int, seed: int, bands: int,
 
 def probe_lsh_index(spark: SparkSession, path: str, query: list[float],
                     k: int = 10, n_planes: int = 8, seed: int = 42,
-                    multiprobe_hamming: int = 1, bands: int = 1) -> DataFrame:
+                    multiprobe_hamming: int | None = None,
+                    bands: int = 1) -> DataFrame:
     """Top-k over a written LSH index: compute the probe (band, bucket)
     set driver-side (hyperplanes are seeded), filter on the PARTITION
     columns so only matching directories are scanned, exact-rerank the
-    survivors.  ``bands``/``multiprobe_hamming`` must match the written
-    layout's recall mode (banded layouts store each vector once per
-    band; probing ORs one bucket per band)."""
+    survivors.  ``bands`` must match the written layout;
+    ``multiprobe_hamming`` defaults to 1 on single-band layouts and 0
+    on banded ones (the levers are mutually exclusive).  Indexes
+    written by the pre-banding layout (no ``band`` partition column)
+    are read as band 0."""
     pairs = _query_band_buckets(query, n_planes, seed, bands,
                                 multiprobe_hamming)
+    idx = spark.read.parquet(path)
+    if "band" not in idx.columns:       # pre-banding layout
+        if bands > 1:
+            raise ValueError(f"index at {path} has no band column "
+                             "(pre-banding layout) — rewrite it with "
+                             "write_lsh_index(bands=...) to probe banded")
+        idx = idx.withColumn("band", F.lit(0))
     cond = None
     for b, p in pairs:
         leg = (F.col("band") == b) & (F.col("bucket") == p)
         cond = leg if cond is None else (cond | leg)
-    idx = spark.read.parquet(path).filter(cond)
+    idx = idx.filter(cond)
     if bands > 1:
         # a vector can surface through several bands; fold before rerank
         idx = idx.select("id", "vec").dropDuplicates(["id"])
@@ -127,7 +152,7 @@ def probe_lsh_index(spark: SparkSession, path: str, query: list[float],
 def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
                        k: int = 5, n_planes: int = 8, seed: int = 42,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       multiprobe_hamming: int = 1,
+                       multiprobe_hamming: int | None = None,
                        dim: int | None = None,
                        bucket_cap: int | None = None,
                        bands: int = 1) -> DataFrame:
@@ -154,9 +179,7 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
     from itertools import combinations
     from math import comb
 
-    if bands > 1 and multiprobe_hamming:
-        raise ValueError("multiprobe applies to single-band indexes; "
-                         "use bands for recall")
+    multiprobe_hamming = _resolve_multiprobe(multiprobe_hamming, bands)
     n_masks = sum(comb(n_planes, i) for i in range(multiprobe_hamming + 1))
     if n_masks > 4096:
         raise ValueError(
@@ -186,13 +209,26 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
     else:
         p = p.withColumnRenamed("b0", "bucket")
 
-    idx = spark.read.parquet(path).select(
-        F.col("id").alias("corpus_id"), F.col("vec").alias("cvec"),
-        "band", "bucket")
+    idx = spark.read.parquet(path)
+    if "band" not in idx.columns:       # pre-banding layout
+        if bands > 1:
+            raise ValueError(f"index at {path} has no band column "
+                             "(pre-banding layout) — rewrite it with "
+                             "write_lsh_index(bands=...) to probe banded")
+        idx = idx.withColumn("band", F.lit(0))
+    idx = idx.select(F.col("id").alias("corpus_id"),
+                     F.col("vec").alias("cvec"), "band", "bucket")
     # ``bucket_cap``: per-bucket candidate budget against dense regions
     # (see similarity.knn_join) — bounds the probe-set × mega-bucket
-    # intermediate at the cost of possible recall, so off by default
+    # intermediate at the cost of possible recall, so off by default.
+    # Applied AFTER pruning to the probed buckets (semi-join on the
+    # broadcast probe keys preserves partition pruning): the rank order
+    # within a bucket is a pure function of its members, so capping the
+    # surviving buckets equals capping everything — without a
+    # full-index window shuffle
     if bucket_cap is not None:
+        idx = idx.join(F.broadcast(p.select("band", "bucket").distinct()),
+                       ["band", "bucket"], "left_semi")
         idx = similarity.cap_bucket_members(idx, ["band", "bucket"],
                                             "corpus_id", bucket_cap)
     # same self-match rule as knn_join (its pytest oracle): re-probing an
@@ -248,6 +284,12 @@ def refresh_ivf_index(spark: SparkSession, path: str, n_centroids: int = 16,
                                      sample_cap=sample_cap)
     staged = path + "__refresh"
     aside = path + "__old"
+    # clear any leftover aside BEFORE staging: once staging starts, an
+    # existing aside must mean THIS run reached the swap phase (stage
+    # complete) — otherwise a stale partial aside plus a crash mid
+    # staged-write would make recovery trust a partial stage and delete
+    # the only complete copy
+    fsio.rmtree(spark, aside)
     (similarity.ivf_assign(cur, cents, vec_col="embedding", id_col="vec_id")
      .write.mode("overwrite").partitionBy("list_id").parquet(staged))
     # rename-aside swap: the live index is MOVED (one atomic-per-scheme
@@ -257,7 +299,6 @@ def refresh_ivf_index(spark: SparkSession, path: str, n_centroids: int = 16,
     # the stage, the sole full post-image).  Readers racing the swap see
     # old-or-new, with a one-rename missing window instead of a
     # deletion-sized one.
-    fsio.rmtree(spark, aside)  # leftover from a crashed earlier swap
     fsio.rename(spark, path, aside)
     fsio.rename(spark, staged, path)
     fsio.rmtree(spark, aside)

@@ -616,7 +616,17 @@ class EmbeddingIndex:
         for suffix in ("_vecs", "_buckets"):
             _recover_compaction(spark, f"{name}{suffix}")
         self._recover_rebucket()
+        if (_be().exists(spark, f"{name}_vecs")
+                and not _be().exists(spark, f"{name}_buckets")):
+            raise RuntimeError(
+                f"index {name!r} uses the pre-round single-table layout "
+                "((id, vec, bucket), no _buckets table) — rebuild it with "
+                "EmbeddingIndex.create from the source vectors (the old "
+                "layout stored no ordering signature, so it cannot be "
+                "migrated in place)")
         self.params = _read_meta(spark, name)
+        # meta written before the banded layout carries no bands key
+        self.params.setdefault("bands", 1)
 
     def compact(self) -> None:
         _compact_table(self.spark, f"{self.name}_vecs", "id",

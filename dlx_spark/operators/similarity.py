@@ -435,8 +435,12 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.9,
                          "use bands for recall amplification instead")
     dim = dim if dim is not None else len(df.select(vec_col).first()[0])
     bb = banded_lsh_keys(df, bands, n_planes, seed, vec_col, id_col, dim)
+    # the kernel references vecs from several plan branches; a (lazy)
+    # cache keeps the scan + osig projection from re-running per branch
+    # without firing a job at plan-construction time
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                     _order_sig_expr(vec_col, order_planes(dim, seed)).alias("osig"))
+                     _order_sig_expr(vec_col, order_planes(dim, seed)).alias("osig")) \
+        .cache()
     masks = (multiprobe_masks(n_planes, multiprobe_hamming)
              if multiprobe_hamming else None)
     return cosine_pairs_from_keys(bb, vecs, threshold, bucket_cap, masks)

@@ -59,8 +59,11 @@ class ParquetTableBackend:
     def replace(self, spark: SparkSession, table: str, staged: str) -> None:
         """Publish ``staged`` as ``table``.  DROP + RENAME — not atomic;
         a crash between the two is repaired by ``recover_replace``
-        (the staged table holds the full post-image either way)."""
-        spark.sql(f"DROP TABLE {table}")
+        (the staged table holds the full post-image either way).
+        ``IF EXISTS`` on the drop makes the call itself re-entrant: a
+        recovery path that re-runs a replace which crashed after its
+        DROP must not fail on the already-missing table."""
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
 
     def recover_replace(self, spark: SparkSession, table: str,

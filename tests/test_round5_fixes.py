@@ -345,3 +345,95 @@ def test_table_backend_seam_routes_every_index_operation(spark):
             "replace", "drop"} <= ops
     tables = {t for _, t in rec.calls}
     assert "t_seam_idx_digests" in tables and "t_seam_idx_meta" in tables
+
+
+# ---------------------------------------------------------------------------
+# Self-review fixes: re-entrant replace, banded probe defaults, legacy layouts
+# ---------------------------------------------------------------------------
+
+def test_tableio_replace_is_reentrant_after_drop_crash(spark):
+    """A replace that crashed after its DROP but before the RENAME must
+    be re-runnable by recovery: the second call cannot fail on the
+    already-missing target table."""
+    from dlx_spark import tableio
+
+    be = tableio.ParquetTableBackend()
+    df = spark.createDataFrame([(1,)], "x long")
+    be.write_plain(df, "t_reent")
+    be.write_plain(df, "t_reent__stage")
+    spark.sql("DROP TABLE t_reent")          # simulate crash-after-DROP
+    be.replace(spark, "t_reent", "t_reent__stage")   # recovery re-runs
+    assert {r["x"] for r in be.read(spark, "t_reent").collect()} == {1}
+    assert not be.exists(spark, "t_reent__stage")
+    be.drop(spark, "t_reent")
+
+
+def test_banded_probe_defaults_do_not_conflict(spark, tmp_path):
+    """bands>1 with the DEFAULT multiprobe argument must work (the
+    single-band convenience default resolves to 0 for banded layouts
+    instead of raising)."""
+    import numpy as np
+    from dlx_spark.operators import bucketing
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "banded_defaults")
+    bucketing.write_lsh_index(df, path, n_planes=5, bands=3, dim=8)
+    q = rows[0][1]
+    got = bucketing.probe_lsh_index(spark, path, q, k=3, n_planes=5,
+                                    bands=3).collect()
+    assert rows[0][0] in {r["id"] for r in got}
+    probes = df.limit(5)
+    got2 = bucketing.knn_join_lsh_index(spark, path, probes, k=2,
+                                        n_planes=5, bands=3, dim=8)
+    assert got2.count() > 0
+    # explicit multiprobe with bands>1 still refuses
+    with pytest.raises(ValueError):
+        bucketing.probe_lsh_index(spark, path, q, bands=3,
+                                  multiprobe_hamming=1)
+
+
+def test_legacy_single_band_lsh_index_still_probes(spark, tmp_path):
+    """Indexes written by the pre-banding layout (no band column,
+    partitioned by bucket only) keep working through both probes, and
+    a banded probe against them raises a clear error."""
+    import numpy as np
+    from dlx_spark.operators import bucketing, similarity
+
+    rng = np.random.RandomState(6)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "legacy_lsh")
+    # the OLD layout: (id, bucket, vec) partitioned by bucket
+    (similarity.lsh_buckets(df, n_planes=5, dim=8)
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+    q = rows[0][1]
+    got = bucketing.probe_lsh_index(spark, path, q, k=3, n_planes=5).collect()
+    assert rows[0][0] in {r["id"] for r in got}
+    got2 = bucketing.knn_join_lsh_index(spark, path, df.limit(5), k=2,
+                                        n_planes=5, dim=8)
+    assert got2.count() > 0
+    with pytest.raises(ValueError):
+        bucketing.probe_lsh_index(spark, path, q, n_planes=5, bands=2)
+
+
+def test_embedding_index_legacy_layout_raises_clearly(spark):
+    """Opening an EmbeddingIndex whose tables predate the two-table
+    layout must raise a clear rebuild error, not probe a nonexistent
+    buckets table."""
+    from dlx_spark.operators.dedup_index import EmbeddingIndex, _write_meta
+
+    spark.createDataFrame([(1, [1.0, 0.0], 3)],
+                          "id long, vec array<double>, bucket long") \
+        .write.mode("overwrite").saveAsTable("t_legacy_emb_vecs")
+    _write_meta(spark, "t_legacy_emb",
+                {"vec_col": "embedding", "id_col": "vec_id",
+                 "n_planes": 8, "seed": 42, "dim": 2, "n_buckets": 32})
+    try:
+        with pytest.raises(RuntimeError, match="rebuild"):
+            EmbeddingIndex(spark, "t_legacy_emb")
+    finally:
+        for t in ("t_legacy_emb_vecs", "t_legacy_emb_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
