@@ -292,6 +292,11 @@ def refresh_ivf_index(spark: SparkSession, path: str, n_centroids: int = 16,
     fsio.rmtree(spark, aside)
     (similarity.ivf_assign(cur, cents, vec_col="embedding", id_col="vec_id")
      .write.mode("overwrite").partitionBy("list_id").parquet(staged))
+    # stage-complete marker: recovery only ever trusts a stage that
+    # carries it, making the decision locally provable instead of
+    # protocol-dependent (underscore-prefixed files are ignored by the
+    # parquet reader, so the marker rides along into the live path)
+    fsio.touch(spark, fsio.join(staged, "_STAGE_COMPLETE"))
     # rename-aside swap: the live index is MOVED (one atomic-per-scheme
     # rename), never deleted in place — at no point does a crash leave a
     # partially-deleted live dir as the only copy (rmtree(live) +
@@ -308,32 +313,42 @@ def refresh_ivf_index(spark: SparkSession, path: str, n_centroids: int = 16,
 def recover_ivf_index(spark: SparkSession, path: str) -> None:
     """Repair a refresh that crashed mid-swap.
 
-    With the rename-aside protocol, ``{path}__old`` existing means the
-    live index was already moved aside, so the staged copy (or the
-    already-published ``path``) is the authoritative post-image — prefer
-    it and drop the aside copy.  A stage WITHOUT the aside marker means
-    the crash predates the swap: the live index is intact and complete,
-    so the stale stage is dropped (re-run the refresh)."""
+    A stage is trusted ONLY when it carries its ``_STAGE_COMPLETE``
+    marker (touched after the staged write finishes) — recovery never
+    acts on a torn stage.  With the rename-aside protocol,
+    ``{path}__old`` existing means the live index was already moved
+    aside, so a COMPLETE stage (or the already-published ``path``) is
+    the authoritative post-image; an incomplete stage is dropped and
+    the aside copy restored.  Without the aside, a complete live index
+    always wins and a stale stage is dropped."""
     from dlx_spark import fsio
 
     staged = path + "__refresh"
     aside = path + "__old"
+    stage_ok = (fsio.exists(spark, staged)
+                and fsio.exists(spark, fsio.join(staged, "_STAGE_COMPLETE")))
     if fsio.exists(spark, aside):
-        # swap was in flight: publish the post-image
-        if fsio.exists(spark, staged):
+        if stage_ok:
+            # swap was in flight: publish the post-image
             fsio.rmtree(spark, path)  # cannot be complete mid-swap
             fsio.rename(spark, staged, path)
-        elif not fsio.exists(spark, path):
-            # no stage and no live: the aside copy is all we have —
-            # restore it (the refresh must be re-run)
-            fsio.rename(spark, aside, path)
-            return
+        else:
+            fsio.rmtree(spark, staged)  # torn stage: never act on it
+            if not fsio.exists(spark, path):
+                # the aside copy is all we have — restore it (the
+                # refresh must be re-run)
+                fsio.rename(spark, aside, path)
+                return
         fsio.rmtree(spark, aside)
     elif fsio.exists(spark, staged):
-        if not fsio.exists(spark, path):
+        if stage_ok and not fsio.exists(spark, path):
             fsio.rename(spark, staged, path)  # legacy-protocol tail case
-        else:
-            fsio.rmtree(spark, staged)  # pre-swap crash: live is intact
+        elif fsio.exists(spark, path):
+            # pre-swap crash (live intact) or torn stage: drop the stage
+            fsio.rmtree(spark, staged)
+        # else: an unmarked stage is the ONLY surviving copy (legacy
+        # pre-marker protocol) — never delete the last copy; leave it
+        # in place for manual inspection / a deliberate re-publish
 
 
 def probe_ivf_index(spark: SparkSession, path: str, centroids: np.ndarray,

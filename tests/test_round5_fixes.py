@@ -72,11 +72,29 @@ def test_recover_ivf_prefers_stage_when_aside_exists(spark, tmp_path):
 
     path = str(tmp_path / "idx")
     _write_idx(spark, path + "__refresh", [10, 11, 12])     # staged post-image
+    fsio.touch(spark, path + "__refresh/_STAGE_COMPLETE")
     _write_idx(spark, path + "__old", [1, 2, 3])            # moved-aside live
     bucketing.recover_ivf_index(spark, path)
     assert _idx_ids(spark, path) == {10, 11, 12}
     assert not fsio.exists(spark, path + "__old")
     assert not fsio.exists(spark, path + "__refresh")
+
+
+def test_recover_ivf_never_trusts_a_torn_stage(spark, tmp_path):
+    """A stage WITHOUT its _STAGE_COMPLETE marker is a torn write:
+    recovery must drop it and restore the aside copy rather than
+    publishing partial data — the decision is provable from the marker
+    alone, not from protocol reasoning about which crash produced the
+    state."""
+    from dlx_spark.operators import bucketing
+
+    path = str(tmp_path / "idx_torn")
+    _write_idx(spark, path + "__refresh", [10])              # torn stage
+    _write_idx(spark, path + "__old", [1, 2, 3])
+    bucketing.recover_ivf_index(spark, path)
+    assert _idx_ids(spark, path) == {1, 2, 3}                # aside restored
+    assert not fsio.exists(spark, path + "__refresh")
+    assert not fsio.exists(spark, path + "__old")
 
 
 def test_recover_ivf_drops_aside_after_publish(spark, tmp_path):
