@@ -1,0 +1,242 @@
+"""VersionedTableBackend: manifest-committed parquet tables — atomic
+single-rename commits, snapshot-isolated readers, optimistic-concurrency
+appends, provenance-proved replace recovery, time travel, vacuum.
+
+This is the transactional implementation of the tableio seam the README
+concurrency contract points to (the Delta-protocol stand-in on plain
+parquet); every test here exercises the backend either directly or
+through an unmodified index class from operators/dedup_index.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dlx_spark import fsio, tableio
+from dlx_spark.tableio_versioned import VersionedTableBackend
+
+
+@pytest.fixture
+def be(tmp_path):
+    return VersionedTableBackend(root=str(tmp_path / "vroot"))
+
+
+def _df(spark, rows, schema="id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_write_read_roundtrip_and_clustered_segments(spark, be):
+    df = _df(spark, [(i, f"doc {i}") for i in range(20)])
+    be.write(df, "t1", "id", 4)
+    got = sorted(r["id"] for r in be.read(spark, "t1").collect())
+    assert got == list(range(20))
+    assert be.exists(spark, "t1")
+    # exactly one committed manifest; segment written clustered into
+    # n_buckets files (hash-repartitioned by key)
+    assert be.versions(spark, "t1") == [1]
+    seg = be._read_manifest(spark, "t1", 1)["segments"][0]
+    parts = [n for n in fsio.listdir(spark, be._data_dir(spark, seg))
+             if n.startswith("part-")]
+    assert len(parts) == 4
+
+
+def test_append_and_snapshot_isolation(spark, be):
+    be.write(_df(spark, [(1, "a"), (2, "b")]), "t2", "id", 2)
+    snapshot = be.read(spark, "t2")        # resolved BEFORE the append
+    be.append(_df(spark, [(3, "c")]), "t2", "id", 2)
+    # the old DataFrame is pinned to version-1 segments
+    assert snapshot.count() == 2
+    assert be.read(spark, "t2").count() == 3
+    assert be.versions(spark, "t2") == [1, 2]
+
+
+def test_overwrite_keeps_old_reader_valid_and_time_travel(spark, be):
+    be.write(_df(spark, [(1, "old")]), "t3", "id", 1)
+    old_reader = be.read(spark, "t3")
+    be.write(_df(spark, [(2, "new"), (3, "new")]), "t3", "id", 1)
+    # reader across the overwrite: still the old rows, no dead files
+    assert [r["id"] for r in old_reader.collect()] == [1]
+    assert old_reader.count() == 1
+    assert be.read(spark, "t3").count() == 2
+    # time travel re-opens version 1 exactly
+    assert [r["id"] for r in
+            be.read_version(spark, "t3", 1).collect()] == [1]
+    with pytest.raises(FileNotFoundError):
+        be.read_version(spark, "t3", 99)
+
+
+def test_commit_retries_after_losing_version_race(spark, be):
+    """Optimistic concurrency: a competing writer's manifest landing
+    first makes the commit re-read the head and take the next number —
+    for appends, re-merging the fresh head's segment list."""
+    be.write(_df(spark, [(1, "a")]), "t4", "id", 1)
+    # simulate a concurrent append committing version 2 under us:
+    # write its segment through the backend, then hand-commit a manifest
+    other_seg = be._write_segment(spark, _df(spark, [(2, "b")]), "id", 1)
+    m1 = be._read_manifest(spark, "t4", 1)
+    fsio.write_text(spark, be._manifest_path(spark, "t4", 2), json.dumps(
+        {**m1, "version": 2, "segments": m1["segments"] + [other_seg]}))
+    be.append(_df(spark, [(3, "c")]), "t4", "id", 1)
+    assert be.versions(spark, "t4") == [1, 2, 3]
+    # the append merged onto the competing head: all three rows live
+    assert sorted(r["id"] for r in be.read(spark, "t4").collect()) == [1, 2, 3]
+
+
+def test_torn_tmp_ignored_and_corrupt_manifest_raises(spark, be):
+    be.write(_df(spark, [(1, "a")]), "t5", "id", 1)
+    # a crashed writer leaves only an invisible tmp — reads unaffected
+    fsio.write_text(spark, fsio.join(be._table_dir(spark, "t5"),
+                                     ".tmp-dead.json"), "{ torn")
+    assert be.read(spark, "t5").count() == 1
+    assert be.versions(spark, "t5") == [1]
+    # a torn COMMITTED manifest can only be external corruption: loud
+    fsio.write_text(spark, be._manifest_path(spark, "t5", 2), "{ torn")
+    with pytest.raises(ValueError, match="corrupt manifest"):
+        be.read(spark, "t5")
+
+
+def test_replace_is_atomic_and_recovery_is_provenance_proved(spark, be):
+    be.write(_df(spark, [(1, "live")]), "t6", "id", 1)
+    be.write(_df(spark, [(2, "staged"), (3, "staged")]), "t6__stage", "id", 1)
+    stage_commit_id = be._latest(spark, "t6__stage")[1]["id"]
+    live_reader = be.read(spark, "t6")
+    be.replace(spark, "t6", "t6__stage")
+    assert not be.exists(spark, "t6__stage")
+    assert sorted(r["id"] for r in be.read(spark, "t6").collect()) == [2, 3]
+    assert live_reader.count() == 1        # snapshot across the swap
+    # provenance keys on the stage's unique commit id (NOT its version:
+    # versions restart at 1 per stage generation)
+    v, m = be._latest(spark, "t6")
+    assert m["source"] == ["t6__stage", stage_commit_id]
+
+    # crash BEFORE the swap commit: stage present, no provenance.  This
+    # NEW stage generation also starts at version 1 — a version-keyed
+    # provenance check would wrongly match the earlier swap and discard
+    # the stage (the regression the commit-id fixes)
+    be.write(_df(spark, [(4, "s2")]), "t6__stage", "id", 1)
+    be.recover_replace(spark, "t6", "t6__stage")
+    assert [r["id"] for r in be.read(spark, "t6").collect()] == [4]
+    assert not be.exists(spark, "t6__stage")
+
+    # crash AFTER the swap commit but before the stage drop, with a
+    # later append already advancing the table: recovery must drop the
+    # stage WITHOUT rolling back the append
+    be.write(_df(spark, [(5, "s3")]), "t6__stage", "id", 1)
+    sm = be._latest(spark, "t6__stage")[1]
+    be._commit(spark, "t6", lambda latest: {
+        **{k: sm[k] for k in ("segments", "key", "n_buckets", "schema")},
+        "source": ["t6__stage", sm["id"]]})   # the swap commit, drop lost
+    be.append(_df(spark, [(6, "later")]), "t6", "id", 1)
+    be.recover_replace(spark, "t6", "t6__stage")
+    assert not be.exists(spark, "t6__stage")
+    assert sorted(r["id"] for r in be.read(spark, "t6").collect()) == [5, 6]
+
+
+def test_vacuum_reclaims_unreferenced_segments(spark, be):
+    be.write(_df(spark, [(1, "v1")]), "t7", "id", 1)
+    be.write(_df(spark, [(2, "v2")]), "t7", "id", 1)
+    seg_v1 = be._read_manifest(spark, "t7", 1)["segments"][0]
+    assert fsio.exists(spark, be._data_dir(spark, seg_v1))
+    deleted = be.vacuum(spark, keep_last=1)
+    assert seg_v1 in deleted
+    assert not fsio.exists(spark, be._data_dir(spark, seg_v1))
+    # current version unaffected; vacuumed version now a clear error
+    assert [r["id"] for r in be.read(spark, "t7").collect()] == [2]
+    with pytest.raises(FileNotFoundError):
+        be.read_version(spark, "t7", 1)
+
+
+def test_vacuum_keeps_segments_shared_via_replace(spark, be):
+    """replace() re-points the target at the stage's segments; after the
+    stage's manifests are dropped, vacuum must still see the segments as
+    referenced (by the target) and keep them."""
+    be.write(_df(spark, [(1, "live")]), "t8", "id", 1)
+    be.write(_df(spark, [(2, "staged")]), "t8__stage", "id", 1)
+    be.replace(spark, "t8", "t8__stage")
+    be.vacuum(spark, keep_last=1)
+    assert [r["id"] for r in be.read(spark, "t8").collect()] == [2]
+
+
+def test_empty_dataframe_roundtrip(spark, be):
+    df = _df(spark, [], "id long, text string").limit(0)
+    be.write_plain(df, "t9")
+    got = be.read(spark, "t9")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "text"]
+
+
+def test_drop_and_exists(spark, be):
+    be.write_plain(_df(spark, [(1, "a")]), "t10")
+    assert be.exists(spark, "t10")
+    be.drop(spark, "t10")
+    assert not be.exists(spark, "t10")
+    with pytest.raises(FileNotFoundError):
+        be.read(spark, "t10")
+
+
+def test_minhash_index_end_to_end_on_versioned_backend(spark, be, tmp_path):
+    """An unmodified MinHashIndex running entirely through the
+    versioned backend — create, dedup_batch, append-on-survive, reopen,
+    compact (exercises replace + recover seam) — must produce the same
+    survivors as the default parquet backend."""
+    from dlx_spark.operators.dedup_index import MinHashIndex
+
+    corpus = _df(spark, [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "an entirely different document about spark internals"),
+    ], "doc_id long, text string")
+    batch = _df(spark, [
+        (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+        (11, "novel content that matches nothing in the corpus"),
+    ], "doc_id long, text string")
+
+    def run(name):
+        idx = MinHashIndex.create(corpus, name, n_buckets=2)
+        clean = sorted(r["doc_id"] for r in
+                       idx.dedup_batch(batch, threshold=0.7).collect())
+        idx.compact()
+        reopened = MinHashIndex(spark, name)
+        # survivor 11 was appended: probing it again finds it present
+        again = sorted(r["doc_id"] for r in
+                       reopened.dedup_batch(batch, threshold=0.7).collect())
+        idx.drop()
+        return clean, again
+
+    tableio.set_backend(be)
+    try:
+        versioned = run("t_v_mh")
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
+    plain = run("t_p_mh")
+    assert versioned == plain == ([11], [])
+
+
+def test_digest_index_recovery_path_on_versioned_backend(spark, be):
+    """_recover_compaction through the versioned backend: a compaction
+    whose stage committed but whose publish was lost is finished by
+    provenance-checked recover_replace on the next open."""
+    from dlx_spark.operators.dedup_index import (
+        DigestIndex, _compact_table, _recover_compaction)
+
+    corpus = _df(spark, [(1, "alpha beta"), (2, "gamma delta")],
+                 "doc_id long, text string")
+    tableio.set_backend(be)
+    try:
+        DigestIndex.create(corpus, "t_v_dg", n_buckets=2)
+        # simulate the crash: stage the compacted copy but lose the swap
+        src = be.read(spark, "t_v_dg_digests")
+        be.write(src, "t_v_dg_digests__compact", "digest", 2)
+        _recover_compaction(spark, "t_v_dg_digests")
+        assert not be.exists(spark, "t_v_dg_digests__compact")
+        idx = DigestIndex(spark, "t_v_dg")
+        clean = sorted(r["doc_id"] for r in idx.dedup_batch(
+            _df(spark, [(5, "alpha beta"), (6, "zeta")],
+                "doc_id long, text string")).collect())
+        assert clean == [6]
+        # and a full normal compaction still works end-to-end
+        _compact_table(spark, "t_v_dg_digests", "digest", 2)
+        idx.drop()
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
