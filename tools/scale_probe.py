@@ -11,6 +11,7 @@ Usage: python tools/scale_probe.py [multiplier]
        python tools/scale_probe.py --skew [n_clones]
        python tools/scale_probe.py --incremental [multiplier]
        python tools/scale_probe.py --embedding [multiplier]
+       python tools/scale_probe.py --backend [multiplier]
 
 ``--embedding`` is the per-increment trend for the EmbeddingIndex (the
 4th index modality): the persisted index grows by one sf worth of
@@ -27,6 +28,15 @@ what a full re-run of minhash LSH over corpus+batch would cost.  The
 probe's cost should track the BATCH (plus a map-side scan of the
 compact index), not the corpus — the gap widens linearly with corpus
 size, which is exactly the 100 TB argument.
+
+``--backend`` prices the transactional table backend's documented
+trade-off (tableio_versioned.py): the same MinHashIndex lifecycle —
+create, probe, dedup_batch, compact — timed through the default
+bucketed-catalog backend (shuffle-free probes, single-writer) and the
+manifest-committed VersionedTableBackend (snapshot isolation +
+multi-writer appends, but path-based tables shuffle on probe joins).
+The delta per operation is what a deployment pays for transactions
+without Delta/Iceberg.
 
 ``--skew`` is the mega-bucket stress: it plants ``n_clones`` (default
 3000) identical documents in the sf corpus — every clone collides in
@@ -174,6 +184,96 @@ def capfamilies_main() -> None:
             corpus, threshold=0.9, block_cap=cap))
         ab("cosine", lambda cap: similarity.cosine_near_duplicates(
             ecorpus, threshold=0.95, n_planes=8, dim=64, bucket_cap=cap))
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
+def backend_main() -> None:
+    """Parquet-catalog vs versioned-manifest backend A/B on one
+    MinHashIndex lifecycle (see module docstring)."""
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark import get_spark, tableio
+    from dlx_spark.operators.dedup_index import MinHashIndex
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("backend_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    # shingle-disjoint replicas (same trick as --incremental): measure
+    # the backends, not a mult-fold duplicate explosion
+    def salted(df, i):
+        return df.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(F.split(F.col("text"), " "),
+                            lambda t: F.concat(t, F.lit(f"_{i}"))),
+                " ").alias("text"))
+
+    big = None
+    for i in range(mult):
+        d = salted(docs, i)
+        big = d if big is None else big.unionByName(d)
+
+    workdir = tempfile.mkdtemp(prefix="dlx_spark_be_")
+    try:
+        big.repartition(cpus).write.parquet(os.path.join(workdir, "corpus"))
+        corpus = spark.read.parquet(os.path.join(workdir, "corpus"))
+        n_corpus = corpus.count()
+        batch = salted(docs, 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(900_000_000))
+        batch.write.parquet(os.path.join(workdir, "batch"))
+        batch = spark.read.parquet(os.path.join(workdir, "batch"))
+        n_batch = batch.count()
+
+        out = {"metric": "backend_probe", "n_corpus": n_corpus,
+               "n_batch": n_batch, "multiplier": mult}
+
+        def lifecycle(label, backend):
+            tableio.set_backend(backend)
+            timings = {}
+            try:
+                t0 = time.time()
+                idx = MinHashIndex.create(corpus, "probe_be_idx")
+                timings["create_sec"] = round(time.time() - t0, 2)
+                try:
+                    t0 = time.time()
+                    timings["probe_links"] = idx.probe(
+                        batch, threshold=0.8).count()
+                    timings["probe_sec"] = round(time.time() - t0, 2)
+
+                    t0 = time.time()
+                    timings["dedup_clean"] = idx.dedup_batch(
+                        batch.withColumn("doc_id", F.col("doc_id") + 1),
+                        threshold=0.8).count()
+                    timings["dedup_batch_sec"] = round(time.time() - t0, 2)
+
+                    t0 = time.time()
+                    idx.compact()
+                    timings["compact_sec"] = round(time.time() - t0, 2)
+
+                    if isinstance(backend, VersionedTableBackend):
+                        t0 = time.time()
+                        n_vac = len(backend.vacuum(spark, keep_last=1))
+                        timings["vacuum_sec"] = round(time.time() - t0, 2)
+                        timings["vacuumed_segments"] = n_vac
+                finally:
+                    idx.drop()
+            finally:
+                tableio.set_backend(tableio.ParquetTableBackend())
+            out[label] = timings
+
+        lifecycle("parquet_catalog", tableio.ParquetTableBackend())
+        lifecycle("versioned_manifest", VersionedTableBackend(
+            root=os.path.join(workdir, "vroot")))
         print(json.dumps(out))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -372,6 +472,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--capfamilies":
         capfamilies_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--backend":
+        backend_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
