@@ -242,6 +242,68 @@ def test_minhash_index_end_to_end_on_versioned_backend(spark, be, tmp_path):
     assert versioned == plain == ([11], [])
 
 
+def test_embedding_index_rebucket_rollforward_on_versioned_backend(spark, be):
+    """The most protocol-heavy index path — EmbeddingIndex rebucket's
+    staged-keys + staged-meta commit point — through the versioned
+    backend: probe results match the default backend exactly, and a
+    crash after the meta commit rolls FORWARD on reopen."""
+    import random
+
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(100 + i, [x + 0.01 for x in base[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+
+    def probe_set(idx):
+        return {(r["corpus_id"], r["batch_id"], round(r["cosine"], 6))
+                for r in idx.probe(batch, threshold=0.95).collect()}
+
+    tableio.set_backend(be)
+    try:
+        idx = EmbeddingIndex.create(corpus, "t_v_emb", n_planes=4, dim=8)
+        got = probe_set(idx)
+        # rebucket commits through replace(): provenance-proved swap
+        idx.rebucket(n_planes=6, bands=2)
+        assert idx.params["n_planes"] == 6 and idx.params["bands"] == 2
+        rb = probe_set(EmbeddingIndex(spark, "t_v_emb"))
+        assert rb >= got and len(got) >= 5  # banding only widens recall
+
+        # crash AFTER the meta commit point: stage both tables through
+        # the backend, then reopen — must roll forward (keys then meta)
+        p_old = dict(idx.params)
+        p_old["n_planes"], p_old["bands"] = 4, 1
+        from dlx_spark.operators import similarity
+        keys = similarity.banded_lsh_keys(
+            be.read(spark, "t_v_emb_vecs"), 1, 4, p_old["seed"],
+            vec_col="vec", id_col="id", dim=8)
+        be.write(keys, "t_v_emb_buckets__rebucket", "bucket",
+                 p_old["n_buckets"])
+        be.write_plain(spark.createDataFrame(
+            [(json.dumps(p_old),)], "params string"),
+            "t_v_emb_meta__rebucket")
+        rolled = EmbeddingIndex(spark, "t_v_emb")
+        assert rolled.params["n_planes"] == 4 and rolled.params["bands"] == 1
+        assert not be.exists(spark, "t_v_emb_meta__rebucket")
+        assert not be.exists(spark, "t_v_emb_buckets__rebucket")
+        assert probe_set(rolled) and probe_set(rolled) <= rb
+        rolled.drop()
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
+
+    # cross-backend equivalence: same geometry, default backend
+    idx_p = EmbeddingIndex.create(corpus, "t_p_emb", n_planes=4, dim=8)
+    try:
+        assert probe_set(idx_p) == got
+    finally:
+        idx_p.drop()
+
+
 def test_digest_index_recovery_path_on_versioned_backend(spark, be):
     """_recover_compaction through the versioned backend: a compaction
     whose stage committed but whose publish was lost is finished by
