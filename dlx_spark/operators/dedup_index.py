@@ -93,6 +93,11 @@ def _compact_table(spark: SparkSession, table: str, key: str,
     conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     old = spark.conf.get(conf)
     spark.conf.set(conf, "false")
+    # snapshot token BEFORE resolving the source: appends landing while
+    # the compacted copy is written commute with compaction (their rows
+    # are simply not compacted yet), and a transactional backend merges
+    # them into the published version instead of dropping them
+    token = _be().snapshot_token(spark, table)
     try:
         src = _be().read(spark, table)
         if distinct:
@@ -105,7 +110,7 @@ def _compact_table(spark: SparkSession, table: str, key: str,
         _be().write(src, tmp, key, n_buckets)
     finally:
         spark.conf.set(conf, old)
-    _be().replace(spark, table, tmp)
+    _be().replace(spark, table, tmp, token=token, on_conflict="merge")
 
 
 def _recover_compaction(spark: SparkSession, table: str) -> None:
@@ -655,32 +660,65 @@ class EmbeddingIndex:
         p = dict(self.params)
         p["n_planes"] = int(n_planes or p["n_planes"])
         p["bands"] = int(bands or p["bands"])
+        # a concurrent append lands keys under the OLD geometry; unlike
+        # compaction those rows cannot be merged through the swap (they
+        # would be silently unfindable under the new planes), so the
+        # publish detects the conflict and fails the rebucket instead
+        token = _be().snapshot_token(self.spark, f"{self.name}_buckets")
         vecs = _be().read(self.spark, f"{self.name}_vecs")
         keys = similarity.banded_lsh_keys(vecs, p["bands"], p["n_planes"],
                                           p["seed"], vec_col="vec",
                                           id_col="id", dim=p["dim"])
         _be().write(keys, f"{self.name}_buckets__rebucket", "bucket",
                     p["n_buckets"])
+        # conflict check BEFORE the commit point: once the staged meta
+        # exists, a crash rolls the rebucket FORWARD on reopen — so
+        # refuse to arm the commit point if an append already landed
+        # (the publish itself re-checks; this narrows the crash window
+        # between a detected conflict and its stage cleanup)
+        if _be().snapshot_token(self.spark, f"{self.name}_buckets") != token:
+            _be().drop(self.spark, f"{self.name}_buckets__rebucket")
+            raise tableio.ConcurrentWriteError(
+                f"rebucket({self.name}): index was appended to while "
+                f"re-keying — re-run rebucket")
         # commit point: staged meta present => the new geometry WILL be
         # published (roll-forward); absent => staged keys are garbage
         _be().write_plain(
             self.spark.createDataFrame([(json.dumps(p),)], "params string"),
             f"{self.name}_meta__rebucket")
-        self._recover_rebucket()
+        try:
+            self._recover_rebucket(buckets_token=token)
+        except tableio.ConcurrentWriteError:
+            # leave the live index exactly as the concurrent writer
+            # sees it; the caller re-runs rebucket over the grown corpus
+            _be().drop(self.spark, f"{self.name}_meta__rebucket")
+            _be().drop(self.spark, f"{self.name}_buckets__rebucket")
+            raise
         self.params = _read_meta(self.spark, self.name)
 
-    def _recover_rebucket(self) -> None:
+    def _recover_rebucket(self, buckets_token=None) -> None:
         """Finish (or discard) an interrupted ``rebucket``: a staged
         meta table means the swap was committed — publish keys then
         meta, in that order, so a crash mid-recovery re-enters here; a
         staged key table WITHOUT the meta commit point is a dead stage
-        from a pre-commit crash and is dropped."""
+        from a pre-commit crash and is dropped.
+
+        ``buckets_token`` is only passed by the live ``rebucket`` call
+        (conflict-fail publish, see there); the reopen-recovery path
+        replays tokenlessly — the crashed protocol owns the table.
+        Residual window: an append landing in the instant between
+        rebucket's pre-commit-point conflict check and its publish,
+        combined with a crash before the conflict cleanup, is rolled
+        forward with that append's old-geometry keys dropped — on a
+        transactional backend, serialize rebucket against appends (or
+        re-run rebucket after) to exclude it."""
         spark = self.spark
         meta_stage = f"{self.name}_meta__rebucket"
         keys_stage = f"{self.name}_buckets__rebucket"
         if _be().exists(spark, meta_stage):
             if _be().exists(spark, keys_stage):
-                _be().replace(spark, f"{self.name}_buckets", keys_stage)
+                _be().replace(spark, f"{self.name}_buckets", keys_stage,
+                              token=buckets_token, on_conflict="fail")
             _be().replace(spark, f"{self.name}_meta", meta_stage)
         elif _be().exists(spark, keys_stage):
             _be().drop(spark, keys_stage)

@@ -21,6 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A ``replace(on_conflict="fail")`` found commits on the target
+    table that postdate the caller's ``snapshot_token`` — the staged
+    content was derived from a stale snapshot and publishing it would
+    discard the concurrent writes.  Re-derive the stage and retry."""
+
+
 class ParquetTableBackend:
     """Plain-parquet catalog tables: bucketed ``saveAsTable`` writes,
     non-atomic DROP+RENAME replace repaired by ``recover_replace`` on
@@ -70,13 +77,27 @@ class ParquetTableBackend:
     def drop(self, spark: SparkSession, table: str) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
-    def replace(self, spark: SparkSession, table: str, staged: str) -> None:
+    def snapshot_token(self, spark: SparkSession, table: str):
+        """Opaque marker of ``table``'s state as of now, to hand back to
+        ``replace`` so a transactional backend can detect/merge commits
+        that land while the caller derives its staged rewrite.  This
+        backend is single-writer by contract, so there is nothing to
+        capture: returns None."""
+        return None
+
+    def replace(self, spark: SparkSession, table: str, staged: str,
+                token=None, on_conflict: str = "merge") -> None:
         """Publish ``staged`` as ``table``.  DROP + RENAME — not atomic;
         a crash between the two is repaired by ``recover_replace``
-        (the staged table holds the full post-image either way).
+        (the staged table holds the full data either way).
         ``IF EXISTS`` on the drop makes the call itself re-entrant: a
         recovery path that re-runs a replace which crashed after its
-        DROP must not fail on the already-missing table."""
+        DROP must not fail on the already-missing table.
+
+        ``token``/``on_conflict`` are the transactional backends'
+        conflict-handling hooks (see ``snapshot_token``); the
+        single-writer parquet backend has no concurrent commits to
+        reconcile and ignores them."""
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
 

@@ -67,7 +67,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from dlx_spark import fsio
-from dlx_spark.tableio import ParquetTableBackend
+from dlx_spark.tableio import ConcurrentWriteError, ParquetTableBackend
 
 _MANIFEST_WIDTH = 10
 _MAX_COMMIT_RETRIES = 20
@@ -251,18 +251,64 @@ class VersionedTableBackend(ParquetTableBackend):
         pool (they may be shared with a replace target) until vacuum."""
         fsio.rmtree(spark, self._table_dir(spark, table))
 
-    def replace(self, spark: SparkSession, table: str, staged: str) -> None:
+    def snapshot_token(self, spark: SparkSession, table: str):
+        """The table's current segment list (None for a new table) —
+        capture BEFORE reading the snapshot a staged rewrite derives
+        from, and hand back to ``replace`` so it can reconcile commits
+        that landed in between."""
+        vs = self.versions(spark, table)
+        if not vs:
+            return None
+        return list(self._read_manifest(spark, table, vs[-1])["segments"])
+
+    def replace(self, spark: SparkSession, table: str, staged: str,
+                token=None, on_conflict: str = "merge") -> None:
         """Atomic metadata swap: commit ``staged``'s current segment
         list as ``table``'s next version, then drop the staged table's
         manifests.  The provenance recorded in the commit lets
         ``recover_replace`` prove which side of the commit a crash
-        happened on."""
+        happened on.
+
+        With a ``token`` (the segment list ``staged`` was derived
+        from), commits that advanced ``table`` past the token are
+        reconciled per ``on_conflict``:
+
+        - ``"merge"`` — segments the head gained since the token are
+          carried into the new version alongside the staged content.
+          Correct when the rewrite preserves content and concurrent
+          appends commute with it (compaction: the appended rows are
+          simply not compacted yet).
+        - ``"fail"`` — raise ConcurrentWriteError, leaving table and
+          stage untouched.  For rewrites that TRANSFORM content (e.g.
+          re-keying under a new geometry), where a concurrent append's
+          rows would be silently wrong after the swap.
+
+        Without a token, the staged content becomes the entire next
+        version — only correct when nothing else writes the table
+        (the recovery path's replay, where the crashed protocol owns
+        the table)."""
+        if on_conflict not in ("merge", "fail"):
+            raise ValueError(f"on_conflict must be merge|fail, "
+                             f"got {on_conflict!r}")
         _, manifest = self._latest(spark, staged)
-        self._commit(
-            spark, table,
-            lambda latest: {**{k: manifest[k] for k in
-                               ("segments", "key", "n_buckets", "schema")},
-                            "source": [staged, manifest["id"]]})
+        base = set(token or [])
+
+        def payload(latest):
+            head = list(latest["segments"]) if latest else []
+            gained = [s for s in head if s not in base]
+            if gained and token is not None and on_conflict == "fail":
+                raise ConcurrentWriteError(
+                    f"replace({table}): {len(gained)} segment(s) were "
+                    f"committed after the caller's snapshot — re-derive "
+                    f"the stage and retry")
+            doc = {k: manifest[k] for k in
+                   ("segments", "key", "n_buckets", "schema")}
+            if token is not None:
+                doc["segments"] = list(manifest["segments"]) + gained
+            doc["source"] = [staged, manifest["id"]]
+            return doc
+
+        self._commit(spark, table, payload)
         self.drop(spark, staged)
 
     def recover_replace(self, spark: SparkSession, table: str,
@@ -303,6 +349,23 @@ class VersionedTableBackend(ParquetTableBackend):
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         tables_dir = fsio.join(self.root(spark), "tables")
+        # First, finish crashed replaces whose staged-drop was lost: a
+        # stage whose CURRENT commit id is cited as a swap source by any
+        # manifest was published — drop it now.  Trimming first could
+        # delete the citing manifest while the stage survives, and the
+        # next recover_replace would then re-run the stale swap,
+        # rolling the table back over every post-swap commit.
+        cited: set[tuple[str, str]] = set()
+        for table in fsio.listdir(spark, tables_dir):
+            for v in self.versions(spark, table):
+                src = self._read_manifest(spark, table, v).get("source")
+                if src:
+                    cited.add((src[0], src[1]))
+        for table in fsio.listdir(spark, tables_dir):
+            vs = self.versions(spark, table)
+            if vs and (table, self._read_manifest(spark, table,
+                                                  vs[-1])["id"]) in cited:
+                self.drop(spark, table)
         referenced: set[str] = set()
         for table in fsio.listdir(spark, tables_dir):
             vs = self.versions(spark, table)

@@ -331,9 +331,11 @@ def test_table_backend_seam_routes_every_index_operation(spark):
             self.calls.append(("read", table))
             return super().read(spark, table)
 
-        def replace(self, spark, table, staged):
+        def replace(self, spark, table, staged, **kw):
+            # the seam's conflict-handling kwargs (token/on_conflict)
+            # must pass through overriding backends
             self.calls.append(("replace", table))
-            super().replace(spark, table, staged)
+            super().replace(spark, table, staged, **kw)
 
         def drop(self, spark, table):
             self.calls.append(("drop", table))

@@ -163,6 +163,131 @@ def test_replace_is_atomic_and_recovery_is_provenance_proved(spark, be):
     assert sorted(r["id"] for r in be.read(spark, "t6").collect()) == [5, 6]
 
 
+def test_replace_merges_concurrent_append_with_token(spark, be):
+    """Compaction-class replace: an append landing between the caller's
+    snapshot and the swap commit must survive the swap (merged into the
+    new version), not be silently dropped."""
+    be.write(_df(spark, [(1, "a"), (2, "b")]), "tm", "id", 1)
+    token = be.snapshot_token(spark, "tm")
+    staged = be.read(spark, "tm")          # the rewrite's source snapshot
+    be.write(staged, "tm__stage", "id", 1)
+    be.append(_df(spark, [(3, "concurrent")]), "tm", "id", 1)  # races in
+    be.replace(spark, "tm", "tm__stage", token=token, on_conflict="merge")
+    assert sorted(r["id"] for r in be.read(spark, "tm").collect()) == [1, 2, 3]
+
+
+def test_replace_fail_mode_raises_on_concurrent_append(spark, be):
+    from dlx_spark.tableio import ConcurrentWriteError
+
+    be.write(_df(spark, [(1, "a")]), "tf", "id", 1)
+    token = be.snapshot_token(spark, "tf")
+    be.write(be.read(spark, "tf"), "tf__stage", "id", 1)
+    be.append(_df(spark, [(2, "concurrent")]), "tf", "id", 1)
+    with pytest.raises(ConcurrentWriteError):
+        be.replace(spark, "tf", "tf__stage", token=token, on_conflict="fail")
+    # table and stage untouched by the failed swap
+    assert sorted(r["id"] for r in be.read(spark, "tf").collect()) == [1, 2]
+    assert be.exists(spark, "tf__stage")
+
+
+def test_compaction_keeps_append_racing_the_stage_build(spark, be):
+    """End-to-end through _compact_table: an append that lands while
+    the compacted copy is being written (injected via a backend hook on
+    the stage write) is merged through the swap."""
+    from dlx_spark.operators.dedup_index import _compact_table
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+
+    class RacingBackend(VersionedTableBackend):
+        def write(self, df, table, key, n_buckets):
+            if table.endswith("__compact") and not getattr(
+                    self, "_raced", False):
+                self._raced = True
+                self.append(_df(df.sparkSession, [(99, "raced")]),
+                            "tr", key, n_buckets)
+            super().write(df, table, key, n_buckets)
+
+    rb = RacingBackend(root=be._root)
+    rb.write(_df(spark, [(1, "a"), (1, "a"), (2, "b")]), "tr", "id", 2)
+    tableio.set_backend(rb)
+    try:
+        _compact_table(spark, "tr", "id", 2, distinct=True)
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
+    got = sorted(r["id"] for r in rb.read(spark, "tr").collect())
+    assert got == [1, 2, 99]   # dupes folded AND the raced row kept
+    assert rb._raced
+
+
+def test_rebucket_conflict_fails_clean_on_concurrent_append(spark, be):
+    """Appends do NOT commute with rebucket (their keys are under the
+    old geometry): a racing append must fail the rebucket, leave the
+    live index exactly as the appender sees it, and clean the stages."""
+    import random
+
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+    from dlx_spark.tableio import ConcurrentWriteError
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+
+    rng = random.Random(11)
+    vecs = [[rng.gauss(0, 1) for _ in range(6)] for _ in range(20)]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    extra = spark.createDataFrame([(500, vecs[0])],
+                                  "vec_id long, embedding array<double>")
+
+    class RacingBackend(VersionedTableBackend):
+        def write(self, df, table, key, n_buckets):
+            super().write(df, table, key, n_buckets)
+            if table.endswith("_buckets__rebucket") and not getattr(
+                    self, "_raced", False):
+                self._raced = True
+                idx_live = EmbeddingIndex(df.sparkSession, "t_rbc")
+                idx_live.append(extra)
+
+    rb = RacingBackend(root=be._root)
+    tableio.set_backend(rb)
+    try:
+        idx = EmbeddingIndex.create(corpus, "t_rbc", n_planes=4, dim=6)
+        with pytest.raises(ConcurrentWriteError):
+            idx.rebucket(n_planes=6)
+        assert rb._raced
+        # stages cleaned, live geometry unchanged, raced append present
+        assert not rb.exists(spark, "t_rbc_buckets__rebucket")
+        assert not rb.exists(spark, "t_rbc_meta__rebucket")
+        reopened = EmbeddingIndex(spark, "t_rbc")
+        assert reopened.params["n_planes"] == 4
+        assert rb.read(spark, "t_rbc_vecs").count() == 21
+        # the re-run (no race this time) succeeds
+        reopened.rebucket(n_planes=6)
+        assert EmbeddingIndex(spark, "t_rbc").params["n_planes"] == 6
+        reopened.drop()
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
+
+
+def test_vacuum_completes_crashed_replace_instead_of_eating_provenance(
+        spark, be):
+    """A replace that committed its swap but crashed before dropping
+    the stage, followed by an append and a vacuum: vacuum must not
+    delete the swap-commit manifest (the only provenance) while the
+    stage survives — it completes the crashed drop instead, so the next
+    recover_replace is a no-op and the append is preserved."""
+    be.write(_df(spark, [(1, "live")]), "tv", "id", 1)
+    be.write(_df(spark, [(2, "staged")]), "tv__stage", "id", 1)
+    sm = be._latest(spark, "tv__stage")[1]
+    # the swap commit, with the stage drop lost to a crash
+    be._commit(spark, "tv", lambda latest: {
+        **{k: sm[k] for k in ("segments", "key", "n_buckets", "schema")},
+        "source": ["tv__stage", sm["id"]]})
+    be.append(_df(spark, [(3, "later")]), "tv", "id", 1)
+    be.vacuum(spark, keep_last=1)
+    # vacuum finished the crashed drop; recovery finds nothing to do
+    assert not be.exists(spark, "tv__stage")
+    be.recover_replace(spark, "tv", "tv__stage")
+    assert sorted(r["id"] for r in be.read(spark, "tv").collect()) == [2, 3]
+
+
 def test_vacuum_reclaims_unreferenced_segments(spark, be):
     be.write(_df(spark, [(1, "v1")]), "t7", "id", 1)
     be.write(_df(spark, [(2, "v2")]), "t7", "id", 1)

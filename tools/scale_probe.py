@@ -190,6 +190,36 @@ def capfamilies_main() -> None:
     spark.stop()
 
 
+def _disjoint_corpus_and_batch(spark, docs, mult, cpus, workdir):
+    """Corpus = ``mult`` shingle-disjoint replicas of ``docs`` (every
+    token salted per replica — an unsalted replication is mult-fold
+    duplicated and the probes drown in the quadratic pair output
+    instead of measuring the machinery), parquet-materialized under
+    ``workdir``.  Batch = one replica with fresh ids, every doc an
+    exact clone of a corpus doc (full verify load, clean links).
+    Returns (corpus, batch) as re-read DataFrames."""
+    from pyspark.sql import functions as F
+
+    def salted(df, i):
+        return df.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(F.split(F.col("text"), " "),
+                            lambda t: F.concat(t, F.lit(f"_{i}"))),
+                " ").alias("text"))
+
+    big = None
+    for i in range(mult):
+        d = salted(docs, i)
+        big = d if big is None else big.unionByName(d)
+    big.repartition(cpus).write.parquet(os.path.join(workdir, "corpus"))
+    batch = salted(docs, 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(900_000_000))
+    batch.write.parquet(os.path.join(workdir, "batch"))
+    return (spark.read.parquet(os.path.join(workdir, "corpus")),
+            spark.read.parquet(os.path.join(workdir, "batch")))
+
+
 def backend_main() -> None:
     """Parquet-catalog vs versioned-manifest backend A/B on one
     MinHashIndex lifecycle (see module docstring)."""
@@ -208,30 +238,11 @@ def backend_main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
-    # shingle-disjoint replicas (same trick as --incremental): measure
-    # the backends, not a mult-fold duplicate explosion
-    def salted(df, i):
-        return df.select(
-            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
-            F.array_join(
-                F.transform(F.split(F.col("text"), " "),
-                            lambda t: F.concat(t, F.lit(f"_{i}"))),
-                " ").alias("text"))
-
-    big = None
-    for i in range(mult):
-        d = salted(docs, i)
-        big = d if big is None else big.unionByName(d)
-
     workdir = tempfile.mkdtemp(prefix="dlx_spark_be_")
     try:
-        big.repartition(cpus).write.parquet(os.path.join(workdir, "corpus"))
-        corpus = spark.read.parquet(os.path.join(workdir, "corpus"))
+        corpus, batch = _disjoint_corpus_and_batch(
+            spark, docs, mult, cpus, workdir)
         n_corpus = corpus.count()
-        batch = salted(docs, 0).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(900_000_000))
-        batch.write.parquet(os.path.join(workdir, "batch"))
-        batch = spark.read.parquet(os.path.join(workdir, "batch"))
         n_batch = batch.count()
 
         out = {"metric": "backend_probe", "n_corpus": n_corpus,
@@ -296,33 +307,11 @@ def incremental_main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
-    # salt every token per replica so replicas are shingle-disjoint —
-    # otherwise the corpus is mult-fold duplicated and BOTH runs drown
-    # in the quadratic pair output instead of measuring the recompute
-    def salted(df, i):
-        return df.select(
-            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
-            F.array_join(
-                F.transform(F.split(F.col("text"), " "),
-                            lambda t: F.concat(t, F.lit(f"_{i}"))),
-                " ").alias("text"))
-
-    big = None
-    for i in range(mult):
-        d = salted(docs, i)
-        big = d if big is None else big.unionByName(d)
-
     workdir = tempfile.mkdtemp(prefix="dlx_spark_incr_")
     try:
-        big.repartition(cpus).write.parquet(os.path.join(workdir, "corpus"))
-        corpus = spark.read.parquet(os.path.join(workdir, "corpus"))
+        corpus, batch = _disjoint_corpus_and_batch(
+            spark, docs, mult, cpus, workdir)
         n_corpus = corpus.count()
-        # the daily increment: one sf worth of docs, fresh ids, every one
-        # an exact clone of one corpus doc (full verify load, clean links)
-        batch = salted(docs, 0).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(900_000_000))
-        batch.write.parquet(os.path.join(workdir, "batch"))
-        batch = spark.read.parquet(os.path.join(workdir, "batch"))
         n_batch = batch.count()
 
         t0 = time.time()
