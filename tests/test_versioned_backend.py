@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from dlx_spark import fsio, tableio
 from dlx_spark.tableio_versioned import VersionedTableBackend
@@ -427,6 +428,65 @@ def test_embedding_index_rebucket_rollforward_on_versioned_backend(spark, be):
         assert probe_set(idx_p) == got
     finally:
         idx_p.drop()
+
+
+def test_streaming_ingest_appends_through_versioned_backend(
+        spark, be, tmp_path):
+    """The exactly-once streaming ingest (foreachBatch ->
+    MinHashIndex.dedup_batch) with the versioned backend installed:
+    cross-batch dedup works, every micro-batch append lands as a
+    manifest commit, and cross-session appends are visible WITHOUT a
+    catalog refresh (reads resolve the latest manifest each time —
+    the property the catalog backend needs refreshTable for)."""
+    import json as jsonlib
+
+    from dlx_spark.operators.dedup_index import MinHashIndex
+    from dlx_spark.streaming import neardedup_ingest_stream
+
+    corpus = _df(spark, [
+        (i, f"corpus document number {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(20)))
+        for i in range(20)
+    ], "doc_id long, text string")
+
+    tableio.set_backend(be)
+    try:
+        MinHashIndex.create(corpus, "t_v_stream", n_buckets=4)
+        v_before = be.versions(spark, "t_v_stream_sigs")[-1]
+        indir = tmp_path / "in"
+        indir.mkdir()
+        out = str(tmp_path / "clean")
+        # batch 1: one clone of corpus doc 0 (dropped) + one new doc
+        rows1 = [{"doc_id": 100, "text": corpus.collect()[0]["text"]},
+                 {"doc_id": 101, "text": " ".join(
+                     f"fresh{j}" for j in range(25))}]
+        (indir / "b1.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in rows1))
+        q = neardedup_ingest_stream(
+            spark, str(indir), "t_v_stream", out,
+            str(tmp_path / "ckpt"), threshold=0.7)
+        q.awaitTermination(120)
+        clean1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert clean1 == {101}
+        # batch 2: a clone of batch-1's survivor — cross-BATCH state
+        rows2 = [{"doc_id": 200, "text": rows1[1]["text"]}]
+        (indir / "b2.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in rows2))
+        q = neardedup_ingest_stream(
+            spark, str(indir), "t_v_stream", out,
+            str(tmp_path / "ckpt"), threshold=0.7)
+        q.awaitTermination(120)
+        clean2 = {r["doc_id"] for r in spark.read.parquet(out)
+                  .filter(F.col("batch") == 1).collect()}
+        assert clean2 == set()   # dropped against the appended survivor
+        # each committed micro-batch appended exactly one version; no
+        # refreshTable was ever issued (reads re-resolve manifests)
+        assert be.versions(spark, "t_v_stream_sigs")[-1] > v_before
+        idx = MinHashIndex(spark, "t_v_stream")
+        assert be.read(spark, "t_v_stream_sigs").count() == 21  # 20 + 101
+        idx.drop()
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
 
 
 def test_digest_index_recovery_path_on_versioned_backend(spark, be):
