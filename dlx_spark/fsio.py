@@ -32,6 +32,27 @@ Atomicity assumptions, per scheme:
   (Delta/Iceberg), which these protocols are the plain-parquet stand-in
   for.
 
+Those assumptions are not just documented — they are a SEAM.  Every
+publish in the package (marker files, the versioned backend's manifest
+commits) routes through a pluggable *commit scheme*
+(``set_commit_scheme``), the analog of Delta's LogStore abstraction:
+
+- ``HadoopRenameScheme`` (default) — plain Hadoop rename.  Correct on
+  atomic-rename filesystems (local, ``file://``, HDFS).
+- ``NonAtomicRenameScheme`` — rename as copy+delete, the object-store
+  semantic.  Declares ``atomic_publish=False`` (a crash can leave a TORN
+  destination) and ``atomic_put_if_absent=False`` (two racers can both
+  "succeed" — the lost-update hazard).  Consumers that need a real
+  commit point refuse this scheme loudly; marker protocols tolerate it
+  (a torn marker reads as garbage → "absent").  Carries fault-injection
+  hooks so the crash states are TESTABLE (tests/test_commit_schemes.py).
+- ``SingleDriverCASScheme`` — the copy+delete semantic plus a
+  driver-local mutex making ``put_if_absent`` atomic *within one
+  driver* — the S3SingleDriverLogStore analog, sufficient for a
+  single-driver deployment writing an object store.  Multi-driver
+  deployments need an external CAS (S3 conditional PUT / a
+  DynamoDB-style lock), exactly as in Delta's LogStore contract.
+
 All functions take the SparkSession first: the FileSystem instance comes
 from ``Path.getFileSystem(hadoopConfiguration)`` (cached by Hadoop per
 scheme+authority, so per-call resolution is cheap).
@@ -40,6 +61,7 @@ scheme+authority, so per-call resolution is cheap).
 from __future__ import annotations
 
 import posixpath
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -74,6 +96,14 @@ def exists(spark: SparkSession, path: str) -> bool:
     return _fs(spark, path).exists(_jpath(spark, path))
 
 
+def mtime(spark: SparkSession, path: str) -> float:
+    """Modification time in epoch seconds (for directories: of the
+    directory entry itself — local/HDFS update it when children are
+    created, so a freshly-written segment directory reads as fresh)."""
+    fs = _fs(spark, path)
+    return fs.getFileStatus(_jpath(spark, path)).getModificationTime() / 1000.0
+
+
 def is_dir(spark: SparkSession, path: str) -> bool:
     fs, p = _fs(spark, path), _jpath(spark, path)
     return fs.exists(p) and fs.getFileStatus(p).isDirectory()
@@ -99,17 +129,22 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
 
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     """Publish a small file all-or-nothing: write a ``.tmp`` sibling,
-    rename into place (atomic where the scheme's rename is — see module
-    docstring).  An existing destination is deleted first (Hadoop rename
-    never overwrites)."""
+    then publish it through the active commit scheme (a single rename on
+    the default scheme — atomic where the filesystem's rename is; see
+    module docstring).  An existing destination is replaced."""
     tmp = path + ".tmp"
     write_text(spark, tmp, text)
-    fs = _fs(spark, path)
-    dst = _jpath(spark, path)
-    if fs.exists(dst):
-        fs.delete(dst, False)
-    if not fs.rename(_jpath(spark, tmp), dst):
-        raise OSError(f"rename {tmp} -> {path} failed")
+    get_commit_scheme().publish_overwrite(spark, tmp, path)
+
+
+def put_if_absent(spark: SparkSession, tmp: str, dest: str) -> bool:
+    """Publish ``tmp`` as ``dest`` iff ``dest`` does not exist, through
+    the active commit scheme.  Returns True when this caller won (dest
+    is now its content), False when dest already existed (``tmp`` is
+    cleaned up either way).  Atomic only when the scheme declares
+    ``atomic_put_if_absent`` — callers that rely on it for a commit
+    point must check the flag and refuse (tableio_versioned does)."""
+    return get_commit_scheme().put_if_absent(spark, tmp, dest)
 
 
 def read_text(spark: SparkSession, path: str) -> str:
@@ -180,3 +215,155 @@ def qualified(spark: SparkSession, path: str) -> str:
     and ``file:///x`` all qualify to the same string)."""
     fs = _fs(spark, path)
     return fs.makeQualified(_jpath(spark, path)).toString()
+
+
+# --------------------------------------------------- commit schemes
+#
+# The LogStore-style seam: how a staged file BECOMES the published file.
+# See the module docstring for the scheme matrix.
+
+
+class HadoopRenameScheme:
+    """Default: publish = one Hadoop rename.  Atomic (and
+    fails-when-dest-exists, which is what makes ``put_if_absent`` a real
+    compare-and-swap) on local filesystems and HDFS."""
+
+    #: a crash during publish can never leave a torn destination
+    atomic_publish = True
+    #: two racers publishing the same dest get exactly one winner
+    atomic_put_if_absent = True
+
+    def commit_section(self):
+        """Context manager a commit protocol wraps around one whole
+        read-head→publish attempt.  Atomic-publish schemes need no
+        critical section (readers can never observe a half-published
+        file, so optimistic concurrency alone is sound): a no-op here.
+        Schemes whose publish can TEAR the destination serialize
+        commits through this instead — otherwise a concurrent
+        committer reading the head mid-copy would mistake a LIVE
+        commit for a crash remnant and commit past it (a lost update,
+        caught by the thread-race test in tests/test_commit_schemes.py
+        before this hook existed)."""
+        import contextlib
+        return contextlib.nullcontext()
+
+    def publish_overwrite(self, spark: SparkSession, tmp: str,
+                          dest: str) -> None:
+        """Replace ``dest`` with ``tmp``'s content.  Hadoop rename never
+        overwrites, so an existing dest is deleted first — opening the
+        one-round-trip marker-absent window the module docstring
+        documents (safe: all marker protocols treat absent as 'no
+        pending work')."""
+        rename(spark, tmp, dest, overwrite=True)
+
+    def put_if_absent(self, spark: SparkSession, tmp: str,
+                      dest: str) -> bool:
+        try:
+            rename(spark, tmp, dest)
+        except OSError:
+            remove(spark, tmp, missing_ok=True)
+            if exists(spark, dest):
+                return False         # lost the race — dest is the winner's
+            raise
+        return True
+
+
+class NonAtomicRenameScheme(HadoopRenameScheme):
+    """Object-store rename semantics: publish = copy + delete, two
+    separate operations with no atomicity between OR within them.  A
+    crash mid-copy leaves a TORN destination; a crash between copy and
+    delete leaves both files (complete dest + stale tmp); two
+    ``put_if_absent`` racers can both pass the existence check and both
+    "succeed", the second silently overwriting the first.
+
+    ``fault`` is the crash-injection hook: ``fault(event, path)`` is
+    invoked at every protocol point (``"pre_copy"``, ``"mid_copy"``,
+    ``"post_copy"``, ``"post_delete"``, and ``"checked_absent"`` on the
+    put-if-absent path) and crashes the operation by raising.  Tests
+    drive every torn state through it (tests/test_commit_schemes.py).
+    """
+
+    atomic_publish = False
+    atomic_put_if_absent = False
+
+    def __init__(self, fault=None):
+        self.fault = fault or (lambda event, path: None)
+
+    def _copy_delete(self, spark: SparkSession, tmp: str,
+                     dest: str) -> None:
+        text = read_text(spark, tmp)
+        self.fault("pre_copy", dest)
+        # the copy becomes visible progressively: a reader (or a crash)
+        # between these writes sees a torn destination, exactly the
+        # object-store hazard being simulated
+        write_text(spark, dest, text[: max(1, len(text) // 2)])
+        self.fault("mid_copy", dest)
+        write_text(spark, dest, text)
+        self.fault("post_copy", dest)
+        remove(spark, tmp, missing_ok=True)
+        self.fault("post_delete", dest)
+
+    def publish_overwrite(self, spark: SparkSession, tmp: str,
+                          dest: str) -> None:
+        self._copy_delete(spark, tmp, dest)
+
+    def put_if_absent(self, spark: SparkSession, tmp: str,
+                      dest: str) -> bool:
+        if exists(spark, dest):
+            remove(spark, tmp, missing_ok=True)
+            return False
+        # the check-then-copy window: another racer can land here too
+        self.fault("checked_absent", dest)
+        self._copy_delete(spark, tmp, dest)
+        return True
+
+
+class SingleDriverCASScheme(NonAtomicRenameScheme):
+    """Copy+delete publish plus a driver-local mutex around
+    ``put_if_absent`` — the check and the copy become atomic *within
+    one driver process*, which is exactly Delta's S3SingleDriverLogStore
+    contract: safe for any number of writer THREADS on one driver (the
+    local[...] / single-application deployment), NOT for concurrent
+    drivers.  Publish is still non-atomic (a crash can tear the
+    destination), so consumers must keep their torn-file handling on —
+    the versioned backend quarantines torn manifests under this scheme
+    (tableio_versioned)."""
+
+    atomic_put_if_absent = True
+
+    def __init__(self, fault=None):
+        super().__init__(fault)
+        # reentrant: commit_section holds it across a whole commit
+        # attempt, whose publish re-enters through put_if_absent
+        self._lock = threading.RLock()
+
+    def commit_section(self):
+        """Serialize whole commit attempts: with a tearable publish, a
+        committer must never read the table head while another writer
+        is mid-copy on it (it would misread the live commit as a crash
+        remnant and commit past it).  Same mutex as ``put_if_absent``,
+        so the mid-copy state is unobservable to other committers —
+        the S3SingleDriverLogStore behavior (log writes serialize
+        within the driver)."""
+        return self._lock
+
+    def put_if_absent(self, spark: SparkSession, tmp: str,
+                      dest: str) -> bool:
+        with self._lock:
+            return super().put_if_absent(spark, tmp, dest)
+
+
+_commit_scheme: HadoopRenameScheme = HadoopRenameScheme()
+
+
+def get_commit_scheme() -> HadoopRenameScheme:
+    return _commit_scheme
+
+
+def set_commit_scheme(scheme) -> None:
+    """Install a process-wide commit scheme (see module docstring).
+    Deployments whose warehouse lives on an object store install
+    ``SingleDriverCASScheme`` (single driver) or an external-CAS
+    implementation of the same interface (multi-driver)."""
+    global _commit_scheme
+    _commit_scheme = scheme

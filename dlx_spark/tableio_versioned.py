@@ -36,13 +36,24 @@ Performance ACID Table Storage over Cloud Object Stores", VLDB 2020):
   (finish the swap) from "crashed after" (just drop the stage) even
   when later appends have already advanced the target.
 
-Scheme caveat (same as fsio's): the single-rename commit is atomic on
-local filesystems and HDFS.  On ``s3a://`` a plain Hadoop rename is
-copy+delete and two racers can both "succeed"; production object-store
-deployments of this protocol require a CAS primitive (S3 conditional
-PUT / a DynamoDB-style lock), which is exactly what Delta's
-LogStore abstraction provides.  Run multi-writer workloads on a scheme
-with atomic rename.
+Scheme contract (TESTED, not just documented — tests/test_commit_schemes.py):
+the manifest publish routes through fsio's pluggable commit scheme, the
+analog of Delta's LogStore abstraction.  On atomic-rename filesystems
+(local, HDFS — the default ``HadoopRenameScheme``) the rename IS the
+CAS.  On object stores, where a plain rename is copy+delete and two
+racers can both "succeed", the backend REFUSES to commit through a
+scheme that does not declare ``atomic_put_if_absent`` (clear error at
+the first commit), and runs correctly through a CAS-capable scheme —
+``fsio.SingleDriverCASScheme`` (the S3SingleDriverLogStore analog:
+single-driver deployments) or an external-CAS implementation
+(multi-driver: S3 conditional PUT / a DynamoDB-style lock).  Under a
+scheme whose publish can TEAR the destination (``atomic_publish=False``)
+a torn manifest is provably an unacknowledged crash remnant — its
+writer never got success — so readers SKIP it and resolve the latest
+parseable version, writers allocate version numbers above it, and
+vacuum clears remnants once a later commit exists.  Under an
+atomic-publish scheme the same state can only be external corruption
+and stays a loud error.
 
 Trade-off vs the default backend: segments are written clustered
 (hash-repartitioned by the bucket key and sorted within partitions) so
@@ -53,14 +64,18 @@ exchange per probe; the default backend keeps the shuffle-free probes
 but stays single-writer.  (Delta/Iceberg recover the clustering benefit
 with their own mechanisms — Z-ordering, sorted manifests.)
 
-``vacuum`` must not run concurrently with writers (it may delete their
-in-flight tmp manifests, failing their commit) — the same retention
-contract as Delta's VACUUM.
+``vacuum`` is safe to run concurrently with writers under its default
+retention horizon (``min_age_seconds``): in-flight commits — a data
+segment not yet referenced by a manifest, a ``.tmp-*`` manifest not yet
+renamed — are younger than the horizon and left alone, the same
+retention contract as Delta's VACUUM.  ``min_age_seconds=0`` restores
+the writers-quiesced fast path.
 """
 
 from __future__ import annotations
 
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -132,41 +147,85 @@ class VersionedTableBackend(ParquetTableBackend):
             raise ValueError(f"corrupt manifest {path}: missing segments")
         return doc
 
+    def _manifest_or_none(self, spark: SparkSession, table: str,
+                          version: int) -> dict | None:
+        """``_read_manifest``, with the scheme-dependent torn-file rule:
+        under a non-atomic-publish commit scheme an unparseable manifest
+        is provably an UNACKNOWLEDGED crash remnant (the publisher only
+        returns success after the full copy), so it reads as None and
+        resolution falls back/skips; under an atomic scheme it can only
+        be external corruption and stays a loud ValueError."""
+        try:
+            return self._read_manifest(spark, table, version)
+        except ValueError:
+            if fsio.get_commit_scheme().atomic_publish:
+                raise
+            return None
+
     def _latest(self, spark: SparkSession, table: str) -> tuple[int, dict]:
         vs = self.versions(spark, table)
-        if not vs:
-            raise FileNotFoundError(f"versioned table {table} not found "
-                                    f"under {self.root(spark)}")
-        return vs[-1], self._read_manifest(spark, table, vs[-1])
+        for v in reversed(vs):
+            manifest = self._manifest_or_none(spark, table, v)
+            if manifest is not None:
+                return v, manifest
+        raise FileNotFoundError(f"versioned table {table} not found "
+                                f"under {self.root(spark)}")
 
     def _commit(self, spark: SparkSession, table: str, payload_fn) -> int:
         """Commit the next version of ``table``.  ``payload_fn(latest)``
         receives the current latest manifest (None for a new table) and
         returns the manifest dict to publish; it is re-invoked on every
         retry so appends re-merge onto the fresh head after losing a
-        race."""
+        race.
+
+        The publish is ``fsio.put_if_absent`` — a compare-and-swap on
+        the version-numbered name.  A scheme that cannot provide the CAS
+        (raw object-store rename: two racers can both "succeed",
+        silently losing one commit) is refused up front rather than
+        risking a lost update."""
+        scheme = fsio.get_commit_scheme()
+        if not scheme.atomic_put_if_absent:
+            raise RuntimeError(
+                f"versioned commit on {table}: the active commit scheme "
+                f"({type(scheme).__name__}) has no atomic put-if-absent, "
+                f"so two writers could both publish the same version and "
+                f"silently lose one commit.  Install a CAS-capable scheme "
+                f"(fsio.SingleDriverCASScheme for single-driver object-"
+                f"store deployments, or an external-CAS LogStore analog "
+                f"for multi-driver) via fsio.set_commit_scheme.")
         for _ in range(_MAX_COMMIT_RETRIES):
-            vs = self.versions(spark, table)
-            latest = self._read_manifest(spark, table, vs[-1]) if vs else None
-            version = (vs[-1] if vs else 0) + 1
-            doc = dict(payload_fn(latest))
-            doc["version"] = version
-            # globally-unique commit identity: version numbers restart
-            # at 1 whenever a (staged) table is dropped and rebuilt, so
-            # provenance tracking must not key on them
-            doc["id"] = uuid.uuid4().hex
-            dest = self._manifest_path(spark, table, version)
-            tmp = fsio.join(self._table_dir(spark, table),
-                            f".tmp-{uuid.uuid4().hex}.json")
-            fsio.write_text(spark, tmp, json.dumps(doc))
-            try:
-                fsio.rename(spark, tmp, dest)
-            except OSError:
-                fsio.remove(spark, tmp, missing_ok=True)
-                if fsio.exists(spark, dest):
-                    continue  # lost the version race — retry on new head
-                raise
-            return version
+            # one whole attempt (read head -> publish) runs inside the
+            # scheme's commit section: under a tearable publish, reading
+            # the head while another writer is mid-copy would misread a
+            # LIVE commit as a crash remnant and commit past it — the
+            # critical section makes that state unobservable to other
+            # committers (a no-op on atomic-publish schemes, where the
+            # optimistic retry below is all the coordination needed)
+            with scheme.commit_section():
+                vs = self.versions(spark, table)
+                latest = None
+                for v in reversed(vs):
+                    latest = self._manifest_or_none(spark, table, v)
+                    if latest is not None:
+                        break
+                # new versions are allocated above ALL existing names,
+                # torn remnants included — a remnant's number is never
+                # reused, so a reader can never confuse it with a live
+                # commit
+                version = (vs[-1] if vs else 0) + 1
+                doc = dict(payload_fn(latest))
+                doc["version"] = version
+                # globally-unique commit identity: version numbers
+                # restart at 1 whenever a (staged) table is dropped and
+                # rebuilt, so provenance tracking must not key on them
+                doc["id"] = uuid.uuid4().hex
+                dest = self._manifest_path(spark, table, version)
+                tmp = fsio.join(self._table_dir(spark, table),
+                                f".tmp-{uuid.uuid4().hex}.json")
+                fsio.write_text(spark, tmp, json.dumps(doc))
+                if fsio.put_if_absent(spark, tmp, dest):
+                    return version
+            # lost the version race — retry on the new head
         raise RuntimeError(
             f"versioned commit on {table}: lost {_MAX_COMMIT_RETRIES} "
             f"version races — contention too high")
@@ -227,8 +286,12 @@ class VersionedTableBackend(ParquetTableBackend):
             raise FileNotFoundError(
                 f"version {version} of {table} does not exist "
                 f"(vacuumed or never committed)")
-        return self._read_manifest_df(
-            spark, self._read_manifest(spark, table, version))
+        manifest = self._manifest_or_none(spark, table, version)
+        if manifest is None:
+            raise FileNotFoundError(
+                f"version {version} of {table} is a torn crash remnant "
+                f"(its commit was never acknowledged)")
+        return self._read_manifest_df(spark, manifest)
 
     def _read_manifest_df(self, spark: SparkSession,
                           manifest: dict) -> DataFrame:
@@ -256,10 +319,11 @@ class VersionedTableBackend(ParquetTableBackend):
         capture BEFORE reading the snapshot a staged rewrite derives
         from, and hand back to ``replace`` so it can reconcile commits
         that landed in between."""
-        vs = self.versions(spark, table)
-        if not vs:
+        try:
+            _, manifest = self._latest(spark, table)
+        except FileNotFoundError:
             return None
-        return list(self._read_manifest(spark, table, vs[-1])["segments"])
+        return list(manifest["segments"])
 
     def replace(self, spark: SparkSession, table: str, staged: str,
                 token=None, on_conflict: str = "merge") -> None:
@@ -330,9 +394,16 @@ class VersionedTableBackend(ParquetTableBackend):
         silently discard it."""
         if not self.exists(spark, staged):
             return
-        _, staged_manifest = self._latest(spark, staged)
+        try:
+            _, staged_manifest = self._latest(spark, staged)
+        except FileNotFoundError:
+            # the stage's only manifest is a torn remnant — its commit
+            # never completed, so there is nothing publishable: clear it
+            self.drop(spark, staged)
+            return
         for v in reversed(self.versions(spark, table)):
-            if (self._read_manifest(spark, table, v).get("source")
+            manifest = self._manifest_or_none(spark, table, v)
+            if manifest is not None and (manifest.get("source")
                     == [staged, staged_manifest["id"]]):
                 self.drop(spark, staged)
                 return
@@ -340,14 +411,34 @@ class VersionedTableBackend(ParquetTableBackend):
 
     # --------------------------------------------------- maintenance
 
-    def vacuum(self, spark: SparkSession, keep_last: int = 1) -> list[str]:
-        """Reclaim space: retain only the last ``keep_last`` manifests
-        of every table, then delete data segments referenced by no
-        retained manifest.  Returns the deleted segment ids.  Must not
-        run concurrently with writers (it also clears their crash-
-        leftover ``.tmp-*`` manifests)."""
+    def vacuum(self, spark: SparkSession, keep_last: int = 1,
+               min_age_seconds: float = 3600.0) -> list[str]:
+        """Reclaim space: retain only the last ``keep_last`` committed
+        manifests of every table, then delete data segments referenced
+        by no retained manifest.  Returns the deleted segment ids.
+
+        ``min_age_seconds`` is the retention guard that makes vacuum
+        safe to run CONCURRENTLY with writers: an in-flight commit is
+        exactly (a) a data segment not yet referenced by any manifest
+        and (b) a ``.tmp-*`` manifest not yet renamed — both look like
+        garbage to a naive sweep.  Anything younger than the horizon is
+        left alone, so a vacuum can only reclaim state from commits that
+        have either completed (superseded versions) or been dead longer
+        than any plausible write (the same retention contract as Delta's
+        VACUUM).  Setting it to 0 restores the writers-quiesced fast
+        path.  Readers holding snapshots older than ``keep_last``
+        versions can still lose their files — retention bounds WRITER
+        safety; snapshot lifetime is bounded by vacuum policy."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        horizon = time.time() - min_age_seconds
+
+        def old_enough(path: str) -> bool:
+            try:
+                return fsio.mtime(spark, path) <= horizon
+            except Exception:
+                return False   # vanished under us — someone else's move
+
         tables_dir = fsio.join(self.root(spark), "tables")
         # First, finish crashed replaces whose staged-drop was lost: a
         # stage whose CURRENT commit id is cited as a swap source by any
@@ -358,30 +449,44 @@ class VersionedTableBackend(ParquetTableBackend):
         cited: set[tuple[str, str]] = set()
         for table in fsio.listdir(spark, tables_dir):
             for v in self.versions(spark, table):
-                src = self._read_manifest(spark, table, v).get("source")
+                manifest = self._manifest_or_none(spark, table, v)
+                src = manifest.get("source") if manifest else None
                 if src:
                     cited.add((src[0], src[1]))
         for table in fsio.listdir(spark, tables_dir):
-            vs = self.versions(spark, table)
-            if vs and (table, self._read_manifest(spark, table,
-                                                  vs[-1])["id"]) in cited:
+            try:
+                _, head = self._latest(spark, table)
+            except FileNotFoundError:
+                continue   # only torn remnants — handled below
+            if (table, head["id"]) in cited:
                 self.drop(spark, table)
         referenced: set[str] = set()
         for table in fsio.listdir(spark, tables_dir):
             vs = self.versions(spark, table)
-            for v in vs[:-keep_last]:
+            manifests = {v: self._manifest_or_none(spark, table, v)
+                         for v in vs}
+            live = [v for v in vs if manifests[v] is not None]
+            for v in live[:-keep_last]:
                 fsio.remove(spark, self._manifest_path(spark, table, v))
-            for v in vs[-keep_last:]:
-                referenced.update(
-                    self._read_manifest(spark, table, v)["segments"])
+            for v in live[-keep_last:]:
+                referenced.update(manifests[v]["segments"])
+            for v in vs:
+                # torn remnants below the committed head can never be
+                # read or re-targeted; age-gated like tmp files because
+                # under a live-writer vacuum a "torn" file may be a
+                # publish in progress
+                if (manifests[v] is None and live and v < live[-1]
+                        and old_enough(self._manifest_path(spark, table, v))):
+                    fsio.remove(spark, self._manifest_path(spark, table, v))
             for name in fsio.listdir(spark, self._table_dir(spark, table)):
-                if name.startswith(".tmp-"):
-                    fsio.remove(spark, fsio.join(
-                        self._table_dir(spark, table), name))
+                path = fsio.join(self._table_dir(spark, table), name)
+                if name.startswith(".tmp-") and old_enough(path):
+                    fsio.remove(spark, path)
         deleted = []
         data_dir = fsio.join(self.root(spark), "data")
         for seg in fsio.listdir(spark, data_dir):
-            if seg not in referenced:
-                fsio.rmtree(spark, fsio.join(data_dir, seg))
+            seg_dir = fsio.join(data_dir, seg)
+            if seg not in referenced and old_enough(seg_dir):
+                fsio.rmtree(spark, seg_dir)
                 deleted.append(seg)
         return deleted

@@ -1,0 +1,365 @@
+"""The commit-scheme seam (fsio): rename-as-commit protocols proved on a
+simulated NON-atomic-rename (object-store) filesystem, not just on
+local/HDFS.
+
+``NonAtomicRenameScheme`` implements publish as copy+delete with
+fault-injection hooks, reproducing the three object-store hazards the
+docs previously only described:
+
+- a crash mid-copy leaves a TORN destination;
+- a crash between copy and delete leaves a complete destination plus a
+  stale tmp;
+- two put-if-absent racers can both pass the existence check and both
+  "succeed" (the lost-update hazard).
+
+The tests here pin what each consumer does about them: marker protocols
+read torn markers as absent; the versioned backend REFUSES to commit
+without an atomic put-if-absent, runs its full lifecycle (incl. real
+thread races) through ``SingleDriverCASScheme`` (the
+S3SingleDriverLogStore analog), skips torn manifests as unacknowledged
+remnants, and never reuses their version numbers.  Vacuum's retention
+horizon is proved to protect an IN-FLIGHT commit from a concurrent
+vacuum (and the zero-horizon fast path is shown to be the unsafe one).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+from dlx_spark import fsio, tableio
+from dlx_spark.tableio_versioned import VersionedTableBackend
+
+
+class SimulatedCrash(Exception):
+    pass
+
+
+@pytest.fixture(autouse=True)
+def restore_scheme():
+    yield
+    fsio.set_commit_scheme(fsio.HadoopRenameScheme())
+    tableio.set_backend(tableio.ParquetTableBackend())
+
+
+@pytest.fixture
+def be(tmp_path):
+    return VersionedTableBackend(root=str(tmp_path / "vroot"))
+
+
+def _df(spark, rows, schema="id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def crash_at(*events):
+    hits = []
+
+    def fault(event, path):
+        hits.append((event, path))
+        if event in events:
+            raise SimulatedCrash(f"{event} @ {path}")
+
+    fault.hits = hits
+    return fault
+
+
+# ------------------------------------------------------ marker protocols
+
+
+def test_publish_roundtrip_and_overwrite_on_nonatomic_scheme(
+        spark, tmp_path):
+    fsio.set_commit_scheme(fsio.NonAtomicRenameScheme())
+    p = str(tmp_path / "m.json")
+    fsio.write_text_atomic(spark, p, '{"v": 1}')
+    assert json.loads(fsio.read_text(spark, p)) == {"v": 1}
+    fsio.write_text_atomic(spark, p, '{"v": 2}')      # overwrite path
+    assert json.loads(fsio.read_text(spark, p)) == {"v": 2}
+    assert not fsio.exists(spark, p + ".tmp")         # tmp consumed
+
+
+def test_crash_between_copy_and_delete_leaves_complete_marker(
+        spark, tmp_path):
+    """The benign window: dest is already complete when the delete is
+    lost, so the marker is fully readable and only a stale tmp remains
+    (overwritten by the next publish)."""
+    fsio.set_commit_scheme(fsio.NonAtomicRenameScheme(
+        fault=crash_at("post_copy")))
+    p = str(tmp_path / "m.json")
+    with pytest.raises(SimulatedCrash):
+        fsio.write_text_atomic(spark, p, '{"stage": "s1"}')
+    assert json.loads(fsio.read_text(spark, p)) == {"stage": "s1"}
+    assert fsio.exists(spark, p + ".tmp")
+    # recovery = simply publishing again: tmp is overwritten, not leaked
+    fsio.set_commit_scheme(fsio.NonAtomicRenameScheme())
+    fsio.write_text_atomic(spark, p, '{"stage": "s2"}')
+    assert json.loads(fsio.read_text(spark, p)) == {"stage": "s2"}
+    assert not fsio.exists(spark, p + ".tmp")
+
+
+def test_torn_marker_from_midcopy_crash_reads_as_absent(spark, tmp_path):
+    """The harsh window: a crash mid-copy tears the destination.  The
+    store's open-time recovery — a REAL marker consumer — must discard
+    the garbage instead of acting on it, exactly the contract the local
+    torn-marker tests pin, now produced by the simulated scheme instead
+    of hand-written garbage."""
+    from dlx_spark.marc.store import MarcStore
+
+    root = str(tmp_path / "wh")
+    st = MarcStore(spark, root)               # clean open, no markers
+    fsio.set_commit_scheme(fsio.NonAtomicRenameScheme(
+        fault=crash_at("mid_copy")))
+    marker = fsio.join(st.root, "_txn_bibs.json")
+    with pytest.raises(SimulatedCrash):
+        fsio.write_text_atomic(spark, marker,
+                               json.dumps({"stage": "bibs__stage"}))
+    torn = fsio.read_text(spark, marker)
+    with pytest.raises(ValueError):
+        json.loads(torn)                      # genuinely torn JSON
+    fsio.set_commit_scheme(fsio.HadoopRenameScheme())
+    st2 = MarcStore(spark, root)              # recovery runs on open
+    assert not fsio.exists(spark, marker)     # discarded, not acted on
+    assert st2.bibs().count() == 0
+
+
+# ------------------------------------------- versioned backend + schemes
+
+
+def test_versioned_backend_refuses_scheme_without_cas(spark, be):
+    """Raw object-store rename has no atomic put-if-absent: two racers
+    could both publish the same version and silently lose one commit.
+    The backend must refuse loudly at the first commit, not corrupt."""
+    fsio.set_commit_scheme(fsio.NonAtomicRenameScheme())
+    with pytest.raises(RuntimeError, match="put-if-absent"):
+        be.write(_df(spark, [(1, "a")]), "t_refuse", "id", 1)
+    assert not be.exists(spark, "t_refuse")
+
+
+def test_lost_update_without_cas_and_exactly_one_winner_with(
+        spark, tmp_path):
+    """The hazard itself, reproduced: two put_if_absent racers held at
+    the check-then-copy window both 'succeed' on the raw scheme (the
+    second overwrites the first — a lost update).  The CAS scheme's
+    driver-local mutex yields exactly one winner."""
+
+    def race(scheme, tag):
+        fsio.set_commit_scheme(scheme)
+        dest = str(tmp_path / f"{tag}.json")
+        results = []
+
+        def racer(i):
+            tmp = str(tmp_path / f"r{i}-{tag}.tmp")
+            fsio.write_text(spark, tmp, json.dumps({"writer": i}))
+            results.append(fsio.put_if_absent(spark, tmp, dest))
+
+        ts = [threading.Thread(target=racer, args=(i,)) for i in (1, 2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return sorted(results)
+
+    # raw scheme, both racers held at the check-then-copy window: both
+    # pass the exists check, both copy, both report success — the
+    # second's content silently overwrote the first's (lost update)
+    barrier = threading.Barrier(2, timeout=30)
+    raw = fsio.NonAtomicRenameScheme(
+        fault=lambda event, path:
+            barrier.wait() if event == "checked_absent" else None)
+    assert race(raw, "raw") == [True, True]
+    # the CAS mutex serializes the whole check+copy: exactly one winner
+    assert race(fsio.SingleDriverCASScheme(), "cas") == [False, True]
+
+
+def test_versioned_lifecycle_on_cas_scheme_over_object_store(spark, be):
+    """The full versioned-table lifecycle — write, append, snapshot
+    isolation, replace, provenance-proved recovery, time travel — on
+    copy+delete rename with the driver-local CAS installed."""
+    fsio.set_commit_scheme(fsio.SingleDriverCASScheme())
+    be.write(_df(spark, [(1, "a"), (2, "b")]), "t_cas", "id", 2)
+    snap = be.read(spark, "t_cas")
+    be.append(_df(spark, [(3, "c")]), "t_cas", "id", 2)
+    assert snap.count() == 2
+    assert be.read(spark, "t_cas").count() == 3
+    assert [r["id"] for r in be.read_version(spark, "t_cas", 1)
+            .orderBy("id").collect()] == [1, 2]
+    # replace + crashed-drop recovery, all through copy+delete publishes
+    be.write(_df(spark, [(9, "staged")]), "t_cas__stage", "id", 1)
+    be.replace(spark, "t_cas", "t_cas__stage")
+    assert [r["id"] for r in be.read(spark, "t_cas").collect()] == [9]
+    be.write(_df(spark, [(10, "s2")]), "t_cas__stage", "id", 1)
+    be.recover_replace(spark, "t_cas", "t_cas__stage")
+    assert [r["id"] for r in be.read(spark, "t_cas").collect()] == [10]
+    assert not be.exists(spark, "t_cas__stage")
+
+
+def test_concurrent_appends_race_through_cas_scheme(spark, be):
+    """The 8-thread optimistic-concurrency test, re-run where it
+    actually matters: on the simulated object store.  The CAS mutex
+    plus commit retries must serialize every append with no lost
+    update — the exact scenario the raw scheme loses."""
+    fsio.set_commit_scheme(fsio.SingleDriverCASScheme())
+    be.write(_df(spark, [(0, "base")]), "t_casrace", "id", 2)
+    errors = []
+
+    def appender(i):
+        try:
+            be.append(_df(spark, [(i, f"t{i}")]), "t_casrace", "id", 2)
+        except Exception as exc:
+            errors.append((i, exc))
+
+    threads = [threading.Thread(target=appender, args=(i,))
+               for i in range(1, 9)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    got = sorted(r["id"] for r in be.read(spark, "t_casrace").collect())
+    assert got == list(range(9))
+    assert be.versions(spark, "t_casrace") == list(range(1, 10))
+
+
+def test_torn_manifest_skipped_and_number_never_reused(spark, be):
+    """A commit crashed mid-copy leaves a TORN version-numbered
+    manifest.  Its writer never got success, so: readers fall back to
+    the latest parseable version; the next commit allocates ABOVE the
+    torn name (never reusing it — a reader could otherwise confuse the
+    remnant with a live commit); time travel to it errors clearly; and
+    vacuum clears it once aged."""
+    fsio.set_commit_scheme(fsio.SingleDriverCASScheme())
+    be.write(_df(spark, [(1, "v1")]), "t_torn", "id", 1)
+
+    # crash the NEXT commit mid-copy of its manifest publish
+    fsio.set_commit_scheme(fsio.SingleDriverCASScheme(
+        fault=crash_at("mid_copy")))
+    with pytest.raises(SimulatedCrash):
+        be.append(_df(spark, [(2, "v2")]), "t_torn", "id", 1)
+    fsio.set_commit_scheme(fsio.SingleDriverCASScheme())
+
+    assert be.versions(spark, "t_torn") == [1, 2]       # remnant listed
+    with pytest.raises(ValueError):
+        be._read_manifest(spark, "t_torn", 2)           # genuinely torn
+    # reader never sees the torn manifest — resolves v1
+    assert [r["id"] for r in be.read(spark, "t_torn").collect()] == [1]
+    with pytest.raises(FileNotFoundError, match="torn"):
+        be.read_version(spark, "t_torn", 2)
+    # the writer's retry lands ABOVE the remnant and merges the v1 head
+    be.append(_df(spark, [(2, "v2")]), "t_torn", "id", 1)
+    assert be.versions(spark, "t_torn") == [1, 2, 3]
+    assert sorted(r["id"] for r in be.read(spark, "t_torn").collect()) \
+        == [1, 2]
+    # vacuum clears the aged remnant but keeps live manifests
+    be.vacuum(spark, keep_last=2, min_age_seconds=0)
+    assert be.versions(spark, "t_torn") == [1, 3]
+    assert sorted(r["id"] for r in be.read(spark, "t_torn").collect()) \
+        == [1, 2]
+
+
+def test_torn_manifest_stays_loud_on_atomic_scheme(spark, be):
+    """Under the default atomic-rename scheme a torn committed manifest
+    can only be EXTERNAL corruption — skipping it would silently roll
+    the table back, so it must keep raising (the round-5 contract)."""
+    be.write(_df(spark, [(1, "a")]), "t_loud", "id", 1)
+    fsio.write_text(spark, be._manifest_path(spark, "t_loud", 2), "{ torn")
+    with pytest.raises(ValueError, match="corrupt manifest"):
+        be.read(spark, "t_loud")
+
+
+def test_index_end_to_end_on_cas_scheme(spark, be):
+    """An unmodified MinHashIndex through BOTH seams at once: the
+    versioned backend over the simulated object-store scheme — create,
+    dedup_batch, append, compact (replace), reopen."""
+    from dlx_spark.operators.dedup_index import MinHashIndex
+
+    fsio.set_commit_scheme(fsio.SingleDriverCASScheme())
+    tableio.set_backend(be)
+    corpus = _df(spark, [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "an entirely different document about spark internals"),
+    ], "doc_id long, text string")
+    batch = _df(spark, [
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "novel content that matches nothing in the corpus"),
+    ], "doc_id long, text string")
+    idx = MinHashIndex.create(corpus, "t_cas_mh", n_buckets=2)
+    clean = sorted(r["doc_id"] for r in
+                   idx.dedup_batch(batch, threshold=0.7).collect())
+    assert clean == [11]
+    idx.compact()
+    again = sorted(r["doc_id"] for r in
+                   MinHashIndex(spark, "t_cas_mh")
+                   .dedup_batch(batch, threshold=0.7).collect())
+    assert again == []          # survivor 11 was appended and persists
+    idx.drop()
+
+
+# -------------------------------------------------- vacuum vs writers
+
+
+def test_vacuum_retention_protects_inflight_commit(spark, be):
+    """An in-flight commit is a data segment not yet referenced by any
+    manifest.  A concurrent zero-horizon vacuum reclaims it — the
+    committed manifest then points at deleted files (the data-loss race
+    the retention guard exists for).  The default horizon leaves young
+    segments alone, so the same race is harmless."""
+    paused = threading.Event()
+    resume = threading.Event()
+
+    class PausingBackend(VersionedTableBackend):
+        def _write_segment(self, spark, df, key, n_buckets):
+            seg = super()._write_segment(spark, df, key, n_buckets)
+            if getattr(self, "_pause_once", False):
+                self._pause_once = False
+                paused.set()
+                assert resume.wait(timeout=60)
+            return seg
+
+    def run_race(min_age):
+        pb = PausingBackend(root=be._root)
+        table = f"t_vac_{int(min_age)}"
+        pb.write(_df(spark, [(1, "base")]), table, "id", 1)
+        paused.clear()
+        resume.clear()
+        pb._pause_once = True
+        err = []
+
+        def appender():
+            try:
+                pb.append(_df(spark, [(2, "inflight")]), table, "id", 1)
+            except Exception as exc:
+                err.append(exc)
+
+        t = threading.Thread(target=appender)
+        t.start()
+        assert paused.wait(timeout=60)
+        deleted = pb.vacuum(spark, keep_last=1, min_age_seconds=min_age)
+        resume.set()
+        t.join()
+        assert err == []
+        return deleted, pb, table
+
+    # zero horizon: the in-flight segment is eaten; the committed
+    # manifest points at deleted files — the table is broken
+    deleted, pb, table = run_race(0)
+    assert deleted                      # it reclaimed the young segment
+    with pytest.raises(Exception):
+        pb.read(spark, table).collect()
+    # default horizon: young segment survives, commit lands intact
+    _, pb, table = run_race(3600)
+    assert sorted(r["id"] for r in
+                  pb.read(spark, table).collect()) == [1, 2]
+
+
+def test_vacuum_retention_keeps_young_tmp_manifests(spark, be):
+    """A writer's not-yet-renamed .tmp manifest must survive a
+    concurrent vacuum under the default horizon (zero horizon clears
+    it — the quiesced-maintenance fast path)."""
+    be.write(_df(spark, [(1, "a")]), "t_tmp", "id", 1)
+    tmp = fsio.join(be._table_dir(spark, "t_tmp"), ".tmp-live.json")
+    fsio.write_text(spark, tmp, '{"half": ')
+    be.vacuum(spark, keep_last=1)                       # default horizon
+    assert fsio.exists(spark, tmp)
+    be.vacuum(spark, keep_last=1, min_age_seconds=0)
+    assert not fsio.exists(spark, tmp)

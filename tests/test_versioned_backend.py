@@ -282,7 +282,7 @@ def test_vacuum_completes_crashed_replace_instead_of_eating_provenance(
         **{k: sm[k] for k in ("segments", "key", "n_buckets", "schema")},
         "source": ["tv__stage", sm["id"]]})
     be.append(_df(spark, [(3, "later")]), "tv", "id", 1)
-    be.vacuum(spark, keep_last=1)
+    be.vacuum(spark, keep_last=1, min_age_seconds=0)
     # vacuum finished the crashed drop; recovery finds nothing to do
     assert not be.exists(spark, "tv__stage")
     be.recover_replace(spark, "tv", "tv__stage")
@@ -294,7 +294,9 @@ def test_vacuum_reclaims_unreferenced_segments(spark, be):
     be.write(_df(spark, [(2, "v2")]), "t7", "id", 1)
     seg_v1 = be._read_manifest(spark, "t7", 1)["segments"][0]
     assert fsio.exists(spark, be._data_dir(spark, seg_v1))
-    deleted = be.vacuum(spark, keep_last=1)
+    # min_age_seconds=0: the writers-quiesced fast path (the default
+    # retention horizon would keep these seconds-old segments alive)
+    deleted = be.vacuum(spark, keep_last=1, min_age_seconds=0)
     assert seg_v1 in deleted
     assert not fsio.exists(spark, be._data_dir(spark, seg_v1))
     # current version unaffected; vacuumed version now a clear error
@@ -310,7 +312,7 @@ def test_vacuum_keeps_segments_shared_via_replace(spark, be):
     be.write(_df(spark, [(1, "live")]), "t8", "id", 1)
     be.write(_df(spark, [(2, "staged")]), "t8__stage", "id", 1)
     be.replace(spark, "t8", "t8__stage")
-    be.vacuum(spark, keep_last=1)
+    be.vacuum(spark, keep_last=1, min_age_seconds=0)
     assert [r["id"] for r in be.read(spark, "t8").collect()] == [2]
 
 

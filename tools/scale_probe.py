@@ -273,7 +273,7 @@ def backend_main() -> None:
 
                     if isinstance(backend, VersionedTableBackend):
                         t0 = time.time()
-                        n_vac = len(backend.vacuum(spark, keep_last=1))
+                        n_vac = len(backend.vacuum(spark, keep_last=1, min_age_seconds=0))
                         timings["vacuum_sec"] = round(time.time() - t0, 2)
                         timings["vacuumed_segments"] = n_vac
                 finally:
