@@ -731,13 +731,16 @@ def simhash(spark, sf):
     hamming join).  Fully oracle-checked: the oracle recomputes the
     fingerprints from scratch in SQL, so a regression anywhere in the
     UDF, the banding, or the hamming filter fails the hash.
-    ``bucket_cap=None`` pins the uncapped oracle-parity mode (exact
-    w.r.t. banding — same convention as the minhash oracle path); the
-    capped default's chain equivalence is property-locked in
+
+    Runs the DEFAULT cap settings (round-5 verdict item: no more
+    ``bucket_cap=None`` pin): at oracle/bench scale the small-input
+    auto-bypass (``common.bypass_cap``) plans the uncapped formulation
+    — bit-exact oracle parity AND no capped-stage overhead — while the
+    same call at corpus scale gets the linear-worst-case capped plan.
+    The capped chain's equivalence is property-locked in
     tests/test_property.py."""
     docs = _t(spark, sf, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=3,
-                                         bucket_cap=None) \
+    return dedup.simhash_near_duplicates(docs, max_hamming=3) \
         .withColumn("hamming", F.col("hamming").cast("long"))
 
 

@@ -78,3 +78,50 @@ def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if nparts is not None and nparts < target:
         return df.repartition(target)
     return df
+
+
+# Mega-bucket caps are pure PERFORMANCE devices: a capped run and an
+# uncapped run are equivalent for every consumer (connected components
+# identical; pair-level output differs only in WHICH verified edges
+# represent an over-cap cluster).  The capped plan, however, carries
+# ~0.5-1 s of fixed stage overhead (sizing window/aggregate, branch
+# union, final dedupe) that dominates at test/bench scale where a mega
+# bucket is impossible anyway.  The bypass horizon: when the
+# optimizer's size ESTIMATE of the pair-generation input is under this
+# many bytes (≈15-20k compressed short documents at parquet scan
+# sizes), the capped operators plan the uncapped formulation instead —
+# no Spark job is fired for the decision (plan construction stays
+# action-free; the number comes from Catalyst statistics), correctness
+# is unaffected either way, and the worst case re-admitted below the
+# horizon is bounded (~10^8 verified pairs if every row were
+# identical).  Inputs with UNKNOWN statistics (e.g. driver-local
+# relations report Long.MaxValue) never bypass — unknown size keeps
+# the cap, the safe direction.  Callers pin capped behavior for
+# property tests with ``auto_bypass_bytes=0``.
+CAP_AUTO_BYPASS_BYTES = 2 << 20
+
+
+def estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (bytes) — file sizes at the
+    scan, heuristic propagation above it.  Driver-side metadata only:
+    never fires a job."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def bypass_cap(df: DataFrame, cap, auto_bypass_bytes: int | None):
+    """The cap actually in force for a pair-generation input: ``None``
+    (uncapped plan) when the input's estimate is under the bypass
+    horizon, else ``cap`` unchanged.  ``auto_bypass_bytes``: None =
+    the default horizon, 0 = never bypass (pins capped behavior for
+    tests), any other value = explicit horizon."""
+    if cap is None:
+        return None
+    horizon = CAP_AUTO_BYPASS_BYTES if auto_bypass_bytes is None \
+        else auto_bypass_bytes
+    if not horizon:
+        return cap
+    try:
+        small = estimated_bytes(df) <= int(horizon)
+    except Exception:
+        return cap
+    return None if small else cap

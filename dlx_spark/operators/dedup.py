@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
-from dlx_spark.operators.common import spread_for_compute
+from dlx_spark.operators.common import bypass_cap, spread_for_compute
 
 # a large 32-bit prime for the minhash permutation family
 _MERSENNE = (1 << 31) - 1
@@ -235,7 +235,8 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
                             num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
                             threshold: float = 0.8, seed: int = 42,
                             bucket_cap: int | None = 1000,
-                            eager: bool = False) -> DataFrame:
+                            eager: bool = False,
+                            auto_bypass_bytes: int | None = None) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by estimated Jaccard
     (fraction of agreeing signature components ≥ threshold).
     Returns (id_a, id_b, est_jaccard) — EVERY emitted pair passes the
@@ -262,18 +263,26 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
     ``localCheckpoint`` instead of ``cache()`` — blocks are reclaimed on
     GC rather than pinned until an explicit unpersist, which matters for
     long-lived callers (the streaming ingest sink runs this once per
-    micro-batch)."""
+    micro-batch).
+
+    ``auto_bypass_bytes``: the cap's small-input bypass horizon (see
+    ``common.bypass_cap`` — the capped plan's fixed stage overhead
+    dominates at scales where a mega-bucket is impossible; output is
+    equivalent either way).  None = default horizon, 0 = always cap."""
     # the signature relation feeds several plan branches (banding + both
     # sides of the verify join + the chain path): materialize it so the
     # 64-hash projection runs once
+    bucket_cap = bypass_cap(df, bucket_cap, auto_bypass_bytes)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     sigs = sigs.localCheckpoint(eager=True) if eager else sigs.cache()
-    return minhash_pairs_from_signatures(sigs, bands, threshold, bucket_cap)
+    return minhash_pairs_from_signatures(sigs, bands, threshold, bucket_cap,
+                                         auto_bypass_bytes=0)
 
 
 def minhash_pairs_from_signatures(sigs: DataFrame, bands: int = 16,
                                   threshold: float = 0.8,
-                                  bucket_cap: int | None = 1000) -> DataFrame:
+                                  bucket_cap: int | None = 1000,
+                                  auto_bypass_bytes: int | None = None) -> DataFrame:
     """``minhash_near_duplicates`` from a PRECOMPUTED ``(id, sig)``
     relation — the reuse point for callers that already hold batch
     signatures (``MinHashIndex.dedup_batch`` computes them once and
@@ -283,6 +292,7 @@ def minhash_pairs_from_signatures(sigs: DataFrame, bands: int = 16,
     ``sigs`` is referenced by several plan branches; pass a MATERIALIZED
     relation (cached / checkpointed / a table read), or the signature
     projection re-runs per branch."""
+    bucket_cap = bypass_cap(sigs, bucket_cap, auto_bypass_bytes)
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
 
@@ -449,7 +459,8 @@ def check_simhash_hamming(max_hamming: int) -> None:
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             max_hamming: int = 3, eager: bool = False,
-                            bucket_cap: int | None = 1000) -> DataFrame:
+                            bucket_cap: int | None = 1000,
+                            auto_bypass_bytes: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Candidate generation: 4 × 16-bit band keys — two fingerprints within
@@ -462,18 +473,23 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str =
     true-pair output is itself the blow-up; see
     ``simhash_pairs_from_fingerprints``.
     ``eager=True``: materialize via eager localCheckpoint instead of
-    cache() (GC-reclaimed — for per-micro-batch callers)."""
+    cache() (GC-reclaimed — for per-micro-batch callers).
+    ``auto_bypass_bytes``: the cap's small-input bypass horizon (see
+    ``common.bypass_cap``); None = default, 0 = always cap."""
     check_simhash_hamming(max_hamming)
+    bucket_cap = bypass_cap(df, bucket_cap, auto_bypass_bytes)
     # the fingerprint relation feeds both sides of the candidate join:
     # materialize it so the (pure JVM) aggregate pass runs once
     fps = simhash_fingerprints(df, text_col, id_col)
     fps = fps.localCheckpoint(eager=True) if eager else fps.cache()
-    return simhash_pairs_from_fingerprints(fps, max_hamming, bucket_cap)
+    return simhash_pairs_from_fingerprints(fps, max_hamming, bucket_cap,
+                                           auto_bypass_bytes=0)
 
 
 def simhash_pairs_from_fingerprints(fps: DataFrame,
                                     max_hamming: int = 3,
-                                    bucket_cap: int | None = 1000) -> DataFrame:
+                                    bucket_cap: int | None = 1000,
+                                    auto_bypass_bytes: int | None = None) -> DataFrame:
     """``simhash_near_duplicates`` from a PRECOMPUTED ``(id, simhash)``
     relation (band keys are a cheap projection of the fingerprint, so
     only the text→fingerprint aggregate is worth reusing).  Pass a
@@ -487,6 +503,7 @@ def simhash_pairs_from_fingerprints(fps: DataFrame,
     interleavers; a high-order fingerprint bit flip can still split a
     chain — the same approximation class as the minhash chain)."""
     check_simhash_hamming(max_hamming)
+    bucket_cap = bypass_cap(fps, bucket_cap, auto_bypass_bytes)
     banded = simhash_band_keys(fps)
 
     def pairs_over(rel) -> DataFrame:
@@ -706,7 +723,8 @@ _JACCARD_LR = ("size(array_intersect(l_toks, r_toks))"
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.5, block_on_lang: str | None = "lang",
-                        block_cap: int | None = 1000) -> DataFrame:
+                        block_cap: int | None = 1000,
+                        auto_bypass_bytes: int | None = None) -> DataFrame:
     """Exact word-set Jaccard over a blocked self-join.
 
     Blocking key: (language, length bucket, first token) — cheap,
@@ -732,6 +750,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     (tests/test_property.py::test_blocked_jaccard_recall_measured)."""
     _require_col_name("text_col", text_col)
     _require_col_name("id_col", id_col)
+    block_cap = bypass_cap(df, block_cap, auto_bypass_bytes)
     toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
     prepared = spread_for_compute(df).select(
         F.col(id_col).alias("id"), toks.alias("toks"),

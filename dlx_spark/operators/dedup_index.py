@@ -120,6 +120,54 @@ def _recover_compaction(spark: SparkSession, table: str) -> None:
     _be().recover_replace(spark, table, f"{table}__compact")
 
 
+def _chain_probe_pairs(mega_corpus: DataFrame, mega_batch: DataFrame,
+                       group_cols: list[str]) -> DataFrame:
+    """Linear-output candidate pairs for OVER-CAP probe groups — the
+    corpus-side analog of the intra-batch mega-bucket chains
+    (dedup.minhash_pairs_from_signatures / simhash_pairs_from_fingerprints)
+    and the same shape as ``EmbeddingIndex``'s mega path: sort corpus
+    and batch members of each over-cap group together in (pay, id)
+    order and verify each batch row against the nearest corpus row on
+    each side (however far — the ignorenulls scans skip interleaved
+    batch rows) plus any corpus rows within CHAIN_WINDOW positions.
+    Output is O(batch members × window), never
+    O(|corpus group| × |batch group|).
+
+    Inputs carry ``group_cols + (id, pay)`` where ``pay`` is the
+    verification payload that also serves as the order key (minhash
+    signature array / simhash fingerprint — near-identical payloads
+    sort adjacent, the property the chain relies on; same
+    approximation class as the intra-batch chains).  Returns
+    ``(corpus_id, batch_id, pay_a, pay_b)`` pairs for the caller's
+    verify expression."""
+    from pyspark.sql import Window
+
+    from dlx_spark.operators.similarity import CHAIN_WINDOW
+
+    u = (mega_corpus.withColumn("is_corpus", F.lit(True))
+         .unionByName(mega_batch.withColumn("is_corpus", F.lit(False))))
+    w = Window.partitionBy(*group_cols).orderBy("pay", "id", "is_corpus")
+    cstruct = F.when(F.col("is_corpus"),
+                     F.struct(F.col("id").alias("cid"),
+                              F.col("pay").alias("cpay")))
+    neighbors = [
+        F.last(cstruct, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.first(cstruct, ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)),
+    ] + [F.lag(cstruct, k).over(w) for k in range(1, CHAIN_WINDOW + 1)] \
+      + [F.lead(cstruct, k).over(w) for k in range(1, CHAIN_WINDOW + 1)]
+    return (
+        u.withColumn("_cands", F.array_compact(F.array(*neighbors)))
+        .filter(~F.col("is_corpus"))
+        .select(F.col("id").alias("batch_id"),
+                F.col("pay").alias("pay_b"),
+                F.explode("_cands").alias("_c"))
+        .select(F.col("_c.cid").alias("corpus_id"), "batch_id",
+                F.col("_c.cpay").alias("pay_a"), "pay_b")
+        .distinct())
+
+
 def _write_meta(spark: SparkSession, name: str, params: dict) -> None:
     _be().write_plain(
         spark.createDataFrame([(json.dumps(params),)], "params string"),
@@ -302,7 +350,8 @@ class MinHashIndex:
             _be().refresh(self.spark, f"{self.name}{suffix}")
 
     def probe(self, batch: DataFrame, threshold: float = 0.8,
-              broadcast_row_cap: int | None = None) -> DataFrame:
+              broadcast_row_cap: int | None = None,
+              bucket_cap: int | None = 1000) -> DataFrame:
         """(corpus_id, batch_id, est_jaccard): near-duplicate links from
         each batch document to already-ingested documents.
 
@@ -316,12 +365,28 @@ class MinHashIndex:
         against the bucketed index, shuffling the batch side only.
         Batch signatures are materialized via eager localCheckpoint
         (blocks reclaimed on GC — a per-micro-batch cache() here would
-        accumulate for the stream's lifetime)."""
+        accumulate for the stream's lifetime).
+
+        ``bucket_cap`` (default 1000, ``None`` = uncapped) bounds the
+        corpus×batch candidate join against over-cap index buckets,
+        exactly like every other family path: the index normally holds
+        dedup SURVIVORS (band buckets live in a ~2^64 key space, so
+        concentration needs near-identical signature slices, which
+        dedup removes), but an index built over an UN-deduped corpus,
+        or probed below the threshold it was deduped at, can hold mega
+        buckets — without the cap those make the candidate join
+        O(|corpus bucket| × |batch bucket|).  Over-cap buckets emit
+        chain-verified candidates in signature order instead
+        (``_chain_probe_pairs``): linear output, and a true near-dup
+        still finds its match because near-identical signatures sort
+        adjacent."""
         bsigs = self._batch_sigs(batch).localCheckpoint(eager=True)
-        return self._probe_with_sigs(bsigs, threshold, broadcast_row_cap)
+        return self._probe_with_sigs(bsigs, threshold, broadcast_row_cap,
+                                     bucket_cap)
 
     def _probe_with_sigs(self, bsigs: DataFrame, threshold: float,
-                         broadcast_row_cap: int | None = None) -> DataFrame:
+                         broadcast_row_cap: int | None = None,
+                         bucket_cap: int | None = 1000) -> DataFrame:
         """Probe core over MATERIALIZED batch signatures — the reuse
         point for ``dedup_batch``, which computes the batch signatures
         once and feeds probe, intra-batch dedup, and the append from
@@ -332,14 +397,29 @@ class MinHashIndex:
         self._refresh()
         bbands = (dedup.band_buckets(bsigs, p["bands"])
                   .withColumnRenamed("id", "batch_id"))
+        probe_keys = bbands
         if bsigs.count() * p["bands"] <= cap:
-            bbands = F.broadcast(bbands)
+            probe_keys = F.broadcast(probe_keys)
         ibands = _be().read(self.spark, f"{self.name}_bands")
-        cands = (ibands.join(bbands, ["band", "bucket"])
+        isigs = _be().read(self.spark, f"{self.name}_sigs")
+
+        if bucket_cap is None:
+            big = None
+            small_ibands = ibands
+        else:
+            # over-cap buckets are few by construction: broadcast the
+            # list to split the band rows without shuffling them
+            big = (ibands.groupBy("band", "bucket")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") > int(bucket_cap))
+                   .select("band", "bucket"))
+            small_ibands = ibands.join(F.broadcast(big), ["band", "bucket"],
+                                       "left_anti")
+
+        cands = (small_ibands.join(probe_keys, ["band", "bucket"])
                  .select(F.col("id").alias("corpus_id"), "batch_id")
                  .distinct())
-        isigs = _be().read(self.spark, f"{self.name}_sigs")
-        return (
+        verified = (
             cands
             .join(isigs.select(F.col("id").alias("corpus_id"),
                                F.col("sig").alias("sig_a")), "corpus_id")
@@ -350,6 +430,35 @@ class MinHashIndex:
             .filter(F.col("est_jaccard") >= threshold)
             .select("corpus_id", "batch_id", "est_jaccard")
         )
+        if big is None:
+            return verified
+        mega_c = (ibands.join(F.broadcast(big), ["band", "bucket"],
+                              "left_semi")
+                  .join(isigs, "id")
+                  .select("band", "bucket", "id",
+                          F.col("sig").alias("pay")))
+        mega_b = (bbands.join(F.broadcast(big), ["band", "bucket"],
+                              "left_semi")
+                  .join(bsigs.select(F.col("id").alias("batch_id"), "sig"),
+                        "batch_id")
+                  .select("band", "bucket",
+                          F.col("batch_id").alias("id"),
+                          F.col("sig").alias("pay")))
+        chain = (
+            _chain_probe_pairs(mega_c, mega_b, ["band", "bucket"])
+            .select("corpus_id", "batch_id",
+                    F.col("pay_a").alias("sig_a"),
+                    F.col("pay_b").alias("sig_b"))
+            .withColumn("est_jaccard", F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("corpus_id", "batch_id", "est_jaccard"))
+        # a pair can surface on both paths (small bucket in one band,
+        # over-cap in another); est_jaccard is a pure function of the
+        # two signatures, so max() is just deduplication
+        return (verified.unionByName(chain)
+                .groupBy("corpus_id", "batch_id")
+                .agg(F.max("est_jaccard").alias("est_jaccard")))
 
     # -- write paths ---------------------------------------------------
 
@@ -426,7 +535,8 @@ class MinHashIndex:
         # every shingle × num_hashes; re-deriving a subset is a cheap
         # semi-join against the checkpointed blocks)
         bsigs = self._batch_sigs(batch).localCheckpoint(eager=True)
-        vs_corpus = self._probe_with_sigs(bsigs, threshold)
+        vs_corpus = self._probe_with_sigs(bsigs, threshold,
+                                          bucket_cap=bucket_cap)
         if replay_safe:
             own = batch.select(F.col(id_col).alias("corpus_id"))
             vs_corpus = vs_corpus.join(own, "corpus_id", "left_anti")
@@ -498,17 +608,24 @@ class SimHashIndex:
         _be().refresh(self.spark, f"{self.name}_fps")
 
     def probe(self, batch: DataFrame, max_hamming: int = 3,
-              broadcast_row_cap: int | None = None) -> DataFrame:
+              broadcast_row_cap: int | None = None,
+              bucket_cap: int | None = 1000) -> DataFrame:
         """(corpus_id, batch_id, hamming): every batch doc within
         ``max_hamming`` of an already-ingested fingerprint.  Broadcast
-        gating and eager materialization as in ``MinHashIndex.probe``."""
+        gating and eager materialization as in ``MinHashIndex.probe``;
+        ``bucket_cap`` bounds over-cap corpus band buckets with
+        chain-verified candidates in fingerprint order (see
+        ``MinHashIndex.probe`` — same rationale, same kernel;
+        ``None`` = uncapped)."""
         p = self.params
         bfps = (self._banded_fps(batch, p["text_col"], p["id_col"])
                 .localCheckpoint(eager=True))
-        return self._probe_with_fps(bfps, max_hamming, broadcast_row_cap)
+        return self._probe_with_fps(bfps, max_hamming, broadcast_row_cap,
+                                    bucket_cap)
 
     def _probe_with_fps(self, bfps: DataFrame, max_hamming: int,
-                        broadcast_row_cap: int | None = None) -> DataFrame:
+                        broadcast_row_cap: int | None = None,
+                        bucket_cap: int | None = 1000) -> DataFrame:
         """Probe core over MATERIALIZED banded batch fingerprints."""
         dedup.check_simhash_hamming(max_hamming)
         cap = PROBE_BROADCAST_ROW_CAP if broadcast_row_cap is None \
@@ -516,17 +633,48 @@ class SimHashIndex:
         self._refresh()
         b = bfps.select(F.col("id").alias("batch_id"),
                         F.col("simhash").alias("fp_b"), "band", "key")
+        probe_keys = b
         if bfps.count() <= cap:
-            b = F.broadcast(b)
+            probe_keys = F.broadcast(probe_keys)
         idx = _be().read(self.spark, f"{self.name}_fps")
-        return (
-            idx.join(b, ["band", "key"])
-            .withColumn("hamming",
-                        F.bit_count(F.col("simhash").bitwiseXOR(F.col("fp_b"))))
+
+        if bucket_cap is None:
+            big = None
+            small_idx = idx
+        else:
+            big = (idx.groupBy("band", "key")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") > int(bucket_cap))
+                   .select("band", "key"))
+            small_idx = idx.join(F.broadcast(big), ["band", "key"],
+                                 "left_anti")
+
+        hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("fp_b")))
+        verified = (
+            small_idx.join(probe_keys, ["band", "key"])
+            .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select(F.col("id").alias("corpus_id"), "batch_id", "hamming")
             .distinct()
         )
+        if big is None:
+            return verified
+        mega_c = (idx.join(F.broadcast(big), ["band", "key"], "left_semi")
+                  .select("band", "key", "id",
+                          F.col("simhash").alias("pay")))
+        mega_b = (b.join(F.broadcast(big), ["band", "key"], "left_semi")
+                  .select("band", "key",
+                          F.col("batch_id").alias("id"),
+                          F.col("fp_b").alias("pay")))
+        chain = (
+            _chain_probe_pairs(mega_c, mega_b, ["band", "key"])
+            .withColumn("hamming", F.bit_count(
+                F.col("pay_a").bitwiseXOR(F.col("pay_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("corpus_id", "batch_id", "hamming"))
+        return (verified.unionByName(chain)
+                .groupBy("corpus_id", "batch_id")
+                .agg(F.min("hamming").alias("hamming")))
 
     def append(self, batch_survivors: DataFrame, if_absent: bool = False,
                banded_fps: DataFrame | None = None) -> None:
@@ -559,7 +707,8 @@ class SimHashIndex:
         # MinHashIndex.dedup_batch — same reuse rationale)
         bfps = (self._banded_fps(batch, p["text_col"], p["id_col"])
                 .localCheckpoint(eager=True))
-        vs_corpus = self._probe_with_fps(bfps, max_hamming)
+        vs_corpus = self._probe_with_fps(bfps, max_hamming,
+                                         bucket_cap=bucket_cap)
         if replay_safe:
             own = batch.select(F.col(id_col).alias("corpus_id"))
             vs_corpus = vs_corpus.join(own, "corpus_id", "left_anti")

@@ -403,7 +403,9 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.9,
                            vec_col: str = "embedding", id_col: str = "vec_id",
                            multiprobe_hamming: int = 0,
                            dim: int | None = None, bands: int = 1,
-                           bucket_cap: int | None = 1000) -> DataFrame:
+                           bucket_cap: int | None = 1000,
+                           eager: bool = False,
+                           auto_bypass_bytes: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine ≥ ``threshold`` among hyperplane-LSH candidates.  The
     embedding-side analog of ``minhash_near_duplicates``: candidate
@@ -429,18 +431,29 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.9,
 
     Shares its hyperplane family with ``lsh_topk``/``knn_join``/
     ``EmbeddingIndex`` (same ``seed``; ``bands=1`` reproduces the
-    single-signature family exactly)."""
+    single-signature family exactly).
+
+    ``eager=True`` materializes the vector relation via an eager
+    ``localCheckpoint`` instead of ``cache()`` — blocks are reclaimed on
+    GC rather than pinned for the session, which matters for long-lived
+    callers looping over corpora (same contract as
+    ``minhash_near_duplicates(eager=)``).  ``auto_bypass_bytes``: the
+    cap's small-input bypass horizon (``common.bypass_cap``); None =
+    default, 0 = always cap."""
+    from dlx_spark.operators.common import bypass_cap
+
     if bands > 1 and multiprobe_hamming:
         raise ValueError("multiprobe applies to the single-band form; "
                          "use bands for recall amplification instead")
+    bucket_cap = bypass_cap(df, bucket_cap, auto_bypass_bytes)
     dim = dim if dim is not None else len(df.select(vec_col).first()[0])
     bb = banded_lsh_keys(df, bands, n_planes, seed, vec_col, id_col, dim)
-    # the kernel references vecs from several plan branches; a (lazy)
+    # the kernel references vecs from several plan branches; the (lazy)
     # cache keeps the scan + osig projection from re-running per branch
     # without firing a job at plan-construction time
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                     _order_sig_expr(vec_col, order_planes(dim, seed)).alias("osig")) \
-        .cache()
+                     _order_sig_expr(vec_col, order_planes(dim, seed)).alias("osig"))
+    vecs = vecs.localCheckpoint(eager=True) if eager else vecs.cache()
     masks = (multiprobe_masks(n_planes, multiprobe_hamming)
              if multiprobe_hamming else None)
     return cosine_pairs_from_keys(bb, vecs, threshold, bucket_cap, masks)

@@ -226,7 +226,8 @@ def test_capped_cosine_pairs_preserve_components(spark):
     dim = 12
     kw = dict(threshold=0.9, n_planes=6, dim=dim)
     uncapped = similarity.cosine_near_duplicates(df, bucket_cap=None, **kw)
-    capped = similarity.cosine_near_duplicates(df, bucket_cap=10, **kw)
+    capped = similarity.cosine_near_duplicates(df, bucket_cap=10,
+                                               auto_bypass_bytes=0, **kw)
     u = {(r["id_a"], r["id_b"]): r["cosine"] for r in uncapped.collect()}
     c = {(r["id_a"], r["id_b"]): r["cosine"] for r in capped.collect()}
     assert set(c) <= set(u)                    # subset, same cosines

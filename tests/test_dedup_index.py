@@ -568,10 +568,14 @@ def test_probe_broadcast_gate(spark, split_corpus):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        below = idx.probe(batch, threshold=0.7)
+        # bucket_cap=None isolates the batch-side gate: the mega-bucket
+        # cap path broadcasts its (tiny) over-cap bucket list by design,
+        # which would satisfy the plan assertion for the wrong reason
+        below = idx.probe(batch, threshold=0.7, bucket_cap=None)
         assert "BroadcastHashJoin" in \
             below._jdf.queryExecution().executedPlan().toString()
-        above = idx.probe(batch, threshold=0.7, broadcast_row_cap=0)
+        above = idx.probe(batch, threshold=0.7, broadcast_row_cap=0,
+                          bucket_cap=None)
         assert "BroadcastHashJoin" not in \
             above._jdf.queryExecution().executedPlan().toString()
 
@@ -591,8 +595,9 @@ def test_simhash_probe_broadcast_gate(spark, split_corpus):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        below = idx.probe(batch, max_hamming=3)
-        above = idx.probe(batch, max_hamming=3, broadcast_row_cap=0)
+        below = idx.probe(batch, max_hamming=3, bucket_cap=None)
+        above = idx.probe(batch, max_hamming=3, broadcast_row_cap=0,
+                          bucket_cap=None)
         assert "BroadcastHashJoin" in \
             below._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in \
@@ -928,3 +933,68 @@ def test_embedding_rebucket_regrows_plane_count(spark, emb_split):
         fresh.drop()
         for t in ("t_emb_rb_buckets__rebucket", "t_emb_rb_meta__rebucket"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_minhash_probe_mega_bucket_cap_stays_linear(spark):
+    """Adversarial corpus for the probe path: an index built over an
+    UN-deduped corpus (40 near-identical docs) concentrates whole band
+    buckets past the cap.  The capped probe must emit chain-verified
+    candidates (linear, far fewer than the 40-per-batch-doc full
+    expansion), still find a true match for a duplicate batch doc, and
+    agree with the uncapped probe on the drop/keep decision."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(40)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, base),
+         (101, "completely unrelated novel content about spark internals")],
+        "doc_id long, text string")
+    idx = MinHashIndex.create(corpus, "t_mh_mega", n_buckets=2)
+    try:
+        capped = idx.probe(batch, threshold=0.8, bucket_cap=5)
+        uncapped = idx.probe(batch, threshold=0.8, bucket_cap=None)
+        capped_ids = {r["batch_id"] for r in capped.collect()}
+        uncapped_ids = {r["batch_id"] for r in uncapped.collect()}
+        assert capped_ids == uncapped_ids == {100}   # same decision
+        assert uncapped.count() == 40                # full expansion
+        assert 1 <= capped.count() < 40              # linear chain output
+        # est_jaccard still exact on the emitted pairs
+        assert all(r["est_jaccard"] == 1.0 for r in capped.collect())
+        # dedup_batch through the capped probe: duplicate dropped,
+        # novel doc survives and is appended
+        clean = sorted(r["doc_id"] for r in
+                       idx.dedup_batch(batch, threshold=0.8,
+                                       bucket_cap=5).collect())
+        assert clean == [101]
+    finally:
+        idx.drop()
+
+
+def test_simhash_probe_mega_bucket_cap_stays_linear(spark):
+    """Same adversarial shape for the SimHash index: 40 identical
+    fingerprints co-bucket every band; the capped probe bounds the
+    corpus-side join and keeps the decision."""
+    from dlx_spark.operators.dedup_index import SimHashIndex
+
+    base = " ".join(f"token{i} word{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(40)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, base),
+         (101, " ".join(f"other{i} thing{i}" for i in range(30)))],
+        "doc_id long, text string")
+    idx = SimHashIndex.create(corpus, "t_sh_mega", n_buckets=2)
+    try:
+        capped = idx.probe(batch, max_hamming=3, bucket_cap=5)
+        uncapped = idx.probe(batch, max_hamming=3, bucket_cap=None)
+        assert ({r["batch_id"] for r in capped.collect()}
+                == {r["batch_id"] for r in uncapped.collect()} == {100})
+        assert uncapped.count() == 40
+        assert 1 <= capped.count() < 40
+        assert all(r["hamming"] == 0 for r in capped.collect())
+        clean = sorted(r["doc_id"] for r in
+                       idx.dedup_batch(batch, max_hamming=3,
+                                       bucket_cap=5).collect())
+        assert clean == [101]
+    finally:
+        idx.drop()

@@ -268,7 +268,8 @@ def test_capped_star_cluster_equivalence_randomized(spark):
 
     full = clusters(minhash_near_duplicates(df, threshold=0.6))
     capped = clusters(minhash_near_duplicates(df, threshold=0.6,
-                                              bucket_cap=3))
+                                              bucket_cap=3,
+                                              auto_bypass_bytes=0))
     assert capped == full and len(full) >= 8
 
 
@@ -341,12 +342,14 @@ def test_capped_cosine_chain_cluster_equivalence_randomized(spark):
 
     kw = dict(threshold=0.98, n_planes=5, dim=dim)
     full = clusters(cosine_near_duplicates(df, bucket_cap=None, **kw))
-    capped = clusters(cosine_near_duplicates(df, bucket_cap=3, **kw))
+    capped = clusters(cosine_near_duplicates(df, bucket_cap=3,
+                                              auto_bypass_bytes=0, **kw))
     assert capped == full and len(full) >= 8
     # and the banded form agrees with itself capped-vs-uncapped too
     kwb = dict(threshold=0.98, n_planes=4, bands=3, dim=dim)
     fullb = clusters(cosine_near_duplicates(df, bucket_cap=None, **kwb))
-    cappedb = clusters(cosine_near_duplicates(df, bucket_cap=3, **kwb))
+    cappedb = clusters(cosine_near_duplicates(df, bucket_cap=3,
+                                               auto_bypass_bytes=0, **kwb))
     assert cappedb == fullb
 
 
@@ -386,7 +389,8 @@ def test_capped_simhash_chain_cluster_equivalence_randomized(spark):
         return {frozenset(v) for v in out.values()}
 
     full_pairs = simhash_near_duplicates(df, max_hamming=3, bucket_cap=None)
-    capped_pairs = simhash_near_duplicates(df, max_hamming=3, bucket_cap=8)
+    capped_pairs = simhash_near_duplicates(df, max_hamming=3, bucket_cap=8,
+                                           auto_bypass_bytes=0)
     full_rows = full_pairs.collect()
     capped_rows = capped_pairs.collect()
     # capped is a verified subset with identical hamming values
@@ -434,10 +438,65 @@ def test_capped_jaccard_chain_cluster_equivalence_randomized(spark):
         return {frozenset(v) for v in out.values()}
 
     full = ngram_jaccard_pairs(df, threshold=0.9, block_cap=None)
-    capped = ngram_jaccard_pairs(df, threshold=0.9, block_cap=6)
+    capped = ngram_jaccard_pairs(df, threshold=0.9, block_cap=6,
+                                 auto_bypass_bytes=0)
     f = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in full.collect()}
     c = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in capped.collect()}
     assert set(c) <= set(f) and all(f[p] == c[p] for p in c)
     assert len(f) >= 35 * 34 / 2          # uncapped is quadratic
     assert len(c) < 6 * next_id           # capped is linear
     assert clusters(capped) == clusters(full)
+
+
+def test_cap_auto_bypass_plans_uncapped_at_small_scale(spark):
+    """Round-5 verdict item 3: the DEFAULT capped call auto-bypasses the
+    mega-bucket restructure when the input's Catalyst size estimate is
+    under the horizon — the plan is the uncapped formulation (no sizing
+    Window), so bench/oracle runs pay zero capped-stage overhead without
+    pinning bucket_cap=None.  auto_bypass_bytes=0 pins the capped plan
+    (what every capped property test above passes), and the decision
+    itself fires no job (it reads optimizer statistics only)."""
+    from dlx_spark.operators.common import bypass_cap, estimated_bytes
+    from dlx_spark.operators.dedup import simhash_near_duplicates
+
+    local = spark.createDataFrame(
+        [(i, f"doc number {i} with some words") for i in range(50)],
+        "doc_id long, text string")
+    # a driver-local relation has UNKNOWN stats (Long.MaxValue): the
+    # bypass must keep the cap — unknown is not small
+    assert bypass_cap(local, 1000, None) == 1000
+    # a parquet scan carries its real file size
+    path = str(spark.conf.get("spark.sql.warehouse.dir")).replace(
+        "file:", "") + "/_bypass_probe"
+    local.write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    assert 0 < estimated_bytes(docs) < 2 << 20
+
+    def plan_of(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    bypassed = simhash_near_duplicates(docs, max_hamming=3)
+    pinned = simhash_near_duplicates(docs, max_hamming=3,
+                                     auto_bypass_bytes=0)
+    uncapped = simhash_near_duplicates(docs, max_hamming=3,
+                                       bucket_cap=None)
+    assert "indow" not in plan_of(bypassed)       # uncapped shape
+    assert "indow" in plan_of(pinned)             # capped shape kept
+    assert "indow" not in plan_of(uncapped)
+    # and the three agree on results at this scale
+    key = lambda df: {(r["id_a"], r["id_b"], r["hamming"])
+                      for r in df.collect()}
+    assert key(bypassed) == key(pinned) == key(uncapped)
+
+    # the helper's contract directly
+    assert bypass_cap(docs, 1000, None) is None          # tiny -> bypass
+    assert bypass_cap(docs, 1000, 0) == 1000             # pinned
+    assert bypass_cap(docs, 1000, 1) == 1000             # horizon below est
+    assert bypass_cap(docs, None, None) is None          # uncapped stays
+    # and the sf0.1 bench input itself clears the horizon (the point
+    # of the item: the benched simhash runs the uncapped plan without
+    # a bucket_cap=None pin)
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    bench_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert bypass_cap(bench_docs, 1000, None) is None
