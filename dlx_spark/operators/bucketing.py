@@ -17,8 +17,18 @@ The 100 TB playbook the rest of the engine assumes:
   lists: partitioned by ``list_id``, probes read nprobe/n_centroids of
   the data.
 
-Bucketed tables use ``saveAsTable`` (bucket metadata lives in the
-catalog); partitioned indexes are plain parquet paths.
+All index storage routes through the tableio backend seam (the same
+one the incremental dedup indexes use): indexes are named partitioned
+CATALOG tables, not raw paths, so ``refresh_ivf_index``'s full-index
+rewrite publishes via the shared ``replace``/``recover_replace``
+protocol — on the default parquet backend the catalog registration at
+the end of ``saveAsTable`` is the stage's natural commit point (a
+crash mid-write leaves files but no table, so recovery never sees a
+torn stage), and on the transactional ``VersionedTableBackend`` the
+swap is an atomic manifest commit, readers hold snapshots across it,
+and a concurrent ``append_ivf_index`` (whose rows were assigned under
+the OLD centroids) fails the refresh via ``on_conflict="fail"``
+instead of being silently lost.
 """
 
 from __future__ import annotations
@@ -27,7 +37,20 @@ import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dlx_spark import tableio
 from dlx_spark.operators import similarity
+
+
+def _be() -> "tableio.ParquetTableBackend":
+    return tableio.get_backend()
+
+
+def _check_name(name: str) -> None:
+    if "/" in name or ":" in name:
+        raise ValueError(
+            f"{name!r} looks like a filesystem path; the ANN index layouts "
+            "are catalog tables routed through the tableio backend seam "
+            "(pass a table name — see README 'Notable behavior changes')")
 
 
 def write_bucketed(df: DataFrame, table: str, key: str | list[str],
@@ -48,14 +71,15 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def write_lsh_index(df: DataFrame, path: str, n_planes: int = 8,
+def write_lsh_index(df: DataFrame, name: str, n_planes: int = 8,
                     seed: int = 42, vec_col: str = "embedding",
                     id_col: str = "vec_id", dim: int | None = None,
                     bands: int = 1) -> None:
-    """Materialize the LSH bucket table partitioned by (band, bucket): a
-    probe filtering on the partition columns prunes at the listing — at
-    2^n_planes buckets per band, a single-bucket probe reads
-    1/2^n_planes of one band's copy.
+    """Materialize the LSH bucket table (catalog table ``name``, via the
+    tableio backend) partitioned by (band, bucket): a probe filtering
+    on the partition columns prunes at the listing — at 2^n_planes
+    buckets per band, a single-bucket probe reads 1/2^n_planes of one
+    band's copy.
 
     ``bands`` > 1 writes the banded (OR-of-ANDs) layout: each vector is
     stored once PER BAND (the classic LSH-forest storage trade — bands×
@@ -63,6 +87,7 @@ def write_lsh_index(df: DataFrame, path: str, n_planes: int = 8,
     partition-pruned).  Keep ``bands=1`` when multiprobe recall
     suffices; use bands when the corpus is diffuse and multiprobe's
     combinatorial bucket fan-out gets too wide."""
+    _check_name(name)
     if dim is None:
         head = df.select(vec_col).first()
         if head is None:
@@ -77,7 +102,7 @@ def write_lsh_index(df: DataFrame, path: str, n_planes: int = 8,
         for b in range(bands)]
     rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                      F.posexplode(F.array(*sigs)).alias("band", "bucket"))
-    rows.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+    _be().write_partitioned(rows, name, ["band", "bucket"])
 
 
 def _resolve_multiprobe(multiprobe_hamming: int | None, bands: int) -> int:
@@ -114,7 +139,7 @@ def _query_band_buckets(query, n_planes: int, seed: int, bands: int,
     return out
 
 
-def probe_lsh_index(spark: SparkSession, path: str, query: list[float],
+def probe_lsh_index(spark: SparkSession, name: str, query: list[float],
                     k: int = 10, n_planes: int = 8, seed: int = 42,
                     multiprobe_hamming: int | None = None,
                     bands: int = 1) -> DataFrame:
@@ -126,12 +151,14 @@ def probe_lsh_index(spark: SparkSession, path: str, query: list[float],
     on banded ones (the levers are mutually exclusive).  Indexes
     written by the pre-banding layout (no ``band`` partition column)
     are read as band 0."""
+    _check_name(name)
     pairs = _query_band_buckets(query, n_planes, seed, bands,
                                 multiprobe_hamming)
-    idx = spark.read.parquet(path)
+    _be().refresh(spark, name)
+    idx = _be().read(spark, name)
     if "band" not in idx.columns:       # pre-banding layout
         if bands > 1:
-            raise ValueError(f"index at {path} has no band column "
+            raise ValueError(f"index {name} has no band column "
                              "(pre-banding layout) — rewrite it with "
                              "write_lsh_index(bands=...) to probe banded")
         idx = idx.withColumn("band", F.lit(0))
@@ -149,7 +176,7 @@ def probe_lsh_index(spark: SparkSession, path: str, query: list[float],
             .limit(k))
 
 
-def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
+def knn_join_lsh_index(spark: SparkSession, name: str, probes: DataFrame,
                        k: int = 5, n_planes: int = 8, seed: int = 42,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        multiprobe_hamming: int | None = None,
@@ -179,6 +206,7 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
     from itertools import combinations
     from math import comb
 
+    _check_name(name)
     multiprobe_hamming = _resolve_multiprobe(multiprobe_hamming, bands)
     n_masks = sum(comb(n_planes, i) for i in range(multiprobe_hamming + 1))
     if n_masks > 4096:
@@ -209,10 +237,11 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
     else:
         p = p.withColumnRenamed("b0", "bucket")
 
-    idx = spark.read.parquet(path)
+    _be().refresh(spark, name)
+    idx = _be().read(spark, name)
     if "band" not in idx.columns:       # pre-banding layout
         if bands > 1:
-            raise ValueError(f"index at {path} has no band column "
+            raise ValueError(f"index {name} has no band column "
                              "(pre-banding layout) — rewrite it with "
                              "write_lsh_index(bands=...) to probe banded")
         idx = idx.withColumn("band", F.lit(0))
@@ -242,14 +271,16 @@ def knn_join_lsh_index(spark: SparkSession, path: str, probes: DataFrame,
     return similarity.topk_per_probe(joined, k)
 
 
-def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
+def write_ivf_index(df: DataFrame, name: str, centroids: np.ndarray,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> None:
-    """Materialize the IVF assignment partitioned by inverted list."""
+    """Materialize the IVF assignment partitioned by inverted list
+    (catalog table ``name`` via the tableio backend)."""
+    _check_name(name)
     assigned = similarity.ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    _be().write_partitioned(assigned, name, ["list_id"])
 
 
-def append_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
+def append_ivf_index(df: DataFrame, name: str, centroids: np.ndarray,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> None:
     """Incrementally add vectors to a written IVF index using the
     EXISTING centroids (an Arrow-batched assignment + partitioned
@@ -261,107 +292,80 @@ def append_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
     lists are least-wrong, so probes either miss them or must raise
     nprobe).  Run ``refresh_ivf_index`` on a maintenance cadence — the
     OPTIMIZE analog for the ANN layer."""
+    _check_name(name)
     assigned = similarity.ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
-    assigned.write.mode("append").partitionBy("list_id").parquet(path)
+    _be().append_partitioned(assigned, name, ["list_id"])
 
 
-def refresh_ivf_index(spark: SparkSession, path: str, n_centroids: int = 16,
+def refresh_ivf_index(spark: SparkSession, name: str, n_centroids: int = 16,
                       iters: int = 5, seed: int = 42,
                       sample_cap: int = 20_000) -> np.ndarray:
     """Re-train the coarse quantizer on a fresh sample of the CURRENT
     index contents and rewrite the assignment partitioned by the new
     lists; returns the new centroids (probes need them — persist
-    alongside the index).  One full-index rewrite, staged then swapped:
-    a crash mid-swap is repaired by ``recover_ivf_index`` (the staged
-    copy holds the full post-image).  Swap I/O goes through the Hadoop
-    FileSystem API, so the index may live on any scheme."""
-    from dlx_spark import fsio
+    alongside the index).
 
-    cur = spark.read.parquet(path).select(F.col("id").alias("vec_id"),
-                                          F.col("vec").alias("embedding"))
+    One full-index rewrite published through the backend seam's shared
+    ``replace`` protocol — the same staged-swap every index rewrite in
+    the engine uses (compaction, rebucket), not a bespoke one: a crash
+    anywhere is repaired by ``recover_ivf_index`` → ``recover_replace``
+    on next open (on the parquet backend a staged TABLE exists only if
+    its ``saveAsTable`` completed — the catalog registration is the
+    commit point, so recovery never sees a torn stage; on the
+    versioned backend the swap is an atomic manifest commit and
+    readers hold snapshots across it).  A concurrent
+    ``append_ivf_index`` does NOT commute with re-quantization (its
+    rows were assigned under the old centroids and would be silently
+    unfindable), so the publish carries a snapshot token with
+    ``on_conflict="fail"`` — the transactional backend raises
+    ``tableio.ConcurrentWriteError``, the stage is cleaned, and the
+    caller re-runs over the grown index (same rule as
+    ``EmbeddingIndex.rebucket``)."""
+    _check_name(name)
+    _be().refresh(spark, name)
+    token = _be().snapshot_token(spark, name)
+    cur = _be().read(spark, name).select(F.col("id").alias("vec_id"),
+                                         F.col("vec").alias("embedding"))
     cents = similarity.ivf_centroids(cur, n_centroids=n_centroids, iters=iters,
                                      seed=seed, vec_col="embedding",
                                      sample_cap=sample_cap)
-    staged = path + "__refresh"
-    aside = path + "__old"
-    # clear any leftover aside BEFORE staging: once staging starts, an
-    # existing aside must mean THIS run reached the swap phase (stage
-    # complete) — otherwise a stale partial aside plus a crash mid
-    # staged-write would make recovery trust a partial stage and delete
-    # the only complete copy
-    fsio.rmtree(spark, aside)
-    (similarity.ivf_assign(cur, cents, vec_col="embedding", id_col="vec_id")
-     .write.mode("overwrite").partitionBy("list_id").parquet(staged))
-    # stage-complete marker: recovery only ever trusts a stage that
-    # carries it, making the decision locally provable instead of
-    # protocol-dependent (underscore-prefixed files are ignored by the
-    # parquet reader, so the marker rides along into the live path)
-    fsio.touch(spark, fsio.join(staged, "_STAGE_COMPLETE"))
-    # rename-aside swap: the live index is MOVED (one atomic-per-scheme
-    # rename), never deleted in place — at no point does a crash leave a
-    # partially-deleted live dir as the only copy (rmtree(live) +
-    # rename(stage) had exactly that window, and recovery then dropped
-    # the stage, the sole full post-image).  Readers racing the swap see
-    # old-or-new, with a one-rename missing window instead of a
-    # deletion-sized one.
-    fsio.rename(spark, path, aside)
-    fsio.rename(spark, staged, path)
-    fsio.rmtree(spark, aside)
+    staged = f"{name}__refresh"
+    _be().write_partitioned(
+        similarity.ivf_assign(cur, cents, vec_col="embedding",
+                              id_col="vec_id"),
+        staged, ["list_id"])
+    try:
+        _be().replace(spark, name, staged, token=token, on_conflict="fail")
+    except tableio.ConcurrentWriteError:
+        _be().drop(spark, staged)
+        raise
     return cents
 
 
-def recover_ivf_index(spark: SparkSession, path: str) -> None:
-    """Repair a refresh that crashed mid-swap.
-
-    A stage is trusted ONLY when it carries its ``_STAGE_COMPLETE``
-    marker (touched after the staged write finishes) — recovery never
-    acts on a torn stage.  With the rename-aside protocol,
-    ``{path}__old`` existing means the live index was already moved
-    aside, so a COMPLETE stage (or the already-published ``path``) is
-    the authoritative post-image; an incomplete stage is dropped and
-    the aside copy restored.  Without the aside, a complete live index
-    always wins and a stale stage is dropped."""
-    from dlx_spark import fsio
-
-    staged = path + "__refresh"
-    aside = path + "__old"
-    stage_ok = (fsio.exists(spark, staged)
-                and fsio.exists(spark, fsio.join(staged, "_STAGE_COMPLETE")))
-    if fsio.exists(spark, aside):
-        if stage_ok:
-            # swap was in flight: publish the post-image
-            fsio.rmtree(spark, path)  # cannot be complete mid-swap
-            fsio.rename(spark, staged, path)
-        else:
-            fsio.rmtree(spark, staged)  # torn stage: never act on it
-            if not fsio.exists(spark, path):
-                # the aside copy is all we have — restore it (the
-                # refresh must be re-run)
-                fsio.rename(spark, aside, path)
-                return
-        fsio.rmtree(spark, aside)
-    elif fsio.exists(spark, staged):
-        if stage_ok and not fsio.exists(spark, path):
-            fsio.rename(spark, staged, path)  # legacy-protocol tail case
-        elif fsio.exists(spark, path):
-            # pre-swap crash (live intact) or torn stage: drop the stage
-            fsio.rmtree(spark, staged)
-        # else: an unmarked stage is the ONLY surviving copy (legacy
-        # pre-marker protocol) — never delete the last copy; leave it
-        # in place for manual inspection / a deliberate re-publish
+def recover_ivf_index(spark: SparkSession, name: str) -> None:
+    """Finish (or discard) a ``refresh_ivf_index`` that crashed
+    mid-publish — delegates to the backend's shared
+    ``recover_replace``: a visible stage is complete by construction
+    (see ``refresh_ivf_index``), so recovery either finishes the swap
+    (live missing / swap uncommitted) or drops the redundant stage
+    (live intact)."""
+    _check_name(name)
+    _be().recover_replace(spark, name, f"{name}__refresh")
 
 
-def probe_ivf_index(spark: SparkSession, path: str, centroids: np.ndarray,
+def probe_ivf_index(spark: SparkSession, name: str, centroids: np.ndarray,
                     query: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
     """Top-k over a written IVF index: rank centroids driver-side (a few
     KB), scan only the nprobe nearest list partitions, exact-rerank."""
+    _check_name(name)
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     probe = [int(i) for i in np.argsort(-(cn @ qn))[:nprobe]]
 
-    idx = spark.read.parquet(path).filter(F.col("list_id").isin(probe))
+    _be().refresh(spark, name)
+    idx = _be().read(spark, name).filter(F.col("list_id").isin(probe))
     return (idx.select("id", similarity._cosine_expr("vec", [float(x) for x in q])
                        .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("id"))

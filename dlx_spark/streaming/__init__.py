@@ -457,6 +457,22 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str):
         fsio.mkdirs(session, commits_log)
         marker_path = fsio.join(commits_log, f"_intent_{key}_{batch_id}.json")
         stage_path = fsio.join(commits_log, f"_batch_{key}_{batch_id}")
+        # a batch that crashed mid-commit BEFORE the qualified-spelling
+        # upgrade left its intent marker and stage dir under the legacy
+        # abspath-derived key; if the current-key marker is absent,
+        # adopt the legacy-named attempt so its recovery (history undo +
+        # idempotent re-run from ITS stage) runs instead of a fresh
+        # commit duplicating the crashed attempt's history appends.
+        # Probed before the ledger check too, so a crash between ledger
+        # append and cleanup doesn't strand the legacy-named files.
+        legacy_key = _key_cache.get("legacy", key)
+        if legacy_key != key and not fsio.exists(session, marker_path):
+            legacy_marker = fsio.join(
+                commits_log, f"_intent_{legacy_key}_{batch_id}.json")
+            if fsio.exists(session, legacy_marker):
+                marker_path = legacy_marker
+                stage_path = fsio.join(commits_log,
+                                       f"_batch_{legacy_key}_{batch_id}")
 
         if ledger_has(session, key, batch_id):
             # crash landed between ledger append and cleanup: finish it

@@ -12,8 +12,9 @@ an atomic metadata swap, ``recover_replace`` becomes a no-op — without
 touching any operator call-site: the index classes never call
 ``saveAsTable``/``DROP TABLE`` directly.
 
-Swap a backend in with ``set_backend`` (process-wide) or per-index via
-the ``backend=`` constructor/classmethod parameter.
+Swap a backend in with ``set_backend`` (process-wide; the index
+classes resolve it per call through ``tableio.get_backend()``, so an
+install is picked up by already-constructed indexes too).
 """
 
 from __future__ import annotations
@@ -63,6 +64,28 @@ class ParquetTableBackend:
         """Create/overwrite a small unbucketed table (index metadata)."""
         df.write.mode("overwrite").saveAsTable(table)
 
+    @staticmethod
+    def _clustered(df: DataFrame, partition_cols: list[str]) -> DataFrame:
+        """One file per partition directory per write: without the
+        repartition, every task holding rows of a partition value emits
+        its own file there (tasks × partitions small files — the same
+        fragmentation `_aligned` prevents for bucketed tables)."""
+        return df.repartition(*[F.col(c) for c in partition_cols])
+
+    def write_partitioned(self, df: DataFrame, table: str,
+                          partition_cols: list[str]) -> None:
+        """Create/overwrite ``table`` partitioned by ``partition_cols``
+        — the layout the ANN indexes (operators/bucketing.py) use for
+        listing-time partition pruning: probes filter on the partition
+        columns and the scan never opens non-matching directories."""
+        (self._clustered(df, partition_cols).write.mode("overwrite")
+         .partitionBy(*partition_cols).saveAsTable(table))
+
+    def append_partitioned(self, df: DataFrame, table: str,
+                           partition_cols: list[str]) -> None:
+        (self._clustered(df, partition_cols).write.mode("append")
+         .partitionBy(*partition_cols).saveAsTable(table))
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.table(table)
 
@@ -99,7 +122,19 @@ class ParquetTableBackend:
         single-writer parquet backend has no concurrent commits to
         reconcile and ignores them."""
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        self._rename(spark, staged, table)
+
+    @staticmethod
+    def _rename(spark: SparkSession, staged: str, table: str) -> None:
+        """Catalog rename, partition-safe: ALTER TABLE RENAME moves a
+        managed table's directory but the catalog's PARTITION entries
+        keep their absolute pre-rename locations, so a partitioned
+        table reads as EMPTY afterwards — re-discover them from the new
+        location (the repair is also what makes a recovery re-entrant:
+        re-running it on an already-repaired table is a no-op)."""
         spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+        if any(c.isPartition for c in spark.catalog.listColumns(table)):
+            spark.sql(f"MSCK REPAIR TABLE {table}")
 
     def recover_replace(self, spark: SparkSession, table: str,
                         staged: str) -> None:
@@ -107,7 +142,7 @@ class ParquetTableBackend:
         transactional backend overrides this with a no-op."""
         if spark.catalog.tableExists(staged):
             if not spark.catalog.tableExists(table):
-                spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+                self._rename(spark, staged, table)
             else:  # crashed before DROP: staged copy is redundant
                 spark.sql(f"DROP TABLE {staged}")
 

@@ -91,7 +91,7 @@ _MAX_COMMIT_RETRIES = 20
 class VersionedTableBackend(ParquetTableBackend):
     """Snapshot-isolated, optimistically-concurrent table commits on
     plain parquet (see module docstring).  Drop-in for
-    ``tableio.set_backend`` / the indexes' ``backend=`` parameter."""
+    ``tableio.set_backend``."""
 
     def __init__(self, root: str | None = None):
         # root resolved lazily against the active session's warehouse
@@ -233,8 +233,16 @@ class VersionedTableBackend(ParquetTableBackend):
     # ---------------------------------------------------- segment I/O
 
     def _write_segment(self, spark: SparkSession, df: DataFrame,
-                       key: str | None, n_buckets: int | None) -> str:
+                       key: str | None, n_buckets: int | None,
+                       partition_cols: list[str] | None = None) -> str:
         seg = uuid.uuid4().hex
+        if partition_cols:
+            # hive-partitioned segment dirs: readers resolving the
+            # manifest get listing-time partition pruning per segment
+            (df.repartition(*[F.col(c) for c in partition_cols])
+             .write.partitionBy(*partition_cols)
+             .parquet(self._data_dir(spark, seg)))
+            return seg
         if key is not None:
             # clustered layout: balanced, sorted segment files (no
             # catalog bucket metadata — see module docstring trade-off)
@@ -245,9 +253,13 @@ class VersionedTableBackend(ParquetTableBackend):
 
     @staticmethod
     def _layout(df: DataFrame, key: str | None,
-                n_buckets: int | None, segments: list[str]) -> dict:
-        return {"segments": segments, "key": key, "n_buckets": n_buckets,
-                "schema": df.schema.json()}
+                n_buckets: int | None, segments: list[str],
+                partition_cols: list[str] | None = None) -> dict:
+        doc = {"segments": segments, "key": key, "n_buckets": n_buckets,
+               "schema": df.schema.json()}
+        if partition_cols:
+            doc["partition_cols"] = list(partition_cols)
+        return doc
 
     # ------------------------------------------- tableio interface
 
@@ -274,6 +286,25 @@ class VersionedTableBackend(ParquetTableBackend):
         self._commit(spark, table,
                      lambda latest: self._layout(df, None, None, [seg]))
 
+    def write_partitioned(self, df: DataFrame, table: str,
+                          partition_cols: list[str]) -> None:
+        spark = df.sparkSession
+        seg = self._write_segment(spark, df, None, None, partition_cols)
+        self._commit(spark, table,
+                     lambda latest: self._layout(df, None, None, [seg],
+                                                 partition_cols))
+
+    def append_partitioned(self, df: DataFrame, table: str,
+                           partition_cols: list[str]) -> None:
+        spark = df.sparkSession
+        seg = self._write_segment(spark, df, None, None, partition_cols)
+        self._commit(
+            spark, table,
+            lambda latest: self._layout(
+                df, None, None,
+                (latest["segments"] if latest else []) + [seg],
+                partition_cols))
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         _, manifest = self._latest(spark, table)
         return self._read_manifest_df(spark, manifest)
@@ -295,10 +326,20 @@ class VersionedTableBackend(ParquetTableBackend):
 
     def _read_manifest_df(self, spark: SparkSession,
                           manifest: dict) -> DataFrame:
+        from functools import reduce
+
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         paths = [self._data_dir(spark, s) for s in manifest["segments"]]
         if not paths:
             return spark.createDataFrame([], schema)
+        if manifest.get("partition_cols"):
+            # hive-partitioned segments: partition discovery needs one
+            # root per scan (multiple roots have no common basePath —
+            # CONFLICTING_DIRECTORY_STRUCTURES), so union per-segment
+            # scans; partition-pruning filters push into each scan
+            return reduce(DataFrame.unionByName,
+                          [spark.read.schema(schema).parquet(p)
+                           for p in paths])
         # explicit schema: no inference pass, and zero-row segments read
         return spark.read.schema(schema).parquet(*paths)
 
@@ -367,6 +408,8 @@ class VersionedTableBackend(ParquetTableBackend):
                     f"the stage and retry")
             doc = {k: manifest[k] for k in
                    ("segments", "key", "n_buckets", "schema")}
+            if "partition_cols" in manifest:
+                doc["partition_cols"] = manifest["partition_cols"]
             if token is not None:
                 doc["segments"] = list(manifest["segments"]) + gained
             doc["source"] = [staged, manifest["id"]]

@@ -98,9 +98,10 @@ def main() -> None:
     from dlx_spark.sources import marc_io
 
     with tempfile.TemporaryDirectory() as tmp:
-        bucketing.write_lsh_index(emb, f"{tmp}/lsh_idx", n_planes=6, dim=64)
-        probed = bucketing.probe_lsh_index(spark, f"{tmp}/lsh_idx", qvec, k=3,
+        bucketing.write_lsh_index(emb, "example_lsh_idx", n_planes=6, dim=64)
+        probed = bucketing.probe_lsh_index(spark, "example_lsh_idx", qvec, k=3,
                                            n_planes=6).collect()
+        spark.sql("DROP TABLE IF EXISTS example_lsh_idx")
         print(f"LSH index probe (partition-pruned): "
               f"{[(r.id, round(r.cosine, 3)) for r in probed]}")
 

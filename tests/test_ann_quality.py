@@ -125,39 +125,44 @@ def test_ivf_drift_and_refresh_cycle(spark, tmp_path):
         "vec_id long, embedding array<double>, label int")
     combined = initial.unionByName(drifted)
 
-    path = str(tmp_path / "ivf_idx")
+    path = "t_ann_ivf_drift"
     cents0 = similarity.ivf_centroids(initial, n_centroids=3, seed=7)
-    bucketing.write_ivf_index(initial, path, cents0)
-    # drift: clusters 3-4 arrive and are appended under the OLD quantizer
-    bucketing.append_ivf_index(drifted, path, cents0)
-    assert spark.read.parquet(path).count() == combined.count()
+    try:
+        bucketing.write_ivf_index(initial, path, cents0)
+        # drift: clusters 3-4 arrive, appended under the OLD quantizer
+        bucketing.append_ivf_index(drifted, path, cents0)
+        assert spark.table(path).count() == combined.count()
 
-    q = rows[4 * PER_CLUSTER][1]               # member of drifted cluster 4
-    exact = {r["id"] for r in
-             similarity.cosine_topk(combined, q, k=10).collect()}
+        q = rows[4 * PER_CLUSTER][1]           # member of drifted cluster 4
+        exact = {r["id"] for r in
+                 similarity.cosine_topk(combined, q, k=10).collect()}
 
-    # refresh: retrain on the current contents, one list per cluster
-    cents1 = bucketing.refresh_ivf_index(spark, path, n_centroids=5, seed=7)
-    got = {r["id"] for r in bucketing.probe_ivf_index(
-        spark, path, cents1, q, k=10, nprobe=1).collect()}
-    assert len(got & exact) / len(exact) >= 0.9
-    # nothing lost in the rewrite
-    assert spark.read.parquet(path).count() == combined.count()
+        # refresh: retrain on the current contents, one list per cluster
+        cents1 = bucketing.refresh_ivf_index(spark, path, n_centroids=5,
+                                             seed=7)
+        got = {r["id"] for r in bucketing.probe_ivf_index(
+            spark, path, cents1, q, k=10, nprobe=1).collect()}
+        assert len(got & exact) / len(exact) >= 0.9
+        # nothing lost in the rewrite
+        assert spark.table(path).count() == combined.count()
 
-    # crash window: live deleted, stage not yet renamed — recover
-    # publishes the stage and probes see the full index again
-    fsio.rename(spark, path, path + "__refresh", overwrite=True)
-    bucketing.recover_ivf_index(spark, path)
-    assert spark.read.parquet(path).count() == combined.count()
-    got2 = {r["id"] for r in bucketing.probe_ivf_index(
-        spark, path, cents1, q, k=10, nprobe=1).collect()}
-    assert got2 == got
-    # stale-stage variant: both present -> stage dropped, live intact
-    (spark.read.parquet(path).limit(5).write.mode("overwrite")
-     .parquet(path + "__refresh"))
-    bucketing.recover_ivf_index(spark, path)
-    assert not fsio.exists(spark, path + "__refresh")
-    assert spark.read.parquet(path).count() == combined.count()
+        # crash window: live dropped, stage not yet renamed — recover
+        # publishes the stage and probes see the full index again
+        spark.sql(f"ALTER TABLE {path} RENAME TO {path}__refresh")
+        bucketing.recover_ivf_index(spark, path)
+        assert spark.table(path).count() == combined.count()
+        got2 = {r["id"] for r in bucketing.probe_ivf_index(
+            spark, path, cents1, q, k=10, nprobe=1).collect()}
+        assert got2 == got
+        # stale-stage variant: both present -> stage dropped, live intact
+        (spark.table(path).limit(5).write.mode("overwrite")
+         .saveAsTable(path + "__refresh"))
+        bucketing.recover_ivf_index(spark, path)
+        assert not spark.catalog.tableExists(path + "__refresh")
+        assert spark.table(path).count() == combined.count()
+    finally:
+        for t in (path, path + "__refresh"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_cosine_near_duplicates_recall_on_clusters(clustered):

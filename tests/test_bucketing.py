@@ -18,6 +18,14 @@ def warehouse(spark, tmp_path_factory):
     return spark
 
 
+@pytest.fixture(autouse=True)
+def _drop_ann_tables(spark):
+    yield
+    for t in ("t_lsh_idx", "t_lsh_idx_b", "t_ivf_idx",
+              "t_lsh_single", "t_lsh_banded"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def _exchanges(df) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange") - plan.count("BroadcastExchange") \
@@ -68,7 +76,7 @@ def _vectors(spark):
 
 def test_lsh_index_prunes_partitions_and_matches_exact(spark, tmp_path):
     vecs = _vectors(spark)
-    path = str(tmp_path / "lsh_idx")
+    path = "t_lsh_idx"
     bucketing.write_lsh_index(vecs, path, n_planes=6, dim=8)
     qvec = [r["embedding"] for r in vecs.filter(F.col("vec_id") == 0).collect()][0]
 
@@ -88,7 +96,7 @@ def test_knn_join_lsh_index_matches_onthefly_and_prunes(spark, tmp_path):
     knn_join at hamming 0 (same planes), and its scan must be pruned by
     dynamic partition pruning from the broadcast probe side."""
     vecs = _vectors(spark)
-    path = str(tmp_path / "lsh_idx_b")
+    path = "t_lsh_idx_b"
     bucketing.write_lsh_index(vecs, path, n_planes=6, dim=8)
 
     probes = vecs.filter(F.col("vec_id") % 10 == 0).select(
@@ -121,7 +129,7 @@ def test_knn_join_lsh_index_matches_onthefly_and_prunes(spark, tmp_path):
 
 def test_ivf_index_prunes_partitions_and_matches_exact(spark, tmp_path):
     vecs = _vectors(spark)
-    path = str(tmp_path / "ivf_idx")
+    path = "t_ivf_idx"
     cents = similarity.ivf_centroids(vecs, n_centroids=4, seed=7)
     bucketing.write_ivf_index(vecs, path, cents)
     qvec = [r["embedding"] for r in vecs.filter(F.col("vec_id") == 0).collect()][0]
@@ -164,14 +172,14 @@ def test_banded_lsh_index_layout_and_recall(spark, tmp_path):
         twins[2 * i] = 2 * i + 1
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    single = str(tmp_path / "lsh_single")
-    banded = str(tmp_path / "lsh_banded")
+    single = "t_lsh_single"
+    banded = "t_lsh_banded"
     bucketing.write_lsh_index(vecs, single, n_planes=7, dim=dim)
     bucketing.write_lsh_index(vecs, banded, n_planes=7, bands=4, dim=dim)
 
     # storage: one copy per band
-    n_single = spark.read.parquet(single).count()
-    n_banded = spark.read.parquet(banded).count()
+    n_single = spark.table(single).count()
+    n_banded = spark.table(banded).count()
     assert n_single == 240 and n_banded == 4 * 240
 
     # single-query probe finds the twin through SOME band
@@ -203,3 +211,74 @@ def test_banded_lsh_index_layout_and_recall(spark, tmp_path):
         per_probe.setdefault(r["probe_id"], []).append(r["corpus_id"])
     assert all(len(v) == len(set(v)) for v in per_probe.values())
     assert len(per_probe) >= 18       # nearly every probe found candidates
+
+
+def test_ann_index_ops_route_through_backend_seam(spark):
+    """Round-6 port: every LSH/IVF index operation must go through the
+    tableio backend (no direct path I/O, no bespoke swap protocol), so
+    a transactional backend upgrades them without touching call sites —
+    the same recording-backend pin the dedup indexes have."""
+    import numpy as np
+
+    from dlx_spark import tableio
+
+    class Recording(tableio.ParquetTableBackend):
+        def __init__(self):
+            self.calls = []
+
+        def write_partitioned(self, df, table, cols):
+            self.calls.append(("write_partitioned", table, tuple(cols)))
+            super().write_partitioned(df, table, cols)
+
+        def append_partitioned(self, df, table, cols):
+            self.calls.append(("append_partitioned", table, tuple(cols)))
+            super().append_partitioned(df, table, cols)
+
+        def read(self, spark, table):
+            self.calls.append(("read", table))
+            return super().read(spark, table)
+
+        def replace(self, spark, table, staged, token=None,
+                    on_conflict="merge", **kw):
+            self.calls.append(("replace", table, staged, on_conflict))
+            super().replace(spark, table, staged, token=token,
+                            on_conflict=on_conflict, **kw)
+
+        def recover_replace(self, spark, table, staged):
+            self.calls.append(("recover_replace", table, staged))
+            super().recover_replace(spark, table, staged)
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rec = Recording()
+    tableio.set_backend(rec)
+    try:
+        bucketing.write_lsh_index(df, "t_seam_lsh", n_planes=5, dim=8)
+        bucketing.probe_lsh_index(spark, "t_seam_lsh", rows[0][1], k=3,
+                                  n_planes=5).collect()
+        cents = similarity.ivf_centroids(df, n_centroids=3, seed=11)
+        bucketing.write_ivf_index(df.limit(20), "t_seam_ivf", cents)
+        bucketing.append_ivf_index(df, "t_seam_ivf", cents)
+        bucketing.refresh_ivf_index(spark, "t_seam_ivf", n_centroids=3,
+                                    seed=11)
+        bucketing.recover_ivf_index(spark, "t_seam_ivf")
+        bucketing.probe_ivf_index(spark, "t_seam_ivf", cents, rows[0][1],
+                                  k=3, nprobe=1).collect()
+        ops = {c[0] for c in rec.calls}
+        assert ops >= {"write_partitioned", "append_partitioned", "read",
+                       "replace", "recover_replace"}
+        # the refresh publishes conflict-checked, through the seam
+        assert ("replace", "t_seam_ivf", "t_seam_ivf__refresh",
+                "fail") in rec.calls
+        assert ("write_partitioned", "t_seam_lsh",
+                ("band", "bucket")) in rec.calls
+        assert ("write_partitioned", "t_seam_ivf", ("list_id",)) in rec.calls
+        # path-spelled names are refused with a migration pointer
+        with pytest.raises(ValueError, match="tableio"):
+            bucketing.write_lsh_index(df, "/tmp/not/a/table", n_planes=5,
+                                      dim=8)
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
+        for t in ("t_seam_lsh", "t_seam_ivf", "t_seam_ivf__refresh"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

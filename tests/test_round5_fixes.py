@@ -50,107 +50,140 @@ def test_fsio_remove_missing_semantics_unchanged(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# IVF rename-aside swap recovery
+# IVF refresh publication through the shared tableio replace protocol
 # ---------------------------------------------------------------------------
+#
+# Round 6 replaced the bespoke rename-aside + _STAGE_COMPLETE protocol
+# with the backend seam's replace/recover_replace (the IVF index is now
+# a partitioned catalog table).  The crash states collapse accordingly:
+# a staged TABLE is visible only if its saveAsTable completed (catalog
+# registration is the commit point), so recovery never has to reason
+# about torn stages.
 
-def _write_idx(spark, path, ids):
+
+def _write_idx(spark, table, ids):
     (spark.createDataFrame([(int(i), [float(i)], 0) for i in ids],
                            "id long, vec array<double>, list_id int")
-     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+     .write.mode("overwrite").partitionBy("list_id").saveAsTable(table))
 
 
-def _idx_ids(spark, path):
-    return {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+def _idx_ids(spark, table):
+    return {r["id"] for r in spark.table(table).select("id").collect()}
 
 
-def test_recover_ivf_prefers_stage_when_aside_exists(spark, tmp_path):
-    """Crash after the live index was moved aside: the stage is the full
-    post-image and must be published — the pre-fix protocol (rmtree live
-    then rename) could leave a partially deleted live dir that recovery
-    kept while deleting the stage."""
+@pytest.fixture(autouse=True)
+def _drop_ivf_tables(spark):
+    yield
+    for t in ("t_r6_ivf", "t_r6_ivf__refresh", "t_r6_ivf2",
+              "t_r6_ivf2__refresh", "t_r6_ivf3", "t_r6_ivf3__refresh",
+              "t_r6_ivf5", "t_r6_ivf5__refresh"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_recover_ivf_pre_publish_crash_keeps_live(spark):
+    """Stage complete, live intact: the crash predates the swap's DROP —
+    the live index wins and the (re-derivable) stage is dropped."""
     from dlx_spark.operators import bucketing
 
-    path = str(tmp_path / "idx")
-    _write_idx(spark, path + "__refresh", [10, 11, 12])     # staged post-image
-    fsio.touch(spark, path + "__refresh/_STAGE_COMPLETE")
-    _write_idx(spark, path + "__old", [1, 2, 3])            # moved-aside live
-    bucketing.recover_ivf_index(spark, path)
-    assert _idx_ids(spark, path) == {10, 11, 12}
-    assert not fsio.exists(spark, path + "__old")
-    assert not fsio.exists(spark, path + "__refresh")
+    _write_idx(spark, "t_r6_ivf", [1, 2, 3])
+    _write_idx(spark, "t_r6_ivf__refresh", [10, 11])
+    bucketing.recover_ivf_index(spark, "t_r6_ivf")
+    assert _idx_ids(spark, "t_r6_ivf") == {1, 2, 3}
+    assert not spark.catalog.tableExists("t_r6_ivf__refresh")
 
 
-def test_recover_ivf_never_trusts_a_torn_stage(spark, tmp_path):
-    """A stage WITHOUT its _STAGE_COMPLETE marker is a torn write:
-    recovery must drop it and restore the aside copy rather than
-    publishing partial data — the decision is provable from the marker
-    alone, not from protocol reasoning about which crash produced the
-    state."""
+def test_recover_ivf_mid_swap_crash_publishes_stage(spark):
+    """Crash between the swap's DROP and RENAME: the staged table is
+    the full post-image — recovery publishes it, INCLUDING the
+    partition-metadata repair (the catalog keeps absolute partition
+    locations across a rename; without the repair the recovered index
+    reads as empty)."""
     from dlx_spark.operators import bucketing
 
-    path = str(tmp_path / "idx_torn")
-    _write_idx(spark, path + "__refresh", [10])              # torn stage
-    _write_idx(spark, path + "__old", [1, 2, 3])
-    bucketing.recover_ivf_index(spark, path)
-    assert _idx_ids(spark, path) == {1, 2, 3}                # aside restored
-    assert not fsio.exists(spark, path + "__refresh")
-    assert not fsio.exists(spark, path + "__old")
+    _write_idx(spark, "t_r6_ivf2__refresh", [10, 11, 12])
+    bucketing.recover_ivf_index(spark, "t_r6_ivf2")
+    assert _idx_ids(spark, "t_r6_ivf2") == {10, 11, 12}
+    assert not spark.catalog.tableExists("t_r6_ivf2__refresh")
+    # re-entrant: running recovery again is a no-op
+    bucketing.recover_ivf_index(spark, "t_r6_ivf2")
+    assert _idx_ids(spark, "t_r6_ivf2") == {10, 11, 12}
 
 
-def test_recover_ivf_drops_aside_after_publish(spark, tmp_path):
-    """Crash between publishing the stage and deleting the aside copy:
-    the live path already holds the new index; recovery just cleans up."""
+def test_torn_staged_write_is_invisible_to_recovery(spark):
+    """The commit point claim itself: a staged write that died before
+    its catalog registration leaves FILES but no TABLE — recovery sees
+    nothing staged and leaves the live index untouched (the reason the
+    bespoke _STAGE_COMPLETE marker is no longer needed)."""
     from dlx_spark.operators import bucketing
 
-    path = str(tmp_path / "idx2")
-    _write_idx(spark, path, [10, 11, 12])                   # published stage
-    _write_idx(spark, path + "__old", [1, 2, 3])
-    bucketing.recover_ivf_index(spark, path)
-    assert _idx_ids(spark, path) == {10, 11, 12}
-    assert not fsio.exists(spark, path + "__old")
+    _write_idx(spark, "t_r6_ivf3", [1, 2, 3])
+    loc = str(spark.conf.get("spark.sql.warehouse.dir")).replace(
+        "file:", "") + "/t_r6_ivf3__refresh"
+    (spark.createDataFrame([(99, [9.0], 0)],
+                           "id long, vec array<double>, list_id int")
+     .write.mode("overwrite").partitionBy("list_id").parquet(loc))
+    assert not spark.catalog.tableExists("t_r6_ivf3__refresh")
+    bucketing.recover_ivf_index(spark, "t_r6_ivf3")
+    assert _idx_ids(spark, "t_r6_ivf3") == {1, 2, 3}
+    fsio.rmtree(spark, loc)
 
 
-def test_recover_ivf_restores_aside_when_nothing_else_survives(spark, tmp_path):
-    """Pathological double-crash: only the aside copy exists (the stage
-    was lost).  The old index is all there is — restore it rather than
-    leaving no index at all."""
-    from dlx_spark.operators import bucketing
-
-    path = str(tmp_path / "idx3")
-    _write_idx(spark, path + "__old", [1, 2, 3])
-    bucketing.recover_ivf_index(spark, path)
-    assert _idx_ids(spark, path) == {1, 2, 3}
-    assert not fsio.exists(spark, path + "__old")
-
-
-def test_recover_ivf_pre_swap_crash_keeps_live(spark, tmp_path):
-    """Stage present, live intact, no aside marker: the crash predates
-    the swap, the live index is complete — drop the stale stage."""
-    from dlx_spark.operators import bucketing
-
-    path = str(tmp_path / "idx4")
-    _write_idx(spark, path, [1, 2, 3])
-    _write_idx(spark, path + "__refresh", [10, 11])
-    bucketing.recover_ivf_index(spark, path)
-    assert _idx_ids(spark, path) == {1, 2, 3}
-    assert not fsio.exists(spark, path + "__refresh")
-
-
-def test_refresh_ivf_swap_leaves_no_residue(spark, tmp_path):
-    """A clean refresh ends with exactly the live path: no __old, no
-    __refresh, contents preserved."""
+def test_refresh_ivf_swap_leaves_no_residue(spark):
+    """A clean refresh ends with exactly the live table: no __refresh,
+    contents preserved, probes see the new quantization."""
     from dlx_spark.operators import bucketing, similarity
 
     rng = np.random.RandomState(3)
     rows = [(i, (rng.standard_normal(8)).tolist()) for i in range(60)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    path = str(tmp_path / "idx5")
     cents = similarity.ivf_centroids(df, n_centroids=4, seed=3)
-    bucketing.write_ivf_index(df, path, cents)
-    bucketing.refresh_ivf_index(spark, path, n_centroids=4, seed=3)
-    assert not fsio.exists(spark, path + "__old")
-    assert not fsio.exists(spark, path + "__refresh")
-    assert len(_idx_ids(spark, path)) == 60
+    bucketing.write_ivf_index(df, "t_r6_ivf5", cents)
+    bucketing.refresh_ivf_index(spark, "t_r6_ivf5", n_centroids=4, seed=3)
+    assert not spark.catalog.tableExists("t_r6_ivf5__refresh")
+    assert len(_idx_ids(spark, "t_r6_ivf5")) == 60
+
+
+def test_refresh_ivf_fails_clean_on_concurrent_append(spark, tmp_path):
+    """On the transactional backend, an append_ivf_index racing the
+    refresh (its rows assigned under the OLD centroids) must fail the
+    refresh via the snapshot-token conflict, leave the live index
+    exactly as the appender sees it, and clean the stage — the upgrade
+    over the old path protocol, which silently lost such appends."""
+    from dlx_spark import tableio
+    from dlx_spark.operators import bucketing, similarity
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+
+    rng = np.random.RandomState(5)
+    rows = [(i, (rng.standard_normal(6)).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    extra = spark.createDataFrame([(500, rows[0][1])],
+                                  "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(df, n_centroids=3, seed=5)
+
+    class RacingBackend(VersionedTableBackend):
+        def write_partitioned(self, d, table, cols):
+            super().write_partitioned(d, table, cols)
+            if table.endswith("__refresh") and not getattr(
+                    self, "_raced", False):
+                self._raced = True
+                bucketing.append_ivf_index(extra, "t_v_ivf_race", cents)
+
+    rb = RacingBackend(root=str(tmp_path / "vroot"))
+    tableio.set_backend(rb)
+    try:
+        bucketing.write_ivf_index(df, "t_v_ivf_race", cents)
+        with pytest.raises(tableio.ConcurrentWriteError):
+            bucketing.refresh_ivf_index(spark, "t_v_ivf_race",
+                                        n_centroids=3, seed=5)
+        assert rb._raced
+        assert not rb.exists(spark, "t_v_ivf_race__refresh")
+        assert rb.read(spark, "t_v_ivf_race").count() == 41  # append kept
+        # the re-run (no race) succeeds over the grown index
+        bucketing.refresh_ivf_index(spark, "t_v_ivf_race",
+                                    n_centroids=3, seed=5)
+        assert rb.read(spark, "t_v_ivf_race").count() == 41
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
 
 
 # ---------------------------------------------------------------------------
@@ -282,24 +315,28 @@ def test_reader_during_ivf_refresh(spark, tmp_path):
     rng = np.random.RandomState(9)
     rows = [(i, rng.standard_normal(8).tolist()) for i in range(80)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    path = str(tmp_path / "idx_reader")
+    path = "t_r6_idx_reader"
     cents = similarity.ivf_centroids(df, n_centroids=4, seed=9)
-    bucketing.write_ivf_index(df, path, cents)
-
-    before = spark.read.parquet(path)
-    want = {r["id"] for r in before.select("id").collect()}
-    assert want == set(range(80))
-
-    bucketing.refresh_ivf_index(spark, path, n_centroids=4, seed=10)
     try:
-        got_old = {r["id"] for r in before.select("id").collect()}
-        assert got_old == want          # stale handle: right answer
-    except Exception:
-        pass                            # or a clean failure — never garbage
-    fresh = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
-    assert fresh == want
-    assert not fsio.exists(spark, path + "__old")
-    assert not fsio.exists(spark, path + "__refresh")
+        bucketing.write_ivf_index(df, path, cents)
+
+        before = spark.table(path)
+        want = {r["id"] for r in before.select("id").collect()}
+        assert want == set(range(80))
+
+        bucketing.refresh_ivf_index(spark, path, n_centroids=4, seed=10)
+        try:
+            got_old = {r["id"] for r in before.select("id").collect()}
+            assert got_old == want      # stale handle: right answer
+        except Exception:
+            pass                        # or a clean failure — never garbage
+        fresh = {r["id"] for r in
+                 spark.table(path).select("id").collect()}
+        assert fresh == want
+        assert not spark.catalog.tableExists(path + "__refresh")
+    finally:
+        for t in (path, path + "__refresh"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_table_backend_seam_routes_every_index_operation(spark):
@@ -398,7 +435,7 @@ def test_banded_probe_defaults_do_not_conflict(spark, tmp_path):
     rng = np.random.RandomState(5)
     rows = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    path = str(tmp_path / "banded_defaults")
+    path = "t_r6_banded_defaults"
     bucketing.write_lsh_index(df, path, n_planes=5, bands=3, dim=8)
     q = rows[0][1]
     got = bucketing.probe_lsh_index(spark, path, q, k=3, n_planes=5,
@@ -412,6 +449,7 @@ def test_banded_probe_defaults_do_not_conflict(spark, tmp_path):
     with pytest.raises(ValueError):
         bucketing.probe_lsh_index(spark, path, q, bands=3,
                                   multiprobe_hamming=1)
+    spark.sql(f"DROP TABLE IF EXISTS {path}")
 
 
 def test_legacy_single_band_lsh_index_still_probes(spark, tmp_path):
@@ -424,10 +462,10 @@ def test_legacy_single_band_lsh_index_still_probes(spark, tmp_path):
     rng = np.random.RandomState(6)
     rows = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    path = str(tmp_path / "legacy_lsh")
-    # the OLD layout: (id, bucket, vec) partitioned by bucket
+    path = "t_r6_legacy_lsh"
+    # the OLD layout: (id, bucket, vec) partitioned by bucket, no band
     (similarity.lsh_buckets(df, n_planes=5, dim=8)
-     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+     .write.mode("overwrite").partitionBy("bucket").saveAsTable(path))
 
     q = rows[0][1]
     got = bucketing.probe_lsh_index(spark, path, q, k=3, n_planes=5).collect()
@@ -437,6 +475,7 @@ def test_legacy_single_band_lsh_index_still_probes(spark, tmp_path):
     assert got2.count() > 0
     with pytest.raises(ValueError):
         bucketing.probe_lsh_index(spark, path, q, n_planes=5, bands=2)
+    spark.sql(f"DROP TABLE IF EXISTS {path}")
 
 
 def test_embedding_index_legacy_layout_raises_clearly(spark):

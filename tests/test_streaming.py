@@ -413,3 +413,67 @@ def test_commit_stream_under_file_scheme_root(spark, tmp_path):
     fn(batch, 0)
     assert store.bibs().count() == 3
     assert len(store.history("bib", 1)) == 1
+
+
+def test_stream_replay_of_pre_upgrade_crashed_attempt(spark, tmp_path,
+                                                      monkeypatch):
+    """A batch that crashed mid-commit BEFORE the qualified-spelling
+    upgrade left its intent marker and stage dir under the legacy
+    abspath-derived key.  The replay (now running post-upgrade) must
+    adopt that legacy-named attempt — undo its half-committed history
+    and re-run from ITS stage — instead of treating the batch as fresh
+    and duplicating the history appends (ADVICE r5, streaming legacy
+    keys were accepted only on ledger READS)."""
+    import hashlib
+    import os
+
+    from dlx_spark import fsio
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_legacy"))
+    docs = [{"245": [{"indicators": [" ", " "],
+                      "subfields": [{"code": "a", "value": f"Leg doc {i}"}]}]}
+            for i in range(3)]
+    batch = spark.createDataFrame([(json.dumps(d),) for d in docs],
+                                  "value string")
+    ck = tmp_path / "ck_legacy"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "run-legacy"}))
+    fn = streaming.make_commit_batch_fn(store, "bib", str(ck))
+
+    # crash the first attempt mid-commit (history appended, live not)
+    real_upsert = MarcStore._upsert
+    state = {"raised": False}
+
+    def upsert_boom(self, *a, **k):
+        if not state["raised"]:
+            state["raised"] = True
+            raise RuntimeError("crash mid-commit")
+        return real_upsert(self, *a, **k)
+    monkeypatch.setattr(MarcStore, "_upsert", upsert_boom)
+    with pytest.raises(RuntimeError):
+        fn(batch, 0)
+    assert store.history_df("bib").count() == 3
+    assert store.bibs().count() == 0
+
+    # rewrite the crash artifacts under the PRE-upgrade (abspath) key
+    new_key = hashlib.md5(
+        f"{fsio.qualified(spark, str(ck))}:run-legacy".encode()
+    ).hexdigest()[:16]
+    old_key = hashlib.md5(
+        f"{os.path.abspath(str(ck))}:run-legacy".encode()).hexdigest()[:16]
+    assert new_key != old_key
+    log = fsio.join(store.root, "_stream_commits_bib")
+    fsio.rename(spark, fsio.join(log, f"_intent_{new_key}_0.json"),
+                fsio.join(log, f"_intent_{old_key}_0.json"))
+    fsio.rename(spark, fsio.join(log, f"_batch_{new_key}_0"),
+                fsio.join(log, f"_batch_{old_key}_0"))
+
+    fn(batch, 0)   # replay post-upgrade: must adopt the legacy attempt
+    assert store.bibs().count() == 3
+    hist = store.history_df("bib")
+    assert hist.count() == 3                      # NOT duplicated
+    assert sorted(r["version"] for r in hist.collect()) == [1, 1, 1]
+    # legacy-named artifacts cleaned up by the completed commit
+    assert not fsio.exists(spark, fsio.join(log, f"_intent_{old_key}_0.json"))
+    assert not fsio.exists(spark, fsio.join(log, f"_batch_{old_key}_0"))
