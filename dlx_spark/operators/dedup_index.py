@@ -830,6 +830,17 @@ class EmbeddingIndex:
             raise tableio.ConcurrentWriteError(
                 f"rebucket({self.name}): index was appended to while "
                 f"re-keying — re-run rebucket")
+        # intent: persist the snapshot token the staged keys were
+        # derived from, so RECOVERY can re-run the same conflict check —
+        # an append landing after this point (even followed by a crash)
+        # is detected on reopen and the stage discarded instead of
+        # rolled forward with the append's keys dropped (the round-5
+        # residual window, now closed on the parquet backend too since
+        # its snapshot_token is a real file-listing fingerprint)
+        _be().write_plain(
+            self.spark.createDataFrame([(json.dumps(token),)],
+                                       "token string"),
+            f"{self.name}_rebucket_intent")
         # commit point: staged meta present => the new geometry WILL be
         # published (roll-forward); absent => staged keys are garbage
         _be().write_plain(
@@ -840,10 +851,15 @@ class EmbeddingIndex:
         except tableio.ConcurrentWriteError:
             # leave the live index exactly as the concurrent writer
             # sees it; the caller re-runs rebucket over the grown corpus
-            _be().drop(self.spark, f"{self.name}_meta__rebucket")
-            _be().drop(self.spark, f"{self.name}_buckets__rebucket")
+            self._drop_rebucket_stages()
             raise
         self.params = _read_meta(self.spark, self.name)
+
+    def _drop_rebucket_stages(self) -> None:
+        for t in (f"{self.name}_meta__rebucket",
+                  f"{self.name}_buckets__rebucket",
+                  f"{self.name}_rebucket_intent"):
+            _be().drop(self.spark, t)
 
     def _recover_rebucket(self, buckets_token=None) -> None:
         """Finish (or discard) an interrupted ``rebucket``: a staged
@@ -852,25 +868,40 @@ class EmbeddingIndex:
         staged key table WITHOUT the meta commit point is a dead stage
         from a pre-commit crash and is dropped.
 
-        ``buckets_token`` is only passed by the live ``rebucket`` call
-        (conflict-fail publish, see there); the reopen-recovery path
-        replays tokenlessly — the crashed protocol owns the table.
-        Residual window: an append landing in the instant between
-        rebucket's pre-commit-point conflict check and its publish,
-        combined with a crash before the conflict cleanup, is rolled
-        forward with that append's old-geometry keys dropped — on a
-        transactional backend, serialize rebucket against appends (or
-        re-run rebucket after) to exclude it."""
+        ``buckets_token`` is only passed by the live ``rebucket`` call;
+        the reopen-recovery path reads the token the crashed rebucket
+        persisted in ``{name}_rebucket_intent`` and re-runs the SAME
+        conflict-fail publish — an append that landed between the
+        crashed run's conflict check and its crash is therefore
+        detected on reopen and the stage DISCARDED (old geometry kept,
+        the appended keys live), instead of rolled forward with those
+        keys dropped.  A meta stage without an intent (pre-round-6
+        crash state) replays tokenlessly — the crashed protocol owned
+        the table under the old contract."""
         spark = self.spark
         meta_stage = f"{self.name}_meta__rebucket"
         keys_stage = f"{self.name}_buckets__rebucket"
+        intent = f"{self.name}_rebucket_intent"
         if _be().exists(spark, meta_stage):
+            token = buckets_token
+            if token is None and _be().exists(spark, intent):
+                token = json.loads(_be().read(spark, intent)
+                                   .first()["token"])
+            try:
+                if _be().exists(spark, keys_stage):
+                    _be().replace(spark, f"{self.name}_buckets", keys_stage,
+                                  token=token, on_conflict="fail")
+                _be().replace(spark, f"{self.name}_meta", meta_stage)
+            except tableio.ConcurrentWriteError:
+                if buckets_token is not None:
+                    raise      # live rebucket: caller cleans and re-raises
+                self._drop_rebucket_stages()
+                return
+            _be().drop(spark, intent)
+        else:
             if _be().exists(spark, keys_stage):
-                _be().replace(spark, f"{self.name}_buckets", keys_stage,
-                              token=buckets_token, on_conflict="fail")
-            _be().replace(spark, f"{self.name}_meta", meta_stage)
-        elif _be().exists(spark, keys_stage):
-            _be().drop(spark, keys_stage)
+                _be().drop(spark, keys_stage)
+            _be().drop(spark, intent)
 
     @classmethod
     def create(cls, df: DataFrame, name: str, vec_col: str = "embedding",

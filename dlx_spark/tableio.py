@@ -102,11 +102,18 @@ class ParquetTableBackend:
 
     def snapshot_token(self, spark: SparkSession, table: str):
         """Opaque marker of ``table``'s state as of now, to hand back to
-        ``replace`` so a transactional backend can detect/merge commits
-        that land while the caller derives its staged rewrite.  This
-        backend is single-writer by contract, so there is nothing to
-        capture: returns None."""
-        return None
+        ``replace`` so commits that land while the caller derives its
+        staged rewrite can be detected (``on_conflict="fail"``) or
+        merged (transactional backends only).  Here: the sorted data
+        file listing — appends add files, so a stale token no longer
+        matches.  Detection-only: this backend cannot MERGE a raced
+        commit into a staged rewrite (no segment model), so
+        ``on_conflict="merge"`` keeps relying on the single-writer
+        contract."""
+        if not spark.catalog.tableExists(table):
+            return None
+        spark.catalog.refreshTable(table)
+        return sorted(spark.table(table).inputFiles())
 
     def replace(self, spark: SparkSession, table: str, staged: str,
                 token=None, on_conflict: str = "merge") -> None:
@@ -117,10 +124,21 @@ class ParquetTableBackend:
         recovery path that re-runs a replace which crashed after its
         DROP must not fail on the already-missing table.
 
-        ``token``/``on_conflict`` are the transactional backends'
-        conflict-handling hooks (see ``snapshot_token``); the
-        single-writer parquet backend has no concurrent commits to
-        reconcile and ignores them."""
+        With ``on_conflict="fail"`` and a ``token``, commits that
+        changed ``table``'s file listing since the token was captured
+        raise ConcurrentWriteError (content-transforming rewrites must
+        not publish over them — see the transactional backend's
+        docstring); ``"merge"`` is ignored here — the single-writer
+        contract is what makes compaction-class replaces safe on this
+        backend."""
+        if on_conflict not in ("merge", "fail"):
+            raise ValueError(f"on_conflict must be merge|fail, "
+                             f"got {on_conflict!r}")
+        if token is not None and on_conflict == "fail" \
+                and self.snapshot_token(spark, table) != token:
+            raise ConcurrentWriteError(
+                f"replace({table}): the table's files changed after the "
+                f"caller's snapshot — re-derive the stage and retry")
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         self._rename(spark, staged, table)
 

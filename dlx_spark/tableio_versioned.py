@@ -97,6 +97,10 @@ class VersionedTableBackend(ParquetTableBackend):
         # root resolved lazily against the active session's warehouse
         # dir when not given (the session may not exist at import time)
         self._root = root
+        #: version races lost (and retried) across this instance's
+        #: lifetime — the observable the contention probe reports
+        #: (tools/scale_probe.py --contention); advisory, not synchronized
+        self.races_lost = 0
 
     # ---------------------------------------------------------- paths
 
@@ -226,6 +230,7 @@ class VersionedTableBackend(ParquetTableBackend):
                 if fsio.put_if_absent(spark, tmp, dest):
                     return version
             # lost the version race — retry on the new head
+            self.races_lost += 1
         raise RuntimeError(
             f"versioned commit on {table}: lost {_MAX_COMMIT_RETRIES} "
             f"version races — contention too high")

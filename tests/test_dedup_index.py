@@ -998,3 +998,79 @@ def test_simhash_probe_mega_bucket_cap_stays_linear(spark):
         assert clean == [101]
     finally:
         idx.drop()
+
+
+def test_rebucket_intent_discards_stage_when_append_raced_the_crash(spark):
+    """Round-6 verdict item: the parquet-backend residual window.  An
+    append lands AFTER rebucket's conflict check armed the commit point
+    and the process crashes — the old roll-forward published the staged
+    keys and silently dropped the appended vector's keys.  The intent
+    table (the snapshot token persisted at commit-point time) lets
+    reopen-recovery re-run the conflict check: the stage is discarded,
+    the live geometry is kept, and the appended vector stays findable.
+    A crash WITHOUT a raced append still rolls forward."""
+    import json as jsonlib
+    import random
+
+    from dlx_spark import tableio
+    from dlx_spark.operators import similarity
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    rng = random.Random(23)
+    vecs = [[rng.gauss(0, 1) for _ in range(6)] for _ in range(20)]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    extra_vec = [x + 0.001 for x in vecs[0]]
+    extra = spark.createDataFrame([(500, extra_vec)],
+                                  "vec_id long, embedding array<double>")
+    be = tableio.get_backend()
+
+    def stage_crashed_rebucket(name, idx, race_append):
+        """Reproduce the crash state: staged keys + intent + staged
+        meta written, publish lost — with an append optionally racing
+        in after the intent (inside the old protocol's blind window)."""
+        p = dict(idx.params)
+        p["n_planes"] = 5
+        token = be.snapshot_token(spark, f"{name}_buckets")
+        keys = similarity.banded_lsh_keys(
+            be.read(spark, f"{name}_vecs"), p["bands"], 5, p["seed"],
+            vec_col="vec", id_col="id", dim=6)
+        be.write(keys, f"{name}_buckets__rebucket", "bucket",
+                 p["n_buckets"])
+        be.write_plain(spark.createDataFrame(
+            [(jsonlib.dumps(token),)], "token string"),
+            f"{name}_rebucket_intent")
+        if race_append:
+            idx.append(extra)             # lands under the OLD geometry
+        be.write_plain(spark.createDataFrame(
+            [(jsonlib.dumps(p),)], "params string"),
+            f"{name}_meta__rebucket")
+
+    # raced append: reopen must DISCARD the stage and keep the append
+    idx = EmbeddingIndex.create(corpus, "t_rbi", n_planes=4, dim=6)
+    try:
+        stage_crashed_rebucket("t_rbi", idx, race_append=True)
+        reopened = EmbeddingIndex(spark, "t_rbi")
+        assert reopened.params["n_planes"] == 4          # old geometry
+        for t in ("t_rbi_meta__rebucket", "t_rbi_buckets__rebucket",
+                  "t_rbi_rebucket_intent"):
+            assert not be.exists(spark, t)
+        hits = {(r["corpus_id"], r["batch_id"]) for r in reopened.probe(
+            extra.withColumn("vec_id", F.col("vec_id") + 1),
+            threshold=0.99).collect()}
+        assert (500, 501) in hits        # the raced append is findable
+    finally:
+        idx.drop()
+        spark.sql("DROP TABLE IF EXISTS t_rbi_rebucket_intent")
+
+    # no race: the same crash state rolls FORWARD to the new geometry
+    idx2 = EmbeddingIndex.create(corpus, "t_rbi2", n_planes=4, dim=6)
+    try:
+        stage_crashed_rebucket("t_rbi2", idx2, race_append=False)
+        rolled = EmbeddingIndex(spark, "t_rbi2")
+        assert rolled.params["n_planes"] == 5
+        assert not be.exists(spark, "t_rbi2_rebucket_intent")
+    finally:
+        idx2.drop()
+        spark.sql("DROP TABLE IF EXISTS t_rbi2_rebucket_intent")

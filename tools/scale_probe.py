@@ -449,6 +449,70 @@ def embedding_main() -> None:
     spark.stop()
 
 
+def contention_main() -> None:
+    """--contention [appends_per_thread]: the versioned backend's
+    optimistic-concurrency claim as a measured curve — N concurrent
+    appender threads against ONE table, for N in 1,2,4,8, reporting
+    wall time, commit throughput, and version races lost/retried.
+    Sanity-asserted: every append lands (no lost update) and the
+    version chain is gapless."""
+    import threading
+
+    from dlx_spark import get_spark, tableio
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+
+    per_thread = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("contention_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    workdir = tempfile.mkdtemp(prefix="dlx_spark_cont_")
+    out = {"metric": "contention_probe", "appends_per_thread": per_thread,
+           "curve": {}}
+    try:
+        for n_threads in (1, 2, 4, 8):
+            be = VersionedTableBackend(
+                root=os.path.join(workdir, f"vroot_{n_threads}"))
+            table = "cont_probe"
+            be.write(spark.createDataFrame([(0, -1)], "id long, w long"),
+                     table, "id", 2)
+            errors = []
+
+            def appender(w):
+                try:
+                    for j in range(per_thread):
+                        be.append(spark.createDataFrame(
+                            [(w * 10_000 + j, w)], "id long, w long"),
+                            table, "id", 2)
+                except Exception as exc:
+                    errors.append((w, repr(exc)))
+
+            threads = [threading.Thread(target=appender, args=(w,))
+                       for w in range(n_threads)]
+            t0 = time.time()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.time() - t0
+            n_commits = n_threads * per_thread
+            rows = be.read(spark, table).count()
+            versions = be.versions(spark, table)
+            assert errors == [], errors
+            # no lost update: every append landed; gapless version chain
+            assert rows == 1 + n_commits, (rows, n_commits)
+            assert versions == list(range(1, n_commits + 2)), versions[-5:]
+            out["curve"][n_threads] = {
+                "wall_sec": round(wall, 2),
+                "commits_per_sec": round(n_commits / wall, 2),
+                "races_lost": be.races_lost,
+                "races_per_commit": round(be.races_lost / n_commits, 3),
+            }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -464,6 +528,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--backend":
         backend_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--contention":
+        contention_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
