@@ -99,9 +99,28 @@ def exists(spark: SparkSession, path: str) -> bool:
 def mtime(spark: SparkSession, path: str) -> float:
     """Modification time in epoch seconds (for directories: of the
     directory entry itself — local/HDFS update it when children are
-    created, so a freshly-written segment directory reads as fresh)."""
+    created, so a freshly-written segment directory reads as fresh).
+    NOT a reliable age signal for directories on object stores, whose
+    "directory" prefixes report 0/undefined times — use
+    ``newest_mtime`` for those."""
     fs = _fs(spark, path)
     return fs.getFileStatus(_jpath(spark, path)).getModificationTime() / 1000.0
+
+
+def newest_mtime(spark: SparkSession, path: str) -> float:
+    """Newest modification time (epoch seconds) among ``path`` and
+    every FILE under it, recursively.  The honest age signal for a
+    directory tree on any scheme: object stores report 0/undefined
+    mtimes for directory prefixes, so a retention check gating on the
+    directory entry alone would treat a freshly-written segment as
+    ancient and reclaim it mid-commit."""
+    fs, p = _fs(spark, path), _jpath(spark, path)
+    newest = fs.getFileStatus(p).getModificationTime()
+    if fs.getFileStatus(p).isDirectory():
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            newest = max(newest, it.next().getModificationTime())
+    return newest / 1000.0
 
 
 def is_dir(spark: SparkSession, path: str) -> bool:

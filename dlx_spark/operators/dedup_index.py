@@ -120,6 +120,28 @@ def _recover_compaction(spark: SparkSession, table: str) -> None:
     _be().recover_replace(spark, table, f"{table}__compact")
 
 
+def _split_overcap(idx_rows: DataFrame, group_cols: list[str],
+                   bucket_cap: int | None):
+    """(small, big): the index key rows outside over-cap groups, and
+    the broadcast over-cap group list (None when uncapped).  Over-cap
+    groups are rare by construction, so ``big`` is tiny and the split
+    costs one map-side-combined aggregate scan of the slim key table —
+    the price of bounding the worst case.  That scan is the same cost
+    class as the probe's candidate join (which also streams the full
+    key table), so the cap roughly doubles the slim-table scan per
+    probe rather than changing its asymptotics; callers probing a
+    known-deduped index on a latency budget can pass
+    ``bucket_cap=None`` to skip it."""
+    if bucket_cap is None:
+        return idx_rows, None
+    big = F.broadcast(
+        idx_rows.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > int(bucket_cap))
+        .select(*group_cols))
+    return idx_rows.join(big, group_cols, "left_anti"), big
+
+
 def _chain_probe_pairs(mega_corpus: DataFrame, mega_batch: DataFrame,
                        group_cols: list[str]) -> DataFrame:
     """Linear-output candidate pairs for OVER-CAP probe groups — the
@@ -402,19 +424,8 @@ class MinHashIndex:
             probe_keys = F.broadcast(probe_keys)
         ibands = _be().read(self.spark, f"{self.name}_bands")
         isigs = _be().read(self.spark, f"{self.name}_sigs")
-
-        if bucket_cap is None:
-            big = None
-            small_ibands = ibands
-        else:
-            # over-cap buckets are few by construction: broadcast the
-            # list to split the band rows without shuffling them
-            big = (ibands.groupBy("band", "bucket")
-                   .agg(F.count(F.lit(1)).alias("_n"))
-                   .filter(F.col("_n") > int(bucket_cap))
-                   .select("band", "bucket"))
-            small_ibands = ibands.join(F.broadcast(big), ["band", "bucket"],
-                                       "left_anti")
+        small_ibands, big = _split_overcap(ibands, ["band", "bucket"],
+                                           bucket_cap)
 
         cands = (small_ibands.join(probe_keys, ["band", "bucket"])
                  .select(F.col("id").alias("corpus_id"), "batch_id")
@@ -425,20 +436,17 @@ class MinHashIndex:
                                F.col("sig").alias("sig_a")), "corpus_id")
             .join(bsigs.select(F.col("id").alias("batch_id"),
                                F.col("sig").alias("sig_b")), "batch_id")
-            .withColumn("est_jaccard", F.expr(
-                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"))
+            .withColumn("est_jaccard", F.expr(dedup._EST_JACCARD))
             .filter(F.col("est_jaccard") >= threshold)
             .select("corpus_id", "batch_id", "est_jaccard")
         )
         if big is None:
             return verified
-        mega_c = (ibands.join(F.broadcast(big), ["band", "bucket"],
-                              "left_semi")
+        mega_c = (ibands.join(big, ["band", "bucket"], "left_semi")
                   .join(isigs, "id")
                   .select("band", "bucket", "id",
                           F.col("sig").alias("pay")))
-        mega_b = (bbands.join(F.broadcast(big), ["band", "bucket"],
-                              "left_semi")
+        mega_b = (bbands.join(big, ["band", "bucket"], "left_semi")
                   .join(bsigs.select(F.col("id").alias("batch_id"), "sig"),
                         "batch_id")
                   .select("band", "bucket",
@@ -449,8 +457,7 @@ class MinHashIndex:
             .select("corpus_id", "batch_id",
                     F.col("pay_a").alias("sig_a"),
                     F.col("pay_b").alias("sig_b"))
-            .withColumn("est_jaccard", F.expr(
-                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"))
+            .withColumn("est_jaccard", F.expr(dedup._EST_JACCARD))
             .filter(F.col("est_jaccard") >= threshold)
             .select("corpus_id", "batch_id", "est_jaccard"))
         # a pair can surface on both paths (small bucket in one band,
@@ -637,17 +644,7 @@ class SimHashIndex:
         if bfps.count() <= cap:
             probe_keys = F.broadcast(probe_keys)
         idx = _be().read(self.spark, f"{self.name}_fps")
-
-        if bucket_cap is None:
-            big = None
-            small_idx = idx
-        else:
-            big = (idx.groupBy("band", "key")
-                   .agg(F.count(F.lit(1)).alias("_n"))
-                   .filter(F.col("_n") > int(bucket_cap))
-                   .select("band", "key"))
-            small_idx = idx.join(F.broadcast(big), ["band", "key"],
-                                 "left_anti")
+        small_idx, big = _split_overcap(idx, ["band", "key"], bucket_cap)
 
         hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("fp_b")))
         verified = (
@@ -659,10 +656,10 @@ class SimHashIndex:
         )
         if big is None:
             return verified
-        mega_c = (idx.join(F.broadcast(big), ["band", "key"], "left_semi")
+        mega_c = (idx.join(big, ["band", "key"], "left_semi")
                   .select("band", "key", "id",
                           F.col("simhash").alias("pay")))
-        mega_b = (b.join(F.broadcast(big), ["band", "key"], "left_semi")
+        mega_b = (b.join(big, ["band", "key"], "left_semi")
                   .select("band", "key",
                           F.col("batch_id").alias("id"),
                           F.col("fp_b").alias("pay")))
@@ -1150,3 +1147,5 @@ class EmbeddingIndex:
     def drop(self) -> None:
         for suffix in ("_vecs", "_buckets", "_meta"):
             _be().drop(self.spark, f"{self.name}{suffix}")
+        # a crashed rebucket's stages/intent must not outlive the index
+        self._drop_rebucket_stages()

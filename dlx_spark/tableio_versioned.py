@@ -459,6 +459,48 @@ class VersionedTableBackend(ParquetTableBackend):
 
     # --------------------------------------------------- maintenance
 
+    def compact_segments(self, spark: SparkSession, table: str) -> int:
+        """Fold a multi-segment table into ONE fresh segment (the
+        OPTIMIZE analog for this backend).  Matters most for
+        partitioned tables, whose reads union one partition-discovered
+        scan per segment: a long append history (e.g. daily
+        ``append_ivf_index`` increments) accumulates scan roots until
+        a rewrite folds them — exactly what table formats schedule as
+        OPTIMIZE.  Publishes through the same optimistic commit as
+        every write; appends racing the rewrite are merged via the
+        snapshot token (their segments are simply not compacted yet).
+        Returns the number of segments folded (0 = already compact,
+        nothing written).
+
+        A crash between staging and the swap strands the
+        ``{table}__compactseg`` stage; ``vacuum`` drops aged ones (a
+        compaction stage is always re-derivable, so dropping loses
+        only work, never data — and a stage whose swap DID commit is
+        already cleaned by vacuum's provenance pass)."""
+        try:
+            _, manifest = self._latest(spark, table)
+        except FileNotFoundError:
+            return 0
+        # the token MUST be the segment list of the very manifest the
+        # rewrite reads: a fresher snapshot_token could include an
+        # append that committed between the two lookups, whose rows
+        # would then be both folded into the stage AND re-merged as a
+        # "gained" segment by the swap — duplicated
+        token = list(manifest["segments"])
+        if len(token) <= 1:
+            return 0
+        staged = f"{table}__compactseg"
+        pcols = manifest.get("partition_cols")
+        df = self._read_manifest_df(spark, manifest)
+        if pcols:
+            self.write_partitioned(df, staged, pcols)
+        elif manifest.get("key") is not None:
+            self.write(df, staged, manifest["key"], manifest["n_buckets"])
+        else:
+            self.write_plain(df, staged)
+        self.replace(spark, table, staged, token=token, on_conflict="merge")
+        return len(token)
+
     def vacuum(self, spark: SparkSession, keep_last: int = 1,
                min_age_seconds: float = 3600.0) -> list[str]:
         """Reclaim space: retain only the last ``keep_last`` committed
@@ -481,9 +523,11 @@ class VersionedTableBackend(ParquetTableBackend):
             raise ValueError("keep_last must be >= 1")
         horizon = time.time() - min_age_seconds
 
-        def old_enough(path: str) -> bool:
+        def old_enough(path: str, recursive: bool = False) -> bool:
             try:
-                return fsio.mtime(spark, path) <= horizon
+                ts = (fsio.newest_mtime(spark, path) if recursive
+                      else fsio.mtime(spark, path))
+                return ts <= horizon
             except Exception:
                 return False   # vanished under us — someone else's move
 
@@ -508,6 +552,14 @@ class VersionedTableBackend(ParquetTableBackend):
                 continue   # only torn remnants — handled below
             if (table, head["id"]) in cited:
                 self.drop(spark, table)
+            elif (table.endswith("__compactseg") and
+                    old_enough(self._manifest_path(
+                        spark, table, self.versions(spark, table)[-1]))):
+                # a compact_segments stage whose swap never committed
+                # (otherwise the provenance pass above dropped it): the
+                # stage is always re-derivable, so an aged one is a
+                # crash leftover — drop it, freeing its segments
+                self.drop(spark, table)
         referenced: set[str] = set()
         for table in fsio.listdir(spark, tables_dir):
             vs = self.versions(spark, table)
@@ -515,9 +567,22 @@ class VersionedTableBackend(ParquetTableBackend):
                          for v in vs}
             live = [v for v in vs if manifests[v] is not None]
             for v in live[:-keep_last]:
-                fsio.remove(spark, self._manifest_path(spark, table, v))
+                # age-gated like everything else: a concurrent
+                # committer/reader may have LISTED an old head just
+                # before a new commit landed — deleting a manifest
+                # younger than the horizon could yank it mid-read and
+                # turn its retry into a spurious corrupt-manifest error
+                if old_enough(self._manifest_path(spark, table, v)):
+                    fsio.remove(spark, self._manifest_path(spark, table, v))
             for v in live[-keep_last:]:
                 referenced.update(manifests[v]["segments"])
+            # manifests retained only by the age gate still pin their
+            # segments — reclaiming a superseded-but-young version's
+            # files while its manifest stays readable would be worse
+            for v in live[:-keep_last]:
+                if fsio.exists(spark,
+                               self._manifest_path(spark, table, v)):
+                    referenced.update(manifests[v]["segments"])
             for v in vs:
                 # torn remnants below the committed head can never be
                 # read or re-targeted; age-gated like tmp files because
@@ -534,7 +599,11 @@ class VersionedTableBackend(ParquetTableBackend):
         data_dir = fsio.join(self.root(spark), "data")
         for seg in fsio.listdir(spark, data_dir):
             seg_dir = fsio.join(data_dir, seg)
-            if seg not in referenced and old_enough(seg_dir):
+            # recursive=True: the age of a segment is the age of its
+            # newest FILE — object-store directory prefixes report no
+            # usable mtime, and gating on the directory entry alone
+            # would reclaim an in-flight segment mid-commit there
+            if seg not in referenced and old_enough(seg_dir, recursive=True):
                 fsio.rmtree(spark, seg_dir)
                 deleted.append(seg)
         return deleted

@@ -518,3 +518,107 @@ def test_digest_index_recovery_path_on_versioned_backend(spark, be):
         idx.drop()
     finally:
         tableio.set_backend(tableio.ParquetTableBackend())
+
+
+def test_compact_segments_folds_append_history(spark, be):
+    """The OPTIMIZE analog: appends accumulate one segment (and, for
+    partitioned tables, one scan root) per commit; compact_segments
+    folds them into one fresh segment through the same optimistic
+    commit, merging any append that races the rewrite."""
+    be.write_partitioned(_df(spark, [(1, "a")], "id long, part string"),
+                         "t_cseg", ["part"])
+    for i in range(2, 5):
+        be.append_partitioned(_df(spark, [(i, "a" if i % 2 else "b")],
+                                  "id long, part string"),
+                              "t_cseg", ["part"])
+    assert len(be.snapshot_token(spark, "t_cseg")) == 4
+    folded = be.compact_segments(spark, "t_cseg")
+    assert folded == 4
+    assert len(be.snapshot_token(spark, "t_cseg")) == 1
+    assert sorted(r["id"] for r in be.read(spark, "t_cseg").collect()) \
+        == [1, 2, 3, 4]
+    # idempotent: already compact -> no write, no new version
+    v = be.versions(spark, "t_cseg")[-1]
+    assert be.compact_segments(spark, "t_cseg") == 0
+    assert be.versions(spark, "t_cseg")[-1] == v
+
+    # racing append is merged through the swap (token carry)
+    class RacingBackend(VersionedTableBackend):
+        def write_partitioned(self, df, table, cols):
+            if table.endswith("__compactseg") and not getattr(
+                    self, "_raced", False):
+                self._raced = True
+                self.append_partitioned(
+                    _df(df.sparkSession, [(99, "c")],
+                        "id long, part string"), "t_cseg2", cols)
+            super().write_partitioned(df, table, cols)
+
+    rb = RacingBackend(root=be._root)
+    rb.write_partitioned(_df(spark, [(1, "a")], "id long, part string"),
+                         "t_cseg2", ["part"])
+    rb.append_partitioned(_df(spark, [(2, "b")], "id long, part string"),
+                          "t_cseg2", ["part"])
+    assert rb.compact_segments(spark, "t_cseg2") == 2
+    assert rb._raced
+    assert sorted(r["id"] for r in rb.read(spark, "t_cseg2").collect()) \
+        == [1, 2, 99]
+
+
+def test_partition_pruning_survives_versioned_segments(spark, be):
+    """The ANN layouts' scale property on this backend: a filter on the
+    partition column must reach every per-segment scan as a partition
+    filter (no full-index read), across an append history."""
+    from dlx_spark import tableio
+    from dlx_spark.operators import bucketing, similarity
+
+    import numpy as np
+    rng = np.random.RandomState(17)
+    rows = [(i, rng.standard_normal(6).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(df, n_centroids=4, seed=17)
+    tableio.set_backend(be)
+    try:
+        bucketing.write_ivf_index(df.limit(20), "t_v_prune", cents)
+        bucketing.append_ivf_index(df, "t_v_prune", cents)
+        probed = bucketing.probe_ivf_index(spark, "t_v_prune", cents,
+                                           rows[0][1], k=3, nprobe=1)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        # two segments -> two scans, each partition-filtered
+        assert plan.count("PartitionFilters: [") >= 2
+        assert "list_id" in plan.split("PartitionFilters")[1][:200]
+        assert probed.count() > 0
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
+
+
+def test_vacuum_age_gates_superseded_manifests_and_compactseg_stages(
+        spark, be):
+    """Review fixes: (a) superseded manifests younger than the horizon
+    survive vacuum — a concurrent committer that listed the old head
+    must be able to read it and retry, not die on a vanished file;
+    (b) an aged crashed compact_segments stage is dropped by vacuum
+    (it is always re-derivable), freeing its segments."""
+    be.write(_df(spark, [(1, "v1")]), "t_age", "id", 1)
+    be.write(_df(spark, [(2, "v2")]), "t_age", "id", 1)
+    be.vacuum(spark, keep_last=1)                 # default horizon
+    # the superseded v1 manifest is young: still present and readable
+    assert be.versions(spark, "t_age") == [1, 2]
+    assert [r["id"] for r in be.read_version(spark, "t_age", 1)
+            .collect()] == [1]
+    # zero horizon: trimmed as before
+    be.vacuum(spark, keep_last=1, min_age_seconds=0)
+    assert be.versions(spark, "t_age") == [2]
+
+    # crashed compact_segments stage: stage table exists, swap never
+    # committed -> aged vacuum drops it and reclaims its segment
+    be.write(_df(spark, [(1, "a")]), "t_cs", "id", 1)
+    be.append(_df(spark, [(2, "b")]), "t_cs", "id", 1)
+    be.write(be.read(spark, "t_cs"), "t_cs__compactseg", "id", 1)
+    seg = be.snapshot_token(spark, "t_cs__compactseg")[0]
+    be.vacuum(spark, keep_last=1)                 # young: stage kept
+    assert be.exists(spark, "t_cs__compactseg")
+    be.vacuum(spark, keep_last=1, min_age_seconds=0)
+    assert not be.exists(spark, "t_cs__compactseg")
+    assert not fsio.exists(spark, be._data_dir(spark, seg))
+    # the live table is untouched
+    assert sorted(r["id"] for r in be.read(spark, "t_cs").collect()) == [1, 2]
