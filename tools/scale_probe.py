@@ -285,6 +285,65 @@ def backend_main() -> None:
         lifecycle("parquet_catalog", tableio.ParquetTableBackend())
         lifecycle("versioned_manifest", VersionedTableBackend(
             root=os.path.join(workdir, "vroot")))
+
+        # the ANN (IVF) lifecycle through the same seam — the round-6
+        # port's measured number: write, 3 appends (segment/scan-root
+        # accumulation on the versioned backend), probe against the
+        # fragmented state, refresh (the staged replace), probe again
+        from dlx_spark.operators import bucketing, similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        big_emb = None
+        for i in range(mult):
+            d = emb.withColumn("vec_id",
+                               F.col("vec_id") + F.lit(i * 10_000_000))
+            big_emb = d if big_emb is None else big_emb.unionByName(d)
+        emb_path = os.path.join(workdir, "emb")
+        big_emb.repartition(cpus).write.mode("overwrite").parquet(emb_path)
+        vecs = spark.read.parquet(emb_path)
+        out["n_vectors"] = vecs.count()
+        qvec = emb.first()["embedding"]
+
+        def ann_lifecycle(label, backend):
+            tableio.set_backend(backend)
+            timings = {}
+            try:
+                cents = similarity.ivf_centroids(vecs, n_centroids=16,
+                                                 seed=7)
+                t0 = time.time()
+                bucketing.write_ivf_index(vecs, "probe_be_ivf", cents)
+                timings["ivf_write_sec"] = round(time.time() - t0, 2)
+                t0 = time.time()
+                for j in range(3):
+                    bucketing.append_ivf_index(
+                        vecs.limit(2000).withColumn(
+                            "vec_id", F.col("vec_id") + (j + 1) * 10**9),
+                        "probe_be_ivf", cents)
+                timings["ivf_3appends_sec"] = round(time.time() - t0, 2)
+                t0 = time.time()
+                timings["ivf_probe_rows"] = bucketing.probe_ivf_index(
+                    spark, "probe_be_ivf", cents, qvec, k=10,
+                    nprobe=2).count()
+                timings["ivf_probe_fragmented_sec"] = round(
+                    time.time() - t0, 2)
+                t0 = time.time()
+                cents2 = bucketing.refresh_ivf_index(
+                    spark, "probe_be_ivf", n_centroids=16, seed=8)
+                timings["ivf_refresh_sec"] = round(time.time() - t0, 2)
+                t0 = time.time()
+                bucketing.probe_ivf_index(spark, "probe_be_ivf", cents2,
+                                          qvec, k=10, nprobe=2).count()
+                timings["ivf_probe_refreshed_sec"] = round(
+                    time.time() - t0, 2)
+            finally:
+                be = tableio.get_backend()
+                be.drop(spark, "probe_be_ivf")
+                tableio.set_backend(tableio.ParquetTableBackend())
+            out[f"ann_{label}"] = timings
+
+        ann_lifecycle("parquet_catalog", tableio.ParquetTableBackend())
+        ann_lifecycle("versioned_manifest", VersionedTableBackend(
+            root=os.path.join(workdir, "vroot_ann")))
         print(json.dumps(out))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
