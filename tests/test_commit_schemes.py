@@ -363,3 +363,56 @@ def test_vacuum_retention_keeps_young_tmp_manifests(spark, be):
     assert fsio.exists(spark, tmp)
     be.vacuum(spark, keep_last=1, min_age_seconds=0)
     assert not fsio.exists(spark, tmp)
+
+
+def test_streaming_ingest_composes_all_three_seams(spark, be, tmp_path):
+    """The full stack on the simulated object store: exactly-once
+    near-dedup streaming ingest (marker protocol via the commit
+    scheme) writing through the versioned backend (manifest commits
+    via the CAS put-if-absent) — cross-batch dedup state, per-batch
+    manifest versions, and replay idempotence all hold."""
+    import json as jsonlib
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark.operators.dedup_index import MinHashIndex
+    from dlx_spark.streaming import neardedup_ingest_stream
+
+    fsio.set_commit_scheme(fsio.SingleDriverCASScheme())
+    tableio.set_backend(be)
+    corpus = _df(spark, [
+        (i, f"corpus document number {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(20)))
+        for i in range(20)
+    ], "doc_id long, text string")
+    MinHashIndex.create(corpus, "t_cas_stream", n_buckets=4)
+    v0 = be.versions(spark, "t_cas_stream_sigs")[-1]
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "clean")
+    rows1 = [{"doc_id": 100, "text": corpus.collect()[0]["text"]},
+             {"doc_id": 101, "text": " ".join(
+                 f"fresh{j}" for j in range(25))}]
+    (indir / "b1.json").write_text(
+        "\n".join(jsonlib.dumps(r) for r in rows1))
+    q = neardedup_ingest_stream(
+        spark, str(indir), "t_cas_stream", out,
+        str(tmp_path / "ckpt"), threshold=0.7)
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {101}
+    assert be.versions(spark, "t_cas_stream_sigs")[-1] > v0
+
+    # batch 2 near-dups batch 1's survivor: cross-batch state holds,
+    # and the dedup decision came through CAS-committed manifests
+    rows2 = [{"doc_id": 200, "text": rows1[1]["text"]}]
+    (indir / "b2.json").write_text(
+        "\n".join(jsonlib.dumps(r) for r in rows2))
+    q = neardedup_ingest_stream(
+        spark, str(indir), "t_cas_stream", out,
+        str(tmp_path / "ckpt"), threshold=0.7)
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(out)
+            .filter(F.col("batch") == 1).collect()} == set()
+    assert be.read(spark, "t_cas_stream_sigs").count() == 21
+    MinHashIndex(spark, "t_cas_stream").drop()
