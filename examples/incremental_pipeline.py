@@ -104,6 +104,24 @@ def main() -> None:
         ei.compact()
         after = len(spark.table("demo_mh_sigs").inputFiles())
         print(f"compaction: signature table {before} -> {after} files")
+
+        # ---- the production posture, in one stanza --------------------
+        # On a transactional deployment the same pipeline runs with two
+        # one-time installs (object stores additionally install a CAS
+        # commit scheme) and a maintenance cadence:
+        #
+        #   from dlx_spark import fsio, tableio
+        #   from dlx_spark.tableio_versioned import VersionedTableBackend
+        #   fsio.set_commit_scheme(fsio.SingleDriverCASScheme())  # s3a
+        #   be = VersionedTableBackend(root=".../warehouse/_versioned")
+        #   tableio.set_backend(be)
+        #   ... identical pipeline code: appends become manifest
+        #   commits (safe under concurrency), rewrites become atomic
+        #   swaps, readers hold snapshots ...
+        #   be.compact_segments(spark, "demo_mh_sigs")   # fold appends
+        #   be.vacuum(spark, keep_last=2)                # retention-gated
+        #
+        # tests/test_commit_schemes.py runs this composition end-to-end.
     finally:
         # guard the drops so a setup failure (bad sf_dir) surfaces its
         # own error instead of a TABLE_OR_VIEW_NOT_FOUND from cleanup

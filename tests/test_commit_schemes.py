@@ -416,3 +416,29 @@ def test_streaming_ingest_composes_all_three_seams(spark, be, tmp_path):
             .filter(F.col("batch") == 1).collect()} == set()
     assert be.read(spark, "t_cas_stream_sigs").count() == 21
     MinHashIndex(spark, "t_cas_stream").drop()
+
+
+def test_newest_mtime_sees_fresh_files_under_stale_directories(
+        spark, tmp_path):
+    """The vacuum retention guard's age signal: a directory whose entry
+    mtime is ancient (object stores report 0/undefined for prefixes)
+    but that contains a freshly-written file must read as FRESH —
+    gating on the directory entry alone would reclaim an in-flight
+    segment mid-commit."""
+    import os
+    import time
+
+    seg = tmp_path / "seg"
+    sub = seg / "list_id=0"
+    sub.mkdir(parents=True)
+    (sub / "part-0.parquet").write_text("data")
+    old = time.time() - 864_000
+    os.utime(sub, (old, old))
+    os.utime(seg, (old, old))                  # simulate a 0/stale prefix
+    assert fsio.mtime(spark, str(seg)) < time.time() - 700_000
+    assert fsio.newest_mtime(spark, str(seg)) > time.time() - 3600
+    # and for a plain file the two agree
+    f = tmp_path / "plain"
+    f.write_text("x")
+    assert abs(fsio.newest_mtime(spark, str(f))
+               - fsio.mtime(spark, str(f))) < 1

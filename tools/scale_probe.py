@@ -104,7 +104,8 @@ def skew_main() -> None:
         # small-bucket verify join
         t0 = _t.time()
         n_verified = dedup.minhash_near_duplicates(
-            corpus, threshold=0.8, bucket_cap=64).count()
+            corpus, threshold=0.8, bucket_cap=64,
+            auto_bypass_bytes=0).count()
         t_verified = round(_t.time() - t0, 2)
 
         print(json.dumps({
@@ -178,12 +179,16 @@ def capfamilies_main() -> None:
                            "capped_pairs": n_c, "capped_sec": round(tc, 2),
                            "speedup": round(tu / tc, 1) if tc else None}
 
+        # auto_bypass_bytes=0: this probe MEASURES the cap machinery —
+        # the small-input bypass must not silently run the uncapped
+        # plan on both legs
         ab("simhash", lambda cap: dedup.simhash_near_duplicates(
-            corpus, max_hamming=3, bucket_cap=cap))
+            corpus, max_hamming=3, bucket_cap=cap, auto_bypass_bytes=0))
         ab("ngram_jaccard", lambda cap: dedup.ngram_jaccard_pairs(
-            corpus, threshold=0.9, block_cap=cap))
+            corpus, threshold=0.9, block_cap=cap, auto_bypass_bytes=0))
         ab("cosine", lambda cap: similarity.cosine_near_duplicates(
-            ecorpus, threshold=0.95, n_planes=8, dim=64, bucket_cap=cap))
+            ecorpus, threshold=0.95, n_planes=8, dim=64, bucket_cap=cap,
+            auto_bypass_bytes=0))
         print(json.dumps(out))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
