@@ -732,15 +732,20 @@ def simhash(spark, sf):
     fingerprints from scratch in SQL, so a regression anywhere in the
     UDF, the banding, or the hamming filter fails the hash.
 
-    Runs the DEFAULT cap settings (round-5 verdict item: no more
+    Runs the DEFAULT ``bucket_cap`` (round-5 verdict item: no more
     ``bucket_cap=None`` pin): at oracle/bench scale the small-input
     auto-bypass (``common.bypass_cap``) plans the uncapped formulation
-    — bit-exact oracle parity AND no capped-stage overhead — while the
-    same call at corpus scale gets the linear-worst-case capped plan.
-    The capped chain's equivalence is property-locked in
-    tests/test_property.py."""
+    — bit-exact oracle parity AND no capped-stage overhead.  The
+    bypass horizon is WIDENED here (not the operator default): an
+    oracle row must stay pair-level-exact at ANY scale the SQL oracle
+    itself can run, while the capped chain's different-but-equivalent
+    representative pairs aren't SQL-expressible — its equivalence is
+    property-locked in tests/test_property.py instead.  Production
+    callers use the operator defaults, where the cap engages past
+    ~2 MB."""
     docs = _t(spark, sf, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=3) \
+    return dedup.simhash_near_duplicates(docs, max_hamming=3,
+                                         auto_bypass_bytes=256 << 20) \
         .withColumn("hamming", F.col("hamming").cast("long"))
 
 

@@ -886,8 +886,19 @@ class EmbeddingIndex:
                                    .first()["token"])
             try:
                 if _be().exists(spark, keys_stage):
-                    _be().replace(spark, f"{self.name}_buckets", keys_stage,
-                                  token=token, on_conflict="fail")
+                    if _be().replace_published(spark, f"{self.name}_buckets",
+                                               keys_stage):
+                        # the buckets swap already committed and only
+                        # its staged drop was lost: replaying the
+                        # conflict-checked replace here would count the
+                        # published segments themselves as "gained"
+                        # and wrongly fail — finish the cleanup and
+                        # proceed to the meta swap
+                        _be().drop(spark, keys_stage)
+                    else:
+                        _be().replace(spark, f"{self.name}_buckets",
+                                      keys_stage, token=token,
+                                      on_conflict="fail")
                 _be().replace(spark, f"{self.name}_meta", meta_stage)
             except tableio.ConcurrentWriteError:
                 if buckets_token is not None:

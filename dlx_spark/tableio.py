@@ -130,17 +130,35 @@ class ParquetTableBackend:
         not publish over them — see the transactional backend's
         docstring); ``"merge"`` is ignored here — the single-writer
         contract is what makes compaction-class replaces safe on this
-        backend."""
+        backend.  A MISSING target is never a conflict: under the
+        single-writer contract the only way the table vanished with the
+        stage still present is this protocol's own crashed DROP, so a
+        recovery replay must complete the rename rather than discard
+        the stage (the only surviving copy)."""
         if on_conflict not in ("merge", "fail"):
             raise ValueError(f"on_conflict must be merge|fail, "
                              f"got {on_conflict!r}")
-        if token is not None and on_conflict == "fail" \
-                and self.snapshot_token(spark, table) != token:
-            raise ConcurrentWriteError(
-                f"replace({table}): the table's files changed after the "
-                f"caller's snapshot — re-derive the stage and retry")
+        if token is not None and on_conflict == "fail":
+            current = self.snapshot_token(spark, table)
+            if current is not None and current != token:
+                raise ConcurrentWriteError(
+                    f"replace({table}): the table's files changed after "
+                    f"the caller's snapshot — re-derive the stage and "
+                    f"retry")
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         self._rename(spark, staged, table)
+
+    def replace_published(self, spark: SparkSession, table: str,
+                          staged: str) -> bool:
+        """Whether a prior ``replace(table, staged)`` already committed
+        and only its staged-side cleanup was lost.  This backend's
+        replace consumes the stage by RENAME, so a still-present stage
+        proves the swap did NOT complete: always False.  Transactional
+        backends override with their provenance check — crash-recovery
+        protocols that replay a conflict-checked replace must consult
+        this first, or they mistake their own published content for a
+        concurrent write."""
+        return False
 
     @staticmethod
     def _rename(spark: SparkSession, staged: str, table: str) -> None:

@@ -443,19 +443,36 @@ class VersionedTableBackend(ParquetTableBackend):
         if not self.exists(spark, staged):
             return
         try:
-            _, staged_manifest = self._latest(spark, staged)
+            self._latest(spark, staged)
         except FileNotFoundError:
             # the stage's only manifest is a torn remnant — its commit
             # never completed, so there is nothing publishable: clear it
             self.drop(spark, staged)
             return
+        if self.replace_published(spark, table, staged):
+            self.drop(spark, staged)
+            return
+        self.replace(spark, table, staged)
+
+    def replace_published(self, spark: SparkSession, table: str,
+                          staged: str) -> bool:
+        """Provenance check (see the base-class docstring): True iff
+        some committed manifest of ``table`` cites the stage's CURRENT
+        commit id as its swap source — the swap landed and only the
+        staged drop was lost.  Keyed on the unique commit id, never the
+        stage's version number (stage generations restart at 1)."""
+        if not self.exists(spark, staged):
+            return False
+        try:
+            _, staged_manifest = self._latest(spark, staged)
+        except FileNotFoundError:
+            return False
         for v in reversed(self.versions(spark, table)):
             manifest = self._manifest_or_none(spark, table, v)
             if manifest is not None and (manifest.get("source")
                     == [staged, staged_manifest["id"]]):
-                self.drop(spark, staged)
-                return
-        self.replace(spark, table, staged)
+                return True
+        return False
 
     # --------------------------------------------------- maintenance
 
@@ -529,9 +546,27 @@ class VersionedTableBackend(ParquetTableBackend):
                       else fsio.mtime(spark, path))
                 return ts <= horizon
             except Exception:
-                return False   # vanished under us — someone else's move
+                # a path that vanished under us is someone else's
+                # completed move — skip it; a path that still exists
+                # had a HARD stat failure (permissions, object-store
+                # errors), and swallowing that would silently disable
+                # reclamation forever while vacuum() returns [] as if
+                # nothing needed deleting
+                if fsio.exists(spark, path):
+                    raise
+                return False
 
         tables_dir = fsio.join(self.root(spark), "tables")
+        # ONE manifest read per (table, version) for the whole vacuum:
+        # the provenance pass, head resolution, and retention logic all
+        # reuse this map (each read is a driver round-trip — tripling
+        # them tripled vacuum wall time on many-table warehouses)
+        manifests_by_table: dict[str, dict[int, dict | None]] = {
+            table: {v: self._manifest_or_none(spark, table, v)
+                    for v in self.versions(spark, table)}
+            for table in fsio.listdir(spark, tables_dir)
+        }
+
         # First, finish crashed replaces whose staged-drop was lost: a
         # stage whose CURRENT commit id is cited as a swap source by any
         # manifest was published — drop it now.  Trimming first could
@@ -539,32 +574,31 @@ class VersionedTableBackend(ParquetTableBackend):
         # next recover_replace would then re-run the stale swap,
         # rolling the table back over every post-swap commit.
         cited: set[tuple[str, str]] = set()
-        for table in fsio.listdir(spark, tables_dir):
-            for v in self.versions(spark, table):
-                manifest = self._manifest_or_none(spark, table, v)
+        for manifests in manifests_by_table.values():
+            for manifest in manifests.values():
                 src = manifest.get("source") if manifest else None
                 if src:
                     cited.add((src[0], src[1]))
-        for table in fsio.listdir(spark, tables_dir):
-            try:
-                _, head = self._latest(spark, table)
-            except FileNotFoundError:
+        for table, manifests in manifests_by_table.items():
+            live = [v for v in sorted(manifests) if manifests[v] is not None]
+            if not live:
                 continue   # only torn remnants — handled below
+            head = manifests[live[-1]]
             if (table, head["id"]) in cited:
                 self.drop(spark, table)
+                manifests_by_table[table] = {}
             elif (table.endswith("__compactseg") and
-                    old_enough(self._manifest_path(
-                        spark, table, self.versions(spark, table)[-1]))):
+                    old_enough(self._manifest_path(spark, table,
+                                                   max(manifests)))):
                 # a compact_segments stage whose swap never committed
                 # (otherwise the provenance pass above dropped it): the
                 # stage is always re-derivable, so an aged one is a
                 # crash leftover — drop it, freeing its segments
                 self.drop(spark, table)
+                manifests_by_table[table] = {}
         referenced: set[str] = set()
-        for table in fsio.listdir(spark, tables_dir):
-            vs = self.versions(spark, table)
-            manifests = {v: self._manifest_or_none(spark, table, v)
-                         for v in vs}
+        for table, manifests in manifests_by_table.items():
+            vs = sorted(manifests)
             live = [v for v in vs if manifests[v] is not None]
             for v in live[:-keep_last]:
                 # age-gated like everything else: a concurrent

@@ -1074,3 +1074,96 @@ def test_rebucket_intent_discards_stage_when_append_raced_the_crash(spark):
     finally:
         idx2.drop()
         spark.sql("DROP TABLE IF EXISTS t_rbi2_rebucket_intent")
+
+
+def test_rebucket_recovery_mid_swap_crash_states_on_both_backends(spark,
+                                                                  tmp_path):
+    """Review regressions (reproduced, then fixed): the conflict-checked
+    recovery replay must not destroy its own progress.
+
+    Parquet backend: a crash between the buckets replace's DROP and
+    RENAME leaves the target MISSING — the replay must treat that as
+    its own crashed DROP and complete the rename, not read the None
+    snapshot as a concurrent write and delete the staged keys (the only
+    surviving copy).
+
+    Versioned backend: a crash between the buckets-swap manifest commit
+    and the staged drop leaves the stage present with its content
+    already published — the replay must consult provenance and finish
+    the cleanup, not count its own published segments as 'gained',
+    fail, and roll back the meta stage (leaving keys and params under
+    mismatched geometries)."""
+    import json as jsonlib
+    import random
+
+    from dlx_spark import tableio
+    from dlx_spark.operators import similarity
+    from dlx_spark.operators.dedup_index import EmbeddingIndex
+
+    rng = random.Random(29)
+    vecs = [[rng.gauss(0, 1) for _ in range(6)] for _ in range(20)]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+
+    def stage_rebucket(name, idx, be):
+        p = dict(idx.params)
+        p["n_planes"] = 5
+        token = be.snapshot_token(spark, f"{name}_buckets")
+        keys = similarity.banded_lsh_keys(
+            be.read(spark, f"{name}_vecs"), p["bands"], 5, p["seed"],
+            vec_col="vec", id_col="id", dim=6)
+        be.write(keys, f"{name}_buckets__rebucket", "bucket",
+                 p["n_buckets"])
+        be.write_plain(spark.createDataFrame(
+            [(jsonlib.dumps(token),)], "token string"),
+            f"{name}_rebucket_intent")
+        be.write_plain(spark.createDataFrame(
+            [(jsonlib.dumps(p),)], "params string"),
+            f"{name}_meta__rebucket")
+        return token
+
+    # --- parquet: crash between the swap's DROP and RENAME -----------
+    be = tableio.get_backend()
+    idx = EmbeddingIndex.create(corpus, "t_rbmw", n_planes=4, dim=6)
+    try:
+        stage_rebucket("t_rbmw", idx, be)
+        spark.sql("DROP TABLE t_rbmw_buckets")        # the crashed DROP
+        rolled = EmbeddingIndex(spark, "t_rbmw")      # recovery on open
+        assert rolled.params["n_planes"] == 5         # rolled FORWARD
+        assert spark.catalog.tableExists("t_rbmw_buckets")
+        # keys readable and consistent with the new geometry
+        assert (spark.table("t_rbmw_buckets").count()
+                == spark.table("t_rbmw_vecs").count())
+        probe = spark.createDataFrame(
+            [(900, [x + 0.001 for x in vecs[0]])],
+            "vec_id long, embedding array<double>")
+        assert rolled.probe(probe, threshold=0.99).count() >= 1
+    finally:
+        idx.drop()
+
+    # --- versioned: swap committed, staged drop lost -----------------
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+
+    vbe = VersionedTableBackend(root=str(tmp_path / "vroot_mw"))
+    tableio.set_backend(vbe)
+    try:
+        idx2 = EmbeddingIndex.create(corpus, "t_rbmw2", n_planes=4, dim=6)
+        token = stage_rebucket("t_rbmw2", idx2, vbe)
+        # the swap commit itself (replace minus its staged drop):
+        sm = vbe._latest(spark, "t_rbmw2_buckets__rebucket")[1]
+        vbe._commit(spark, "t_rbmw2_buckets", lambda latest: {
+            **{k: sm[k] for k in ("segments", "key", "n_buckets",
+                                  "schema")},
+            "source": ["t_rbmw2_buckets__rebucket", sm["id"]]})
+        rolled2 = EmbeddingIndex(spark, "t_rbmw2")
+        assert rolled2.params["n_planes"] == 5        # meta published
+        assert not vbe.exists(spark, "t_rbmw2_buckets__rebucket")
+        assert not vbe.exists(spark, "t_rbmw2_rebucket_intent")
+        probe = spark.createDataFrame(
+            [(900, [x + 0.001 for x in vecs[0]])],
+            "vec_id long, embedding array<double>")
+        assert rolled2.probe(probe, threshold=0.99).count() >= 1
+        rolled2.drop()
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())
