@@ -442,3 +442,72 @@ def test_newest_mtime_sees_fresh_files_under_stale_directories(
     f.write_text("x")
     assert abs(fsio.newest_mtime(spark, str(f))
                - fsio.mtime(spark, str(f))) < 1
+
+
+def test_versioned_protocol_randomized_crash_fuzz(spark, be):
+    """Protocol fuzz on the simulated object store: a random sequence
+    of appends — each crashing at a random point of its manifest
+    publish (or not at all) — interleaved with recoveries, zero-horizon
+    vacuums, and segment compactions.  Invariants after EVERY step:
+
+    - every ACKNOWLEDGED append is readable (no lost update, through
+      any number of crashes/vacuums/compactions);
+    - reads never raise and never return rows of an append that
+      neither completed nor was acknowledged (torn publishes read as
+      absent; a crash after the copy completed may legally surface —
+      durable-but-unacknowledged, like any database);
+    - committed version numbers are strictly increasing.
+
+    The per-case scripts are seeded, so a failure reproduces exactly."""
+    fault_plan = {"event": None}
+
+    def fault(event, path):
+        if event == fault_plan["event"]:
+            fault_plan["event"] = None      # crash once, then "restart"
+            raise SimulatedCrash(event)
+
+    fsio.set_commit_scheme(fsio.SingleDriverCASScheme(fault=fault))
+    import random
+
+    events = [None, None, None, "checked_absent", "pre_copy",
+              "mid_copy", "post_copy", "post_delete"]
+    for seed in range(4):
+        rng = random.Random(seed)
+        table = f"t_fuzz_{seed}"
+        acknowledged: set[int] = set()
+        may_surface: set[int] = set()       # durable-but-unacknowledged
+        next_id = 0
+        be.write(_df(spark, [(next_id, "base")]), table, "id", 2)
+        acknowledged.add(next_id)
+        last_version = be.versions(spark, table)[-1]
+        for _ in range(10):
+            op = rng.choice(["append", "append", "append",
+                             "vacuum", "compact"])
+            if op == "append":
+                next_id += 1
+                fault_plan["event"] = rng.choice(events)
+                try:
+                    be.append(_df(spark, [(next_id, f"row {next_id}")]),
+                              table, "id", 2)
+                    acknowledged.add(next_id)
+                except SimulatedCrash as exc:
+                    # post-copy crashes leave a COMPLETE manifest: the
+                    # commit is durable even though never acknowledged
+                    if str(exc) in ("post_copy", "post_delete"):
+                        may_surface.add(next_id)
+                finally:
+                    fault_plan["event"] = None
+            elif op == "vacuum":
+                be.vacuum(spark, keep_last=1, min_age_seconds=0)
+            else:
+                be.compact_segments(spark, table)
+            got = {r["id"] for r in be.read(spark, table).collect()}
+            assert acknowledged <= got, (seed, acknowledged - got)
+            assert got <= acknowledged | may_surface, \
+                (seed, got - acknowledged - may_surface)
+            vs = be.versions(spark, table)
+            assert vs == sorted(vs)
+            head = vs[-1]
+            assert head >= last_version
+            last_version = head
+        be.drop(spark, table)
