@@ -61,6 +61,9 @@ def write_bucketed(df: DataFrame, table: str, key: str | list[str],
     no Exchange; sorting within buckets additionally enables a
     zero-sort SortMergeJoin."""
     keys = [key] if isinstance(key, str) else list(key)
+    # a killed prior run can leave this table's managed location staged
+    # but unregistered — reclaim it or the create fails forever
+    tableio.reclaim_orphan_location(df.sparkSession, table)
     w = df.write.mode(mode).bucketBy(n_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)

@@ -29,10 +29,53 @@ class ConcurrentWriteError(RuntimeError):
     discard the concurrent writes.  Re-derive the stage and retry."""
 
 
+def managed_location(spark: SparkSession, table: str) -> str:
+    """The directory a MANAGED table named ``table`` lives (or would
+    live) at: ``<database location>/<lowercased name>``.  Spark
+    lowercases table identifiers before deriving the directory, and the
+    database's ``locationUri`` already carries the ``.db`` suffix for
+    non-default databases."""
+    parts = table.replace("`", "").split(".")
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    loc = spark.catalog.getDatabase(db).locationUri
+    from dlx_spark import fsio
+    return fsio.join(loc, parts[-1].lower())
+
+
+def reclaim_orphan_location(spark: SparkSession, table: str) -> bool:
+    """Reclaim a crash-orphaned managed-table location before a
+    ``saveAsTable``; returns whether anything was removed.  The
+    catalog-table commit point is *files staged first, catalog
+    registration last* — so catalog-absent + location-present is
+    PROVABLY an uncommitted remnant (a driver died between staging
+    files and registering the table), never live data: live data is,
+    by the commit rule, always registered.  Without this, every
+    subsequent create of the same table name fails
+    ``LOCATION_ALREADY_EXISTS`` forever (``mode("overwrite")`` only
+    overwrites catalog-registered tables), and a killed run permanently
+    bricks the name.  External tables are out of scope — the engine
+    only ever creates managed tables."""
+    if spark.catalog.tableExists(table):
+        return False
+    from dlx_spark import fsio
+    loc = managed_location(spark, table)
+    if fsio.exists(spark, loc):
+        fsio.rmtree(spark, loc)
+        return True
+    return False
+
+
 class ParquetTableBackend:
     """Plain-parquet catalog tables: bucketed ``saveAsTable`` writes,
     non-atomic DROP+RENAME replace repaired by ``recover_replace`` on
     next open.  Single-writer per table (README concurrency contract)."""
+
+    def _reclaim_orphan(self, spark: SparkSession, table: str) -> None:
+        """See ``reclaim_orphan_location``.  Applies to appends too: an
+        append against a catalog-absent table CREATES it, so it hits
+        the same ``LOCATION_ALREADY_EXISTS`` wall on the same
+        remnant."""
+        reclaim_orphan_location(spark, table)
 
     @staticmethod
     def _aligned(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
@@ -51,17 +94,22 @@ class ParquetTableBackend:
     def write(self, df: DataFrame, table: str, key: str,
               n_buckets: int) -> None:
         """Create/overwrite ``table`` bucketed (and sorted) by ``key``."""
+        self._reclaim_orphan(df.sparkSession, table)
         (self._aligned(df, key, n_buckets).write.mode("overwrite")
          .bucketBy(n_buckets, key).sortBy(key).saveAsTable(table))
 
     def append(self, df: DataFrame, table: str, key: str,
                n_buckets: int) -> None:
-        """Append preserving the bucketed layout."""
+        """Append preserving the bucketed layout.  When the table is
+        catalog-absent the append CREATES it, so the same orphan rule
+        as ``write`` applies (see ``_reclaim_orphan``)."""
+        self._reclaim_orphan(df.sparkSession, table)
         (self._aligned(df, key, n_buckets).write.mode("append")
          .bucketBy(n_buckets, key).sortBy(key).saveAsTable(table))
 
     def write_plain(self, df: DataFrame, table: str) -> None:
         """Create/overwrite a small unbucketed table (index metadata)."""
+        self._reclaim_orphan(df.sparkSession, table)
         df.write.mode("overwrite").saveAsTable(table)
 
     @staticmethod
@@ -78,11 +126,13 @@ class ParquetTableBackend:
         — the layout the ANN indexes (operators/bucketing.py) use for
         listing-time partition pruning: probes filter on the partition
         columns and the scan never opens non-matching directories."""
+        self._reclaim_orphan(df.sparkSession, table)
         (self._clustered(df, partition_cols).write.mode("overwrite")
          .partitionBy(*partition_cols).saveAsTable(table))
 
     def append_partitioned(self, df: DataFrame, table: str,
                            partition_cols: list[str]) -> None:
+        self._reclaim_orphan(df.sparkSession, table)
         (self._clustered(df, partition_cols).write.mode("append")
          .partitionBy(*partition_cols).saveAsTable(table))
 

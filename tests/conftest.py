@@ -18,7 +18,22 @@ def spark():
     # keep local test parallelism modest; shuffle partitions low for tiny data
     spark = get_spark("dlx_spark_tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    _sweep_stale_warehouse(spark)
     yield spark
+
+
+def _sweep_stale_warehouse(spark):
+    """Make the suite immune to killed predecessors: the test session's
+    catalog is in-memory, so at session START every directory under the
+    warehouse is by definition an orphan of a prior (possibly kill -9'd)
+    run — no live table can reference it.  Sweeping here means no test
+    can inherit a LOCATION_ALREADY_EXISTS from a run that died mid-write
+    (the ParquetTableBackend also self-heals per-create; this is the
+    suite-level guarantee, covering appends and the versioned root)."""
+    from dlx_spark import fsio
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for name in fsio.listdir(spark, wh):
+        fsio.rmtree(spark, fsio.join(wh, name))
 
 
 @pytest.fixture
