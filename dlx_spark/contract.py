@@ -747,7 +747,21 @@ def simhash(spark, sf):
     property-locked in tests/test_property.py instead.  Production
     callers use the operator defaults, where the cap engages past
     ~2 MB."""
+    from dlx_spark.operators import common
+
     docs = _t(spark, sf, "documents")
+    # the row's pair-level SQL parity is only valid on the UNCAPPED
+    # plan: if Catalyst's size estimate ever crosses the widened
+    # horizon (bigger SF, stats-estimation change), the silent switch
+    # to capped chain output would surface as a baffling hash mismatch
+    # — fail fast with the real cause instead
+    if common.bypass_cap(docs, 1000, 256 << 20) is not None:
+        raise RuntimeError(
+            f"simhash oracle row: input estimate "
+            f"{common.estimated_bytes(docs)}B exceeds the 256MB bypass "
+            f"horizon, so the bucket cap would engage and the capped "
+            f"chain output cannot match the pair-exact SQL oracle — "
+            f"widen auto_bypass_bytes here or shrink the SF")
     return dedup.simhash_near_duplicates(docs, max_hamming=3,
                                          auto_bypass_bytes=256 << 20) \
         .withColumn("hamming", F.col("hamming").cast("long"))

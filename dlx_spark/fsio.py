@@ -208,6 +208,45 @@ def rename(spark: SparkSession, src: str, dst: str,
         raise OSError(f"rename {src} -> {dst} failed")
 
 
+def rename_no_overwrite(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic rename that FAILS (FileExistsError) when ``dst`` exists —
+    the compare-and-swap primitive, via ``FileContext.rename(src, dst,
+    Options.Rename.NONE)``.  Unlike ``FileSystem.rename``, whose
+    dest-exists behavior the Hadoop FS spec leaves filesystem-dependent,
+    the FileContext contract GUARANTEES no-overwrite semantics on every
+    filesystem that implements it (this is what Delta's HDFSLogStore
+    commits through).  Raises FileNotFoundError when ``src`` is missing,
+    FileExistsError when ``dst`` exists, OSError otherwise."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    fs = _fs(spark, dst)
+    ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), spark._jsc.hadoopConfiguration())
+    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
+    try:
+        ctx.rename(fs.makeQualified(_jpath(spark, src)),
+                   fs.makeQualified(_jpath(spark, dst)), opts)
+    except Exception as exc:
+        names = _java_exception_chain(exc)
+        if any("AlreadyExists" in n for n in names):
+            raise FileExistsError(dst) from None
+        if any("FileNotFound" in n for n in names):
+            raise FileNotFoundError(src) from None
+        raise OSError(f"rename {src} -> {dst} failed: {exc}") from exc
+
+
+def _java_exception_chain(exc: Exception) -> list[str]:
+    """Class names of a Py4J error's Java cause chain ([] for a plain
+    Python exception)."""
+    java = getattr(exc, "java_exception", None)
+    names = []
+    while java is not None:
+        names.append(java.getClass().getName())
+        java = java.getCause()
+    return names
+
+
 def listdir(spark: SparkSession, path: str) -> list[str]:
     """Child NAMES of a directory; [] when the path doesn't exist."""
     fs, p = _fs(spark, path), _jpath(spark, path)
@@ -243,9 +282,15 @@ def qualified(spark: SparkSession, path: str) -> str:
 
 
 class HadoopRenameScheme:
-    """Default: publish = one Hadoop rename.  Atomic (and
-    fails-when-dest-exists, which is what makes ``put_if_absent`` a real
-    compare-and-swap) on local filesystems and HDFS."""
+    """Default: publish = one Hadoop rename.  Atomic on local
+    filesystems and HDFS.  ``put_if_absent`` goes through
+    ``rename_no_overwrite`` (FileContext + ``Options.Rename.NONE``),
+    whose no-overwrite semantics are part of the FileContext CONTRACT
+    on every filesystem — not the platform-dependent dest-exists
+    behavior of ``FileSystem.rename``.  Scheme contract: correctness
+    of the CAS still requires the underlying rename to be atomic
+    (local/HDFS yes; object-store "filesystems" emulating rename as
+    copy+delete must use a CAS-capable scheme instead)."""
 
     #: a crash during publish can never leave a torn destination
     atomic_publish = True
@@ -278,11 +323,14 @@ class HadoopRenameScheme:
     def put_if_absent(self, spark: SparkSession, tmp: str,
                       dest: str) -> bool:
         try:
-            rename(spark, tmp, dest)
+            rename_no_overwrite(spark, tmp, dest)
+        except FileExistsError:
+            remove(spark, tmp, missing_ok=True)
+            return False             # lost the race — dest is the winner's
         except OSError:
             remove(spark, tmp, missing_ok=True)
             if exists(spark, dest):
-                return False         # lost the race — dest is the winner's
+                return False         # racer won between attempt and check
             raise
         return True
 

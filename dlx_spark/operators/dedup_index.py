@@ -831,9 +831,13 @@ class EmbeddingIndex:
         # derived from, so RECOVERY can re-run the same conflict check —
         # an append landing after this point (even followed by a crash)
         # is detected on reopen and the stage discarded instead of
-        # rolled forward with the append's keys dropped (the round-5
-        # residual window, now closed on the parquet backend too since
-        # its snapshot_token is a real file-listing fingerprint)
+        # rolled forward with the append's keys dropped.  On the
+        # versioned backend the commit_section CLOSES the round-5
+        # residual window; on the parquet backend the recovery-time
+        # check is still check-then-act (token compare, then
+        # DROP+RENAME), so an append landing inside that act is only
+        # NARROWED out, not excluded — the single-writer contract is
+        # what rules it out there
         _be().write_plain(
             self.spark.createDataFrame([(json.dumps(token),)],
                                        "token string"),

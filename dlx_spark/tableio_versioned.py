@@ -535,15 +535,33 @@ class VersionedTableBackend(ParquetTableBackend):
         VACUUM).  Setting it to 0 restores the writers-quiesced fast
         path.  Readers holding snapshots older than ``keep_last``
         versions can still lose their files — retention bounds WRITER
-        safety; snapshot lifetime is bounded by vacuum policy."""
+        safety; snapshot lifetime is bounded by vacuum policy.
+
+        CLOCK-SKEW ASSUMPTION: the horizon compares the driver's wall
+        clock to STORAGE mtimes.  On an object store whose service
+        clock drifts ahead of the driver's, fresh garbage reads as
+        younger than it is (safe — retained longer); a driver clock
+        ahead of storage erodes the guard by the skew, so keep
+        ``min_age_seconds`` comfortably above write duration + plausible
+        skew (the default 1h mirrors Delta's guidance).  A vacuum that
+        reclaims NOTHING solely because every candidate was younger
+        than the horizon warns — quiesced-writer maintenance jobs that
+        expect reclamation should pass ``min_age_seconds=0`` rather
+        than silently retaining garbage forever."""
+        import warnings
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         horizon = time.time() - min_age_seconds
+        age_skipped = 0
 
         def old_enough(path: str, recursive: bool = False) -> bool:
+            nonlocal age_skipped
             try:
                 ts = (fsio.newest_mtime(spark, path) if recursive
                       else fsio.mtime(spark, path))
+                if ts > horizon:
+                    age_skipped += 1
                 return ts <= horizon
             except Exception:
                 # a path that vanished under us is someone else's
@@ -640,4 +658,11 @@ class VersionedTableBackend(ParquetTableBackend):
             if seg not in referenced and old_enough(seg_dir, recursive=True):
                 fsio.rmtree(spark, seg_dir)
                 deleted.append(seg)
+        if not deleted and age_skipped:
+            warnings.warn(
+                f"vacuum reclaimed nothing: {age_skipped} candidate(s) "
+                f"were younger than the {min_age_seconds:.0f}s retention "
+                f"horizon.  If writers are quiesced, pass "
+                f"min_age_seconds=0; otherwise re-run after the horizon "
+                f"elapses.")
         return deleted
