@@ -36,9 +36,43 @@ HEADLINE = [
 ]
 
 
+def _wait_for_idle(max_wait_sec: float, load_ceiling: float) -> dict:
+    """Machine-load gate (the r7 lesson: a loadavg-3.6 run recorded a
+    false +46% 'regression').  Wait until 1-min loadavg drops under
+    ``load_ceiling`` or ``max_wait_sec`` elapses, and report what
+    happened so BENCH json carries both the measured number AND the
+    load context needed to compare it round-over-round.  Disable with
+    SPARK_GRAFT_BENCH_NO_IDLE_WAIT=1 (the waiting, never the telemetry)."""
+    t0 = time.time()
+    try:
+        start_load = os.getloadavg()[0]
+    except OSError:
+        return {"idle_gate": None}
+    load = start_load
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_IDLE_WAIT"):
+        while load > load_ceiling and time.time() - t0 < max_wait_sec:
+            time.sleep(5.0)
+            load = os.getloadavg()[0]
+    return {
+        "idle_gate": {
+            "load_ceiling": load_ceiling,
+            "load_at_invoke": round(start_load, 2),
+            "load_at_start": round(load, 2),
+            "waited_sec": round(time.time() - t0, 1),
+            "satisfied": load <= load_ceiling,
+        }
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    idle = _wait_for_idle(
+        max_wait_sec=float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT",
+                                          "120")),
+        load_ceiling=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_CEILING",
+                                          "2.0")))
 
     from dlx_spark.session import get_spark
     from dlx_spark import contract
@@ -104,6 +138,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg": [load1, load5, load15],
         "n_cpus": os.cpu_count(),
+        **idle,
     }
     if errors:
         out["errors"] = errors

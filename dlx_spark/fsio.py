@@ -49,9 +49,15 @@ commits) routes through a pluggable *commit scheme*
 - ``SingleDriverCASScheme`` — the copy+delete semantic plus a
   driver-local mutex making ``put_if_absent`` atomic *within one
   driver* — the S3SingleDriverLogStore analog, sufficient for a
-  single-driver deployment writing an object store.  Multi-driver
-  deployments need an external CAS (S3 conditional PUT / a
-  DynamoDB-style lock), exactly as in Delta's LogStore contract.
+  single-driver deployment writing an object store.
+- ``ExternalCASScheme`` — the multi-driver story for stores without
+  atomic rename: the commit point moves into an external CAS service
+  (S3 conditional PUT / a DynamoDB-style conditional put — the
+  S3DynamoDBLogStore design), claims record the staged file so ANY
+  process can finish a crashed publish, and readers recover torn
+  destinations from the claim (``read_repair``).  ``FileExternalCAS``
+  is the shipped service stand-in (atomic via ``os.link``), proven
+  across two driver processes in tests/test_multiprocess_commit.py.
 
 All functions take the SparkSession first: the FileSystem instance comes
 from ``Path.getFileSystem(hadoopConfiguration)`` (cached by Hadoop per
@@ -60,8 +66,10 @@ scheme+authority, so per-call resolution is cheap).
 
 from __future__ import annotations
 
+import json
 import posixpath
 import threading
+import time as _time
 
 from pyspark.sql import SparkSession
 
@@ -209,26 +217,50 @@ def rename(spark: SparkSession, src: str, dst: str,
 
 
 def rename_no_overwrite(spark: SparkSession, src: str, dst: str) -> None:
-    """Atomic rename that FAILS (FileExistsError) when ``dst`` exists —
-    the compare-and-swap primitive, via ``FileContext.rename(src, dst,
+    """Rename that FAILS (FileExistsError) when ``dst`` exists — the
+    compare-and-swap primitive, via ``FileContext.rename(src, dst,
     Options.Rename.NONE)``.  Unlike ``FileSystem.rename``, whose
     dest-exists behavior the Hadoop FS spec leaves filesystem-dependent,
-    the FileContext contract GUARANTEES no-overwrite semantics on every
-    filesystem that implements it (this is what Delta's HDFSLogStore
-    commits through).  Raises FileNotFoundError when ``src`` is missing,
-    FileExistsError when ``dst`` exists, OSError otherwise."""
+    the FileContext API makes no-overwrite the REQUESTED semantic on
+    every filesystem.  How hard that request is honored varies: HDFS
+    implements it server-side as one atomic namespace operation (this
+    is what Delta's HDFSLogStore commits through); the local filesystem
+    falls back to AbstractFileSystem's default — a dest-exists check
+    followed by a POSIX rename that would clobber — so cross-PROCESS
+    racers on local FS keep a residual microsecond check-then-act
+    window (same caveat as Delta's HDFSLogStore on ``file://``;
+    single-machine multi-driver deployments that need a hard guarantee
+    should use an external-CAS scheme).  Still strictly stronger than
+    ``FileSystem.rename``, whose local behavior deletes-then-renames.
+    Raises FileNotFoundError when ``src`` is missing, FileExistsError
+    when ``dst`` exists, and OSError otherwise — including when the
+    path's scheme has no AbstractFileSystem binding (e.g. ``s3a``
+    without ``fs.AbstractFileSystem.s3a.impl``): such filesystems
+    cannot provide this CAS at all, and the error says to install a
+    CAS-capable commit scheme instead."""
     jvm = spark._jvm
     gw = spark.sparkContext._gateway
     fs = _fs(spark, dst)
-    ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri(), spark._jsc.hadoopConfiguration())
     opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
     opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
     try:
+        # getFileContext inside the try: a scheme with no
+        # AbstractFileSystem binding throws UnsupportedFileSystemException
+        # HERE, and it must surface as the documented OSError (so callers
+        # like put_if_absent clean up their tmp file), not a raw Py4J error
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration())
         ctx.rename(fs.makeQualified(_jpath(spark, src)),
                    fs.makeQualified(_jpath(spark, dst)), opts)
     except Exception as exc:
         names = _java_exception_chain(exc)
+        if any("UnsupportedFileSystem" in n for n in names):
+            raise OSError(
+                f"rename {src} -> {dst}: no AbstractFileSystem binding "
+                f"for this path's scheme, so the FileContext CAS rename "
+                f"is unavailable — install a CAS-capable commit scheme "
+                f"for this filesystem (fsio.SingleDriverCASScheme or an "
+                f"external-CAS scheme) via fsio.set_commit_scheme") from exc
         if any("AlreadyExists" in n for n in names):
             raise FileExistsError(dst) from None
         if any("FileNotFound" in n for n in names):
@@ -284,13 +316,16 @@ def qualified(spark: SparkSession, path: str) -> str:
 class HadoopRenameScheme:
     """Default: publish = one Hadoop rename.  Atomic on local
     filesystems and HDFS.  ``put_if_absent`` goes through
-    ``rename_no_overwrite`` (FileContext + ``Options.Rename.NONE``),
-    whose no-overwrite semantics are part of the FileContext CONTRACT
-    on every filesystem — not the platform-dependent dest-exists
-    behavior of ``FileSystem.rename``.  Scheme contract: correctness
-    of the CAS still requires the underlying rename to be atomic
-    (local/HDFS yes; object-store "filesystems" emulating rename as
-    copy+delete must use a CAS-capable scheme instead)."""
+    ``rename_no_overwrite`` (FileContext + ``Options.Rename.NONE``):
+    a hard atomic CAS on HDFS (server-side atomic rename-with-
+    overwrite-flag), and on local FS a dest-exists check + POSIX
+    rename that NARROWS but does not close the cross-process
+    check-then-act window (see ``rename_no_overwrite``) — the same
+    caveat Delta documents for HDFSLogStore on ``file://``.  Scheme
+    contract: correctness of the CAS still requires the underlying
+    rename to be atomic (local/HDFS yes; object-store "filesystems"
+    emulating rename as copy+delete must use a CAS-capable scheme —
+    ``SingleDriverCASScheme`` or ``ExternalCASScheme`` — instead)."""
 
     #: a crash during publish can never leave a torn destination
     atomic_publish = True
@@ -319,6 +354,27 @@ class HadoopRenameScheme:
         documents (safe: all marker protocols treat absent as 'no
         pending work')."""
         rename(spark, tmp, dest, overwrite=True)
+
+    def read_repair(self, spark: SparkSession, dest: str) -> str | None:
+        """Authoritative content of a published file whose on-store
+        bytes read as torn/missing — or None when the scheme keeps no
+        side record of the publish (then the caller's own torn-file
+        rule applies: remnant under non-atomic publish, corruption
+        under atomic).  Schemes that move the commit point outside the
+        store (``ExternalCASScheme``) override this to recover the
+        content from the commit record, making torn destinations
+        self-healing for readers."""
+        return None
+
+    def settle_pending(self, spark: SparkSession, prefix: str) -> None:
+        """Finish any crashed-but-committed publishes under ``prefix``
+        before a caller trusts a directory LISTING (the
+        S3DynamoDBLogStore fixup-on-list behavior): schemes whose
+        commit point is outside the store can have a committed version
+        whose destination file never materialized — invisible to a
+        plain listing until completed from the commit record.  No-op
+        here: with the commit point IN the store (the rename), a listed
+        name is the only form a commit can take."""
 
     def put_if_absent(self, spark: SparkSession, tmp: str,
                       dest: str) -> bool:
@@ -418,6 +474,274 @@ class SingleDriverCASScheme(NonAtomicRenameScheme):
                       dest: str) -> bool:
         with self._lock:
             return super().put_if_absent(spark, tmp, dest)
+
+
+class FileExternalCAS:
+    """Stand-in for the EXTERNAL compare-and-swap service a multi-driver
+    object-store deployment brings (DynamoDB conditional put / S3
+    conditional PUT — the coordination half of Delta's
+    S3DynamoDBLogStore design): a shared POSIX directory where
+    ``acquire`` is made atomic by ``os.link(2)`` — an atomic
+    create-if-absent that publishes the record's full content in the
+    same syscall (an ``O_EXCL`` create would let a racer read the claim
+    file before its content lands).  Real deployments implement the
+    same four methods against their CAS service; every method is safe
+    to call from any process sharing the directory (NFS with proper
+    link semantics, or one machine running several drivers).
+
+    Records are tiny JSON dicts keyed by the qualified destination
+    path; ``complete`` is a sibling marker file so acknowledging a
+    publish is idempotent and never rewrites the claim."""
+
+    def __init__(self, directory: str):
+        import os
+        self._os = os
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        import hashlib
+        return self._os.path.join(
+            self.directory,
+            hashlib.sha256(key.encode("utf-8")).hexdigest() + ".json")
+
+    def acquire(self, key: str, record: dict) -> dict | None:
+        """Atomically register ``record`` under ``key`` iff absent —
+        the conditional-put primitive.  Returns None when this caller
+        WON (its record is now the claim), else the existing record."""
+        import uuid as _uuid
+        path = self._path(key)
+        claim = f"{path}.claim-{_uuid.uuid4().hex}"
+        with open(claim, "w", encoding="utf-8") as f:
+            json.dump(dict(record, key=key), f)
+        try:
+            self._os.link(claim, path)     # atomic create-if-absent
+            return None
+        except FileExistsError:
+            return self.get(key)
+        finally:
+            self._os.unlink(claim)
+
+    def get(self, key: str) -> dict | None:
+        """The claim under ``key`` (with its ``complete`` flag), or
+        None.  Claims are published atomically by ``acquire``'s link,
+        so a present file is always whole."""
+        try:
+            with open(self._path(key), encoding="utf-8") as f:
+                record = json.load(f)
+        except FileNotFoundError:
+            return None
+        record["complete"] = self._os.path.exists(
+            self._path(key) + ".complete")
+        return record
+
+    def mark_complete(self, key: str) -> None:
+        """Acknowledge the publish under ``key`` (idempotent)."""
+        with open(self._path(key) + ".complete", "w"):
+            pass
+
+    def release(self, key: str) -> None:
+        """Delete a DEAD claim (publish unfinishable: its recorded tmp
+        was reclaimed with the publish unacknowledged) so the key can
+        be re-acquired.  Only sound under the same retention contract
+        as vacuum: a claim whose tmp aged out of retention belongs to
+        a writer that is long dead."""
+        for suffix in (".complete", ""):
+            try:
+                self._os.unlink(self._path(key) + suffix)
+            except FileNotFoundError:
+                pass
+
+    def pending(self, prefix: str) -> list[dict]:
+        """Unacknowledged claims whose key starts with ``prefix`` — the
+        'incomplete entries for this table' query a listing consults to
+        finish crashed publishes (DynamoDB: a keyed query; here: scan
+        the claim files, skipping acknowledged ones by their sibling
+        marker).  Claim volume stays proportional to table count ×
+        in-flight commits, so the scan is small; a real service would
+        index by table path and TTL-expire acknowledged entries."""
+        out = []
+        for name in self._os.listdir(self.directory):
+            if not name.endswith(".json"):
+                continue
+            if self._os.path.exists(
+                    self._os.path.join(self.directory, name) + ".complete"):
+                continue
+            try:
+                with open(self._os.path.join(self.directory, name),
+                          encoding="utf-8") as f:
+                    record = json.load(f)
+            except (FileNotFoundError, ValueError):
+                continue    # settled or mid-acquire — not ours to read
+            if record.get("key", "").startswith(prefix):
+                record["complete"] = False
+                out.append(record)
+        return out
+
+
+class ExternalCASScheme(NonAtomicRenameScheme):
+    """Multi-driver commits on a store with NO atomic primitives at
+    all, by moving the commit point into an external CAS service — the
+    S3DynamoDBLogStore design, re-derived from Delta's published
+    LogStore contract.  The store's rename is copy+delete and its
+    put-if-absent is check-then-act, so neither can be a commit point;
+    ``cas.acquire`` (conditional put) is.
+
+    ``put_if_absent(tmp, dest)``:
+
+    1. ``cas.acquire(dest, {tmp})`` — THE commit point.  Won: copy
+       ``tmp`` → ``dest`` (this writer owns the name exclusively; the
+       copy can tear, but is self-healing — see below), acknowledge
+       with ``mark_complete``, delete ``tmp``, return True.  ``tmp`` is
+       deleted only AFTER the acknowledgment: an unacknowledged claim
+       always has its immutable source available for repair.
+    2. Lost: FINISH the winner's publish if still pending — the claim
+       records the winner's tmp path, whose content is immutable and
+       complete by construction (written fully before acquire), so any
+       process can complete the copy, acknowledge, and then return
+       False.  A claim whose tmp is gone while unacknowledged is a
+       DEAD writer's (tmp files outlive any live publish under the
+       vacuum retention contract): release it and re-acquire.
+
+    Readers: a torn or missing ``dest`` with a live claim is recovered
+    through ``read_repair`` — the claim's tmp is the authoritative
+    content, so a crash at ANY point after the acquire still yields a
+    readable commit; a crash before the acquire leaves only the loose
+    tmp (no claim, no commit) — exactly the invariant the versioned
+    backend's torn-manifest rule needs, now with multi-driver teeth.
+
+    Publish-overwrite (marker files) stays the base copy+delete:
+    markers tolerate torn states by design and need no CAS."""
+
+    atomic_put_if_absent = True
+    # dest bytes can still tear mid-copy; read_repair makes that state
+    # recoverable, which is strictly stronger than atomic_publish=False
+    # alone but keeps consumers' torn-file handling ON (correct: a
+    # remnant with NO claim is still possible — crash before acquire)
+    atomic_publish = False
+
+    def __init__(self, cas, fault=None):
+        super().__init__(fault)
+        self.cas = cas
+
+    def _key(self, spark: SparkSession, dest: str) -> str:
+        # qualified: /x, file:/x and file:///x must map to one claim
+        return qualified(spark, dest)
+
+    def put_if_absent(self, spark: SparkSession, tmp: str,
+                      dest: str) -> bool:
+        key = self._key(spark, dest)
+        # read the staged content BEFORE the acquire: the instant the
+        # claim is visible, any concurrent lister (settle_pending) or
+        # loser may FINISH this publish and delete the tmp out from
+        # under us — the copy below must not depend on it surviving
+        text = read_text(spark, tmp)
+        for _ in range(3):
+            existing = self.cas.acquire(key, {"tmp": qualified(spark, tmp)})
+            if existing is None:
+                self.fault("cas_acquired", dest)
+                self.fault("pre_copy", dest)
+                # progressive visibility: the simulated object-store
+                # hazard (same as the base scheme's publish)
+                write_text(spark, dest, text[: max(1, len(text) // 2)])
+                self.fault("mid_copy", dest)
+                write_text(spark, dest, text)
+                self.fault("post_copy", dest)
+                self.cas.mark_complete(key)
+                self.fault("post_complete", dest)
+                remove(spark, tmp, missing_ok=True)
+                return True
+            if self._finish(spark, key, dest, existing):
+                remove(spark, tmp, missing_ok=True)
+                return False
+            # dead claim released — re-acquire
+        raise OSError(f"put_if_absent {dest}: could not settle the CAS "
+                      f"claim after 3 attempts")
+
+    def _finish(self, spark: SparkSession, key: str, dest: str,
+                entry: dict) -> bool:
+        """Complete a pending publish from its claim (idempotent, any
+        process).  True = ``dest`` is (now) published; False = the
+        claim was dead and has been released."""
+        if entry.get("complete"):
+            return True
+        wtmp = entry["tmp"]
+        if exists(spark, wtmp):
+            try:
+                text = read_text(spark, wtmp)
+            except Exception:
+                # tmp vanished between the check and the read: the
+                # winner (or another finisher) completed concurrently
+                fresh = self.cas.get(key)
+                return fresh is None or bool(fresh.get("complete"))
+            write_text(spark, dest, text)
+            self.cas.mark_complete(key)
+            remove(spark, wtmp, missing_ok=True)
+            return True
+        fresh = self.cas.get(key)
+        if fresh is None or fresh.get("complete"):
+            # the winner (or another finisher) acknowledged in between
+            return True
+        self.cas.release(key)
+        return False
+
+    def settle_pending(self, spark: SparkSession, prefix: str) -> None:
+        """Fixup-on-list (the S3DynamoDBLogStore behavior): a commit
+        crashed right after its acquire has NO destination file yet, so
+        a plain listing would not see the committed version — finish
+        every unacknowledged claim under ``prefix`` from its recorded
+        tmp before the caller trusts the listing.  Dead claims (tmp
+        reclaimed, unacknowledged) are released here too, freeing their
+        keys."""
+        # trailing slash: the prefix is a DIRECTORY — without it,
+        # 'tables/t' would also settle (and complete) 'tables/t2's claims
+        for record in self.cas.pending(
+                _strip_trailing(qualified(spark, prefix)) + "/"):
+            self._finish(spark, record["key"], record["key"], record)
+
+    def read_repair(self, spark: SparkSession, dest: str) -> str | None:
+        """Recover the committed content behind a torn/missing ``dest``
+        (see class docstring).  The claim's tmp is immutable-complete,
+        so it is always authoritative; once the tmp is gone the publish
+        was acknowledged and ``dest``'s terminal bytes are whole — the
+        bounded retry below only rides out the transient window while
+        some finisher is still mid-copy (every concurrent finisher's
+        LAST write is the full content)."""
+        key = self._key(spark, dest)
+        for attempt in range(5):
+            entry = self.cas.get(key)
+            if entry is None:
+                return None                      # no claim: true remnant
+            wtmp = entry["tmp"]
+            if exists(spark, wtmp):
+                try:
+                    text = read_text(spark, wtmp)
+                except Exception:
+                    # tmp vanished mid-read: a finisher completed the
+                    # publish concurrently — fall through to the
+                    # complete-claim path on the next iteration
+                    continue
+                try:     # best-effort completion so listings converge
+                    write_text(spark, dest, text)
+                    self.cas.mark_complete(key)
+                    remove(spark, wtmp, missing_ok=True)
+                except Exception:
+                    pass
+                return text
+            if entry.get("complete"):
+                try:
+                    text = read_text(spark, dest)
+                    json.loads(text)             # whole yet?
+                    return text
+                except Exception:
+                    _time.sleep(0.05 * (attempt + 1))
+                    continue
+            else:
+                # unacknowledged with tmp gone: dead claim — unreadable
+                return None
+        raise OSError(
+            f"read_repair {dest}: claim acknowledged but the destination "
+            f"never became readable — external corruption")
 
 
 _commit_scheme: HadoopRenameScheme = HadoopRenameScheme()

@@ -2,12 +2,20 @@
 columns with typed metadata (schemas.MEDIA), processed by Arrow-batched
 ``mapInPandas`` operators.
 
-The decode/feature-extraction kernels are STUBBED (the image/audio
-libraries are not available in this environment): each stub either
-raises ``NotImplementedError`` (strict mode) or produces a deterministic
-fake derived from the payload bytes (test mode), so the Spark-side
-plumbing — schema, batching, partitioning, UDF signatures — is real and
-tested end-to-end while the kernels stay swappable.
+Two kernel families per operator, selected by ``kernel=``:
+
+- ``"stub"`` (default): a deterministic fake derived from the payload
+  bytes (or ``NotImplementedError`` in strict mode) — replicable by an
+  external SQL oracle, so the Spark-side plumbing (schema, batching,
+  partitioning, UDF signatures) is testable end-to-end in environments
+  without image libraries.
+- ``"pil"``: the REAL image kernel, Pillow-backed (``PIL.Image`` header
+  decode / thumbnail resize), gated behind an import check that fails
+  fast at plan-construction time when Pillow is absent.  Rows whose
+  payload does not parse as an image decode to nulls rather than
+  failing the batch (a 100 TB media crawl always carries garbage).
+  Tests golden-check it against a hand-built 2×2 PNG and skip cleanly
+  where Pillow is not installed (tests/test_multimodal_pil.py).
 
 Scale design: media payloads dominate bytes, so every operator is a
 pure per-partition map (no shuffle), metadata-only projections prune the
@@ -40,6 +48,21 @@ def _stub_guard(kernel: str, strict: bool):
             "swap in a PIL/ffmpeg-backed implementation")
 
 
+def _require_pil(op: str):
+    """Fail fast at plan-construction time when the real kernel was
+    requested without Pillow installed (the driver and executors share
+    the environment in every supported deployment mode; a cluster with
+    heterogeneous Python environments is misconfigured for Arrow UDFs
+    generally)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"{op}(kernel='pil') needs Pillow, which is not installed — "
+            f"pip install pillow, or use kernel='stub' for the "
+            f"deterministic stand-in") from exc
+
+
 def _det_floats(payload: bytes, n: int) -> list[float]:
     """Deterministic fake feature vector from payload bytes (md5-seeded)."""
     out = []
@@ -62,13 +85,53 @@ DECODED_SCHEMA = StructType([
 ])
 
 
-def decode_metadata(df: DataFrame, strict: bool | None = None) -> DataFrame:
-    """Decode media headers → (doc_id, kind, width, height, n_bytes, digest).
+DECODED_PIL_SCHEMA = StructType(
+    DECODED_SCHEMA.fields + [StructField("mode", StringType())])
 
-    Real kernel would parse image/container headers; the stub derives
-    deterministic dimensions from the payload size (64 + n % 1984 /
-    64 + 7n % 1984) and an md5 digest — all replicable by an external
-    oracle.  mapInPandas: one Arrow batch in, one out — zero shuffle."""
+
+def decode_metadata(df: DataFrame, strict: bool | None = None,
+                    kernel: str = "stub") -> DataFrame:
+    """Decode media headers → (doc_id, kind, width, height, n_bytes,
+    digest[, mode]).  mapInPandas: one Arrow batch in, one out — zero
+    shuffle either way.
+
+    ``kernel="stub"`` derives deterministic dimensions from the payload
+    size (64 + n % 1984 / 64 + 7n % 1984) and an md5 digest — all
+    replicable by an external oracle.  ``kernel="pil"`` parses the real
+    image header with Pillow (lazy: ``Image.open`` reads only the
+    header, never decodes pixels — cheap even on multi-MB payloads) and
+    adds the color ``mode`` column; unparseable payloads yield null
+    width/height/mode instead of failing the batch."""
+    if kernel == "pil":
+        _require_pil("decode_metadata")
+
+        def run_pil(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            def header(b):
+                try:
+                    with Image.open(io.BytesIO(b or b"")) as im:
+                        return im.width, im.height, im.mode
+                except Exception:
+                    return None, None, None
+            for pdf in batches:
+                parsed = [header(b) for b in pdf["payload"]]
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "width": pd.array([p[0] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
+                    "digest": pdf["payload"].map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()),
+                    "mode": [p[2] for p in parsed],
+                })
+
+        return df.mapInPandas(run_pil, schema=DECODED_PIL_SCHEMA)
+    if kernel != "stub":
+        raise ValueError(f"kernel must be 'stub' or 'pil', got {kernel!r}")
     strict = STRICT if strict is None else strict
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -121,10 +184,45 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
-def resize_images(df: DataFrame, max_side: int = 256, strict: bool | None = None) -> DataFrame:
-    """Resize stub: returns a deterministic truncation of the payload with
-    scaled dimensions (real kernel: PIL thumbnail).  Shape/contract match
-    a real implementation: binary in, binary out, metadata updated."""
+def resize_images(df: DataFrame, max_side: int = 256,
+                  strict: bool | None = None,
+                  kernel: str = "stub") -> DataFrame:
+    """Resize each image payload so its longest side is ≤ ``max_side``.
+
+    ``kernel="pil"``: real Pillow ``thumbnail`` (aspect-preserving,
+    never upscales), re-encoded as PNG; unparseable payloads pass
+    through untouched with null dimensions.  ``kernel="stub"``: a
+    deterministic truncation of the payload with scaled dimensions.
+    Same shape either way: binary in, binary out, metadata updated."""
+    if kernel == "pil":
+        _require_pil("resize_images")
+
+        def run_pil(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            def shrink(b):
+                try:
+                    with Image.open(io.BytesIO(b or b"")) as im:
+                        im.thumbnail((max_side, max_side))
+                        out = io.BytesIO()
+                        im.save(out, format="PNG")
+                        return out.getvalue(), im.width, im.height
+                except Exception:
+                    return b, None, None
+            for pdf in batches:
+                parsed = [shrink(b) for b in pdf["payload"]]
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "payload": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                })
+
+        return df.mapInPandas(run_pil, schema=RESIZED_SCHEMA)
+    if kernel != "stub":
+        raise ValueError(f"kernel must be 'stub' or 'pil', got {kernel!r}")
     strict = STRICT if strict is None else strict
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -45,8 +45,11 @@ racers can both "succeed", the backend REFUSES to commit through a
 scheme that does not declare ``atomic_put_if_absent`` (clear error at
 the first commit), and runs correctly through a CAS-capable scheme —
 ``fsio.SingleDriverCASScheme`` (the S3SingleDriverLogStore analog:
-single-driver deployments) or an external-CAS implementation
-(multi-driver: S3 conditional PUT / a DynamoDB-style lock).  Under a
+single-driver deployments) or ``fsio.ExternalCASScheme`` (multi-driver:
+the commit point moves into an external CAS service — S3 conditional
+PUT / DynamoDB — and torn manifests become reader-repairable from the
+commit record; proven across two driver processes in
+tests/test_multiprocess_commit.py).  Under a
 scheme whose publish can TEAR the destination (``atomic_publish=False``)
 a torn manifest is provably an unacknowledged crash remnant — its
 writer never got success — so readers SKIP it and resolve the latest
@@ -93,7 +96,8 @@ class VersionedTableBackend(ParquetTableBackend):
     plain parquet (see module docstring).  Drop-in for
     ``tableio.set_backend``."""
 
-    def __init__(self, root: str | None = None):
+    def __init__(self, root: str | None = None,
+                 auto_compact_at: int | None = None):
         # root resolved lazily against the active session's warehouse
         # dir when not given (the session may not exist at import time)
         self._root = root
@@ -101,6 +105,15 @@ class VersionedTableBackend(ParquetTableBackend):
         #: lifetime — the observable the contention probe reports
         #: (tools/scale_probe.py --contention); advisory, not synchronized
         self.races_lost = 0
+        #: segment-count threshold that triggers an inline
+        #: ``compact_segments`` after an append commits (the OPTIMIZE
+        #: auto-trigger, see ``_maybe_auto_compact``); None = manual only
+        if auto_compact_at is not None and auto_compact_at < 2:
+            raise ValueError("auto_compact_at must be >= 2 (a 1-segment "
+                             "table is already compact)")
+        self.auto_compact_at = auto_compact_at
+        #: auto-compactions run (observable for the scale probe)
+        self.auto_compactions = 0
 
     # ---------------------------------------------------------- paths
 
@@ -124,7 +137,13 @@ class VersionedTableBackend(ParquetTableBackend):
     # ------------------------------------------------------ manifests
 
     def versions(self, spark: SparkSession, table: str) -> list[int]:
-        """Committed version numbers, ascending ([] for no table)."""
+        """Committed version numbers, ascending ([] for no table).
+        The listing first settles any commit whose destination file
+        never materialized (crash right after an external-CAS acquire:
+        committed, but invisible to a plain listing until completed
+        from the commit record) — a no-op on rename-commit schemes."""
+        fsio.get_commit_scheme().settle_pending(
+            spark, self._table_dir(spark, table))
         out = []
         for name in fsio.listdir(spark, self._table_dir(spark, table)):
             if name.startswith("v") and name.endswith(".json"):
@@ -155,16 +174,31 @@ class VersionedTableBackend(ParquetTableBackend):
                           version: int) -> dict | None:
         """``_read_manifest``, with the scheme-dependent torn-file rule:
         under a non-atomic-publish commit scheme an unparseable manifest
-        is provably an UNACKNOWLEDGED crash remnant (the publisher only
-        returns success after the full copy), so it reads as None and
-        resolution falls back/skips; under an atomic scheme it can only
+        is first offered to the scheme's ``read_repair`` — schemes whose
+        commit point lives OUTSIDE the store (``fsio.ExternalCASScheme``)
+        recover the authoritative content from the commit record, so a
+        manifest torn by a crashed (or in-flight) copy still reads as
+        its committed self; with no repair record it is provably an
+        UNACKNOWLEDGED crash remnant (the publisher only returns success
+        after the full copy), so it reads as None and resolution falls
+        back/skips.  Under an atomic-publish scheme a torn file can only
         be external corruption and stays a loud ValueError."""
         try:
             return self._read_manifest(spark, table, version)
         except ValueError:
-            if fsio.get_commit_scheme().atomic_publish:
+            scheme = fsio.get_commit_scheme()
+            if scheme.atomic_publish:
                 raise
-            return None
+            path = self._manifest_path(spark, table, version)
+            text = scheme.read_repair(spark, path)
+            if text is None:
+                return None
+            doc = json.loads(text)
+            if not isinstance(doc, dict) or "segments" not in doc:
+                raise ValueError(
+                    f"corrupt manifest {path}: repaired content is "
+                    f"missing segments")
+            return doc
 
     def _latest(self, spark: SparkSession, table: str) -> tuple[int, dict]:
         vs = self.versions(spark, table)
@@ -279,11 +313,16 @@ class VersionedTableBackend(ParquetTableBackend):
                n_buckets: int) -> None:
         spark = df.sparkSession
         seg = self._write_segment(spark, df, key, n_buckets)
-        self._commit(
-            spark, table,
-            lambda latest: self._layout(
-                df, key, n_buckets,
-                (latest["segments"] if latest else []) + [seg]))
+        n_after = 0
+
+        def payload(latest):
+            nonlocal n_after
+            segs = (latest["segments"] if latest else []) + [seg]
+            n_after = len(segs)
+            return self._layout(df, key, n_buckets, segs)
+
+        self._commit(spark, table, payload)
+        self._maybe_auto_compact(spark, table, n_after)
 
     def write_plain(self, df: DataFrame, table: str) -> None:
         spark = df.sparkSession
@@ -303,12 +342,44 @@ class VersionedTableBackend(ParquetTableBackend):
                            partition_cols: list[str]) -> None:
         spark = df.sparkSession
         seg = self._write_segment(spark, df, None, None, partition_cols)
-        self._commit(
-            spark, table,
-            lambda latest: self._layout(
-                df, None, None,
-                (latest["segments"] if latest else []) + [seg],
-                partition_cols))
+        n_after = 0
+
+        def payload(latest):
+            nonlocal n_after
+            segs = (latest["segments"] if latest else []) + [seg]
+            n_after = len(segs)
+            return self._layout(df, None, None, segs, partition_cols)
+
+        self._commit(spark, table, payload)
+        self._maybe_auto_compact(spark, table, n_after)
+
+    def _maybe_auto_compact(self, spark: SparkSession, table: str,
+                            n_segments: int) -> None:
+        """The OPTIMIZE auto-trigger: when an append's committed
+        manifest reaches ``auto_compact_at`` segments, fold the table
+        inline via ``compact_segments``.  Without this, append-heavy
+        ingest (the streaming near-dedup sink appends one segment per
+        micro-batch; partitioned ANN indexes one SCAN ROOT per append)
+        accumulates segments without bound and every read pays the
+        amplification — measured in tools/scale_probe.py --autocompact.
+
+        Ordering is load-bearing: the trigger runs AFTER the append's
+        own commit, so the appended rows are durable before any
+        compaction work starts — a crash mid-compaction loses only the
+        re-derivable ``__compactseg`` stage (vacuum clears aged ones),
+        never data, and the next threshold-crossing append simply
+        re-triggers.  The fold publishes through the same
+        snapshot-token ``replace(on_conflict="merge")`` as manual
+        compaction, so appends racing it are carried into the new
+        version.  Two writers crossing the threshold together both
+        compact (wasted work, correct result — the second fold sees the
+        first's output plus any raced segments); deployments with many
+        concurrent appenders should prefer a single maintenance-cadence
+        ``compact_segments`` and leave this off."""
+        if self.auto_compact_at is None or n_segments < self.auto_compact_at:
+            return
+        self.auto_compactions += 1
+        self.compact_segments(spark, table)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         _, manifest = self._latest(spark, table)
@@ -554,6 +625,11 @@ class VersionedTableBackend(ParquetTableBackend):
             raise ValueError("keep_last must be >= 1")
         horizon = time.time() - min_age_seconds
         age_skipped = 0
+        # counts EVERY reclamation kind (superseded manifests, torn
+        # remnants, stale .tmp files, dropped stages), not just data
+        # segments: a run that cleaned real garbage but no segments
+        # must not warn that nothing was reclaimed
+        other_reclaimed = 0
 
         def old_enough(path: str, recursive: bool = False) -> bool:
             nonlocal age_skipped
@@ -605,6 +681,7 @@ class VersionedTableBackend(ParquetTableBackend):
             if (table, head["id"]) in cited:
                 self.drop(spark, table)
                 manifests_by_table[table] = {}
+                other_reclaimed += 1
             elif (table.endswith("__compactseg") and
                     old_enough(self._manifest_path(spark, table,
                                                    max(manifests)))):
@@ -614,6 +691,7 @@ class VersionedTableBackend(ParquetTableBackend):
                 # crash leftover — drop it, freeing its segments
                 self.drop(spark, table)
                 manifests_by_table[table] = {}
+                other_reclaimed += 1
         referenced: set[str] = set()
         for table, manifests in manifests_by_table.items():
             vs = sorted(manifests)
@@ -626,6 +704,7 @@ class VersionedTableBackend(ParquetTableBackend):
                 # turn its retry into a spurious corrupt-manifest error
                 if old_enough(self._manifest_path(spark, table, v)):
                     fsio.remove(spark, self._manifest_path(spark, table, v))
+                    other_reclaimed += 1
             for v in live[-keep_last:]:
                 referenced.update(manifests[v]["segments"])
             # manifests retained only by the age gate still pin their
@@ -643,10 +722,12 @@ class VersionedTableBackend(ParquetTableBackend):
                 if (manifests[v] is None and live and v < live[-1]
                         and old_enough(self._manifest_path(spark, table, v))):
                     fsio.remove(spark, self._manifest_path(spark, table, v))
+                    other_reclaimed += 1
             for name in fsio.listdir(spark, self._table_dir(spark, table)):
                 path = fsio.join(self._table_dir(spark, table), name)
                 if name.startswith(".tmp-") and old_enough(path):
                     fsio.remove(spark, path)
+                    other_reclaimed += 1
         deleted = []
         data_dir = fsio.join(self.root(spark), "data")
         for seg in fsio.listdir(spark, data_dir):
@@ -658,7 +739,7 @@ class VersionedTableBackend(ParquetTableBackend):
             if seg not in referenced and old_enough(seg_dir, recursive=True):
                 fsio.rmtree(spark, seg_dir)
                 deleted.append(seg)
-        if not deleted and age_skipped:
+        if not deleted and not other_reclaimed and age_skipped:
             warnings.warn(
                 f"vacuum reclaimed nothing: {age_skipped} candidate(s) "
                 f"were younger than the {min_age_seconds:.0f}s retention "

@@ -29,7 +29,16 @@ def _sweep_stale_warehouse(spark):
     run — no live table can reference it.  Sweeping here means no test
     can inherit a LOCATION_ALREADY_EXISTS from a run that died mid-write
     (the ParquetTableBackend also self-heals per-create; this is the
-    suite-level guarantee, covering appends and the versioned root)."""
+    suite-level guarantee, covering appends and the versioned root).
+
+    SINGLE-PROCESS ASSUMPTION: the sweep is only sound when this run is
+    the warehouse's sole user.  Under pytest-xdist (or two concurrent
+    runs in one checkout) a later-starting worker would delete the live
+    tables of an in-flight sibling sharing cwd/spark-warehouse — so the
+    sweep is skipped there, restoring the per-create self-heal as the
+    only (still-correct) orphan defense."""
+    if os.environ.get("PYTEST_XDIST_WORKER"):
+        return
     from dlx_spark import fsio
     wh = spark.conf.get("spark.sql.warehouse.dir")
     for name in fsio.listdir(spark, wh):

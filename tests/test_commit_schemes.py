@@ -511,3 +511,123 @@ def test_versioned_protocol_randomized_crash_fuzz(spark, be):
             assert head >= last_version
             last_version = head
         be.drop(spark, table)
+
+
+# --------------------------------------------------- external-CAS scheme
+
+
+@pytest.fixture
+def ecas(tmp_path):
+    return fsio.FileExternalCAS(str(tmp_path / "cas"))
+
+
+def test_external_cas_acquire_is_exclusive_and_idempotent(ecas):
+    assert ecas.acquire("k1", {"tmp": "/a"}) is None          # won
+    lost = ecas.acquire("k1", {"tmp": "/b"})                  # lost
+    assert lost["tmp"] == "/a" and lost["complete"] is False
+    ecas.mark_complete("k1")
+    ecas.mark_complete("k1")                                  # idempotent
+    assert ecas.get("k1")["complete"] is True
+    ecas.release("k1")
+    assert ecas.get("k1") is None
+    assert ecas.acquire("k1", {"tmp": "/c"}) is None          # reusable
+
+
+def test_external_cas_commit_crash_states_all_recoverable(spark, be, ecas):
+    """Crash injection at every protocol point AFTER the acquire: the
+    acquire IS the commit point, so the commit must be readable at
+    every one of them — either directly (post_copy and later) or via
+    read_repair from the claim's immutable tmp (earlier).  A crash
+    BEFORE the acquire leaves no claim and no commit."""
+    for event in ("cas_acquired", "pre_copy", "mid_copy",
+                  "post_copy", "post_complete"):
+        root = f"{be._root}/{event}"
+        b = VersionedTableBackend(root=root)
+        scheme = fsio.ExternalCASScheme(ecas, fault=crash_at(event))
+        fsio.set_commit_scheme(scheme)
+        try:
+            with pytest.raises(SimulatedCrash):
+                b.write(_df(spark, [(1, event)]), "t_ecas", "id", 1)
+            # the acquire happened -> the commit is visible and whole
+            scheme.fault = lambda e, p: None
+            assert [r["text"] for r in b.read(spark, "t_ecas").collect()] \
+                == [event]
+            assert b.versions(spark, "t_ecas") == [1]
+            # and the table keeps accepting commits afterwards
+            b.append(_df(spark, [(2, "after")]), "t_ecas", "id", 1)
+            assert b.read(spark, "t_ecas").count() == 2
+        finally:
+            fsio.set_commit_scheme(fsio.HadoopRenameScheme())
+
+
+def test_external_cas_loser_finishes_winners_publish(spark, tmp_path, ecas):
+    """The lost-acquire path completes the pending publish from the
+    claim's recorded tmp (any process can), so a winner that crashed
+    mid-copy never wedges the version number."""
+    scheme = fsio.ExternalCASScheme(ecas, fault=crash_at("mid_copy"))
+    fsio.set_commit_scheme(scheme)
+    dest = str(tmp_path / "pub" / "v1.json")
+    tmp1 = str(tmp_path / "pub" / ".tmp-1")
+    fsio.write_text(spark, tmp1, json.dumps({"who": "winner"}))
+    with pytest.raises(SimulatedCrash):
+        fsio.put_if_absent(spark, tmp1, dest)
+    # dest is torn, claim pending, winner's tmp still there
+    with pytest.raises(Exception):
+        json.loads(fsio.read_text(spark, dest))
+    scheme.fault = lambda e, p: None
+    tmp2 = str(tmp_path / "pub" / ".tmp-2")
+    fsio.write_text(spark, tmp2, json.dumps({"who": "loser"}))
+    assert fsio.put_if_absent(spark, tmp2, dest) is False
+    # the loser finished the WINNER's content, acknowledged the claim,
+    # and cleaned both tmps
+    assert json.loads(fsio.read_text(spark, dest)) == {"who": "winner"}
+    assert scheme.cas.get(fsio.qualified(spark, dest))["complete"] is True
+    assert not fsio.exists(spark, tmp1) and not fsio.exists(spark, tmp2)
+
+
+def test_external_cas_dead_claim_released_and_reacquired(
+        spark, tmp_path, ecas):
+    """A claim whose tmp vanished while unacknowledged belongs to a
+    dead writer (tmps outlive live publishes under the retention
+    contract): the next put_if_absent releases it and wins cleanly."""
+    scheme = fsio.ExternalCASScheme(ecas)
+    fsio.set_commit_scheme(scheme)
+    dest = str(tmp_path / "pub2" / "v1.json")
+    ghost = str(tmp_path / "pub2" / ".tmp-ghost")
+    assert ecas.acquire(fsio.qualified(spark, dest),
+                        {"tmp": fsio.qualified(spark, ghost)}) is None
+    # ghost tmp never materialized on the store (aged out / lost)
+    tmp2 = str(tmp_path / "pub2" / ".tmp-2")
+    fsio.write_text(spark, tmp2, "{\"who\": \"second\"}")
+    assert fsio.put_if_absent(spark, tmp2, dest) is True
+    assert json.loads(fsio.read_text(spark, dest)) == {"who": "second"}
+
+
+def test_versioned_lifecycle_and_thread_race_on_external_cas(
+        spark, tmp_path, ecas):
+    """The backend's full lifecycle plus a real thread race through
+    ExternalCASScheme: every commit lands, version chain gapless —
+    the same guarantees the SingleDriverCASScheme tests pin, now on
+    the scheme whose contract extends to multiple drivers."""
+    fsio.set_commit_scheme(fsio.ExternalCASScheme(ecas))
+    be = VersionedTableBackend(root=str(tmp_path / "vroot_ecas"))
+    be.write(_df(spark, [(0, "seed")]), "t_race", "id", 2)
+    errors = []
+
+    def appender(i):
+        try:
+            for j in range(3):
+                be.append(_df(spark, [(i * 100 + j, f"w{i}")]),
+                          "t_race", "id", 2)
+        except Exception as exc:   # noqa: BLE001
+            errors.append(repr(exc))
+
+    threads = [threading.Thread(target=appender, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert be.read(spark, "t_race").count() == 1 + 12
+    assert be.versions(spark, "t_race") == list(range(1, 14))

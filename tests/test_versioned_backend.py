@@ -622,3 +622,81 @@ def test_vacuum_age_gates_superseded_manifests_and_compactseg_stages(
     assert not fsio.exists(spark, be._data_dir(spark, seg))
     # the live table is untouched
     assert sorted(r["id"] for r in be.read(spark, "t_cs").collect()) == [1, 2]
+
+
+def test_auto_compact_bounds_segment_count_on_append_heavy_ingest(
+        spark, be):
+    """The OPTIMIZE auto-trigger: with ``auto_compact_at=N``, an
+    append-heavy history can never leave more than N segments behind —
+    each threshold-crossing append folds the table inline, and the
+    fold is invisible to correctness (same rows, same layout kind)."""
+    ab = VersionedTableBackend(root=be._root, auto_compact_at=4)
+    ab.write(_df(spark, [(0, "seed")]), "t_ac", "id", 2)
+    for i in range(1, 11):
+        ab.append(_df(spark, [(i, f"row {i}")]), "t_ac", "id", 2)
+        assert len(ab.snapshot_token(spark, "t_ac")) <= 4
+    assert ab.auto_compactions >= 2
+    assert sorted(r["id"] for r in ab.read(spark, "t_ac").collect()) \
+        == list(range(11))
+    # partitioned layout: scan-root count is the read-amplification
+    # axis there — same bound, layout preserved
+    ab.write_partitioned(_df(spark, [(0, "a")], "id long, part string"),
+                         "t_acp", ["part"])
+    for i in range(1, 9):
+        ab.append_partitioned(
+            _df(spark, [(i, "a" if i % 2 else "b")],
+                "id long, part string"), "t_acp", ["part"])
+        assert len(ab.snapshot_token(spark, "t_acp")) <= 4
+    manifest = ab._read_manifest(spark, "t_acp",
+                                 ab.versions(spark, "t_acp")[-1])
+    assert manifest["partition_cols"] == ["part"]
+    assert sorted(r["id"] for r in ab.read(spark, "t_acp").collect()) \
+        == list(range(9))
+    # manual-only backend on the same table keeps accumulating (the
+    # behavior auto_compact_at exists to bound)
+    for i in range(11, 14):
+        be.append(_df(spark, [(i, f"row {i}")]), "t_ac", "id", 2)
+    assert len(be.snapshot_token(spark, "t_ac")) > 1
+
+
+def test_auto_compact_crash_between_stage_and_swap_loses_no_data(
+        spark, be):
+    """A crash inside the auto-triggered compaction — after the stage
+    is written, before the swap commits — must (a) keep the appended
+    rows durable (the append committed first), (b) leave the live
+    table readable on its un-compacted head, and (c) be fully repaired
+    by the existing machinery: vacuum clears the re-derivable stage,
+    and the next threshold-crossing append re-triggers a clean fold."""
+
+    class Crash(RuntimeError):
+        pass
+
+    class CrashyBackend(VersionedTableBackend):
+        def replace(self, spark, table, staged, token=None,
+                    on_conflict="merge"):
+            if staged.endswith("__compactseg") and not getattr(
+                    self, "_crashed", False):
+                self._crashed = True
+                raise Crash("simulated crash between stage and swap")
+            super().replace(spark, table, staged, token=token,
+                            on_conflict=on_conflict)
+
+    cb = CrashyBackend(root=be._root, auto_compact_at=3)
+    cb.write(_df(spark, [(0, "seed")]), "t_acc", "id", 2)
+    cb.append(_df(spark, [(1, "one")]), "t_acc", "id", 2)
+    with pytest.raises(Crash):
+        cb.append(_df(spark, [(2, "two")]), "t_acc", "id", 2)
+    # (a)+(b): the append that triggered the crash is durable; the
+    # table reads fine on its 3-segment head; the stage is stranded
+    assert sorted(r["id"] for r in cb.read(spark, "t_acc").collect()) \
+        == [0, 1, 2]
+    assert len(cb.snapshot_token(spark, "t_acc")) == 3
+    assert cb.exists(spark, "t_acc__compactseg")
+    # (c) vacuum clears the aged stage (always re-derivable)...
+    cb.vacuum(spark, keep_last=1, min_age_seconds=0)
+    assert not cb.exists(spark, "t_acc__compactseg")
+    # ...and the next threshold-crossing append re-triggers a clean fold
+    cb.append(_df(spark, [(3, "three")]), "t_acc", "id", 2)
+    assert len(cb.snapshot_token(spark, "t_acc")) == 1
+    assert sorted(r["id"] for r in cb.read(spark, "t_acc").collect()) \
+        == [0, 1, 2, 3]

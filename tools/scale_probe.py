@@ -12,6 +12,7 @@ Usage: python tools/scale_probe.py [multiplier]
        python tools/scale_probe.py --incremental [multiplier]
        python tools/scale_probe.py --embedding [multiplier]
        python tools/scale_probe.py --backend [multiplier]
+       python tools/scale_probe.py --autocompact [n_appends]
 
 ``--embedding`` is the per-increment trend for the EmbeddingIndex (the
 4th index modality): the persisted index grows by one sf worth of
@@ -513,6 +514,72 @@ def embedding_main() -> None:
     spark.stop()
 
 
+def autocompact_main() -> None:
+    """--autocompact [n_appends]: the read-amplification bound of the
+    versioned backend's OPTIMIZE auto-trigger, measured.  The same
+    append-heavy ingest (one partitioned append per 'micro-batch',
+    the streaming near-dedup sink's shape) runs twice: manual-only
+    (segments accumulate one scan root per append) and
+    ``auto_compact_at=6`` (each threshold-crossing append folds the
+    table inline, zero manual calls).  Reports per-leg ingest wall
+    time, the post-ingest segment count, and the full-read time over
+    the final state — the number the bound exists to protect."""
+    n_appends = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark import get_spark
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("autocompact_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    n_docs = docs.count()
+    batch_n = max(1, n_docs // n_appends)
+
+    workdir = tempfile.mkdtemp(prefix="dlx_spark_ac_")
+    out = {"metric": "autocompact_probe", "n_appends": n_appends,
+           "batch_rows": batch_n}
+    try:
+        for label, threshold in (("manual_only", None),
+                                 ("auto_compact_at_6", 6)):
+            be = VersionedTableBackend(
+                root=os.path.join(workdir, f"vroot_{label}"),
+                auto_compact_at=threshold)
+            table = "ac_probe"
+            t0 = time.time()
+            for i in range(n_appends):
+                batch = (docs.filter(
+                    (F.col("doc_id") % n_appends) == i)
+                    .withColumn("doc_id", F.col("doc_id") + i))
+                be.append_partitioned(batch, table, ["lang"])
+            t_ingest = round(time.time() - t0, 2)
+            n_segments = len(be.snapshot_token(spark, table))
+            t0 = time.time()
+            n_rows = be.read(spark, table).count()
+            t_read = round(time.time() - t0, 2)
+            out[label] = {
+                "ingest_sec": t_ingest,
+                "segments_after": n_segments,
+                "auto_compactions": be.auto_compactions,
+                "read_sec": t_read,
+                "rows": n_rows,
+            }
+        m, a = out["manual_only"], out["auto_compact_at_6"]
+        assert m["rows"] == a["rows"], (m["rows"], a["rows"])
+        assert a["segments_after"] <= 6, a["segments_after"]
+        out["read_amplification_bound"] = round(
+            m["segments_after"] / max(a["segments_after"], 1), 1)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
 def contention_main() -> None:
     """--contention [appends_per_thread]: the versioned backend's
     optimistic-concurrency claim as a measured curve — N concurrent
@@ -595,6 +662,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--contention":
         contention_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--autocompact":
+        autocompact_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
