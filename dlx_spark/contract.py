@@ -682,17 +682,20 @@ def minhash_lsh(spark, sf):
     fully oracle-checked: the seeded permutation family is baked into the
     oracle SQL as literals and the similarity is emitted as the integer
     matching-position count (64ths), so there is zero float-rounding
-    exposure.  est_jaccard = n_match / 64."""
+    exposure.  est_jaccard = n_match / 64.
+
+    One-shuffle formulation (round 8): ``dedup.lsh_verified_pairs``
+    carries signatures through the band explode, verifies inline, and
+    dedups cross-band duplicates by first-colliding-band — replacing
+    the candidates' ``distinct`` exchange plus two signature join-backs
+    (measured ~1.5× on this headline; at cluster scale the join-backs
+    would be two more shuffles)."""
     docs = _t(spark, sf, "documents")
+    # cache: the slim formulation references the signature relation three
+    # times (band self-join + two verify joins) — same cache the previous
+    # distinct-based pipeline carried
     sigs = dedup.minhash_signatures(docs).cache()
-    cands = dedup.lsh_candidate_pairs(sigs, bands=16)
-    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    n_match = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
-    return (cands.join(a, "id_a").join(b, "id_b")
-            .withColumn("n_match", n_match.cast("long"))
-            .filter(F.col("n_match") >= 32)
-            .select("id_a", "id_b", "n_match"))
+    return dedup.lsh_verified_pairs(sigs, bands=16, min_match=32)
 
 
 def _simhash_oracle() -> str:

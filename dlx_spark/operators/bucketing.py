@@ -99,13 +99,45 @@ def write_lsh_index(df: DataFrame, name: str, n_planes: int = 8,
     # band keys and payload in ONE per-row projection (posexplode of the
     # band signature array) — joining slim keys back to the vectors
     # would pay a corpus-sized shuffle for rows a projection produces
+    rows = _lsh_rows(df, n_planes, seed, vec_col, id_col, dim, bands)
+    _be().write_partitioned(rows, name, ["band", "bucket"])
+
+
+def _lsh_rows(df: DataFrame, n_planes: int, seed: int, vec_col: str,
+              id_col: str, dim: int, bands: int) -> DataFrame:
+    """The LSH bucket-table projection shared by write and append:
+    band keys and payload in ONE per-row projection (posexplode of the
+    band signature array) — joining slim keys back to the vectors
+    would pay a corpus-sized shuffle for rows a projection produces."""
     planes = similarity.hyperplanes(dim, bands * n_planes, seed)
     sigs = [similarity._signature_expr(
         vec_col, planes[b * n_planes:(b + 1) * n_planes])
         for b in range(bands)]
-    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                      F.posexplode(F.array(*sigs)).alias("band", "bucket"))
-    _be().write_partitioned(rows, name, ["band", "bucket"])
+
+
+def append_lsh_index(df: DataFrame, name: str, n_planes: int = 8,
+                     seed: int = 42, vec_col: str = "embedding",
+                     id_col: str = "vec_id", dim: int | None = None,
+                     bands: int = 1) -> None:
+    """Incrementally add vectors to a written LSH index (the fast
+    ingest path, the analog of ``append_ivf_index``).  The hyperplane
+    family is a pure function of (seed, dim, bands × n_planes), so new
+    rows bucket identically to the original write — pass the SAME
+    geometry arguments or the index becomes silently unprobeable.
+    Unlike IVF there is no trained quantizer to drift, so LSH appends
+    never need a refresh; on the versioned backend each append adds a
+    scan root until compaction folds them (``auto_compact_at`` bounds
+    that automatically)."""
+    _check_name(name)
+    if dim is None:
+        head = df.select(vec_col).first()
+        if head is None:
+            raise ValueError("df is empty and dim was not provided")
+        dim = len(head[0])
+    rows = _lsh_rows(df, n_planes, seed, vec_col, id_col, dim, bands)
+    _be().append_partitioned(rows, name, ["band", "bucket"])
 
 
 def _resolve_multiprobe(multiprobe_hamming: int | None, bands: int) -> int:

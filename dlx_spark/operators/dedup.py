@@ -23,7 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
-from dlx_spark.operators.common import bypass_cap, spread_for_compute
+from dlx_spark.operators.common import (bypass_cap, estimated_bytes,
+                                        spread_for_compute)
 
 # a large 32-bit prime for the minhash permutation family
 _MERSENNE = (1 << 31) - 1
@@ -149,10 +150,7 @@ def band_buckets(signatures: DataFrame, bands: int = 16) -> DataFrame:
     the persisted incremental index (operators/dedup_index.py)."""
     return signatures.select(
         "id",
-        F.posexplode(F.expr(f"""
-            transform(sequence(0, {bands - 1}),
-                      b -> hash(slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands})))
-        """)).alias("band", "bucket"),
+        F.posexplode(_band_hash_expr("sig", bands)).alias("band", "bucket"),
     )
 
 
@@ -225,6 +223,118 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     # pure connectivity edge only when EVERY sighting was a capped star
     return (exploded.groupBy("id_a", "id_b")
             .agg(F.min("capped").alias("capped")))
+
+
+def lsh_verified_pairs(signatures: DataFrame, bands: int = 16,
+                       min_match: int | None = None,
+                       carry_signatures: bool | None = None) -> DataFrame:
+    """Banded LSH candidates with the signature-match verification
+    INLINE — the one-shuffle formulation of
+    ``lsh_candidate_pairs + distinct + join-back-to-signatures``.
+
+    The structural win over that three-stage pipeline: the cross-band
+    duplicate a pair produces (one row per colliding band) is
+    eliminated WITHOUT a ``distinct`` exchange — once both signatures
+    sit in the joined row, each side's band hashes are recomputable
+    in-expression, so the pair is kept only in its FIRST colliding
+    band: exact dedup as a filter.  How the signatures reach the
+    joined row is a size-dependent choice (``carry_signatures``):
+
+    - ``False`` (small corpora): slim (id, band, bucket) band
+      self-join, then plain joins back to the signature relation —
+      Catalyst broadcasts them below the autoBroadcast threshold.
+      ONE exchange total (the band-bucket partitioning, reused across
+      both sides); measured faster than the distinct-based pipeline
+      on the bench headline (1.12 s vs 1.15 s at sf0.1, and the
+      distinct exchange is gone from the plan).
+    - ``True`` (cluster scale): the band explode carries the full
+      signature alongside the bucket key, so the self-join already
+      holds both signatures — no join back at all, which matters once
+      the signature relation outgrows a broadcast and each join-back
+      would become its own shuffle.  The trade is shuffle WIDTH
+      (``bands`` signature copies per doc ≈ 8 KB at 16×64 longs).
+    - ``None`` (default): auto — carry when Catalyst's size estimate
+      of ``signatures`` exceeds the session's autoBroadcast
+      threshold (driver-side metadata, no job fired; unknown-stat
+      inputs read as huge and carry, the safe direction at scale).
+
+    Same mega-bucket caveat as the uncapped ``lsh_candidate_pairs``;
+    use that function's ``bucket_cap`` star for connectivity-only
+    consumers on adversarial corpora.
+
+    Output: (id_a, id_b, n_match) with id_a < id_b, one row per pair;
+    ``min_match`` filters on the matching-position count (e.g. 32 of
+    64 ≈ Jaccard 0.5)."""
+    if carry_signatures is None:
+        try:
+            threshold = int(signatures.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"))
+        except Exception:
+            threshold = 10 << 20
+        try:
+            carry_signatures = (threshold <= 0 or
+                                estimated_bytes(signatures) > threshold)
+        except Exception:
+            carry_signatures = True
+
+    if carry_signatures:
+        banded = signatures.select(
+            "id", "sig",
+            F.posexplode(_band_hash_expr("sig", bands)).alias("band",
+                                                              "bucket"))
+        joined = (banded.alias("l")
+                  .join(banded.alias("r"),
+                        on=[F.col("l.band") == F.col("r.band"),
+                            F.col("l.bucket") == F.col("r.bucket"),
+                            F.col("l.id") < F.col("r.id")])
+                  .select(F.col("l.id").alias("id_a"),
+                          F.col("r.id").alias("id_b"),
+                          F.col("l.sig").alias("sig_a"),
+                          F.col("r.sig").alias("sig_b"),
+                          F.col("l.band").alias("band")))
+    else:
+        banded = band_buckets(signatures, bands)
+        cands = (banded.alias("l")
+                 .join(banded.alias("r"),
+                       on=[F.col("l.band") == F.col("r.band"),
+                           F.col("l.bucket") == F.col("r.bucket"),
+                           F.col("l.id") < F.col("r.id")])
+                 .select(F.col("l.id").alias("id_a"),
+                         F.col("r.id").alias("id_b"),
+                         F.col("l.band").alias("band")))
+        joined = (cands
+                  .join(signatures.select(F.col("id").alias("id_a"),
+                                          F.col("sig").alias("sig_a")),
+                        "id_a")
+                  .join(signatures.select(F.col("id").alias("id_b"),
+                                          F.col("sig").alias("sig_b")),
+                        "id_b"))
+    first_band = F.expr(f"""
+        element_at(filter(sequence(0, {bands - 1}),
+                          b -> {_SLICE_HASH.format(sig='sig_a', bands=bands)}
+                             = {_SLICE_HASH.format(sig='sig_b', bands=bands)}),
+                   1)""")
+    out = (joined.filter(F.col("band") == first_band)
+           .withColumn("n_match", F.expr(
+               "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+               "v -> v))").cast("long"))
+           .select("id_a", "id_b", "n_match"))
+    if min_match is not None:
+        out = out.filter(F.col("n_match") >= int(min_match))
+    return out
+
+
+#: one band-slice hash: parameterized by the signature column and band
+#: count so band_buckets and the inline first-band dedup stay one
+#: expression (b is the lambda variable in scope where this is spliced)
+_SLICE_HASH = ("hash(slice({sig}, b * (size({sig}) div {bands}) + 1, "
+               "size({sig}) div {bands}))")
+
+
+def _band_hash_expr(sig_col: str, bands: int):
+    return F.expr(f"""
+        transform(sequence(0, {bands - 1}),
+                  b -> {_SLICE_HASH.format(sig=sig_col, bands=bands)})""")
 
 
 _EST_JACCARD = ("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"

@@ -645,3 +645,46 @@ def test_epoch_seconds_ntz_is_timezone_stable(spark):
         assert gaps["UTC"].tz_gap == gaps["America/New_York"].tz_gap == 7200
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_lsh_verified_pairs_both_formulations_match_reference_pipeline(spark):
+    """lsh_verified_pairs (round 8, the one-shuffle candidates+verify)
+    must equal the three-stage reference pipeline (lsh_candidate_pairs
+    -> distinct -> join-back verify) pair-for-pair in BOTH formulations:
+    slim join-back (carry_signatures=False) and signature-carrying
+    (True), plus the auto default."""
+    from pyspark.sql import functions as F
+
+    from dlx_spark.operators import dedup
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta doc {i % 7} "
+                f"eta theta iota kappa") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs).cache()
+
+    cands = dedup.lsh_candidate_pairs(sigs, bands=16)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    want = {(r["id_a"], r["id_b"], r["n_match"]) for r in
+            (cands.join(a, "id_a").join(b, "id_b")
+             .withColumn("n_match", F.expr(
+                 "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+                 "v -> v))").cast("long"))
+             .select("id_a", "id_b", "n_match").collect())}
+    assert want
+
+    for carry in (False, True, None):
+        got = {(r["id_a"], r["id_b"], r["n_match"]) for r in
+               dedup.lsh_verified_pairs(
+                   sigs, bands=16, carry_signatures=carry).collect()}
+        assert got == want, f"carry_signatures={carry}"
+        # exactly one row per pair (the first-band dedup is exact)
+        n_rows = dedup.lsh_verified_pairs(
+            sigs, bands=16, carry_signatures=carry).count()
+        assert n_rows == len(want)
+
+    # min_match filter parity
+    got32 = {(r["id_a"], r["id_b"]) for r in dedup.lsh_verified_pairs(
+        sigs, bands=16, min_match=32).collect()}
+    assert got32 == {(x, y) for x, y, m in want if m >= 32}
+    sigs.unpersist()

@@ -700,3 +700,77 @@ def test_auto_compact_crash_between_stage_and_swap_loses_no_data(
     assert len(cb.snapshot_token(spark, "t_acc")) == 1
     assert sorted(r["id"] for r in cb.read(spark, "t_acc").collect()) \
         == [0, 1, 2, 3]
+
+
+def test_multisegment_ann_probes_never_full_scan(spark, be):
+    """Executed-plan pins for the ANN layouts on a ≥3-segment versioned
+    index (the round-7 verdict's ask — PLANS.md's prose claims, now
+    assertions that FAIL on a regression to a full-index scan):
+
+    - IVF probe (literal nprobe filter): every per-segment scan carries
+      a non-empty list_id PartitionFilter — one pruned scan per
+      segment, zero unfiltered branches;
+    - LSH knn_join (dynamic probe-side keys): runtime dynamic partition
+      pruning survives the versioned union-of-segments scan, and no
+      branch scans unfiltered.
+    """
+    import numpy as np
+
+    from dlx_spark.operators import bucketing, similarity
+
+    rng = np.random.RandomState(17)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tableio.set_backend(be)
+    try:
+        # ---- IVF: 1 write + 3 appends = 4 segments
+        cents = similarity.ivf_centroids(df, n_centroids=4, seed=17)
+        bucketing.write_ivf_index(df.limit(20), "t_ms_ivf", cents)
+        for j in range(3):
+            bucketing.append_ivf_index(
+                df.withColumn("vec_id", F.col("vec_id") + (j + 1) * 1000),
+                "t_ms_ivf", cents)
+        n_seg = len(be.snapshot_token(spark, "t_ms_ivf"))
+        assert n_seg == 4
+        probed = bucketing.probe_ivf_index(
+            spark, "t_ms_ivf", cents, rows[0][1], k=3, nprobe=1)
+        assert probed.count() > 0
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        # one partition-filtered scan per segment; a regression to a
+        # full-index scan shows up as an EMPTY PartitionFilters list
+        assert plan.count("PartitionFilters: [") == n_seg, plan[:1500]
+        assert "PartitionFilters: []" not in plan
+        for section in plan.split("PartitionFilters: [")[1:]:
+            assert "list_id" in section[:200], section[:300]
+
+        # ---- LSH: 1 write + 2 appends = 3 segments, dynamic probe keys
+        bucketing.write_lsh_index(df.limit(20), "t_ms_lsh",
+                                  n_planes=6, dim=8)
+        for j in range(2):
+            bucketing.append_lsh_index(
+                df.withColumn("vec_id", F.col("vec_id") + (j + 1) * 1000),
+                "t_ms_lsh", n_planes=6, dim=8)
+        assert len(be.snapshot_token(spark, "t_ms_lsh")) == 3
+        probes = df.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 9000).alias("vec_id"), "embedding")
+        got = bucketing.knn_join_lsh_index(
+            spark, "t_ms_lsh", probes, k=3, n_planes=6,
+            multiprobe_hamming=0, dim=8)
+        got.collect()
+        plan2 = got._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan2.lower(), plan2[:1500]
+        assert "PartitionFilters: []" not in plan2
+        # appended rows are probeable (same seeded hyperplane family):
+        # compare against on-the-fly knn over the SAME corpus the index
+        # holds — limit(20) of the write + the two appended replicas
+        corpus = df.limit(20).unionByName(
+            df.withColumn("vec_id", F.col("vec_id") + 1000)).unionByName(
+            df.withColumn("vec_id", F.col("vec_id") + 2000))
+        want = similarity.knn_join(probes, corpus, k=3, n_planes=6, dim=8)
+        g = {(r["probe_id"], r["corpus_id"], r["rank"])
+             for r in got.collect()}
+        w = {(r["probe_id"], r["corpus_id"], r["rank"])
+             for r in want.collect()}
+        assert g == w and len(g) > 0
+    finally:
+        tableio.set_backend(tableio.ParquetTableBackend())

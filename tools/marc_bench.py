@@ -8,6 +8,17 @@ logical-fields + browse-index rebuild of its production MongoDB
 for the equivalent derivation on local[N].
 
 Usage: python tools/marc_bench.py [n_records]
+       python tools/marc_bench.py --store [n_records]
+
+``--store`` (default 1,000,000 records) measures the full STORE
+pipeline — the reference's hottest production path — not just the
+derivation: ``commit_frame`` bulk ingest (id assignment, distributed
+auth validation, headings join, history append, bucketed upsert), an
+incremental upsert batch, the bucket-pruned point read, and
+heading-change propagation (one auth heading edit recommitting every
+attached bib through the same distributed pipeline).  The numbers land
+in README's throughput table; the commit job's plan is dumped into
+PLANS.md by tools/dump_plans.py.
 """
 
 from __future__ import annotations
@@ -77,7 +88,110 @@ def synth_records_df(spark, n: int):
     return df
 
 
+def synth_auths_df(spark, n_auths: int):
+    """Deterministic auths: _id 1..n with a 150$a 'Heading i' — the
+    targets of the bib generator's 650 xrefs."""
+    base = spark.range(1, n_auths + 1).select(F.col("id").alias("_id"))
+    heading = F.concat(F.lit("Heading "), F.col("_id").cast("string"))
+    return base.select(
+        "_id",
+        F.lit("00000nz  a2200000n  4500").alias("leader"),
+        F.array(F.struct(F.lit("008").alias("tag"),
+                         F.lit("controlfield").alias("value"))
+                ).alias("controlfields"),
+        F.array(F.struct(
+            F.lit("150").alias("tag"), F.lit(" ").alias("ind1"),
+            F.lit(" ").alias("ind2"),
+            F.array(F.struct(F.lit("a").alias("code"),
+                             heading.alias("value"),
+                             F.lit(None).cast("long").alias("xref"))
+                    ).alias("subfields"))).alias("datafields"),
+        F.lit(None).cast("timestamp").alias("created"),
+        F.lit(None).cast("string").alias("created_user"),
+        F.lit(None).cast("timestamp").alias("updated"),
+        F.lit(None).cast("string").alias("user"),
+        F.lit(None).cast("string").alias("basket"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("array<string>").alias("words"),
+    )
+
+
+def store_main():
+    """--store [n]: the MarcStore pipeline at scale (see module
+    docstring).  1M records is ~16× the reference's production bib
+    count; its published rebuild of logical fields alone takes ≈15 min
+    (dlx/scripts/build_logical_fields.py:2-3)."""
+    import tempfile
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    from dlx_spark.marc.store import MarcStore
+    from dlx_spark.session import get_spark
+
+    spark = get_spark("marc_store_bench",
+                      cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="dlx_marc_store_")
+    timings = {}
+    try:
+        store = MarcStore(spark, root)
+
+        t0 = time.time()
+        store.commit_frame(synth_auths_df(spark, 1000), record_type="auth")
+        timings["commit_1k_auths"] = round(time.time() - t0, 2)
+
+        # bulk ingest with NULL _ids: exercises max_id, the
+        # per-partition-offset id assignment, validation of every xref
+        # against the auths table, the headings join on derive, history
+        # append, and the bucketed upsert
+        bibs = synth_records_df(spark, n).withColumn(
+            "_id", F.lit(None).cast("long"))
+        t0 = time.time()
+        n_committed = store.commit_frame(bibs, record_type="bib")
+        timings["commit_frame_bulk"] = round(time.time() - t0, 2)
+        assert n_committed == n, (n_committed, n)
+
+        # incremental upsert: 10k existing ids with changed titles —
+        # the daily-delta shape (history gains a version per row)
+        delta = synth_records_df(spark, 10_000)
+        t0 = time.time()
+        store.commit_frame(delta, record_type="bib")
+        timings["commit_frame_10k_upsert"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        rec = store.get("bib", n // 2)
+        timings["point_read_get"] = round(time.time() - t0, 2)
+        assert rec is not None
+
+        # heading-change propagation: one auth heading edit recommits
+        # every attached bib (n/1000 of them) through commit_frame
+        auth = store.get("auth", 1)
+        auth.set("150", "a", "Heading 1 renamed")
+        t0 = time.time()
+        store.commit([auth])
+        timings["heading_change_propagation"] = round(time.time() - t0, 2)
+        n_attached = n // 1000 + (1 if n % 1000 else 0)
+
+        hist_rows = store.history_df("bib").count()
+        print(json.dumps({
+            "metric": "marc_store_pipeline",
+            "n_records": n,
+            "bulk_records_per_sec": round(
+                n / timings["commit_frame_bulk"], 1),
+            "attached_recommitted": n_attached,
+            "history_rows": hist_rows,
+            "timings_sec": timings,
+        }))
+    finally:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--store":
+        store_main()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from dlx_spark.session import get_spark
     from dlx_spark.marc import dataframe as mdf
