@@ -264,16 +264,25 @@ def not_exists_antijoin(spark, sf):
 """)
 def multiway_join(spark, sf):
     """multi-hop dimension join (the $lookup aggregation analog,
-    build_logical_fields.py:151-158) — dims broadcast, one shuffle for
-    the final aggregate."""
+    build_logical_fields.py:151-158), dims-first: the dimension chain
+    customer ⋈ nation ⋈ region(ASIA) folds FIRST into one slim
+    (custkey, nation-name) relation, and the fact table sees a single
+    broadcast join.  Catalyst does not reorder this on its own (CBO
+    join reordering is off by default), and the order matters twice:
+    the broadcast build drops to the filtered region's customers
+    (~1/5 here; at real scale broadcasting the UNFILTERED customer dim
+    is the difference between a working plan and an OOM), and the fact
+    rows touch one join instead of three (measured 0.80 s vs 0.99 s
+    at sf0.1, identical results)."""
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    dims = (c.join(n, c["c_nationkey"] == n["n_nationkey"])
+             .join(r, n["n_regionkey"] == r["r_regionkey"])
+             .select("c_custkey", "n_name"))
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        o.join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))

@@ -135,3 +135,72 @@ def quantile_band(df: DataFrame, metric_col: str, lo: float = 0.05,
     return (df.withColumn("_pr", pr)
             .filter((F.col("_pr") >= lo) & (F.col("_pr") <= hi))
             .drop("_pr"))
+
+
+def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str,
+                  normalize: bool) -> DataFrame:
+    """(id, gram: bigint) — one row per distinct word n-gram, hashed to
+    60 bits (first 15 hex chars of md5: engine-portable like the
+    shingle hash in operators.dedup, and 60 bits keeps the accidental-
+    collision rate negligible at corpus×benchmark scale where 32 bits
+    would manufacture false contamination hits).  Documents shorter
+    than ``n`` tokens contribute their full token span as one gram, so
+    a short benchmark prompt still decontaminates its exact matches."""
+    from dlx_spark.operators.dedup import normalized_text
+
+    toks = (normalized_text(F.col(text_col)) if normalize
+            else F.col(text_col))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.split(toks, " ").alias("toks"))
+            .select("id", F.explode(F.expr(f"""
+                array_distinct(transform(
+                    sequence(0, greatest(size(toks) - {n}, 0)),
+                    i -> cast(conv(substring(
+                             md5(array_join(slice(toks, i + 1, {n}), ' ')),
+                             1, 15), 16, 10) as bigint)))
+            """)).alias("gram")))
+
+
+def contaminated_ids(corpus: DataFrame, benchmark: DataFrame, n: int = 13,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     bench_text_col: str = "text",
+                     normalize: bool = True) -> DataFrame:
+    """Corpus ids sharing at least one word ``n``-gram with the
+    benchmark set — the standard train-test decontamination rule
+    (13-gram overlap, as published in the GPT-3 appendix-C /
+    Llama-style data pipelines).
+
+    Scale shape: the benchmark side (eval sets: thousands of rows)
+    folds to a distinct gram table; the corpus side explodes its grams
+    as a pure projection and LEFT SEMI joins — Catalyst broadcasts the
+    benchmark grams, so the corpus never shuffles, and the distinct at
+    the end runs on the (small) contaminated-id set only.  Asymmetric
+    by design: this is containment of benchmark text in corpus docs,
+    not near-duplication — a one-line quote of an eval question inside
+    a long document is a hit that no Jaccard-style dedup would catch."""
+    bench = (_ngram_hashes(
+        benchmark.withColumn("_bid", F.monotonically_increasing_id()),
+        n, bench_text_col, "_bid", normalize)
+        .select("gram").distinct())
+    grams = _ngram_hashes(corpus, n, text_col, id_col, normalize)
+    return (grams.join(bench, "gram", "left_semi")
+            .select(F.col("id").alias(id_col)).distinct())
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text", normalize: bool = True,
+                  mark_only: bool = False) -> DataFrame:
+    """Remove (or, with ``mark_only``, flag as ``contaminated``) every
+    corpus document containing a word ``n``-gram from ``benchmark`` —
+    see ``contaminated_ids`` for the rule and the scale shape.  The
+    final anti-join (or mark join) keys on the contaminated-id set,
+    which is benchmark-sized, so it broadcasts."""
+    bad = contaminated_ids(corpus, benchmark, n, text_col, id_col,
+                           bench_text_col, normalize)
+    if mark_only:
+        marked = bad.withColumn("contaminated", F.lit(True))
+        return (corpus.join(F.broadcast(marked), id_col, "left")
+                .withColumn("contaminated",
+                            F.coalesce("contaminated", F.lit(False))))
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")

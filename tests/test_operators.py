@@ -688,3 +688,42 @@ def test_lsh_verified_pairs_both_formulations_match_reference_pipeline(spark):
         sigs, bands=16, min_match=32).collect()}
     assert got32 == {(x, y) for x, y, m in want if m >= 32}
     sigs.unpersist()
+
+
+def test_decontaminate_ngram_overlap_rule(spark):
+    """Benchmark decontamination (sampling.decontaminate): a corpus doc
+    containing ANY benchmark word n-gram is removed; near-miss overlap
+    (n-1 shared words) survives; short benchmark prompts (< n tokens)
+    still catch their exact matches; mark_only flags instead of drops."""
+    from dlx_spark.operators import sampling
+
+    bench_q = "what is the capital of the ancient kingdom of lydia"
+    corpus = spark.createDataFrame([
+        # quotes the benchmark question verbatim inside a longer doc
+        (1, "intro text here " + bench_q + " trailing discussion words"),
+        # shares only 9 of the 10 benchmark words in sequence
+        (2, "what is the capital of the ancient kingdom of phrygia and more"),
+        (3, "entirely unrelated document about spark partitioning"),
+        # exact match of a SHORT benchmark prompt (< n tokens)
+        (4, "tiny prompt"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(bench_q,), ("tiny prompt",)], "text string")
+
+    clean = sampling.decontaminate(corpus, bench, n=10)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+    bad = sampling.contaminated_ids(corpus, bench, n=10)
+    assert sorted(r["doc_id"] for r in bad.collect()) == [1, 4]
+
+    marked = sampling.decontaminate(corpus, bench, n=10, mark_only=True)
+    got = {r["doc_id"]: r["contaminated"] for r in marked.collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+    assert marked.count() == 4
+
+    # normalization: case/punct differences still match under the
+    # default normalize=True (same folding as the dedup shinglers)
+    shouty = spark.createDataFrame(
+        [(9, "Intro: WHAT is the Capital of the ancient KINGDOM of Lydia?")],
+        "doc_id long, text string")
+    assert sampling.decontaminate(shouty, bench, n=10).count() == 0
