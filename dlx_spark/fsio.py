@@ -376,6 +376,23 @@ class HadoopRenameScheme:
         here: with the commit point IN the store (the rename), a listed
         name is the only form a commit can take."""
 
+    def forget(self, spark: SparkSession, dest: str) -> None:
+        """Drop any commit record for ``dest`` — called when the
+        published file itself is RECLAIMED (vacuum trimming a
+        superseded manifest).  Safe because version allocation only
+        ever goes above the LIVE head, so a reclaimed name is never
+        re-acquired; without this, external-CAS claims would grow
+        without bound on long-lived tables.  No-op here (rename-commit
+        schemes keep no records)."""
+
+    def forget_prefix(self, spark: SparkSession, prefix: str) -> None:
+        """Drop every commit record under ``prefix`` — called when a
+        whole TABLE directory is removed (drop).  Load-bearing for
+        external-CAS schemes: a recreated table restarts at version 1,
+        and a stale acknowledged claim for the old v1 would make every
+        new acquire lose forever (the recreate livelock).  No-op
+        here."""
+
     def put_if_absent(self, spark: SparkSession, tmp: str,
                       dest: str) -> bool:
         try:
@@ -557,15 +574,27 @@ class FileExternalCAS:
         'incomplete entries for this table' query a listing consults to
         finish crashed publishes (DynamoDB: a keyed query; here: scan
         the claim files, skipping acknowledged ones by their sibling
-        marker).  Claim volume stays proportional to table count ×
-        in-flight commits, so the scan is small; a real service would
-        index by table path and TTL-expire acknowledged entries."""
+        marker).  Claim volume is bounded: acknowledged claims are
+        released when their published file is vacuumed or its table
+        dropped (``ExternalCASScheme.forget``/``forget_prefix``), so
+        the scan stays proportional to live versions × tables; a real
+        service would additionally index by table path."""
+        return self._scan(prefix, include_complete=False)
+
+    def claims(self, prefix: str) -> list[dict]:
+        """ALL claims (acknowledged included) under ``prefix`` — the
+        bulk-release query ``forget_prefix`` uses when a table is
+        dropped."""
+        return self._scan(prefix, include_complete=True)
+
+    def _scan(self, prefix: str, include_complete: bool) -> list[dict]:
         out = []
         for name in self._os.listdir(self.directory):
             if not name.endswith(".json"):
                 continue
-            if self._os.path.exists(
-                    self._os.path.join(self.directory, name) + ".complete"):
+            complete = self._os.path.exists(
+                self._os.path.join(self.directory, name) + ".complete")
+            if complete and not include_complete:
                 continue
             try:
                 with open(self._os.path.join(self.directory, name),
@@ -574,7 +603,7 @@ class FileExternalCAS:
             except (FileNotFoundError, ValueError):
                 continue    # settled or mid-acquire — not ours to read
             if record.get("key", "").startswith(prefix):
-                record["complete"] = False
+                record["complete"] = complete
                 out.append(record)
         return out
 
@@ -698,6 +727,14 @@ class ExternalCASScheme(NonAtomicRenameScheme):
         for record in self.cas.pending(
                 _strip_trailing(qualified(spark, prefix)) + "/"):
             self._finish(spark, record["key"], record["key"], record)
+
+    def forget(self, spark: SparkSession, dest: str) -> None:
+        self.cas.release(self._key(spark, dest))
+
+    def forget_prefix(self, spark: SparkSession, prefix: str) -> None:
+        for record in self.cas.claims(
+                _strip_trailing(qualified(spark, prefix)) + "/"):
+            self.cas.release(record["key"])
 
     def read_repair(self, spark: SparkSession, dest: str) -> str | None:
         """Recover the committed content behind a torn/missing ``dest``

@@ -428,8 +428,15 @@ class VersionedTableBackend(ParquetTableBackend):
 
     def drop(self, spark: SparkSession, table: str) -> None:
         """Remove the table's manifests.  Its segments stay in the data
-        pool (they may be shared with a replace target) until vacuum."""
+        pool (they may be shared with a replace target) until vacuum.
+        Any external commit records for the removed names are dropped
+        too — a recreated table restarts at version 1, and a stale
+        acknowledged claim for the OLD v1 would make every new
+        external-CAS acquire lose forever (the recreate livelock;
+        regression-tested in test_commit_schemes.py)."""
         fsio.rmtree(spark, self._table_dir(spark, table))
+        fsio.get_commit_scheme().forget_prefix(
+            spark, self._table_dir(spark, table))
 
     def snapshot_token(self, spark: SparkSession, table: str):
         """The table's current segment list (None for a new table) —
@@ -704,6 +711,8 @@ class VersionedTableBackend(ParquetTableBackend):
                 # turn its retry into a spurious corrupt-manifest error
                 if old_enough(self._manifest_path(spark, table, v)):
                     fsio.remove(spark, self._manifest_path(spark, table, v))
+                    fsio.get_commit_scheme().forget(
+                        spark, self._manifest_path(spark, table, v))
                     other_reclaimed += 1
             for v in live[-keep_last:]:
                 referenced.update(manifests[v]["segments"])
@@ -722,6 +731,8 @@ class VersionedTableBackend(ParquetTableBackend):
                 if (manifests[v] is None and live and v < live[-1]
                         and old_enough(self._manifest_path(spark, table, v))):
                     fsio.remove(spark, self._manifest_path(spark, table, v))
+                    fsio.get_commit_scheme().forget(
+                        spark, self._manifest_path(spark, table, v))
                     other_reclaimed += 1
             for name in fsio.listdir(spark, self._table_dir(spark, table)):
                 path = fsio.join(self._table_dir(spark, table), name)

@@ -686,3 +686,97 @@ def test_streaming_ingest_auto_compaction_bounds_segments(
     assert be.auto_compactions >= 2
     assert be.read(spark, "t_ac_stream_sigs").count() == 10 + 8
     MinHashIndex(spark, "t_ac_stream").drop()
+
+
+def test_external_cas_claims_released_on_vacuum_and_drop(
+        spark, tmp_path, ecas):
+    """Claim lifecycle: external commit records must not grow without
+    bound — vacuum releases the claims of the manifests it trims, and
+    DROP releases every claim under the table (without which a
+    recreated table livelocks: it restarts at version 1 and the stale
+    acknowledged v1 claim makes every new acquire lose forever)."""
+    import os as _os
+
+    fsio.set_commit_scheme(fsio.ExternalCASScheme(ecas))
+    be = VersionedTableBackend(root=str(tmp_path / "vroot_claims"))
+    be.write(_df(spark, [(1, "v1")]), "t_claims", "id", 1)
+    be.append(_df(spark, [(2, "v2")]), "t_claims", "id", 1)
+    be.append(_df(spark, [(3, "v3")]), "t_claims", "id", 1)
+
+    def n_claims():
+        return sum(1 for f in _os.listdir(ecas.directory)
+                   if f.endswith(".json"))
+
+    assert n_claims() == 3
+    be.vacuum(spark, keep_last=1, min_age_seconds=0)
+    # v1/v2 manifests trimmed -> their claims released
+    assert be.versions(spark, "t_claims") == [3]
+    assert n_claims() == 1
+
+    # the recreate-livelock regression: drop, then write the SAME name
+    be.drop(spark, "t_claims")
+    assert n_claims() == 0
+    be.write(_df(spark, [(9, "fresh")]), "t_claims", "id", 1)
+    assert [r["id"] for r in be.read(spark, "t_claims").collect()] == [9]
+    assert be.versions(spark, "t_claims") == [1]
+
+
+def test_external_cas_protocol_randomized_crash_fuzz(spark, tmp_path, ecas):
+    """The randomized protocol fuzz, re-run under ExternalCASScheme.
+    The commit point is the external acquire, so the invariants shift:
+    EVERY crash after the acquire (cas_acquired / pre_copy / mid_copy /
+    post_copy / post_complete) leaves a committed-and-recoverable
+    version — durable-but-unacknowledged, surfaced by the next listing
+    via settle_pending — and reads must never raise through any
+    interleaving of crashes, zero-horizon vacuums, and compactions."""
+    import random
+
+    fault_plan = {"event": None}
+
+    def fault(event, path):
+        if event == fault_plan["event"]:
+            fault_plan["event"] = None
+            raise SimulatedCrash(event)
+
+    fsio.set_commit_scheme(fsio.ExternalCASScheme(ecas, fault=fault))
+    be = VersionedTableBackend(root=str(tmp_path / "vroot_ecfuzz"))
+    events = [None, None, None, "cas_acquired", "pre_copy",
+              "mid_copy", "post_copy", "post_complete"]
+    for seed in range(3):
+        rng = random.Random(1000 + seed)
+        table = f"t_ecfuzz_{seed}"
+        acknowledged: set[int] = set()
+        will_surface: set[int] = set()
+        next_id = 0
+        be.write(_df(spark, [(next_id, "base")]), table, "id", 2)
+        acknowledged.add(next_id)
+        last_version = be.versions(spark, table)[-1]
+        for _ in range(8):
+            op = rng.choice(["append", "append", "append",
+                             "vacuum", "compact"])
+            if op == "append":
+                next_id += 1
+                fault_plan["event"] = rng.choice(events)
+                try:
+                    be.append(_df(spark, [(next_id, f"row {next_id}")]),
+                              table, "id", 2)
+                    acknowledged.add(next_id)
+                except SimulatedCrash:
+                    # the acquire preceded every injectable event: the
+                    # commit is durable and WILL surface on listing
+                    will_surface.add(next_id)
+                finally:
+                    fault_plan["event"] = None
+            elif op == "vacuum":
+                be.vacuum(spark, keep_last=1, min_age_seconds=0)
+            else:
+                be.compact_segments(spark, table)
+            got = {r["id"] for r in be.read(spark, table).collect()}
+            assert acknowledged <= got, (seed, acknowledged - got)
+            assert got <= acknowledged | will_surface, \
+                (seed, got - acknowledged - will_surface)
+            vs = be.versions(spark, table)
+            assert vs == sorted(vs)
+            assert vs[-1] >= last_version
+            last_version = vs[-1]
+        be.drop(spark, table)
