@@ -525,17 +525,32 @@ class FileExternalCAS:
     def acquire(self, key: str, record: dict) -> dict | None:
         """Atomically register ``record`` under ``key`` iff absent —
         the conditional-put primitive.  Returns None when this caller
-        WON (its record is now the claim), else the existing record."""
+        WON (its record is now the claim), else the existing record.
+
+        The lose path must return the claim that beat us, and that
+        claim can be RELEASED between our failed link and our read
+        (another loser clearing a dead claim): returning None there
+        would tell the caller it won while its record was never
+        installed — two writers would both publish the same key, the
+        exact lost update this service exists to prevent.  A vanished
+        claim therefore retries the link instead."""
         import uuid as _uuid
         path = self._path(key)
         claim = f"{path}.claim-{_uuid.uuid4().hex}"
         with open(claim, "w", encoding="utf-8") as f:
             json.dump(dict(record, key=key), f)
         try:
-            self._os.link(claim, path)     # atomic create-if-absent
-            return None
-        except FileExistsError:
-            return self.get(key)
+            for _ in range(10):
+                try:
+                    self._os.link(claim, path)   # atomic create-if-absent
+                    return None
+                except FileExistsError:
+                    existing = self.get(key)
+                    if existing is not None:
+                        return existing
+                    # the blocking claim was released mid-race — retry
+            raise OSError(f"acquire({key}): claim kept vanishing between "
+                          f"link failure and read — release storm")
         finally:
             self._os.unlink(claim)
 
@@ -621,9 +636,15 @@ class ExternalCASScheme(NonAtomicRenameScheme):
     1. ``cas.acquire(dest, {tmp})`` — THE commit point.  Won: copy
        ``tmp`` → ``dest`` (this writer owns the name exclusively; the
        copy can tear, but is self-healing — see below), acknowledge
-       with ``mark_complete``, delete ``tmp``, return True.  ``tmp`` is
-       deleted only AFTER the acknowledgment: an unacknowledged claim
-       always has its immutable source available for repair.
+       with ``mark_complete``, return True.  The claim's tmp is
+       RETAINED after the acknowledgment, as the claim's durable
+       authority: a writer that stalls mid-copy while a finisher
+       completes the publish, then wakes (or crashes) mid-rewrite,
+       leaves a torn destination behind an ACKNOWLEDGED claim — only
+       the immutable tmp can repair that state.  Tmps live exactly as
+       long as their claim (``forget`` removes both when vacuum/drop
+       reclaims the published file), so they are bounded the same way
+       manifests are.
     2. Lost: FINISH the winner's publish if still pending — the claim
        records the winner's tmp path, whose content is immutable and
        complete by construction (written fully before acquire), so any
@@ -638,6 +659,12 @@ class ExternalCASScheme(NonAtomicRenameScheme):
     readable commit; a crash before the acquire leaves only the loose
     tmp (no claim, no commit) — exactly the invariant the versioned
     backend's torn-manifest rule needs, now with multi-driver teeth.
+    Residual hazard, documented: once an aged claim tmp is reclaimed
+    by an external sweep (the versioned vacuum's ``.tmp-*`` pass after
+    the retention horizon), a writer that had stalled since BEFORE
+    that horizon and wakes to tear the destination leaves a state only
+    distinguishable from external corruption — read_repair raises
+    loudly there rather than guessing.
 
     Publish-overwrite (marker files) stays the base copy+delete:
     markers tolerate torn states by design and need no CAS."""
@@ -678,7 +705,8 @@ class ExternalCASScheme(NonAtomicRenameScheme):
                 self.fault("post_copy", dest)
                 self.cas.mark_complete(key)
                 self.fault("post_complete", dest)
-                remove(spark, tmp, missing_ok=True)
+                # tmp retained: it is the claim's durable authority
+                # (class docstring) — released with the claim by forget
                 return True
             if self._finish(spark, key, dest, existing):
                 remove(spark, tmp, missing_ok=True)
@@ -700,12 +728,12 @@ class ExternalCASScheme(NonAtomicRenameScheme):
                 text = read_text(spark, wtmp)
             except Exception:
                 # tmp vanished between the check and the read: the
-                # winner (or another finisher) completed concurrently
+                # claim was released (or swept) concurrently
                 fresh = self.cas.get(key)
                 return fresh is None or bool(fresh.get("complete"))
             write_text(spark, dest, text)
             self.cas.mark_complete(key)
-            remove(spark, wtmp, missing_ok=True)
+            # tmp retained (class docstring): released with the claim
             return True
         fresh = self.cas.get(key)
         if fresh is None or fresh.get("complete"):
@@ -729,12 +757,26 @@ class ExternalCASScheme(NonAtomicRenameScheme):
             self._finish(spark, record["key"], record["key"], record)
 
     def forget(self, spark: SparkSession, dest: str) -> None:
-        self.cas.release(self._key(spark, dest))
+        self._release_with_tmp(spark, self.cas.get(self._key(spark, dest)),
+                               self._key(spark, dest))
 
     def forget_prefix(self, spark: SparkSession, prefix: str) -> None:
         for record in self.cas.claims(
                 _strip_trailing(qualified(spark, prefix)) + "/"):
-            self.cas.release(record["key"])
+            self._release_with_tmp(spark, record, record["key"])
+
+    def _release_with_tmp(self, spark: SparkSession, record: dict | None,
+                          key: str) -> None:
+        """Release a claim together with its retained tmp (the claim's
+        durable authority — kept alive exactly as long as the claim,
+        see class docstring)."""
+        if record is None:
+            return
+        try:
+            remove(spark, record["tmp"], missing_ok=True)
+        except Exception:
+            pass       # tmp already swept/inaccessible — claim still goes
+        self.cas.release(key)
 
     def read_repair(self, spark: SparkSession, dest: str) -> str | None:
         """Recover the committed content behind a torn/missing ``dest``
@@ -754,14 +796,12 @@ class ExternalCASScheme(NonAtomicRenameScheme):
                 try:
                     text = read_text(spark, wtmp)
                 except Exception:
-                    # tmp vanished mid-read: a finisher completed the
-                    # publish concurrently — fall through to the
-                    # complete-claim path on the next iteration
+                    # tmp vanished mid-read — re-evaluate from a fresh
+                    # claim fetch on the next iteration
                     continue
                 try:     # best-effort completion so listings converge
                     write_text(spark, dest, text)
                     self.cas.mark_complete(key)
-                    remove(spark, wtmp, missing_ok=True)
                 except Exception:
                     pass
                 return text
@@ -773,9 +813,17 @@ class ExternalCASScheme(NonAtomicRenameScheme):
                 except Exception:
                     _time.sleep(0.05 * (attempt + 1))
                     continue
-            else:
-                # unacknowledged with tmp gone: dead claim — unreadable
-                return None
+            # tmp gone with an INCOMPLETE flag: the flag may be stale —
+            # the winner marks complete BEFORE any tmp could legally
+            # vanish, so a fresh fetch showing complete means a live
+            # publish raced us (loop back into the complete branch);
+            # still incomplete on the fresh fetch = genuinely dead
+            fresh = self.cas.get(key)
+            if fresh is None:
+                return None                      # released: true remnant
+            if fresh.get("complete"):
+                continue
+            return None                          # dead claim — unreadable
         raise OSError(
             f"read_repair {dest}: claim acknowledged but the destination "
             f"never became readable — external corruption")

@@ -91,11 +91,7 @@ def write_lsh_index(df: DataFrame, name: str, n_planes: int = 8,
     suffices; use bands when the corpus is diffuse and multiprobe's
     combinatorial bucket fan-out gets too wide."""
     _check_name(name)
-    if dim is None:
-        head = df.select(vec_col).first()
-        if head is None:
-            raise ValueError("df is empty and dim was not provided")
-        dim = len(head[0])
+    dim = _infer_dim(df, vec_col, dim)
     # band keys and payload in ONE per-row projection (posexplode of the
     # band signature array) — joining slim keys back to the vectors
     # would pay a corpus-sized shuffle for rows a projection produces
@@ -131,13 +127,22 @@ def append_lsh_index(df: DataFrame, name: str, n_planes: int = 8,
     scan root until compaction folds them (``auto_compact_at`` bounds
     that automatically)."""
     _check_name(name)
-    if dim is None:
-        head = df.select(vec_col).first()
-        if head is None:
-            raise ValueError("df is empty and dim was not provided")
-        dim = len(head[0])
+    dim = _infer_dim(df, vec_col, dim)
     rows = _lsh_rows(df, n_planes, seed, vec_col, id_col, dim, bands)
     _be().append_partitioned(rows, name, ["band", "bucket"])
+
+
+def _infer_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimensionality: the caller's value, else the first row's
+    — shared by the write and append index paths so a fix to the
+    inference can never apply to one and silently drift the other."""
+    if dim is not None:
+        return dim
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("df is empty (or its first vector is NULL) and "
+                         "dim was not provided")
+    return len(head[0])
 
 
 def _resolve_multiprobe(multiprobe_hamming: int | None, bands: int) -> int:

@@ -145,20 +145,27 @@ def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str,
     collision rate negligible at corpus×benchmark scale where 32 bits
     would manufacture false contamination hits).  Documents shorter
     than ``n`` tokens contribute their full token span as one gram, so
-    a short benchmark prompt still decontaminates its exact matches."""
+    a short benchmark prompt still decontaminates its exact matches.
+    Empty/whitespace-only (or normalized-to-empty) text contributes NO
+    grams: without the guard, ``split('')`` yields ``['']`` and a
+    single degenerate benchmark row would share the md5('') gram with
+    every empty-text corpus doc — silently deleting the whole
+    empty-text slice of a crawl as 'contamination'."""
     from dlx_spark.operators.dedup import normalized_text
 
     toks = (normalized_text(F.col(text_col)) if normalize
             else F.col(text_col))
     return (df.select(F.col(id_col).alias("id"),
-                      F.split(toks, " ").alias("toks"))
+                      F.filter(F.split(toks, " "),
+                               lambda t: t != "").alias("toks"))
             .select("id", F.explode(F.expr(f"""
-                array_distinct(transform(
+                CASE WHEN size(toks) = 0 THEN array()
+                ELSE array_distinct(transform(
                     sequence(0, greatest(size(toks) - {n}, 0)),
                     i -> cast(conv(substring(
                              md5(array_join(slice(toks, i + 1, {n}), ' ')),
                              1, 15), 16, 10) as bigint)))
-            """)).alias("gram")))
+                END""")).alias("gram")))
 
 
 def contaminated_ids(corpus: DataFrame, benchmark: DataFrame, n: int = 13,

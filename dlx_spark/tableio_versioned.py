@@ -433,10 +433,14 @@ class VersionedTableBackend(ParquetTableBackend):
         too — a recreated table restarts at version 1, and a stale
         acknowledged claim for the OLD v1 would make every new
         external-CAS acquire lose forever (the recreate livelock;
-        regression-tested in test_commit_schemes.py)."""
-        fsio.rmtree(spark, self._table_dir(spark, table))
+        regression-tested in test_commit_schemes.py).  Claims go FIRST:
+        a crash between the two steps must leave orphan FILES (which
+        the version allocator already tolerates and a re-run of drop
+        clears), never orphan CLAIMS (which would reintroduce the
+        livelock the release exists to prevent)."""
         fsio.get_commit_scheme().forget_prefix(
             spark, self._table_dir(spark, table))
+        fsio.rmtree(spark, self._table_dir(spark, table))
 
     def snapshot_token(self, spark: SparkSession, table: str):
         """The table's current segment list (None for a new table) —

@@ -579,10 +579,15 @@ def test_external_cas_loser_finishes_winners_publish(spark, tmp_path, ecas):
     fsio.write_text(spark, tmp2, json.dumps({"who": "loser"}))
     assert fsio.put_if_absent(spark, tmp2, dest) is False
     # the loser finished the WINNER's content, acknowledged the claim,
-    # and cleaned both tmps
+    # and cleaned its OWN tmp; the winner's tmp is RETAINED as the
+    # claim's durable authority (torn-rewrite repair) until the claim
+    # is released (forget on vacuum/drop)
     assert json.loads(fsio.read_text(spark, dest)) == {"who": "winner"}
     assert scheme.cas.get(fsio.qualified(spark, dest))["complete"] is True
-    assert not fsio.exists(spark, tmp1) and not fsio.exists(spark, tmp2)
+    assert fsio.exists(spark, tmp1) and not fsio.exists(spark, tmp2)
+    scheme.forget(spark, dest)
+    assert not fsio.exists(spark, tmp1)       # released with the claim
+    assert scheme.cas.get(fsio.qualified(spark, dest)) is None
 
 
 def test_external_cas_dead_claim_released_and_reacquired(
@@ -780,3 +785,65 @@ def test_external_cas_protocol_randomized_crash_fuzz(spark, tmp_path, ecas):
             assert vs[-1] >= last_version
             last_version = vs[-1]
         be.drop(spark, table)
+
+
+def test_external_cas_acquire_retries_when_losing_claim_vanishes(
+        spark, tmp_path, ecas):
+    """Review fix: acquire's lose path re-reads the claim that beat it,
+    and that claim can be RELEASED in between (another loser clearing a
+    dead claim).  Returning None there would tell the caller it won
+    while its record was never installed — two 'winners'.  The fixed
+    acquire retries the link, so a None return ALWAYS means the
+    caller's own record is the installed claim."""
+    key = "contended-key"
+    assert ecas.acquire(key, {"tmp": "/dead-writer-tmp"}) is None
+
+    class VanishingGet(type(ecas)):
+        calls = 0
+
+        def get(self, k):
+            VanishingGet.calls += 1
+            if VanishingGet.calls == 1:
+                # simulate a concurrent loser releasing the dead claim
+                # between our failed link and our read
+                self.release(k)
+                return None
+            return super().get(k)
+
+    racer = VanishingGet(ecas.directory)
+    assert racer.acquire(key, {"tmp": "/racer-tmp"}) is None   # won
+    # and the INSTALLED claim is the racer's own record, not a ghost
+    assert ecas.get(key)["tmp"] == "/racer-tmp"
+
+
+def test_external_cas_read_repair_refetches_before_declaring_dead(
+        spark, tmp_path, ecas):
+    """Review fix: read_repair observed (tmp gone, complete=False) from
+    a STALE entry — the winner marks complete before its tmp can
+    legally vanish, so the state must be re-fetched before declaring
+    the claim dead.  Without the re-fetch, a committed acknowledged
+    version read as a crash remnant and a concurrent committer would
+    build past it (lost rows)."""
+    dest = str(tmp_path / "rr" / "v1.json")
+    scheme = fsio.ExternalCASScheme(ecas)
+    fsio.set_commit_scheme(scheme)
+    # publish for real (claim acknowledged, dest whole, tmp retained)
+    tmp = str(tmp_path / "rr" / ".tmp-1")
+    fsio.write_text(spark, tmp, '{"v": 1}')
+    assert fsio.put_if_absent(spark, tmp, dest) is True
+
+    class StaleFirstGet(type(ecas)):
+        calls = 0
+
+        def get(self, k):
+            record = super().get(k)
+            StaleFirstGet.calls += 1
+            if StaleFirstGet.calls == 1 and record is not None:
+                # first observation: stale flag + tmp 'already gone'
+                return dict(record, complete=False,
+                            tmp=str(tmp_path / "rr" / ".tmp-ghost"))
+            return record
+
+    scheme.cas = StaleFirstGet(ecas.directory)
+    got = scheme.read_repair(spark, dest)
+    assert got is not None and json.loads(got) == {"v": 1}
