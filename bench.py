@@ -83,9 +83,13 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     contract.BENCH["count_filtered"](spark, sf_dir).collect()
 
-    # two passes per query, report the min: the first pass pays one-off
-    # whole-stage-codegen compilation (seconds for the wide dedup
-    # expression trees), which is noise for steady-state throughput.
+    # one warm-up pass (pays the one-off whole-stage-codegen compilation
+    # — seconds for the wide dedup expression trees, noise for
+    # steady-state throughput), then THREE timed passes reported as the
+    # MEDIAN with the min/max spread alongside: r7 and r8 each burned a
+    # round-over-round comparison on a single noisy sample even behind
+    # the idle gate, and a median with its spread is self-diagnosing
+    # (tight spread = trust the number; wide = load artifact).
     # Materialize via a hash over EVERY output column — a bare count()
     # lets Catalyst prune the computed expressions, timing nothing for
     # projection-only queries.
@@ -94,6 +98,7 @@ def main() -> None:
     # per-query error isolation: one failing query must never abort the
     # run — record the failure and keep timing the rest
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     errors: dict[str, str] = {}
     # HEADLINE names resolve through contract.BENCH (which keeps the
     # fine-grained query functions importable even after the driver
@@ -101,15 +106,18 @@ def main() -> None:
     # bench numbers stay comparable.
     for name in HEADLINE:
         fn = contract.BENCH[name]
-        best = None
         try:
-            for _ in range(2):
+            samples = []
+            for _ in range(4):          # 1 warm-up + 3 timed
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()
-                elapsed = time.time() - t0
-                best = elapsed if best is None else min(best, elapsed)
-            timings[name] = round(best, 3)
+                samples.append(time.time() - t0)
+            timed = sorted(samples[1:])
+            timings[name] = round(timed[1], 3)        # median of 3
+            spread[name] = {"min": round(timed[0], 3),
+                            "max": round(timed[2], 3),
+                            "warmup": round(samples[0], 3)}
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -131,10 +139,11 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "runs_per_query": 2,
+        "runs_per_query": "1 warmup + 3 timed, median reported",
         "n_queries_timed": len(timings),
         "n_queries_total": len(HEADLINE),
         "queries": timings,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg": [load1, load5, load15],
         "n_cpus": os.cpu_count(),

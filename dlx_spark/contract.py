@@ -696,9 +696,12 @@ def minhash_lsh(spark, sf):
     One-shuffle formulation (round 8): ``dedup.lsh_verified_pairs``
     carries signatures through the band explode, verifies inline, and
     dedups cross-band duplicates by first-colliding-band — replacing
-    the candidates' ``distinct`` exchange plus two signature join-backs
-    (measured ~1.5× on this headline; at cluster scale the join-backs
-    would be two more shuffles)."""
+    the candidates' ``distinct`` exchange plus two signature join-backs.
+    Reproduced wall-clock gain on an idle box is modest (~1.05-1.2×);
+    the win is STRUCTURAL and defended at the plan level
+    (tests/test_plans.py pins the slim regime at ≤1 exchange — the
+    distinct exchange is gone), because at cluster scale the join-backs
+    would be two more shuffles."""
     docs = _t(spark, sf, "documents")
     # cache: the slim formulation references the signature relation three
     # times (band self-join + two verify joins) — same cache the previous

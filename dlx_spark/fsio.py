@@ -393,6 +393,16 @@ class HadoopRenameScheme:
         new acquire lose forever (the recreate livelock).  No-op
         here."""
 
+    def claimed_tmps(self, spark: SparkSession, prefix: str) -> dict:
+        """Qualified staged-tmp path → claim record, for every claim
+        under the DIRECTORY ``prefix``.  Vacuum's loose-tmp sweep
+        consults this so it never mistakes a claim's retained tmp — the
+        claim's durable repair authority, kept alive exactly as long as
+        the claim — for a crash remnant.  Empty for schemes that keep
+        no commit records (their tmps really are all remnants once
+        aged)."""
+        return {}
+
     def put_if_absent(self, spark: SparkSession, tmp: str,
                       dest: str) -> bool:
         try:
@@ -537,9 +547,12 @@ class FileExternalCAS:
         import uuid as _uuid
         path = self._path(key)
         claim = f"{path}.claim-{_uuid.uuid4().hex}"
-        with open(claim, "w", encoding="utf-8") as f:
-            json.dump(dict(record, key=key), f)
         try:
+            # inside the try: a failed write (disk full, interrupt,
+            # unserializable record) must not leak the temp file into
+            # the scanned CAS directory
+            with open(claim, "w", encoding="utf-8") as f:
+                json.dump(dict(record, key=key), f)
             for _ in range(10):
                 try:
                     self._os.link(claim, path)   # atomic create-if-absent
@@ -552,7 +565,10 @@ class FileExternalCAS:
             raise OSError(f"acquire({key}): claim kept vanishing between "
                           f"link failure and read — release storm")
         finally:
-            self._os.unlink(claim)
+            try:
+                self._os.unlink(claim)
+            except FileNotFoundError:
+                pass       # open() itself failed — nothing was created
 
     def get(self, key: str) -> dict | None:
         """The claim under ``key`` (with its ``complete`` flag), or
@@ -572,17 +588,64 @@ class FileExternalCAS:
         with open(self._path(key) + ".complete", "w"):
             pass
 
-    def release(self, key: str) -> None:
+    def release(self, key: str, claim_id: str | None = None) -> bool:
         """Delete a DEAD claim (publish unfinishable: its recorded tmp
         was reclaimed with the publish unacknowledged) so the key can
         be re-acquired.  Only sound under the same retention contract
         as vacuum: a claim whose tmp aged out of retention belongs to
-        a writer that is long dead."""
-        for suffix in (".complete", ""):
+        a writer that is long dead.
+
+        With ``claim_id`` this is a CONDITIONAL delete (the
+        DynamoDB-style conditional-delete primitive): the claim is
+        removed only while it still IS the claim the caller observed.
+        Without it, a finisher that observed a dead claim, then stalled
+        while another finisher released it and a new writer re-acquired
+        the key, would wake and delete the LIVE successor claim —
+        letting a third writer acquire the same key and silently
+        overwrite the successor's commit (the lost update the service
+        exists to prevent).  Releasers serialize on a per-key lock file
+        so the read-compare-delete is atomic against other releasers;
+        ``acquire`` needs no lock (its ``os.link`` either lands before
+        the locked read — the compare then refuses — or after the
+        delete).  Returns whether the claim was removed."""
+        import fcntl
+        path = self._path(key)
+        lock_path = path + ".lock"
+        while True:
+            lock = open(lock_path, "a")
             try:
-                self._os.unlink(self._path(key) + suffix)
-            except FileNotFoundError:
-                pass
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                # the lock file may have been swept (unconditional
+                # release removes it) between our open and the flock —
+                # a lock on a deleted inode excludes nobody; re-open
+                try:
+                    if (self._os.stat(lock_path).st_ino
+                            != self._os.fstat(lock.fileno()).st_ino):
+                        continue
+                except FileNotFoundError:
+                    continue
+                if claim_id is not None:
+                    current = self.get(key)
+                    if current is None:
+                        return False          # already released
+                    if current.get("claim_id") != claim_id:
+                        return False          # superseding live claim
+                for suffix in (".complete", ""):
+                    try:
+                        self._os.unlink(self._path(key) + suffix)
+                    except FileNotFoundError:
+                        pass
+                if claim_id is None:
+                    # unconditional release = forget/drop path: the key
+                    # is never re-acquired, so its lock file can go too
+                    # (the inode re-check above covers a waiting racer)
+                    try:
+                        self._os.unlink(lock_path)
+                    except FileNotFoundError:
+                        pass
+                return True
+            finally:
+                lock.close()
 
     def pending(self, prefix: str) -> list[dict]:
         """Unacknowledged claims whose key starts with ``prefix`` — the
@@ -659,12 +722,18 @@ class ExternalCASScheme(NonAtomicRenameScheme):
     readable commit; a crash before the acquire leaves only the loose
     tmp (no claim, no commit) — exactly the invariant the versioned
     backend's torn-manifest rule needs, now with multi-driver teeth.
-    Residual hazard, documented: once an aged claim tmp is reclaimed
-    by an external sweep (the versioned vacuum's ``.tmp-*`` pass after
-    the retention horizon), a writer that had stalled since BEFORE
-    that horizon and wakes to tear the destination leaves a state only
-    distinguishable from external corruption — read_repair raises
-    loudly there rather than guessing.
+    The versioned vacuum's ``.tmp-*`` sweep upholds the tmps-live-as-
+    long-as-their-claim invariant via ``claimed_tmps``: an acknowledged
+    claim's tmp is skipped (released together with the claim by
+    ``forget`` when the published manifest is reclaimed), and an aged
+    UNACKNOWLEDGED claim is released together with its tmp — dropping
+    the allocated version, which is sound only because the dead writer
+    never saw success.  Residual hazard, documented: if an EXTERNAL
+    sweep (outside vacuum) reclaims an acknowledged claim's tmp, a
+    writer that had stalled since before the retention horizon and
+    wakes to tear the destination leaves a state only distinguishable
+    from external corruption — read_repair raises loudly there rather
+    than guessing.
 
     Publish-overwrite (marker files) stays the base copy+delete:
     markers tolerate torn states by design and need no CAS."""
@@ -692,8 +761,14 @@ class ExternalCASScheme(NonAtomicRenameScheme):
         # loser may FINISH this publish and delete the tmp out from
         # under us — the copy below must not depend on it surviving
         text = read_text(spark, tmp)
+        import uuid as _uuid
         for _ in range(3):
-            existing = self.cas.acquire(key, {"tmp": qualified(spark, tmp)})
+            # claim_id: per-claim identity for conditional release — a
+            # finisher that observed THIS claim dead can never delete a
+            # successor claim re-acquired under the same key (_finish)
+            existing = self.cas.acquire(
+                key, {"tmp": qualified(spark, tmp),
+                      "claim_id": _uuid.uuid4().hex})
             if existing is None:
                 self.fault("cas_acquired", dest)
                 self.fault("pre_copy", dest)
@@ -715,32 +790,72 @@ class ExternalCASScheme(NonAtomicRenameScheme):
         raise OSError(f"put_if_absent {dest}: could not settle the CAS "
                       f"claim after 3 attempts")
 
+    @staticmethod
+    def _same_claim(a: dict | None, b: dict | None) -> bool:
+        """Whether two claim fetches observed the SAME claim (per-claim
+        ``claim_id`` when both carry one; recorded tmp as the fallback
+        for records written before claim ids existed)."""
+        if a is None or b is None:
+            return False
+        ida, idb = a.get("claim_id"), b.get("claim_id")
+        if ida is not None and idb is not None:
+            return ida == idb
+        return a.get("tmp") == b.get("tmp")
+
     def _finish(self, spark: SparkSession, key: str, dest: str,
                 entry: dict) -> bool:
         """Complete a pending publish from its claim (idempotent, any
         process).  True = ``dest`` is (now) published; False = the
-        claim was dead and has been released."""
-        if entry.get("complete"):
-            return True
-        wtmp = entry["tmp"]
-        if exists(spark, wtmp):
-            try:
-                text = read_text(spark, wtmp)
-            except Exception:
-                # tmp vanished between the check and the read: the
-                # claim was released (or swept) concurrently
-                fresh = self.cas.get(key)
-                return fresh is None or bool(fresh.get("complete"))
-            write_text(spark, dest, text)
-            self.cas.mark_complete(key)
-            # tmp retained (class docstring): released with the claim
-            return True
-        fresh = self.cas.get(key)
-        if fresh is None or fresh.get("complete"):
-            # the winner (or another finisher) acknowledged in between
-            return True
-        self.cas.release(key)
-        return False
+        claim was dead and has been released (the key is free).
+
+        Releasing is gated on claim IDENTITY, twice: the dead claim we
+        observed may have been released by another finisher and the key
+        re-acquired by a live writer between any two steps here, so (1)
+        a fresh fetch that is a DIFFERENT claim is re-evaluated from
+        scratch instead of released, and (2) the release itself is the
+        CAS service's conditional delete keyed on the observed
+        ``claim_id`` — without both, a stale finisher deletes the live
+        successor's claim, a third writer re-acquires the same key, and
+        two writers return True for one version path (lost update)."""
+        for _ in range(10):
+            if entry is None or entry.get("complete"):
+                # released (published name reclaimed) or acknowledged —
+                # either way the key holds no pending work
+                return True
+            wtmp = entry["tmp"]
+            if exists(spark, wtmp):
+                try:
+                    text = read_text(spark, wtmp)
+                except Exception:
+                    # tmp vanished between the check and the read: the
+                    # claim was released (or swept) concurrently —
+                    # re-evaluate from a fresh fetch
+                    entry = self.cas.get(key)
+                    continue
+                write_text(spark, dest, text)
+                self.cas.mark_complete(key)
+                # tmp retained (class docstring): released with the claim
+                return True
+            fresh = self.cas.get(key)
+            if fresh is None or fresh.get("complete"):
+                # the winner (or another finisher) acknowledged, or the
+                # claim was released, in between
+                return True
+            if not self._same_claim(fresh, entry):
+                # a successor writer re-acquired the key under us: that
+                # claim is NOT ours to judge dead — re-evaluate it
+                entry = fresh
+                continue
+            # same claim, tmp reclaimed, unacknowledged: a dead writer's.
+            # Conditional delete — a successor acquired between the fetch
+            # above and this delete survives (we then re-evaluate it)
+            released = self.cas.release(key, claim_id=entry.get("claim_id"))
+            if released is False:       # None = legacy unconditional CAS
+                entry = self.cas.get(key)
+                continue
+            return False
+        raise OSError(f"_finish {dest}: claim kept changing under "
+                      f"re-evaluation — release storm")
 
     def settle_pending(self, spark: SparkSession, prefix: str) -> None:
         """Fixup-on-list (the S3DynamoDBLogStore behavior): a commit
@@ -764,6 +879,10 @@ class ExternalCASScheme(NonAtomicRenameScheme):
         for record in self.cas.claims(
                 _strip_trailing(qualified(spark, prefix)) + "/"):
             self._release_with_tmp(spark, record, record["key"])
+
+    def claimed_tmps(self, spark: SparkSession, prefix: str) -> dict:
+        return {r["tmp"]: r for r in self.cas.claims(
+            _strip_trailing(qualified(spark, prefix)) + "/")}
 
     def _release_with_tmp(self, spark: SparkSession, record: dict | None,
                           key: str) -> None:
@@ -817,16 +936,58 @@ class ExternalCASScheme(NonAtomicRenameScheme):
             # the winner marks complete BEFORE any tmp could legally
             # vanish, so a fresh fetch showing complete means a live
             # publish raced us (loop back into the complete branch);
-            # still incomplete on the fresh fetch = genuinely dead
+            # the SAME claim still incomplete on the fresh fetch =
+            # genuinely dead; a DIFFERENT claim means a successor writer
+            # re-acquired the key — re-evaluate it (its tmp may be live)
             fresh = self.cas.get(key)
             if fresh is None:
                 return None                      # released: true remnant
-            if fresh.get("complete"):
+            if fresh.get("complete") or not self._same_claim(fresh, entry):
                 continue
             return None                          # dead claim — unreadable
         raise OSError(
             f"read_repair {dest}: claim acknowledged but the destination "
             f"never became readable — external corruption")
+
+
+class LocalFSMultiDriverWarning(UserWarning):
+    """Versioned commits are running through the default rename scheme
+    on a ``file://`` root, where ``put_if_absent`` keeps a residual
+    cross-PROCESS check-then-act window (see ``rename_no_overwrite``) —
+    the same caveat Delta documents for HDFSLogStore on ``file://``.
+    Harmless for a single driver; concurrent drivers on one machine
+    should install ``ExternalCASScheme(FileExternalCAS(dir))``."""
+
+
+_local_cas_warned = False
+
+
+def warn_local_fs_multidriver(spark: SparkSession, scheme, root: str) -> None:
+    """One-time (per process) ``LocalFSMultiDriverWarning`` when a
+    versioned commit runs through the DEFAULT rename scheme on a
+    ``file://`` root.  The default scheme declares
+    ``atomic_put_if_absent=True`` because it IS hard CAS on HDFS
+    (FileContext rename, server-side atomic), but on local FS the same
+    call falls back to a dest-exists check + POSIX rename — a
+    microsecond cross-process lost-update window that no test can
+    disprove (tests/test_multiprocess_commit.py says so explicitly).
+    Single-driver local use — every test here — is unaffected; the
+    warning names the remedy for the multi-driver case."""
+    global _local_cas_warned
+    if _local_cas_warned or type(scheme) is not HadoopRenameScheme:
+        return
+    if not qualified(spark, root).startswith("file:"):
+        return
+    _local_cas_warned = True
+    import warnings
+    warnings.warn(
+        f"versioned commits on {root} use the default rename scheme on "
+        f"the LOCAL filesystem, whose put-if-absent keeps a residual "
+        f"cross-process check-then-act window (Delta's HDFSLogStore-on-"
+        f"file:// caveat).  Safe for a single driver; for concurrent "
+        f"driver processes install fsio.ExternalCASScheme("
+        f"FileExternalCAS(dir)) via fsio.set_commit_scheme.",
+        LocalFSMultiDriverWarning, stacklevel=3)
 
 
 _commit_scheme: HadoopRenameScheme = HadoopRenameScheme()

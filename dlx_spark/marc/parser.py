@@ -396,7 +396,7 @@ def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
                 n = int(value)
             except ValueError:
                 raise InvalidQueryString("ID must be a number")
-            return q.Raw(F.col("_id") == n)
+            return q.IdSearch(n)
         if tag[:2] == "00":
             val = process_string(value)
             if tag == "000":
@@ -435,7 +435,7 @@ def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
             n = int(match.group(1))
         except ValueError:
             raise InvalidQueryString("ID must be a number")
-        return q.Raw(F.col("_id") == n)
+        return q.IdSearch(n)
 
     # audit dates
     if match := re.match(r"(created|updated)([:<>])(.*)", token):
@@ -568,11 +568,19 @@ def parse_query_string(string: str, record_type: str = "bib",
 # Execution: apply a parsed query to a DataFrame
 # ---------------------------------------------------------------------------
 
-def execute_query(query: "q.Query", ctx: QueryContext) -> DataFrame:
+def execute_query(query: "q.Query", ctx: QueryContext,
+                  df: DataFrame | None = None) -> DataFrame:
     """Run a parsed query: pure-Column conditions become one filter;
     join-based conditions (fielded text) become semi/anti-joins.  ``Or``
-    groups containing join-based members union their id sets."""
-    df = ctx.df
+    groups containing join-based members union their id sets.
+
+    ``df`` (default ``ctx.df``) is the BASE the result filters — passing
+    a narrower frame (e.g. a bucket-pruned scan for point-id terms, as
+    ``MarcStore.search`` does) lets one long-lived context with its
+    cached tokenized view serve every query while each query scans only
+    what its predicates require."""
+    if df is None:
+        df = ctx.df
     column_preds: list[Column] = []
 
     for cond in query.conditions:

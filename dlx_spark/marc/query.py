@@ -197,6 +197,19 @@ class Raw:
         return self.predicate
 
 
+class IdSearch(Raw):
+    """Point-id predicate (parser terms ``id:n`` / ``001:n``): compiles
+    to the same ``_id == n`` Column as a plain Raw, but CARRIES the id
+    so store-level search (``MarcStore.search``) can prune the scan to
+    the one ``pt`` bucket holding it (pt = _id % N_BUCKETS) — the plan
+    analog of the reference's ``_id`` index lookup: 1/N of the store's
+    files listed and read instead of a full-table scan."""
+
+    def __init__(self, n: int, *, record_type: str | None = None):
+        super().__init__(F.col("_id") == int(n), record_type=record_type)
+        self.id = int(n)
+
+
 class TagOnly:
     """Match value in ANY subfield of ``tag`` (reference query.py:779-825);
     auth-controlled tags also match by xref expansion."""

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dlx_spark import config, fsio, schemas
 from dlx_spark.marc import dataframe as mdf
+from dlx_spark.marc import query as q
 from dlx_spark.marc.record import (
     Auth,
     AuthIndex,
@@ -67,6 +68,7 @@ class MarcStore:
         self.spark = spark
         self.root = root
         self._auth_index: AuthIndex | None = None
+        self._query_ctxs: dict = {}
         fsio.mkdirs(spark, root)
         self._recover()
 
@@ -159,6 +161,83 @@ class MarcStore:
         if not rows:
             return None
         return _RECORD_CLASS[record_type].from_row(rows[0], auth_index=self.auth_index())
+
+    def search(self, record_type: str, query_string: str) -> DataFrame:
+        """Parse and execute a query-DSL string against the LIVE table —
+        the reference's ``MarcSet.from_query(Query.from_string(...))``
+        read path (dlx/marc/query.py:112-346) as one call, with the
+        store's physical layout exploited:
+
+        - point-id terms (``id:n`` / ``001:n``) prune the scan to the
+          pt bucket holding the id (pt = _id % N_BUCKETS) at the
+          PARTITION level, so 1/N of the store's files are listed and
+          read — the plan analog of the reference's ``_id`` index
+          (asserted at the executed-plan level in
+          tests/test_marc_query_scale.py);
+        - fielded text terms run through one cached tokenized subfield
+          view per record type (a long-lived QueryContext, invalidated
+          on any mutation) — the session-level analog of the
+          reference's persistent ``_index_{tag}`` collections: the
+          first text query pays the index build, every later one
+          reuses it;
+        - everything else (logical fields, audit dates, xref
+          containment) is a single codegen'd predicate pass over the
+          stored derived columns: no shuffle, no Python.
+
+        Returns the matching records as a DataFrame (canonical nested
+        schema, no ``pt``)."""
+        from dlx_spark.marc import parser as mparser
+        name = "bibs" if record_type == "bib" else "auths"
+        query = q.Query.from_string(query_string, record_type=record_type,
+                                    auth_index=self.auth_index())
+        if not self._exists(name):
+            return self._empty(schemas.MARC)
+        raw = self.spark.read.parquet(self._path(name))
+        for cond in query.conditions:
+            buckets = self._id_buckets(cond)
+            if buckets is not None:
+                raw = raw.filter(
+                    F.col("pt").isin(sorted(buckets)))
+        return mparser.execute_query(query, self._query_context(record_type),
+                                     df=raw.drop("pt"))
+
+    def _query_context(self, record_type: str):
+        """The long-lived query context for ``record_type`` — its
+        tokenized subfield view is cached across searches (the
+        reference's persistent index-collection analog) and dropped by
+        ``_invalidate_query_contexts`` on any table mutation."""
+        from dlx_spark.marc import parser as mparser
+        ctx = self._query_ctxs.get(record_type)
+        if ctx is None:
+            ctx = mparser.QueryContext(self.table(record_type), record_type,
+                                       auth_index=self.auth_index(),
+                                       headings=self.headings())
+            self._query_ctxs[record_type] = ctx
+        return ctx
+
+    def _invalidate_query_contexts(self) -> None:
+        """Drop every cached query context (unpersisting its tokenized
+        view).  Called on ANY mutation of either table: bib edits
+        change the bib tokens, auth edits change the heading values the
+        token view denormalizes into BOTH record types."""
+        for rt in list(self._query_ctxs):
+            ctx = self._query_ctxs.pop(rt)
+            try:
+                ctx.close()
+            except Exception:
+                pass
+
+    def _id_buckets(self, cond) -> set[int] | None:
+        """pt buckets implied by a point-id condition: {n % N} for an
+        IdSearch, their union for an Or made solely of IdSearches, None
+        (no pruning) otherwise.  Top-level conditions AND together, so
+        each non-None set becomes its own partition filter."""
+        if isinstance(cond, q.IdSearch):
+            return {cond.id % self.N_BUCKETS}
+        if isinstance(cond, q.Or) and cond.conditions and all(
+                isinstance(c, q.IdSearch) for c in cond.conditions):
+            return {c.id % self.N_BUCKETS for c in cond.conditions}
+        return None
 
     def max_id(self, record_type: str) -> int:
         """max _id over live ∪ history (reference Marc.max_id,
@@ -513,6 +592,9 @@ class MarcStore:
         self._apply_overwrite(name, stage_name, buckets)
         self._clear_txn_marker(name)
         self._unstage(stage_name)
+        # every live-table mutation funnels through this swap: cached
+        # query contexts (tokenized subfield views) are now stale
+        self._invalidate_query_contexts()
 
     def _apply_overwrite(self, name: str, stage_name: str,
                          buckets: list[int] | None) -> None:

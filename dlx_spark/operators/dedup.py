@@ -719,7 +719,9 @@ def cross_corpus_overlap(corpus: DataFrame, benchmark: DataFrame,
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iter: int = 50, reliable: bool = False) -> DataFrame:
+                         max_iter: int = 50, reliable: bool = False,
+                         stats: dict | None = None,
+                         on_nonconverge: str = "raise") -> DataFrame:
     """(id, component): transitive closure over near-duplicate pairs,
     labeling every node with the SMALLEST id reachable from it — the
     canonical-survivor rule dedup needs (pairwise output alone splits a
@@ -746,7 +748,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     lost executor recomputes from the last round instead of failing the
     whole run — the right trade for long iterative jobs on preemptible
     clusters, at the cost of one round-trip write per round.
+
+    ``stats`` (optional caller-supplied dict) receives convergence
+    telemetry — ``{"rounds": r, "converged": bool}`` — so scale probes
+    and operational monitoring can watch rounds-to-converge instead of
+    guessing (each round is a full Spark job; at 100 TB a diameter
+    regression shows up here first).  ``on_nonconverge`` is the
+    max_iter guard: ``"raise"`` (default) fails LOUDLY — partially
+    propagated labels would silently split clusters and elect extra
+    survivors downstream; ``"warn"`` restores the old warn-and-return
+    behavior for exploratory use.  With pointer jumping the propagated
+    distance doubles per round, so the default ``max_iter=50`` covers a
+    diameter of ~2^50 — hitting the guard means the input is
+    pathological (or max_iter was lowered), never a tuning matter.
     """
+    if on_nonconverge not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverge must be 'raise' or 'warn', "
+                         f"got {on_nonconverge!r}")
     if reliable:
         sc = pairs.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
@@ -766,7 +784,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     labels = _ckpt(edges.select(F.col("a").alias("id")).distinct()
                    .withColumn("comp", F.col("id")), eager=False)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (edges.join(labels, edges["b"] == labels["id"])
                  .groupBy("a").agg(F.min("comp").alias("ncomp")))
         stepped = (labels.join(neigh, labels["id"] == neigh["a"], "left")
@@ -794,12 +814,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
+        msg = (f"connected_components did not converge in {max_iter} "
+               f"rounds (with pointer jumping that covers a diameter of "
+               f"~2^{max_iter}); labels are only partially propagated — "
+               f"downstream dedup would silently split clusters and keep "
+               f"extra survivors.  Raise max_iter, or pass "
+               f"on_nonconverge='warn' to accept partial labels.")
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
         import warnings
-        warnings.warn(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(a component's diameter exceeds max_iter); labels are only "
-            "partially propagated — raise max_iter", RuntimeWarning)
+        warnings.warn(msg, RuntimeWarning)
     return labels.select("id", F.col("comp").alias("component"))
 
 

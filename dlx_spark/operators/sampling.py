@@ -179,9 +179,10 @@ def contaminated_ids(corpus: DataFrame, benchmark: DataFrame, n: int = 13,
 
     Scale shape: the benchmark side (eval sets: thousands of rows)
     folds to a distinct gram table; the corpus side explodes its grams
-    as a pure projection and LEFT SEMI joins — Catalyst broadcasts the
-    benchmark grams, so the corpus never shuffles, and the distinct at
-    the end runs on the (small) contaminated-id set only.  Asymmetric
+    as a pure projection and LEFT SEMI joins against an EXPLICIT
+    broadcast of the benchmark grams, so the corpus never shuffles,
+    and the distinct at the end runs on the (small) contaminated-id
+    set only.  Asymmetric
     by design: this is containment of benchmark text in corpus docs,
     not near-duplication — a one-line quote of an eval question inside
     a long document is a hit that no Jaccard-style dedup would catch."""
@@ -190,7 +191,12 @@ def contaminated_ids(corpus: DataFrame, benchmark: DataFrame, n: int = 13,
         n, bench_text_col, "_bid", normalize)
         .select("gram").distinct())
     grams = _ngram_hashes(corpus, n, text_col, id_col, normalize)
-    return (grams.join(bench, "gram", "left_semi")
+    # explicit broadcast: post-aggregate size estimates are heuristic,
+    # and if Catalyst guessed past the autoBroadcast threshold the
+    # corpus-side gram explosion would shuffle IN FULL — the exact
+    # scale failure this join's shape exists to avoid.  Eval sets are
+    # bounded-small by construction, so forcing the hint is safe.
+    return (grams.join(F.broadcast(bench), "gram", "left_semi")
             .select(F.col("id").alias(id_col)).distinct())
 
 

@@ -231,6 +231,7 @@ class VersionedTableBackend(ParquetTableBackend):
                 f"(fsio.SingleDriverCASScheme for single-driver object-"
                 f"store deployments, or an external-CAS LogStore analog "
                 f"for multi-driver) via fsio.set_commit_scheme.")
+        fsio.warn_local_fs_multidriver(spark, scheme, self.root(spark))
         for _ in range(_MAX_COMMIT_RETRIES):
             # one whole attempt (read head -> publish) runs inside the
             # scheme's commit section: under a tearable publish, reading
@@ -738,9 +739,27 @@ class VersionedTableBackend(ParquetTableBackend):
                     fsio.get_commit_scheme().forget(
                         spark, self._manifest_path(spark, table, v))
                     other_reclaimed += 1
+            claimed = fsio.get_commit_scheme().claimed_tmps(
+                spark, self._table_dir(spark, table))
             for name in fsio.listdir(spark, self._table_dir(spark, table)):
                 path = fsio.join(self._table_dir(spark, table), name)
                 if name.startswith(".tmp-") and old_enough(path):
+                    record = claimed.get(fsio.qualified(spark, path))
+                    if record is not None and record.get("complete"):
+                        # an acknowledged claim's tmp is the claim's
+                        # durable repair authority — it lives exactly as
+                        # long as the claim (forget releases both when
+                        # the published manifest is itself reclaimed)
+                        continue
+                    if record is not None:
+                        # aged UNACKNOWLEDGED claim: the writer is dead
+                        # and never saw success — release claim and tmp
+                        # TOGETHER (tmps live exactly as long as their
+                        # claim); the allocated version is dropped
+                        fsio.get_commit_scheme().forget(
+                            spark, record["key"])
+                        other_reclaimed += 1
+                        continue
                     fsio.remove(spark, path)
                     other_reclaimed += 1
         deleted = []

@@ -847,3 +847,181 @@ def test_external_cas_read_repair_refetches_before_declaring_dead(
     scheme.cas = StaleFirstGet(ecas.directory)
     got = scheme.read_repair(spark, dest)
     assert got is not None and json.loads(got) == {"v": 1}
+
+
+def test_external_cas_conditional_release_refuses_superseding_claim(ecas):
+    """Review fix (r9): release keyed on claim identity — a stale
+    finisher holding a DEAD claim's identity must not delete the LIVE
+    successor claim that was released-and-re-acquired under it."""
+    assert ecas.acquire("k", {"tmp": "/a", "claim_id": "A"}) is None
+    assert ecas.release("k", claim_id="A") is True
+    assert ecas.acquire("k", {"tmp": "/b", "claim_id": "B"}) is None
+    # the stale finisher wakes with A's identity: refused
+    assert ecas.release("k", claim_id="A") is False
+    assert ecas.get("k")["claim_id"] == "B"
+    # matching identity still releases; releasing a gone claim is False
+    assert ecas.release("k", claim_id="B") is True
+    assert ecas.get("k") is None
+    assert ecas.release("k", claim_id="B") is False
+    # unconditional release (the forget path) needs no identity
+    assert ecas.acquire("k", {"tmp": "/c", "claim_id": "C"}) is None
+    assert ecas.release("k") is True
+    assert ecas.get("k") is None
+
+
+def test_external_cas_stale_finisher_cannot_kill_live_successor(
+        spark, tmp_path, ecas):
+    """Review fix (r9, the _finish lost-update race): finisher A
+    observes a dead claim (tmp gone, unacknowledged); before A acts,
+    another finisher releases it and writer C re-acquires the key with
+    a LIVE claim.  A's re-evaluation must recognize the successor as a
+    different claim and FINISH its publish instead of releasing it —
+    releasing would free the key for a third writer and silently
+    overwrite C's commit."""
+    scheme = fsio.ExternalCASScheme(ecas)
+    dest = str(tmp_path / "pub3" / "v1.json")
+    key = fsio.qualified(spark, dest)
+    ghost = fsio.qualified(spark, str(tmp_path / "pub3" / ".tmp-ghost"))
+    assert ecas.acquire(key, {"tmp": ghost, "claim_id": "dead"}) is None
+    stale_entry = ecas.get(key)              # what finisher A observed
+    # another finisher settles the dead claim; writer C re-acquires
+    assert ecas.release(key, claim_id="dead") is True
+    tmp_live = str(tmp_path / "pub3" / ".tmp-live")
+    fsio.write_text(spark, tmp_live, '{"who": "successor"}')
+    assert ecas.acquire(key, {"tmp": fsio.qualified(spark, tmp_live),
+                              "claim_id": "live"}) is None
+    # stale finisher A wakes: must not release the successor
+    assert scheme._finish(spark, key, dest, stale_entry) is True
+    current = ecas.get(key)
+    assert current is not None and current["claim_id"] == "live"
+    assert current["complete"] is True
+    assert json.loads(fsio.read_text(spark, dest)) == {"who": "successor"}
+
+
+def test_external_cas_concurrent_finishers_preserve_successor(
+        spark, tmp_path, ecas):
+    """Thread fuzz of the same race: several finishers contend on one
+    dead claim while a writer re-acquires the key.  The writer's commit
+    must survive with its claim acknowledged, no finisher may error,
+    and the key must never end up free."""
+    scheme = fsio.ExternalCASScheme(ecas)
+    dest = str(tmp_path / "pub4" / "v1.json")
+    key = fsio.qualified(spark, dest)
+    ghost = fsio.qualified(spark, str(tmp_path / "pub4" / ".tmp-ghost"))
+    assert ecas.acquire(key, {"tmp": ghost, "claim_id": "dead"}) is None
+    stale = dict(ecas.get(key))
+    tmp_w = str(tmp_path / "pub4" / ".tmp-w")
+    fsio.write_text(spark, tmp_w, '{"who": "w"}')
+    errors = []
+    barrier = threading.Barrier(5)
+
+    def finisher():
+        barrier.wait()
+        try:
+            scheme._finish(spark, key, dest, dict(stale))
+        except Exception as exc:    # noqa: BLE001
+            errors.append(repr(exc))
+
+    def writer():
+        barrier.wait()
+        try:
+            # retries internally until the dead claim is settled
+            assert scheme.put_if_absent(spark, tmp_w, dest) is True
+        except Exception as exc:    # noqa: BLE001
+            errors.append(repr(exc))
+
+    threads = [threading.Thread(target=finisher) for _ in range(4)]
+    threads.append(threading.Thread(target=writer))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    current = ecas.get(key)
+    assert current is not None and current["claim_id"] != "dead"
+    assert current["complete"] is True
+    assert json.loads(fsio.read_text(spark, dest)) == {"who": "w"}
+
+
+def test_external_cas_acquire_never_leaks_claim_tempfile(ecas):
+    """Review fix (r9): a failed claim-record write (unserializable
+    record standing in for disk-full/interrupt) must not leak the
+    .claim-* temp file into the scanned CAS directory."""
+    import os
+    with pytest.raises(TypeError):
+        ecas.acquire("k", {"tmp": object()})
+    assert [n for n in os.listdir(ecas.directory)
+            if ".claim-" in n] == []
+    # nothing was half-registered: the key is still acquirable
+    assert ecas.acquire("k", {"tmp": "/a", "claim_id": "A"}) is None
+
+
+def test_vacuum_tmp_sweep_upholds_claim_tmp_invariant(
+        spark, tmp_path, ecas):
+    """Review fix (r9): vacuum's .tmp-* sweep must uphold 'tmps live
+    exactly as long as their claim'.  An acknowledged claim's retained
+    tmp is SKIPPED (it is the claim's durable repair authority); an
+    aged unacknowledged claim is released TOGETHER with its tmp; a
+    claimless tmp stays a plain remnant and is removed."""
+    scheme = fsio.ExternalCASScheme(ecas)
+    fsio.set_commit_scheme(scheme)
+    be = VersionedTableBackend(root=str(tmp_path / "vroot_inv"))
+    be.write(_df(spark, [(1, "a")]), "t_inv", "id", 1)
+    tdir = be._table_dir(spark, "t_inv")
+    retained = [n for n in fsio.listdir(spark, tdir)
+                if n.startswith(".tmp-")]
+    assert retained, "commit should retain the claim's tmp"
+    key_v1 = fsio.qualified(spark, be._manifest_path(spark, "t_inv", 1))
+    assert ecas.get(key_v1)["complete"] is True
+    # acknowledged claim's tmp survives an aggressive vacuum
+    be.vacuum(spark, min_age_seconds=0)
+    assert [n for n in fsio.listdir(spark, tdir)
+            if n.startswith(".tmp-")] == retained
+    assert ecas.get(key_v1)["complete"] is True
+
+    # aged UNACKNOWLEDGED claim: released together with its tmp.
+    # settle_pending would normally finish it from the live tmp first;
+    # simulate a settle that keeps failing so the sweep is the backstop
+    dead_tmp = fsio.join(tdir, ".tmp-deadwriter")
+    fsio.write_text(spark, dead_tmp, '{"version": 99}')
+    key_v99 = fsio.qualified(spark, be._manifest_path(spark, "t_inv", 99))
+    assert ecas.acquire(key_v99, {"tmp": fsio.qualified(spark, dead_tmp),
+                                  "claim_id": "deadwriter"}) is None
+    scheme.settle_pending = lambda *a, **k: None
+    # plus a claimless remnant
+    orphan = fsio.join(tdir, ".tmp-orphan")
+    fsio.write_text(spark, orphan, "garbage")
+    be.vacuum(spark, min_age_seconds=0)
+    assert not fsio.exists(spark, dead_tmp)      # released with claim
+    assert ecas.get(key_v99) is None
+    assert not fsio.exists(spark, orphan)        # plain remnant removed
+    names = [n for n in fsio.listdir(spark, tdir)
+             if n.startswith(".tmp-")]
+    assert names == retained                     # invariant tmp intact
+
+
+def test_local_fs_default_scheme_warns_once(spark, tmp_path):
+    """Review fix (r9): the default rename scheme on a file:// root
+    keeps a residual cross-process put-if-absent window (Delta's
+    HDFSLogStore-on-file:// caveat) — versioned commits emit ONE
+    process-wide warning naming the external-CAS remedy; CAS-capable
+    schemes never warn."""
+    import warnings as w
+    fsio._local_cas_warned = False
+    be = VersionedTableBackend(root=str(tmp_path / "vroot_warn"))
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        be.write(_df(spark, [(1, "a")]), "t_warn", "id", 1)
+        be.append(_df(spark, [(2, "b")]), "t_warn", "id", 1)
+    hits = [r for r in rec
+            if issubclass(r.category, fsio.LocalFSMultiDriverWarning)]
+    assert len(hits) == 1
+    assert "ExternalCASScheme" in str(hits[0].message)
+    # CAS-capable schemes: silent even with the flag re-armed
+    fsio._local_cas_warned = False
+    fsio.set_commit_scheme(fsio.SingleDriverCASScheme())
+    with w.catch_warnings(record=True) as rec2:
+        w.simplefilter("always")
+        be.append(_df(spark, [(3, "c")]), "t_warn", "id", 1)
+    assert [r for r in rec2
+            if issubclass(r.category, fsio.LocalFSMultiDriverWarning)] == []

@@ -1,0 +1,132 @@
+"""Store-level query-DSL scale contract (``MarcStore.search``): the
+reference's primary user-facing read path — ``MarcSet.from_query(
+Query.from_string(...))``, dlx/marc/query.py:112-346 — executed against
+the store's physical layout.  These tests pin the PLAN SHAPES that make
+the path survive a 100 TB store, measured at 1M records by
+``tools/marc_bench.py --query`` (README table):
+
+- ``id:``/``001:`` point terms prune the scan to ONE pt bucket at the
+  partition level (pt = _id % N_BUCKETS) — the plan analog of the
+  reference's ``_id`` index; a regression to a full-store scan fails
+  here, not in a prose promise;
+- logical-field and xref terms compile to one codegen'd predicate pass:
+  zero shuffles, zero Python evaluation in the plan;
+- results stay consistent with the set-level ``MarcSet.from_query``
+  path over the same table.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlx_spark import plans
+from dlx_spark.marc import Auth, Bib
+from dlx_spark.marc.store import MarcStore
+
+
+@pytest.fixture
+def store(spark, tmp_path, auth_docs, bib_docs):
+    st = MarcStore(spark, str(tmp_path / "qscale"))
+    st.commit([Auth(d) for d in auth_docs], user="seeder")
+    idx = st.auth_index()
+    st.commit([Bib(d, auth_index=idx) for d in bib_docs], user="seeder")
+    return st
+
+
+def _scan_partition_filters(df) -> str:
+    """The PartitionFilters lines of the physical plan's file scans."""
+    plan = plans.simple_plan(df)
+    return "\n".join(line.strip() for line in plan.splitlines()
+                     if "PartitionFilters" in line)
+
+
+def test_search_id_point_prunes_to_one_bucket(store):
+    df = store.search("bib", "id:1")
+    pf = _scan_partition_filters(df)
+    assert re.search(rf"pt#\d+ = {1 % MarcStore.N_BUCKETS}\)", pf), pf
+    rows = df.collect()
+    assert [r["_id"] for r in rows] == [1]
+    assert "pt" not in df.columns
+
+
+def test_search_001_prunes_like_id(store):
+    df = store.search("bib", "001:2")
+    pf = _scan_partition_filters(df)
+    assert re.search(rf"pt#\d+ = {2 % MarcStore.N_BUCKETS}\)", pf), pf
+    assert [r["_id"] for r in df.collect()] == [2]
+
+
+def test_search_or_of_ids_prunes_to_bucket_union(store):
+    df = store.search("bib", "id:1 OR id:2")
+    pf = _scan_partition_filters(df)
+    assert re.search(r"pt#\d+ IN \(1,2\)", pf), pf
+    assert sorted(r["_id"] for r in df.collect()) == [1, 2]
+
+
+def test_search_id_and_text_still_prunes(store):
+    """A point id ANDed with a non-prunable term keeps the partition
+    filter: the text semi-join runs against the already-pruned base."""
+    df = store.search("bib", "id:1 AND title:this")
+    pf = _scan_partition_filters(df)
+    assert re.search(rf"pt#\d+ = {1 % MarcStore.N_BUCKETS}\)", pf), pf
+    assert [r["_id"] for r in df.collect()] == [1]
+
+
+def test_search_logical_field_single_pass_no_python(store):
+    df = store.search("bib", "title:this")
+    assert plans.shuffle_count(df) == 0
+    plan = plans.simple_plan(df)
+    assert "EvalPython" not in plan        # Batch- and Arrow-
+    assert "CartesianProduct" not in plan
+    assert [r["_id"] for r in df.collect()] == [1]
+
+
+def test_search_xref_single_pass_no_python(store):
+    df = store.search("bib", "xref:1")
+    assert plans.shuffle_count(df) == 0
+    plan = plans.simple_plan(df)
+    assert "EvalPython" not in plan
+    assert df.count() >= 1
+
+
+def test_search_consistent_with_set_level_from_query(store):
+    """search() and the set-level from_query path agree on the same
+    table (the store path only adds layout exploitation, never
+    different semantics)."""
+    from dlx_spark.marc import parser as mparser
+    from dlx_spark.marc import query as q
+    got = sorted(r["_id"] for r in
+                 store.search("bib", "245__a:this").collect())
+    query = q.Query.from_string("245__a:this", record_type="bib",
+                                auth_index=store.auth_index())
+    ctx = mparser.QueryContext(store.bibs(), "bib",
+                               auth_index=store.auth_index(),
+                               headings=store.headings())
+    want = sorted(r["_id"] for r in
+                  mparser.execute_query(query, ctx).collect())
+    ctx.close()
+    assert got == want and got == [1]
+
+
+def test_search_empty_store_returns_empty(spark, tmp_path):
+    st = MarcStore(spark, str(tmp_path / "empty_qscale"))
+    assert st.search("bib", "id:1").count() == 0
+
+
+def test_search_context_reused_and_invalidated_on_mutation(store):
+    """The tokenized view is built once per record type and reused
+    across searches (the reference's persistent-index analog) — and any
+    live-table mutation drops it, so a search never reads stale
+    tokens."""
+    assert store.search("bib", "245__a:this").count() == 1
+    ctx1 = store._query_ctxs.get("bib")
+    assert ctx1 is not None
+    store.search("bib", "245__a:another").count()
+    assert store._query_ctxs.get("bib") is ctx1          # reused
+    rec = store.get("bib", 1)
+    rec.set("245", "a", "Fresh title", auth_control=False)
+    store.commit([rec])
+    assert store._query_ctxs.get("bib") is not ctx1      # invalidated
+    assert store.search("bib", "245__a:fresh").count() == 1
+    assert store.search("bib", "245__a:this").count() == 0

@@ -406,6 +406,41 @@ def test_connected_components(spark):
     assert surv == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
 
 
+def test_connected_components_chain_converges_log_rounds(spark):
+    """Round-9 guard: a 64-node chain (the adversarial long-diameter
+    graph capped mega-buckets legitimately produce) must converge in
+    O(log diameter) rounds via pointer jumping — and rounds-to-converge
+    telemetry is exposed so probes can watch for a diameter
+    regression."""
+    from dlx_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 64)],
+                                  "id_a long, id_b long")
+    stats: dict = {}
+    out = connected_components(pairs, stats=stats)
+    comps = {r.component for r in out.collect()}
+    assert comps == {1}
+    assert stats["converged"] is True
+    # diameter 63; pointer jumping needs ~log2(63)+slack, never O(n)
+    assert stats["rounds"] <= 10, stats
+
+
+def test_connected_components_nonconvergence_raises_loudly(spark):
+    """Partial labels silently split clusters downstream, so hitting
+    max_iter is an ERROR by default; on_nonconverge='warn' restores the
+    old exploratory behavior."""
+    import pytest as _pytest
+    from dlx_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 32)],
+                                  "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+    stats: dict = {}
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(pairs, max_iter=2, on_nonconverge="warn",
+                             stats=stats).collect()
+    assert stats["converged"] is False and stats["rounds"] == 2
+
+
 def test_dedup_near(spark):
     from dlx_spark.operators.dedup import dedup_near
     corpus = spark.createDataFrame([(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 99)],

@@ -142,3 +142,35 @@ def test_vector_operator_plan_construction_is_action_free(spark):
     similarity.cosine_near_duplicates(df, dim=8, multiprobe_hamming=1,
                                       bucket_cap=None)
     similarity.knn_join(df, df, dim=8)
+
+
+def test_lsh_verified_pairs_slim_regime_single_exchange(spark):
+    """The one-shuffle formulation's structural contract (round 8/9):
+    in the slim regime the band self-join reuses ONE band-bucket
+    partitioning and the signature join-backs broadcast — so the whole
+    pair pipeline carries at most one exchange, and the cross-band
+    dedup is a filter, not a `distinct` exchange.  The wall-clock gain
+    over the distinct-based pipeline is modest (~1.05-1.2×); THIS is
+    the win that matters at cluster scale, so CI defends the plan
+    shape, not the noisy number."""
+    from dlx_spark.operators.dedup import (lsh_verified_pairs,
+                                           minhash_signatures)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs).cache()
+    try:
+        pairs = lsh_verified_pairs(sigs, bands=16, min_match=32,
+                                   carry_signatures=False)
+        plan = plans.simple_plan(pairs)
+        # one exchange (band-bucket, reused by both self-join sides);
+        # a distinct-based regression adds a second — this is the pin
+        assert plans.shuffle_count(pairs) <= 1, plan
+        assert plans.sort_merge_join_count(pairs) == 0
+        # carry regime: the self-join already holds both signatures —
+        # no signature join-backs at all
+        carried = lsh_verified_pairs(sigs, bands=16, min_match=32,
+                                     carry_signatures=True)
+        cplan = plans.simple_plan(carried)
+        assert plans.shuffle_count(carried) <= 1, cplan
+        assert plans.broadcast_join_count(carried) <= 1
+    finally:
+        sigs.unpersist()

@@ -9,6 +9,7 @@ for the equivalent derivation on local[N].
 
 Usage: python tools/marc_bench.py [n_records]
        python tools/marc_bench.py --store [n_records]
+       python tools/marc_bench.py --query [n_records]
 
 ``--store`` (default 1,000,000 records) measures the full STORE
 pipeline — the reference's hottest production path — not just the
@@ -188,9 +189,82 @@ def store_main():
     spark.stop()
 
 
+def query_main():
+    """--query [n]: the query DSL (``Query.from_string`` →
+    ``MarcStore.search``) measured against an n-record store — the
+    reference's primary user-facing READ path (dlx/marc/query.py:
+    112-346).  Builds the same synthetic store as ``--store``, then
+    times each query cold and warm: the first fielded-text query pays
+    the tokenized-view build (the analog of the reference's persistent
+    ``_index_{tag}`` collections, built here on demand and cached per
+    record type); point-id queries exercise the pt-bucket partition
+    pruning pinned in tests/test_marc_query_scale.py."""
+    import tempfile
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    from dlx_spark.marc.store import MarcStore
+    from dlx_spark.session import get_spark
+
+    spark = get_spark("marc_query_bench",
+                      cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="dlx_marc_query_")
+    try:
+        store = MarcStore(spark, root)
+        t0 = time.time()
+        store.commit_frame(synth_auths_df(spark, 1000), record_type="auth")
+        store.commit_frame(synth_records_df(spark, n), record_type="bib")
+        build_sec = round(time.time() - t0, 2)
+
+        queries = {
+            # point reads: partition-pruned to 1 (resp. 2) of 16 buckets
+            "id_point": f"id:{n // 2}",
+            "id_or_ids": f"id:{n // 4} OR id:{n // 2}",
+            # fielded text: stemmed containment over the tokenized view
+            "fielded_text": "245__a:climate",
+            "fielded_phrase": '245__a:"climate change"',
+            # auth-controlled expansion: text matches heading values,
+            # expands to every record linking the matching auths
+            "xref_text_expansion": "650__a:heading",
+            "xref_point": "xref:5",
+            # derived-column predicate passes (no joins, no Python)
+            "logical_field": "title:climate",
+            "boolean_combo": "245__a:climate AND NOT 520__a:security",
+        }
+        results = {}
+        for name, qs in queries.items():
+            t0 = time.time()
+            hits_cold = store.search("bib", qs).count()
+            cold = time.time() - t0
+            t0 = time.time()
+            hits_warm = store.search("bib", qs).count()
+            warm = time.time() - t0
+            assert hits_cold == hits_warm
+            results[name] = {"query": qs, "hits": hits_cold,
+                             "cold_sec": round(cold, 2),
+                             "warm_sec": round(warm, 3)}
+
+        warm_total = sum(r["warm_sec"] for r in results.values())
+        print(json.dumps({
+            "metric": "marc_query_dsl",
+            "n_records": n,
+            "store_build_sec": build_sec,
+            "warm_queries_per_sec": round(len(results) / warm_total, 2),
+            "queries": results,
+        }))
+    finally:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--store":
         store_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--query":
+        query_main()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from dlx_spark.session import get_spark

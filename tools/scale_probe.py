@@ -104,10 +104,25 @@ def skew_main() -> None:
         # the bucket-size split, the mega-bucket window sort, and the
         # small-bucket verify join
         t0 = _t.time()
-        n_verified = dedup.minhash_near_duplicates(
+        verified = dedup.minhash_near_duplicates(
             corpus, threshold=0.8, bucket_cap=64,
-            auto_bypass_bytes=0).count()
+            auto_bypass_bytes=0).cache()
+        n_verified = verified.count()
         t_verified = round(_t.time() - t0, 2)
+
+        # connected components over the capped CHAIN edges — the
+        # adversarial long-diameter graph (bucket_cap turns the
+        # n_clones-document mega-bucket into one n_clones-long chain):
+        # rounds-to-converge telemetry proves pointer jumping holds
+        # O(log diameter) on the planted worst case, so an O(diameter)
+        # regression shows up here as a rounds blow-up, not a prose
+        # promise
+        cc_stats: dict = {}
+        t0 = _t.time()
+        comp = dedup.connected_components(verified, stats=cc_stats)
+        n_components = comp.select("component").distinct().count()
+        t_cc = round(_t.time() - t0, 2)
+        verified.unpersist()
 
         print(json.dumps({
             "metric": "lsh_skew_probe",
@@ -120,6 +135,10 @@ def skew_main() -> None:
             "speedup": round(t_full / t_capped, 1) if t_capped else None,
             "verified_chain_pairs": n_verified,
             "verified_chain_sec": t_verified,
+            "cc_rounds": cc_stats.get("rounds"),
+            "cc_converged": cc_stats.get("converged"),
+            "cc_components": n_components,
+            "cc_sec": t_cc,
         }))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
