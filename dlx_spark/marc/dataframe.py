@@ -79,6 +79,34 @@ def explode_subfields(df: DataFrame, record_type: str = "bib") -> DataFrame:
     return out
 
 
+def subfield_token_rows(df: DataFrame, record_type: str = "bib",
+                        headings: DataFrame | None = None) -> DataFrame:
+    """The tokenized subfield view backing fielded text search —
+    (record_id, tag, code, value, xref, toks, value_norm), one row per
+    non-empty subfield, linked values overlaid from ``headings`` (so
+    text matches against the CURRENT heading, the reference's index
+    semantics).  This is the single derivation shared by the on-demand
+    per-session view (parser.QueryContext) and the PERSISTED search
+    index (``MarcStore.build_search_index``); keeping it in one place
+    is what makes the two provably interchangeable."""
+    from dlx_spark.functions.tokenizer import scrub_col, tokenize_udf
+    ex = explode_subfields(df, record_type)
+    if headings is not None:
+        base = headings.filter(F.col("lang").isNull()).select(
+            "auth_id", F.col("code").alias("h_code"),
+            F.col("value").alias("h_value"))
+        ex = (ex.join(F.broadcast(base),
+                      on=[ex["xref"] == base["auth_id"],
+                          ex["code"] == base["h_code"]],
+                      how="left")
+              .withColumn("value", F.coalesce("h_value", "value"))
+              .drop("auth_id", "h_code", "h_value"))
+    return (ex.filter(F.col("value").isNotNull() | F.col("xref").isNotNull())
+            .select("record_id", "tag", "code", "value", "xref",
+                    tokenize_udf(F.col("value")).alias("toks"),
+                    scrub_col(F.col("value")).alias("value_norm")))
+
+
 def auth_headings(auths: DataFrame) -> DataFrame:
     """Extract the authority join dimension: one row per heading subfield
     (+ language-variant rows per the translation-tag map).  Heading field

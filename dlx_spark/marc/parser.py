@@ -80,34 +80,29 @@ class QueryContext:
 
     def __init__(self, df: DataFrame, record_type: str = "bib",
                  auth_index: AuthIndex | None = None,
-                 headings: DataFrame | None = None):
+                 headings: DataFrame | None = None,
+                 tokens: DataFrame | None = None):
         self.df = df
         self.record_type = record_type
         self.auth_index = auth_index
         self.headings = headings
+        self._provided_tokens = tokens
         self._subfield_tokens: DataFrame | None = None
+        self._cached = False
 
     def subfield_tokens(self) -> DataFrame:
         if self._subfield_tokens is None:
-            from dlx_spark.functions.tokenizer import tokenize_udf
-            from dlx_spark.marc import dataframe as mdf
-            ex = mdf.explode_subfields(self.df, self.record_type)
-            if self.headings is not None:
-                base = self.headings.filter(F.col("lang").isNull()).select(
-                    "auth_id", F.col("code").alias("h_code"), F.col("value").alias("h_value"))
-                ex = (ex.join(F.broadcast(base),
-                              on=[ex["xref"] == base["auth_id"], ex["code"] == base["h_code"]],
-                              how="left")
-                      .withColumn("value", F.coalesce("h_value", "value"))
-                      .drop("auth_id", "h_code", "h_value"))
-            from dlx_spark.functions.tokenizer import scrub_col
-            self._subfield_tokens = (
-                ex.filter(F.col("value").isNotNull() | F.col("xref").isNotNull())
-                .select("record_id", "tag", "code", "value", "xref",
-                        tokenize_udf(F.col("value")).alias("toks"),
-                        scrub_col(F.col("value")).alias("value_norm"))
-                .cache()
-            )
+            if self._provided_tokens is not None:
+                # a PERSISTED index (MarcStore.build_search_index): the
+                # tokens are already materialized parquet — no derive,
+                # no UDF in the query plan, no session cache needed
+                self._subfield_tokens = self._provided_tokens
+            else:
+                from dlx_spark.marc import dataframe as mdf
+                self._subfield_tokens = mdf.subfield_token_rows(
+                    self.df, self.record_type, headings=self.headings
+                ).cache()
+                self._cached = True
         return self._subfield_tokens
 
     def headings_df(self) -> DataFrame | None:
@@ -134,10 +129,13 @@ class QueryContext:
 
     def close(self) -> None:
         """Release the cached tokenized view (one cached copy lives per
-        context otherwise — long-lived services should close contexts)."""
+        context otherwise — long-lived services should close contexts).
+        A persisted-index context holds no cache — nothing to release."""
         if self._subfield_tokens is not None:
-            self._subfield_tokens.unpersist()
+            if self._cached:
+                self._subfield_tokens.unpersist()
             self._subfield_tokens = None
+            self._cached = False
 
 
 # ---------------------------------------------------------------------------

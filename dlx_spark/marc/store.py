@@ -211,7 +211,9 @@ class MarcStore:
         if ctx is None:
             ctx = mparser.QueryContext(self.table(record_type), record_type,
                                        auth_index=self.auth_index(),
-                                       headings=self.headings())
+                                       headings=self.headings(),
+                                       tokens=self._search_index_df(
+                                           record_type))
             self._query_ctxs[record_type] = ctx
         return ctx
 
@@ -226,6 +228,68 @@ class MarcStore:
                 ctx.close()
             except Exception:
                 pass
+
+    # --- persisted search index -----------------------------------------------
+
+    def _tokens_name(self, record_type: str) -> str:
+        return ("bibs" if record_type == "bib" else "auths") + "_tokens"
+
+    def _dirty_marker_path(self, record_type: str) -> str:
+        return fsio.join(self.root,
+                         f"_dirty_{self._tokens_name(record_type)}.json")
+
+    def _write_dirty_marker(self, record_type: str,
+                            buckets: list[int] | None) -> None:
+        import json as _json
+        fsio.write_text_atomic(self.spark,
+                               self._dirty_marker_path(record_type),
+                               _json.dumps({"buckets": buckets}))
+
+    def build_search_index(self, record_type: str) -> None:
+        """Materialize the tokenized subfield view as a PERSISTED,
+        bucketed table under the store root — the engine's analog of
+        the reference's persistent ``_index_{tag}`` collections
+        (dlx/marc/query.py:112-148, maintained there on every commit).
+        Once built, it is maintained INCREMENTALLY: every commit/delete
+        re-derives only the touched pt buckets from the live table (the
+        source of truth) under a write-ahead dirty marker, so a crash
+        at ANY point between the live swap and the index refresh
+        re-converges on the next store open (``_recover`` re-runs the
+        idempotent derive-from-live).  ``search`` then reads the index
+        instead of building a per-session tokenized cache: the cold
+        fielded-text query drops from an O(store) tokenize (pandas-UDF
+        stemming over every subfield — 18.6 s at 1M records) to a plain
+        parquet scan, and the stemming UDF leaves the QUERY plan
+        entirely — across sessions, which is what matters at 100 TB
+        where a per-session rebuild would be hours."""
+        self._write_dirty_marker(record_type, None)
+        self._refresh_search_index(record_type, None)
+
+    def _refresh_search_index(self, record_type: str,
+                              buckets: list[int] | None) -> None:
+        """Re-derive the persisted token index's touched buckets from
+        the LIVE table and swap them in (crash-safe bucket overwrite),
+        then clear the dirty marker.  Derive-from-source makes this
+        idempotent — recovery can simply re-run it."""
+        name_live = "bibs" if record_type == "bib" else "auths"
+        tname = self._tokens_name(record_type)
+        if not self._exists(name_live):
+            fsio.remove(self.spark, self._dirty_marker_path(record_type))
+            return
+        live = self.spark.read.parquet(self._path(name_live))
+        if buckets is not None:
+            live = live.filter(F.col("pt").isin(buckets))
+        tokens = mdf.subfield_token_rows(live.drop("pt"), record_type,
+                                         headings=self.headings())
+        self._stage(tokens, f"_stage_{tname}")
+        self._overwrite_buckets(tname, f"_stage_{tname}", buckets)
+        fsio.remove(self.spark, self._dirty_marker_path(record_type))
+
+    def _search_index_df(self, record_type: str) -> DataFrame | None:
+        tname = self._tokens_name(record_type)
+        if not self._exists(tname):
+            return None
+        return self.spark.read.parquet(self._path(tname)).drop("pt")
 
     def _id_buckets(self, cond) -> set[int] | None:
         """pt buckets implied by a point-id condition: {n % N} for an
@@ -506,7 +570,11 @@ class MarcStore:
                     raise InvalidNonAuthField(rec.record_type, field.tag, sub.code)
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
-        return df.withColumn("pt", F.pmod(F.col("_id"), F.lit(self.N_BUCKETS)).cast("int"))
+        # record tables bucket on _id; the persisted token index buckets
+        # on record_id — same value, so live bucket b and its token rows
+        # always co-locate and one `buckets` list drives both rewrites
+        key = "_id" if "_id" in df.columns else "record_id"
+        return df.withColumn("pt", F.pmod(F.col(key), F.lit(self.N_BUCKETS)).cast("int"))
 
     def _upsert(self, record_type: str, new_df: DataFrame,
                 ids: list[int] | None) -> None:
@@ -540,8 +608,18 @@ class MarcStore:
             buckets = None
             union = new_df
 
+        index_live = self._exists(self._tokens_name(record_type))
+        if index_live:
+            # write-ahead DIRTY marker BEFORE the live swap: a crash
+            # anywhere between here and the index refresh leaves the
+            # marker behind, and recovery re-derives the touched
+            # buckets from the live table — idempotent, so the index
+            # can never silently go stale
+            self._write_dirty_marker(record_type, buckets)
         self._stage(union, f"_stage_{name}")
         self._overwrite_buckets(name, f"_stage_{name}", buckets)
+        if index_live:
+            self._refresh_search_index(record_type, buckets)
 
     def compact(self, record_type: str) -> None:
         """Fold the small files that per-commit dynamic overwrites leave
@@ -633,6 +711,19 @@ class MarcStore:
                 self._apply_overwrite(name, stage_name, payload.get("buckets"))
                 self._unstage(stage_name)
             self._clear_txn_marker(name)
+        # dirty SEARCH-INDEX markers replay AFTER the swaps above, so
+        # the rebuild derives from the recovered live table.  A torn
+        # marker reads as buckets=None — a full rebuild, always safe
+        for marker in fsio.glob(self.spark,
+                                fsio.join(self.root, "_dirty_*_tokens.json")):
+            record_type = ("bib" if fsio.basename(marker).startswith(
+                "_dirty_bibs") else "auth")
+            try:
+                buckets = json.loads(
+                    fsio.read_text(self.spark, marker)).get("buckets")
+            except ValueError:
+                buckets = None
+            self._refresh_search_index(record_type, buckets)
 
     def _stage(self, df: DataFrame, name: str) -> DataFrame:
         p = self._path(name)
@@ -728,10 +819,15 @@ class MarcStore:
                 .filter(F.col("pt").isin(buckets))
                 .filter(~F.col("_id").isin(ids))
                 .drop("pt"))
+        index_live = self._exists(self._tokens_name(record_type))
+        if index_live:
+            self._write_dirty_marker(record_type, buckets)
         self._stage(keep, f"_stage_{name}")
         # _overwrite_buckets drops any touched bucket the stage left empty
         # (dynamic overwrite alone would keep its old files)
         self._overwrite_buckets(name, f"_stage_{name}", buckets)
+        if index_live:
+            self._refresh_search_index(record_type, buckets)
 
     def restore(self, record_type: str, rid: int, user: str = "admin",
                 now: datetime | None = None) -> Marc:

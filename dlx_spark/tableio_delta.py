@@ -67,6 +67,16 @@ class DeltaTableBackend(ParquetTableBackend):
     """Delta-Lake-backed tableio backend (see module docstring).
     Drop-in for ``tableio.set_backend``."""
 
+    #: delta-spark major versions this backend's API usage was written
+    #: against (DeltaTable.forPath/detail/optimize/history/alias-merge,
+    #: userMetadata commit annotation, versionAsOf time travel — all
+    #: stable across 3.x/4.x).  IMPORTANT HONESTY NOTE: delta-spark is
+    #: absent from the build sandbox, so the delta leg of
+    #: tests/test_tableio_contract.py has never executed there — this
+    #: guard makes the FIRST real environment flag version drift loudly
+    #: instead of failing deep inside a commit.
+    SUPPORTED_DELTA_MAJORS = (3, 4)
+
     def __init__(self, root: str | None = None):
         try:
             from delta.tables import DeltaTable  # noqa: F401
@@ -75,6 +85,22 @@ class DeltaTableBackend(ParquetTableBackend):
                 "DeltaTableBackend needs the delta-spark package "
                 "(pip install delta-spark) and a session built with "
                 "dlx_spark.session.get_spark(delta=True)") from exc
+        try:
+            import importlib.metadata as _md
+            version = _md.version("delta-spark")
+            major = int(version.split(".")[0])
+        except Exception:
+            version, major = None, None
+        if major is not None and major not in self.SUPPORTED_DELTA_MAJORS:
+            import warnings
+            warnings.warn(
+                f"DeltaTableBackend was written against delta-spark "
+                f"majors {self.SUPPORTED_DELTA_MAJORS} but found "
+                f"{version}; the contract tests "
+                f"(tests/test_tableio_contract.py, delta leg) have never "
+                f"run in the build sandbox — run them against this "
+                f"version before trusting multi-writer commits.",
+                RuntimeWarning, stacklevel=2)
         self._root = root
 
     # ---------------------------------------------------------- paths

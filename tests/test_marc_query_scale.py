@@ -16,6 +16,7 @@ the path survive a 100 TB store, measured at 1M records by
 """
 
 import re
+from datetime import datetime
 
 import pytest
 from pyspark.sql import functions as F
@@ -23,6 +24,9 @@ from pyspark.sql import functions as F
 from dlx_spark import plans
 from dlx_spark.marc import Auth, Bib
 from dlx_spark.marc.store import MarcStore
+
+T1 = datetime(2026, 2, 1, 12, 0, 0)
+T2 = datetime(2026, 2, 2, 12, 0, 0)
 
 
 @pytest.fixture
@@ -130,3 +134,68 @@ def test_search_context_reused_and_invalidated_on_mutation(store):
     assert store._query_ctxs.get("bib") is not ctx1      # invalidated
     assert store.search("bib", "245__a:fresh").count() == 1
     assert store.search("bib", "245__a:this").count() == 0
+
+
+def test_persisted_index_identical_results_and_no_udf_in_plan(store):
+    """build_search_index materializes the tokenized view (the
+    reference's persistent _index_{tag} analog): search results are
+    provably identical (shared derivation,
+    mdf.subfield_token_rows), and the stemming pandas UDF leaves the
+    QUERY plan entirely — the tokens are a parquet scan."""
+    before = sorted(r["_id"] for r in
+                    store.search("bib", "245__a:this").collect())
+    store.build_search_index("bib")
+    store._invalidate_query_contexts()
+    after = sorted(r["_id"] for r in
+                   store.search("bib", "245__a:this").collect())
+    assert before == after == [1]
+    plan = plans.simple_plan(store.search("bib", "245__a:this"))
+    assert "EvalPython" not in plan
+    assert "bibs_tokens" in plan          # the persisted index IS the source
+
+
+def test_persisted_index_refreshes_incrementally(store):
+    """Commits and deletes re-derive only the touched buckets; the
+    index never serves stale tokens."""
+    store.build_search_index("bib")
+    rec = store.get("bib", 1)
+    rec.set("245", "a", "Zebra unique", auth_control=False)
+    store.commit([rec], user="editor", now=T1)
+    assert [r["_id"] for r in
+            store.search("bib", "245__a:zebra").collect()] == [1]
+    assert store.search("bib", "245__a:this").count() == 0   # old tokens gone
+    store.delete("bib", 1, user="editor", now=T2)
+    assert store.search("bib", "245__a:zebra").count() == 0  # delete removes
+
+
+def test_persisted_index_heading_change_propagates(store):
+    """An auth heading edit refreshes the attached records' token rows
+    through the same propagation batch (index maintenance piggybacks on
+    the recommit)."""
+    store.build_search_index("bib")
+    a1 = store.get("auth", 1)
+    a1.set("150", "a", "Quixotic heading", auth_control=False)
+    store.commit([a1], user="editor", now=T1)
+    assert store.search("bib", "650__a:quixotic").count() == 2
+
+
+def test_persisted_index_crash_recovery_reconverges(spark, store):
+    """A crash between the live swap and the index refresh leaves the
+    write-ahead dirty marker; the next store open re-derives the
+    touched buckets from the (recovered) live table — the index can
+    never silently go stale."""
+    store.build_search_index("bib")
+    orig = MarcStore._refresh_search_index
+    MarcStore._refresh_search_index = (
+        lambda self, rt, buckets: (_ for _ in ()).throw(
+            RuntimeError("simulated crash")))
+    try:
+        rec = store.get("bib", 2)
+        rec.set("245", "a", "Crashed edit", auth_control=False)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.commit([rec], user="editor", now=T1)
+    finally:
+        MarcStore._refresh_search_index = orig
+    reopened = MarcStore(spark, store.root)       # _recover replays marker
+    assert [r["_id"] for r in
+            reopened.search("bib", "245__a:crashed").collect()] == [2]

@@ -144,6 +144,46 @@ def test_heading_change_propagation(store):
     assert row["updated"] == T1
 
 
+def test_auth_cycle_propagation_terminates(store):
+    """Auth→auth heading propagation with a CYCLE (A 550→B, B 550→A):
+    one heading edit recommits the attached auth exactly once and
+    terminates — the engine's structural analog of the reference's
+    feedback guard (dlx/marc/__init__.py:1162-1165; here commit_frame
+    never propagates, so recursion cannot occur by construction).
+    Depth-2 stop: a bib attached to the MID auth is NOT recommitted —
+    its cached 650 value denormalizes the mid's own heading, which did
+    not change.  Measured at 100k attached records by
+    tools/marc_bench.py --cascade."""
+    from dlx_spark.marc.record import Datafield, Linked, Literal
+    from dlx_spark.marc import Auth as _Auth, Bib as _Bib
+    a3 = _Auth().set("150", "a", "Topic three", auth_control=False)
+    a4 = _Auth().set("150", "a", "Topic four", auth_control=False)
+    store.commit([a3, a4], user="seeder", now=T1)
+    a3, a4 = store.get("auth", 3), store.get("auth", 4)
+    a3.fields.append(Datafield("550", " ", " ", [Linked("a", 4)], "auth"))
+    a4.fields.append(Datafield("550", " ", " ", [Linked("a", 3)], "auth"))
+    store.commit([a3, a4], user="seeder", now=T1)
+    b = _Bib()
+    b.fields.append(Datafield("245", " ", " ",
+                              [Literal("a", "Mid-linked bib")], "bib"))
+    b.fields.append(Datafield("650", " ", " ", [Linked("a", 4)], "bib"))
+    bib_id = store.commit([b], user="seeder", now=T1)[0]
+
+    a3 = store.get("auth", 3)
+    a3.set("150", "a", "Topic three renamed", auth_control=False)
+    store.commit([a3], user="editor", now=T2)   # must terminate
+
+    a4 = store.get("auth", 4)
+    assert a4.get_value("550", "a") == "Topic three renamed"
+    assert a4.get_value("150", "a") == "Topic four"     # heading untouched
+    a3 = store.get("auth", 3)
+    assert a3.get_value("550", "a") == "Topic four"     # cycle edge intact
+    # depth-2 stop: the bib hanging off the mid auth was not recommitted
+    row = store.bibs().filter(F.col("_id") == bib_id).first()
+    assert row["updated"] == T1
+    assert len(store.history(("bib"), bib_id)) == 1
+
+
 def test_commit_frame_bulk_ingest_distributed(spark, tmp_path):
     """Bulk-ingest scale check (VERDICT r01 #7): a 10k-record frame
     commits end-to-end through commit_frame — id assignment, audit

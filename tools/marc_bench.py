@@ -10,6 +10,8 @@ for the equivalent derivation on local[N].
 Usage: python tools/marc_bench.py [n_records]
        python tools/marc_bench.py --store [n_records]
        python tools/marc_bench.py --query [n_records]
+       python tools/marc_bench.py --cascade [n_bibs]
+       python tools/marc_bench.py --ingest [n_records]
 
 ``--store`` (default 1,000,000 records) measures the full STORE
 pipeline — the reference's hottest production path — not just the
@@ -39,9 +41,11 @@ WORDS = ("report security council climate change development human rights "
          "committee session agenda international cooperation").split()
 
 
-def synth_records_df(spark, n: int):
+def synth_records_df(spark, n: int, xref_col=None):
     """Deterministic synthetic bibs: 6 fields incl. repeated tags and a
-    linked 650 pointing at one of 1000 auths."""
+    linked 650 pointing at one of 1000 auths (or at ``xref_col`` — a
+    Column over ``_id`` — when given, e.g. ``F.lit(1)`` to attach every
+    bib to one auth for the cascade probe)."""
     from dlx_spark import schemas
     base = spark.range(1, n + 1).select(F.col("id").alias("_id"))
 
@@ -62,7 +66,8 @@ def synth_records_df(spark, n: int):
     note1 = F.concat_ws(" ", pick(5, 13), pick(6, 17), pick(7, 19))
     note2 = F.concat_ws(" ", pick(8, 23), pick(9, 29))
     symbol = F.concat(F.lit("A/RES/"), F.col("_id").cast("string"))
-    xref = (F.pmod(F.col("_id"), F.lit(1000)) + 1).cast("long")
+    xref = (xref_col.cast("long") if xref_col is not None
+            else (F.pmod(F.col("_id"), F.lit(1000)) + 1).cast("long"))
 
     df = base.select(
         "_id",
@@ -89,24 +94,42 @@ def synth_records_df(spark, n: int):
     return df
 
 
-def synth_auths_df(spark, n_auths: int):
+def synth_auths_df(spark, n_auths: int, see_also_col=None):
     """Deterministic auths: _id 1..n with a 150$a 'Heading i' — the
-    targets of the bib generator's 650 xrefs."""
+    targets of the bib generator's 650 xrefs.  ``see_also_col`` (a
+    nullable-long Column over ``_id``) adds a 550 see-also field linked
+    to that auth id where non-null — the auth→auth edge the cascade
+    probe plants (550$a is authority-controlled by 150 per
+    config.AUTHORITY_CONTROLLED['auth'])."""
     base = spark.range(1, n_auths + 1).select(F.col("id").alias("_id"))
     heading = F.concat(F.lit("Heading "), F.col("_id").cast("string"))
+    f150 = F.struct(
+        F.lit("150").alias("tag"), F.lit(" ").alias("ind1"),
+        F.lit(" ").alias("ind2"),
+        F.array(F.struct(F.lit("a").alias("code"),
+                         heading.alias("value"),
+                         F.lit(None).cast("long").alias("xref"))
+                ).alias("subfields"))
+    if see_also_col is None:
+        datafields = F.array(f150)
+    else:
+        sa = see_also_col.cast("long")
+        f550 = F.struct(
+            F.lit("550").alias("tag"), F.lit(" ").alias("ind1"),
+            F.lit(" ").alias("ind2"),
+            F.array(F.struct(
+                F.lit("a").alias("code"),
+                F.concat(F.lit("Heading "), sa.cast("string")).alias("value"),
+                sa.alias("xref"))).alias("subfields"))
+        datafields = F.when(sa.isNotNull(),
+                            F.array(f150, f550)).otherwise(F.array(f150))
     return base.select(
         "_id",
         F.lit("00000nz  a2200000n  4500").alias("leader"),
         F.array(F.struct(F.lit("008").alias("tag"),
                          F.lit("controlfield").alias("value"))
                 ).alias("controlfields"),
-        F.array(F.struct(
-            F.lit("150").alias("tag"), F.lit(" ").alias("ind1"),
-            F.lit(" ").alias("ind2"),
-            F.array(F.struct(F.lit("a").alias("code"),
-                             heading.alias("value"),
-                             F.lit(None).cast("long").alias("xref"))
-                    ).alias("subfields"))).alias("datafields"),
+        datafields.alias("datafields"),
         F.lit(None).cast("timestamp").alias("created"),
         F.lit(None).cast("string").alias("created_user"),
         F.lit(None).cast("timestamp").alias("updated"),
@@ -189,6 +212,147 @@ def store_main():
     spark.stop()
 
 
+def ingest_main():
+    """--ingest [n]: the reference's real ingest workflow — file →
+    parse → commit — measured end-to-end.  Serializes n synthetic bibs
+    to MRK and MARCXML files (distributed writers), then times the
+    parallel parsers (sources/marc_io.py: Hadoop record-delimiter
+    splits, executor-side parse, no driver pass) and one full
+    ``read_mrk → commit_frame`` ingest into a fresh store.  Sanity
+    asserts: the parse fans out across input splits (partition count
+    tracks the file parts, never 1), and every record round-trips."""
+    import tempfile
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    from dlx_spark.marc.store import MarcStore
+    from dlx_spark.session import get_spark
+    from dlx_spark.sources import marc_io
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("marc_ingest_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="dlx_marc_ingest_")
+    timings = {}
+    try:
+        bibs = synth_records_df(spark, n).repartition(cpus)
+        mrk_path = os.path.join(root, "dump_mrk")
+        xml_path = os.path.join(root, "dump_xml")
+        t0 = time.time()
+        marc_io.write_mrk(bibs, mrk_path)
+        timings["write_mrk"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        marc_io.write_marcxml(bibs, xml_path)
+        timings["write_xml"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        parsed_mrk = marc_io.read_mrk(spark, mrk_path)
+        n_mrk = parsed_mrk.count()
+        timings["parse_mrk"] = round(time.time() - t0, 2)
+        n_parts = parsed_mrk.rdd.getNumPartitions()
+        assert n_mrk == n, (n_mrk, n)
+        assert n_parts >= min(8, cpus), f"parse collapsed to {n_parts} partitions"
+
+        t0 = time.time()
+        n_xml = marc_io.read_marcxml(spark, xml_path).count()
+        timings["parse_xml"] = round(time.time() - t0, 2)
+        assert n_xml == n, (n_xml, n)
+
+        # end-to-end: parse feeds the store's distributed commit
+        store = MarcStore(spark, os.path.join(root, "store"))
+        store.commit_frame(synth_auths_df(spark, 1000), record_type="auth")
+        t0 = time.time()
+        n_committed = store.commit_frame(
+            marc_io.read_mrk(spark, mrk_path), record_type="bib")
+        timings["mrk_to_committed_store"] = round(time.time() - t0, 2)
+        assert n_committed == n, (n_committed, n)
+
+        print(json.dumps({
+            "metric": "marc_file_ingest",
+            "n_records": n,
+            "mrk_parse_records_per_sec": round(n / timings["parse_mrk"], 1),
+            "xml_parse_records_per_sec": round(n / timings["parse_xml"], 1),
+            "file_to_store_records_per_sec": round(
+                n / timings["mrk_to_committed_store"], 1),
+            "parse_partitions": n_parts,
+            "timings_sec": timings,
+        }))
+    finally:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+def cascade_main():
+    """--cascade [n_bibs]: multi-hop heading-change propagation at
+    scale.  Topology: auth 1 (the root) is referenced by 100 other
+    auths (550 see-also, xref→1), auth 1 itself references auth 2
+    (550 xref→2 — making auths 1↔2 a CYCLE), and every one of the n
+    bibs is 650-linked to auth 1.  One heading edit on the root then
+    recommits the full attached set — n bibs + 100 mid auths + the
+    cycle partner — in ONE distributed propagation batch.
+
+    The loop guard is structural and exercised at depth ≥2 here: the
+    recommitted auths go through commit_frame, which never propagates
+    (the engine's analog of the reference's feedback guard,
+    dlx/marc/__init__.py:1162-1165), so the 1↔2 cycle terminates and
+    the mids' own attached bibs are — correctly — NOT recommitted
+    (their cached 650 values denormalize the MIDS' headings, which did
+    not change).  Semantics regression-tested at unit scale in
+    tests/test_store.py::test_auth_cycle_propagation_terminates."""
+    import tempfile
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    from dlx_spark.marc.store import MarcStore
+    from dlx_spark.session import get_spark
+
+    spark = get_spark("marc_cascade_bench",
+                      cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="dlx_marc_cascade_")
+    timings = {}
+    try:
+        store = MarcStore(spark, root)
+        see = (F.when((F.col("_id") >= 2) & (F.col("_id") <= 101),
+                      F.lit(1))
+               .when(F.col("_id") == 1, F.lit(2))
+               .otherwise(F.lit(None)))
+        t0 = time.time()
+        store.commit_frame(synth_auths_df(spark, 1000, see_also_col=see),
+                           record_type="auth")
+        store.commit_frame(synth_records_df(spark, n, xref_col=F.lit(1)),
+                           record_type="bib")
+        timings["ingest"] = round(time.time() - t0, 2)
+
+        r = store.get("auth", 1)
+        r.set("150", "a", "Heading 1 renamed")
+        t0 = time.time()
+        store.commit([r])
+        timings["cascade_propagation"] = round(time.time() - t0, 2)
+
+        # verify: bibs + mid auths refreshed; mids' headings untouched
+        mid_bib = store.get("bib", n // 2)
+        assert mid_bib.get_value("650", "a") == "Heading 1 renamed"
+        a2 = store.get("auth", 2)
+        assert a2.get_value("550", "a") == "Heading 1 renamed"
+        assert a2.get_value("150", "a") == "Heading 2"
+        attached = n + 101                      # bibs + mids + partner
+        print(json.dumps({
+            "metric": "marc_cascade_propagation",
+            "n_bibs": n,
+            "attached_recommitted": attached,
+            "cascade_sec": timings["cascade_propagation"],
+            "attached_per_sec": round(
+                attached / timings["cascade_propagation"], 1),
+            "timings_sec": timings,
+        }))
+    finally:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def query_main():
     """--query [n]: the query DSL (``Query.from_string`` →
     ``MarcStore.search``) measured against an n-record store — the
@@ -246,12 +410,35 @@ def query_main():
                              "warm_sec": round(warm, 3)}
 
         warm_total = sum(r["warm_sec"] for r in results.values())
+
+        # persisted search index: the cross-SESSION answer to the
+        # one-time tokenized-view build the cold fielded_text number
+        # pays above.  Build it, then simulate a fresh session (new
+        # MarcStore instance = no cached context) and re-measure the
+        # text query cold: with the index, "cold" is a parquet scan.
+        t0 = time.time()
+        store.build_search_index("bib")
+        index_build_sec = round(time.time() - t0, 2)
+        fresh = MarcStore(spark, root)
+        t0 = time.time()
+        hits = fresh.search("bib", "245__a:climate").count()
+        indexed_cold = round(time.time() - t0, 2)
+        assert hits == results["fielded_text"]["hits"]
+        t0 = time.time()
+        fresh.search("bib", "245__a:climate").count()
+        indexed_warm = round(time.time() - t0, 3)
+
         print(json.dumps({
             "metric": "marc_query_dsl",
             "n_records": n,
             "store_build_sec": build_sec,
             "warm_queries_per_sec": round(len(results) / warm_total, 2),
             "queries": results,
+            "persisted_index": {
+                "build_sec": index_build_sec,
+                "fielded_text_cold_sec_fresh_session": indexed_cold,
+                "fielded_text_warm_sec": indexed_warm,
+            },
         }))
     finally:
         import shutil
@@ -265,6 +452,12 @@ def main():
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--query":
         query_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cascade":
+        cascade_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
+        ingest_main()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from dlx_spark.session import get_spark

@@ -13,6 +13,8 @@ Usage: python tools/scale_probe.py [multiplier]
        python tools/scale_probe.py --embedding [multiplier]
        python tools/scale_probe.py --backend [multiplier]
        python tools/scale_probe.py --autocompact [n_appends]
+       python tools/scale_probe.py --contention [appends_per_thread]
+       python tools/scale_probe.py --casgrowth [n_cycles]
 
 ``--embedding`` is the per-increment trend for the EmbeddingIndex (the
 4th index modality): the persisted index grows by one sf worth of
@@ -599,6 +601,75 @@ def autocompact_main() -> None:
     spark.stop()
 
 
+def casgrowth_main() -> None:
+    """--casgrowth [n_cycles]: external-CAS claim-store growth bound.
+    The ExternalCASScheme docstring promises claims are released with
+    their published files (``forget`` on vacuum/drop), so the claim
+    store stays O(live versions), not O(commit history) — this probe
+    MEASURES that: n append cycles against one table through
+    ``ExternalCASScheme(FileExternalCAS)``, a ``vacuum(keep_last=1)``
+    every 50 appends, recording the claim-file count at each vacuum.
+    Asserted: the post-vacuum claim count never grows with the cycle
+    number (flat curve), and the final count is within a small constant
+    of the live version count."""
+    import glob as _glob
+
+    from dlx_spark import fsio, get_spark
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+
+    n_cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("casgrowth_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    workdir = tempfile.mkdtemp(prefix="dlx_spark_casgrowth_")
+    cas_dir = os.path.join(workdir, "cas")
+
+    def n_claims() -> int:
+        return len(_glob.glob(os.path.join(cas_dir, "*.json")))
+
+    out = {"metric": "casgrowth_probe", "n_cycles": n_cycles, "curve": []}
+    old_scheme = fsio.get_commit_scheme()
+    try:
+        fsio.set_commit_scheme(
+            fsio.ExternalCASScheme(fsio.FileExternalCAS(cas_dir)))
+        be = VersionedTableBackend(root=os.path.join(workdir, "vroot"))
+        be.write(spark.createDataFrame([(0, -1)], "id long, v long"),
+                 "growth", "id", 2)
+        t0 = time.time()
+        post_vacuum_counts = []
+        for i in range(1, n_cycles + 1):
+            be.append(spark.createDataFrame([(i, i)], "id long, v long"),
+                      "growth", "id", 2)
+            if i % 50 == 0:
+                be.vacuum(spark, keep_last=1, min_age_seconds=0)
+                c = n_claims()
+                post_vacuum_counts.append(c)
+                out["curve"].append({"cycle": i, "claims": c})
+        be.vacuum(spark, keep_last=1, min_age_seconds=0)
+        wall = round(time.time() - t0, 2)
+        final = n_claims()
+        live_versions = len(be.versions(spark, "growth"))
+        # flat curve: the last checkpoint must not exceed the first by
+        # more than a small constant (auto-compaction stage tables come
+        # and go between checkpoints)
+        assert final <= live_versions + 8, (final, live_versions)
+        assert post_vacuum_counts[-1] <= post_vacuum_counts[0] + 8, \
+            post_vacuum_counts
+        out.update({
+            "wall_sec": wall,
+            "appends_per_sec": round(n_cycles / wall, 2),
+            "final_claims": final,
+            "live_versions": live_versions,
+            "rows": be.read(spark, "growth").count(),
+        })
+        print(json.dumps(out))
+    finally:
+        fsio.set_commit_scheme(old_scheme)
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
 def contention_main() -> None:
     """--contention [appends_per_thread]: the versioned backend's
     optimistic-concurrency claim as a measured curve — N concurrent
@@ -681,6 +752,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--contention":
         contention_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--casgrowth":
+        casgrowth_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--autocompact":
         autocompact_main()
