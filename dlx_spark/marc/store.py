@@ -266,21 +266,58 @@ class MarcStore:
         self._refresh_search_index(record_type, None)
 
     def _refresh_search_index(self, record_type: str,
-                              buckets: list[int] | None) -> None:
-        """Re-derive the persisted token index's touched buckets from
-        the LIVE table and swap them in (crash-safe bucket overwrite),
-        then clear the dirty marker.  Derive-from-source makes this
-        idempotent — recovery can simply re-run it."""
+                              buckets: list[int] | None,
+                              new_df: DataFrame | None = None,
+                              removed_ids: list[int] | None = None) -> None:
+        """Bring the persisted token index's touched buckets current and
+        swap them in (crash-safe bucket overwrite), then clear the dirty
+        marker.  Two paths, one invariant:
+
+        - HOT path (``new_df``/``removed_ids`` from a commit or delete):
+          the batch's token rows are re-derived and unioned with the
+          UNTOUCHED records' existing rows in the touched buckets (an
+          anti-join, exactly the live upsert's own shape) — maintenance
+          costs O(batch) tokenize plus the bucket rewrite I/O, never a
+          re-tokenize of every record sharing a bucket.
+        - RECOVERY/build path (neither given): the touched buckets
+          re-derive WHOLESALE from the live table.  Slower, but
+          idempotent from the source of truth — which is what the
+          dirty-marker replay needs, since it cannot know what the
+          interrupted batch contained.
+
+        The two produce identical rows because untouched records' token
+        rows are current by induction (heading edits propagate as
+        recommits of the attached records, so 'attached but untouched'
+        cannot exist) — the identity the shared derivation
+        (mdf.subfield_token_rows) plus the crash-recovery test pin."""
         name_live = "bibs" if record_type == "bib" else "auths"
         tname = self._tokens_name(record_type)
         if not self._exists(name_live):
             fsio.remove(self.spark, self._dirty_marker_path(record_type))
             return
-        live = self.spark.read.parquet(self._path(name_live))
-        if buckets is not None:
-            live = live.filter(F.col("pt").isin(buckets))
-        tokens = mdf.subfield_token_rows(live.drop("pt"), record_type,
-                                         headings=self.headings())
+        incremental = (self._exists(tname)
+                       and (new_df is not None or removed_ids))
+        if incremental:
+            existing = self.spark.read.parquet(self._path(tname))
+            if buckets is not None:
+                existing = existing.filter(F.col("pt").isin(buckets))
+            existing = existing.drop("pt")
+            if new_df is not None:
+                keep = existing.join(
+                    new_df.select(F.col("_id").alias("record_id")),
+                    "record_id", "left_anti")
+                fresh = mdf.subfield_token_rows(new_df, record_type,
+                                                headings=self.headings())
+                tokens = keep.unionByName(fresh)
+            else:
+                tokens = existing.filter(
+                    ~F.col("record_id").isin(list(removed_ids)))
+        else:
+            live = self.spark.read.parquet(self._path(name_live))
+            if buckets is not None:
+                live = live.filter(F.col("pt").isin(buckets))
+            tokens = mdf.subfield_token_rows(live.drop("pt"), record_type,
+                                             headings=self.headings())
         self._stage(tokens, f"_stage_{tname}")
         self._overwrite_buckets(tname, f"_stage_{tname}", buckets)
         fsio.remove(self.spark, self._dirty_marker_path(record_type))
@@ -619,7 +656,7 @@ class MarcStore:
         self._stage(union, f"_stage_{name}")
         self._overwrite_buckets(name, f"_stage_{name}", buckets)
         if index_live:
-            self._refresh_search_index(record_type, buckets)
+            self._refresh_search_index(record_type, buckets, new_df=new_df)
 
     def compact(self, record_type: str) -> None:
         """Fold the small files that per-commit dynamic overwrites leave
@@ -827,7 +864,8 @@ class MarcStore:
         # (dynamic overwrite alone would keep its old files)
         self._overwrite_buckets(name, f"_stage_{name}", buckets)
         if index_live:
-            self._refresh_search_index(record_type, buckets)
+            self._refresh_search_index(record_type, buckets,
+                                       removed_ids=ids)
 
     def restore(self, record_type: str, rid: int, user: str = "admin",
                 now: datetime | None = None) -> Marc:

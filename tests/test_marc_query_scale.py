@@ -187,7 +187,7 @@ def test_persisted_index_crash_recovery_reconverges(spark, store):
     store.build_search_index("bib")
     orig = MarcStore._refresh_search_index
     MarcStore._refresh_search_index = (
-        lambda self, rt, buckets: (_ for _ in ()).throw(
+        lambda self, rt, buckets, **kw: (_ for _ in ()).throw(
             RuntimeError("simulated crash")))
     try:
         rec = store.get("bib", 2)
