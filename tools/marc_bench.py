@@ -428,6 +428,15 @@ def query_main():
         fresh.search("bib", "245__a:climate").count()
         indexed_warm = round(time.time() - t0, 3)
 
+        # what maintaining the index costs a writer: a 10k upsert with
+        # the index live (the refresh is O(batch) — it re-tokenizes the
+        # batch and anti-joins the touched buckets, never re-tokenizes
+        # the store).  Compare against --store's index-free 10k upsert.
+        delta = synth_records_df(spark, 10_000)
+        t0 = time.time()
+        fresh.commit_frame(delta, record_type="bib")
+        upsert_with_index = round(time.time() - t0, 2)
+
         print(json.dumps({
             "metric": "marc_query_dsl",
             "n_records": n,
@@ -438,6 +447,7 @@ def query_main():
                 "build_sec": index_build_sec,
                 "fielded_text_cold_sec_fresh_session": indexed_cold,
                 "fielded_text_warm_sec": indexed_warm,
+                "upsert_10k_with_index_sec": upsert_with_index,
             },
         }))
     finally:
