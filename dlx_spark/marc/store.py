@@ -162,7 +162,8 @@ class MarcStore:
             return None
         return _RECORD_CLASS[record_type].from_row(rows[0], auth_index=self.auth_index())
 
-    def search(self, record_type: str, query_string: str) -> DataFrame:
+    def search(self, record_type: str, query_string: str,
+               sort=None, skip: int = 0, limit: int = 0) -> DataFrame:
         """Parse and execute a query-DSL string against the LIVE table —
         the reference's ``MarcSet.from_query(Query.from_string(...))``
         read path (dlx/marc/query.py:112-346) as one call, with the
@@ -198,8 +199,18 @@ class MarcStore:
             if buckets is not None:
                 raw = raw.filter(
                     F.col("pt").isin(sorted(buckets)))
-        return mparser.execute_query(query, self._query_context(record_type),
-                                     df=raw.drop("pt"))
+        out = mparser.execute_query(query, self._query_context(record_type),
+                                    df=raw.drop("pt"))
+        # sort/skip/limit: the find()-cursor modifiers of the
+        # reference's from_query path (same semantics as
+        # MarcSet.from_query).  Sort before skip/limit, as a cursor does
+        if sort is not None:
+            out = out.orderBy(*sort)
+        if skip:
+            out = out.offset(skip)
+        if limit:
+            out = out.limit(limit)
+        return out
 
     def _query_context(self, record_type: str):
         """The long-lived query context for ``record_type`` — its

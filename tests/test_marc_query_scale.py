@@ -199,3 +199,28 @@ def test_persisted_index_crash_recovery_reconverges(spark, store):
     reopened = MarcStore(spark, store.root)       # _recover replays marker
     assert [r["_id"] for r in
             reopened.search("bib", "245__a:crashed").collect()] == [2]
+
+
+def test_search_auth_record_type_with_and_without_index(store):
+    """search() serves auths the same way it serves bibs — including
+    the persisted-index path (the machinery is record-type-generic)."""
+    assert [r["_id"] for r in
+            store.search("auth", "150__a:header").collect()] == [1]
+    assert store.search("auth", "id:2").count() == 1
+    store.build_search_index("auth")
+    store._invalidate_query_contexts()
+    assert [r["_id"] for r in
+            store.search("auth", "150__a:header").collect()] == [1]
+    plan = plans.simple_plan(store.search("auth", "150__a:header"))
+    assert "auths_tokens" in plan and "EvalPython" not in plan
+
+
+def test_search_sort_skip_limit_cursor_modifiers(store):
+    """The find()-cursor modifiers of the reference's from_query path,
+    applied after the query (sort before skip/limit)."""
+    both = store.search("bib", "650__a:'Header'", sort=[F.col("_id").desc()])
+    assert [r["_id"] for r in both.collect()] == [2, 1]
+    assert [r["_id"] for r in store.search(
+        "bib", "650__a:'Header'", sort=["_id"], skip=1).collect()] == [2]
+    assert [r["_id"] for r in store.search(
+        "bib", "650__a:'Header'", sort=["_id"], limit=1).collect()] == [1]
