@@ -64,22 +64,31 @@ def _restore_xrefs_from_zero(rec, record_type: str):
     return rec
 
 
-def read_mrk(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
-    """Parse an MRK file (records separated by blank lines) into the
-    canonical nested DataFrame.  ``$0`` xrefs are preserved as Linked
-    subfields; auth validation is a downstream join."""
+def mrk_chunk_parser(record_type: str = "bib"):
+    """Chunk → canonical rows for MRK (one record per blank-line-
+    separated chunk).  Shared by the batch reader (``read_mrk``) and
+    the streaming commit sink (``streaming.incremental_commit_stream``
+    with ``fmt='mrk'``) so both parse identically."""
     from dlx_spark.marc import Auth, Bib  # serialization methods attached
 
     cls = Bib if record_type == "bib" else Auth
 
     def parse(chunk: str):
-        chunk = chunk.strip()
+        chunk = (chunk or "").strip()
         if not chunk:
             return []
         rec = cls.from_mrk(chunk, auth_control=False, delete_subfield_zero=False)
         return [_restore_xrefs_from_zero(rec, record_type).to_row()]
 
-    rdd = _records_from_delimited(spark, path, "\n\n").flatMap(parse)
+    return parse
+
+
+def read_mrk(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
+    """Parse an MRK file (records separated by blank lines) into the
+    canonical nested DataFrame.  ``$0`` xrefs are preserved as Linked
+    subfields; auth validation is a downstream join."""
+    rdd = _records_from_delimited(spark, path, "\n\n").flatMap(
+        mrk_chunk_parser(record_type))
     return spark.createDataFrame(rdd, schema=schemas.MARC_INGEST)
 
 
@@ -103,10 +112,10 @@ def read_mrc(spark: SparkSession, path: str, record_type: str = "bib") -> DataFr
     return spark.createDataFrame(rdd, schema=schemas.MARC_INGEST)
 
 
-def read_marcxml(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
-    """Parse MARCXML into the canonical nested DataFrame.  The file is
-    split on ``</record>`` so each task parses complete record elements
-    without loading the document."""
+def marcxml_chunk_parser(record_type: str = "bib"):
+    """Chunk → canonical rows for MARCXML split on ``</record>``.
+    Shared by the batch reader (``read_marcxml``) and the streaming
+    commit sink (``fmt='xml'``)."""
     from dlx_spark.marc import Auth, Bib
 
     cls = Bib if record_type == "bib" else Auth
@@ -132,14 +141,22 @@ def read_marcxml(spark: SparkSession, path: str, record_type: str = "bib") -> Da
         # here (single-task fallback, still correct)
         out = []
         for m in re.finditer(r"<(\w+:)?record[\s>].*?</(\w+:)?record>|<(\w+:)?record[\s>].*$",
-                             chunk, re.S):
+                             chunk or "", re.S):
             xml = m.group(0)
             if not re.search(r"</(\w+:)?record>\s*$", xml):
                 xml += "</record>"
             out += parse_one(xml)
         return out
 
-    rdd = _records_from_delimited(spark, path, "</record>").flatMap(parse)
+    return parse
+
+
+def read_marcxml(spark: SparkSession, path: str, record_type: str = "bib") -> DataFrame:
+    """Parse MARCXML into the canonical nested DataFrame.  The file is
+    split on ``</record>`` so each task parses complete record elements
+    without loading the document."""
+    rdd = _records_from_delimited(spark, path, "</record>").flatMap(
+        marcxml_chunk_parser(record_type))
     return spark.createDataFrame(rdd, schema=schemas.MARC_INGEST)
 
 

@@ -331,16 +331,38 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id",
 
 def incremental_commit_stream(spark: SparkSession, input_path: str, store,
                               record_type: str = "bib",
-                              checkpoint: str | None = None):
-    """Stream JMARC JSONL files into a MarcStore: each micro-batch is one
+                              checkpoint: str | None = None,
+                              fmt: str = "jsonl"):
+    """Stream record FILES into a MarcStore: each micro-batch is one
     deterministic commit (id assignment, validation, derived refresh,
     history append) — the reference's 4 commit-time thread families as a
     single exactly-once-per-batch pipeline.
 
+    ``fmt`` selects the wire format and the streaming record framing:
+
+    - ``"jsonl"`` — one JMARC JSON document per line (default);
+    - ``"mrk"`` — records separated by blank lines (the text source's
+      ``lineSep`` makes each streamed row one whole record chunk, the
+      same framing the batch reader gets from the Hadoop delimiter);
+    - ``"xml"`` — MARCXML split on ``</record>``.
+
+    All three parse executor-side with the SAME chunk parsers as the
+    batch readers (sources/marc_io.py), so a dump ingested as a stream
+    and the same dump ingested with ``read_mrk → commit_frame`` produce
+    identical stores.
+
     Returns the StreamingQuery; caller stops it."""
     checkpoint = checkpoint or f"{store.root}/_checkpoints/{record_type}"
-    raw = spark.readStream.schema("value string").text(input_path)
-    process_batch = make_commit_batch_fn(store, record_type, checkpoint)
+    reader = spark.readStream.schema("value string")
+    if fmt == "mrk":
+        reader = reader.option("lineSep", "\n\n")
+    elif fmt == "xml":
+        reader = reader.option("lineSep", "</record>")
+    elif fmt != "jsonl":
+        raise ValueError(f"fmt must be jsonl|mrk|xml, got {fmt!r}")
+    raw = reader.text(input_path)
+    process_batch = make_commit_batch_fn(store, record_type, checkpoint,
+                                         fmt=fmt)
     writer = (raw.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation", checkpoint)
               .trigger(availableNow=True))
@@ -350,7 +372,8 @@ def incremental_commit_stream(spark: SparkSession, input_path: str, store,
 LEDGER_COMPACT_EVERY = 64
 
 
-def make_commit_batch_fn(store, record_type: str, checkpoint: str):
+def make_commit_batch_fn(store, record_type: str, checkpoint: str,
+                         fmt: str = "jsonl"):
     """The foreachBatch function behind ``incremental_commit_stream``,
     exposed for direct testing of its replay semantics.
 
@@ -494,16 +517,24 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str):
                         fsio.remove(session, fsio.join(hist_dir, f))
             store._recover()
         else:
-            # fresh attempt: parse executor-side (same parser as
-            # read_jmarc_jsonl) — the batch never funnels raw lines or
-            # record rows through the driver, so micro-batch size is
-            # bounded by the cluster, not driver memory
+            # fresh attempt: parse executor-side with the SAME chunk
+            # parser as the corresponding batch reader — the batch never
+            # funnels raw lines or record rows through the driver, so
+            # micro-batch size is bounded by the cluster, not driver
+            # memory
 
-            def parse(line):
-                line = (line or "").strip()
-                if not line:
-                    return []
-                return [cls(json.loads(line)).to_row()]
+            if fmt == "mrk":
+                from dlx_spark.sources.marc_io import mrk_chunk_parser
+                parse = mrk_chunk_parser(record_type)
+            elif fmt == "xml":
+                from dlx_spark.sources.marc_io import marcxml_chunk_parser
+                parse = marcxml_chunk_parser(record_type)
+            else:
+                def parse(line):
+                    line = (line or "").strip()
+                    if not line:
+                        return []
+                    return [cls(json.loads(line)).to_row()]
 
             rows = batch_df.rdd.flatMap(lambda r: parse(r["value"]))
             if rows.isEmpty():

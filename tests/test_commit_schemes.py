@@ -1025,3 +1025,84 @@ def test_local_fs_default_scheme_warns_once(spark, tmp_path):
         be.append(_df(spark, [(3, "c")]), "t_warn", "id", 1)
     assert [r for r in rec2
             if issubclass(r.category, fsio.LocalFSMultiDriverWarning)] == []
+
+
+_CAS_HAMMER = r"""
+import random
+import sys
+import time
+import uuid
+
+from dlx_spark.fsio import FileExternalCAS
+
+cas = FileExternalCAS(sys.argv[1])
+KEY = "contended-key"
+stale_ids = []
+wins = 0
+deadline = time.time() + 10
+while time.time() < deadline and wins < 50:
+    cid = uuid.uuid4().hex
+    existing = cas.acquire(KEY, {"tmp": "/none", "claim_id": cid})
+    if existing is None:
+        wins += 1
+        cur = cas.get(KEY)
+        if cur is None or cur.get("claim_id") != cid:
+            print("VIOLATION: claim stolen while held", flush=True)
+            break
+        # a stale-identity release must never free the live claim
+        if stale_ids and cas.release(KEY,
+                                     claim_id=random.choice(stale_ids)):
+            print("VIOLATION: stale release freed the live claim",
+                  flush=True)
+            break
+        cur = cas.get(KEY)
+        if cur is None or cur.get("claim_id") != cid:
+            print("VIOLATION: claim gone after stale release attempt",
+                  flush=True)
+            break
+        if cas.release(KEY, claim_id=cid) is not True:
+            print("VIOLATION: own conditional release refused", flush=True)
+            break
+        stale_ids.append(cid)
+    else:
+        # loser path: a stale finisher firing at someone else's claim
+        if stale_ids and cas.release(KEY,
+                                     claim_id=random.choice(stale_ids)):
+            print("VIOLATION: stale release freed a foreign claim",
+                  flush=True)
+            break
+print(f"OK wins={wins}", flush=True)
+"""
+
+
+def test_external_cas_conditional_release_across_processes(tmp_path):
+    """The conditional-release guarantee proven where it matters:
+    across OS PROCESSES (the per-key flock is a cross-process lock —
+    thread mutexes prove nothing here).  Three processes hammer one
+    claim key; every winner must observe its own claim intact for its
+    whole hold, its own conditional release must succeed, and a
+    release keyed on ANY stale identity must never free a live claim —
+    the exact primitive that makes a stale finisher harmless in
+    ExternalCASScheme._finish."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    cas_dir = str(tmp_path / "cas_mp")
+    worker = tmp_path / "cas_hammer.py"
+    worker.write_text(_CAS_HAMMER)
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [_sys.executable, str(worker), cas_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for _ in range(3)]
+    outs = [p.communicate(timeout=120)[0].decode() for p in procs]
+    total_wins = 0
+    for o in outs:
+        assert "VIOLATION" not in o, o
+        assert "OK wins=" in o, o
+        total_wins += int(o.rsplit("OK wins=", 1)[1].split()[0])
+    # contention really happened: the key changed hands many times
+    assert total_wins >= 10, (total_wins, outs)

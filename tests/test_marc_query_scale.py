@@ -224,3 +224,13 @@ def test_search_sort_skip_limit_cursor_modifiers(store):
         "bib", "650__a:'Header'", sort=["_id"], skip=1).collect()] == [2]
     assert [r["_id"] for r in store.search(
         "bib", "650__a:'Header'", sort=["_id"], limit=1).collect()] == [1]
+
+
+def test_search_mixed_or_group_unions_id_and_text(store):
+    """An Or mixing a point id with a fielded text term cannot prune
+    (correct: _id_buckets only prunes pure-id groups) and unions the id
+    sets through execute_query's Or path."""
+    df = store.search("bib", "id:1 OR 245__a:another")
+    assert not re.search(r"pt#\d+ (=|IN)",
+                         _scan_partition_filters(df))  # no pruning, by design
+    assert sorted(r["_id"] for r in df.collect()) == [1, 2]

@@ -477,3 +477,45 @@ def test_stream_replay_of_pre_upgrade_crashed_attempt(spark, tmp_path,
     # legacy-named artifacts cleaned up by the completed commit
     assert not fsio.exists(spark, fsio.join(log, f"_intent_{old_key}_0.json"))
     assert not fsio.exists(spark, fsio.join(log, f"_batch_{old_key}_0"))
+
+
+def test_incremental_commit_stream_mrk_and_xml_formats(spark, tmp_path):
+    """The commit stream ingests .mrk and MARCXML files with the SAME
+    chunk parsers as the batch readers (sources/marc_io.py), so a dump
+    streamed in and the same dump batch-ingested produce identical
+    records — the reference's real file→store workflow as a stream."""
+    from dlx_spark.marc import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_fmt"))
+    b1 = Bib({"_id": 1}).set("245", "a", "Streamed mrk one",
+                             auth_control=False)
+    b2 = Bib({"_id": 2}).set("245", "a", "Streamed mrk two",
+                             auth_control=False)
+
+    mrk_inbox = tmp_path / "inbox_mrk"
+    mrk_inbox.mkdir()
+    (mrk_inbox / "dump.mrk").write_text(b1.to_mrk() + "\n\n" + b2.to_mrk())
+    q = streaming.incremental_commit_stream(
+        spark, str(mrk_inbox), store, fmt="mrk",
+        checkpoint=str(tmp_path / "ckpt_mrk"))
+    assert q.awaitTermination(120)
+    assert store.bibs().count() == 2
+    assert store.get("bib", 1).get_value("245", "a") == "Streamed mrk one"
+
+    b3 = Bib({"_id": 3}).set("245", "a", "Streamed xml three",
+                             auth_control=False)
+    xml_inbox = tmp_path / "inbox_xml"
+    xml_inbox.mkdir()
+    (xml_inbox / "dump.xml").write_text(
+        "<collection>" + b3.to_xml() + "</collection>")
+    q = streaming.incremental_commit_stream(
+        spark, str(xml_inbox), store, fmt="xml",
+        checkpoint=str(tmp_path / "ckpt_xml"))
+    assert q.awaitTermination(120)
+    assert store.bibs().count() == 3
+    assert store.get("bib", 3).get_value("245", "a") == "Streamed xml three"
+
+    with pytest.raises(ValueError, match="fmt must be"):
+        streaming.incremental_commit_stream(spark, str(mrk_inbox), store,
+                                            fmt="mrc")
