@@ -464,14 +464,7 @@ def parse_term(token: str, record_type: str, auth_index: AuthIndex | None,
         except ValueError:
             raise InvalidQueryString("xref must be a number")
         tags = sorted(config.AUTHORITY_CONTROLLED[record_type].keys())
-
-        def make_linked(tag_list, x):
-            def linked(f):
-                return f["tag"].isin(tag_list) & F.exists(
-                    f["subfields"], lambda s: s["xref"] == x)
-            return linked
-        pred = F.exists("datafields", make_linked(tags, xref))
-        return q.Raw(q._not(pred) if modifier == "not" else pred)
+        return q.XrefSearch(xref, tags, modifier=modifier)
 
     # logical field
     if match := re.match(r"(\w+):(.*)", token):
@@ -584,6 +577,21 @@ def execute_query(query: "q.Query", ctx: QueryContext,
     for cond in query.conditions:
         if isinstance(cond, SubfieldTextSearch):
             df = cond.apply(df, ctx)
+        elif isinstance(cond, q.XrefSearch) and \
+                ctx._provided_tokens is not None:
+            # a PERSISTED token index answers xref containment as an
+            # index lookup: semi-join against the slim token table's
+            # xref column (same controlled-tag restriction) instead of
+            # scanning every record's nested arrays — the scale path
+            # for a 100 TB store.  Derived (per-session) token views
+            # are NOT used here: building one to answer a single xref
+            # term would cost more than the column scan it replaces
+            ids = (ctx.subfield_tokens()
+                   .filter((F.col("xref") == cond.xref)
+                           & F.col("tag").isin(cond.tags))
+                   .select("record_id").distinct())
+            how = "leftanti" if cond.modifier == "not" else "leftsemi"
+            df = df.join(ids, df["_id"] == ids["record_id"], how)
         elif isinstance(cond, q.Or) and any(isinstance(c, SubfieldTextSearch)
                                             for c in cond.conditions):
             ids = None

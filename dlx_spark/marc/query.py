@@ -210,6 +210,34 @@ class IdSearch(Raw):
         self.id = int(n)
 
 
+class XrefSearch(Raw):
+    """Linked-record containment (parser term ``xref:n``): compiles to
+    the same exists-over-datafields Column as a plain Raw, but CARRIES
+    the xref, the authority-controlled tag list, and the modifier so
+    execution over a store WITH a persisted token index
+    (``MarcStore.build_search_index``) can answer it as an index
+    lookup — a semi-join against the slim token table's ``xref`` column
+    instead of a full scan of every record's nested arrays.  The two
+    are equivalent because token rows keep a row for every
+    xref-carrying subfield even when its value is null, and the index
+    path re-applies the same controlled-tag restriction."""
+
+    def __init__(self, xref: int, tags: list[str], *,
+                 modifier: str | None = None,
+                 record_type: str | None = None):
+        def make_linked(tag_list, x):
+            def linked(f):
+                return f["tag"].isin(tag_list) & F.exists(
+                    f["subfields"], lambda s: s["xref"] == x)
+            return linked
+        pred = F.exists("datafields", make_linked(list(tags), int(xref)))
+        super().__init__(_not(pred) if modifier == "not" else pred,
+                         record_type=record_type)
+        self.xref = int(xref)
+        self.tags = list(tags)
+        self.modifier = modifier
+
+
 class TagOnly:
     """Match value in ANY subfield of ``tag`` (reference query.py:779-825);
     auth-controlled tags also match by xref expansion."""

@@ -234,3 +234,24 @@ def test_search_mixed_or_group_unions_id_and_text(store):
     assert not re.search(r"pt#\d+ (=|IN)",
                          _scan_partition_filters(df))  # no pruning, by design
     assert sorted(r["_id"] for r in df.collect()) == [1, 2]
+
+
+def test_xref_search_uses_persisted_index_when_present(store):
+    """xref containment over an indexed store becomes an index lookup
+    (semi-join on the token table's xref column) with identical results
+    to the nested-array scan — including the NOT modifier and the
+    controlled-tag restriction."""
+    without = sorted(r["_id"] for r in store.search("bib", "xref:1").collect())
+    store.build_search_index("bib")
+    store._invalidate_query_contexts()
+    with_idx = sorted(r["_id"] for r in
+                      store.search("bib", "xref:1").collect())
+    assert without == with_idx == [1, 2]
+    plan = plans.simple_plan(store.search("bib", "xref:1"))
+    assert "bibs_tokens" in plan        # index lookup, not a nested scan
+    # NOT modifier through the index path
+    neg = sorted(r["_id"] for r in store.search(
+        "bib", "245:* AND NOT xref:1").collect())
+    assert neg == []
+    # an xref nobody links
+    assert store.search("bib", "xref:999").count() == 0
