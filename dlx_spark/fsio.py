@@ -635,14 +635,16 @@ class FileExternalCAS:
                         self._os.unlink(self._path(key) + suffix)
                     except FileNotFoundError:
                         pass
-                if claim_id is None:
-                    # unconditional release = forget/drop path: the key
-                    # is never re-acquired, so its lock file can go too
-                    # (the inode re-check above covers a waiting racer)
-                    try:
-                        self._os.unlink(lock_path)
-                    except FileNotFoundError:
-                        pass
+                # a successful release of EITHER kind drops the lock
+                # file too: the acquire/release/re-acquire cycle would
+                # otherwise leave one .lock per key forever, growing the
+                # CAS directory and slowing every _scan listdir.  The
+                # inode re-check above covers a waiting racer (it sees
+                # the unlinked inode and re-opens a fresh lock file).
+                try:
+                    self._os.unlink(lock_path)
+                except FileNotFoundError:
+                    pass
                 return True
             finally:
                 lock.close()

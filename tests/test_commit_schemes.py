@@ -943,6 +943,30 @@ def test_external_cas_concurrent_finishers_preserve_successor(
     assert json.loads(fsio.read_text(spark, dest)) == {"who": "w"}
 
 
+def test_external_cas_conditional_release_drops_lock_file(ecas):
+    """Review fix (r10): the acquire/release/re-acquire cycle must not
+    leave one .lock file per key forever — a long-lived store cycling
+    through versions would grow the CAS directory without bound and
+    slow every _scan listdir.  Both release kinds sweep the lock; a
+    racing releaser survives via the inode re-check."""
+    import os
+
+    def lock_files():
+        return [n for n in os.listdir(ecas.directory)
+                if n.endswith(".lock")]
+
+    for cycle in range(3):
+        assert ecas.acquire("k", {"tmp": "/a", "claim_id": f"c{cycle}"}) is None
+        assert ecas.release("k", claim_id=f"c{cycle}") is True
+        assert lock_files() == [], f"cycle {cycle} leaked {lock_files()}"
+    # a refused conditional release (live successor) may leave the lock
+    # behind — but the successor's own release sweeps it
+    assert ecas.acquire("k", {"tmp": "/b", "claim_id": "live"}) is None
+    assert ecas.release("k", claim_id="stale") is False
+    assert ecas.release("k", claim_id="live") is True
+    assert lock_files() == []
+
+
 def test_external_cas_acquire_never_leaks_claim_tempfile(ecas):
     """Review fix (r9): a failed claim-record write (unserializable
     record standing in for disk-full/interrupt) must not leak the
