@@ -274,8 +274,13 @@ class VersionedTableBackend(ParquetTableBackend):
 
     def _write_segment(self, spark: SparkSession, df: DataFrame,
                        key: str | None, n_buckets: int | None,
-                       partition_cols: list[str] | None = None) -> str:
-        seg = uuid.uuid4().hex
+                       partition_cols: list[str] | None = None,
+                       seg_prefix: str = "") -> str:
+        # seg_prefix keeps segment directories legible (a table name in
+        # the path makes executed plans attributable to their source —
+        # plan tests pin "bibs_tokens" in scan paths); uniqueness still
+        # comes from the uuid
+        seg = (seg_prefix + "-" if seg_prefix else "") + uuid.uuid4().hex
         if partition_cols:
             # hive-partitioned segment dirs: readers resolving the
             # manifest get listing-time partition pruning per segment
@@ -294,11 +299,17 @@ class VersionedTableBackend(ParquetTableBackend):
     @staticmethod
     def _layout(df: DataFrame, key: str | None,
                 n_buckets: int | None, segments: list[str],
-                partition_cols: list[str] | None = None) -> dict:
+                partition_cols: list[str] | None = None,
+                extra: dict | None = None) -> dict:
         doc = {"segments": segments, "key": key, "n_buckets": n_buckets,
                "schema": df.schema.json()}
         if partition_cols:
             doc["partition_cols"] = list(partition_cols)
+        if extra:
+            # caller-owned table metadata (e.g. a merge-on-read store's
+            # bucket modulus), carried on every subsequent append/replace
+            # so it flips ATOMICALLY with the data it describes
+            doc["extra"] = dict(extra)
         return doc
 
     # ------------------------------------------- tableio interface
@@ -332,27 +343,41 @@ class VersionedTableBackend(ParquetTableBackend):
                      lambda latest: self._layout(df, None, None, [seg]))
 
     def write_partitioned(self, df: DataFrame, table: str,
-                          partition_cols: list[str]) -> None:
+                          partition_cols: list[str], *,
+                          extra: dict | None = None,
+                          seg_prefix: str = "") -> None:
         spark = df.sparkSession
-        seg = self._write_segment(spark, df, None, None, partition_cols)
+        seg = self._write_segment(spark, df, None, None, partition_cols,
+                                  seg_prefix=seg_prefix)
         self._commit(spark, table,
                      lambda latest: self._layout(df, None, None, [seg],
-                                                 partition_cols))
+                                                 partition_cols, extra))
 
     def append_partitioned(self, df: DataFrame, table: str,
-                           partition_cols: list[str]) -> None:
+                           partition_cols: list[str], *,
+                           extra: dict | None = None,
+                           seg_prefix: str = "") -> int:
+        """Append one segment; returns the committed manifest's segment
+        count (callers use it to decide compaction).  ``extra`` seeds
+        table metadata only when this append CREATES the table; on an
+        existing table the head's metadata is preserved (appends never
+        change table geometry)."""
         spark = df.sparkSession
-        seg = self._write_segment(spark, df, None, None, partition_cols)
+        seg = self._write_segment(spark, df, None, None, partition_cols,
+                                  seg_prefix=seg_prefix)
         n_after = 0
 
         def payload(latest):
             nonlocal n_after
             segs = (latest["segments"] if latest else []) + [seg]
             n_after = len(segs)
-            return self._layout(df, None, None, segs, partition_cols)
+            keep = latest.get("extra") if latest else extra
+            return self._layout(df, None, None, segs, partition_cols,
+                                keep)
 
         self._commit(spark, table, payload)
         self._maybe_auto_compact(spark, table, n_after)
+        return n_after
 
     def _maybe_auto_compact(self, spark: SparkSession, table: str,
                             n_segments: int) -> None:
@@ -385,6 +410,22 @@ class VersionedTableBackend(ParquetTableBackend):
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         _, manifest = self._latest(spark, table)
         return self._read_manifest_df(spark, manifest)
+
+    def latest_manifest(self, spark: SparkSession, table: str) -> dict:
+        """The latest committed manifest (segment list, layout, schema,
+        caller ``extra`` metadata).  Raises FileNotFoundError for a
+        missing table.  Layered stores (merge-on-read) resolve segment
+        PRECEDENCE from the list order, so this is a public accessor."""
+        _, manifest = self._latest(spark, table)
+        return manifest
+
+    def segment_df(self, spark: SparkSession, manifest: dict,
+                   index: int) -> DataFrame:
+        """One segment of ``manifest`` as its own scan (manifest schema
+        applied, hive partition discovery rooted at the segment dir)."""
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        path = self._data_dir(spark, manifest["segments"][index])
+        return spark.read.schema(schema).parquet(path)
 
     def read_version(self, spark: SparkSession, table: str,
                      version: int) -> DataFrame:
@@ -496,8 +537,9 @@ class VersionedTableBackend(ParquetTableBackend):
                     f"the stage and retry")
             doc = {k: manifest[k] for k in
                    ("segments", "key", "n_buckets", "schema")}
-            if "partition_cols" in manifest:
-                doc["partition_cols"] = manifest["partition_cols"]
+            for opt in ("partition_cols", "extra"):
+                if opt in manifest:
+                    doc[opt] = manifest[opt]
             if token is not None:
                 doc["segments"] = list(manifest["segments"]) + gained
             doc["source"] = [staged, manifest["id"]]

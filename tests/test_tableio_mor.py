@@ -1,0 +1,189 @@
+"""MergeOnReadTable contract: O(batch) upserts, segment-order key
+precedence, tombstones, compaction, geometry metadata, and the plan
+shapes that make resolution scale (base never shuffled, delta key set
+broadcast, partition filters pruning base AND delta scans)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlx_spark import fsio, plans
+from dlx_spark.tableio_mor import MergeOnReadTable
+from dlx_spark.tableio_versioned import VersionedTableBackend
+
+
+@pytest.fixture
+def be(tmp_path):
+    return VersionedTableBackend(root=str(tmp_path / "wh_mor"))
+
+
+def _rows(spark, pairs, n_buckets=4):
+    return (spark.createDataFrame(pairs, "k long, v string")
+            .withColumn("pt", F.pmod("k", F.lit(n_buckets)).cast("int")))
+
+
+def _read_sorted(t, spark):
+    return sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+
+
+def test_upsert_overrides_and_tombstones_delete(spark, be):
+    t = MergeOnReadTable(be, "t1", key="k", partition_cols=["pt"])
+    t.overwrite(_rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    assert _read_sorted(t, spark) == [(1, "a"), (2, "b"), (3, "c")]
+
+    t.upsert(rows=_rows(spark, [(2, "B"), (4, "d")]))
+    assert _read_sorted(t, spark) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+    t.upsert(tombstone_keys=_rows(spark, [(1, None), (4, None)])
+             .select("k", "pt"))
+    assert _read_sorted(t, spark) == [(2, "B"), (3, "c")]
+
+    # later segment wins over earlier delta, not just over base
+    t.upsert(rows=_rows(spark, [(2, "B2")]))
+    assert _read_sorted(t, spark) == [(2, "B2"), (3, "c")]
+
+    # a deleted key can come back
+    t.upsert(rows=_rows(spark, [(1, "a2")]))
+    assert _read_sorted(t, spark) == [(1, "a2"), (2, "B2"), (3, "c")]
+
+
+def test_first_write_may_be_an_upsert(spark, be):
+    t = MergeOnReadTable(be, "t2", key="k", partition_cols=["pt"])
+    assert not t.exists(spark)
+    t.upsert(rows=_rows(spark, [(1, "a")]), extra={"n_buckets": 4})
+    assert _read_sorted(t, spark) == [(1, "a")]
+    assert t.meta(spark) == {"n_buckets": 4}
+    # tombstones against a never-created table are a no-op
+    t2 = MergeOnReadTable(be, "t2_none", key="k")
+    t2.upsert(tombstone_keys=_rows(spark, [(9, None)]).select("k", "pt"))
+    assert not t2.exists(spark)
+
+
+def test_multi_row_per_key_replaces_row_set(spark, be):
+    """Index-table shape: several rows per key; a batch tombstones every
+    touched key and writes the fresh row set (possibly empty)."""
+    t = MergeOnReadTable(be, "idx", key="k", partition_cols=["pt"])
+    t.overwrite(_rows(spark, [(1, "x"), (1, "y"), (2, "p"), (2, "q")]))
+    # key 1 shrinks to one row; key 2's set becomes empty (tombstone only)
+    batch = _rows(spark, [(1, "z")])
+    stones = _rows(spark, [(1, None), (2, None)]).select("k", "pt")
+    t.upsert(rows=batch, tombstone_keys=stones)
+    assert _read_sorted(t, spark) == [(1, "z")]
+    # same-segment tombstone+rows resolved to the rows (mention rule)
+    t.upsert(rows=_rows(spark, [(2, "p2"), (2, "q2")]),
+             tombstone_keys=_rows(spark, [(2, None)]).select("k", "pt"))
+    assert _read_sorted(t, spark) == [(1, "z"), (2, "p2"), (2, "q2")]
+
+
+def test_upsert_is_o_batch_and_compact_folds(spark, be):
+    """A small upsert must append ONE segment and leave every existing
+    data file untouched (the write-amplification contract); compact
+    folds all segments into one with identical content."""
+    t = MergeOnReadTable(be, "t3", key="k", partition_cols=["pt"],
+                         auto_compact_at=None)
+    t.overwrite(_rows(spark, [(i, f"v{i}") for i in range(32)]))
+    data_dir = fsio.join(be.root(spark), "data")
+
+    def file_set():
+        out = set()
+        for seg in fsio.listdir(spark, data_dir):
+            for leaf in fsio.glob(spark, fsio.join(data_dir, seg, "pt=*/*")):
+                out.add(leaf)
+        return out
+
+    before = file_set()
+    assert len(t.segments(spark)) == 1
+    t.upsert(rows=_rows(spark, [(1, "V1")]))
+    after = file_set()
+    assert before <= after                      # nothing rewritten
+    assert len(t.segments(spark)) == 2
+    added_segs = {p.split("/data/")[1].split("/")[0]
+                  for p in (after - before)}
+    assert len(added_segs) == 1                 # one new segment only
+
+    want = _read_sorted(t, spark)
+    assert t.compact(spark) == 2
+    assert len(t.segments(spark)) == 1
+    assert _read_sorted(t, spark) == want
+
+
+def test_auto_compact_bounds_segments(spark, be):
+    t = MergeOnReadTable(be, "t4", key="k", partition_cols=["pt"],
+                         auto_compact_at=3)
+    t.overwrite(_rows(spark, [(1, "a")]))
+    for i in range(5):
+        t.upsert(rows=_rows(spark, [(10 + i, f"n{i}")]))
+    assert len(t.segments(spark)) < 3
+    assert t.auto_compactions >= 1
+    assert _read_sorted(t, spark) == [(1, "a")] + [
+        (10 + i, f"n{i}") for i in range(5)]
+
+
+def test_resolution_plan_base_not_shuffled_and_keys_broadcast(spark, be):
+    """The 100 TB contract: resolving base-vs-delta must broadcast the
+    delta key set (never shuffle/sort the base side) and keep partition
+    filters pruning BOTH scans."""
+    t = MergeOnReadTable(be, "t5", key="k", partition_cols=["pt"])
+    t.overwrite(_rows(spark, [(i, f"v{i}") for i in range(64)]))
+    t.upsert(rows=_rows(spark, [(1, "V")]))
+    df = t.read(spark).filter(F.col("pt") == 1)
+    plan = plans.simple_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    pruned = [ln for ln in pf if "pt" in ln.split("PartitionFilters")[1][:80]]
+    assert len(pruned) >= 2, plan               # base AND delta scans pruned
+    assert sorted(r["k"] for r in df.collect()) == [
+        i for i in range(64) if i % 4 == 1]
+    assert [r["v"] for r in df.collect() if r["k"] == 1] == ["V"]
+
+
+def test_meta_survives_appends_and_compact(spark, be):
+    t = MergeOnReadTable(be, "t6", key="k", partition_cols=["pt"])
+    t.overwrite(_rows(spark, [(1, "a")]), extra={"n_buckets": 4})
+    t.upsert(rows=_rows(spark, [(2, "b")]))
+    assert t.meta(spark) == {"n_buckets": 4}
+    t.compact(spark)
+    assert t.meta(spark) == {"n_buckets": 4}
+
+
+def test_repartition_table_changes_geometry_atomically(spark, be):
+    t = MergeOnReadTable(be, "t7", key="k", partition_cols=["pt"])
+    t.overwrite(_rows(spark, [(i, f"v{i}") for i in range(16)], n_buckets=4),
+                extra={"n_buckets": 4})
+    resolved = t.read(spark)
+    t.repartition_table(
+        resolved.withColumn("pt", F.pmod("k", F.lit(8)).cast("int")),
+        extra={"n_buckets": 8})
+    assert t.meta(spark) == {"n_buckets": 8}
+    assert len(t.segments(spark)) == 1
+    got = {r["k"]: r["pt"] for r in t.read(spark).collect()}
+    assert got == {i: i % 8 for i in range(16)}
+
+
+def test_read_segments_since_identifies_crashed_batch(spark, be):
+    """The recovery primitive: a snapshot of segments() taken before a
+    batch brackets exactly that batch's rows (tombstones included)."""
+    t = MergeOnReadTable(be, "t8", key="k", partition_cols=["pt"])
+    t.overwrite(_rows(spark, [(1, "a"), (2, "b")]))
+    snap = t.segments(spark)
+    assert t.read_segments_since(spark, snap) is None
+    t.upsert(rows=_rows(spark, [(3, "c")]),
+             tombstone_keys=_rows(spark, [(2, None)]).select("k", "pt"))
+    batch = t.read_segments_since(spark, snap)
+    got = sorted((r["k"], r["v"], r["_mor_deleted"]) for r in batch.collect())
+    assert got == [(2, None, True), (3, "c", False)]
+
+
+def test_snapshot_reader_survives_compaction(spark, be):
+    """Snapshot isolation is inherited: a DataFrame resolved before a
+    compact still collects after it (segments are immutable until
+    vacuum)."""
+    t = MergeOnReadTable(be, "t9", key="k", partition_cols=["pt"])
+    t.overwrite(_rows(spark, [(1, "a")]))
+    t.upsert(rows=_rows(spark, [(2, "b")]))
+    snap = t.read(spark)
+    t.compact(spark)
+    t.upsert(rows=_rows(spark, [(1, "A")]))
+    assert sorted((r["k"], r["v"]) for r in snap.collect()) == [
+        (1, "a"), (2, "b")]
