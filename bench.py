@@ -107,6 +107,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = contract.BENCH[name]
         try:
+            # per-query load bracketing: ambient load inflates queries
+            # uniformly, and bracketing each one makes any apparent
+            # per-query regression attributable post-hoc (r9's three
+            # 'regressions' were all load artifacts diagnosed by hand)
+            load_before = round(os.getloadavg()[0], 2)
             samples = []
             for _ in range(4):          # 1 warm-up + 3 timed
                 t0 = time.time()
@@ -117,7 +122,9 @@ def main() -> None:
             timings[name] = round(timed[1], 3)        # median of 3
             spread[name] = {"min": round(timed[0], 3),
                             "max": round(timed[2], 3),
-                            "warmup": round(samples[0], 3)}
+                            "warmup": round(samples[0], 3),
+                            "load1": [load_before,
+                                      round(os.getloadavg()[0], 2)]}
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)

@@ -559,6 +559,48 @@ def parse_query_string(string: str, record_type: str = "bib",
 # Execution: apply a parsed query to a DataFrame
 # ---------------------------------------------------------------------------
 
+
+def _bare_text_index_ids(cond: "q.Text", ctx: QueryContext) -> DataFrame | None:
+    """Answer a bare free-text term from the PERSISTED token index when
+    its shape allows: plain stemmed words (and ``-word`` negations)
+    become semi/anti-joins on token containment — a slim column scan of
+    the index instead of a stemmed-``words``-array scan of every live
+    record (the reference's all-fields search walks its index
+    collections the same way, dlx/marc/query.py:698-751).
+
+    Equivalence: the record's ``words`` column is the distinct stemmed
+    tokens of all subfield values (space-joined before tokenizing), and
+    the index holds the same values' per-subfield tokens — a word is in
+    ``words`` iff some token row contains it.  Phrases and wildcards
+    need the padded ``text`` column, so those terms return None and
+    stay on the record scan."""
+    if ctx._provided_tokens is None:
+        return None
+    s = cond.string
+    if re.findall(r'(".+?")', s) or any(
+            "*" in w for w in re.split(r"\s+", s)):
+        return None
+    negated = [m[1] for m in re.findall(r"(^|\s)(\-\w+)", s)]
+    remainder = s
+    for tok in negated:
+        remainder = remainder.replace(tok, "")
+    words = [w for w in tokenize(remainder) if w not in q.TEXT_EXCLUDE]
+    if not words:
+        return None      # only-negation / stopword-only: keep reference
+                         # error/match semantics on the column path
+    toks = ctx.subfield_tokens()
+    ids = None
+    for w in words:
+        part = (toks.filter(F.array_contains("toks", w))
+                .select("record_id").distinct())
+        ids = part if ids is None else ids.join(part, "record_id",
+                                                "leftsemi")
+    for w in tokenize(" ".join(negated)):
+        part = (toks.filter(F.array_contains("toks", w))
+                .select("record_id").distinct())
+        ids = ids.join(part, "record_id", "leftanti")
+    return ids
+
 def execute_query(query: "q.Query", ctx: QueryContext,
                   df: DataFrame | None = None) -> DataFrame:
     """Run a parsed query: pure-Column conditions become one filter;
@@ -577,6 +619,9 @@ def execute_query(query: "q.Query", ctx: QueryContext,
     for cond in query.conditions:
         if isinstance(cond, SubfieldTextSearch):
             df = cond.apply(df, ctx)
+        elif isinstance(cond, q.Text) and ctx._provided_tokens is not None \
+                and (ids := _bare_text_index_ids(cond, ctx)) is not None:
+            df = df.join(ids, df["_id"] == ids["record_id"], "leftsemi")
         elif isinstance(cond, q.XrefSearch) and \
                 ctx._provided_tokens is not None:
             # a PERSISTED token index answers xref containment as an

@@ -1,11 +1,26 @@
-"""Parquet-backed record warehouse with the reference's write-side
-semantics re-expressed as deterministic batch jobs (SURVEY §3.2).
+"""Record warehouse with the reference's write-side semantics
+re-expressed as deterministic batch jobs (SURVEY §3.2), stored as
+MERGE-ON-READ tables on the transactional versioned backend.
 
 Layout under ``root``::
 
-    bibs/ auths/            nested records, partitioned by pt = _id % N
-    bib_history/ auth_history/   append-only version log
-    merge_log/               auth merge audit rows
+    _v/                     versioned backend (manifest-committed,
+                            snapshot-isolated — tableio_versioned)
+      tables/bibs, auths         live records: merge-on-read, hive-
+                                 partitioned by pt = _id % n_buckets
+                                 (the modulus rides in the manifest
+                                 ``extra`` and is REBUCKETABLE)
+      tables/{bibs,auths}_tokens persisted search index: merge-on-read,
+                                 partitioned by TAG (the engine's
+                                 analog of the reference's per-tag
+                                 ``_index_{tag}`` collections,
+                                 dlx/marc/query.py:112-148)
+      tables/{bib,auth}_history  append-only version log (one segment
+                                 per commit, folded by compaction)
+    merge_log/              auth merge audit rows
+    _dirty_*.json           write-ahead markers bracketing the
+                            live→token-index update pair
+    _stage_*/               scratch parquet for pipeline materialization
 
 Per-commit pipeline (replacing the reference's per-record round-trips
 and 4 thread families, dlx/marc/__init__.py:856-1234):
@@ -17,18 +32,30 @@ and 4 thread families, dlx/marc/__init__.py:856-1234):
 3. audit stamps — ``created`` preserved from the previous version;
 4. derived columns (text/words, logical fields) recomputed for the
    touched records as one DataFrame job;
-5. history append — the full new doc becomes the next version;
-6. bucketed upsert — only the partitions containing touched ids are
-   rewritten (dynamic partition overwrite).  At 100 TB this slots in a
-   Delta/Iceberg MERGE INTO without changing the call sites;
-7. heading-change propagation — attached records are recommitted as one
+5. history append — the full new doc becomes the next version (one
+   immutable segment, atomic manifest commit);
+6. merge-on-read upsert — the batch lands as ONE appended delta segment
+   plus tombstones; commit I/O is O(batch) regardless of store size
+   (the rewrite-the-bucket layout this replaces made a 1% batch cost
+   ~35% of a full rebuild at 1M records);
+7. token-index maintenance — the same O(batch) upsert against the
+   tag-partitioned token table, bracketed by a write-ahead dirty
+   marker so a crash between the two commits re-converges (replayed
+   lazily on the next search or store open);
+8. heading-change propagation — attached records are recommitted as one
    follow-up batch (cached linked values refresh; feedback-loop guarded
    by ``update_attached=False`` on the recursive call, mirroring the
    reference's guard at 1162-1165).
+
+Multi-writer posture: the commit POINT (every manifest publish) is the
+backend's CAS — safe across driver processes under an atomic-rename or
+external-CAS scheme.  Id assignment and history version numbering stay
+single-logical-writer by contract, like the reference's counter.
 """
 
 from __future__ import annotations
 
+import warnings
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -46,6 +73,9 @@ from dlx_spark.marc.record import (
     Linked,
     Marc,
 )
+from dlx_spark.tableio_mor import DELETED as _MOR_DELETED
+from dlx_spark.tableio_mor import MergeOnReadTable
+from dlx_spark.tableio_versioned import VersionedTableBackend
 
 
 class InvalidAuthField(Exception):
@@ -62,13 +92,24 @@ _RECORD_CLASS = {"bib": Bib, "auth": Auth}
 
 
 class MarcStore:
+    #: default bucket modulus for NEW stores — existing stores read
+    #: theirs from the live table's manifest (``n_buckets``), and
+    #: ``rebucket`` changes it in place as the store grows
     N_BUCKETS = 16
+    #: delta segments a merge-on-read table accumulates before an
+    #: inline fold (bounds read-side resolution work per table)
+    AUTO_COMPACT_AT = 16
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 n_buckets: int | None = None):
         self.spark = spark
         self.root = root
         self._auth_index: AuthIndex | None = None
         self._query_ctxs: dict = {}
+        self._default_n_buckets = int(n_buckets or self.N_BUCKETS)
+        self._nb: dict[str, int] = {}
+        self.backend = VersionedTableBackend(root=fsio.join(root, "_v"))
+        self._mor: dict[str, MergeOnReadTable] = {}
         fsio.mkdirs(spark, root)
         self._recover()
 
@@ -77,20 +118,52 @@ class MarcStore:
     def _path(self, name: str) -> str:
         return fsio.join(self.root, name)
 
-    def _exists(self, name: str) -> bool:
-        # one listing through the warehouse's own filesystem (fsio): the
-        # root may be a file:// / hdfs:// / s3a:// URI, not driver-local
-        return any(f.endswith(".parquet") or f.startswith("pt=")
-                   for f in fsio.listdir(self.spark, self._path(name)))
+    def _live_name(self, record_type: str) -> str:
+        return "bibs" if record_type == "bib" else "auths"
+
+    def _live(self, record_type: str) -> MergeOnReadTable:
+        name = self._live_name(record_type)
+        if name not in self._mor:
+            self._mor[name] = MergeOnReadTable(
+                self.backend, name, key="_id", partition_cols=["pt"],
+                auto_compact_at=self.AUTO_COMPACT_AT)
+        return self._mor[name]
+
+    def _tokens(self, record_type: str) -> MergeOnReadTable:
+        name = self._tokens_name(record_type)
+        if name not in self._mor:
+            self._mor[name] = MergeOnReadTable(
+                self.backend, name, key="record_id",
+                partition_cols=["tag"],
+                auto_compact_at=self.AUTO_COMPACT_AT)
+        return self._mor[name]
+
+    def n_buckets(self, record_type: str = "bib") -> int:
+        """The live table's bucket modulus (pt = _id % n_buckets) — read
+        from the table's own manifest so it flips atomically with a
+        ``rebucket``, per record type."""
+        rt = record_type
+        if rt not in self._nb:
+            live = self._live(rt)
+            if not live.exists(self.spark):
+                return self._default_n_buckets
+            self._nb[rt] = int(live.meta(self.spark).get(
+                "n_buckets", self._default_n_buckets))
+        return self._nb[rt]
 
     def _empty(self, schema) -> DataFrame:
         return self.spark.createDataFrame([], schema=schema)
 
     def table(self, record_type: str) -> DataFrame:
-        name = "bibs" if record_type == "bib" else "auths"
-        if not self._exists(name):
+        live = self._live(record_type)
+        if not live.exists(self.spark):
             return self._empty(schemas.MARC)
-        return self.spark.read.parquet(self._path(name)).drop("pt")
+        return live.read(self.spark).drop("pt")
+
+    def _raw(self, record_type: str) -> DataFrame:
+        """The resolved live table WITH its ``pt`` partition column —
+        the scan point-id terms prune at the partition level."""
+        return self._live(record_type).read(self.spark)
 
     def bibs(self) -> DataFrame:
         return self.table("bib")
@@ -100,9 +173,23 @@ class MarcStore:
 
     def history_df(self, record_type: str) -> DataFrame:
         name = f"{record_type}_history"
-        if not self._exists(name):
+        if not self.backend.exists(self.spark, name):
             return self._empty(schemas.HISTORY)
-        return self.spark.read.parquet(self._path(name))
+        return self.backend.read(self.spark, name).drop("pt")
+
+    def _history_for(self, record_type: str, rid: int) -> DataFrame:
+        """One record's history, pruned to its ``pt`` partition (the
+        modulus is the HISTORY table's own, fixed at creation — live
+        rebuckets never touch it)."""
+        name = f"{record_type}_history"
+        if not self.backend.exists(self.spark, name):
+            return self._empty(schemas.HISTORY)
+        manifest = self.backend.latest_manifest(self.spark, name)
+        mod = int((manifest.get("extra") or {}).get("n_buckets") or 0)
+        out = self.backend.read(self.spark, name)
+        if mod:
+            out = out.filter(F.col("pt") == int(rid) % mod)
+        return out.drop("pt").filter(F.col("record_id") == rid)
 
     def headings(self) -> DataFrame:
         return mdf.auth_headings(self.auths())
@@ -150,12 +237,12 @@ class MarcStore:
 
     def get(self, record_type: str, rid: int) -> Marc | None:
         # prune to the one pt bucket holding this id (pt = _id % N) so a
-        # point read lists/scans 1/N of the table's files
-        name = "bibs" if record_type == "bib" else "auths"
-        if not self._exists(name):
+        # point read lists/scans 1/N of the table's files — the filter
+        # pushes into the merge-on-read base AND delta scans
+        if not self._live(record_type).exists(self.spark):
             return None
-        rows = (self.spark.read.parquet(self._path(name))
-                .filter((F.col("pt") == int(rid) % self.N_BUCKETS)
+        rows = (self._raw(record_type)
+                .filter((F.col("pt") == int(rid) % self.n_buckets(record_type))
                         & (F.col("_id") == rid))
                 .drop("pt").collect())
         if not rows:
@@ -188,14 +275,13 @@ class MarcStore:
         Returns the matching records as a DataFrame (canonical nested
         schema, no ``pt``)."""
         from dlx_spark.marc import parser as mparser
-        name = "bibs" if record_type == "bib" else "auths"
         query = q.Query.from_string(query_string, record_type=record_type,
                                     auth_index=self.auth_index())
-        if not self._exists(name):
+        if not self._live(record_type).exists(self.spark):
             return self._empty(schemas.MARC)
-        raw = self.spark.read.parquet(self._path(name))
+        raw = self._raw(record_type)
         for cond in query.conditions:
-            buckets = self._id_buckets(cond)
+            buckets = self._id_buckets(cond, record_type)
             if buckets is not None:
                 raw = raw.filter(
                     F.col("pt").isin(sorted(buckets)))
@@ -241,114 +327,184 @@ class MarcStore:
                 pass
 
     # --- persisted search index -----------------------------------------------
+    #
+    # The engine's analog of the reference's persistent per-tag
+    # ``_index_{tag}`` collections (dlx/marc/query.py:112-148): one
+    # merge-on-read table per record type, hive-partitioned by TAG so a
+    # fielded term (``245__a:...``) prunes to its tag's files at the
+    # listing level, maintained O(batch) on every commit/delete under a
+    # write-ahead dirty marker.  The marker brackets the live→token
+    # commit pair: it records the live table's segment list BEFORE the
+    # live commit, so replay can read back EXACTLY the crashed batch
+    # (the segments added since) and re-derive its token rows — O(batch)
+    # recovery, run lazily by the next search (_search_index_df) or
+    # store open (_recover).
 
     def _tokens_name(self, record_type: str) -> str:
         return ("bibs" if record_type == "bib" else "auths") + "_tokens"
 
-    def _dirty_marker_path(self, record_type: str) -> str:
-        return fsio.join(self.root,
-                         f"_dirty_{self._tokens_name(record_type)}.json")
+    def _dirty_markers(self, record_type: str) -> list[str]:
+        return fsio.glob(
+            self.spark,
+            fsio.join(self.root,
+                      f"_dirty_{self._tokens_name(record_type)}*.json"))
 
-    def _write_dirty_marker(self, record_type: str,
-                            buckets: list[int] | None) -> None:
+    def _has_dirty_marker(self, record_type: str) -> bool:
+        return bool(self._dirty_markers(record_type))
+
+    def _write_dirty_marker(self, record_type: str, payload: dict) -> str:
+        """Write a PER-COMMIT dirty marker (uuid-named) and return its
+        path.  Per-commit files — not one shared marker — because two
+        drivers committing concurrently must each bracket their own
+        batch: with a single file, writer A's successful clear would
+        erase crashed writer B's pending marker and the index would go
+        silently stale.  Each writer clears exactly the file it wrote;
+        replay walks whatever markers remain."""
         import json as _json
-        fsio.write_text_atomic(self.spark,
-                               self._dirty_marker_path(record_type),
-                               _json.dumps({"buckets": buckets}))
+        import uuid as _uuid
+        path = fsio.join(
+            self.root, f"_dirty_{self._tokens_name(record_type)}"
+                       f".{_uuid.uuid4().hex}.json")
+        fsio.write_text_atomic(self.spark, path, _json.dumps(payload))
+        return path
+
+    def _clear_dirty_markers(self, record_type: str) -> None:
+        for m in self._dirty_markers(record_type):
+            fsio.remove(self.spark, m)
 
     def build_search_index(self, record_type: str) -> None:
         """Materialize the tokenized subfield view as a PERSISTED,
-        bucketed table under the store root — the engine's analog of
-        the reference's persistent ``_index_{tag}`` collections
-        (dlx/marc/query.py:112-148, maintained there on every commit).
-        Once built, it is maintained INCREMENTALLY: every commit/delete
-        re-derives only the touched pt buckets from the live table (the
-        source of truth) under a write-ahead dirty marker, so a crash
-        at ANY point between the live swap and the index refresh
-        re-converges on the next store open (``_recover`` re-runs the
-        idempotent derive-from-live).  ``search`` then reads the index
+        tag-partitioned merge-on-read table — the reference's
+        ``_index_{tag}`` collections as one table whose TAG partition
+        plays the per-collection role.  ``search`` then reads the index
         instead of building a per-session tokenized cache: the cold
         fielded-text query drops from an O(store) tokenize (pandas-UDF
-        stemming over every subfield — 18.6 s at 1M records) to a plain
-        parquet scan, and the stemming UDF leaves the QUERY plan
-        entirely — across sessions, which is what matters at 100 TB
-        where a per-session rebuild would be hours."""
-        self._write_dirty_marker(record_type, None)
-        self._refresh_search_index(record_type, None)
-
-    def _refresh_search_index(self, record_type: str,
-                              buckets: list[int] | None,
-                              new_df: DataFrame | None = None,
-                              removed_ids: list[int] | None = None) -> None:
-        """Bring the persisted token index's touched buckets current and
-        swap them in (crash-safe bucket overwrite), then clear the dirty
-        marker.  Two paths, one invariant:
-
-        - HOT path (``new_df``/``removed_ids`` from a commit or delete):
-          the batch's token rows are re-derived and unioned with the
-          UNTOUCHED records' existing rows in the touched buckets (an
-          anti-join, exactly the live upsert's own shape) — maintenance
-          costs O(batch) tokenize plus the bucket rewrite I/O, never a
-          re-tokenize of every record sharing a bucket.
-        - RECOVERY/build path (neither given): the touched buckets
-          re-derive WHOLESALE from the live table.  Slower, but
-          idempotent from the source of truth — which is what the
-          dirty-marker replay needs, since it cannot know what the
-          interrupted batch contained.
-
-        The two produce identical rows because untouched records' token
-        rows are current by induction (heading edits propagate as
-        recommits of the attached records, so 'attached but untouched'
-        cannot exist) — the identity the shared derivation
-        (mdf.subfield_token_rows) plus the crash-recovery test pin."""
-        name_live = "bibs" if record_type == "bib" else "auths"
-        tname = self._tokens_name(record_type)
-        if not self._exists(name_live):
-            fsio.remove(self.spark, self._dirty_marker_path(record_type))
+        stemming over every subfield — 18.6 s at 1M records) to a
+        tag-pruned parquet scan, and the stemming UDF leaves the QUERY
+        plan entirely — across sessions, which is what matters at
+        100 TB where a per-session rebuild would be hours.  Maintenance
+        afterwards is O(batch): each commit appends the batch's token
+        rows plus per-record tombstones (see ``_upsert``)."""
+        if not self._live(record_type).exists(self.spark):
             return
-        incremental = (self._exists(tname)
-                       and (new_df is not None or removed_ids))
-        if incremental:
-            existing = self.spark.read.parquet(self._path(tname))
-            if buckets is not None:
-                existing = existing.filter(F.col("pt").isin(buckets))
-            existing = existing.drop("pt")
-            if new_df is not None:
-                keep = existing.join(
-                    new_df.select(F.col("_id").alias("record_id")),
-                    "record_id", "left_anti")
-                fresh = mdf.subfield_token_rows(new_df, record_type,
-                                                headings=self.headings())
-                tokens = keep.unionByName(fresh)
-            else:
-                tokens = existing.filter(
-                    ~F.col("record_id").isin(list(removed_ids)))
+        rows = mdf.subfield_token_rows(self.table(record_type), record_type,
+                                       headings=self.headings())
+        self._tokens(record_type).overwrite(rows)
+        # the rebuild derived from current live covers every pending
+        # batch: their markers are settled (crash in between = one
+        # extra, safe, rebuild on replay)
+        self._clear_dirty_markers(record_type)
+        self._invalidate_query_contexts()
+
+    def _refresh_tokens_for_batch(self, record_type: str,
+                                  new_df: DataFrame | None = None,
+                                  removed_ids: list[int] | None = None) -> None:
+        """O(batch) index maintenance: tombstone every touched
+        record_id (so stale rows — and deleted records' rows — die) and
+        append the batch's freshly-derived token rows in ONE delta
+        segment."""
+        tokens = self._tokens(record_type)
+        if new_df is not None:
+            fresh = mdf.subfield_token_rows(new_df, record_type,
+                                            headings=self.headings())
+            stones = new_df.select(F.col("_id").alias("record_id")).distinct()
+            tokens.upsert(rows=fresh, tombstone_keys=stones)
+        elif removed_ids:
+            stones = self.spark.createDataFrame(
+                [(int(i),) for i in removed_ids], "record_id long")
+            tokens.upsert(tombstone_keys=stones)
+
+    def _replay_dirty_marker(self, record_type: str) -> None:
+        """Re-converge the token index after a crash between a live
+        commit and its index commit.  Each surviving marker's
+        pre-commit segment snapshot identifies exactly the batch it
+        bracketed (the live segments added since), so replay re-derives
+        that batch's token rows — O(batch).  A marker without a
+        snapshot (``full``: cross-record-type heading staleness, or a
+        torn write) rebuilds the index wholesale from live — always
+        safe, and settles every other pending marker with it.
+        Idempotent: re-running appends a duplicate delta segment whose
+        rows win by precedence over the identical rows below them;
+        concurrent writers' segments caught inside a batch window are
+        re-derived from live, which is also idempotent."""
+        import json as _json
+        markers = self._dirty_markers(record_type)
+        if not markers:
+            return
+        tokens = self._tokens(record_type)
+        if not tokens.exists(self.spark):
+            self._clear_dirty_markers(record_type)
+            return
+        batches: list[tuple[str, list]] = []
+        full = False
+        for marker in markers:
+            try:
+                payload = _json.loads(fsio.read_text(self.spark, marker))
+                base = payload.get("base_segments")
+                if base is None or not isinstance(base, list):
+                    full = True
+                else:
+                    batches.append((marker, base))
+            except (ValueError, TypeError):
+                full = True
+        if full:
+            # rebuild from the source of truth (cross-type heading
+            # staleness has no per-batch identity: the affected rows
+            # are whatever links to the changed auths) — covers every
+            # pending batch at once
+            rows = mdf.subfield_token_rows(
+                self.table(record_type), record_type,
+                headings=self.headings())
+            tokens.overwrite(rows)
+            self._clear_dirty_markers(record_type)
         else:
-            live = self.spark.read.parquet(self._path(name_live))
-            if buckets is not None:
-                live = live.filter(F.col("pt").isin(buckets))
-            tokens = mdf.subfield_token_rows(live.drop("pt"), record_type,
-                                             headings=self.headings())
-        self._stage(tokens, f"_stage_{tname}")
-        self._overwrite_buckets(tname, f"_stage_{tname}", buckets)
-        fsio.remove(self.spark, self._dirty_marker_path(record_type))
+            live = self._live(record_type)
+            for marker, base in batches:
+                batch = (live.read_segments_since(self.spark, base)
+                         if live.exists(self.spark) else None)
+                if batch is not None:
+                    ids = (batch.select(F.col("_id").alias("record_id"))
+                           .distinct())
+                    alive = (batch.filter(~F.col(_MOR_DELETED))
+                             .drop(_MOR_DELETED, "pt"))
+                    fresh = mdf.subfield_token_rows(
+                        alive, record_type, headings=self.headings())
+                    tokens.upsert(rows=fresh, tombstone_keys=ids)
+                fsio.remove(self.spark, marker)
+        self._invalidate_query_contexts()
 
     def _search_index_df(self, record_type: str) -> DataFrame | None:
-        tname = self._tokens_name(record_type)
-        if not self._exists(tname):
+        tokens = self._tokens(record_type)
+        if not tokens.exists(self.spark):
             return None
-        return self.spark.read.parquet(self._path(tname)).drop("pt")
+        if self._has_dirty_marker(record_type):
+            # a pending marker means the persisted index may trail the
+            # live table (a crashed or failed refresh).  Replay it here
+            # — not just on store open — so the SAME in-process store
+            # never serves stale index results; if the replay itself
+            # fails, fall back to the derived per-session token view
+            # (correct, just slower) rather than serving wrong rows.
+            try:
+                self._replay_dirty_marker(record_type)
+            except Exception as exc:       # pragma: no cover - env-dependent
+                warnings.warn(
+                    f"search index replay for {record_type} failed "
+                    f"({exc}); serving tokenized view derived from live "
+                    f"until it succeeds")
+                return None
+        return tokens.read(self.spark)
 
-    def _id_buckets(self, cond) -> set[int] | None:
+    def _id_buckets(self, cond, record_type: str) -> set[int] | None:
         """pt buckets implied by a point-id condition: {n % N} for an
         IdSearch, their union for an Or made solely of IdSearches, None
         (no pruning) otherwise.  Top-level conditions AND together, so
         each non-None set becomes its own partition filter."""
+        n = self.n_buckets(record_type)
         if isinstance(cond, q.IdSearch):
-            return {cond.id % self.N_BUCKETS}
+            return {cond.id % n}
         if isinstance(cond, q.Or) and cond.conditions and all(
                 isinstance(c, q.IdSearch) for c in cond.conditions):
-            return {c.id % self.N_BUCKETS for c in cond.conditions}
+            return {c.id % n for c in cond.conditions}
         return None
 
     def max_id(self, record_type: str) -> int:
@@ -456,20 +612,40 @@ class MarcStore:
         self._append_history_frame(record_type, staged, user, now,
                                    prev_id_df=prev_id_df)
 
-        # 6. bucketed upsert
-        self._upsert(record_type, staged, ids)
+        # heading changes affect the BIB token index through values the
+        # index denormalizes: mark it dirty (full) BEFORE the auth
+        # commit lands.  When propagation follows, its own commit_frame
+        # refreshes exactly the attached records and supersedes the
+        # marker; when it doesn't (update_attached=False), the marker
+        # stays and the bib index rebuilds lazily — without this, the
+        # persisted index would keep old heading-overlaid values while
+        # the derived view overlays current ones (diverging results)
+        changed = []
+        bib_marker = None
+        if record_type == "auth":
+            changed = [r for r in records
+                       if r.id in prev_headings
+                       and prev_headings[r.id] is not None
+                       and prev_headings[r.id] != self._heading_signature(r)]
+            if changed and self._tokens("bib").exists(self.spark):
+                bib_marker = self._write_dirty_marker("bib", {"full": True})
+
+        # 6. merge-on-read upsert (O(batch) delta segment)
+        self._upsert(record_type, staged)
         self._unstage(f"_stage_commit_{name}")
 
         out = ids
 
         # 7. heading-change propagation (reference 1154-1232)
-        if record_type == "auth" and update_attached:
-            changed = [r for r in records
-                       if r.id in prev_headings
-                       and prev_headings[r.id] is not None
-                       and prev_headings[r.id] != self._heading_signature(r)]
-            if changed:
-                self._propagate_heading_changes([r.id for r in changed], user, now)
+        if changed and update_attached:
+            self._propagate_heading_changes([r.id for r in changed], user, now)
+            # propagation recommitted every attached record, refreshing
+            # their token rows through its own per-commit marker dance
+            # (a failed refresh there leaves ITS marker) — the full
+            # marker above is superseded; a crash before this line costs
+            # one extra, safe, rebuild on replay
+            if bib_marker is not None:
+                fsio.remove(self.spark, bib_marker)
         return out
 
     def commit_frame(self, df: DataFrame, record_type: str = "bib",
@@ -584,7 +760,18 @@ class MarcStore:
             self._append_history_frame(record_type, staged, user, now,
                                        prev_id_df=prev_id_df)
             n = staged.count()
-            self._upsert(record_type, staged, ids=None)
+            # commit_frame NEVER propagates heading changes (structural
+            # recursion guard) — so an auth bulk write that changes
+            # headings over an indexed bib table must mark the BIB token
+            # index dirty (full): its rows denormalize the old heading
+            # values while the derived view would overlay current ones.
+            # The diff is O(batch): the staged frame joined to the
+            # pre-commit live rows on _id, heading signatures compared
+            if (record_type == "auth"
+                    and self._tokens("bib").exists(self.spark)
+                    and self._frame_changes_headings(staged)):
+                self._write_dirty_marker("bib", {"full": True})
+            self._upsert(record_type, staged)
         finally:
             for scratch in (f"_stage_ingest_{name}", f"_stage_ingest_ids_{name}",
                             f"_stage_commit_{name}"):
@@ -592,6 +779,27 @@ class MarcStore:
             if record_type == "auth":
                 self._invalidate_auth_index()
         return n
+
+    def _frame_changes_headings(self, staged: DataFrame) -> bool:
+        """Does this auth frame change any PRE-EXISTING record's heading
+        (first 1xx field)?  One O(batch) join: staged ids against the
+        pre-commit live rows (a merge-on-read snapshot — still readable
+        after the upsert), signatures compared as JSON of (tag, code,
+        value) triples.  Linked-subfield cached values are baked by the
+        derive on both sides, so false positives are limited to
+        resolution-order artifacts — and a false positive only costs an
+        unneeded rebuild, never staleness."""
+        hsig = F.to_json(F.expr(
+            "named_struct("
+            " 'tag', filter(datafields, f -> f.tag like '1%')[0].tag,"
+            " 'subs', transform("
+            "   filter(datafields, f -> f.tag like '1%')[0].subfields,"
+            "   s -> named_struct('code', s.code, 'value', s.value)))"))
+        old = self.auths().select("_id", hsig.alias("_h0"))
+        new = staged.select("_id", hsig.alias("_h1"))
+        return bool(new.join(old, "_id")
+                    .filter(~F.col("_h0").eqNullSafe(F.col("_h1")))
+                    .limit(1).count())
 
     @staticmethod
     def _heading_signature(rec: Marc | None):
@@ -617,161 +825,104 @@ class MarcStore:
                 elif isinstance(sub, Linked):
                     raise InvalidNonAuthField(rec.record_type, field.tag, sub.code)
 
-    def _with_bucket(self, df: DataFrame) -> DataFrame:
-        # record tables bucket on _id; the persisted token index buckets
-        # on record_id — same value, so live bucket b and its token rows
-        # always co-locate and one `buckets` list drives both rewrites
+    def _with_bucket(self, df: DataFrame, record_type: str) -> DataFrame:
         key = "_id" if "_id" in df.columns else "record_id"
-        return df.withColumn("pt", F.pmod(F.col(key), F.lit(self.N_BUCKETS)).cast("int"))
+        return df.withColumn(
+            "pt", F.pmod(F.col(key),
+                         F.lit(self.n_buckets(record_type))).cast("int"))
 
-    def _upsert(self, record_type: str, new_df: DataFrame,
-                ids: list[int] | None) -> None:
-        """Rewrite only the buckets containing touched ids (dynamic
-        partition overwrite).  The union is staged to a scratch dir so
-        the read and the overwrite of the same path never overlap.
-        Production swap-in: Delta/Iceberg MERGE INTO.
-
-        ``ids=None`` is the distributed mode: touched BUCKETS come from a
-        tiny distinct-pmod aggregate of ``new_df`` (<= N_BUCKETS rows to
-        the driver, never ids), the touched-id set is an anti-join — so
-        a small batch rewrites only its buckets and a full rebuild never
-        enumerates ids on the driver (rebuild_derived at 100M records)."""
-        name = "bibs" if record_type == "bib" else "auths"
-        path = self._path(name)
-
-        if self._exists(name):
-            existing = self.spark.read.parquet(path)
-            if ids is not None:
-                buckets = sorted({i % self.N_BUCKETS for i in ids})
-                existing = (existing.filter(F.col("pt").isin(buckets))
-                            .filter(~F.col("_id").isin(ids)))
-            else:
-                buckets = sorted(r["pt"] for r in new_df.select(
-                    F.pmod(F.col("_id"), F.lit(self.N_BUCKETS)).cast("int")
-                    .alias("pt")).distinct().collect())
-                existing = (existing.filter(F.col("pt").isin(buckets))
-                            .join(new_df.select("_id"), "_id", "left_anti"))
-            union = existing.drop("pt").unionByName(new_df, allowMissingColumns=True)
-        else:
-            buckets = None
-            union = new_df
-
-        index_live = self._exists(self._tokens_name(record_type))
+    def _upsert(self, record_type: str, new_df: DataFrame) -> None:
+        """Commit the batch as ONE appended merge-on-read delta segment
+        — O(batch) I/O at any store size (the Delta/Iceberg
+        MERGE-on-read shape; the backend's manifest CAS is the commit
+        point).  When a persisted token index exists, its O(batch)
+        refresh follows under a write-ahead dirty marker recording the
+        live table's PRE-commit segment list: a crash between the two
+        commits replays exactly the batch (the segments added since) on
+        the next search or store open.  A refresh FAILURE after the
+        durable live commit does not fail the commit — the marker stays
+        and the index re-converges on replay ('committed, index
+        pending'), because callers observing an error for a commit that
+        actually persisted would retry and double-apply."""
+        live = self._live(record_type)
+        index_live = self._tokens(record_type).exists(self.spark)
+        marker = None
         if index_live:
-            # write-ahead DIRTY marker BEFORE the live swap: a crash
-            # anywhere between here and the index refresh leaves the
-            # marker behind, and recovery re-derives the touched
-            # buckets from the live table — idempotent, so the index
-            # can never silently go stale
-            self._write_dirty_marker(record_type, buckets)
-        self._stage(union, f"_stage_{name}")
-        self._overwrite_buckets(name, f"_stage_{name}", buckets)
+            marker = self._write_dirty_marker(
+                record_type, {"base_segments": live.segments(self.spark)})
+        live.upsert(rows=self._with_bucket(new_df, record_type),
+                    extra={"n_buckets": self.n_buckets(record_type)})
+        self._invalidate_query_contexts()
         if index_live:
-            self._refresh_search_index(record_type, buckets, new_df=new_df)
+            try:
+                self._refresh_tokens_for_batch(record_type, new_df=new_df)
+                fsio.remove(self.spark, marker)
+            except Exception as exc:
+                warnings.warn(
+                    f"commit of {record_type} batch is durable but the "
+                    f"search index refresh failed ({exc}); the index "
+                    f"re-converges from the dirty marker on the next "
+                    f"search or store open")
 
     def compact(self, record_type: str) -> None:
-        """Fold the small files that per-commit dynamic overwrites leave
-        behind into one file per pt bucket — the maintenance job any
-        upsert-heavy parquet layout needs (the Delta/Iceberg OPTIMIZE
-        analog).  One distributed rewrite; no rows touch the driver."""
-        name = "bibs" if record_type == "bib" else "auths"
-        if not self._exists(name):
-            return
-        live = self.spark.read.parquet(self._path(name))
-        self._stage(live.repartition(self.N_BUCKETS, "pt").drop("pt"),
-                    f"_stage_compact_{name}")
-        self._overwrite_buckets(name, f"_stage_compact_{name}", None)
-
-    # --- crash-safe bucket swap ----------------------------------------------
-    #
-    # The stage-then-overwrite window in _upsert/compact/_remove_live is not
-    # atomic on a plain parquet store: a crash after the staged union lands
-    # but during the dynamic partition overwrite can tear the live table
-    # (some buckets new, some old, or a bucket dir half-written).  A
-    # write-ahead marker makes the swap REDOABLE: the marker (atomic
-    # tmp+rename) records the stage path and the touched buckets before the
-    # overwrite starts, and is removed only after it completes; reopening
-    # the store replays any pending swap from the still-present stage (the
-    # stage holds the full post-image of every touched bucket, so replaying
-    # is idempotent).  Production swap-in: a Delta/Iceberg transaction log.
-
-    def _txn_path(self, name: str) -> str:
-        return fsio.join(self.root, f"_txn_{name}.json")
-
-    def _write_txn_marker(self, name: str, payload: dict) -> None:
-        import json
-        fsio.write_text_atomic(self.spark, self._txn_path(name),
-                               json.dumps(payload))
-
-    def _clear_txn_marker(self, name: str) -> None:
-        fsio.remove(self.spark, self._txn_path(name))
-
-    def _overwrite_buckets(self, name: str, stage_name: str,
-                           buckets: list[int] | None) -> None:
-        """Swap the staged post-image into the live table's touched
-        buckets under a write-ahead marker.  ``buckets`` is the full set
-        the caller touched; any touched bucket with NO rows in the stage
-        is dropped outright (dynamic overwrite alone would leave its old
-        files behind)."""
-        self._write_txn_marker(name, {"stage": stage_name,
-                                      "buckets": buckets})
-        self._apply_overwrite(name, stage_name, buckets)
-        self._clear_txn_marker(name)
-        self._unstage(stage_name)
-        # every live-table mutation funnels through this swap: cached
-        # query contexts (tokenized subfield views) are now stale
+        """Fold each table's delta segments into one — the maintenance
+        job any upsert-heavy layout needs (the Delta/Iceberg OPTIMIZE
+        analog), also triggered inline by ``AUTO_COMPACT_AT``.  One
+        distributed rewrite per table; no rows touch the driver."""
+        self._live(record_type).compact(self.spark)
+        if self._tokens(record_type).exists(self.spark):
+            self._tokens(record_type).compact(self.spark)
+        hname = f"{record_type}_history"
+        if self.backend.exists(self.spark, hname):
+            self.backend.compact_segments(self.spark, hname)
         self._invalidate_query_contexts()
 
-    def _apply_overwrite(self, name: str, stage_name: str,
-                         buckets: list[int] | None) -> None:
-        staged = self.spark.read.parquet(self._path(stage_name))
-        present: set[int] = set()
-        if staged.limit(1).count():
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            bucketed = self._with_bucket(staged)
-            bucketed.write.mode("overwrite").partitionBy("pt").parquet(self._path(name))
-            present = {r["pt"] for r in bucketed.select("pt").distinct().collect()}
-        for b in buckets or []:
-            if b not in present:
-                fsio.rmtree(self.spark, fsio.join(self._path(name), f"pt={b}"))
+    def rebucket(self, record_type: str, n_buckets: int) -> None:
+        """Change the live table's bucket modulus IN PLACE — one staged,
+        crash-safe rewrite (pt recomputed, new modulus committed in the
+        same manifest as the data it describes, so readers can never
+        mis-prune).  The knob a growing store owns: 16 buckets at 100 TB
+        would be ~6 TB per bucket — too coarse for point-read pruning —
+        and the reference's Mongo ``_id`` index has no such choice to
+        make, so this is engine-specific surface.  Token tables
+        partition by TAG and history keeps its own creation-time
+        modulus: neither is touched."""
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        live = self._live(record_type)
+        if not live.exists(self.spark):
+            self._default_n_buckets = int(n_buckets)
+            return
+        resolved = (live.read(self.spark).drop("pt")
+                    .withColumn("pt", F.pmod(F.col("_id"),
+                                             F.lit(int(n_buckets))).cast("int")))
+        live.repartition_table(resolved, extra={"n_buckets": int(n_buckets)})
+        self._nb.pop(record_type, None)
+        self._invalidate_query_contexts()
 
     def _recover(self) -> None:
-        """Replay any bucket swap whose marker survived a crash.  Called
-        on open; a no-op when no marker exists.  A torn marker (crash
-        mid-publish on a scheme with non-atomic rename) parses as
-        garbage and is discarded — the stage it would have pointed at is
-        re-derivable by re-running the interrupted commit."""
-        import json
-        for marker in fsio.glob(self.spark, fsio.join(self.root, "_txn_*.json")):
-            name = fsio.basename(marker)[len("_txn_"):-len(".json")]
-            try:
-                payload = json.loads(fsio.read_text(self.spark, marker))
-                stage_name = payload["stage"]
-                if not isinstance(stage_name, str):
-                    raise TypeError("non-string stage in txn marker")
-            except (ValueError, KeyError, TypeError):
-                # torn write (non-atomic rename schemes) or foreign
-                # content: never act on garbage — the interrupted commit
-                # re-runs from its caller
-                fsio.remove(self.spark, marker)
-                continue
-            if fsio.is_dir(self.spark, self._path(stage_name)):
-                self._apply_overwrite(name, stage_name, payload.get("buckets"))
-                self._unstage(stage_name)
-            self._clear_txn_marker(name)
-        # dirty SEARCH-INDEX markers replay AFTER the swaps above, so
-        # the rebuild derives from the recovered live table.  A torn
-        # marker reads as buckets=None — a full rebuild, always safe
-        for marker in fsio.glob(self.spark,
-                                fsio.join(self.root, "_dirty_*_tokens.json")):
-            record_type = ("bib" if fsio.basename(marker).startswith(
-                "_dirty_bibs") else "auth")
-            try:
-                buckets = json.loads(
-                    fsio.read_text(self.spark, marker)).get("buckets")
-            except ValueError:
-                buckets = None
-            self._refresh_search_index(record_type, buckets)
+        """Replay pending token-index markers on open (live-table crash
+        consistency is the backend's job — manifest commits are atomic
+        and staged replaces self-recover).  Markers are ALSO checked
+        lazily by ``_search_index_df``, so recovery here only matters
+        for stores that go straight to writing."""
+        # finish any crashed merge-on-read stage swap FIRST (rebucket /
+        # compact / rebuild — the backend proves which side of the
+        # commit the crash was on), so marker replay below derives from
+        # the settled live table
+        for rt in ("bib", "auth"):
+            for t in (self._live_name(rt), self._tokens_name(rt)):
+                for suffix in ("__morstage", "__morfold"):
+                    if self.backend.exists(self.spark, t + suffix):
+                        self.backend.recover_replace(self.spark, t,
+                                                     t + suffix)
+        pending = {("bib" if fsio.basename(m).startswith("_dirty_bibs")
+                    else "auth")
+                   for m in fsio.glob(
+                       self.spark,
+                       fsio.join(self.root, "_dirty_*_tokens*.json"))}
+        for record_type in sorted(pending):
+            self._replay_dirty_marker(record_type)
 
     def _stage(self, df: DataFrame, name: str) -> DataFrame:
         p = self._path(name)
@@ -818,7 +969,33 @@ class MarcStore:
             F.lit(None).cast("long").alias("merged_into"),
             F.lit(None).cast("timestamp").alias("merged_time"),
         )
-        hist.write.mode("append").parquet(self._path(name))
+        self._append_history_rows(record_type, hist)
+
+    #: bucket modulus of NEW history tables (fixed at creation in the
+    #: table's own manifest; per-record history reads prune on it —
+    #: independent of the live table's rebucketable modulus)
+    HISTORY_BUCKETS = 16
+
+    def _append_history_rows(self, record_type: str,
+                             hist: DataFrame) -> None:
+        """Append version rows to the history table: one immutable
+        segment per commit (atomic manifest publish), partitioned by
+        pt = record_id % HISTORY_BUCKETS so per-record history reads
+        prune, folded by ``AUTO_COMPACT_AT`` so a long commit history
+        never accretes unbounded scan roots."""
+        name = f"{record_type}_history"
+        if self.backend.exists(self.spark, name):
+            mod = int((self.backend.latest_manifest(self.spark, name)
+                       .get("extra") or {}).get("n_buckets")
+                      or self.HISTORY_BUCKETS)
+        else:
+            mod = self.HISTORY_BUCKETS
+        out = hist.withColumn(
+            "pt", F.pmod(F.col("record_id"), F.lit(mod)).cast("int"))
+        n_after = self.backend.append_partitioned(
+            out, name, ["pt"], extra={"n_buckets": mod}, seg_prefix=name)
+        if n_after >= self.AUTO_COMPACT_AT:
+            self.backend.compact_segments(self.spark, name)
 
     # --- delete / restore / history -------------------------------------------
 
@@ -833,9 +1010,7 @@ class MarcStore:
                 raise AuthInUse()
 
         row = self.table(record_type).filter(F.col("_id") == rid).collect()
-        name = f"{record_type}_history"
-        version_base = (self.history_df(record_type)
-                        .filter(F.col("record_id") == rid)
+        version_base = (self._history_for(record_type, rid)
                         .agg(F.max("version")).first()[0] or 0)
         action = {"type": "delete", "user": user, "time": now}
         hist_rows = [{
@@ -848,8 +1023,9 @@ class MarcStore:
             "actions": [action],
             "merged_into": None, "merged_time": None,
         }]
-        (self.spark.createDataFrame(hist_rows, schema=schemas.HISTORY)
-         .write.mode("append").parquet(self._path(name)))
+        self._append_history_rows(
+            record_type,
+            self.spark.createDataFrame(hist_rows, schema=schemas.HISTORY))
         self._remove_live(record_type, [rid])
         if record_type == "auth":
             # the memoized index tracks commits incrementally (commit
@@ -858,25 +1034,32 @@ class MarcStore:
             self._invalidate_auth_index()
 
     def _remove_live(self, record_type: str, ids: list[int]) -> None:
-        name = "bibs" if record_type == "bib" else "auths"
-        if not self._exists(name):
+        """Delete ids as merge-on-read tombstones — one appended
+        segment, O(batch), same marker protocol as ``_upsert``."""
+        live = self._live(record_type)
+        if not live.exists(self.spark):
             return
-        path = self._path(name)
-        buckets = sorted({i % self.N_BUCKETS for i in ids})
-        keep = (self.spark.read.parquet(path)
-                .filter(F.col("pt").isin(buckets))
-                .filter(~F.col("_id").isin(ids))
-                .drop("pt"))
-        index_live = self._exists(self._tokens_name(record_type))
+        n = self.n_buckets(record_type)
+        stones = self.spark.createDataFrame(
+            [(int(i), int(i) % n) for i in ids], "_id long, pt int")
+        index_live = self._tokens(record_type).exists(self.spark)
+        marker = None
         if index_live:
-            self._write_dirty_marker(record_type, buckets)
-        self._stage(keep, f"_stage_{name}")
-        # _overwrite_buckets drops any touched bucket the stage left empty
-        # (dynamic overwrite alone would keep its old files)
-        self._overwrite_buckets(name, f"_stage_{name}", buckets)
+            marker = self._write_dirty_marker(
+                record_type, {"base_segments": live.segments(self.spark)})
+        live.upsert(tombstone_keys=stones)
+        self._invalidate_query_contexts()
         if index_live:
-            self._refresh_search_index(record_type, buckets,
-                                       removed_ids=ids)
+            try:
+                self._refresh_tokens_for_batch(record_type,
+                                               removed_ids=list(ids))
+                fsio.remove(self.spark, marker)
+            except Exception as exc:
+                warnings.warn(
+                    f"delete of {record_type} ids is durable but the "
+                    f"search index refresh failed ({exc}); the index "
+                    f"re-converges from the dirty marker on the next "
+                    f"search or store open")
 
     def restore(self, record_type: str, rid: int, user: str = "admin",
                 now: datetime | None = None) -> Marc:
@@ -885,8 +1068,8 @@ class MarcStore:
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         if self.table(record_type).filter(F.col("_id") == rid).limit(1).count():
             raise Exception(f"{record_type} {rid} is not deleted")
-        versions = (self.history_df(record_type)
-                    .filter((F.col("record_id") == rid) & F.col("doc").isNotNull())
+        versions = (self._history_for(record_type, rid)
+                    .filter(F.col("doc").isNotNull())
                     .orderBy(F.desc("version")).limit(1).collect())
         if not versions:
             raise Exception(f"no history for {record_type} {rid}")
@@ -901,8 +1084,9 @@ class MarcStore:
             "restored_user": user, "restored_time": now,
             "actions": [action], "merged_into": None, "merged_time": None,
         }]
-        (self.spark.createDataFrame(hist_rows, schema=schemas.HISTORY)
-         .write.mode("append").parquet(self._path(f"{record_type}_history")))
+        self._append_history_rows(
+            record_type,
+            self.spark.createDataFrame(hist_rows, schema=schemas.HISTORY))
         return rec
 
     def revert(self, record_type: str, rid: int, version: int,
@@ -920,8 +1104,8 @@ class MarcStore:
         return rec
 
     def history(self, record_type: str, rid: int) -> list[Marc]:
-        rows = (self.history_df(record_type)
-                .filter((F.col("record_id") == rid) & F.col("doc").isNotNull())
+        rows = (self._history_for(record_type, rid)
+                .filter(F.col("doc").isNotNull())
                 .orderBy("version").collect())
         return [_RECORD_CLASS[record_type].from_row(r["doc"]) for r in rows]
 

@@ -19,6 +19,16 @@ def simple_plan(df: DataFrame) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
+def final_plan(df: DataFrame) -> str:
+    """The EXECUTED physical plan, AQE-final: collects the DataFrame
+    first so AdaptiveSparkPlan's runtime re-optimization (e.g. a
+    sort-merge join demoted to broadcast once the built side's true
+    size is known) has happened — the string a runtime join-strategy
+    pin must inspect.  Only for test-scale frames (it materializes)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """The filters that reached the parquet reader."""
     plan = simple_plan(df)

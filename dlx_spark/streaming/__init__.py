@@ -389,11 +389,16 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str,
        the live table; a replay reuses the stage, so ids and history
        created-stamps cannot drift between attempts.
     2. An INTENT marker (atomic rename) records, before the commit, the
-       batch timestamp and the history part-files that existed; a replay
-       that finds the marker first deletes any history files the crashed
-       attempt appended, lets the store's own txn recovery repair a torn
-       upsert, then re-runs the commit from the stage — which is now
-       idempotent (explicit ids, fixed ``now``, snapshot ``prev_ids``).
+       batch timestamp and the history table's manifest VERSION; a
+       replay that finds the marker first rolls the history table back
+       to that version (``restore_version`` — the crashed attempt's
+       appended segments become unreferenced, valid even if a
+       compaction folded them in between), lets the store's own
+       recovery re-converge the token index, then re-runs the commit
+       from the stage — which is now idempotent (explicit ids, fixed
+       ``now``, snapshot ``prev_ids``; the live re-append supersedes
+       the crashed attempt's identical rows by merge-on-read
+       precedence).
     3. The (stream-instance, batch_id) LEDGER row is appended only after
        the commit lands; the marker is removed last.  A crash between
        commit and ledger replays into the recovery path above, not into
@@ -415,7 +420,7 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str,
 
     cls = Bib if record_type == "bib" else Auth
     commits_log = fsio.join(store.root, f"_stream_commits_{record_type}")
-    hist_dir = store._path(f"{record_type}_history")
+    hist_table = f"{record_type}_history"
     _key_cache: dict[str, str] = {}
 
     def stream_key(session) -> str:
@@ -504,17 +509,24 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str,
             return
 
         if fsio.exists(session, marker_path):
-            # crashed attempt: undo its history append (files not in the
-            # pre-commit snapshot), repair any torn bucket swap, then
-            # fall through to the idempotent re-run from the stage
+            # crashed attempt: roll the history table back to the
+            # pre-commit manifest version (the attempt's appended
+            # segments become unreferenced — valid even if compaction
+            # folded them, since restored manifests reference the
+            # original immutable segments), re-converge the token
+            # index, then fall through to the idempotent re-run
             marker = json.loads(fsio.read_text(session, marker_path))
-            if marker["history_files"] is None:
-                fsio.rmtree(session, hist_dir)
+            if "history_version" not in marker:
+                raise RuntimeError(
+                    f"stream intent marker {marker_path} predates the "
+                    f"versioned history layout — repair it manually "
+                    f"before resuming this stream")
+            hv = marker["history_version"]
+            if hv is None:
+                if store.backend.exists(session, hist_table):
+                    store.backend.drop(session, hist_table)
             else:
-                keep = set(marker["history_files"])
-                for f in fsio.listdir(session, hist_dir):
-                    if f.endswith(".parquet") and f not in keep:
-                        fsio.remove(session, fsio.join(hist_dir, f))
+                store.backend.restore_version(session, hist_table, hv)
             store._recover()
         else:
             # fresh attempt: parse executor-side with the SAME chunk
@@ -565,11 +577,11 @@ def make_commit_batch_fn(store, record_type: str, checkpoint: str,
              .withColumn("_existed", F.coalesce("_existed", F.lit(False)))
              .write.mode("overwrite").parquet(stage_path))
 
-            pre_hist = (sorted(f for f in fsio.listdir(session, hist_dir)
-                               if f.endswith(".parquet"))
-                        if fsio.is_dir(session, hist_dir) else None)
+            pre_version = (store.backend.latest_manifest(
+                session, hist_table)["version"]
+                if store.backend.exists(session, hist_table) else None)
             now = datetime.now(timezone.utc).replace(tzinfo=None)
-            marker = {"now": marc_to_iso(now), "history_files": pre_hist}
+            marker = {"now": marc_to_iso(now), "history_version": pre_version}
             fsio.write_text_atomic(session, marker_path, json.dumps(marker))
 
         staged = session.read.parquet(stage_path)

@@ -461,6 +461,35 @@ class VersionedTableBackend(ParquetTableBackend):
         # explicit schema: no inference pass, and zero-row segments read
         return spark.read.schema(schema).parquet(*paths)
 
+    def restore_version(self, spark: SparkSession, table: str,
+                        version: int) -> None:
+        """Roll the table's HEAD back to ``version``'s exact content by
+        publishing that manifest's segment list as the next version —
+        the undo primitive for a caller that appended and then needs
+        its own unacknowledged appends gone (e.g. a streaming sink
+        replaying a crashed batch).  Works even if a compaction folded
+        the table in between: the restored manifest references the
+        ORIGINAL segments, which stay in the data pool until vacuum
+        (so keep the vacuum retention horizon above the longest
+        plausible replay window, the same contract as Delta's).
+        Appends committed by OTHER writers after ``version`` are
+        dropped too — single-logical-writer per table, by contract."""
+        manifest = self._manifest_or_none(spark, table, version)
+        if manifest is None:
+            raise FileNotFoundError(
+                f"restore_version({table}, {version}): that version is "
+                f"not readable (vacuumed or torn) — cannot roll back")
+
+        def payload(latest):
+            doc = {k: manifest[k] for k in
+                   ("segments", "key", "n_buckets", "schema")}
+            for opt in ("partition_cols", "extra"):
+                if opt in manifest:
+                    doc[opt] = manifest[opt]
+            return doc
+
+        self._commit(spark, table, payload)
+
     def refresh(self, spark: SparkSession, table: str) -> None:
         """No-op: every ``read`` resolves the latest manifest afresh;
         already-returned DataFrames are snapshots by design."""

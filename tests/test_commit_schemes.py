@@ -98,29 +98,36 @@ def test_crash_between_copy_and_delete_leaves_complete_marker(
     assert not fsio.exists(spark, p + ".tmp")
 
 
-def test_torn_marker_from_midcopy_crash_reads_as_absent(spark, tmp_path):
+def test_torn_marker_from_midcopy_crash_reads_as_safe(spark, tmp_path):
     """The harsh window: a crash mid-copy tears the destination.  The
-    store's open-time recovery — a REAL marker consumer — must discard
-    the garbage instead of acting on it, exactly the contract the local
-    torn-marker tests pin, now produced by the simulated scheme instead
-    of hand-written garbage."""
+    store's open-time recovery — a REAL marker consumer — must treat a
+    torn token-index dirty marker as 'rebuild wholesale' (always safe),
+    never act on the garbage payload, now produced by the simulated
+    scheme instead of hand-written garbage."""
+    from dlx_spark.marc.record import Bib
     from dlx_spark.marc.store import MarcStore
 
     root = str(tmp_path / "wh")
     st = MarcStore(spark, root)               # clean open, no markers
+    st.commit(Bib({"_id": 3, "245": [{"indicators": [" ", " "],
+                                      "subfields": [{"code": "a",
+                                                     "value": "Torn probe"}]}]}))
+    st.build_search_index("bib")
     fsio.set_commit_scheme(fsio.NonAtomicRenameScheme(
         fault=crash_at("mid_copy")))
-    marker = fsio.join(st.root, "_txn_bibs.json")
+    marker = fsio.join(st.root, "_dirty_bibs_tokens.json")
     with pytest.raises(SimulatedCrash):
         fsio.write_text_atomic(spark, marker,
-                               json.dumps({"stage": "bibs__stage"}))
+                               json.dumps({"base_segments": ["x" * 64]}))
     torn = fsio.read_text(spark, marker)
     with pytest.raises(ValueError):
         json.loads(torn)                      # genuinely torn JSON
     fsio.set_commit_scheme(fsio.HadoopRenameScheme())
     st2 = MarcStore(spark, root)              # recovery runs on open
-    assert not fsio.exists(spark, marker)     # discarded, not acted on
-    assert st2.bibs().count() == 0
+    assert not fsio.exists(spark, marker)     # settled, not acted on
+    assert st2.bibs().count() == 1
+    assert [r["_id"] for r in
+            st2.search("bib", "245__a:torn").collect()] == [3]
 
 
 # ------------------------------------------- versioned backend + schemes

@@ -180,25 +180,80 @@ def test_persisted_index_heading_change_propagates(store):
 
 
 def test_persisted_index_crash_recovery_reconverges(spark, store):
-    """A crash between the live swap and the index refresh leaves the
-    write-ahead dirty marker; the next store open re-derives the
-    touched buckets from the (recovered) live table — the index can
-    never silently go stale."""
+    """A failure between the live commit and the index refresh leaves
+    the write-ahead dirty marker AND the commit durable ('committed,
+    index pending' — a caller observing an error for a persisted commit
+    would retry and double-apply).  Recovery is O(batch): the marker's
+    pre-commit segment snapshot brackets exactly the crashed batch.
+
+    Both replay points are exercised: the SAME in-process store must
+    not serve stale index results (the marker is checked on every
+    index read, not just on open), and a fresh open replays it too."""
     store.build_search_index("bib")
-    orig = MarcStore._refresh_search_index
-    MarcStore._refresh_search_index = (
-        lambda self, rt, buckets, **kw: (_ for _ in ()).throw(
+    orig = MarcStore._refresh_tokens_for_batch
+    MarcStore._refresh_tokens_for_batch = (
+        lambda self, rt, new_df=None, removed_ids=None: (_ for _ in ()).throw(
             RuntimeError("simulated crash")))
     try:
         rec = store.get("bib", 2)
         rec.set("245", "a", "Crashed edit", auth_control=False)
-        with pytest.raises(RuntimeError, match="simulated crash"):
+        with pytest.warns(UserWarning, match="index"):
             store.commit([rec], user="editor", now=T1)
     finally:
-        MarcStore._refresh_search_index = orig
-    reopened = MarcStore(spark, store.root)       # _recover replays marker
+        MarcStore._refresh_tokens_for_batch = orig
+    # the commit IS durable
+    assert store.get("bib", 2).get_value("245", "a") == "Crashed edit"
+    # same-process search replays the marker lazily — never stale
+    assert [r["_id"] for r in
+            store.search("bib", "245__a:crashed").collect()] == [2]
+    assert store.search("bib", "245__a:another").count() == 0  # old tokens gone
+    reopened = MarcStore(spark, store.root)       # and reopen agrees
     assert [r["_id"] for r in
             reopened.search("bib", "245__a:crashed").collect()] == [2]
+
+
+def test_nonpropagating_auth_writes_mark_bib_index_dirty(spark, store):
+    """An auth write that changes a heading WITHOUT propagation
+    (commit_frame for auths; commit(update_attached=False)) must not
+    leave the persisted bib token index serving the OLD denormalized
+    heading values while the derived view overlays current ones: the
+    write marks the bib index dirty and the next bib search rebuilds
+    it."""
+    store.build_search_index("bib")
+    assert store.search("bib", "650__a:header").count() == 2
+
+    # bulk path: commit_frame never propagates
+    a1 = store.auths().filter(F.col("_id") == 1)
+    edited = a1.withColumn("datafields", F.expr("""
+        transform(datafields, f -> IF(f.tag = '150',
+            named_struct('tag', f.tag, 'ind1', f.ind1, 'ind2', f.ind2,
+                'subfields', transform(f.subfields, s ->
+                    named_struct('code', s.code, 'value', 'Bulk renamed',
+                                 'xref', s.xref))),
+            f))"""))
+    store.commit_frame(edited, record_type="auth", user="bulk",
+                       auth_check=False)
+    # the persisted index must answer with the CURRENT heading overlay
+    assert store.search("bib", "650__a:bulk").count() == 2
+    assert store.search("bib", "650__a:header").count() == 0
+
+    # record API with update_attached=False
+    a1 = store.get("auth", 1)
+    a1.set("150", "a", "Quiet rename", auth_control=False)
+    store.commit([a1], user="editor", now=T2, update_attached=False)
+    assert store.search("bib", "650__a:quiet").count() == 2
+    assert store.search("bib", "650__a:bulk").count() == 0
+
+
+def test_unchanged_auth_bulk_write_skips_bib_rebuild(spark, store):
+    """The cross-type dirty marker is written only when a heading
+    actually changed — re-ingesting identical auths must not force a
+    bib index rebuild."""
+    store.build_search_index("bib")
+    same = store.auths().filter(F.col("_id") == 1)
+    store.commit_frame(same, record_type="auth", user="bulk",
+                       auth_check=False)
+    assert not store._has_dirty_marker("bib")
 
 
 def test_search_auth_record_type_with_and_without_index(store):
@@ -234,6 +289,44 @@ def test_search_mixed_or_group_unions_id_and_text(store):
     assert not re.search(r"pt#\d+ (=|IN)",
                          _scan_partition_filters(df))  # no pruning, by design
     assert sorted(r["_id"] for r in df.collect()) == [1, 2]
+
+
+def test_fielded_text_semijoin_broadcasts_at_runtime(store):
+    """The matched-id side of a fielded-text semi-join is selective in
+    the common case; the EXECUTED (AQE-final) plan must resolve it as a
+    broadcast LeftSemi, never a sort-merge of the base (measured at 1M
+    by marc_bench --query, which records the same verdict as
+    fielded_semi_join_broadcast_post_aqe)."""
+    store.build_search_index("bib")
+    store._invalidate_query_contexts()
+    executed = plans.final_plan(store.search("bib", "245__a:this"))
+    assert "BroadcastHashJoin" in executed and "LeftSemi" in executed, executed
+    assert "SortMergeJoin" not in executed, executed
+
+
+def test_bare_text_uses_persisted_index_when_present(store):
+    """A bare free-text term over an indexed store becomes token-
+    containment joins on the slim index (no stemmed-words scan of every
+    record) with results identical to the words-column path — including
+    ``-word`` negation.  Phrase terms need the padded text column and
+    stay on the record scan."""
+    without = sorted(r["_id"] for r in store.search("bib", "this").collect())
+    store.build_search_index("bib")
+    store._invalidate_query_contexts()
+    with_idx = sorted(r["_id"] for r in store.search("bib", "this").collect())
+    assert without == with_idx == [1]
+    plan = plans.simple_plan(store.search("bib", "this"))
+    assert "bibs_tokens" in plan        # index containment, not words scan
+    assert "EvalPython" not in plan
+    # negation through the index path
+    assert sorted(r["_id"] for r in
+                  store.search("bib", "header -this").collect()) == [2]
+    # multi-word AND semantics preserved (words from DIFFERENT subfields)
+    assert [r["_id"] for r in store.search("bib", "this title").collect()] == [1]
+    assert store.search("bib", "this zebraless").count() == 0
+    # phrase terms keep the padded-text column path (correctness first)
+    assert [r["_id"] for r in
+            store.search("bib", '"this is"').collect()] == [1]
 
 
 def test_xref_search_uses_persisted_index_when_present(store):

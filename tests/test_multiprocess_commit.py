@@ -198,3 +198,120 @@ def test_two_driver_processes_external_cas_no_lost_update(spark, tmp_path):
         assert cas.pending("") == []
     finally:
         fsio.set_commit_scheme(fsio.HadoopRenameScheme())
+
+
+_WORKER_STORE = r"""
+import os
+import sys
+root, casdir = sys.argv[1], sys.argv[2]
+from dlx_spark.session import get_spark
+from dlx_spark import fsio
+
+fsio.set_commit_scheme(fsio.ExternalCASScheme(fsio.FileExternalCAS(casdir)))
+spark = get_spark("mp_store_worker", cpus=2)
+spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+from dlx_spark.marc.store import MarcStore
+from dlx_spark.marc.record import Bib
+
+store = MarcStore(spark, root)
+
+fsio.touch(spark, root + "/_worker_ready")
+for _ in range(1200):
+    if fsio.exists(spark, root + "/_go"):
+        break
+    import time; time.sleep(0.1)
+else:
+    raise SystemExit("main process never said go")
+
+# die BETWEEN the live commit and the token-index refresh — a real
+# process death (os._exit: no unwind, no warning path, no cleanup)
+MarcStore._refresh_tokens_for_batch = (
+    lambda self, rt, new_df=None, removed_ids=None: os._exit(42))
+rec = Bib({"_id": 501, "245": [{"indicators": [" ", " "],
+                                "subfields": [{"code": "a",
+                                               "value": "Worker orphan"}]}]})
+store.commit([rec], auth_check=False)
+raise SystemExit("unreachable: commit should have exited the process")
+"""
+
+
+def test_token_index_reconverges_after_crashed_writer_under_contention(
+        spark, tmp_path):
+    """The token-index marker protocol composed with the multi-driver
+    commit scheme (VERDICT r9 item 7): two OS processes commit to ONE
+    indexed MarcStore through ExternalCASScheme; the second driver dies
+    (os._exit) between its live commit and its index refresh while the
+    first keeps committing.  Requirements proven:
+
+    - no lost update on the live table (both batches present — the
+      manifest CAS serialized the contending appends);
+    - the dead writer's PER-COMMIT dirty marker survives the survivor's
+      own successful marker dance (a single shared marker file would
+      have been cleared by the survivor, going silently stale);
+    - the next search re-converges the index from the marker — the
+      orphan batch becomes searchable with no manual repair."""
+    from dlx_spark.fsio import ExternalCASScheme, FileExternalCAS
+    from dlx_spark.marc.record import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    root = str(tmp_path / "wh_mp_store")
+    casdir = str(tmp_path / "cas_store")
+    fsio.set_commit_scheme(ExternalCASScheme(FileExternalCAS(casdir)))
+    try:
+        store = MarcStore(spark, root)
+        seed = [Bib({"_id": i, "245": [{"indicators": [" ", " "],
+                                        "subfields": [{"code": "a",
+                                                       "value": f"Seed {i}"}]}]})
+                for i in range(1, 9)]
+        store.commit(seed, user="seeder")
+        store.build_search_index("bib")
+
+        script = tmp_path / "worker_store.py"
+        script.write_text(_WORKER_STORE)
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("PYSPARK_GATEWAY_PORT", None)
+        env.pop("PYSPARK_GATEWAY_SECRET", None)
+        proc = subprocess.Popen(
+            [sys.executable, str(script), root, casdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=repo)
+        try:
+            deadline = time.time() + 180
+            while not fsio.exists(spark, root + "/_worker_ready"):
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.communicate()[0]
+                    pytest.fail(f"worker never came up:\n{out[-3000:]}")
+                time.sleep(0.2)
+            fsio.touch(spark, root + "/_go")
+            # the survivor commits CONCURRENTLY with the dying writer —
+            # its own marker dance must not settle the victim's marker
+            rec = Bib({"_id": 601,
+                       "245": [{"indicators": [" ", " "],
+                                "subfields": [{"code": "a",
+                                               "value": "Main survivor"}]}]})
+            store.commit([rec], user="main")
+            out, _ = proc.communicate(timeout=240)
+            assert proc.returncode == 42, f"worker did not die at the " \
+                f"injected point:\n{out[-3000:]}"
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
+        # the dead writer's live commit survived the contention...
+        reader = MarcStore(spark, root)
+        ids = sorted(r["_id"] for r in reader.bibs().select("_id").collect())
+        assert 501 in ids and 601 in ids and len(ids) == 10
+        # ...and the index re-converged from its surviving marker: the
+        # orphan batch is searchable, with no stale leftovers
+        assert [r["_id"] for r in
+                reader.search("bib", "245__a:orphan").collect()] == [501]
+        assert [r["_id"] for r in
+                reader.search("bib", "245__a:survivor").collect()] == [601]
+        assert not reader._has_dirty_marker("bib")
+        # every CAS claim settled — no pending commits anywhere
+        assert FileExternalCAS(casdir).pending("") == []
+    finally:
+        fsio.set_commit_scheme(fsio.HadoopRenameScheme())

@@ -223,11 +223,11 @@ def test_commit_stream_accepts_legacy_ledger_key(spark, tmp_path):
 # Torn-marker recovery (fsio docstring claims, now tested)
 # ---------------------------------------------------------------------------
 
-def test_store_recover_tolerates_torn_txn_marker(spark, tmp_path):
-    """A truncated / garbage transaction marker (the s3a torn-write
-    window: rename is copy+delete, so a reader can see a prefix) must
-    read as 'no pending work' — reopening the store discards it and the
-    committed state is untouched."""
+def test_store_recover_tolerates_torn_dirty_marker(spark, tmp_path):
+    """A truncated / garbage token-index dirty marker (the s3a
+    torn-write window: rename is copy+delete, so a reader can see a
+    prefix) must read as 'rebuild wholesale' — always safe — never
+    crash recovery or corrupt committed state."""
     from dlx_spark.marc.record import Bib
     from dlx_spark.marc.store import MarcStore
 
@@ -235,28 +235,29 @@ def test_store_recover_tolerates_torn_txn_marker(spark, tmp_path):
     store.commit(Bib({"_id": 7, "245": [{"indicators": [" ", " "],
                                          "subfields": [{"code": "a",
                                                         "value": "First"}]}]}))
+    store.build_search_index("bib")
     assert store.bibs().count() == 1
 
-    # truncated-JSON, binary-garbage, and parseable-but-foreign payloads
-    fsio.write_text(spark, fsio.join(store.root, "_txn_torn.json"),
-                    '{"stage": "bib_stage_123", "buck')
-    fsio.write_text(spark, fsio.join(store.root, "_txn_binary.json"),
-                    "\x00\x7f garbage bytes \x01")
-    fsio.write_text(spark, fsio.join(store.root, "_txn_foreign.json"),
-                    '{"unrelated": true}')
+    # truncated-JSON garbage where the marker should be
+    fsio.write_text(spark, fsio.join(store.root, "_dirty_bibs_tokens.json"),
+                    '{"base_segments": ["seg', )
 
-    # a fresh store open runs _recover over the root; garbage markers
-    # must neither crash it nor corrupt the committed state
+    # a fresh store open runs _recover over the root; the torn marker
+    # must neither crash it nor leave the index stale or the store torn
     store2 = MarcStore(spark, str(tmp_path / "wh_torn"))
     assert store2.bibs().count() == 1
     assert store2.get("bib", 7).get_value("245", "a") == "First"
-    for name in ("_txn_torn.json", "_txn_binary.json", "_txn_foreign.json"):
-        assert not fsio.exists(spark, fsio.join(store.root, name))
+    assert not fsio.exists(spark,
+                           fsio.join(store.root, "_dirty_bibs_tokens.json"))
+    assert [r["_id"] for r in
+            store2.search("bib", "245__a:first").collect()] == [7]
     # committing through the reopened store still works
     store2.commit(Bib({"_id": 8, "245": [{"indicators": [" ", " "],
                                           "subfields": [{"code": "a",
                                                          "value": "Second"}]}]}))
     assert store2.bibs().count() == 2
+    assert [r["_id"] for r in
+            store2.search("bib", "245__a:second").collect()] == [8]
 
 
 def test_dedup_index_meta_garbage_raises_clearly(spark, tmp_path):

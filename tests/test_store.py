@@ -238,39 +238,42 @@ def test_commit_frame_bulk_ingest_distributed(spark, tmp_path):
 
 def test_get_prunes_to_one_bucket(store):
     """Point reads must filter on the pt partition column so the scan
-    prunes to 1/N of the table's partition directories."""
+    prunes to 1/N of the table's partition directories — through the
+    merge-on-read resolution (base AND delta scans pruned)."""
     rec = store.get("bib", 1)
     assert rec is not None and rec.id == 1
     # plan-level: the partition filter must appear in a pruned read
     from pyspark.sql import functions as F
-    name = "bibs"
-    df = (store.spark.read.parquet(store._path(name))
-          .filter((F.col("pt") == 1 % store.N_BUCKETS) & (F.col("_id") == 1)))
+    df = (store._raw("bib")
+          .filter((F.col("pt") == 1 % store.n_buckets("bib"))
+                  & (F.col("_id") == 1)))
     plan = df._jdf.queryExecution().executedPlan().toString().replace("\n", " ")
     assert "PartitionFilters" in plan and "pt" in plan.split("PartitionFilters")[1][:80]
 
 
-def test_compact_folds_files(spark, tmp_path):
-    import glob
+def test_compact_folds_segments(spark, tmp_path):
     from dlx_spark.marc.record import Bib
     from dlx_spark.marc.store import MarcStore
 
     store = MarcStore(spark, str(tmp_path / "wh_compact"))
-    # several commits -> several file generations per bucket
+    # several commits -> several merge-on-read delta segments
     for wave in range(3):
         recs = [Bib({"245": [{"indicators": [" ", " "],
                               "subfields": [{"code": "a", "value": f"w{wave} r{i}"}]}]})
                 for i in range(8)]
         store.commit(recs, auth_check=False)
-    before = len(glob.glob(str(tmp_path / "wh_compact" / "bibs" / "pt=*" / "*.parquet")))
+    before = len(store._live("bib").segments(spark))
+    assert before == 3
     n_before = store.bibs().count()
     store.compact("bib")
-    after = len(glob.glob(str(tmp_path / "wh_compact" / "bibs" / "pt=*" / "*.parquet")))
+    assert len(store._live("bib").segments(spark)) == 1
     assert store.bibs().count() == n_before == 24
-    assert after <= store.N_BUCKETS
-    assert after < before
     # content unchanged
     assert store.get("bib", 1).get_value("245", "a") == "w0 r0"
+    # history folded too (one segment per commit before the fold)
+    assert len(store.backend.latest_manifest(spark,
+                                             "bib_history")["segments"]) == 1
+    assert store.history_df("bib").count() == 24
 
 
 def test_commit_frame_distributed_auth_check(spark, tmp_path, auth_docs):
@@ -299,10 +302,12 @@ def test_commit_frame_distributed_auth_check(spark, tmp_path, auth_docs):
     assert sub["value"] == "Header" and sub["xref"] == 1
 
 
-def test_commit_frame_small_batch_rewrites_only_touched_buckets(spark, tmp_path):
-    """A small commit_frame batch must rewrite only the pt buckets its
-    ids map to — not the whole table (the dynamic-partition-overwrite
-    contract that keeps streaming micro-batches O(batch), not O(table))."""
+def test_commit_frame_small_batch_is_o_batch(spark, tmp_path):
+    """A small commit_frame batch must land as ONE appended delta
+    segment, leaving every existing live-table data file untouched —
+    the merge-on-read contract that keeps a 1% batch O(batch), not
+    O(store) (the old bucket-rewrite layout made a 10k upsert into a 1M
+    store rewrite every bucket)."""
     import glob
     from dlx_spark.marc.record import Bib
     from dlx_spark.marc.store import MarcStore
@@ -313,22 +318,27 @@ def test_commit_frame_small_batch_rewrites_only_touched_buckets(spark, tmp_path)
             for i in range(1, 33)]          # covers every bucket
     store.commit(recs, auth_check=False)
 
-    def files_by_bucket():
-        out = {}
-        for p in glob.glob(str(tmp_path / "wh_buckets" / "bibs" / "pt=*" / "*.parquet")):
-            parts = p.split("/")
-            out.setdefault(parts[-2], set()).add(parts[-1])
+    def live_files():
+        out = set()
+        for seg in store._live("bib").segments(spark):
+            out.update(glob.glob(str(
+                tmp_path / "wh_buckets" / "_v" / "data" / seg / "**" /
+                "*.parquet"), recursive=True))
         return out
 
-    before = files_by_bucket()
-    # touch only _id=1 (bucket pt=1) through the frame path
+    before = live_files()
+    segs_before = store._live("bib").segments(spark)
+    # touch only _id=1 through the frame path
     one = store.bibs().filter(F.col("_id") == 1)
     assert store.commit_frame(one, record_type="bib", user="u2",
                               auth_check=False) == 1
-    after = files_by_bucket()
-    touched = {b for b in after if after[b] != before.get(b)}
-    assert touched == {"pt=1"}, f"rewrote {touched}, expected only pt=1"
+    after = live_files()
+    segs_after = store._live("bib").segments(spark)
+    assert before <= after, "existing live files were rewritten"
+    assert len(segs_after) == len(segs_before) + 1   # one delta segment
     assert store.bibs().count() == 32
+    # and the batch's row won (merge-on-read precedence)
+    assert store.get("bib", 1).updated is not None
 
 
 def test_auth_index_refuses_oversized_dimension(store, monkeypatch):
@@ -391,7 +401,7 @@ def test_commit_frame_accepts_intra_frame_auth_xrefs(spark, tmp_path):
         store.commit_frame(dangling, record_type="auth", user="u")
 
 
-# --- crash-safe bucket swap ---------------------------------------------------
+# --- crash safety on the merge-on-read layout ---------------------------------
 
 
 def _seed_plain(spark, tmp_path, name, n=8):
@@ -402,75 +412,83 @@ def _seed_plain(spark, tmp_path, name, n=8):
     return st
 
 
-def test_crash_before_swap_recovers_on_open(spark, tmp_path, monkeypatch):
-    """A commit that crashes AFTER the staged union lands but BEFORE the
-    dynamic overwrite leaves a write-ahead marker; reopening the store
-    replays the swap, so the commit completes instead of tearing."""
-    import os
+def test_crash_before_live_commit_leaves_store_untouched(
+        spark, tmp_path, monkeypatch):
+    """The commit point is ONE manifest publish: a crash anywhere before
+    it leaves the live table exactly as it was (no torn buckets to
+    repair — segments are immutable and invisible until committed), and
+    re-running the commit succeeds."""
+    from dlx_spark.tableio_versioned import VersionedTableBackend
 
     st = _seed_plain(spark, tmp_path, "wh_crash1")
+    real = VersionedTableBackend._commit
 
-    def boom(self, name, stage_name, buckets):
-        raise RuntimeError("crash before swap")
-    monkeypatch.setattr(MarcStore, "_apply_overwrite", boom)
+    def boom(self, spark_, table, payload_fn):
+        if table == "bibs":
+            raise RuntimeError("crash before manifest publish")
+        return real(self, spark_, table, payload_fn)
+    monkeypatch.setattr(VersionedTableBackend, "_commit", boom)
     rec = st.get("bib", 1)
     rec.set("245", "a", "Changed title", auth_control=False)
     with pytest.raises(RuntimeError):
         st.commit([rec], user="u2", now=T1)
     monkeypatch.undo()
 
-    st2 = MarcStore(spark, st.root)           # recovery runs here
-    assert st2.get("bib", 1).get_value("245", "a") == "Changed title"
+    st2 = MarcStore(spark, st.root)
     assert st2.bibs().count() == 8
-    assert not os.path.exists(os.path.join(st.root, "_txn_bibs.json"))
-    assert not os.path.isdir(os.path.join(st.root, "_stage_bibs"))
+    assert st2.get("bib", 1).get_value("245", "a") == "Doc 0"   # untouched
+    rec = st2.get("bib", 1)
+    rec.set("245", "a", "Changed title", auth_control=False)
+    st2.commit([rec], user="u2", now=T1)                        # re-run lands
+    assert st2.get("bib", 1).get_value("245", "a") == "Changed title"
 
 
-def test_torn_swap_repaired_on_open(spark, tmp_path, monkeypatch):
-    """A crash MID-overwrite (one bucket dir lost) is repaired by
-    replaying the swap from the still-present stage: every touched
-    bucket's post-image is restored, no hole."""
-    import os
-    import shutil
+def test_crash_mid_rebucket_recovers_on_open(spark, tmp_path, monkeypatch):
+    """A rebucket that crashes after staging but before the atomic swap
+    is finished (or dropped) by recover_replace on the next open — the
+    modulus and the data it describes always flip together."""
+    from dlx_spark.tableio_versioned import VersionedTableBackend
 
     st = _seed_plain(spark, tmp_path, "wh_crash2", n=16)
-    real = MarcStore._apply_overwrite
+    assert st.n_buckets("bib") == 16
 
-    def torn(self, name, stage_name, buckets):
-        real(self, name, stage_name, buckets)
-        shutil.rmtree(os.path.join(self.root, "bibs", "pt=1"),
-                      ignore_errors=True)
-        raise RuntimeError("crash mid-swap")
-    monkeypatch.setattr(MarcStore, "_apply_overwrite", torn)
-    rec = st.get("bib", 1)
-    rec.set("245", "a", "Rewritten", auth_control=False)
+    def boom(self, spark_, table, staged, token=None, on_conflict="merge"):
+        raise RuntimeError("crash before swap")
+    monkeypatch.setattr(VersionedTableBackend, "replace", boom)
     with pytest.raises(RuntimeError):
-        st.commit([rec], user="u2", now=T1)
+        st.rebucket("bib", 32)
     monkeypatch.undo()
 
-    st2 = MarcStore(spark, st.root)
+    st2 = MarcStore(spark, st.root)           # recover_replace runs here
     assert st2.bibs().count() == 16
-    assert st2.get("bib", 1).get_value("245", "a") == "Rewritten"
+    assert st2.n_buckets("bib") == 32         # the staged rebucket landed
+    assert not st2.backend.exists(spark, "bibs__morstage")
+    assert st2.get("bib", 1).get_value("245", "a") == "Doc 0"
+    # point reads prune on the NEW modulus
+    raw = st2._raw("bib").filter((F.col("pt") == 1 % 32) & (F.col("_id") == 1))
+    assert raw.count() == 1
 
 
-def test_remove_live_drops_emptied_buckets(spark, tmp_path):
-    """Multi-id removal where one bucket empties entirely while another
-    keeps rows: the emptied bucket's old files must be dropped (dynamic
-    overwrite alone would leave the deleted ids live)."""
+def test_remove_live_tombstones_ids(spark, tmp_path):
+    """Multi-id removal lands as tombstones in one delta segment; the
+    resolved table never shows the ids again (including after a
+    compaction folds the tombstones away)."""
     st = _seed_plain(spark, tmp_path, "wh_rm", n=32)
-    # ids 1..32 -> two per pt bucket (pt = id % 16)
-    st._remove_live("bib", [1, 17, 2])        # empties pt=1; pt=2 keeps 18
+    st._remove_live("bib", [1, 17, 2])
+    ids = sorted(r["_id"] for r in st.bibs().select("_id").collect())
+    assert ids == sorted(set(range(1, 33)) - {1, 17, 2})
+    st.compact("bib")
     ids = sorted(r["_id"] for r in st.bibs().select("_id").collect())
     assert ids == sorted(set(range(1, 33)) - {1, 17, 2})
 
 
 def test_warehouse_under_file_scheme_uri(spark, tmp_path, monkeypatch):
-    """The whole store lifecycle — seed, upsert, crash-recovery replay —
+    """The whole store lifecycle — seed, upsert, index-marker recovery —
     must work when ``root`` is a ``file://``-scheme Hadoop URI rather
-    than a driver-local path: every marker/stage/bucket operation goes
-    through the Hadoop FileSystem API (dlx_spark.fsio), not os/shutil
-    (which would silently look at the driver's disk on hdfs:// or
-    s3a:// roots)."""
+    than a driver-local path: every marker/manifest/segment operation
+    goes through the Hadoop FileSystem API (dlx_spark.fsio / the
+    versioned backend), not os/shutil (which would silently look at the
+    driver's disk on hdfs:// or s3a:// roots)."""
     from dlx_spark import fsio
 
     root = "file://" + str(tmp_path / "wh_uri")
@@ -479,24 +497,27 @@ def test_warehouse_under_file_scheme_uri(spark, tmp_path, monkeypatch):
             for i in range(8)]
     st.commit(recs, user="u", now=T0)
     assert st.bibs().count() == 8
+    st.build_search_index("bib")
 
-    # crash before the bucket swap: the write-ahead marker lands on the
-    # URI filesystem and the reopen replays it from the stage
-    def boom(self, name, stage_name, buckets):
-        raise RuntimeError("crash before swap")
-    monkeypatch.setattr(MarcStore, "_apply_overwrite", boom)
+    # crash between the live commit and the index refresh: the
+    # write-ahead marker lands on the URI filesystem; the commit is
+    # durable ('committed, index pending') and the reopen replays it
+    def boom(self, record_type, new_df=None, removed_ids=None):
+        raise RuntimeError("crash before index refresh")
+    monkeypatch.setattr(MarcStore, "_refresh_tokens_for_batch", boom)
     rec = st.get("bib", 1)
     rec.set("245", "a", "Changed via URI", auth_control=False)
-    with pytest.raises(RuntimeError):
+    with pytest.warns(UserWarning, match="index"):
         st.commit([rec], user="u2", now=T1)
     monkeypatch.undo()
-    assert fsio.exists(spark, root + "/_txn_bibs.json")
+    assert st._has_dirty_marker("bib")
 
-    st2 = MarcStore(spark, root)              # recovery replays the swap
+    st2 = MarcStore(spark, root)              # recovery replays the marker
     assert st2.get("bib", 1).get_value("245", "a") == "Changed via URI"
     assert st2.bibs().count() == 8
-    assert not fsio.exists(spark, root + "/_txn_bibs.json")
-    assert not fsio.is_dir(spark, root + "/_stage_bibs")
+    assert not st2._has_dirty_marker("bib")
+    assert [r["_id"] for r in
+            st2.search("bib", "245__a:changed").collect()] == [1]
 
     # and the plain-path spelling of the same directory sees the data
     st3 = MarcStore(spark, str(tmp_path / "wh_uri"))

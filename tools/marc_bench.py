@@ -30,6 +30,7 @@ import json
 import os
 import sys
 import time
+from datetime import datetime
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -176,16 +177,35 @@ def store_main():
         assert n_committed == n, (n_committed, n)
 
         # incremental upsert: 10k existing ids with changed titles —
-        # the daily-delta shape (history gains a version per row)
-        delta = synth_records_df(spark, 10_000)
-        t0 = time.time()
-        store.commit_frame(delta, record_type="bib")
-        timings["commit_frame_10k_upsert"] = round(time.time() - t0, 2)
+        # the daily-delta shape (history gains a version per row).
+        # Merge-on-read contract: this appends ONE delta segment, so
+        # the wall time must stay FLAT as the store grows (run with
+        # n=1M and n=4M to verify — the old bucket-rewrite layout
+        # scaled it with store size, ~35% of a full rebuild for a 1%
+        # batch).  Two batches: steady state, no table-creation edge.
+        for wave in (1, 2):
+            delta = synth_records_df(spark, 10_000)
+            t0 = time.time()
+            store.commit_frame(delta, record_type="bib")
+            timings[f"commit_frame_10k_upsert_{wave}"] = round(
+                time.time() - t0, 2)
+        timings["commit_frame_10k_upsert"] = timings[
+            "commit_frame_10k_upsert_2"]
+        live_segments = len(store._live("bib").segments(spark))
 
         t0 = time.time()
         rec = store.get("bib", n // 2)
         timings["point_read_get"] = round(time.time() - t0, 2)
         assert rec is not None
+
+        # the amortized maintenance cost the O(batch) commits defer:
+        # fold the delta segments, then show the point read again
+        t0 = time.time()
+        store.compact("bib")
+        timings["compact_bib"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        assert store.get("bib", n // 3) is not None
+        timings["point_read_get_after_compact"] = round(time.time() - t0, 2)
 
         # heading-change propagation: one auth heading edit recommits
         # every attached bib (n/1000 of them) through commit_frame
@@ -204,6 +224,7 @@ def store_main():
                 n / timings["commit_frame_bulk"], 1),
             "attached_recommitted": n_attached,
             "history_rows": hist_rows,
+            "live_segments_before_compact": live_segments,
             "timings_sec": timings,
         }))
     finally:
@@ -395,6 +416,12 @@ def query_main():
             # derived-column predicate passes (no joins, no Python)
             "logical_field": "title:climate",
             "boolean_combo": "245__a:climate AND NOT 520__a:security",
+            # bare free text: stemmed words-array containment over the
+            # whole record (dlx/marc/query.py:698-751) — no index
+            # assist until the persisted index exists (measured again
+            # below through the token index)
+            "bare_text": "climate",
+            "bare_text_negated": "climate -security",
         }
         results = {}
         for name, qs in queries.items():
@@ -410,6 +437,46 @@ def query_main():
                              "warm_sec": round(warm, 3)}
 
         warm_total = sum(r["warm_sec"] for r in results.values())
+
+        # pagination: the reference's find()-cursor modifiers.  An
+        # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+        # top-k, merged on the driver — no global sort exchange); the
+        # skip page adds the offset on top.  Both recorded with the
+        # executed plan's verdict so a regression to a full sort is
+        # visible in the JSON, not just slower.
+        pagination = {}
+        t0 = time.time()
+        page = store.search("bib", "650__a:heading", sort=["_id"], limit=20)
+        rows = page.collect()
+        pagination["first_page_sec"] = round(time.time() - t0, 2)
+        pagination["take_ordered"] = "TakeOrdered" in (
+            page._jdf.queryExecution().executedPlan().toString())
+        assert len(rows) == 20
+        t0 = time.time()
+        rows = store.search("bib", "650__a:heading", sort=["_id"],
+                            skip=1000, limit=20).collect()
+        pagination["skip_1k_page_sec"] = round(time.time() - t0, 2)
+        assert len(rows) == 20
+
+        # history reads: per-record version chain (pt-pruned) and the
+        # deleted-by-date sweep (aggregate over the whole log —
+        # reference History.find_deleted, dlx/marc/__init__.py:2345-2384)
+        history = {}
+        for rid in (7, 11, 13):
+            store.delete("bib", rid)
+        t0 = time.time()
+        versions = store.history("bib", n // 2)
+        history["point_history_sec"] = round(time.time() - t0, 2)
+        assert len(versions) >= 1
+        t0 = time.time()
+        n_deleted = store.find_deleted("bib").count()
+        history["find_deleted_sec"] = round(time.time() - t0, 2)
+        assert n_deleted == 3, n_deleted
+        t0 = time.time()
+        got = list(store.deleted_by_date(
+            "bib", datetime(2000, 1, 1), datetime(2100, 1, 1)))
+        history["deleted_by_date_sec"] = round(time.time() - t0, 2)
+        assert got == [7, 11, 13], got
 
         # persisted search index: the cross-SESSION answer to the
         # one-time tokenized-view build the cold fielded_text number
@@ -428,6 +495,25 @@ def query_main():
         fresh.search("bib", "245__a:climate").count()
         indexed_warm = round(time.time() - t0, 3)
 
+        # the matched-id semi-join against the base: a selective term's
+        # id set is small, and AQE must demote the sort-merge LeftSemi
+        # to a broadcast at runtime — recorded from the EXECUTED plan
+        probe = fresh.search("bib", "245__a:climate")
+        probe.count()
+        executed = probe._jdf.queryExecution().executedPlan().toString()
+        semi_broadcast = ("BroadcastHashJoin" in executed
+                          and "LeftSemi" in executed)
+
+        # bare text through the token index (the same term the
+        # pre-index section measured as a words-array scan)
+        t0 = time.time()
+        bare_hits = fresh.search("bib", "climate").count()
+        indexed_bare_cold = round(time.time() - t0, 2)
+        assert bare_hits == results["bare_text"]["hits"]
+        t0 = time.time()
+        fresh.search("bib", "climate").count()
+        indexed_bare_warm = round(time.time() - t0, 3)
+
         # what maintaining the index costs a writer: a 10k upsert with
         # the index live (the refresh is O(batch) — it re-tokenizes the
         # batch and anti-joins the touched buckets, never re-tokenizes
@@ -443,10 +529,15 @@ def query_main():
             "store_build_sec": build_sec,
             "warm_queries_per_sec": round(len(results) / warm_total, 2),
             "queries": results,
+            "pagination": pagination,
+            "history": history,
             "persisted_index": {
                 "build_sec": index_build_sec,
                 "fielded_text_cold_sec_fresh_session": indexed_cold,
                 "fielded_text_warm_sec": indexed_warm,
+                "fielded_semi_join_broadcast_post_aqe": semi_broadcast,
+                "bare_text_cold_sec_fresh_session": indexed_bare_cold,
+                "bare_text_warm_sec": indexed_bare_warm,
                 "upsert_10k_with_index_sec": upsert_with_index,
             },
         }))
