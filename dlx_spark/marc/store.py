@@ -91,6 +91,18 @@ class InvalidNonAuthField(Exception):
 _RECORD_CLASS = {"bib": Bib, "auth": Auth}
 
 
+class _LazyAuthIndex:
+    """Build-on-first-touch stand-in for AuthIndex (see
+    MarcStore._lazy_auth_index).  Delegates every attribute to the
+    freshly-resolved memoized index, so invalidation is respected."""
+
+    def __init__(self, build):
+        self._build = build
+
+    def __getattr__(self, name):
+        return getattr(self._build(), name)
+
+
 class MarcStore:
     #: default bucket modulus for NEW stores — existing stores read
     #: theirs from the live table's manifest (``n_buckets``), and
@@ -233,6 +245,18 @@ class MarcStore:
     def _invalidate_auth_index(self) -> None:
         self._auth_index = None
 
+    def _lazy_auth_index(self):
+        """A proxy that builds the memoized auth index only when a
+        caller actually touches it.  Read paths (search, get) hand this
+        to the parser and record constructors: most query shapes —
+        point ids, fielded text on non-controlled tags, logical fields
+        — never consult the dimension, and a fresh session should not
+        pay the build for them (measured ~1.5 s of a 3 s fresh-session
+        fielded query at 1M records).  No caching in the proxy itself:
+        every access re-reads the store's memo, so auth-write
+        invalidation keeps working."""
+        return _LazyAuthIndex(self.auth_index)
+
     # --- reads ---------------------------------------------------------------
 
     def get(self, record_type: str, rid: int) -> Marc | None:
@@ -247,7 +271,8 @@ class MarcStore:
                 .drop("pt").collect())
         if not rows:
             return None
-        return _RECORD_CLASS[record_type].from_row(rows[0], auth_index=self.auth_index())
+        return _RECORD_CLASS[record_type].from_row(
+            rows[0], auth_index=self._lazy_auth_index())
 
     def search(self, record_type: str, query_string: str,
                sort=None, skip: int = 0, limit: int = 0) -> DataFrame:
@@ -276,7 +301,7 @@ class MarcStore:
         schema, no ``pt``)."""
         from dlx_spark.marc import parser as mparser
         query = q.Query.from_string(query_string, record_type=record_type,
-                                    auth_index=self.auth_index())
+                                    auth_index=self._lazy_auth_index())
         if not self._live(record_type).exists(self.spark):
             return self._empty(schemas.MARC)
         raw = self._raw(record_type)
@@ -307,7 +332,7 @@ class MarcStore:
         ctx = self._query_ctxs.get(record_type)
         if ctx is None:
             ctx = mparser.QueryContext(self.table(record_type), record_type,
-                                       auth_index=self.auth_index(),
+                                       auth_index=self._lazy_auth_index(),
                                        headings=self.headings(),
                                        tokens=self._search_index_df(
                                            record_type))

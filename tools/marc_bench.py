@@ -207,6 +207,20 @@ def store_main():
         assert store.get("bib", n // 3) is not None
         timings["point_read_get_after_compact"] = round(time.time() - t0, 2)
 
+        # rebucket: scale the bucket modulus with the store (16 buckets
+        # at 4M ≈ the per-bucket bytes of 64 at 16M — the knob that
+        # keeps point-read pruning constant as the store grows).  One
+        # staged atomic rewrite; the point read after it proves the new
+        # modulus prunes (wall roughly flat vs the 1M/16-bucket run).
+        new_buckets = max(16, (n // 1_000_000) * 16) * 2
+        t0 = time.time()
+        store.rebucket("bib", new_buckets)
+        timings[f"rebucket_to_{new_buckets}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        assert store.get("bib", n // 5) is not None
+        timings["point_read_get_after_rebucket"] = round(time.time() - t0, 2)
+        assert store.n_buckets("bib") == new_buckets
+
         # heading-change propagation: one auth heading edit recommits
         # every attached bib (n/1000 of them) through commit_frame
         auth = store.get("auth", 1)
@@ -416,10 +430,11 @@ def query_main():
             # derived-column predicate passes (no joins, no Python)
             "logical_field": "title:climate",
             "boolean_combo": "245__a:climate AND NOT 520__a:security",
-            # bare free text: stemmed words-array containment over the
-            # whole record (dlx/marc/query.py:698-751) — no index
-            # assist until the persisted index exists (measured again
-            # below through the token index)
+            # bare free text: stemmed words-array containment — a
+            # single pruned-column codegen scan (dlx/marc/query.py:
+            # 698-751; deliberately NOT routed through the token index,
+            # see parser.py's rationale — re-measured fresh-session
+            # below to show it needs no index)
             "bare_text": "climate",
             "bare_text_negated": "climate -security",
         }
@@ -504,8 +519,10 @@ def query_main():
         semi_broadcast = ("BroadcastHashJoin" in executed
                           and "LeftSemi" in executed)
 
-        # bare text through the token index (the same term the
-        # pre-index section measured as a words-array scan)
+        # bare text fresh-session: the words-column predicate needs no
+        # session-built state, so even a cold session answers it as one
+        # pruned-column scan (the evidence behind keeping it OFF the
+        # token index — parser.py's rationale)
         t0 = time.time()
         bare_hits = fresh.search("bib", "climate").count()
         indexed_bare_cold = round(time.time() - t0, 2)
