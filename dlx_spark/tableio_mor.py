@@ -63,6 +63,18 @@ class MergeOnReadTable:
     of every segment, so partition-pruning filters (a bucket column, a
     tag) prune base AND delta scans at the listing level."""
 
+    #: above this many total delta rows the resolver stops FORCING a
+    #: broadcast of the delta key set and lets Catalyst/AQE pick the
+    #: join strategy instead.  The forced broadcast assumes deltas are
+    #: batch-sized; a bulk ingest (commit_frame of the whole corpus
+    #: onto an existing table) can append a delta with 10^8+ keys,
+    #: and force-broadcasting that set would collect it to the driver
+    #: and OOM — at that size a shuffle of the base is the CORRECT
+    #: plan, not a failure mode.  Checked per manifest version with a
+    #: footer-only count (zero-column parquet scan), memoized so warm
+    #: readers pay nothing.
+    BROADCAST_MAX_DELTA_ROWS = 4_000_000
+
     def __init__(self, backend: VersionedTableBackend, table: str,
                  key: str, partition_cols: list[str] | None = None,
                  auto_compact_at: int | None = 16):
@@ -75,6 +87,8 @@ class MergeOnReadTable:
         self.auto_compact_at = auto_compact_at
         #: compactions triggered inline by upsert (probe observable)
         self.auto_compactions = 0
+        # (segments tuple) -> total delta rows, for the broadcast guard
+        self._delta_rows_memo: tuple[tuple[str, ...], int] | None = None
 
     # ------------------------------------------------------------ meta
 
@@ -199,6 +213,12 @@ class MergeOnReadTable:
             deltas = part if deltas is None else deltas.unionByName(part)
         latest = deltas.groupBy(self.key).agg(F.max(_SEG).alias(_LS))
         touched = latest.select(self.key)
+        if hint and self._delta_rows(spark, manifest) \
+                > self.BROADCAST_MAX_DELTA_ROWS:
+            # a delta this size (a bulk ingest landed as one segment)
+            # would OOM the driver if force-broadcast; shuffling the
+            # base once is the correct plan until compact() folds it
+            hint = False
         if hint:
             # deltas are batch-sized by construction (auto_compact_at
             # bounds how many batches accumulate), and Catalyst's
@@ -213,6 +233,21 @@ class MergeOnReadTable:
                               & ~F.col(DELETED))
                       .drop(_SEG, _LS))
         return base_live.drop(DELETED).unionByName(delta_live.drop(DELETED))
+
+    def _delta_rows(self, spark: SparkSession, manifest: dict) -> int:
+        """Total rows across the delta segments (tombstones included) —
+        the broadcast-guard input.  A zero-column count over parquet is
+        answered from file footers, and the result is memoized per
+        segment list, so steady-state reads (same manifest) pay no job
+        at all."""
+        segs = tuple(manifest["segments"])
+        if self._delta_rows_memo and self._delta_rows_memo[0] == segs:
+            return self._delta_rows_memo[1]
+        n = 0
+        for i in range(1, len(segs)):
+            n += self.backend.segment_df(spark, manifest, i).count()
+        self._delta_rows_memo = (segs, n)
+        return n
 
     def read_segments_since(self, spark: SparkSession,
                             base_segments: list[str]) -> DataFrame | None:

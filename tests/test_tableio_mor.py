@@ -187,3 +187,31 @@ def test_snapshot_reader_survives_compaction(spark, be):
     t.upsert(rows=_rows(spark, [(1, "A")]))
     assert sorted((r["k"], r["v"]) for r in snap.collect()) == [
         (1, "a"), (2, "b")]
+
+
+def test_huge_delta_disables_forced_broadcast(spark, be):
+    """The forced broadcast of the delta key set assumes batch-sized
+    deltas; a bulk-ingest delta above BROADCAST_MAX_DELTA_ROWS must
+    resolve UNHINTED (Catalyst/AQE picks — shuffling the base once is
+    correct, collecting 10^8 keys to the driver is not), with identical
+    results."""
+    t = MergeOnReadTable(be, "t10", key="k", partition_cols=["pt"])
+    t.overwrite(_rows(spark, [(i, f"v{i}") for i in range(8)]))
+    t.upsert(rows=_rows(spark, [(1, "V"), (2, "W")]))
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    assert "Hint" in analyzed(t.read(spark))      # small delta: forced
+    t.BROADCAST_MAX_DELTA_ROWS = 1                # now "too big"
+    assert "Hint" not in analyzed(t.read(spark))
+    expect = [(1, "V"), (2, "W")] + [
+        (i, f"v{i}") for i in range(8) if i not in (1, 2)]
+    assert _read_sorted(t, spark) == sorted(expect)
+    # the guard's count is memoized per segment list: a new commit
+    # invalidates it, and a delta back under the ceiling re-broadcasts
+    t.BROADCAST_MAX_DELTA_ROWS = MergeOnReadTable.BROADCAST_MAX_DELTA_ROWS
+    t.compact(spark)
+    t.upsert(rows=_rows(spark, [(3, "X")]))
+    assert "Hint" in analyzed(t.read(spark))
+    assert (3, "X") in _read_sorted(t, spark)
