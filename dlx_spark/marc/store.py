@@ -368,34 +368,42 @@ class MarcStore:
     def _tokens_name(self, record_type: str) -> str:
         return ("bibs" if record_type == "bib" else "auths") + "_tokens"
 
-    def _dirty_markers(self, record_type: str) -> list[str]:
+    def _markers_for(self, name: str) -> list[str]:
         return fsio.glob(
-            self.spark,
-            fsio.join(self.root,
-                      f"_dirty_{self._tokens_name(record_type)}*.json"))
+            self.spark, fsio.join(self.root, f"_dirty_{name}*.json"))
+
+    def _write_marker_for(self, name: str, payload: dict) -> str:
+        """Write a PER-COMMIT dirty marker (uuid-named) for derived
+        table ``name`` and return its path.  Per-commit files — not one
+        shared marker — because two drivers committing concurrently
+        must each bracket their own batch: with a single file, writer
+        A's successful clear would erase crashed writer B's pending
+        marker and the derived table would go silently stale.  Each
+        writer clears exactly the file it wrote; replay walks whatever
+        markers remain."""
+        import json as _json
+        import uuid as _uuid
+        path = fsio.join(
+            self.root, f"_dirty_{name}.{_uuid.uuid4().hex}.json")
+        fsio.write_text_atomic(self.spark, path, _json.dumps(payload))
+        return path
+
+    def _clear_markers_for(self, name: str) -> None:
+        for m in self._markers_for(name):
+            fsio.remove(self.spark, m)
+
+    def _dirty_markers(self, record_type: str) -> list[str]:
+        return self._markers_for(self._tokens_name(record_type))
 
     def _has_dirty_marker(self, record_type: str) -> bool:
         return bool(self._dirty_markers(record_type))
 
     def _write_dirty_marker(self, record_type: str, payload: dict) -> str:
-        """Write a PER-COMMIT dirty marker (uuid-named) and return its
-        path.  Per-commit files — not one shared marker — because two
-        drivers committing concurrently must each bracket their own
-        batch: with a single file, writer A's successful clear would
-        erase crashed writer B's pending marker and the index would go
-        silently stale.  Each writer clears exactly the file it wrote;
-        replay walks whatever markers remain."""
-        import json as _json
-        import uuid as _uuid
-        path = fsio.join(
-            self.root, f"_dirty_{self._tokens_name(record_type)}"
-                       f".{_uuid.uuid4().hex}.json")
-        fsio.write_text_atomic(self.spark, path, _json.dumps(payload))
-        return path
+        return self._write_marker_for(self._tokens_name(record_type),
+                                      payload)
 
     def _clear_dirty_markers(self, record_type: str) -> None:
-        for m in self._dirty_markers(record_type):
-            fsio.remove(self.spark, m)
+        self._clear_markers_for(self._tokens_name(record_type))
 
     def build_search_index(self, record_type: str) -> None:
         """Materialize the tokenized subfield view as a PERSISTED,
@@ -900,6 +908,8 @@ class MarcStore:
         hname = f"{record_type}_history"
         if self.backend.exists(self.spark, hname):
             self.backend.compact_segments(self.spark, hname)
+        if self._deleted_summary(record_type).exists(self.spark):
+            self._deleted_summary(record_type).compact(self.spark)
         self._invalidate_query_contexts()
 
     def rebucket(self, record_type: str, n_buckets: int) -> None:
@@ -948,6 +958,13 @@ class MarcStore:
                        fsio.join(self.root, "_dirty_*_tokens*.json"))}
         for record_type in sorted(pending):
             self._replay_dirty_marker(record_type)
+        pending = {("bib" if fsio.basename(m).startswith("_dirty_bib_")
+                    else "auth")
+                   for m in fsio.glob(
+                       self.spark,
+                       fsio.join(self.root, "_dirty_*_deleted*.json"))}
+        for record_type in sorted(pending):
+            self._replay_deleted_markers(record_type)
 
     def _stage(self, df: DataFrame, name: str) -> DataFrame:
         p = self._path(name)
@@ -1007,20 +1024,161 @@ class MarcStore:
         segment per commit (atomic manifest publish), partitioned by
         pt = record_id % HISTORY_BUCKETS so per-record history reads
         prune, folded by ``AUTO_COMPACT_AT`` so a long commit history
-        never accretes unbounded scan roots."""
+        never accretes unbounded scan roots.
+
+        When a persisted deleted-records summary exists it is
+        maintained here — the one choke point every history write
+        (commit, delete, restore, merge) flows through — under the same
+        write-ahead marker protocol as the search index: the marker
+        snapshots the history segment list BEFORE the append, so a
+        crash between the append and the summary upsert replays exactly
+        the bracketed batch on the next ``find_deleted`` or store
+        open."""
         name = f"{record_type}_history"
         if self.backend.exists(self.spark, name):
             mod = int((self.backend.latest_manifest(self.spark, name)
                        .get("extra") or {}).get("n_buckets")
                       or self.HISTORY_BUCKETS)
+            base_segments = self.backend.latest_manifest(
+                self.spark, name)["segments"]
         else:
             mod = self.HISTORY_BUCKETS
+            base_segments = []
         out = hist.withColumn(
             "pt", F.pmod(F.col("record_id"), F.lit(mod)).cast("int"))
+        marker = None
+        if self._deleted_summary(record_type).exists(self.spark):
+            marker = self._write_marker_for(
+                self._summary_name(record_type),
+                {"base_segments": base_segments})
         n_after = self.backend.append_partitioned(
             out, name, ["pt"], extra={"n_buckets": mod}, seg_prefix=name)
+        if marker is not None:
+            try:
+                self._replay_deleted_markers(record_type)
+            except Exception as exc:
+                warnings.warn(
+                    f"history append for {record_type} is durable but "
+                    f"the deleted-summary refresh failed ({exc}); the "
+                    f"summary re-converges from the dirty marker on the "
+                    f"next find_deleted or store open")
         if n_after >= self.AUTO_COMPACT_AT:
             self.backend.compact_segments(self.spark, name)
+
+    # --- deleted-records summary ----------------------------------------------
+    #
+    # ``find_deleted``/``deleted_by_date`` need, per record, the LATEST
+    # history action — a full-log aggregate that is O(history) per call
+    # (at 100 TB the history table dwarfs the live store: every version
+    # of every record).  The summary is a tiny merge-on-read table
+    # holding ONE row per currently-deleted record (deleted, not since
+    # restored or recommitted), maintained O(batch) at the history
+    # choke point above, so the sweep reads O(deleted set) instead.
+    # Optional, like the search index: built once with
+    # ``build_deleted_summary``, self-healing through the same
+    # write-ahead markers, rebuilt wholesale when history compaction
+    # makes a crashed batch unidentifiable.
+
+    def _summary_name(self, record_type: str) -> str:
+        return f"{record_type}_deleted"
+
+    def _deleted_summary(self, record_type: str) -> MergeOnReadTable:
+        name = self._summary_name(record_type)
+        if name not in self._mor:
+            self._mor[name] = MergeOnReadTable(
+                self.backend, name, key="record_id", partition_cols=[],
+                auto_compact_at=self.AUTO_COMPACT_AT)
+        return self._mor[name]
+
+    @staticmethod
+    def _latest_action(h: DataFrame) -> DataFrame:
+        """Per-record latest history action (versions are monotonic per
+        record, so max over the version-led struct is the newest
+        row)."""
+        s = F.max(F.struct("version", "deleted_time", "restored_time",
+                           "deleted_user")).alias("s")
+        return (h.groupBy("record_id").agg(s)
+                .select("record_id",
+                        F.col("s.version").alias("version"),
+                        F.col("s.deleted_time").alias("deleted_time"),
+                        F.col("s.restored_time").alias("restored_time"),
+                        F.col("s.deleted_user").alias("deleted_user")))
+
+    @staticmethod
+    def _currently_deleted(latest: DataFrame) -> DataFrame:
+        return (latest.filter(F.col("deleted_time").isNotNull()
+                              & F.col("restored_time").isNull())
+                .select("record_id", "version", "deleted_time",
+                        "deleted_user"))
+
+    def build_deleted_summary(self, record_type: str) -> None:
+        """Materialize the deleted-records summary from the full
+        history log (one O(history) aggregate — the same job a single
+        un-summarized ``find_deleted`` runs).  Settles every pending
+        marker: the rebuild derives from current history, which covers
+        any crashed batch."""
+        latest = self._latest_action(self.history_df(record_type))
+        self._deleted_summary(record_type).overwrite(
+            self._currently_deleted(latest))
+        self._clear_markers_for(self._summary_name(record_type))
+
+    def _refresh_deleted_summary(self, record_type: str,
+                                 new_rows: DataFrame) -> None:
+        """O(batch) maintenance: every record the new history rows
+        touch gets its summary row replaced — upserted when its latest
+        action is an unrestored delete, tombstoned otherwise (versions
+        are monotonic, so the batch's rows decide each touched
+        record)."""
+        latest = self._latest_action(new_rows)
+        self._deleted_summary(record_type).upsert(
+            rows=self._currently_deleted(latest),
+            tombstone_keys=latest.select("record_id"))
+
+    def _replay_deleted_markers(self, record_type: str) -> None:
+        """Fold history segments not yet reflected in the summary —
+        the inline maintenance step AND crash recovery (same code: the
+        marker's pre-append segment snapshot identifies the batch).
+        Out-of-order markers are safe because each replay processes
+        every segment added since ITS snapshot — a superset of the
+        bracketed batch — and re-deriving a record's latest from more
+        (newer) rows is idempotent.  A snapshot segment missing from
+        the current manifest means compaction folded it: the batch is
+        no longer identifiable, so rebuild wholesale."""
+        import json as _json
+        name = self._summary_name(record_type)
+        markers = self._markers_for(name)
+        if not markers:
+            return
+        summary = self._deleted_summary(record_type)
+        hname = f"{record_type}_history"
+        if not summary.exists(self.spark) \
+                or not self.backend.exists(self.spark, hname):
+            self._clear_markers_for(name)
+            return
+        manifest = self.backend.latest_manifest(self.spark, hname)
+        current = list(manifest["segments"])
+        for marker in markers:
+            base = None
+            try:
+                payload = _json.loads(fsio.read_text(self.spark, marker))
+                base = payload.get("base_segments")
+            except (ValueError, TypeError):
+                pass
+            if base is None or not isinstance(base, list) \
+                    or any(s not in current for s in base):
+                self.build_deleted_summary(record_type)
+                return
+            known = set(base)
+            new_rows = None
+            for i, seg in enumerate(current):
+                if seg in known:
+                    continue
+                part = self.backend.segment_df(self.spark, manifest, i)
+                new_rows = part if new_rows is None \
+                    else new_rows.unionByName(part)
+            if new_rows is not None:
+                self._refresh_deleted_summary(record_type, new_rows)
+            fsio.remove(self.spark, marker)
 
     # --- delete / restore / history -------------------------------------------
 
@@ -1139,13 +1297,34 @@ class MarcStore:
                      date_to: datetime | None = None) -> DataFrame:
         """Deleted-not-restored record ids by latest action time
         (reference History.find_deleted / deleted_by_date,
-        dlx/marc/__init__.py:2345-2384)."""
-        h = self.history_df(record_type)
-        latest = (h.groupBy("record_id")
-                  .agg(F.max(F.struct("version", "deleted_time", "restored_time")).alias("s")))
-        out = (latest.filter(F.col("s.deleted_time").isNotNull()
-                             & F.col("s.restored_time").isNull())
-               .select("record_id", F.col("s.deleted_time").alias("deleted_time")))
+        dlx/marc/__init__.py:2345-2384).
+
+        Over a store with a built ``build_deleted_summary``, the sweep
+        reads the O(deleted set) summary table instead of aggregating
+        the full history log (pending markers replayed first, so an
+        in-process store never serves a stale summary; a failed replay
+        falls back to the full aggregate — slower, never wrong)."""
+        out = None
+        if self._deleted_summary(record_type).exists(self.spark):
+            try:
+                self._replay_deleted_markers(record_type)
+                out = (self._deleted_summary(record_type).read(self.spark)
+                       .select("record_id", "deleted_time"))
+            except Exception as exc:    # pragma: no cover - env-dependent
+                warnings.warn(
+                    f"deleted-summary replay for {record_type} failed "
+                    f"({exc}); aggregating the full history log until "
+                    f"it succeeds")
+                out = None
+        if out is None:
+            h = self.history_df(record_type)
+            latest = (h.groupBy("record_id")
+                      .agg(F.max(F.struct("version", "deleted_time",
+                                          "restored_time")).alias("s")))
+            out = (latest.filter(F.col("s.deleted_time").isNotNull()
+                                 & F.col("s.restored_time").isNull())
+                   .select("record_id",
+                           F.col("s.deleted_time").alias("deleted_time")))
         if date_from is not None:
             out = out.filter(F.col("deleted_time") >= date_from)
         if date_to is not None:

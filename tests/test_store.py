@@ -522,3 +522,76 @@ def test_warehouse_under_file_scheme_uri(spark, tmp_path, monkeypatch):
     # and the plain-path spelling of the same directory sees the data
     st3 = MarcStore(spark, str(tmp_path / "wh_uri"))
     assert st3.bibs().count() == 8
+
+
+def test_deleted_summary_serves_find_deleted(store):
+    """With build_deleted_summary, find_deleted reads the O(deleted set)
+    summary table (plan-pinned: no history scan) and every transition —
+    delete, restore, re-delete, straight recommit of a deleted id — is
+    maintained O(batch) at the history choke point."""
+    from dlx_spark import plans
+
+    store.build_deleted_summary("bib")
+    store.delete("bib", 2, user="d", now=T1)
+    df = store.find_deleted("bib")
+    plan = plans.simple_plan(df)
+    assert "bib_deleted" in plan and "bib_history" not in plan, plan
+    assert [(r.record_id, r.deleted_time) for r in df.collect()] == [(2, T1)]
+    assert store.find_deleted("bib", date_from=T2).count() == 0
+    assert store.find_deleted("bib", date_from=T0, date_to=T2).count() == 1
+    assert list(store.deleted_by_date("bib", date_from=T0)) == [2]
+
+    store.restore("bib", 2, user="r", now=T2)
+    assert store.find_deleted("bib").count() == 0
+
+    store.delete("bib", 2, user="d", now=T2)
+    assert store.find_deleted("bib").count() == 1
+    # recommitting the deleted id (no restore) also clears it: the
+    # latest history action is then a plain commit
+    rec = Bib().set("245", "a", "Back again", auth_control=False)
+    rec.id = 2
+    store.commit([rec], now=T2, auth_check=False)
+    assert store.find_deleted("bib").count() == 0
+    assert not store._markers_for("bib_deleted")   # all settled inline
+
+
+def test_deleted_summary_crash_replay_and_reopen(spark, tmp_path, store,
+                                                 monkeypatch):
+    """A refresh failure after the durable history append leaves the
+    marker; the same in-process store replays it lazily on the next
+    find_deleted, and a fresh store open replays it in _recover."""
+    store.build_deleted_summary("bib")
+    orig = MarcStore._refresh_deleted_summary
+    monkeypatch.setattr(
+        MarcStore, "_refresh_deleted_summary",
+        lambda self, rt, rows: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.warns(UserWarning, match="deleted-summary refresh failed"):
+        store.delete("bib", 2, user="d", now=T1)
+    assert store._markers_for("bib_deleted")
+    monkeypatch.setattr(MarcStore, "_refresh_deleted_summary", orig)
+    # lazy in-process replay: find_deleted never serves the stale summary
+    assert [r.record_id for r in store.find_deleted("bib").collect()] == [2]
+    assert not store._markers_for("bib_deleted")
+
+    # crash again, then recover via store open instead
+    monkeypatch.setattr(
+        MarcStore, "_refresh_deleted_summary",
+        lambda self, rt, rows: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.warns(UserWarning, match="deleted-summary refresh failed"):
+        store.restore("bib", 2, user="r", now=T2)
+    assert store._markers_for("bib_deleted")
+    monkeypatch.setattr(MarcStore, "_refresh_deleted_summary", orig)
+    reopened = MarcStore(spark, store.root)
+    assert not reopened._markers_for("bib_deleted")
+    assert reopened.find_deleted("bib").count() == 0
+
+
+def test_deleted_summary_rebuilds_when_batch_unidentifiable(store):
+    """A marker whose snapshot segments vanished (history compaction
+    folded them) cannot identify its batch: replay rebuilds the summary
+    wholesale from history — always safe."""
+    store.build_deleted_summary("bib")
+    store.delete("bib", 2, user="d", now=T1)
+    store._write_marker_for("bib_deleted", {"base_segments": ["gone"]})
+    assert [r.record_id for r in store.find_deleted("bib").collect()] == [2]
+    assert not store._markers_for("bib_deleted")
