@@ -36,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from dlx_spark import plans  # noqa: E402
+
 
 WORDS = ("report security council climate change development human rights "
          "economic social affairs peacekeeping resolution assembly general "
@@ -492,6 +494,19 @@ def query_main():
             "bib", datetime(2000, 1, 1), datetime(2100, 1, 1)))
         history["deleted_by_date_sec"] = round(time.time() - t0, 2)
         assert got == [7, 11, 13], got
+
+        # the persisted deleted-records summary: the sweep becomes an
+        # O(deleted set) read instead of the full-log aggregate above
+        t0 = time.time()
+        store.build_deleted_summary("bib")
+        history["summary_build_sec"] = round(time.time() - t0, 2)
+        store.delete("bib", 17)          # O(batch) maintenance covered
+        t0 = time.time()
+        n_deleted = store.find_deleted("bib").count()
+        history["find_deleted_summary_sec"] = round(time.time() - t0, 2)
+        assert n_deleted == 4, n_deleted
+        history["summary_plan_no_history_scan"] = "bib_history" not in \
+            plans.simple_plan(store.find_deleted("bib"))
 
         # persisted search index: the cross-SESSION answer to the
         # one-time tokenized-view build the cold fielded_text number
