@@ -912,6 +912,21 @@ class MarcStore:
             self._deleted_summary(record_type).compact(self.spark)
         self._invalidate_query_contexts()
 
+    def vacuum(self, keep_last: int = 1,
+               min_age_seconds: float = 3600.0) -> list[str]:
+        """Reclaim superseded segments and manifests across ALL the
+        store's tables (live, token indexes, history, deleted summary)
+        — the maintenance step that bounds disk growth on an
+        upsert-heavy store: every commit appends a delta segment plus a
+        manifest version, ``compact`` folds them, and the superseded
+        files stay on disk until vacuumed.  Delegates to the versioned
+        backend's retention-guarded vacuum (default 1 h horizon — safe
+        to run concurrently with writers; pass ``min_age_seconds=0``
+        only with writers quiesced).  Returns the reclaimed segment
+        ids."""
+        return self.backend.vacuum(self.spark, keep_last=keep_last,
+                                   min_age_seconds=min_age_seconds)
+
     def rebucket(self, record_type: str, n_buckets: int) -> None:
         """Change the live table's bucket modulus IN PLACE — one staged,
         crash-safe rewrite (pt recomputed, new modulus committed in the

@@ -595,3 +595,25 @@ def test_deleted_summary_rebuilds_when_batch_unidentifiable(store):
     store._write_marker_for("bib_deleted", {"base_segments": ["gone"]})
     assert [r.record_id for r in store.find_deleted("bib").collect()] == [2]
     assert not store._markers_for("bib_deleted")
+
+
+def test_store_vacuum_reclaims_superseded_segments(store):
+    """Commit → compact leaves superseded delta segments and manifest
+    versions on disk; store.vacuum reclaims them while every read
+    surface (live, history, search index, deleted summary) stays
+    intact."""
+    store.build_search_index("bib")
+    store.build_deleted_summary("bib")
+    for i in range(3):
+        rec = store.get("bib", 1)
+        rec.set("245", "a", f"Rewrite {i}")
+        store.commit([rec], now=T1)
+    store.delete("bib", 2, user="d", now=T1)
+    store.compact("bib")
+    reclaimed = store.vacuum(min_age_seconds=0)
+    assert reclaimed                       # superseded segments existed
+    assert store.get("bib", 1).get_value("245", "a") == "Rewrite 2"
+    assert [r.record_id for r in store.find_deleted("bib").collect()] == [2]
+    assert len(store.history("bib", 1)) == 4
+    assert [r["_id"] for r in
+            store.search("bib", "245__a:rewrite").collect()] == [1]
