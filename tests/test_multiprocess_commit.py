@@ -315,3 +315,114 @@ def test_token_index_reconverges_after_crashed_writer_under_contention(
         assert FileExternalCAS(casdir).pending("") == []
     finally:
         fsio.set_commit_scheme(fsio.HadoopRenameScheme())
+
+
+_WORKER_SUMMARY = r"""
+import os
+import sys
+root, casdir = sys.argv[1], sys.argv[2]
+from dlx_spark.session import get_spark
+from dlx_spark import fsio
+
+fsio.set_commit_scheme(fsio.ExternalCASScheme(fsio.FileExternalCAS(casdir)))
+spark = get_spark("mp_summary_worker", cpus=2)
+spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+from dlx_spark.marc.store import MarcStore
+from dlx_spark.marc.record import Bib
+
+store = MarcStore(spark, root)
+
+fsio.touch(spark, root + "/_worker_ready")
+for _ in range(1200):
+    if fsio.exists(spark, root + "/_go"):
+        break
+    import time; time.sleep(0.1)
+else:
+    raise SystemExit("main process never said go")
+
+# die BETWEEN the durable history append and the deleted-summary
+# refresh (os._exit: no unwind, no warning path, no cleanup) while
+# recommitting a previously-deleted id — the transition the summary
+# must tombstone
+MarcStore._refresh_deleted_summary = (
+    lambda self, rt, rows: os._exit(42))
+rec = Bib({"_id": 3, "245": [{"indicators": [" ", " "],
+                              "subfields": [{"code": "a",
+                                             "value": "Back from the dead"}]}]})
+store.commit([rec], auth_check=False)
+raise SystemExit("unreachable: commit should have exited the process")
+"""
+
+
+def test_deleted_summary_reconverges_after_crashed_writer_under_contention(
+        spark, tmp_path):
+    """The deleted-summary marker protocol composed with the
+    multi-driver commit scheme, mirroring the token-index proof: two OS
+    processes write to ONE summarized store through ExternalCASScheme.
+    The victim recommits a deleted id and dies (os._exit) between its
+    durable history append and its summary refresh; the survivor
+    deletes another record concurrently.  Proven: the victim's
+    PER-COMMIT marker survives the survivor's own successful marker
+    dance, and the next store open replays it — the recommitted id
+    leaves the summary, the survivor's delete is in it, no markers or
+    pending CAS claims remain."""
+    from dlx_spark.fsio import ExternalCASScheme, FileExternalCAS
+    from dlx_spark.marc.record import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    root = str(tmp_path / "wh_mp_summary")
+    casdir = str(tmp_path / "cas_summary")
+    fsio.set_commit_scheme(ExternalCASScheme(FileExternalCAS(casdir)))
+    try:
+        store = MarcStore(spark, root)
+        seed = [Bib({"_id": i, "245": [{"indicators": [" ", " "],
+                                        "subfields": [{"code": "a",
+                                                       "value": f"Seed {i}"}]}]})
+                for i in range(1, 9)]
+        store.commit(seed, user="seeder")
+        store.delete("bib", 3, user="seeder")
+        store.build_deleted_summary("bib")
+        assert [r["record_id"] for r in
+                store.find_deleted("bib").collect()] == [3]
+
+        script = tmp_path / "worker_summary.py"
+        script.write_text(_WORKER_SUMMARY)
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("PYSPARK_GATEWAY_PORT", None)
+        env.pop("PYSPARK_GATEWAY_SECRET", None)
+        proc = subprocess.Popen(
+            [sys.executable, str(script), root, casdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=repo)
+        try:
+            deadline = time.time() + 180
+            while not fsio.exists(spark, root + "/_worker_ready"):
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.communicate()[0]
+                    pytest.fail(f"worker never came up:\n{out[-3000:]}")
+                time.sleep(0.2)
+            fsio.touch(spark, root + "/_go")
+            # survivor deletes CONCURRENTLY with the dying writer — its
+            # successful dance must not settle the victim's marker
+            store.delete("bib", 4, user="main")
+            out, _ = proc.communicate(timeout=240)
+            assert proc.returncode == 42, f"worker did not die at the " \
+                f"injected point:\n{out[-3000:]}"
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
+        # fresh open replays the victim's surviving marker in _recover
+        reader = MarcStore(spark, root)
+        assert not reader._markers_for("bib_deleted")
+        got = sorted(r["record_id"] for r in
+                     reader.find_deleted("bib").collect())
+        # id 3's latest history action is the victim's (durable) plain
+        # recommit -> out of the summary; id 4 is the survivor's delete
+        assert got == [4], got
+        assert FileExternalCAS(casdir).pending("") == []
+    finally:
+        fsio.set_commit_scheme(fsio.HadoopRenameScheme())
