@@ -133,12 +133,29 @@ class MarcStore:
     def _live_name(self, record_type: str) -> str:
         return "bibs" if record_type == "bib" else "auths"
 
+    @staticmethod
+    def _live_extra_merge(new: dict | None, head: dict | None) -> dict:
+        """Manifest-metadata merge for the live tables: new keys win
+        (rebucket changes n_buckets on purpose), EXCEPT the
+        max-assigned-id hint, which is monotonic — a compaction staged
+        from an old snapshot must not roll back the hint a raced commit
+        advanced (id reuse would corrupt history and break the
+        never-reuse-after-delete contract)."""
+        out = dict(head or {})
+        out.update(new or {})
+        hints = [int(d["max_id"]) for d in (new or {}, head or {})
+                 if d.get("max_id") is not None]
+        if hints:
+            out["max_id"] = max(hints)
+        return out
+
     def _live(self, record_type: str) -> MergeOnReadTable:
         name = self._live_name(record_type)
         if name not in self._mor:
             self._mor[name] = MergeOnReadTable(
                 self.backend, name, key="_id", partition_cols=["pt"],
-                auto_compact_at=self.AUTO_COMPACT_AT)
+                auto_compact_at=self.AUTO_COMPACT_AT,
+                extra_merge=self._live_extra_merge)
         return self._mor[name]
 
     def _tokens(self, record_type: str) -> MergeOnReadTable:
@@ -542,10 +559,27 @@ class MarcStore:
 
     def max_id(self, record_type: str) -> int:
         """max _id over live ∪ history (reference Marc.max_id,
-        dlx/marc/__init__.py:474-483)."""
-        live = self.table(record_type).select(F.max("_id").alias("m")).first()["m"] or 0
-        hist = self.history_df(record_type).select(F.max("record_id").alias("m")).first()["m"] or 0
-        return max(live, hist)
+        dlx/marc/__init__.py:474-483).
+
+        Served from the live manifest's monotonic ``max_id`` hint when
+        present — every id-assigning write folds its batch max into
+        the hint inside the manifest commit (``_live_extra_merge``
+        keeps it from rolling back under raced compactions), so id
+        assignment is O(1) metadata instead of a max over live ∪
+        history — at 100 TB those are full column scans of the store
+        and its (larger) version log, paid per commit batch.  Stores
+        written before the hint fall back to the scan; their first
+        hinted commit starts the fast path."""
+        live = self._live(record_type)
+        if live.exists(self.spark):
+            hint = live.meta(self.spark).get("max_id")
+            if hint is not None:
+                return int(hint)
+        scanned = self.table(record_type).select(
+            F.max("_id").alias("m")).first()["m"] or 0
+        hist = self.history_df(record_type).select(
+            F.max("record_id").alias("m")).first()["m"] or 0
+        return max(scanned, hist)
 
     # --- write pipeline -------------------------------------------------------
 
@@ -883,8 +917,26 @@ class MarcStore:
         if index_live:
             marker = self._write_dirty_marker(
                 record_type, {"base_segments": live.segments(self.spark)})
+        # fold the batch's max id into the manifest's monotonic hint
+        # (one O(batch) agg) so the next commit's id assignment is O(1)
+        # metadata instead of a live ∪ history scan.  A store whose
+        # manifest predates the hint seeds it from the full scan ONCE —
+        # the batch max alone could understate an existing higher id
+        # (explicit-id commit_frame below the store's max) and a low
+        # hint would reuse ids.
+        bmax = int(new_df.agg(F.max("_id")).first()[0] or 0)
+        if live.exists(self.spark):
+            if live.meta(self.spark).get("max_id") is None:
+                bmax = max(bmax, self.max_id(record_type))
+            # appends claim ONLY the hint: re-asserting n_buckets here
+            # would let a commit racing a rebucket roll the new
+            # geometry's modulus back in the merge
+            extra = {"max_id": bmax}
+        else:
+            extra = {"n_buckets": self.n_buckets(record_type),
+                     "max_id": bmax}
         live.upsert(rows=self._with_bucket(new_df, record_type),
-                    extra={"n_buckets": self.n_buckets(record_type)})
+                    extra=extra)
         self._invalidate_query_contexts()
         if index_live:
             try:

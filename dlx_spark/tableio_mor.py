@@ -77,7 +77,8 @@ class MergeOnReadTable:
 
     def __init__(self, backend: VersionedTableBackend, table: str,
                  key: str, partition_cols: list[str] | None = None,
-                 auto_compact_at: int | None = 16):
+                 auto_compact_at: int | None = 16,
+                 extra_merge=None):
         if auto_compact_at is not None and auto_compact_at < 2:
             raise ValueError("auto_compact_at must be >= 2")
         self.backend = backend
@@ -85,6 +86,15 @@ class MergeOnReadTable:
         self.key = key
         self.partition_cols = list(partition_cols or [])
         self.auto_compact_at = auto_compact_at
+        #: ``extra_merge(new_or_staged_extra, head_extra) -> dict`` —
+        #: when set, EVERY publish of this table (upsert append,
+        #: compact/overwrite replace, rebucket) folds its metadata onto
+        #: the committed head's inside the commit, instead of taking
+        #: one side verbatim.  Required for metadata that must survive
+        #: races: a compaction staged from an old snapshot would
+        #: otherwise roll back e.g. a monotonic max-assigned-id hint a
+        #: raced commit had advanced.
+        self.extra_merge = extra_merge
         #: compactions triggered inline by upsert (probe observable)
         self.auto_compactions = 0
         # (segments tuple) -> total delta rows, for the broadcast guard
@@ -149,7 +159,8 @@ class MergeOnReadTable:
             # the new content — correct for a rebuild-from-live, and the
             # only order-preserving choice the backend offers
             self.backend.replace(spark, self.table, staged, token=token,
-                                 on_conflict="merge")
+                                 on_conflict="merge",
+                                 extra_merge=self.extra_merge)
         else:
             self.backend.write_partitioned(
                 out, self.table, self.partition_cols, extra=extra,
@@ -183,7 +194,7 @@ class MergeOnReadTable:
         delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         n_after = self.backend.append_partitioned(
             delta, self.table, self.partition_cols, extra=extra,
-            seg_prefix=self.table)
+            extra_merge=self.extra_merge, seg_prefix=self.table)
         if self.auto_compact_at is not None \
                 and n_after >= self.auto_compact_at:
             self.auto_compactions += 1
@@ -288,7 +299,8 @@ class MergeOnReadTable:
             resolved, staged, self.partition_cols,
             extra=manifest.get("extra"), seg_prefix=self.table)
         self.backend.replace(spark, self.table, staged, token=token,
-                             on_conflict="merge")
+                             on_conflict="merge",
+                             extra_merge=self.extra_merge)
         return len(token)
 
     def repartition_table(self, df: DataFrame, extra: dict) -> None:
@@ -307,7 +319,8 @@ class MergeOnReadTable:
             self.partition_cols, extra=extra, seg_prefix=self.table)
         self.backend.replace(spark, self.table, staged,
                              token=list(manifest["segments"]),
-                             on_conflict="fail")
+                             on_conflict="fail",
+                             extra_merge=self.extra_merge)
 
     def drop(self, spark: SparkSession) -> None:
         self.backend.drop(spark, self.table)

@@ -356,12 +356,17 @@ class VersionedTableBackend(ParquetTableBackend):
     def append_partitioned(self, df: DataFrame, table: str,
                            partition_cols: list[str], *,
                            extra: dict | None = None,
+                           extra_merge=None,
                            seg_prefix: str = "") -> int:
         """Append one segment; returns the committed manifest's segment
         count (callers use it to decide compaction).  ``extra`` seeds
         table metadata only when this append CREATES the table; on an
         existing table the head's metadata is preserved (appends never
-        change table geometry)."""
+        change table geometry) — unless ``extra_merge(new, head)`` is
+        given, which folds this call's ``extra`` onto the HEAD's
+        metadata inside the commit (re-invoked on every CAS retry, so
+        two racing writers both land their updates — the hook monotonic
+        counters like a max-assigned-id hint need)."""
         spark = df.sparkSession
         seg = self._write_segment(spark, df, None, None, partition_cols,
                                   seg_prefix=seg_prefix)
@@ -371,7 +376,11 @@ class VersionedTableBackend(ParquetTableBackend):
             nonlocal n_after
             segs = (latest["segments"] if latest else []) + [seg]
             n_after = len(segs)
-            keep = latest.get("extra") if latest else extra
+            head = (latest.get("extra") if latest else None) or {}
+            if extra_merge is not None:
+                keep = extra_merge(extra, dict(head))
+            else:
+                keep = latest.get("extra") if latest else extra
             return self._layout(df, None, None, segs, partition_cols,
                                 keep)
 
@@ -525,7 +534,8 @@ class VersionedTableBackend(ParquetTableBackend):
         return list(manifest["segments"])
 
     def replace(self, spark: SparkSession, table: str, staged: str,
-                token=None, on_conflict: str = "merge") -> None:
+                token=None, on_conflict: str = "merge",
+                extra_merge=None) -> None:
         """Atomic metadata swap: commit ``staged``'s current segment
         list as ``table``'s next version, then drop the staged table's
         manifests.  The provenance recorded in the commit lets
@@ -549,7 +559,15 @@ class VersionedTableBackend(ParquetTableBackend):
         Without a token, the staged content becomes the entire next
         version — only correct when nothing else writes the table
         (the recovery path's replay, where the crashed protocol owns
-        the table)."""
+        the table).
+
+        ``extra_merge(staged_extra, head_extra)``, when given, decides
+        the published metadata instead of the staged manifest's copy.
+        This matters exactly for ``"merge"``: the staged content was
+        derived from the token-time head, so metadata a raced commit
+        updated since (e.g. a monotonic max-assigned-id hint) would be
+        silently rolled back by taking the staged copy — the same
+        lost-update the segment carry prevents for data."""
         if on_conflict not in ("merge", "fail"):
             raise ValueError(f"on_conflict must be merge|fail, "
                              f"got {on_conflict!r}")
@@ -569,6 +587,14 @@ class VersionedTableBackend(ParquetTableBackend):
             for opt in ("partition_cols", "extra"):
                 if opt in manifest:
                     doc[opt] = manifest[opt]
+            if extra_merge is not None:
+                head_extra = dict((latest.get("extra") if latest
+                                   else None) or {})
+                merged = extra_merge(manifest.get("extra"), head_extra)
+                if merged:
+                    doc["extra"] = merged
+                else:
+                    doc.pop("extra", None)
             if token is not None:
                 doc["segments"] = list(manifest["segments"]) + gained
             doc["source"] = [staged, manifest["id"]]

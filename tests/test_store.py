@@ -452,7 +452,8 @@ def test_crash_mid_rebucket_recovers_on_open(spark, tmp_path, monkeypatch):
     st = _seed_plain(spark, tmp_path, "wh_crash2", n=16)
     assert st.n_buckets("bib") == 16
 
-    def boom(self, spark_, table, staged, token=None, on_conflict="merge"):
+    def boom(self, spark_, table, staged, token=None, on_conflict="merge",
+             **kwargs):
         raise RuntimeError("crash before swap")
     monkeypatch.setattr(VersionedTableBackend, "replace", boom)
     with pytest.raises(RuntimeError):
@@ -617,3 +618,49 @@ def test_store_vacuum_reclaims_superseded_segments(store):
     assert len(store.history("bib", 1)) == 4
     assert [r["_id"] for r in
             store.search("bib", "245__a:rewrite").collect()] == [1]
+
+
+def test_max_id_served_from_manifest_hint(store, tmp_path):
+    """Id assignment reads the live manifest's monotonic max_id hint
+    (O(1) metadata) instead of scanning live ∪ history; the hint never
+    understates — explicit low-id upserts keep it, deletes keep it,
+    and a pre-hint (legacy) manifest seeds it from the scan once."""
+    live = store._live("bib")
+    assert live.meta(store.spark).get("max_id") == 2
+    assert store.max_id("bib") == 2
+
+    rec = Bib().set("245", "a", "Third", auth_control=False)
+    assert store.commit([rec], now=T1) == [3]
+    assert live.meta(store.spark)["max_id"] == 3
+
+    # explicit-id upsert BELOW the max must not lower the hint
+    low = Bib().set("245", "a", "Low rewrite", auth_control=False)
+    low.id = 1
+    store.commit([low], now=T1)
+    assert live.meta(store.spark)["max_id"] == 3
+    store.delete("bib", 3, user="d", now=T1)
+    assert store.max_id("bib") == 3        # deleted id still reserved
+
+    # legacy manifest (no hint): strip it, next commit re-seeds from
+    # the live ∪ history scan — never from the batch max alone
+    import glob as _glob
+    import json as _json
+    import os as _os
+    mdir = _os.path.join(store.root, "_v", "tables", "bibs")
+    def _vnum(path):
+        return int(_os.path.basename(path).split(".")[0].lstrip("v"))
+    latest = max(_glob.glob(_os.path.join(mdir, "*.json")), key=_vnum)
+    doc = _json.loads(open(latest).read())
+    doc["extra"].pop("max_id")
+    nxt_name = _os.path.basename(latest).replace(
+        f"{_vnum(latest):010d}", f"{_vnum(latest) + 1:010d}")
+    with open(_os.path.join(mdir, nxt_name), "w") as fh:
+        fh.write(_json.dumps(doc))
+    assert live.meta(store.spark).get("max_id") is None
+    assert store.max_id("bib") == 3        # scan fallback
+    low2 = Bib().set("245", "a", "Low again", auth_control=False)
+    low2.id = 2
+    store.commit([low2], now=T2)           # batch max 2 < store max 3
+    assert live.meta(store.spark)["max_id"] == 3   # seeded from scan
+    nxt = Bib().set("245", "a", "Fourth", auth_control=False)
+    assert store.commit([nxt], now=T2) == [4]

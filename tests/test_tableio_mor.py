@@ -215,3 +215,49 @@ def test_huge_delta_disables_forced_broadcast(spark, be):
     t.upsert(rows=_rows(spark, [(3, "X")]))
     assert "Hint" in analyzed(t.read(spark))
     assert (3, "X") in _read_sorted(t, spark)
+
+
+def test_extra_merge_survives_stale_compaction(spark, be):
+    """A compaction staged from an old manifest snapshot must not roll
+    back metadata a raced commit advanced: with extra_merge, the
+    replace folds the staged extra onto the HEAD's (monotonic max for
+    the hint), and the raced segment's rows are carried."""
+    def merge(new, head):
+        out = dict(head or {})
+        out.update(new or {})
+        hints = [int(d["max_id"]) for d in (new or {}, head or {})
+                 if d.get("max_id") is not None]
+        if hints:
+            out["max_id"] = max(hints)
+        return out
+
+    t = MergeOnReadTable(be, "t11", key="k", partition_cols=["pt"],
+                         extra_merge=merge)
+    t.overwrite(_rows(spark, [(1, "a"), (2, "b")]), extra={"max_id": 2})
+    t.upsert(rows=_rows(spark, [(3, "c")]), extra={"max_id": 3})
+    stale = t.manifest(spark)              # fold-start snapshot
+    t.upsert(rows=_rows(spark, [(9, "z")]), extra={"max_id": 9})
+    assert t.meta(spark)["max_id"] == 9
+
+    # run the fold as if it had started before the max_id=9 commit
+    orig = t.manifest
+    t.manifest = lambda s: stale
+    try:
+        t.compact(spark)
+    finally:
+        t.manifest = orig
+    assert t.meta(spark)["max_id"] == 9    # not rolled back to 3
+    assert _read_sorted(t, spark) == [(1, "a"), (2, "b"), (3, "c"),
+                                      (9, "z")]  # raced rows carried
+
+
+def test_extra_merge_applies_on_appends(spark, be):
+    """Appends with extra_merge update head metadata per commit (the
+    default behavior — head preserved verbatim — only holds without a
+    merge fn)."""
+    merge = lambda new, head: {**(head or {}), **(new or {})}
+    t = MergeOnReadTable(be, "t12", key="k", partition_cols=["pt"],
+                         extra_merge=merge)
+    t.overwrite(_rows(spark, [(1, "a")]), extra={"n_buckets": 4})
+    t.upsert(rows=_rows(spark, [(2, "b")]), extra={"watermark": 7})
+    assert t.meta(spark) == {"n_buckets": 4, "watermark": 7}

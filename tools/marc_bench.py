@@ -200,6 +200,22 @@ def store_main():
         timings["point_read_get"] = round(time.time() - t0, 2)
         assert rec is not None
 
+        # id assignment cost per commit batch: the manifest's monotonic
+        # max_id hint vs the live ∪ history scan it replaces (what a
+        # pre-hint store pays; at 100 TB the scan is the whole store's
+        # _id column plus the larger version log)
+        t0 = time.time()
+        hinted = store.max_id("bib")
+        timings["max_id_hint"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        scan_live = store.table("bib").agg(
+            F.max("_id").alias("m")).first()["m"] or 0
+        scan_hist = store.history_df("bib").agg(
+            F.max("record_id").alias("m")).first()["m"] or 0
+        timings["max_id_scan_equivalent"] = round(time.time() - t0, 2)
+        assert hinted == max(scan_live, scan_hist), (hinted, scan_live,
+                                                     scan_hist)
+
         # the amortized maintenance cost the O(batch) commits defer:
         # fold the delta segments, then show the point read again
         t0 = time.time()
