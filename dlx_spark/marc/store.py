@@ -751,6 +751,16 @@ class MarcStore:
         try:
             if src.limit(1).count() == 0:
                 return 0
+            # a frame of only NULL ids is a pure insert: every id is
+            # assigned fresh above max_id, so nothing can pre-exist —
+            # the created-stamp join, prev-id intersection, and history
+            # version-base scan are all provably empty and skipped
+            # outright (the dominant 100 TB ingest shape: appending new
+            # documents to a big store would otherwise pay three
+            # resolved passes over it per batch)
+            all_new = (prev_ids is None
+                       and src.filter(F.col("_id").isNotNull())
+                              .limit(1).count() == 0)
             # distributed auth validation: every xref must exist in auths —
             # or, for an auth frame, in the frame itself: authority files
             # commonly carry intra-file see-also (5xx) xrefs between
@@ -798,18 +808,43 @@ class MarcStore:
                 src = (tmp.filter(F.col("_id").isNotNull())
                        .unionByName(assigned).drop("_pid", "_mid"))
 
-            # audit stamps: created preserved from the live row when present
-            live = self.table(record_type).select(
-                "_id", F.col("created").alias("_pc"),
-                F.col("created_user").alias("_pcu"))
-            stamped = (src.drop("updated", "user", "created", "created_user")
-                       .join(live, "_id", "left")
-                       .withColumn("updated", F.lit(now))
-                       .withColumn("user", F.lit(user))
-                       .withColumn("created", F.coalesce("_pc", F.lit(now)))
-                       .withColumn("created_user", F.coalesce("_pcu", F.lit(user)))
-                       .drop("_pc", "_pcu")
-                       .select(*[f.name for f in schemas.MARC.fields]))
+            # audit stamps: created preserved from the live row when
+            # present.  For broadcast-sized batches the live table is
+            # pruned to the batch's ids with a map-side broadcast
+            # semi-join FIRST — a direct left join would put the whole
+            # store on the shuffle side of a sort-merge (the batch is
+            # too small to stream a left outer, the store too big to
+            # broadcast), costing an O(store) shuffle per commit batch.
+            small = False
+            pruned = None
+            if all_new:
+                stamped = (src.drop("updated", "user", "created",
+                                    "created_user")
+                           .withColumn("updated", F.lit(now))
+                           .withColumn("user", F.lit(user))
+                           .withColumn("created", F.lit(now))
+                           .withColumn("created_user", F.lit(user))
+                           .select(*[f.name for f in schemas.MARC.fields]))
+            else:
+                small = self._broadcastable_batch(src)
+                live = self.table(record_type).select(
+                    "_id", F.col("created").alias("_pc"),
+                    F.col("created_user").alias("_pcu"))
+                if small:
+                    # ONE resolved pass over the store: the batch-sized
+                    # (batch ids ∩ live) frame is staged and reused by
+                    # BOTH the created-stamp join and the prev-id set
+                    # below — computing them independently would stream
+                    # the resolved store twice per commit batch
+                    pruned = self._stage(
+                        live.join(F.broadcast(src.select("_id")),
+                                  "_id", "left_semi"),
+                        f"_stage_prevlive_{name}")
+                    stamped = self._with_audit_stamps(
+                        src, F.broadcast(pruned), user, now, small=False)
+                else:
+                    stamped = self._with_audit_stamps(src, live, user,
+                                                      now, small=False)
 
             # derived columns with linked values baked in via headings join
             derived = mdf.derive_text_words(stamped, headings=self.headings())
@@ -819,13 +854,20 @@ class MarcStore:
             # prev-id set for history created-stamps, computed as a join
             # (lazily — the history write below runs before the upsert
             # overwrites the live table it reads)
-            prev_source = (prev_ids if prev_ids is not None
-                           else self.table(record_type)
-                                .select(F.col("_id").alias("record_id")))
-            prev_id_df = (staged.select(F.col("_id").alias("record_id"))
-                          .join(prev_source, "record_id", "left_semi"))
+            if all_new:
+                prev_id_df = self.spark.createDataFrame(
+                    [], "record_id long")
+            elif prev_ids is None and pruned is not None:
+                prev_id_df = pruned.select(F.col("_id").alias("record_id"))
+            else:
+                prev_source = (prev_ids if prev_ids is not None
+                               else self.table(record_type)
+                                    .select(F.col("_id").alias("record_id")))
+                prev_id_df = self._prev_id_frame(staged, prev_source,
+                                                 small=small)
             self._append_history_frame(record_type, staged, user, now,
-                                       prev_id_df=prev_id_df)
+                                       prev_id_df=prev_id_df,
+                                       all_new=all_new)
             n = staged.count()
             # commit_frame NEVER propagates heading changes (structural
             # recursion guard) — so an auth bulk write that changes
@@ -841,6 +883,7 @@ class MarcStore:
             self._upsert(record_type, staged)
         finally:
             for scratch in (f"_stage_ingest_{name}", f"_stage_ingest_ids_{name}",
+                            f"_stage_prevlive_{name}",
                             f"_stage_commit_{name}"):
                 self._unstage(scratch)
             if record_type == "auth":
@@ -1041,24 +1084,90 @@ class MarcStore:
     def _unstage(self, name: str) -> None:
         fsio.rmtree(self.spark, self._path(name))
 
+    #: batches at or under this many rows broadcast their id set into
+    #: the store-side joins of the commit pipeline (audit stamps,
+    #: prev-id, history version bases), keeping the live/history tables
+    #: off every shuffle; larger (bulk-ingest) batches fall back to the
+    #: unhinted plan, where shuffling the store against a
+    #: comparable-size batch is the correct strategy.  Mirrors
+    #: MergeOnReadTable.BROADCAST_MAX_DELTA_ROWS.
+    SMALL_BATCH_MAX_ROWS = 4_000_000
+
+    def _broadcastable_batch(self, df: DataFrame) -> bool:
+        return (df.limit(self.SMALL_BATCH_MAX_ROWS + 1).count()
+                <= self.SMALL_BATCH_MAX_ROWS)
+
+    def _with_audit_stamps(self, src: DataFrame, live: DataFrame,
+                           user: str, now: datetime, *,
+                           small: bool) -> DataFrame:
+        """created/updated stamps for a commit batch, preserving the
+        live row's created/created_user when the id pre-exists.  With
+        ``small``, ``live`` (``_id``, ``_pc``, ``_pcu``) is first
+        pruned to the batch's ids by a broadcast LeftSemi (one map-side
+        pass over the store, NO store-side shuffle — plan-pinned in
+        tests/test_plans.py) and the batch-sized remainder broadcasts
+        into the left join; without it, the straight left join lets
+        Catalyst plan the bulk shapes."""
+        if small:
+            batch_ids = src.select("_id")
+            live = F.broadcast(live.join(F.broadcast(batch_ids),
+                                         "_id", "left_semi"))
+        return (src.drop("updated", "user", "created", "created_user")
+                .join(live, "_id", "left")
+                .withColumn("updated", F.lit(now))
+                .withColumn("user", F.lit(user))
+                .withColumn("created", F.coalesce("_pc", F.lit(now)))
+                .withColumn("created_user", F.coalesce("_pcu", F.lit(user)))
+                .drop("_pc", "_pcu")
+                .select(*[f.name for f in schemas.MARC.fields]))
+
+    def _prev_id_frame(self, staged: DataFrame, prev_source: DataFrame,
+                       *, small: bool) -> DataFrame:
+        """Ids of the batch that existed pre-commit (staged ∩ prev).
+        With ``small`` the intersection is computed by streaming
+        ``prev_source`` (the store's id column) against the BROADCAST
+        batch ids — the naive direction (batch LeftSemi store) puts the
+        store on the shuffle side of a sort-merge because a semi-join
+        can only broadcast its right."""
+        ids = staged.select(F.col("_id").alias("record_id"))
+        if small:
+            return prev_source.join(F.broadcast(ids), "record_id",
+                                    "left_semi")
+        return ids.join(prev_source, "record_id", "left_semi")
+
     def _append_history_frame(self, record_type: str, df: DataFrame,
                               user: str, now: datetime,
-                              prev_id_df: DataFrame | None = None) -> None:
+                              prev_id_df: DataFrame | None = None,
+                              all_new: bool = False) -> None:
         """History append as ONE distributed job over the committed
         frame: per-id version bases come from a semi-join-filtered
         aggregate of the existing history, new-vs-update from a left
         join against ``prev_id_df`` (ids that existed pre-commit).  No
-        record rows touch the driver."""
+        record rows touch the driver; for broadcast-sized batches the
+        id set is explicitly broadcast so the history log never
+        shuffles, and ``all_new`` (freshly-assigned ids — nothing can
+        have history) skips the version-base scan entirely."""
         name = f"{record_type}_history"
-        existing = self.history_df(record_type)
-        ids_df = df.select(F.col("_id").alias("record_id"))
-        vbase = (existing.join(ids_df, "record_id", "left_semi")
-                 .groupBy("record_id").agg(F.max("version").alias("_vbase")))
         doc = F.struct(*[F.col(f.name) for f in schemas.MARC.fields]).alias("doc")
-        base = df.select(F.col("_id").alias("record_id"), doc) \
-                 .join(vbase, "record_id", "left")
+        small = False
+        if all_new:
+            base = (df.select(F.col("_id").alias("record_id"), doc)
+                    .withColumn("_vbase", F.lit(None).cast("int")))
+        else:
+            existing = self.history_df(record_type)
+            small = self._broadcastable_batch(df)
+            ids_df = df.select(F.col("_id").alias("record_id"))
+            if small:
+                ids_df = F.broadcast(ids_df)
+            vbase = (existing.join(ids_df, "record_id", "left_semi")
+                     .groupBy("record_id")
+                     .agg(F.max("version").alias("_vbase")))
+            base = df.select(F.col("_id").alias("record_id"), doc) \
+                     .join(vbase, "record_id", "left")
         if prev_id_df is not None:
             prev = prev_id_df.select("record_id", F.lit(True).alias("_prev"))
+            if small:
+                prev = F.broadcast(prev)
             base = base.join(prev, "record_id", "left")
         else:
             base = base.withColumn("_prev", F.lit(None).cast("boolean"))

@@ -174,3 +174,48 @@ def test_lsh_verified_pairs_slim_regime_single_exchange(spark):
         assert plans.broadcast_join_count(carried) <= 1
     finally:
         sigs.unpersist()
+
+
+def test_commit_pipeline_store_side_joins_never_shuffle_store(
+        spark, tmp_path):
+    """The commit pipeline's three store-side joins (audit stamps,
+    prev-id intersection, history version bases) must stream the
+    store/history map-side against BROADCAST batch ids for
+    broadcast-sized batches — the naive directions put the whole store
+    on the shuffle side of a sort-merge, an O(store) shuffle per
+    commit batch at 100 TB."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark.marc.record import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    st = MarcStore(spark, str(tmp_path / "wh_plan"))
+    st.commit([Bib().set("245", "a", f"Doc {i}", auth_control=False)
+               for i in range(8)], now=datetime(2026, 1, 1))
+
+    src = st.table("bib").filter(F.col("_id") <= 3)
+    live = st.table("bib").select(
+        "_id", F.col("created").alias("_pc"),
+        F.col("created_user").alias("_pcu"))
+
+    stamped = st._with_audit_stamps(src, live, "u", datetime(2026, 1, 2),
+                                    small=True)
+    plan = plans.simple_plan(stamped)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plans.shuffle_count(stamped) == 0, plan   # zero SHUFFLES
+
+
+    prev_source = st.table("bib").select(F.col("_id").alias("record_id"))
+    prev = st._prev_id_frame(src, prev_source, small=True)
+    pplan = plans.simple_plan(prev)
+    assert "SortMergeJoin" not in pplan, pplan
+    assert "BroadcastHashJoin" in pplan and "LeftSemi" in pplan, pplan
+    assert plans.shuffle_count(prev) == 0, pplan
+    # results identical to the unhinted direction
+    a = sorted(r["record_id"] for r in prev.collect())
+    b = sorted(r["record_id"] for r in
+               st._prev_id_frame(src, prev_source, small=False).collect())
+    assert a == b and len(a) == 3

@@ -664,3 +664,35 @@ def test_max_id_served_from_manifest_hint(store, tmp_path):
     assert live.meta(store.spark)["max_id"] == 3   # seeded from scan
     nxt = Bib().set("245", "a", "Fourth", auth_control=False)
     assert store.commit([nxt], now=T2) == [4]
+
+
+def test_all_new_append_skips_store_reads_and_stamps_correctly(store):
+    """A NULL-id frame is a pure insert: the fast path must stamp
+    created=now/user, write history version 1, advance the hint — and
+    a later UPDATE of those records still preserves created (proving
+    the skipped joins weren't needed)."""
+    from pyspark.sql import functions as F
+
+    fresh = (store.table("bib").limit(1)
+             .withColumn("_id", F.lit(None).cast("long")))
+    n0 = store.max_id("bib")
+    assert store.commit_frame(fresh, record_type="bib", user="bulk",
+                              now=T1, auth_check=False) == 1
+    rid = store.max_id("bib")
+    assert rid == n0 + 1
+    rec_row = store.table("bib").filter(F.col("_id") == rid).collect()[0]
+    assert rec_row["created"] == T1 and rec_row["created_user"] == "bulk"
+    hist = store._history_for("bib", rid).collect()
+    assert [(h["version"], h["created_user"]) for h in hist] == [(1, "bulk")]
+
+    # update via the non-all_new path: created preserved from T1
+    upd = (store.table("bib").filter(F.col("_id") == rid)
+           .withColumn("user", F.lit("x")))
+    store.commit_frame(upd, record_type="bib", user="editor", now=T2,
+                       auth_check=False)
+    rec_row = store.table("bib").filter(F.col("_id") == rid).collect()[0]
+    assert rec_row["created"] == T1 and rec_row["created_user"] == "bulk"
+    assert rec_row["updated"] == T2 and rec_row["user"] == "editor"
+    versions = sorted(h["version"] for h in
+                      store._history_for("bib", rid).collect())
+    assert versions == [1, 2]

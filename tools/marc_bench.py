@@ -193,6 +193,16 @@ def store_main():
                 time.time() - t0, 2)
         timings["commit_frame_10k_upsert"] = timings[
             "commit_frame_10k_upsert_2"]
+
+        # pure-insert append (NULL ids): the all-new fast path — no
+        # created-stamp join, no prev-id intersection, no history
+        # version-base scan, so the wall must not grow with store size
+        # (the dominant shape of appending new documents at 100 TB)
+        fresh = synth_records_df(spark, 10_000).withColumn(
+            "_id", F.lit(None).cast("long"))
+        t0 = time.time()
+        store.commit_frame(fresh, record_type="bib")
+        timings["commit_frame_10k_new_append"] = round(time.time() - t0, 2)
         live_segments = len(store._live("bib").segments(spark))
 
         t0 = time.time()
