@@ -1361,7 +1361,17 @@ class MarcStore:
     def delete(self, record_type: str, rid: int, user: str = "admin",
                now: datetime | None = None) -> None:
         """Guarded delete with history 'deleted' action (reference
-        dlx/marc/__init__.py:1236-1310)."""
+        dlx/marc/__init__.py:1236-1310).
+
+        Crash window, stated honestly: the history 'deleted' row and
+        the live tombstone are two separate manifest commits (in that
+        order — same shape as the reference's two Mongo operations).
+        A crash between them leaves the record LIVE with a dangling
+        delete action; ``find_deleted`` lists it while ``get`` still
+        returns it.  Re-running the delete reconciles (idempotent:
+        another history row, then the tombstone lands).  The reverse
+        order would be worse — a record gone with no history row has
+        nothing to ``restore`` from."""
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         if record_type == "auth":
             if mdf.in_use(self.bibs(), rid).limit(1).count() > 0 \
