@@ -73,6 +73,7 @@ from dlx_spark.marc.record import (
     Linked,
     Marc,
 )
+from dlx_spark.tableio import ConcurrentWriteError
 from dlx_spark.tableio_mor import DELETED as _MOR_DELETED
 from dlx_spark.tableio_mor import MergeOnReadTable
 from dlx_spark.tableio_versioned import VersionedTableBackend
@@ -978,8 +979,25 @@ class MarcStore:
         else:
             extra = {"n_buckets": self.n_buckets(record_type),
                      "max_id": bmax}
-        live.upsert(rows=self._with_bucket(new_df, record_type),
-                    extra=extra)
+        for attempt in (0, 1):
+            nb = self.n_buckets(record_type)
+            try:
+                live.upsert(rows=self._with_bucket(new_df, record_type),
+                            extra=extra,
+                            expect_meta=({"n_buckets": nb}
+                                         if live.exists(self.spark)
+                                         else None))
+                break
+            except ConcurrentWriteError:
+                if attempt:
+                    raise
+                # a rebucket from another driver landed between the
+                # modulus read and this commit: the rows' pt values are
+                # wrong under the new geometry — re-read and re-bucket
+                # (without the in-commit expect check, the mis-bucketed
+                # segment would publish and pruned point reads would
+                # silently miss its rows)
+                self._nb.pop(record_type, None)
         self._invalidate_query_contexts()
         if index_live:
             try:
@@ -1408,15 +1426,23 @@ class MarcStore:
         live = self._live(record_type)
         if not live.exists(self.spark):
             return
-        n = self.n_buckets(record_type)
-        stones = self.spark.createDataFrame(
-            [(int(i), int(i) % n) for i in ids], "_id long, pt int")
         index_live = self._tokens(record_type).exists(self.spark)
         marker = None
         if index_live:
             marker = self._write_dirty_marker(
                 record_type, {"base_segments": live.segments(self.spark)})
-        live.upsert(tombstone_keys=stones)
+        for attempt in (0, 1):
+            n = self.n_buckets(record_type)
+            stones = self.spark.createDataFrame(
+                [(int(i), int(i) % n) for i in ids], "_id long, pt int")
+            try:
+                live.upsert(tombstone_keys=stones,
+                            expect_meta={"n_buckets": n})
+                break
+            except ConcurrentWriteError:
+                if attempt:
+                    raise
+                self._nb.pop(record_type, None)   # raced rebucket
         self._invalidate_query_contexts()
         if index_live:
             try:

@@ -168,13 +168,19 @@ class MergeOnReadTable:
 
     def upsert(self, rows: DataFrame | None = None,
                tombstone_keys: DataFrame | None = None,
-               extra: dict | None = None) -> None:
+               extra: dict | None = None,
+               expect_meta: dict | None = None) -> None:
         """Commit one batch: ``rows`` replace each touched key's row
         set; ``tombstone_keys`` (key + partition columns, one row per
         key) delete keys.  For multi-row-per-key tables the caller must
         tombstone every touched key (rows alone only SUPERSEDE a key's
         previous rows because the tombstone marks the mention — see
-        module docstring).  O(batch) I/O; appends one segment."""
+        module docstring).  O(batch) I/O; appends one segment.
+        ``expect_meta`` asserts the table metadata the batch's
+        partition values were derived under (e.g. the bucket modulus)
+        inside the commit — raising ConcurrentWriteError instead of
+        publishing mis-partitioned rows when a geometry change raced
+        this batch."""
         if rows is None and tombstone_keys is None:
             raise ValueError("upsert needs rows and/or tombstone_keys")
         spark = (rows if rows is not None else tombstone_keys).sparkSession
@@ -194,7 +200,8 @@ class MergeOnReadTable:
         delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         n_after = self.backend.append_partitioned(
             delta, self.table, self.partition_cols, extra=extra,
-            extra_merge=self.extra_merge, seg_prefix=self.table)
+            extra_merge=self.extra_merge, expect_extra=expect_meta,
+            seg_prefix=self.table)
         if self.auto_compact_at is not None \
                 and n_after >= self.auto_compact_at:
             self.auto_compactions += 1

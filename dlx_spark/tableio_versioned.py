@@ -357,6 +357,7 @@ class VersionedTableBackend(ParquetTableBackend):
                            partition_cols: list[str], *,
                            extra: dict | None = None,
                            extra_merge=None,
+                           expect_extra: dict | None = None,
                            seg_prefix: str = "") -> int:
         """Append one segment; returns the committed manifest's segment
         count (callers use it to decide compaction).  ``extra`` seeds
@@ -366,7 +367,18 @@ class VersionedTableBackend(ParquetTableBackend):
         given, which folds this call's ``extra`` onto the HEAD's
         metadata inside the commit (re-invoked on every CAS retry, so
         two racing writers both land their updates — the hook monotonic
-        counters like a max-assigned-id hint need)."""
+        counters like a max-assigned-id hint need).
+
+        ``expect_extra`` asserts metadata the appended ROWS were
+        derived under, checked against the head INSIDE the commit: a
+        mismatch raises ConcurrentWriteError instead of publishing.
+        This is the guard against appending rows partitioned under a
+        superseded geometry — a rebucket that lands between a writer's
+        metadata read and its append would otherwise accept delta rows
+        whose partition values are wrong under the new modulus, making
+        partition-pruned reads silently MISS them.  The orphaned
+        segment file is reclaimed by vacuum, like a failed replace's
+        stage."""
         spark = df.sparkSession
         seg = self._write_segment(spark, df, None, None, partition_cols,
                                   seg_prefix=seg_prefix)
@@ -377,6 +389,15 @@ class VersionedTableBackend(ParquetTableBackend):
             segs = (latest["segments"] if latest else []) + [seg]
             n_after = len(segs)
             head = (latest.get("extra") if latest else None) or {}
+            if expect_extra and latest is not None:
+                for k, v in expect_extra.items():
+                    if head.get(k) != v:
+                        raise ConcurrentWriteError(
+                            f"append({table}): rows were derived under "
+                            f"{k}={v!r} but the table's head now has "
+                            f"{k}={head.get(k)!r} — a concurrent "
+                            f"geometry change landed; re-derive the "
+                            f"rows and retry")
             if extra_merge is not None:
                 keep = extra_merge(extra, dict(head))
             else:

@@ -696,3 +696,36 @@ def test_all_new_append_skips_store_reads_and_stamps_correctly(store):
     versions = sorted(h["version"] for h in
                       store._history_for("bib", rid).collect())
     assert versions == [1, 2]
+
+
+def test_commit_racing_rebucket_rebuckets_and_retries(store, spark):
+    """A commit whose rows were bucketed under a modulus superseded by
+    a concurrent rebucket (second driver) must NOT publish: the
+    in-commit geometry expectation rejects it, and the store re-reads
+    the modulus, re-buckets, and retries — without the guard the
+    mis-partitioned delta rows would be invisible to pruned point
+    reads.  Simulated with two store instances on one root (instance
+    A's cached modulus goes stale when B rebuckets)."""
+    a = store
+    assert a.n_buckets("bib") == 16     # memoized on A
+
+    b = MarcStore(spark, a.root)
+    b.rebucket("bib", 32)               # A's cache is now stale
+
+    rec = Bib().set("245", "a", "Raced commit", auth_control=False)
+    rec.id = 20                         # 20 % 16 = 4 but 20 % 32 = 20 —
+    rid = a.commit([rec], now=T1)[0]    # a stale-modulus publish would
+    assert rid == 20                    # land in the WRONG partition
+
+    c = MarcStore(spark, a.root)        # fresh reader
+    assert c.n_buckets("bib") == 32
+    row = (c._raw("bib").filter(F.col("_id") == rid)
+           .select("pt").collect())
+    assert [r["pt"] for r in row] == [rid % 32]   # NEW-geometry bucket
+    assert c.get("bib", rid).get_value("245", "a") == "Raced commit"
+
+    # the delete path carries the same guard
+    b2 = MarcStore(spark, a.root)
+    b2.rebucket("bib", 64)
+    a.delete("bib", rid, user="d", now=T2)        # stale modulus again
+    assert MarcStore(spark, a.root).get("bib", rid) is None
