@@ -120,7 +120,6 @@ class MarcStore:
         self._auth_index: AuthIndex | None = None
         self._query_ctxs: dict = {}
         self._default_n_buckets = int(n_buckets or self.N_BUCKETS)
-        self._nb: dict[str, int] = {}
         self.backend = VersionedTableBackend(root=fsio.join(root, "_v"))
         self._mor: dict[str, MergeOnReadTable] = {}
         fsio.mkdirs(spark, root)
@@ -169,17 +168,18 @@ class MarcStore:
         return self._mor[name]
 
     def n_buckets(self, record_type: str = "bib") -> int:
-        """The live table's bucket modulus (pt = _id % n_buckets) — read
-        from the table's own manifest so it flips atomically with a
-        ``rebucket``, per record type."""
-        rt = record_type
-        if rt not in self._nb:
-            live = self._live(rt)
-            if not live.exists(self.spark):
-                return self._default_n_buckets
-            self._nb[rt] = int(live.meta(self.spark).get(
-                "n_buckets", self._default_n_buckets))
-        return self._nb[rt]
+        """The live table's bucket modulus (pt = _id % n_buckets) —
+        read from the table's CURRENT manifest on every call, never
+        memoized: a cached modulus would outlive another driver's
+        ``rebucket`` and make this instance's pruned point reads and
+        searches filter on the wrong pt, silently missing live records
+        (writes are additionally guarded in-commit by
+        ``expect_meta``)."""
+        live = self._live(record_type)
+        if not live.exists(self.spark):
+            return self._default_n_buckets
+        return int(live.meta(self.spark).get(
+            "n_buckets", self._default_n_buckets))
 
     def _empty(self, schema) -> DataFrame:
         return self.spark.createDataFrame([], schema=schema)
@@ -410,6 +410,53 @@ class MarcStore:
         for m in self._markers_for(name):
             fsio.remove(self.spark, m)
 
+    #: a write-ahead marker precedes its writer's live commit, so a
+    #: marker with NO source segments beyond its snapshot is ambiguous:
+    #: the writer may be mid-commit (segment upload in flight) or dead
+    #: before committing.  Younger than this horizon it is treated as
+    #: in-flight and kept; older, the writer is presumed dead and the
+    #: marker is garbage (nothing landed to index) — the same
+    #: retention-guard reasoning as the backend vacuum's
+    #: ``min_age_seconds``, and the same caveat: keep it comfortably
+    #: above the longest plausible commit.
+    MARKER_INFLIGHT_GRACE_SECONDS = 3600.0
+
+    def _marker_expired(self, marker: str) -> bool:
+        import time as _time
+        try:
+            return (_time.time() - fsio.mtime(self.spark, marker)
+                    > self.MARKER_INFLIGHT_GRACE_SECONDS)
+        except Exception:
+            return False
+
+    def _clear_settled_markers(self, marker_name: str,
+                               current_segments: list[str],
+                               derived_from: list[str]) -> None:
+        """After a full rebuild, remove only markers PROVABLY covered
+        by it: settled iff the source gained segments since the
+        marker's snapshot AND every one of them is inside the
+        derivation snapshot (∅ ≠ current − base ⊆ derived_from).  Two
+        pending cases survive: a writer whose commit landed AFTER the
+        rebuild's manifest read (gap ⊄ derived — clearing it, the old
+        behavior, would silently drop that crashed batch), and a
+        writer whose commit has NOT LANDED YET (gap = ∅ — its batch
+        may still arrive; kept until the in-flight grace expires)."""
+        import json as _json
+        cur = set(current_segments)
+        derived = set(derived_from)
+        for marker in self._markers_for(marker_name):
+            base: set = set()
+            try:
+                payload = _json.loads(fsio.read_text(self.spark, marker))
+                b = payload.get("base_segments")
+                if isinstance(b, list):
+                    base = set(b)
+            except (ValueError, TypeError):
+                pass
+            gap = cur - base
+            if gap <= derived and (gap or self._marker_expired(marker)):
+                fsio.remove(self.spark, marker)
+
     def _dirty_markers(self, record_type: str) -> list[str]:
         return self._markers_for(self._tokens_name(record_type))
 
@@ -436,15 +483,19 @@ class MarcStore:
         100 TB where a per-session rebuild would be hours.  Maintenance
         afterwards is O(batch): each commit appends the batch's token
         rows plus per-record tombstones (see ``_upsert``)."""
-        if not self._live(record_type).exists(self.spark):
+        live = self._live(record_type)
+        if not live.exists(self.spark):
             return
+        derived_from = live.segments(self.spark)
         rows = mdf.subfield_token_rows(self.table(record_type), record_type,
                                        headings=self.headings())
         self._tokens(record_type).overwrite(rows)
-        # the rebuild derived from current live covers every pending
-        # batch: their markers are settled (crash in between = one
-        # extra, safe, rebuild on replay)
-        self._clear_dirty_markers(record_type)
+        # clear only markers the rebuild PROVABLY covers — a writer
+        # whose commit landed after our manifest read keeps its marker
+        # (clearing all would silently drop its crashed batch)
+        self._clear_settled_markers(self._tokens_name(record_type),
+                                    live.segments(self.spark),
+                                    derived_from)
         self._invalidate_query_contexts()
 
     def _refresh_tokens_for_batch(self, record_type: str,
@@ -502,12 +553,17 @@ class MarcStore:
             # rebuild from the source of truth (cross-type heading
             # staleness has no per-batch identity: the affected rows
             # are whatever links to the changed auths) — covers every
-            # pending batch at once
+            # batch whose commit the derivation saw; later writers'
+            # markers provably stay
+            live = self._live(record_type)
+            derived_from = live.segments(self.spark)
             rows = mdf.subfield_token_rows(
                 self.table(record_type), record_type,
                 headings=self.headings())
             tokens.overwrite(rows)
-            self._clear_dirty_markers(record_type)
+            self._clear_settled_markers(self._tokens_name(record_type),
+                                        live.segments(self.spark),
+                                        derived_from)
         else:
             live = self._live(record_type)
             for marker, base in batches:
@@ -521,7 +577,16 @@ class MarcStore:
                     fresh = mdf.subfield_token_rows(
                         alive, record_type, headings=self.headings())
                     tokens.upsert(rows=fresh, tombstone_keys=ids)
-                fsio.remove(self.spark, marker)
+                    fsio.remove(self.spark, marker)
+                elif self._marker_expired(marker):
+                    # nothing landed since the snapshot AND the grace
+                    # horizon passed: the writer died before its live
+                    # commit — the marker brackets nothing
+                    fsio.remove(self.spark, marker)
+                # else: the writer may be MID-commit (marker precedes
+                # the live CAS by up to a segment upload) — removing
+                # now would lose its batch if the commit lands; keep
+                # the marker and let a later replay settle it
         self._invalidate_query_contexts()
 
     def _search_index_df(self, record_type: str) -> DataFrame | None:
@@ -678,7 +743,7 @@ class MarcStore:
         prev_id_df = self.spark.createDataFrame(
             [(int(i),) for i in prev_rows], "record_id long")
         self._append_history_frame(record_type, staged, user, now,
-                                   prev_id_df=prev_id_df)
+                                   prev_id_df=prev_id_df, small=True)
 
         # heading changes affect the BIB token index through values the
         # index denormalizes: mark it dirty (full) BEFORE the auth
@@ -689,14 +754,21 @@ class MarcStore:
         # persisted index would keep old heading-overlaid values while
         # the derived view overlays current ones (diverging results)
         changed = []
-        bib_marker = None
+        heading_markers: list[str] = []
         if record_type == "auth":
             changed = [r for r in records
                        if r.id in prev_headings
                        and prev_headings[r.id] is not None
                        and prev_headings[r.id] != self._heading_signature(r)]
-            if changed and self._tokens("bib").exists(self.spark):
-                bib_marker = self._write_dirty_marker("bib", {"full": True})
+            if changed:
+                # BOTH indexed record types denormalize auth headings
+                # (bibs through 6xx/7xx links, auths through 5xx
+                # see-also links), so both persisted indexes go stale
+                # when a heading changes without propagation
+                for rt2 in ("bib", "auth"):
+                    if self._tokens(rt2).exists(self.spark):
+                        heading_markers.append(self._write_dirty_marker(
+                            rt2, {"full": True}))
 
         # 6. merge-on-read upsert (O(batch) delta segment)
         self._upsert(record_type, staged)
@@ -707,13 +779,14 @@ class MarcStore:
         # 7. heading-change propagation (reference 1154-1232)
         if changed and update_attached:
             self._propagate_heading_changes([r.id for r in changed], user, now)
-            # propagation recommitted every attached record, refreshing
-            # their token rows through its own per-commit marker dance
-            # (a failed refresh there leaves ITS marker) — the full
-            # marker above is superseded; a crash before this line costs
-            # one extra, safe, rebuild on replay
-            if bib_marker is not None:
-                fsio.remove(self.spark, bib_marker)
+            # propagation recommitted every attached record (both
+            # types), refreshing their token rows through its own
+            # per-commit marker dance (a failed refresh there leaves
+            # ITS marker) — the full markers above are superseded; a
+            # crash before this line costs one extra, safe, rebuild on
+            # replay
+            for m in heading_markers:
+                fsio.remove(self.spark, m)
         return out
 
     def commit_frame(self, df: DataFrame, record_type: str = "bib",
@@ -868,7 +941,7 @@ class MarcStore:
                                                  small=small)
             self._append_history_frame(record_type, staged, user, now,
                                        prev_id_df=prev_id_df,
-                                       all_new=all_new)
+                                       all_new=all_new, small=small)
             n = staged.count()
             # commit_frame NEVER propagates heading changes (structural
             # recursion guard) — so an auth bulk write that changes
@@ -878,9 +951,15 @@ class MarcStore:
             # The diff is O(batch): the staged frame joined to the
             # pre-commit live rows on _id, heading signatures compared
             if (record_type == "auth"
-                    and self._tokens("bib").exists(self.spark)
+                    and not all_new        # fresh ids: nothing changed
+                    and (self._tokens("bib").exists(self.spark)
+                         or self._tokens("auth").exists(self.spark))
                     and self._frame_changes_headings(staged)):
-                self._write_dirty_marker("bib", {"full": True})
+                # both record types denormalize headings (bib 6xx/7xx,
+                # auth 5xx see-also) — mark every live index
+                for rt2 in ("bib", "auth"):
+                    if self._tokens(rt2).exists(self.spark):
+                        self._write_dirty_marker(rt2, {"full": True})
             self._upsert(record_type, staged)
         finally:
             for scratch in (f"_stage_ingest_{name}", f"_stage_ingest_ids_{name}",
@@ -968,36 +1047,42 @@ class MarcStore:
         # the batch max alone could understate an existing higher id
         # (explicit-id commit_frame below the store's max) and a low
         # hint would reuse ids.
-        bmax = int(new_df.agg(F.max("_id")).first()[0] or 0)
-        if live.exists(self.spark):
-            if live.meta(self.spark).get("max_id") is None:
-                bmax = max(bmax, self.max_id(record_type))
-            # appends claim ONLY the hint: re-asserting n_buckets here
-            # would let a commit racing a rebucket roll the new
-            # geometry's modulus back in the merge
-            extra = {"max_id": bmax}
-        else:
-            extra = {"n_buckets": self.n_buckets(record_type),
-                     "max_id": bmax}
+        batch_max = int(new_df.agg(F.max("_id")).first()[0] or 0)
         for attempt in (0, 1):
+            # existence, modulus, and metadata are ALL re-derived per
+            # attempt: a lost creation race or raced rebucket changes
+            # every one of them, and reusing a stale extra would stamp
+            # this writer's geometry over the winner's
+            exists = live.exists(self.spark)
             nb = self.n_buckets(record_type)
+            bmax = batch_max
+            if exists and live.meta(self.spark).get("max_id") is None:
+                # pre-hint manifest: seed from the scan once — the
+                # batch max alone could understate an existing higher
+                # id and a low hint would reuse ids
+                bmax = max(bmax, self.max_id(record_type))
+            # appends claim ONLY the hint: re-asserting n_buckets on an
+            # existing table would let a commit racing a rebucket roll
+            # the new geometry's modulus back in the merge
+            extra = ({"max_id": bmax} if exists
+                     else {"n_buckets": nb, "max_id": bmax})
             try:
                 live.upsert(rows=self._with_bucket(new_df, record_type),
                             extra=extra,
                             expect_meta=({"n_buckets": nb}
-                                         if live.exists(self.spark)
-                                         else None))
+                                         if exists else None),
+                            expect_create=not exists)
                 break
             except ConcurrentWriteError:
                 if attempt:
                     raise
-                # a rebucket from another driver landed between the
-                # modulus read and this commit: the rows' pt values are
-                # wrong under the new geometry — re-read and re-bucket
-                # (without the in-commit expect check, the mis-bucketed
-                # segment would publish and pruned point reads would
-                # silently miss its rows)
-                self._nb.pop(record_type, None)
+                # a rebucket (or a winning creation) from another
+                # driver landed between the modulus read and this
+                # commit: the rows' pt values are wrong under the
+                # committed geometry — re-derive and retry (without the
+                # in-commit check, the mis-bucketed segment would
+                # publish and pruned point reads would silently miss
+                # its rows)
         self._invalidate_query_contexts()
         if index_live:
             try:
@@ -1060,7 +1145,6 @@ class MarcStore:
                     .withColumn("pt", F.pmod(F.col("_id"),
                                              F.lit(int(n_buckets))).cast("int")))
         live.repartition_table(resolved, extra={"n_buckets": int(n_buckets)})
-        self._nb.pop(record_type, None)
         self._invalidate_query_contexts()
 
     def _recover(self) -> None:
@@ -1156,7 +1240,8 @@ class MarcStore:
     def _append_history_frame(self, record_type: str, df: DataFrame,
                               user: str, now: datetime,
                               prev_id_df: DataFrame | None = None,
-                              all_new: bool = False) -> None:
+                              all_new: bool = False,
+                              small: bool | None = None) -> None:
         """History append as ONE distributed job over the committed
         frame: per-id version bases come from a semi-join-filtered
         aggregate of the existing history, new-vs-update from a left
@@ -1167,13 +1252,14 @@ class MarcStore:
         have history) skips the version-base scan entirely."""
         name = f"{record_type}_history"
         doc = F.struct(*[F.col(f.name) for f in schemas.MARC.fields]).alias("doc")
-        small = False
         if all_new:
+            small = False
             base = (df.select(F.col("_id").alias("record_id"), doc)
                     .withColumn("_vbase", F.lit(None).cast("int")))
         else:
             existing = self.history_df(record_type)
-            small = self._broadcastable_batch(df)
+            if small is None:     # caller didn't size the batch already
+                small = self._broadcastable_batch(df)
             ids_df = df.select(F.col("_id").alias("record_id"))
             if small:
                 ids_df = F.broadcast(ids_df)
@@ -1311,10 +1397,22 @@ class MarcStore:
         un-summarized ``find_deleted`` runs).  Settles every pending
         marker: the rebuild derives from current history, which covers
         any crashed batch."""
+        hname = f"{record_type}_history"
+
+        def hist_segments() -> list[str]:
+            if not self.backend.exists(self.spark, hname):
+                return []
+            return list(self.backend.latest_manifest(
+                self.spark, hname)["segments"])
+
+        derived_from = hist_segments()
         latest = self._latest_action(self.history_df(record_type))
         self._deleted_summary(record_type).overwrite(
             self._currently_deleted(latest))
-        self._clear_markers_for(self._summary_name(record_type))
+        # settled-only clearing: a history append that landed after our
+        # manifest read keeps its marker for replay
+        self._clear_settled_markers(self._summary_name(record_type),
+                                    hist_segments(), derived_from)
 
     def _refresh_deleted_summary(self, record_type: str,
                                  new_rows: DataFrame) -> None:
@@ -1372,7 +1470,11 @@ class MarcStore:
                     else new_rows.unionByName(part)
             if new_rows is not None:
                 self._refresh_deleted_summary(record_type, new_rows)
-            fsio.remove(self.spark, marker)
+                fsio.remove(self.spark, marker)
+            elif self._marker_expired(marker):
+                fsio.remove(self.spark, marker)
+            # else: the writer's history append may be in flight (the
+            # marker precedes the append's CAS) — keep the marker
 
     # --- delete / restore / history -------------------------------------------
 
@@ -1441,8 +1543,7 @@ class MarcStore:
                 break
             except ConcurrentWriteError:
                 if attempt:
-                    raise
-                self._nb.pop(record_type, None)   # raced rebucket
+                    raise   # raced rebucket persists: surface it
         self._invalidate_query_contexts()
         if index_live:
             try:

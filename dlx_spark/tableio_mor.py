@@ -169,7 +169,8 @@ class MergeOnReadTable:
     def upsert(self, rows: DataFrame | None = None,
                tombstone_keys: DataFrame | None = None,
                extra: dict | None = None,
-               expect_meta: dict | None = None) -> None:
+               expect_meta: dict | None = None,
+               expect_create: bool = False) -> None:
         """Commit one batch: ``rows`` replace each touched key's row
         set; ``tombstone_keys`` (key + partition columns, one row per
         key) delete keys.  For multi-row-per-key tables the caller must
@@ -201,7 +202,7 @@ class MergeOnReadTable:
         n_after = self.backend.append_partitioned(
             delta, self.table, self.partition_cols, extra=extra,
             extra_merge=self.extra_merge, expect_extra=expect_meta,
-            seg_prefix=self.table)
+            expect_create=expect_create, seg_prefix=self.table)
         if self.auto_compact_at is not None \
                 and n_after >= self.auto_compact_at:
             self.auto_compactions += 1

@@ -358,6 +358,7 @@ class VersionedTableBackend(ParquetTableBackend):
                            extra: dict | None = None,
                            extra_merge=None,
                            expect_extra: dict | None = None,
+                           expect_create: bool = False,
                            seg_prefix: str = "") -> int:
         """Append one segment; returns the committed manifest's segment
         count (callers use it to decide compaction).  ``extra`` seeds
@@ -389,6 +390,17 @@ class VersionedTableBackend(ParquetTableBackend):
             segs = (latest["segments"] if latest else []) + [seg]
             n_after = len(segs)
             head = (latest.get("extra") if latest else None) or {}
+            if expect_create and latest is not None:
+                # the caller derived its rows (and metadata) believing
+                # it was CREATING the table; another writer's creation
+                # won the race — publishing now would stamp the loser's
+                # geometry over the winner's while the rows carry
+                # whichever bucketing the loser computed
+                raise ConcurrentWriteError(
+                    f"append({table}): the table was created by a "
+                    f"concurrent writer after this caller observed it "
+                    f"absent; re-derive against the committed metadata "
+                    f"and retry")
             if expect_extra and latest is not None:
                 for k, v in expect_extra.items():
                     if head.get(k) != v:
@@ -711,7 +723,13 @@ class VersionedTableBackend(ParquetTableBackend):
         pcols = manifest.get("partition_cols")
         df = self._read_manifest_df(spark, manifest)
         if pcols:
-            self.write_partitioned(df, staged, pcols)
+            # carry the table's 'extra' metadata through the fold:
+            # replace() publishes the STAGED manifest's copy, so staging
+            # without it would silently strip e.g. a history table's
+            # bucket modulus on the first auto-compaction (per-record
+            # history reads then lose their pt pruning)
+            self.write_partitioned(df, staged, pcols,
+                                   extra=manifest.get("extra"))
         elif manifest.get("key") is not None:
             self.write(df, staged, manifest["key"], manifest["n_buckets"])
         else:

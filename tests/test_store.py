@@ -729,3 +729,115 @@ def test_commit_racing_rebucket_rebuckets_and_retries(store, spark):
     b2.rebucket("bib", 64)
     a.delete("bib", rid, user="d", now=T2)        # stale modulus again
     assert MarcStore(spark, a.root).get("bib", rid) is None
+
+
+def test_lost_creation_race_rederives_geometry(spark, tmp_path,
+                                               monkeypatch):
+    """A writer that observed the live table ABSENT must not publish
+    its creation-time geometry after another writer's creation won the
+    race: the in-commit expect_create check rejects it, and the retry
+    re-derives modulus and metadata from the winner's manifest.
+    Without the guard the loser's rows (bucketed under ITS default
+    modulus) and its n_buckets would stamp over the winner's —
+    mis-pruning every read forever."""
+    root = str(tmp_path / "wh_create_race")
+    winner = MarcStore(spark, root, n_buckets=16)
+    winner.commit([Bib().set("245", "a", "Winner", auth_control=False)],
+                  now=T0)
+
+    loser = MarcStore(spark, root, n_buckets=8)
+    live = loser._live("bib")
+    real_exists = type(live).exists
+    state = {"faked": False}
+
+    def exists_absent_once(self, s):
+        if self is live and not state["faked"]:
+            state["faked"] = True
+            return False          # the loser's stale observation
+        return real_exists(self, s)
+
+    monkeypatch.setattr(type(live), "exists", exists_absent_once)
+    rec = Bib().set("245", "a", "Loser retried", auth_control=False)
+    rec.id = 20                   # 20 % 8 = 4 but 20 % 16 = 4... use 24
+    rec.id = 24                   # 24 % 8 = 0, 24 % 16 = 8 — distinct
+    loser.commit([rec], now=T1, auth_check=False)
+    monkeypatch.undo()
+
+    reader = MarcStore(spark, root)
+    assert reader.n_buckets("bib") == 16          # winner's geometry kept
+    row = (reader._raw("bib").filter(F.col("_id") == 24)
+           .select("pt").collect())
+    assert [r["pt"] for r in row] == [24 % 16]
+    assert reader.get("bib", 24).get_value("245", "a") == "Loser retried"
+
+
+def test_auth_heading_change_marks_auth_token_index_too(store):
+    """Auth→auth 5xx see-also links denormalize the linked heading into
+    the AUTH token index as well: a heading change without propagation
+    must mark it dirty (not just the bib index), or indexed auth
+    searches keep matching the old heading."""
+    from dlx_spark.marc.record import Datafield, Linked
+
+    a3 = Auth().set("150", "a", "Topic three", auth_control=False)
+    store.commit([a3], now=T0)
+    a4 = Auth().set("150", "a", "Linker", auth_control=False)
+    store.commit([a4], now=T0)
+    a4 = store.get("auth", 4)
+    a4.fields.append(Datafield("550", " ", " ", [Linked("a", 3)], "auth"))
+    store.commit([a4], now=T0)
+
+    store.build_search_index("auth")
+    assert [r["_id"] for r in
+            store.search("auth", "550__a:three").collect()] == [4]
+
+    a3 = store.get("auth", 3)
+    a3.set("150", "a", "Topic renamed", auth_control=False)
+    store.commit([a3], now=T1, update_attached=False)   # NO propagation
+
+    # the marker forces a rebuild: new heading matches, old one doesn't
+    assert [r["_id"] for r in
+            store.search("auth", "550__a:renamed").collect()] == [4]
+    assert store.search("auth", "550__a:three").count() == 0
+
+
+def test_full_rebuild_keeps_markers_for_commits_it_did_not_see(store):
+    """_clear_settled_markers semantics: (a) a marker whose bracketed
+    batch the rebuild saw is removed; (b) a marker whose writer
+    committed AFTER the derivation read is kept (clearing it would
+    drop that crashed batch); (c) a marker whose writer has not
+    committed YET (no segments beyond its snapshot) is kept while
+    young — the live CAS may still land — and swept once the in-flight
+    grace expires (the writer is then presumed dead pre-commit)."""
+    store.build_search_index("bib")
+    live = store._live("bib")
+    current = live.segments(store.spark)
+
+    import os as _os
+
+    def names():
+        return {_os.path.basename(m)
+                for m in store._markers_for("bibs_tokens")}
+
+    settled = _os.path.basename(store._write_marker_for(
+        "bibs_tokens", {"base_segments": current[:-1]}))
+    inflight = _os.path.basename(store._write_marker_for(
+        "bibs_tokens", {"base_segments": current}))
+    store._clear_settled_markers("bibs_tokens", current,
+                                 derived_from=current)
+    assert settled not in names()              # (a) covered -> removed
+    assert inflight in names()                 # (c) may still commit
+
+    # (b) the writer's segment landed after the derivation read
+    late = _os.path.basename(store._write_marker_for(
+        "bibs_tokens", {"base_segments": current}))
+    store._clear_settled_markers("bibs_tokens",
+                                 current + ["seg-after-derivation"],
+                                 derived_from=current)
+    assert late in names()
+
+    # (c) grace expiry: a pre-commit marker older than the horizon is
+    # garbage — nothing landed to index
+    store.MARKER_INFLIGHT_GRACE_SECONDS = -1.0
+    store._clear_settled_markers("bibs_tokens", current,
+                                 derived_from=current)
+    assert store._markers_for("bibs_tokens") == []

@@ -544,14 +544,14 @@ def test_compact_segments_folds_append_history(spark, be):
 
     # racing append is merged through the swap (token carry)
     class RacingBackend(VersionedTableBackend):
-        def write_partitioned(self, df, table, cols):
+        def write_partitioned(self, df, table, cols, **kwargs):
             if table.endswith("__compactseg") and not getattr(
                     self, "_raced", False):
                 self._raced = True
                 self.append_partitioned(
                     _df(df.sparkSession, [(99, "c")],
                         "id long, part string"), "t_cseg2", cols)
-            super().write_partitioned(df, table, cols)
+            super().write_partitioned(df, table, cols, **kwargs)
 
     rb = RacingBackend(root=be._root)
     rb.write_partitioned(_df(spark, [(1, "a")], "id long, part string"),
@@ -774,3 +774,19 @@ def test_multisegment_ann_probes_never_full_scan(spark, be):
         assert g == w and len(g) > 0
     finally:
         tableio.set_backend(tableio.ParquetTableBackend())
+
+
+def test_compact_segments_preserves_extra_metadata(spark, tmp_path):
+    """Folding a partitioned table must carry its 'extra' metadata into
+    the published manifest — dropping it silently disabled e.g. the
+    history table's pt pruning after the first auto-compaction."""
+    from pyspark.sql import functions as F
+
+    be = VersionedTableBackend(root=str(tmp_path / "wh_extra"))
+    rows = (spark.range(8).select(F.col("id").alias("k"))
+            .withColumn("pt", F.pmod("k", F.lit(4)).cast("int")))
+    be.append_partitioned(rows, "t", ["pt"], extra={"n_buckets": 4})
+    be.append_partitioned(rows, "t", ["pt"])
+    assert be.compact_segments(spark, "t") == 2
+    assert (be.latest_manifest(spark, "t").get("extra") or {}) \
+        == {"n_buckets": 4}
