@@ -142,22 +142,45 @@ def main() -> None:
         load1, load5, load15 = (round(v, 2) for v in os.getloadavg())
     except OSError:
         load1 = load5 = load15 = None
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
+    # Output framing (the r10 lesson): the driver tail-captures stdout and
+    # parses the LAST line, so the last line must stay compact — r10's
+    # per-query load bracketing grew the single combined line past the
+    # driver's tail window and BENCH_r10.json recorded `parsed: null`,
+    # losing the round's headline total.  The full telemetry object
+    # (spread, load brackets, idle-gate detail) now goes on its OWN earlier
+    # stdout line AND to a sidecar file next to bench.py, and the final
+    # line carries only the compact headline the driver needs.
+    detail = {
+        "metric": "headline_queries_detail",
         "runs_per_query": "1 warmup + 3 timed, median reported",
-        "n_queries_timed": len(timings),
-        "n_queries_total": len(HEADLINE),
-        "queries": timings,
         "spread": spread,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg": [load1, load5, load15],
         "n_cpus": os.cpu_count(),
         **idle,
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass  # sidecar is best-effort; stdout still carries everything
+    print(json.dumps(detail))
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries_timed": len(timings),
+        "n_queries_total": len(HEADLINE),
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg1": load1,
+    }
+    if errors:
+        out["n_errors"] = len(errors)
         out["partial_total"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
     spark.stop()

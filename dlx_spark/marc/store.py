@@ -18,8 +18,17 @@ Layout under ``root``::
       tables/{bib,auth}_history  append-only version log (one segment
                                  per commit, folded by compaction)
     merge_log/              auth merge audit rows
-    _dirty_*.json           write-ahead markers bracketing the
-                            live→token-index update pair
+    _dirty_*.json           write-ahead markers bracketing each
+                            source-table commit and its derived-table
+                            (token index / deleted summary) refresh.
+                            Written BEFORE the source CAS, stamped
+                            ``committed`` right after it, removed by
+                            their OWNER once its own refresh lands;
+                            other writers settle a foreign marker only
+                            when its commit is provably covered
+                            (``committed`` + gap ⊆ derivation) or the
+                            in-flight grace expired — never on the mere
+                            presence of OTHER writers' segments
     _stage_*/               scratch parquet for pipeline materialization
 
 Per-commit pipeline (replacing the reference's per-record round-trips
@@ -114,9 +123,18 @@ class MarcStore:
     AUTO_COMPACT_AT = 16
 
     def __init__(self, spark: SparkSession, root: str,
-                 n_buckets: int | None = None):
+                 n_buckets: int | None = None,
+                 marker_grace_seconds: float | None = None):
         self.spark = spark
         self.root = root
+        if marker_grace_seconds is not None:
+            # deployment-tuned in-flight horizon (see the class attr's
+            # docstring): set it above the longest plausible commit for
+            # this store's batch sizes.  The ``committed`` marker rewrite
+            # refreshes the marker's mtime when the source CAS lands, so
+            # the horizon only needs to cover ONE phase (pre-CAS segment
+            # upload, or post-CAS refresh) — not the whole commit
+            self.MARKER_INFLIGHT_GRACE_SECONDS = float(marker_grace_seconds)
         self._auth_index: AuthIndex | None = None
         self._query_ctxs: dict = {}
         self._default_n_buckets = int(n_buckets or self.N_BUCKETS)
@@ -429,23 +447,55 @@ class MarcStore:
         except Exception:
             return False
 
+    def _mark_marker_committed(self, marker: str) -> None:
+        """Stamp ``committed: true`` onto the owner's own marker right
+        after its source-table CAS lands.  This is the proof OTHER
+        writers' replays need before settling a foreign marker: without
+        it, a replay that merely observed new segments could be seeing
+        a DIFFERENT writer's commit while this marker's own batch is
+        still a segment-upload in flight — settling then would lose the
+        batch if the owner crashes between its CAS and its refresh.
+        The atomic rewrite also refreshes the marker's mtime, so the
+        in-flight grace horizon restarts at commit-land (a bulk commit
+        whose upload alone approaches the horizon is not expired out
+        from under its post-CAS refresh).  Best-effort: a failure here
+        only defers settlement of a crashed owner to grace expiry."""
+        import json as _json
+        try:
+            payload = _json.loads(fsio.read_text(self.spark, marker))
+            payload["committed"] = True
+            fsio.write_text_atomic(self.spark, marker,
+                                   _json.dumps(payload))
+        except Exception:      # pragma: no cover - fs-dependent
+            pass
+
+    @staticmethod
+    def _marker_payload_committed(payload: dict | None) -> bool:
+        return bool(payload and payload.get("committed"))
+
     def _clear_settled_markers(self, marker_name: str,
                                current_segments: list[str],
                                derived_from: list[str]) -> None:
         """After a full rebuild, remove only markers PROVABLY covered
-        by it: settled iff the source gained segments since the
-        marker's snapshot AND every one of them is inside the
-        derivation snapshot (∅ ≠ current − base ⊆ derived_from).  Two
-        pending cases survive: a writer whose commit landed AFTER the
-        rebuild's manifest read (gap ⊄ derived — clearing it, the old
-        behavior, would silently drop that crashed batch), and a
-        writer whose commit has NOT LANDED YET (gap = ∅ — its batch
-        may still arrive; kept until the in-flight grace expires)."""
+        by it: the owner's commit demonstrably landed (``committed``
+        stamp — the marker rewrite that follows the source CAS) AND
+        everything added since the marker's snapshot is inside the
+        derivation snapshot (current − base ⊆ derived_from), so the
+        rebuild saw the owner's segments.  New segments alone are NOT
+        proof: they may all belong to OTHER writers while this marker's
+        own commit is still in flight — settling on gap-nonempty (the
+        pre-r11 rule) silently dropped such a batch if its owner then
+        crashed after its CAS.  An uncommitted marker is kept until the
+        in-flight grace expires (the owner is then presumed dead; an
+        expired marker is swept only when the derivation covers every
+        current segment, so a commit that landed after the rebuild's
+        read keeps its bridge for replay)."""
         import json as _json
         cur = set(current_segments)
         derived = set(derived_from)
         for marker in self._markers_for(marker_name):
             base: set = set()
+            payload = None
             try:
                 payload = _json.loads(fsio.read_text(self.spark, marker))
                 b = payload.get("base_segments")
@@ -454,7 +504,8 @@ class MarcStore:
             except (ValueError, TypeError):
                 pass
             gap = cur - base
-            if gap <= derived and (gap or self._marker_expired(marker)):
+            if gap <= derived and (self._marker_payload_committed(payload)
+                                   or self._marker_expired(marker)):
                 fsio.remove(self.spark, marker)
 
     def _dirty_markers(self, record_type: str) -> list[str]:
@@ -490,13 +541,37 @@ class MarcStore:
         rows = mdf.subfield_token_rows(self.table(record_type), record_type,
                                        headings=self.headings())
         self._tokens(record_type).overwrite(rows)
-        # clear only markers the rebuild PROVABLY covers — a writer
-        # whose commit landed after our manifest read keeps its marker
-        # (clearing all would silently drop its crashed batch)
+        # fold the tail: commits that landed between the derivation
+        # read and this point are missing from the overwritten index,
+        # and their writers may have observed NO index when they
+        # re-checked after their own CAS (the build's overwrite had not
+        # landed yet) — without this fold their batches would be
+        # bridged only by their markers until the next replay.  A
+        # writer whose re-check DID see the index refreshes itself;
+        # double-folding is idempotent (latest-segment precedence).
+        self._fold_token_tail(record_type, derived_from)
+        post = live.segments(self.spark)
         self._clear_settled_markers(self._tokens_name(record_type),
-                                    live.segments(self.spark),
-                                    derived_from)
+                                    post, post)
         self._invalidate_query_contexts()
+
+    def _fold_token_tail(self, record_type: str,
+                         base_segments: list[str]) -> None:
+        """Upsert into the token index the live batches committed since
+        ``base_segments`` (tombstones for every touched id + fresh
+        token rows) — the build's read-race closer and the owner's
+        direct fold share this shape with marker replay."""
+        live = self._live(record_type)
+        if not live.exists(self.spark):
+            return
+        batch = live.read_segments_since(self.spark, base_segments)
+        if batch is None:
+            return
+        ids = batch.select(F.col("_id").alias("record_id")).distinct()
+        alive = batch.filter(~F.col(_MOR_DELETED)).drop(_MOR_DELETED, "pt")
+        fresh = mdf.subfield_token_rows(alive, record_type,
+                                        headings=self.headings())
+        self._tokens(record_type).upsert(rows=fresh, tombstone_keys=ids)
 
     def _refresh_tokens_for_batch(self, record_type: str,
                                   new_df: DataFrame | None = None,
@@ -535,9 +610,15 @@ class MarcStore:
             return
         tokens = self._tokens(record_type)
         if not tokens.exists(self.spark):
-            self._clear_dirty_markers(record_type)
+            # markers without an index bridge only an in-flight
+            # build_search_index (whose own tail fold covers the
+            # commits it raced) — sweep provably-dead ones, keep the
+            # rest for the build's settled-only clearing
+            for marker in markers:
+                if self._marker_expired(marker):
+                    fsio.remove(self.spark, marker)
             return
-        batches: list[tuple[str, list]] = []
+        batches: list[tuple[str, list, dict | None]] = []
         full = False
         for marker in markers:
             try:
@@ -546,47 +627,41 @@ class MarcStore:
                 if base is None or not isinstance(base, list):
                     full = True
                 else:
-                    batches.append((marker, base))
+                    batches.append((marker, base, payload))
             except (ValueError, TypeError):
                 full = True
         if full:
             # rebuild from the source of truth (cross-type heading
             # staleness has no per-batch identity: the affected rows
             # are whatever links to the changed auths) — covers every
-            # batch whose commit the derivation saw; later writers'
-            # markers provably stay
-            live = self._live(record_type)
-            derived_from = live.segments(self.spark)
-            rows = mdf.subfield_token_rows(
-                self.table(record_type), record_type,
-                headings=self.headings())
-            tokens.overwrite(rows)
-            self._clear_settled_markers(self._tokens_name(record_type),
-                                        live.segments(self.spark),
-                                        derived_from)
+            # batch whose commit the derivation saw, folds the tail it
+            # raced, and settles provably-covered markers
+            self.build_search_index(record_type)
         else:
             live = self._live(record_type)
-            for marker, base in batches:
-                batch = (live.read_segments_since(self.spark, base)
-                         if live.exists(self.spark) else None)
-                if batch is not None:
-                    ids = (batch.select(F.col("_id").alias("record_id"))
-                           .distinct())
-                    alive = (batch.filter(~F.col(_MOR_DELETED))
-                             .drop(_MOR_DELETED, "pt"))
-                    fresh = mdf.subfield_token_rows(
-                        alive, record_type, headings=self.headings())
-                    tokens.upsert(rows=fresh, tombstone_keys=ids)
+            for marker, base, payload in batches:
+                if live.exists(self.spark):
+                    # fold everything since the snapshot so the index
+                    # serves LANDED commits; idempotent (latest-segment
+                    # precedence), no-op when nothing landed
+                    self._fold_token_tail(record_type, base)
+                if self._marker_payload_committed(payload) \
+                        or self._marker_expired(marker):
+                    # settle only when the owner's commit provably
+                    # landed (its post-CAS ``committed`` stamp — the
+                    # fold above then covered it) or the owner is
+                    # presumed dead past the grace horizon.  New
+                    # segments alone are NOT proof: they may all be
+                    # OTHER writers' commits while this marker's own
+                    # batch is still a segment-upload in flight —
+                    # removing then would lose the batch if its owner
+                    # crashed right after its CAS (the owner's inline
+                    # replay would find no marker left to heal from)
                     fsio.remove(self.spark, marker)
-                elif self._marker_expired(marker):
-                    # nothing landed since the snapshot AND the grace
-                    # horizon passed: the writer died before its live
-                    # commit — the marker brackets nothing
-                    fsio.remove(self.spark, marker)
-                # else: the writer may be MID-commit (marker precedes
-                # the live CAS by up to a segment upload) — removing
-                # now would lose its batch if the commit lands; keep
-                # the marker and let a later replay settle it
+                # else: the owner may be MID-commit (marker precedes
+                # its live CAS by up to a segment upload) — keep the
+                # marker; the owner settles it itself on success, or a
+                # later replay does once it is committed/expired
         self._invalidate_query_contexts()
 
     def _search_index_df(self, record_type: str) -> DataFrame | None:
@@ -772,6 +847,13 @@ class MarcStore:
 
         # 6. merge-on-read upsert (O(batch) delta segment)
         self._upsert(record_type, staged)
+        # the heading markers flag staleness CAUSED by this auth commit:
+        # stamp them committed now that it landed, so a rebuild that
+        # derives from post-commit headings can settle them — a rebuild
+        # racing the commit (derivation read before this point) leaves
+        # them for the next replay instead of clearing a still-stale flag
+        for m in heading_markers:
+            self._mark_marker_committed(m)
         self._unstage(f"_stage_commit_{name}")
 
         out = ids
@@ -950,6 +1032,7 @@ class MarcStore:
             # values while the derived view would overlay current ones.
             # The diff is O(batch): the staged frame joined to the
             # pre-commit live rows on _id, heading signatures compared
+            heading_markers: list[str] = []
             if (record_type == "auth"
                     and not all_new        # fresh ids: nothing changed
                     and (self._tokens("bib").exists(self.spark)
@@ -959,8 +1042,14 @@ class MarcStore:
                 # auth 5xx see-also) — mark every live index
                 for rt2 in ("bib", "auth"):
                     if self._tokens(rt2).exists(self.spark):
-                        self._write_dirty_marker(rt2, {"full": True})
+                        heading_markers.append(
+                            self._write_dirty_marker(rt2, {"full": True}))
             self._upsert(record_type, staged)
+            # staleness flagged above is now real (the auth commit
+            # landed): stamp the flags committed so a rebuild deriving
+            # from post-commit headings can settle them
+            for m in heading_markers:
+                self._mark_marker_committed(m)
         finally:
             for scratch in (f"_stage_ingest_{name}", f"_stage_ingest_ids_{name}",
                             f"_stage_prevlive_{name}",
@@ -1035,11 +1124,19 @@ class MarcStore:
         pending'), because callers observing an error for a commit that
         actually persisted would retry and double-apply."""
         live = self._live(record_type)
-        index_live = self._tokens(record_type).exists(self.spark)
-        marker = None
-        if index_live:
-            marker = self._write_dirty_marker(
-                record_type, {"base_segments": live.segments(self.spark)})
+        # the marker is UNCONDITIONAL (not just when an index exists):
+        # a build_search_index whose derivation read predates this
+        # commit's CAS but whose overwrite lands after the existence
+        # re-check below would otherwise miss this batch with nothing
+        # bridging it — the marker survives the build's settled-only
+        # clearing (its gap is not in the derivation) and the next
+        # replay folds the batch.  On a store with no index the owner
+        # removes it at the end of this method; steady state is zero
+        # marker files either way.
+        marker = self._write_dirty_marker(
+            record_type,
+            {"base_segments": (live.segments(self.spark)
+                               if live.exists(self.spark) else [])})
         # fold the batch's max id into the manifest's monotonic hint
         # (one O(batch) agg) so the next commit's id assignment is O(1)
         # metadata instead of a live ∪ history scan.  A store whose
@@ -1083,17 +1180,27 @@ class MarcStore:
                 # in-commit check, the mis-bucketed segment would
                 # publish and pruned point reads would silently miss
                 # its rows)
+        self._mark_marker_committed(marker)
         self._invalidate_query_contexts()
-        if index_live:
+        # index existence is re-checked AFTER the live CAS: an index
+        # created by a concurrent build between the old pre-commit
+        # check and the commit would have gone stale (the build's
+        # derivation read can only have missed this batch if its
+        # overwrite landed before this point — in which case the
+        # re-check sees it and the refresh below covers the batch;
+        # when the overwrite lands later, the build's own tail fold
+        # covers it instead)
+        if self._tokens(record_type).exists(self.spark):
             try:
                 self._refresh_tokens_for_batch(record_type, new_df=new_df)
-                fsio.remove(self.spark, marker)
             except Exception as exc:
                 warnings.warn(
                     f"commit of {record_type} batch is durable but the "
                     f"search index refresh failed ({exc}); the index "
                     f"re-converges from the dirty marker on the next "
                     f"search or store open")
+                return
+        fsio.remove(self.spark, marker)
 
     def compact(self, record_type: str) -> None:
         """Fold each table's delta segments into one — the maintenance
@@ -1326,22 +1433,44 @@ class MarcStore:
             base_segments = []
         out = hist.withColumn(
             "pt", F.pmod(F.col("record_id"), F.lit(mod)).cast("int"))
-        marker = None
-        if self._deleted_summary(record_type).exists(self.spark):
-            marker = self._write_marker_for(
-                self._summary_name(record_type),
-                {"base_segments": base_segments})
+        # unconditional marker (not just when a summary exists): a
+        # build_deleted_summary whose history read predates this append
+        # but whose overwrite lands after the existence re-check below
+        # would otherwise lose this batch with nothing bridging it (the
+        # pre-r11 TOCTOU) — the marker survives the build's settled-only
+        # clearing and the next replay folds the batch
+        marker = self._write_marker_for(
+            self._summary_name(record_type),
+            {"base_segments": base_segments})
         n_after = self.backend.append_partitioned(
             out, name, ["pt"], extra={"n_buckets": mod}, seg_prefix=name)
-        if marker is not None:
-            try:
+        self._mark_marker_committed(marker)
+        try:
+            # summary existence re-checked AFTER the append: if a
+            # concurrent build's overwrite landed before this point its
+            # derivation may have missed the batch — the direct fold
+            # below covers it; if the overwrite lands later, the
+            # build's own tail fold does (this re-check happening
+            # before the overwrite implies the append did too, so the
+            # batch is inside the tail the build re-reads)
+            if self._deleted_summary(record_type).exists(self.spark):
+                # the owner folds its OWN batch directly — it holds the
+                # rows and depends on nothing another writer's replay
+                # could have settled out from under it
+                self._refresh_deleted_summary(record_type, hist)
+            fsio.remove(self.spark, marker)
+            if self._markers_for(self._summary_name(record_type)):
+                # opportunistic healing of other writers' crashed
+                # markers at the one choke point every history write
+                # passes through (settled-only: provably-covered or
+                # grace-expired markers are removed, in-flight kept)
                 self._replay_deleted_markers(record_type)
-            except Exception as exc:
-                warnings.warn(
-                    f"history append for {record_type} is durable but "
-                    f"the deleted-summary refresh failed ({exc}); the "
-                    f"summary re-converges from the dirty marker on the "
-                    f"next find_deleted or store open")
+        except Exception as exc:
+            warnings.warn(
+                f"history append for {record_type} is durable but "
+                f"the deleted-summary refresh failed ({exc}); the "
+                f"summary re-converges from the dirty marker on the "
+                f"next find_deleted or store open")
         if n_after >= self.AUTO_COMPACT_AT:
             self.backend.compact_segments(self.spark, name)
 
@@ -1409,10 +1538,41 @@ class MarcStore:
         latest = self._latest_action(self.history_df(record_type))
         self._deleted_summary(record_type).overwrite(
             self._currently_deleted(latest))
-        # settled-only clearing: a history append that landed after our
-        # manifest read keeps its marker for replay
+        # fold the tail: appends that landed between the history read
+        # and this point are missing from the overwritten summary, and
+        # their writers may have re-checked summary existence BEFORE
+        # this overwrite landed (skipping their own fold) — the tail
+        # fold closes that window; a writer whose re-check came after
+        # the overwrite folds itself, and double-folds are idempotent
+        self._fold_history_tail(record_type, derived_from)
+        # settled-only clearing: an append that landed after the tail
+        # re-read keeps its marker for replay
+        post = hist_segments()
         self._clear_settled_markers(self._summary_name(record_type),
-                                    hist_segments(), derived_from)
+                                    post, post)
+
+    def _fold_history_tail(self, record_type: str,
+                           base_segments: list[str]) -> None:
+        """Upsert into the deleted summary the history rows of every
+        segment committed since ``base_segments`` — the build's
+        read-race closer, shared with marker replay.  Idempotent:
+        re-deriving a record's latest action from a superset of its
+        rows lands the same summary row."""
+        hname = f"{record_type}_history"
+        if not self.backend.exists(self.spark, hname) \
+                or not self._deleted_summary(record_type).exists(self.spark):
+            return
+        manifest = self.backend.latest_manifest(self.spark, hname)
+        known = set(base_segments)
+        new_rows = None
+        for i, seg in enumerate(manifest["segments"]):
+            if seg in known:
+                continue
+            part = self.backend.segment_df(self.spark, manifest, i)
+            new_rows = part if new_rows is None \
+                else new_rows.unionByName(part)
+        if new_rows is not None:
+            self._refresh_deleted_summary(record_type, new_rows)
 
     def _refresh_deleted_summary(self, record_type: str,
                                  new_rows: DataFrame) -> None:
@@ -1445,12 +1605,19 @@ class MarcStore:
         hname = f"{record_type}_history"
         if not summary.exists(self.spark) \
                 or not self.backend.exists(self.spark, hname):
-            self._clear_markers_for(name)
+            # markers without a summary bridge only an in-flight
+            # build_deleted_summary (whose own tail fold covers the
+            # appends it raced) — sweep provably-dead ones, keep the
+            # rest for the build's settled-only clearing
+            for marker in markers:
+                if self._marker_expired(marker):
+                    fsio.remove(self.spark, marker)
             return
         manifest = self.backend.latest_manifest(self.spark, hname)
         current = list(manifest["segments"])
         for marker in markers:
             base = None
+            payload = None
             try:
                 payload = _json.loads(fsio.read_text(self.spark, marker))
                 base = payload.get("base_segments")
@@ -1460,21 +1627,22 @@ class MarcStore:
                     or any(s not in current for s in base):
                 self.build_deleted_summary(record_type)
                 return
-            known = set(base)
-            new_rows = None
-            for i, seg in enumerate(current):
-                if seg in known:
-                    continue
-                part = self.backend.segment_df(self.spark, manifest, i)
-                new_rows = part if new_rows is None \
-                    else new_rows.unionByName(part)
-            if new_rows is not None:
-                self._refresh_deleted_summary(record_type, new_rows)
+            # fold everything since the snapshot (idempotent, no-op
+            # when nothing landed) so the summary serves LANDED appends
+            self._fold_history_tail(record_type, base)
+            if self._marker_payload_committed(payload) \
+                    or self._marker_expired(marker):
+                # settle only on the owner's post-CAS ``committed``
+                # stamp (the fold above then covered its batch) or past
+                # the grace horizon (owner presumed dead; anything it
+                # landed was folded above).  New segments alone are NOT
+                # proof — they may all be OTHER writers' appends while
+                # this marker's own append is still in flight; the
+                # pre-r11 rule settled on that and lost the batch when
+                # its owner crashed between its CAS and its fold
                 fsio.remove(self.spark, marker)
-            elif self._marker_expired(marker):
-                fsio.remove(self.spark, marker)
-            # else: the writer's history append may be in flight (the
-            # marker precedes the append's CAS) — keep the marker
+            # else: the owner may be mid-append — keep the marker; the
+            # owner settles it itself, or a later replay does
 
     # --- delete / restore / history -------------------------------------------
 
@@ -1528,11 +1696,10 @@ class MarcStore:
         live = self._live(record_type)
         if not live.exists(self.spark):
             return
-        index_live = self._tokens(record_type).exists(self.spark)
-        marker = None
-        if index_live:
-            marker = self._write_dirty_marker(
-                record_type, {"base_segments": live.segments(self.spark)})
+        # unconditional marker + post-CAS existence re-check: same
+        # build-race bridging as _upsert (see the comment there)
+        marker = self._write_dirty_marker(
+            record_type, {"base_segments": live.segments(self.spark)})
         for attempt in (0, 1):
             n = self.n_buckets(record_type)
             stones = self.spark.createDataFrame(
@@ -1544,18 +1711,20 @@ class MarcStore:
             except ConcurrentWriteError:
                 if attempt:
                     raise   # raced rebucket persists: surface it
+        self._mark_marker_committed(marker)
         self._invalidate_query_contexts()
-        if index_live:
+        if self._tokens(record_type).exists(self.spark):
             try:
                 self._refresh_tokens_for_batch(record_type,
                                                removed_ids=list(ids))
-                fsio.remove(self.spark, marker)
             except Exception as exc:
                 warnings.warn(
                     f"delete of {record_type} ids is durable but the "
                     f"search index refresh failed ({exc}); the index "
                     f"re-converges from the dirty marker on the next "
                     f"search or store open")
+                return
+        fsio.remove(self.spark, marker)
 
     def restore(self, record_type: str, rid: int, user: str = "admin",
                 now: datetime | None = None) -> Marc:

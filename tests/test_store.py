@@ -590,10 +590,27 @@ def test_deleted_summary_crash_replay_and_reopen(spark, tmp_path, store,
 def test_deleted_summary_rebuilds_when_batch_unidentifiable(store):
     """A marker whose snapshot segments vanished (history compaction
     folded them) cannot identify its batch: replay rebuilds the summary
-    wholesale from history — always safe."""
+    wholesale from history — always safe.  An UNCOMMITTED such marker
+    survives the rebuild (its owner's append may still be in flight —
+    r11 owner-aware settlement) and is swept once the in-flight grace
+    expires; a COMMITTED one is settled by the rebuild immediately."""
     store.build_deleted_summary("bib")
     store.delete("bib", 2, user="d", now=T1)
+    m = store._write_marker_for("bib_deleted", {"base_segments": ["gone"]})
+    assert [r.record_id for r in store.find_deleted("bib").collect()] == [2]
+    # uncommitted + unexpired: the rebuild served correct results but
+    # the marker stays (nothing proves its owner's batch landed)
+    import os as _os
+    assert [_os.path.basename(x)
+            for x in store._markers_for("bib_deleted")] \
+        == [_os.path.basename(m)]
+    # once the owner's commit provably landed, the rebuild settles it
+    store._mark_marker_committed(m)
+    assert [r.record_id for r in store.find_deleted("bib").collect()] == [2]
+    assert not store._markers_for("bib_deleted")
+    # and a dead owner's marker is swept at grace expiry
     store._write_marker_for("bib_deleted", {"base_segments": ["gone"]})
+    store.MARKER_INFLIGHT_GRACE_SECONDS = -1.0
     assert [r.record_id for r in store.find_deleted("bib").collect()] == [2]
     assert not store._markers_for("bib_deleted")
 
@@ -801,13 +818,17 @@ def test_auth_heading_change_marks_auth_token_index_too(store):
 
 
 def test_full_rebuild_keeps_markers_for_commits_it_did_not_see(store):
-    """_clear_settled_markers semantics: (a) a marker whose bracketed
-    batch the rebuild saw is removed; (b) a marker whose writer
-    committed AFTER the derivation read is kept (clearing it would
-    drop that crashed batch); (c) a marker whose writer has not
-    committed YET (no segments beyond its snapshot) is kept while
-    young — the live CAS may still land — and swept once the in-flight
-    grace expires (the writer is then presumed dead pre-commit)."""
+    """_clear_settled_markers semantics (r11 owner-aware): (a) a marker
+    whose OWNER provably committed (post-CAS ``committed`` stamp) and
+    whose gap the rebuild saw is removed; (a') the same gap WITHOUT the
+    stamp is kept — the new segments may all be other writers' commits
+    while this marker's own batch is still in flight (the pre-r11
+    gap-nonempty rule settled here and lost the batch when its owner
+    crashed after its CAS); (b) a committed marker whose segment landed
+    AFTER the derivation read is kept (clearing it would drop that
+    crashed batch); (c) an uncommitted marker is swept once the
+    in-flight grace expires (owner presumed dead; the rebuild covered
+    everything current)."""
     store.build_search_index("bib")
     live = store._live("bib")
     current = live.segments(store.spark)
@@ -818,26 +839,35 @@ def test_full_rebuild_keeps_markers_for_commits_it_did_not_see(store):
         return {_os.path.basename(m)
                 for m in store._markers_for("bibs_tokens")}
 
-    settled = _os.path.basename(store._write_marker_for(
+    settled_path = store._write_marker_for(
+        "bibs_tokens", {"base_segments": current[:-1]})
+    store._mark_marker_committed(settled_path)
+    settled = _os.path.basename(settled_path)
+    uncommitted = _os.path.basename(store._write_marker_for(
         "bibs_tokens", {"base_segments": current[:-1]}))
     inflight = _os.path.basename(store._write_marker_for(
         "bibs_tokens", {"base_segments": current}))
     store._clear_settled_markers("bibs_tokens", current,
                                  derived_from=current)
-    assert settled not in names()              # (a) covered -> removed
-    assert inflight in names()                 # (c) may still commit
+    assert settled not in names()       # (a) committed + covered -> removed
+    assert uncommitted in names()       # (a') same gap, no proof -> kept
+    assert inflight in names()          # (c) may still commit
 
-    # (b) the writer's segment landed after the derivation read
-    late = _os.path.basename(store._write_marker_for(
-        "bibs_tokens", {"base_segments": current}))
+    # (b) the committed writer's segment landed after the derivation read
+    late_path = store._write_marker_for(
+        "bibs_tokens", {"base_segments": current})
+    store._mark_marker_committed(late_path)
+    late = _os.path.basename(late_path)
     store._clear_settled_markers("bibs_tokens",
                                  current + ["seg-after-derivation"],
                                  derived_from=current)
     assert late in names()
 
-    # (c) grace expiry: a pre-commit marker older than the horizon is
-    # garbage — nothing landed to index
+    # (c) grace expiry: uncommitted markers are swept once the horizon
+    # passes AND the derivation covers everything current; the (b)
+    # marker goes too once a rebuild's derivation includes its segment
     store.MARKER_INFLIGHT_GRACE_SECONDS = -1.0
-    store._clear_settled_markers("bibs_tokens", current,
-                                 derived_from=current)
+    full_view = current + ["seg-after-derivation"]
+    store._clear_settled_markers("bibs_tokens", full_view,
+                                 derived_from=full_view)
     assert store._markers_for("bibs_tokens") == []
