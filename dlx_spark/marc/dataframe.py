@@ -15,7 +15,10 @@ transforms here (SURVEY §1.3, §2):
 
 All of these are shuffle-lean by construction: per-record recomputation
 is map-side except the final re-nest/aggregate keyed by record id, and
-the auth dimension is always broadcast (it is small relative to bibs).
+the auth dimension is broadcast while it is provably broadcast-sized
+(``MarcStore.HEADINGS_BROADCAST_MAX_AUTHS`` gates the forced hint;
+above it, AQE picks — shuffling once is correct, OOMing the driver is
+not).
 """
 
 from __future__ import annotations
@@ -80,7 +83,8 @@ def explode_subfields(df: DataFrame, record_type: str = "bib") -> DataFrame:
 
 
 def subfield_token_rows(df: DataFrame, record_type: str = "bib",
-                        headings: DataFrame | None = None) -> DataFrame:
+                        headings: DataFrame | None = None,
+                        hint: bool = True) -> DataFrame:
     """The tokenized subfield view backing fielded text search —
     (record_id, tag, code, value, xref, toks, value_norm), one row per
     non-empty subfield, linked values overlaid from ``headings`` (so
@@ -88,14 +92,24 @@ def subfield_token_rows(df: DataFrame, record_type: str = "bib",
     semantics).  This is the single derivation shared by the on-demand
     per-session view (parser.QueryContext) and the PERSISTED search
     index (``MarcStore.build_search_index``); keeping it in one place
-    is what makes the two provably interchangeable."""
+    is what makes the two provably interchangeable.
+
+    ``hint=False`` drops the FORCED broadcast of the heading dimension
+    and lets Catalyst/AQE pick the join strategy — callers pass it when
+    the auths table exceeds ``MarcStore.HEADINGS_BROADCAST_MAX_AUTHS``
+    (translations multiply the dimension's rows per heading subfield ×
+    language; force-broadcasting a multi-GB dimension OOMs the driver —
+    the same failure mode ``MergeOnReadTable.BROADCAST_MAX_DELTA_ROWS``
+    gates on the delta side)."""
     from dlx_spark.functions.tokenizer import scrub_col, tokenize_udf
     ex = explode_subfields(df, record_type)
     if headings is not None:
         base = headings.filter(F.col("lang").isNull()).select(
             "auth_id", F.col("code").alias("h_code"),
             F.col("value").alias("h_value"))
-        ex = (ex.join(F.broadcast(base),
+        if hint:
+            base = F.broadcast(base)
+        ex = (ex.join(base,
                       on=[ex["xref"] == base["auth_id"],
                           ex["code"] == base["h_code"]],
                       how="left")
@@ -147,19 +161,25 @@ def auth_headings(auths: DataFrame) -> DataFrame:
     return base.withColumn("norm", scrub_col(F.col("value")))
 
 
-def resolve_values(df: DataFrame, headings: DataFrame) -> DataFrame:
+def resolve_values(df: DataFrame, headings: DataFrame,
+                   hint: bool = True) -> DataFrame:
     """Materialize linked-subfield values: broadcast-left-join the
     exploded subfields against the heading dimension and re-nest.  This
     is the reference's read-time ``Linked.value`` join
     (dlx/marc/__init__.py:2698-2717) done once, set-wide.
-    """
+
+    ``hint=False`` drops the forced broadcast for dimension sizes past
+    ``MarcStore.HEADINGS_BROADCAST_MAX_AUTHS`` — see
+    ``subfield_token_rows``."""
     base_headings = headings.filter(F.col("lang").isNull()).select(
         F.col("auth_id"), F.col("code").alias("h_code"), F.col("value").alias("h_value"))
+    if hint:
+        base_headings = F.broadcast(base_headings)
 
     exploded = explode_subfields(df)
     resolved = (
         exploded.join(
-            F.broadcast(base_headings),
+            base_headings,
             on=[exploded["xref"] == base_headings["auth_id"],
                 exploded["code"] == base_headings["h_code"]],
             how="left",
@@ -206,17 +226,19 @@ def nest_subfields(exploded: DataFrame, original: DataFrame) -> DataFrame:
     )
 
 
-def derive_text_words(df: DataFrame, headings: DataFrame | None = None) -> DataFrame:
+def derive_text_words(df: DataFrame, headings: DataFrame | None = None,
+                      hint: bool = True) -> DataFrame:
     """Recompute the ``text``/``words`` search columns (reference commit
     step, dlx/marc/__init__.py:913-956): text is the padded scrub of all
     datafield values in field order; words the distinct stemmed tokens.
 
     Stemming is the one genuinely-Python step → a single Arrow-batched
-    pandas UDF over one concatenated string per record.
+    pandas UDF over one concatenated string per record.  ``hint`` is
+    the heading-dimension broadcast gate, passed to ``resolve_values``.
     """
     src = df
     if headings is not None:
-        src = resolve_values(df, headings)
+        src = resolve_values(df, headings, hint=hint)
 
     raw = F.concat_ws(
         " ",

@@ -81,11 +81,17 @@ class QueryContext:
     def __init__(self, df: DataFrame, record_type: str = "bib",
                  auth_index: AuthIndex | None = None,
                  headings: DataFrame | None = None,
-                 tokens: DataFrame | None = None):
+                 tokens: DataFrame | None = None,
+                 headings_hint: bool = True):
         self.df = df
         self.record_type = record_type
         self.auth_index = auth_index
         self.headings = headings
+        #: heading-dimension broadcast gate (MarcStore.headings_hint):
+        #: False past HEADINGS_BROADCAST_MAX_AUTHS — the forced
+        #: broadcast is dropped from the token derive and the
+        #: auth-expansion join, and AQE picks the strategy
+        self.headings_hint = headings_hint
         self._provided_tokens = tokens
         self._subfield_tokens: DataFrame | None = None
         self._cached = False
@@ -100,7 +106,8 @@ class QueryContext:
             else:
                 from dlx_spark.marc import dataframe as mdf
                 self._subfield_tokens = mdf.subfield_token_rows(
-                    self.df, self.record_type, headings=self.headings
+                    self.df, self.record_type, headings=self.headings,
+                    hint=self.headings_hint,
                 ).cache()
                 self._cached = True
         return self._subfield_tokens
@@ -206,7 +213,9 @@ class SubfieldTextSearch:
                     .filter(F.col("lang").isNull() & (F.col("tag") == src))
                     .select("auth_id", "norm"))
             matched_norms = matched.select(F.col("value_norm").alias("norm")).distinct()
-            auth_ids = (F.broadcast(head).join(matched_norms, "norm")
+            if ctx.headings_hint:
+                head = F.broadcast(head)
+            auth_ids = (head.join(matched_norms, "norm")
                         .select("auth_id").distinct())
             linked = (ctx.subfield_tokens()
                       .filter(F.col("tag") == self.tag)

@@ -34,9 +34,11 @@ Layout under ``root``::
 Per-commit pipeline (replacing the reference's per-record round-trips
 and 4 thread families, dlx/marc/__init__.py:856-1234):
 
-1. id assignment — ``max(_id over live ∪ history) + row_number`` instead
-   of a shared mutable counter (single-writer batch assumption,
-   documented like the reference's counter consistency check);
+1. id assignment — a CAS-reserved range from the ``_idalloc`` metadata
+   table (the reference's atomic Mongo incrementer re-expressed as a
+   manifest-CAS counter, seeded from ``max(_id over live ∪ history)``)
+   plus ``row_number`` within the batch — concurrent drivers receive
+   disjoint ranges;
 2. validation + auth validation against the broadcast-sized AuthIndex;
 3. audit stamps — ``created`` preserved from the previous version;
 4. derived columns (text/words, logical fields) recomputed for the
@@ -58,8 +60,11 @@ and 4 thread families, dlx/marc/__init__.py:856-1234):
 
 Multi-writer posture: the commit POINT (every manifest publish) is the
 backend's CAS — safe across driver processes under an atomic-rename or
-external-CAS scheme.  Id assignment and history version numbering stay
-single-logical-writer by contract, like the reference's counter.
+external-CAS scheme.  Fresh-id assignment is CAS-serialized through the
+``_idalloc`` counter (disjoint ranges across drivers); history VERSION
+numbering for the SAME record stays single-logical-writer by contract —
+two drivers updating one record concurrently can stamp the same version
+number, like two reference workers racing its per-record version read.
 """
 
 from __future__ import annotations
@@ -127,6 +132,12 @@ class MarcStore:
                  marker_grace_seconds: float | None = None):
         self.spark = spark
         self.root = root
+        import uuid as _uuid
+        # per-instance scratch suffix — see _stage for why concurrent
+        # driver processes must never share a staging path
+        self._scratch = _uuid.uuid4().hex[:12]
+        # heading-dimension broadcast gate memo (see headings_hint)
+        self._headings_hint_memo: bool | None = None
         if marker_grace_seconds is not None:
             # deployment-tuned in-flight horizon (see the class attr's
             # docstring): set it above the longest plausible commit for
@@ -242,6 +253,33 @@ class MarcStore:
     def headings(self) -> DataFrame:
         return mdf.auth_headings(self.auths())
 
+    #: above this many AUTH records the heading-dimension joins
+    #: (linked-value resolution, token-view overlay) stop FORCING a
+    #: broadcast and let Catalyst/AQE pick the strategy.  Translations
+    #: multiply the dimension (rows per heading subfield × language),
+    #: so a dimension the AUTH_INDEX_MAX_ROWS guard admits can still be
+    #: multi-GB — force-broadcasting it would OOM the driver, the same
+    #: cliff MergeOnReadTable.BROADCAST_MAX_DELTA_ROWS gates on the
+    #: delta side.  Above the ceiling a shuffle is the CORRECT plan,
+    #: not a failure mode.
+    HEADINGS_BROADCAST_MAX_AUTHS = 2_000_000
+
+    def headings_hint(self) -> bool:
+        """Whether heading-dimension joins may force a broadcast —
+        decided from a footer-only row estimate of the auths table
+        (upper bound: tombstones/superseded mentions included, so the
+        gate errs toward dropping the hint).  Memoized per store,
+        invalidated by every auth write."""
+        if self._headings_hint_memo is None:
+            live = self._live("auth")
+            if not live.exists(self.spark):
+                self._headings_hint_memo = True
+            else:
+                self._headings_hint_memo = (
+                    live.row_estimate(self.spark)
+                    <= self.HEADINGS_BROADCAST_MAX_AUTHS)
+        return self._headings_hint_memo
+
     # Above this many auth records the driver-side cache stops being
     # "broadcast-sized" and becomes a multi-GB driver structure; the
     # distributed paths (commit_frame's headings join, resolve_values)
@@ -280,6 +318,7 @@ class MarcStore:
 
     def _invalidate_auth_index(self) -> None:
         self._auth_index = None
+        self._headings_hint_memo = None
 
     def _lazy_auth_index(self):
         """A proxy that builds the memoized auth index only when a
@@ -371,7 +410,8 @@ class MarcStore:
                                        auth_index=self._lazy_auth_index(),
                                        headings=self.headings(),
                                        tokens=self._search_index_df(
-                                           record_type))
+                                           record_type),
+                                       headings_hint=self.headings_hint())
             self._query_ctxs[record_type] = ctx
         return ctx
 
@@ -539,7 +579,8 @@ class MarcStore:
             return
         derived_from = live.segments(self.spark)
         rows = mdf.subfield_token_rows(self.table(record_type), record_type,
-                                       headings=self.headings())
+                                       headings=self.headings(),
+                                       hint=self.headings_hint())
         self._tokens(record_type).overwrite(rows)
         # fold the tail: commits that landed between the derivation
         # read and this point are missing from the overwritten index,
@@ -570,7 +611,8 @@ class MarcStore:
         ids = batch.select(F.col("_id").alias("record_id")).distinct()
         alive = batch.filter(~F.col(_MOR_DELETED)).drop(_MOR_DELETED, "pt")
         fresh = mdf.subfield_token_rows(alive, record_type,
-                                        headings=self.headings())
+                                        headings=self.headings(),
+                                        hint=self.headings_hint())
         self._tokens(record_type).upsert(rows=fresh, tombstone_keys=ids)
 
     def _refresh_tokens_for_batch(self, record_type: str,
@@ -583,7 +625,8 @@ class MarcStore:
         tokens = self._tokens(record_type)
         if new_df is not None:
             fresh = mdf.subfield_token_rows(new_df, record_type,
-                                            headings=self.headings())
+                                            headings=self.headings(),
+                                            hint=self.headings_hint())
             stones = new_df.select(F.col("_id").alias("record_id")).distinct()
             tokens.upsert(rows=fresh, tombstone_keys=stones)
         elif removed_ids:
@@ -722,6 +765,45 @@ class MarcStore:
             F.max("record_id").alias("m")).first()["m"] or 0
         return max(scanned, hist)
 
+    def _allocate_ids(self, record_type: str, n: int,
+                      floor: int = 0) -> int:
+        """CAS-serialized allocation of ``n`` fresh ids: returns
+        ``base`` such that ``base+1 .. base+n`` are this caller's,
+        disjoint from every other driver's allocation.  The reference
+        keeps an atomic Mongo incrementer per collection
+        (dlx/db/__init__.py, the ``_incr`` counters init_indexes seeds);
+        this is its manifest analog — a zero-segment metadata table
+        whose ``next_id`` is bumped inside the backend's commit CAS, so
+        two drivers allocating concurrently each observe the other's
+        committed bump on retry and receive disjoint ranges.  Before
+        r11, both drivers could read the same ``max_id`` hint and stamp
+        duplicate _ids onto all-new batches.
+
+        ``floor`` raises the base past ids the caller already knows
+        (explicit ids carried in the same frame, the store's max_id
+        hint), so allocation never collides with them; the counter is
+        monotonic and never reuses ids (deletes included), matching
+        the store's never-reuse contract.  One tiny metadata commit
+        per id-assigning batch — O(1), no segment I/O.  A concurrent
+        EXPLICIT-id commit above the counter remains the caller's
+        responsibility, as in the reference (its incrementer has the
+        same blind spot)."""
+        name = ("bibs" if record_type == "bib" else "auths") + "_idalloc"
+        base = 0
+
+        def fn(head_extra: dict | None) -> dict:
+            nonlocal base
+            nxt = (head_extra or {}).get("next_id")
+            if nxt is None:
+                # first allocation on this store: seed past everything
+                # ever assigned (live ∪ history via the max_id hint)
+                nxt = self.max_id(record_type) + 1
+            base = max(int(nxt) - 1, int(floor))
+            return {"next_id": base + n + 1}
+
+        self.backend.update_extra(self.spark, name, fn)
+        return base
+
     # --- write pipeline -------------------------------------------------------
 
     def commit(self, records: list[Marc], user: str = "admin", now: datetime | None = None,
@@ -765,12 +847,20 @@ class MarcStore:
                 if rec.id is not None:
                     idx.remove(rec.id)
 
-        # 1. id assignment (batch counter replacement)
-        next_id = self.max_id(record_type) + 1
-        for rec in records:
-            if rec.id is None:
-                rec.id = next_id
-                next_id += 1
+        # 1. id assignment — a CAS-serialized range from the allocator
+        # (the reference's atomic incrementer analog), so concurrent
+        # drivers can never stamp the same fresh id
+        n_new = sum(1 for r in records if r.id is None)
+        if n_new:
+            explicit_max = max((r.id for r in records
+                                if r.id is not None), default=0)
+            next_id = self._allocate_ids(
+                record_type, n_new,
+                floor=max(self.max_id(record_type), explicit_max)) + 1
+            for rec in records:
+                if rec.id is None:
+                    rec.id = next_id
+                    next_id += 1
 
         # previous states for audit/history
         ids = [r.id for r in records]
@@ -944,7 +1034,6 @@ class MarcStore:
                 # seq base = max over store AND the frame's explicit ids,
                 # so same-frame upserts can't collide with assignments
                 frame_max = src.agg(F.max("_id")).first()[0] or 0
-                base_id = max(self.max_id(record_type), int(frame_max))
                 tmp = self._stage(
                     src.withColumn("_pid", F.spark_partition_id())
                        .withColumn("_mid", F.monotonically_increasing_id()),
@@ -955,6 +1044,13 @@ class MarcStore:
                 for row in sorted(counts, key=lambda r: r["_pid"]):
                     offsets[row["_pid"]] = acc
                     acc += row["count"]
+                # the whole range is CAS-reserved up front so two
+                # drivers ingesting all-new frames concurrently get
+                # disjoint id ranges (both merged their batch max into
+                # the hint before r11 — and both read the SAME hint)
+                base_id = self._allocate_ids(
+                    record_type, acc,
+                    floor=max(self.max_id(record_type), int(frame_max)))
                 omap = F.create_map(
                     *[F.lit(x) for k, v in offsets.items() for x in (k, v)])
                 wn = Window.partitionBy("_pid").orderBy("_mid")
@@ -1003,7 +1099,8 @@ class MarcStore:
                                                       now, small=False)
 
             # derived columns with linked values baked in via headings join
-            derived = mdf.derive_text_words(stamped, headings=self.headings())
+            derived = mdf.derive_text_words(stamped, headings=self.headings(),
+                                            hint=self.headings_hint())
             derived = mdf.derive_logical_fields(derived, record_type, headings=None)
             staged = self._stage(derived, f"_stage_commit_{name}")
 
@@ -1181,6 +1278,11 @@ class MarcStore:
                 # publish and pruned point reads would silently miss
                 # its rows)
         self._mark_marker_committed(marker)
+        if record_type == "auth":
+            # the auths table grew/changed: the broadcast-gate estimate
+            # must re-derive (record-API commits never rebuild the auth
+            # index, so _invalidate_auth_index does not run here)
+            self._headings_hint_memo = None
         self._invalidate_query_contexts()
         # index existence is re-checked AFTER the live CAS: an index
         # created by a concurrent build between the old pre-commit
@@ -1227,8 +1329,20 @@ class MarcStore:
         files stay on disk until vacuumed.  Delegates to the versioned
         backend's retention-guarded vacuum (default 1 h horizon — safe
         to run concurrently with writers; pass ``min_age_seconds=0``
-        only with writers quiesced).  Returns the reclaimed segment
-        ids."""
+        only with writers quiesced).  Also sweeps aged ``_stage_*``
+        scratch directories orphaned by crashed drivers (scratch names
+        are per-store-instance unique, so a dead driver's staging is
+        never reclaimed by a live one's ``_unstage``; the same age
+        horizon protects in-flight commits).  Returns the reclaimed
+        segment ids."""
+        import time as _time
+        horizon = _time.time() - min_age_seconds
+        for p in fsio.glob(self.spark, fsio.join(self.root, "_stage_*")):
+            try:
+                if fsio.newest_mtime(self.spark, p) <= horizon:
+                    fsio.rmtree(self.spark, p)
+            except Exception:      # pragma: no cover - fs-dependent
+                pass               # vanished under us or unstat-able: skip
         return self.backend.vacuum(self.spark, keep_last=keep_last,
                                    min_age_seconds=min_age_seconds)
 
@@ -1286,12 +1400,20 @@ class MarcStore:
             self._replay_deleted_markers(record_type)
 
     def _stage(self, df: DataFrame, name: str) -> DataFrame:
-        p = self._path(name)
+        # scratch paths carry a per-STORE-INSTANCE suffix: two driver
+        # processes committing to the same store concurrently would
+        # otherwise stage at the SAME path, and one driver's overwrite
+        # or _unstage rmtree clobbers the other's staged frame
+        # mid-pipeline — observed as a silently lost live row under
+        # cross-process contention (the upsert re-reads the staged
+        # parquet the other driver just deleted).  Orphans from crashed
+        # drivers are swept by vacuum's aged-scratch pass.
+        p = self._path(f"{name}.{self._scratch}")
         df.write.mode("overwrite").parquet(p)
         return self.spark.read.parquet(p)
 
     def _unstage(self, name: str) -> None:
-        fsio.rmtree(self.spark, self._path(name))
+        fsio.rmtree(self.spark, self._path(f"{name}.{self._scratch}"))
 
     #: batches at or under this many rows broadcast their id set into
     #: the store-side joins of the commit pipeline (audit stamps,
@@ -1712,6 +1834,8 @@ class MarcStore:
                 if attempt:
                     raise   # raced rebucket persists: surface it
         self._mark_marker_committed(marker)
+        if record_type == "auth":
+            self._headings_hint_memo = None
         self._invalidate_query_contexts()
         if self._tokens(record_type).exists(self.spark):
             try:

@@ -268,6 +268,18 @@ class MergeOnReadTable:
         self._delta_rows_memo = (segs, n)
         return n
 
+    def row_estimate(self, spark: SparkSession) -> int:
+        """Footer-only UPPER bound on live rows: total rows across ALL
+        segments (tombstones and superseded mentions included).  Cheap
+        — zero-column counts are answered from parquet footers — and
+        conservative in the safe direction for broadcast gating (an
+        over-estimate drops a forced broadcast early, never late).
+        Memoized per segment list alongside the delta-row guard."""
+        manifest = self.manifest(spark)
+        base = (self.backend.segment_df(spark, manifest, 0).count()
+                if manifest["segments"] else 0)
+        return base + self._delta_rows(spark, manifest)
+
     def read_segments_since(self, spark: SparkSession,
                             base_segments: list[str]) -> DataFrame | None:
         """The rows (tombstones included, ``_mor_deleted`` exposed) of

@@ -449,6 +449,35 @@ class VersionedTableBackend(ParquetTableBackend):
         self.auto_compactions += 1
         self.compact_segments(spark, table)
 
+    def update_extra(self, spark: SparkSession, table: str, fn) -> dict:
+        """Metadata-only commit: publish a new version of ``table``
+        whose segment list and layout are the head's, unchanged, and
+        whose ``extra`` becomes ``fn(head_extra_or_None)``.  ``fn`` is
+        re-invoked on every CAS retry, so the read-modify-write is
+        serialized by the commit CAS — the atomic-counter primitive a
+        multi-driver id allocator needs (two drivers bumping a counter
+        concurrently each observe the OTHER's committed value on retry;
+        with a plain read-then-append, both would read the same head
+        and publish overlapping ranges).  A missing table is created as
+        a zero-segment manifest (pure metadata carrier — ``exists``
+        and ``latest_manifest`` work on it; there is nothing to read).
+        Returns the extra dict that actually committed."""
+        out: dict = {}
+
+        def payload(latest):
+            nonlocal out
+            out = dict(fn(latest.get("extra") if latest else None))
+            if latest is not None:
+                doc = {k: v for k, v in latest.items()
+                       if k not in ("version", "id")}
+                doc["extra"] = out
+                return doc
+            return {"segments": [], "key": None, "n_buckets": None,
+                    "schema": T.StructType([]).json(), "extra": out}
+
+        self._commit(spark, table, payload)
+        return out
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         _, manifest = self._latest(spark, table)
         return self._read_manifest_df(spark, manifest)

@@ -426,3 +426,111 @@ def test_deleted_summary_reconverges_after_crashed_writer_under_contention(
         assert FileExternalCAS(casdir).pending("") == []
     finally:
         fsio.set_commit_scheme(fsio.HadoopRenameScheme())
+
+
+_WORKER_IDALLOC = r"""
+import sys
+root, casdir = sys.argv[1], sys.argv[2]
+from dlx_spark.session import get_spark
+from dlx_spark import fsio
+
+fsio.set_commit_scheme(fsio.ExternalCASScheme(fsio.FileExternalCAS(casdir)))
+spark = get_spark("mp_idalloc_worker", cpus=2)
+spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+from dlx_spark.marc.store import MarcStore
+from dlx_spark.marc.record import Bib
+
+store = MarcStore(spark, root)
+
+fsio.touch(spark, root + "/_worker_ready")
+for _ in range(1200):
+    if fsio.exists(spark, root + "/_go"):
+        break
+    import time; time.sleep(0.1)
+else:
+    raise SystemExit("main process never said go")
+
+ids = []
+for i in range(3):
+    recs = [Bib().set("245", "a", "Worker batch %d rec %d" % (i, j),
+                      auth_control=False)
+            for j in range(2)]
+    ids += store.commit(recs, user="worker", auth_check=False)
+print("WORKER_IDS=" + ",".join(str(i) for i in sorted(ids)), flush=True)
+"""
+
+
+def test_two_driver_processes_disjoint_ids(spark, tmp_path):
+    """CAS-serialized id allocation across OS processes (r11, ADVICE
+    low): two drivers commit all-NEW records to one store concurrently.
+    Before the ``_idalloc`` counter, both read the same ``max_id`` hint
+    and stamped duplicate _ids; now each allocation reserves its range
+    inside the backend's commit CAS, so the twelve fresh records must
+    land with twelve DISTINCT ids and the store's row count must equal
+    the id count (no silent upsert-merge of colliding ids)."""
+    from dlx_spark.fsio import ExternalCASScheme, FileExternalCAS
+    from dlx_spark.marc.record import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    root = str(tmp_path / "wh_mp_ids")
+    casdir = str(tmp_path / "cas_ids")
+    fsio.set_commit_scheme(ExternalCASScheme(FileExternalCAS(casdir)))
+    try:
+        store = MarcStore(spark, root)
+        seed = [Bib({"_id": i, "245": [{"indicators": [" ", " "],
+                                        "subfields": [{"code": "a",
+                                                       "value": f"Seed {i}"}]}]})
+                for i in range(1, 3)]
+        store.commit(seed, user="seeder")
+
+        script = tmp_path / "worker_ids.py"
+        script.write_text(_WORKER_IDALLOC)
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("PYSPARK_GATEWAY_PORT", None)
+        env.pop("PYSPARK_GATEWAY_SECRET", None)
+        proc = subprocess.Popen(
+            [sys.executable, str(script), root, casdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=repo)
+        main_ids = []
+        try:
+            deadline = time.time() + 180
+            while not fsio.exists(spark, root + "/_worker_ready"):
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.communicate()[0]
+                    pytest.fail(f"worker never came up:\n{out[-3000:]}")
+                time.sleep(0.2)
+            fsio.touch(spark, root + "/_go")
+            for i in range(3):
+                recs = [Bib().set("245", "a", f"Main batch {i} rec {j}",
+                                  auth_control=False)
+                        for j in range(2)]
+                main_ids += store.commit(recs, user="main",
+                                         auth_check=False)
+            out, _ = proc.communicate(timeout=240)
+            assert proc.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
+        worker_ids = []
+        for line in out.splitlines():
+            if line.startswith("WORKER_IDS="):
+                worker_ids = [int(x) for x in
+                              line.split("=", 1)[1].split(",") if x]
+        assert len(worker_ids) == 6, out[-3000:]
+        assert len(main_ids) == 6
+        allocated = sorted(worker_ids + main_ids)
+        # disjoint ranges: no id assigned twice, none colliding with seeds
+        assert len(set(allocated)) == 12
+        assert min(allocated) >= 3
+        reader = MarcStore(spark, root)
+        got = sorted(r["_id"] for r in
+                     reader.bibs().select("_id").collect())
+        assert got == sorted([1, 2] + allocated)
+        assert FileExternalCAS(casdir).pending("") == []
+    finally:
+        fsio.set_commit_scheme(fsio.HadoopRenameScheme())
