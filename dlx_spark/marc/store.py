@@ -118,6 +118,146 @@ class _LazyAuthIndex:
         return getattr(self._build(), name)
 
 
+class OnDemandAuthIndex:
+    """Join-backed fallback for the ``AuthIndex`` surface when the
+    auths table exceeds ``AUTH_INDEX_MAX_ROWS`` (r11, VERDICT task 4):
+    instead of refusing record-API reads outright, every lookup runs as
+    a targeted Spark query — pt-pruned point reads for id lookups,
+    heading-dimension filters for value lookups — with a bounded
+    per-id memo so repeated resolutions of the same xref (the common
+    serialization shape) pay one read.  Slow-but-correct: the
+    reference's ``Auth.build_cache`` has the same driver-memory cliff
+    (dlx/marc/__init__.py:1841-1874) and simply OOMs past it; set-scale
+    paths (commit_frame, resolve_values) never touch this class."""
+
+    MEMO_MAX = 100_000
+
+    def __init__(self, store: "MarcStore"):
+        self._store = store
+        self._memo: dict[int, "Auth | None"] = {}
+
+    def __deepcopy__(self, memo):
+        # records deep-copied for serialization (to_mrk/to_mrc) share
+        # the index: it is a lookup SERVICE over the store, not record
+        # state — copying it would drag the SparkSession through
+        # deepcopy (SPARK-5063)
+        return self
+
+    def __copy__(self):
+        return self
+
+    # --- id-keyed surface (pt-pruned point reads) ---------------------
+
+    def _remember(self, xref: int, auth) -> None:
+        if len(self._memo) >= self.MEMO_MAX:
+            self._memo.clear()      # crude but bounded; refill on demand
+        self._memo[int(xref)] = auth
+
+    def get(self, xref):
+        xref = int(xref)
+        if xref not in self._memo:
+            rows = (self._store._raw("auth")
+                    .filter((F.col("pt")
+                             == xref % self._store.n_buckets("auth"))
+                            & (F.col("_id") == xref))
+                    .drop("pt").collect())
+            self._remember(
+                xref, Auth.from_row(rows[0], auth_index=self)
+                if rows else None)
+        return self._memo[xref]
+
+    def exists(self, xref: int) -> bool:
+        return self.get(xref) is not None
+
+    def lookup(self, xref: int, code: str, language: str | None = None):
+        auth = self.get(xref)
+        if auth is None:
+            return None
+        if language:
+            return auth.heading_value(code, language)
+        hf = auth.heading_field
+        return None if hf is None else hf.get_value(code)
+
+    # --- value-keyed surface (heading-dimension filters) ---------------
+
+    def _heading_rows(self):
+        return self._store.headings()
+
+    def _ids(self, df) -> list[int]:
+        return sorted(int(r["auth_id"]) for r in
+                      df.select("auth_id").distinct().collect())
+
+    def xlookup(self, heading_tag: str, code: str, value: str) -> list[int]:
+        from dlx_spark.functions.tokenizer import scrub
+        h = self._heading_rows()
+        return self._ids(h.filter(
+            F.col("lang").isNull() & (F.col("tag") == heading_tag)
+            & (F.col("code") == code)
+            & (F.col("norm") == scrub(value or ""))))
+
+    def xlookup_any_code(self, heading_tag: str, value: str) -> list[int]:
+        from dlx_spark.functions.tokenizer import scrub
+        h = self._heading_rows()
+        return self._ids(h.filter(
+            F.col("lang").isNull() & (F.col("tag") == heading_tag)
+            & (F.col("norm") == scrub(value or ""))))
+
+    def xlookup_regex(self, heading_tag: str, code: str, pattern: str,
+                      flags: int = 0) -> list[int]:
+        import re as _re
+        rx = (("(?i)" if flags & _re.IGNORECASE else "") + pattern)
+        h = self._heading_rows()
+        return self._ids(h.filter(
+            F.col("lang").isNull() & (F.col("tag") == heading_tag)
+            & (F.col("code") == code) & F.col("value").rlike(rx)))
+
+    def xlookup_multi(self, heading_tag: str,
+                      pairs: list[tuple[str, str]]) -> list[int]:
+        out: set[int] | None = None
+        for code, value in pairs:
+            ids = set(self.xlookup(heading_tag, code, value))
+            out = ids if out is None else out & ids
+        return sorted(out or [])
+
+    def resolve_ambiguous(self, record_type: str, tag: str,
+                          subfields: list):
+        pairs = [(s.code, s.value or "") for s in subfields]
+        heading_tag = config.authority_source_tag(record_type, tag,
+                                                  pairs[0][0])
+        if heading_tag is None:
+            return None
+        matches = self.xlookup_multi(heading_tag, pairs)
+        if len(matches) == 1:
+            return matches[0]
+        if len(matches) > 1:
+            candidates = []
+            for auth_id in matches:
+                hf = self.get(auth_id).heading_field
+                if hf is not None \
+                        and pairs == [(s.code, s.value)
+                                      for s in hf.subfields]:
+                    candidates.append(auth_id)
+            if len(candidates) == 1:
+                return candidates[0]
+        return None
+
+    # --- mutation hooks (the commit pipeline keeps the cache in step) --
+
+    def add(self, auth) -> None:
+        if auth.id is not None:
+            self._remember(int(auth.id), auth)
+
+    def remove(self, auth_id: int) -> None:
+        self._memo.pop(int(auth_id), None)
+
+    def ids(self):
+        raise RuntimeError(
+            "OnDemandAuthIndex.ids(): enumerating every auth id is an "
+            "O(dimension) driver materialization — the exact cliff this "
+            "fallback exists to avoid.  Use the distributed headings() "
+            "dimension instead.")
+
+
 class MarcStore:
     #: default bucket modulus for NEW stores — existing stores read
     #: theirs from the live table's manifest (``n_buckets``), and
@@ -292,24 +432,29 @@ class MarcStore:
         per store and invalidated by every auth write, so repeated
         reads/commits don't rescan the auths table.
 
-        Guarded: if the auths table exceeds ``AUTH_INDEX_MAX_ROWS``
-        this raises rather than pulling a multi-GB dimension onto the
-        driver — use the distributed resolution paths instead
-        (``MarcStore.commit_frame`` resolves xrefs via the headings
-        join; ``MarcDataFrame.resolve_values`` is a broadcast join)."""
+        Guarded: past ``AUTH_INDEX_MAX_ROWS`` the driver cache would be
+        multi-GB, so the record-API degrades GRACEFULLY to an
+        ``OnDemandAuthIndex`` (targeted per-call Spark lookups, bounded
+        memo) with a warning, instead of refusing reads outright (r11;
+        the reference's Auth.build_cache simply OOMs there).  Set-scale
+        paths (``commit_frame``'s headings join,
+        ``MarcDataFrame.resolve_values``) never consult this cache."""
         if self._auth_index is None:
             # cap probe stops scanning at cap+1 rows instead of a full
             # count() pass (the index rebuilds after every auth write,
             # so a whole-table pre-count would double rebuild I/O)
             n = self.auths().limit(self.AUTH_INDEX_MAX_ROWS + 1).count()
             if n > self.AUTH_INDEX_MAX_ROWS:
-                raise RuntimeError(
-                    f"auth_index(): auths table exceeds the "
-                    f"driver-cache cap of {self.AUTH_INDEX_MAX_ROWS:,} rows. The "
-                    "record-at-a-time facade cannot hold this dimension in "
-                    "driver memory; use the distributed paths instead "
-                    "(commit_frame for bulk writes, resolve_values for "
-                    "linked-value reads).")
+                warnings.warn(
+                    f"auth_index(): auths table exceeds the driver-cache "
+                    f"cap of {self.AUTH_INDEX_MAX_ROWS:,} rows — serving "
+                    f"record-API lookups through on-demand Spark queries "
+                    f"(slower per call, no driver materialization).  "
+                    f"Prefer the distributed paths at this scale "
+                    f"(commit_frame for bulk writes, resolve_values for "
+                    f"linked-value reads).")
+                self._auth_index = OnDemandAuthIndex(self)
+                return self._auth_index
             idx = AuthIndex()
             for row in self.auths().toLocalIterator():
                 idx.add(Auth.from_row(row, auth_index=idx))
@@ -350,7 +495,8 @@ class MarcStore:
             rows[0], auth_index=self._lazy_auth_index())
 
     def search(self, record_type: str, query_string: str,
-               sort=None, skip: int = 0, limit: int = 0) -> DataFrame:
+               sort=None, skip: int = 0, limit: int = 0,
+               after_id: int | None = None) -> DataFrame:
         """Parse and execute a query-DSL string against the LIVE table —
         the reference's ``MarcSet.from_query(Query.from_string(...))``
         read path (dlx/marc/query.py:112-346) as one call, with the
@@ -372,14 +518,33 @@ class MarcStore:
           containment) is a single codegen'd predicate pass over the
           stored derived columns: no shuffle, no Python.
 
+        ``after_id`` is the KEYSET cursor (r11): resume a
+        ``_id``-ordered page sequence from ``_id > after_id`` instead
+        of ``skip=N``.  The reference pages with cursor skip
+        (dlx/marc/__init__.py:538-540), which is O(offset) per page —
+        at 100× a deep page re-sorts and discards millions of rows;
+        the keyset predicate pushes into the parquet scan (the live
+        segments are written key-sorted, so ``_id`` min/max row-group
+        stats skip everything below the cursor) and each page costs
+        the same as the first.  Implies sort by ``_id``; mutually
+        exclusive with ``sort``/``skip``.
+
         Returns the matching records as a DataFrame (canonical nested
         schema, no ``pt``)."""
         from dlx_spark.marc import parser as mparser
+        if after_id is not None and (sort is not None or skip):
+            raise ValueError(
+                "after_id is a keyset cursor: it implies sort by _id "
+                "and replaces skip — pass one paging style, not both")
         query = q.Query.from_string(query_string, record_type=record_type,
                                     auth_index=self._lazy_auth_index())
         if not self._live(record_type).exists(self.spark):
             return self._empty(schemas.MARC)
         raw = self._raw(record_type)
+        if after_id is not None:
+            # applied to the RAW scan so the predicate reaches the
+            # parquet readers of base and delta segments alike
+            raw = raw.filter(F.col("_id") > int(after_id))
         for cond in query.conditions:
             buckets = self._id_buckets(cond, record_type)
             if buckets is not None:
@@ -390,7 +555,9 @@ class MarcStore:
         # sort/skip/limit: the find()-cursor modifiers of the
         # reference's from_query path (same semantics as
         # MarcSet.from_query).  Sort before skip/limit, as a cursor does
-        if sort is not None:
+        if after_id is not None:
+            out = out.orderBy("_id")
+        elif sort is not None:
             out = out.orderBy(*sort)
         if skip:
             out = out.offset(skip)
@@ -634,13 +801,45 @@ class MarcStore:
                 [(int(i),) for i in removed_ids], "record_id long")
             tokens.upsert(tombstone_keys=stones)
 
+    def _refresh_tokens_for_xrefs(self, record_type: str,
+                                  xrefs: list[int]) -> None:
+        """Refresh the token rows of every record LINKING to the given
+        auth ids — the targeted repair for a heading change that did
+        not propagate.  The affected set comes from the token table's
+        own ``xref`` column (xrefs never change with heading VALUES, so
+        the stale rows still identify their records correctly); the
+        refresh re-derives those records from live with CURRENT
+        headings.  O(batch + attached): one broadcast semi-join to find
+        the records, one per-commit-shaped upsert to replace them."""
+        tokens = self._tokens(record_type)
+        live = self._live(record_type)
+        if not tokens.exists(self.spark) or not live.exists(self.spark):
+            return
+        xdf = self.spark.createDataFrame(
+            [(int(x),) for x in xrefs], "x long")
+        affected = (tokens.read(self.spark)
+                    .filter(F.col("xref").isNotNull())
+                    .join(F.broadcast(xdf), F.col("xref") == F.col("x"),
+                          "leftsemi")
+                    .select(F.col("record_id").alias("_id")).distinct())
+        batch = self.table(record_type).join(affected, "_id", "leftsemi")
+        fresh = mdf.subfield_token_rows(batch, record_type,
+                                        headings=self.headings(),
+                                        hint=self.headings_hint())
+        tokens.upsert(rows=fresh,
+                      tombstone_keys=affected.withColumnRenamed(
+                          "_id", "record_id"))
+
     def _replay_dirty_marker(self, record_type: str) -> None:
         """Re-converge the token index after a crash between a live
         commit and its index commit.  Each surviving marker's
         pre-commit segment snapshot identifies exactly the batch it
         bracketed (the live segments added since), so replay re-derives
-        that batch's token rows — O(batch).  A marker without a
-        snapshot (``full``: cross-record-type heading staleness, or a
+        that batch's token rows — O(batch).  A heading-staleness marker
+        (``heading_xrefs``: the auth ids whose headings changed without
+        propagation) refreshes only the records LINKING to them — one
+        xref semi-join on the token table, O(batch + attached).  A
+        marker with neither (``full``: an over-cap heading change, or a
         torn write) rebuilds the index wholesale from live — always
         safe, and settles every other pending marker with it.
         Idempotent: re-running appends a duplicate delta segment whose
@@ -662,15 +861,19 @@ class MarcStore:
                     fsio.remove(self.spark, marker)
             return
         batches: list[tuple[str, list, dict | None]] = []
+        targeted: list[tuple[str, list, dict]] = []
         full = False
         for marker in markers:
             try:
                 payload = _json.loads(fsio.read_text(self.spark, marker))
                 base = payload.get("base_segments")
-                if base is None or not isinstance(base, list):
-                    full = True
-                else:
+                xrefs = payload.get("heading_xrefs")
+                if isinstance(base, list):
                     batches.append((marker, base, payload))
+                elif isinstance(xrefs, list) and xrefs:
+                    targeted.append((marker, xrefs, payload))
+                else:
+                    full = True
             except (ValueError, TypeError):
                 full = True
         if full:
@@ -681,6 +884,23 @@ class MarcStore:
             # raced, and settles provably-covered markers
             self.build_search_index(record_type)
         else:
+            for marker, xrefs, payload in targeted:
+                # refresh exactly the records linking to the changed
+                # auths — same O(batch)-shaped upsert as a per-commit
+                # refresh, not an O(store) rebuild (the pre-r11 ``full``
+                # marker stalled the next innocent search for a whole
+                # rebuild at scale)
+                self._refresh_tokens_for_xrefs(record_type,
+                                               [int(x) for x in xrefs])
+                if self._marker_payload_committed(payload) \
+                        or self._marker_expired(marker):
+                    # same owner-aware settlement as batch markers: the
+                    # committed stamp follows the auth upsert, so a
+                    # refresh that saw the stamp derived from
+                    # post-commit headings; an uncommitted flag's auth
+                    # commit may still be in flight — keep it and
+                    # re-refresh once it lands (or expires)
+                    fsio.remove(self.spark, marker)
             live = self._live(record_type)
             for marker, base, payload in batches:
                 if live.exists(self.spark):
@@ -929,11 +1149,16 @@ class MarcStore:
                 # BOTH indexed record types denormalize auth headings
                 # (bibs through 6xx/7xx links, auths through 5xx
                 # see-also links), so both persisted indexes go stale
-                # when a heading changes without propagation
+                # when a heading changes without propagation.  The
+                # marker carries the changed auth ids, so replay
+                # refreshes only the ATTACHED records (one xref
+                # semi-join) instead of rebuilding the whole index
+                payload = self._heading_marker_payload(
+                    [r.id for r in changed])
                 for rt2 in ("bib", "auth"):
                     if self._tokens(rt2).exists(self.spark):
                         heading_markers.append(self._write_dirty_marker(
-                            rt2, {"full": True}))
+                            rt2, dict(payload)))
 
         # 6. merge-on-read upsert (O(batch) delta segment)
         self._upsert(record_type, staged)
@@ -1133,14 +1358,19 @@ class MarcStore:
             if (record_type == "auth"
                     and not all_new        # fresh ids: nothing changed
                     and (self._tokens("bib").exists(self.spark)
-                         or self._tokens("auth").exists(self.spark))
-                    and self._frame_changes_headings(staged)):
-                # both record types denormalize headings (bib 6xx/7xx,
-                # auth 5xx see-also) — mark every live index
-                for rt2 in ("bib", "auth"):
-                    if self._tokens(rt2).exists(self.spark):
-                        heading_markers.append(
-                            self._write_dirty_marker(rt2, {"full": True}))
+                         or self._tokens("auth").exists(self.spark))):
+                changed_ids = self._frame_changed_heading_ids(staged)
+                if changed_ids:
+                    # both record types denormalize headings (bib
+                    # 6xx/7xx, auth 5xx see-also) — mark every live
+                    # index; targeted (changed auth ids) when the set
+                    # fits the marker cap, full past it
+                    payload = self._heading_marker_payload(changed_ids)
+                    for rt2 in ("bib", "auth"):
+                        if self._tokens(rt2).exists(self.spark):
+                            heading_markers.append(
+                                self._write_dirty_marker(
+                                    rt2, dict(payload)))
             self._upsert(record_type, staged)
             # staleness flagged above is now real (the auth commit
             # landed): stamp the flags committed so a rebuild deriving
@@ -1156,15 +1386,24 @@ class MarcStore:
                 self._invalidate_auth_index()
         return n
 
-    def _frame_changes_headings(self, staged: DataFrame) -> bool:
-        """Does this auth frame change any PRE-EXISTING record's heading
-        (first 1xx field)?  One O(batch) join: staged ids against the
-        pre-commit live rows (a merge-on-read snapshot — still readable
-        after the upsert), signatures compared as JSON of (tag, code,
-        value) triples.  Linked-subfield cached values are baked by the
-        derive on both sides, so false positives are limited to
+    #: heading-staleness markers carry the CHANGED auth ids up to this
+    #: many, so replay can refresh only the records linking to them
+    #: (O(batch + attached) — one xref semi-join on the token table)
+    #: instead of rebuilding the whole index.  Past the cap the id list
+    #: would bloat the marker file and the targeted refresh approaches
+    #: a rebuild anyway, so the marker degrades to ``full``.
+    HEADING_MARKER_MAX_XREFS = 10_000
+
+    def _frame_changed_heading_ids(self, staged: DataFrame) -> list[int]:
+        """The PRE-EXISTING auth ids whose heading (first 1xx field)
+        this frame changes, up to ``HEADING_MARKER_MAX_XREFS + 1`` of
+        them.  One O(batch) join: staged ids against the pre-commit
+        live rows (a merge-on-read snapshot — still readable after the
+        upsert), signatures compared as JSON of (tag, code, value)
+        triples.  Linked-subfield cached values are baked by the derive
+        on both sides, so false positives are limited to
         resolution-order artifacts — and a false positive only costs an
-        unneeded rebuild, never staleness."""
+        unneeded refresh, never staleness."""
         hsig = F.to_json(F.expr(
             "named_struct("
             " 'tag', filter(datafields, f -> f.tag like '1%')[0].tag,"
@@ -1173,9 +1412,18 @@ class MarcStore:
             "   s -> named_struct('code', s.code, 'value', s.value)))"))
         old = self.auths().select("_id", hsig.alias("_h0"))
         new = staged.select("_id", hsig.alias("_h1"))
-        return bool(new.join(old, "_id")
-                    .filter(~F.col("_h0").eqNullSafe(F.col("_h1")))
-                    .limit(1).count())
+        rows = (new.join(old, "_id")
+                .filter(~F.col("_h0").eqNullSafe(F.col("_h1")))
+                .select("_id")
+                .limit(self.HEADING_MARKER_MAX_XREFS + 1).collect())
+        return [int(r["_id"]) for r in rows]
+
+    def _heading_marker_payload(self, changed_ids: list[int]) -> dict:
+        """Targeted when the changed set fits the marker cap, ``full``
+        otherwise (replay then rebuilds wholesale — always safe)."""
+        if 0 < len(changed_ids) <= self.HEADING_MARKER_MAX_XREFS:
+            return {"heading_xrefs": sorted(changed_ids)}
+        return {"full": True}
 
     @staticmethod
     def _heading_signature(rec: Marc | None):

@@ -263,3 +263,92 @@ class DeltaTableBackend(ParquetTableBackend):
         """Delta's native VACUUM (per table — the log, not a shared
         segment pool, tracks reachability)."""
         self._dt(spark, self._path(spark, table)).vacuum(retention_hours)
+
+
+class DeltaMergeTable:
+    """``MergeOnReadTable``'s observable CONTRACT on the Delta backend
+    for UNIQUE-KEY tables (the store's live / deleted-summary shape):
+    one atomic MERGE per batch plays the appended-delta-segment role —
+    Delta's own merge-on-read machinery (deletion vectors, log-tracked
+    files) replaces the hand-rolled manifest precedence, so there is no
+    resolution layer to manage and no broadcast-size gate to tune.
+
+    Semantics matched to MergeOnReadTable.upsert (tableio_mor.py):
+
+    - ``rows`` replace each touched key's row; keys absent insert.
+    - ``tombstone_keys`` delete keys — but a key present in BOTH rows
+      and tombstones keeps the ROW (MOR resolves a same-segment
+      row+tombstone pair to the row; the store's callers tombstone
+      every touched key and re-append survivors, relying on exactly
+      this), so the delete source is tombstones ANTI-JOIN rows.
+    - ``compact`` maps to Delta OPTIMIZE (bin-packing; returns 0 —
+      Delta owns its file counts).
+    - ``extra`` table metadata is out of scope here: the versioned
+      backend's manifest ``extra`` carries the MARC store's geometry,
+      which the Delta leg does not reimplement (TBLPROPERTIES would be
+      the analog); the index/contract surface never needs it.
+
+    MULTI-ROW-PER-KEY tables (the token index) are NOT covered: a
+    single MERGE cannot replace a key's row-SET with one of different
+    cardinality — that shape needs delete-then-append in one Delta
+    transaction (the commitInfo-level API), documented out of scope
+    until the Delta leg can execute (delta-spark is absent from the
+    build sandbox; tests/test_tableio_contract.py's MOR-contract leg
+    skips cleanly and lights up the moment it lands)."""
+
+    def __init__(self, backend: DeltaTableBackend, table: str, key: str,
+                 partition_cols: list[str] | None = None):
+        self.backend = backend
+        self.table = table
+        self.key = key
+        self.partition_cols = list(partition_cols or [])
+
+    def exists(self, spark: SparkSession) -> bool:
+        return self.backend.exists(spark, self.table)
+
+    def overwrite(self, df: DataFrame, extra: dict | None = None) -> None:
+        if self.partition_cols:
+            self.backend.write_partitioned(df, self.table,
+                                           self.partition_cols)
+        else:
+            self.backend.write_plain(df, self.table)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.backend.read(spark, self.table)
+
+    def upsert(self, rows: DataFrame | None = None,
+               tombstone_keys: DataFrame | None = None,
+               extra: dict | None = None,
+               expect_meta: dict | None = None,
+               expect_create: bool = False) -> None:
+        if rows is None and tombstone_keys is None:
+            raise ValueError("upsert needs rows and/or tombstone_keys")
+        spark = (rows if rows is not None else tombstone_keys).sparkSession
+        if not self.exists(spark):
+            if rows is None:
+                return          # deletes against a table that never existed
+            self.overwrite(rows, extra=extra)
+            return
+        from delta.tables import DeltaTable
+        dt = DeltaTable.forPath(spark,
+                                self.backend._path(spark, self.table))
+        k = self.key
+        if rows is not None:
+            (dt.alias("t")
+               .merge(rows.alias("s"), f"t.{k} = s.{k}")
+               .whenMatchedUpdateAll()
+               .whenNotMatchedInsertAll()
+               .execute())
+        if tombstone_keys is not None:
+            stones = tombstone_keys.select(k)
+            if rows is not None:
+                # row-wins on overlap, matching MOR's same-segment rule
+                stones = stones.join(rows.select(k), k, "left_anti")
+            (dt.alias("t")
+               .merge(stones.alias("s"), f"t.{k} = s.{k}")
+               .whenMatchedDelete()
+               .execute())
+
+    def compact(self, spark: SparkSession) -> int:
+        self.backend.optimize(spark, self.table)
+        return 0

@@ -225,3 +225,57 @@ def test_grace_period_constructor_override(spark, tmp_path):
     assert st.MARKER_INFLIGHT_GRACE_SECONDS == 7200.0
     # class default untouched
     assert MarcStore.MARKER_INFLIGHT_GRACE_SECONDS == 3600.0
+
+
+def test_heading_marker_is_targeted_not_full(store, monkeypatch):
+    """r11 (VERDICT task 3): a non-propagating heading change writes a
+    TARGETED marker (the changed auth ids) and replay refreshes only
+    the attached records — the wholesale rebuild (pre-r11 ``full``
+    marker) must not run.  Pinned by making build_search_index raise:
+    the search below succeeds only through the targeted path."""
+    import json
+
+    from dlx_spark import fsio
+
+    store.build_search_index("bib")
+    a = store.get("auth", 1)
+    a.set("150", "a", "Precise rename", auth_control=False)
+    store.commit([a], user="e", now=T1, update_attached=False)
+
+    markers = store._dirty_markers("bib")
+    assert markers
+    payload = json.loads(fsio.read_text(store.spark, markers[0]))
+    assert payload.get("heading_xrefs") == [1]
+    assert "full" not in payload
+    assert payload.get("committed") is True
+
+    def boom(self, record_type):
+        raise AssertionError("targeted replay must not rebuild wholesale")
+
+    monkeypatch.setattr(MarcStore, "build_search_index", boom)
+    assert sorted(r["_id"] for r in
+                  store.search("bib", "650__a:precise").collect()) == [1, 2]
+    assert store.search("bib", "650__a:header").count() == 0
+    assert store._dirty_markers("bib") == []
+
+
+def test_heading_marker_over_cap_degrades_to_full(store):
+    """Past HEADING_MARKER_MAX_XREFS the changed-id list would bloat
+    the marker and the targeted refresh approaches a rebuild anyway —
+    the payload degrades to ``full`` (replay rebuilds wholesale)."""
+    import json
+
+    from dlx_spark import fsio
+
+    store.build_search_index("bib")
+    store.HEADING_MARKER_MAX_XREFS = 0
+    a = store.get("auth", 1)
+    a.set("150", "a", "Bulk-scale rename", auth_control=False)
+    store.commit([a], user="e", now=T1, update_attached=False)
+    markers = store._dirty_markers("bib")
+    assert markers
+    payload = json.loads(fsio.read_text(store.spark, markers[0]))
+    assert payload.get("full") is True
+    assert sorted(r["_id"] for r in
+                  store.search("bib", "650__a:bulk").collect()) == [1, 2]
+    assert store._dirty_markers("bib") == []

@@ -341,17 +341,42 @@ def test_commit_frame_small_batch_is_o_batch(spark, tmp_path):
     assert store.get("bib", 1).updated is not None
 
 
-def test_auth_index_refuses_oversized_dimension(store, monkeypatch):
-    """The driver-side facade cache must refuse to materialize an auth
-    dimension above AUTH_INDEX_MAX_ROWS and point at the distributed
-    paths instead of silently building a multi-GB dict (round-2 verdict
-    item #3)."""
+def test_auth_index_degrades_gracefully_above_cap(store, monkeypatch):
+    """Above AUTH_INDEX_MAX_ROWS the driver-side facade cache must not
+    materialize a multi-GB dict (round-2 verdict item #3) — and since
+    r11 it degrades to on-demand Spark lookups with a warning instead
+    of refusing record-API reads outright (VERDICT r10 task 4)."""
+    from dlx_spark.marc.store import OnDemandAuthIndex
+
+    store._invalidate_auth_index()
+    # force the fallback on the real (2-row) store: cap below it
+    monkeypatch.setattr(MarcStore, "AUTH_INDEX_MAX_ROWS", 1)
+    with pytest.warns(UserWarning, match="on-demand"):
+        idx = store.auth_index()
+    assert isinstance(idx, OnDemandAuthIndex)
+    assert idx is store.auth_index()     # memoized (no repeat warning)
+    # the full record-API surface works through it, uncached:
+    assert idx.lookup(1, "a") == "Header"
+    assert idx.exists(1) and not idx.exists(999)
+    assert idx.xlookup("150", "a", "Header") == [1]
+    assert idx.xlookup_multi("150", [("a", "Header")]) == [1]
+    # get + serialization (xref resolution) without a driver cache
+    rec = store.get("bib", 1)
+    assert rec.get_value("650", "a") == "Header"
+    assert "Header" in rec.to_mrk()
+    # enumerating the whole dimension is still refused (that IS the cliff)
+    with pytest.raises(RuntimeError, match="O\\(dimension\\)"):
+        idx.ids()
+
+    # under the cap the memoized driver build still works, with the
+    # capped probe (not a full count)
+    monkeypatch.undo()
     store._invalidate_auth_index()
     big = MarcStore.AUTH_INDEX_MAX_ROWS + 1
 
     class FakeAuths:
         def limit(self, n):
-            assert n == MarcStore.AUTH_INDEX_MAX_ROWS + 1  # capped probe, not a full count
+            assert n == MarcStore.AUTH_INDEX_MAX_ROWS + 1
             return self
 
         def count(self):
@@ -361,13 +386,13 @@ def test_auth_index_refuses_oversized_dimension(store, monkeypatch):
             raise AssertionError("oversized dimension was materialized")
 
     monkeypatch.setattr(store, "auths", lambda: FakeAuths())
-    with pytest.raises(RuntimeError, match="commit_frame"):
-        store.auth_index()
-    # under the cap the memoized build still works
+    with pytest.warns(UserWarning, match="on-demand"):
+        assert isinstance(store.auth_index(), OnDemandAuthIndex)
     monkeypatch.undo()
     store._invalidate_auth_index()
     idx = store.auth_index()
     assert idx is store.auth_index()    # memoized
+    assert not isinstance(idx, OnDemandAuthIndex)
 
 
 def test_commit_frame_accepts_intra_frame_auth_xrefs(spark, tmp_path):
@@ -871,3 +896,49 @@ def test_full_rebuild_keeps_markers_for_commits_it_did_not_see(store):
     store._clear_settled_markers("bibs_tokens", full_view,
                                  derived_from=full_view)
     assert store._markers_for("bibs_tokens") == []
+
+
+def test_keyset_pagination_after_id(store):
+    """r11 (VERDICT task 6): ``after_id`` keyset cursor — pages are
+    disjoint, ordered, union-complete, equivalent to skip paging, and
+    the cursor predicate reaches the parquet scan (O(page) per page
+    instead of skip's O(offset))."""
+    recs = [Bib().set("245", "a", f"Keyset doc {i}", auth_control=False)
+            for i in range(10)]
+    store.commit(recs, user="p", now=T1, auth_check=False)
+
+    def ids(df):
+        return [r["_id"] for r in df.select("_id").collect()]
+
+    want = ids(store.search("bib", "245__a:keyset", sort=["_id"]))
+    assert len(want) == 10 and want == sorted(want)
+
+    pages, cursor = [], 0
+    while True:
+        page = ids(store.search("bib", "245__a:keyset",
+                                limit=3, after_id=cursor))
+        if not page:
+            break
+        assert page == sorted(page)
+        pages.append(page)
+        cursor = page[-1]
+    assert [i for p in pages for i in p] == want
+    assert [len(p) for p in pages] == [3, 3, 3, 1]
+
+    # equivalent to skip paging
+    skip_page = ids(store.search("bib", "245__a:keyset",
+                                 sort=["_id"], skip=3, limit=3))
+    assert skip_page == pages[1]
+
+    # the cursor predicate reaches the scan (row-group skipping on the
+    # key-sorted segments is what makes deep pages O(page))
+    plan = (store.search("bib", "245__a:keyset", limit=3,
+                         after_id=want[5])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "GreaterThan(_id" in plan
+
+    # keyset and offset paging are mutually exclusive
+    with pytest.raises(ValueError, match="keyset"):
+        store.search("bib", "245__a:keyset", skip=2, after_id=1)
+    with pytest.raises(ValueError, match="keyset"):
+        store.search("bib", "245__a:keyset", sort=["updated"], after_id=1)

@@ -184,3 +184,104 @@ def test_contract_replace_merge_carries_raced_append(spark, be):
     assert sorted((r["id"], r["text"]) for r in
                   be.read(spark, "c_t7").collect()) \
         == [(1, "a"), (2, "raced")]
+
+
+# ---------------------------------------------------------------------------
+# The keyed-upsert (merge-on-read) CONTRACT, parameterized over the
+# implementations that can honor it: MergeOnReadTable on the versioned
+# backend (runs here) and DeltaMergeTable on Delta (skips until
+# delta-spark exists — r11, VERDICT task 5: structurally ready so the
+# leg lights up the moment the package lands, zero test changes).
+# Unique-key shape (the store's live / deleted-summary tables).
+# ---------------------------------------------------------------------------
+
+
+def _mor_versioned(spark, tmp_path):
+    from dlx_spark.tableio_mor import MergeOnReadTable
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+    be = VersionedTableBackend(root=str(tmp_path / "mor_vroot"))
+
+    def make(name, key, pcols):
+        return MergeOnReadTable(be, name, key=key, partition_cols=pcols)
+
+    return make
+
+
+def _mor_delta(spark, tmp_path):
+    pytest.importorskip(
+        "delta", reason="delta-spark not installed — the DeltaMergeTable "
+        "leg lights up where it is")
+    if "DeltaSparkSessionExtension" not in spark.conf.get(
+            "spark.sql.extensions", ""):
+        pytest.skip("session built without the Delta extension — use "
+                    "dlx_spark.session.get_spark(delta=True)")
+    from dlx_spark.tableio_delta import DeltaMergeTable, DeltaTableBackend
+    be = DeltaTableBackend(root=str(tmp_path / "mor_droot"))
+
+    def make(name, key, pcols):
+        return DeltaMergeTable(be, name, key=key, partition_cols=pcols)
+
+    return make
+
+
+MOR_IMPLS = {"versioned": _mor_versioned, "delta": _mor_delta}
+
+
+@pytest.fixture(params=sorted(MOR_IMPLS))
+def mor(request, spark, tmp_path):
+    return MOR_IMPLS[request.param](spark, tmp_path)
+
+
+def _kv(spark, rows):
+    df = spark.createDataFrame(rows, "k long, v string")
+    return df.withColumn("pt", (F.col("k") % 2).cast("int"))
+
+
+def _kv_sorted(t, spark):
+    return sorted((r["k"], r["v"]) for r in
+                  t.read(spark).select("k", "v").collect())
+
+
+def test_mor_contract_upsert_tombstone_roundtrip(spark, mor):
+    t = mor("mc_rt", "k", ["pt"])
+    t.overwrite(_kv(spark, [(i, f"v{i}") for i in range(6)]))
+    # upsert: replace 1, insert 6; tombstone: delete 2
+    t.upsert(rows=_kv(spark, [(1, "V1"), (6, "v6")]),
+             tombstone_keys=_kv(spark, [(2, ""), (1, "")]))
+    # key 1 is in BOTH rows and tombstones -> the ROW wins (MOR's
+    # same-segment rule; the store's callers tombstone every touched
+    # key and re-append survivors, relying on exactly this)
+    assert _kv_sorted(t, spark) == [
+        (0, "v0"), (1, "V1"), (3, "v3"), (4, "v4"), (5, "v5"), (6, "v6")]
+
+
+def test_mor_contract_tombstone_only_batch(spark, mor):
+    t = mor("mc_del", "k", ["pt"])
+    t.overwrite(_kv(spark, [(i, f"v{i}") for i in range(4)]))
+    t.upsert(tombstone_keys=_kv(spark, [(0, ""), (3, "")]))
+    assert _kv_sorted(t, spark) == [(1, "v1"), (2, "v2")]
+    # deletes against a table that never existed are a no-op
+    t2 = mor("mc_missing", "k", ["pt"])
+    t2.upsert(tombstone_keys=_kv(spark, [(0, "")]))
+    assert not t2.exists(spark)
+
+
+def test_mor_contract_upsert_creates_missing_table(spark, mor):
+    t = mor("mc_create", "k", ["pt"])
+    assert not t.exists(spark)
+    t.upsert(rows=_kv(spark, [(1, "a"), (2, "b")]))
+    assert t.exists(spark)
+    assert _kv_sorted(t, spark) == [(1, "a"), (2, "b")]
+
+
+def test_mor_contract_compact_preserves_content(spark, mor):
+    t = mor("mc_compact", "k", ["pt"])
+    t.overwrite(_kv(spark, [(i, f"v{i}") for i in range(5)]))
+    for i in range(3):
+        t.upsert(rows=_kv(spark, [(i, f"u{i}")]),
+                 tombstone_keys=_kv(spark, [(i, "")]))
+    before = _kv_sorted(t, spark)
+    t.compact(spark)
+    assert _kv_sorted(t, spark) == before
+    assert before == [(0, "u0"), (1, "u1"), (2, "u2"),
+                      (3, "v3"), (4, "v4")]

@@ -501,6 +501,28 @@ def query_main():
         pagination["skip_1k_page_sec"] = round(time.time() - t0, 2)
         assert len(rows) == 20
 
+        # keyset cursor (r11): resume from ``_id > last`` instead of
+        # skip=N.  The skip page is O(offset) — the cursor's deep page
+        # costs the same as the first because the predicate reaches the
+        # parquet scan (key-sorted segments -> row-group skipping);
+        # recorded with the executed-plan verdict so a pushdown
+        # regression is visible in the JSON
+        deep = max(100, n // 10)
+        t0 = time.time()
+        rows = store.search("bib", "650__a:heading", sort=["_id"],
+                            skip=deep, limit=20).collect()
+        pagination["skip_deep_page_sec"] = round(time.time() - t0, 2)
+        pagination["skip_deep_offset"] = deep
+        last = int(rows[-1]["_id"])
+        t0 = time.time()
+        kpage = store.search("bib", "650__a:heading", limit=20,
+                             after_id=last)
+        krows = kpage.collect()
+        pagination["keyset_deep_page_sec"] = round(time.time() - t0, 2)
+        pagination["keyset_pushed_to_scan"] = "GreaterThan(_id" in (
+            kpage._jdf.queryExecution().executedPlan().toString())
+        assert len(krows) == 20 and krows[0]["_id"] > last
+
         # history reads: per-record version chain (pt-pruned) and the
         # deleted-by-date sweep (aggregate over the whole log —
         # reference History.find_deleted, dlx/marc/__init__.py:2345-2384)
