@@ -534,3 +534,127 @@ def test_two_driver_processes_disjoint_ids(spark, tmp_path):
         assert FileExternalCAS(casdir).pending("") == []
     finally:
         fsio.set_commit_scheme(fsio.HadoopRenameScheme())
+
+
+_WORKER_MAINT = r"""
+import sys
+root, casdir = sys.argv[1], sys.argv[2]
+from dlx_spark.session import get_spark
+from dlx_spark import fsio
+
+fsio.set_commit_scheme(fsio.ExternalCASScheme(fsio.FileExternalCAS(casdir)))
+spark = get_spark("mp_maint_worker", cpus=2)
+spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+from dlx_spark.marc.store import MarcStore
+from dlx_spark.marc.record import Bib
+
+store = MarcStore(spark, root)
+
+fsio.touch(spark, root + "/_worker_ready")
+for _ in range(1200):
+    if fsio.exists(spark, root + "/_go"):
+        break
+    import time; time.sleep(0.1)
+else:
+    raise SystemExit("main process never said go")
+
+ids = []
+for i in range(4):
+    recs = [Bib().set("245", "a", "Maint batch %d rec %d" % (i, j),
+                      auth_control=False)
+            for j in range(2)]
+    ids += store.commit(recs, user="worker", auth_check=False)
+store.delete("bib", ids[0], user="worker")
+print("WORKER_IDS=" + ",".join(str(i) for i in sorted(ids)), flush=True)
+"""
+
+
+def test_maintenance_races_concurrent_commits(spark, tmp_path):
+    """Store-level maintenance (compact + retention-guarded vacuum)
+    composed with a concurrent writer across two OS processes (r11,
+    VERDICT task 7): the backend's snapshot-token merge must carry
+    every raced append through each compaction, the vacuum horizon
+    must never reclaim the writer's in-flight state, and every read
+    surface (live, search index, deleted summary, history) must be
+    intact afterwards with no pending markers or CAS claims."""
+    from dlx_spark.fsio import ExternalCASScheme, FileExternalCAS
+    from dlx_spark.marc.record import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    root = str(tmp_path / "wh_mp_maint")
+    casdir = str(tmp_path / "cas_maint")
+    fsio.set_commit_scheme(ExternalCASScheme(FileExternalCAS(casdir)))
+    try:
+        store = MarcStore(spark, root)
+        seed = [Bib({"_id": i, "245": [{"indicators": [" ", " "],
+                                        "subfields": [{"code": "a",
+                                                       "value": f"Seed {i}"}]}]})
+                for i in range(1, 9)]
+        store.commit(seed, user="seeder")
+        store.build_search_index("bib")
+        store.build_deleted_summary("bib")
+
+        script = tmp_path / "worker_maint.py"
+        script.write_text(_WORKER_MAINT)
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("PYSPARK_GATEWAY_PORT", None)
+        env.pop("PYSPARK_GATEWAY_SECRET", None)
+        proc = subprocess.Popen(
+            [sys.executable, str(script), root, casdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=repo)
+        try:
+            deadline = time.time() + 180
+            while not fsio.exists(spark, root + "/_worker_ready"):
+                if proc.poll() is not None or time.time() > deadline:
+                    out = proc.communicate()[0]
+                    pytest.fail(f"worker never came up:\n{out[-3000:]}")
+                time.sleep(0.2)
+            fsio.touch(spark, root + "/_go")
+            # maintenance cadence racing the live writer: repeated
+            # compactions (live + index + history + summary) and a
+            # retention-guarded vacuum (the 1h horizon must leave the
+            # writer's young segments and in-flight markers alone)
+            for _ in range(3):
+                store.compact("bib")
+            store.vacuum()
+            out, _ = proc.communicate(timeout=300)
+            assert proc.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
+        worker_ids = []
+        for line in out.splitlines():
+            if line.startswith("WORKER_IDS="):
+                worker_ids = [int(x) for x in
+                              line.split("=", 1)[1].split(",") if x]
+        assert len(worker_ids) == 8, out[-3000:]
+
+        # a final quiesced vacuum reclaims superseded state for real
+        store.vacuum(min_age_seconds=0)
+
+        reader = MarcStore(spark, root)
+        live = sorted(r["_id"] for r in reader.bibs().select("_id").collect())
+        # every raced append was carried through every compaction;
+        # the worker's delete removed its first id
+        assert live == sorted(set(range(1, 9))
+                              | set(worker_ids) - {worker_ids[0]})
+        # search index consistent after compactions + raced refreshes
+        assert reader.search("bib", "245__a:seed").count() == 8
+        assert reader.search(
+            "bib", "245__a:maint").count() == len(worker_ids) - 1
+        # deleted summary agrees with the worker's delete
+        assert [r.record_id for r in
+                reader.find_deleted("bib").collect()] == [worker_ids[0]]
+        # history intact: seeds + worker batches + the delete action
+        assert reader.history_df("bib").count() == 8 + 8 + 1
+        # nothing pending anywhere
+        assert not reader._markers_for("bibs_tokens")
+        assert not reader._markers_for("bib_deleted")
+        assert FileExternalCAS(casdir).pending("") == []
+    finally:
+        fsio.set_commit_scheme(fsio.HadoopRenameScheme())

@@ -603,6 +603,28 @@ def query_main():
         fresh.commit_frame(delta, record_type="bib")
         upsert_with_index = round(time.time() - t0, 2)
 
+        # targeted heading-staleness repair (r11): a non-propagating
+        # auth heading edit flags the index with the CHANGED auth ids;
+        # the next search pays an O(attached) refresh — compare
+        # heading_repair_sec against index build_sec (what the pre-r11
+        # full:True marker cost the next innocent search)
+        edited = synth_auths_df(spark, 1000).filter(
+            F.col("_id") == 5).withColumn("datafields", F.expr("""
+            transform(datafields, f -> IF(f.tag = '150',
+                named_struct('tag', f.tag, 'ind1', f.ind1,
+                             'ind2', f.ind2,
+                    'subfields', transform(f.subfields, s ->
+                        named_struct('code', s.code,
+                                     'value', 'Benchrenamed heading',
+                                     'xref', s.xref))),
+                f))"""))
+        fresh.commit_frame(edited, record_type="auth", auth_check=False)
+        attached = fresh.bibs().count() // 1000  # ~1/1000 link auth 5
+        t0 = time.time()
+        repair_hits = fresh.search("bib", "650__a:benchrenamed").count()
+        heading_repair_sec = round(time.time() - t0, 2)
+        assert repair_hits > 0
+
         print(json.dumps({
             "metric": "marc_query_dsl",
             "n_records": n,
@@ -619,6 +641,9 @@ def query_main():
                 "bare_text_cold_sec_fresh_session": indexed_bare_cold,
                 "bare_text_warm_sec": indexed_bare_warm,
                 "upsert_10k_with_index_sec": upsert_with_index,
+                "heading_repair_sec": heading_repair_sec,
+                "heading_repair_attached_approx": attached,
+                "heading_repair_hits": repair_hits,
             },
         }))
     finally:
