@@ -1161,7 +1161,19 @@ class MarcStore:
                             rt2, dict(payload)))
 
         # 6. merge-on-read upsert (O(batch) delta segment)
-        self._upsert(record_type, staged)
+        try:
+            self._upsert(record_type, staged)
+        except BaseException:
+            # the upsert MAY still have landed (e.g. the post-publish
+            # auto-compaction raised), so the flags cannot be dropped;
+            # stamping them committed is correct either way — if the
+            # commit landed the staleness is real, if it did not the
+            # replay's refresh derives from unchanged headings (a
+            # no-op) and settles the flag instead of re-refreshing on
+            # every search until grace expiry
+            for m in heading_markers:
+                self._mark_marker_committed(m)
+            raise
         # the heading markers flag staleness CAUSED by this auth commit:
         # stamp them committed now that it landed, so a rebuild that
         # derives from post-commit headings can settle them — a rebuild
@@ -1371,7 +1383,16 @@ class MarcStore:
                             heading_markers.append(
                                 self._write_dirty_marker(
                                     rt2, dict(payload)))
-            self._upsert(record_type, staged)
+            try:
+                self._upsert(record_type, staged)
+            except BaseException:
+                # the upsert MAY still have landed (post-publish
+                # auto-compaction raise): stamp committed — correct if
+                # it landed (staleness real), and a settle-after-one-
+                # no-op-refresh if it did not (see commit())
+                for m in heading_markers:
+                    self._mark_marker_committed(m)
+                raise
             # staleness flagged above is now real (the auth commit
             # landed): stamp the flags committed so a rebuild deriving
             # from post-commit headings can settle them

@@ -279,3 +279,32 @@ def test_heading_marker_over_cap_degrades_to_full(store):
     assert sorted(r["_id"] for r in
                   store.search("bib", "650__a:bulk").collect()) == [1, 2]
     assert store._dirty_markers("bib") == []
+
+
+def test_failed_auth_upsert_settles_heading_flags(store, monkeypatch):
+    """A heading-staleness flag whose auth upsert RAISED must not haunt
+    every subsequent search until grace expiry: the commit path stamps
+    it committed (correct whether or not the CAS actually landed — see
+    commit()'s rationale), so the next replay refreshes once (a no-op
+    when the change never landed) and settles it."""
+    store.build_search_index("bib")
+    a = store.get("auth", 1)
+    a.set("150", "a", "Doomed rename", auth_control=False)
+
+    orig = MarcStore._upsert
+
+    def boom(self, record_type, new_df):
+        raise RuntimeError("injected upsert failure")
+
+    monkeypatch.setattr(MarcStore, "_upsert", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        store.commit([a], user="e", now=T1, update_attached=False)
+    monkeypatch.setattr(MarcStore, "_upsert", orig)
+
+    markers = store._dirty_markers("bib")
+    assert markers     # flag written before the failed upsert
+    # one search settles it (refresh is a no-op: headings unchanged)
+    assert store.search("bib", "650__a:header").count() == 2
+    assert store._dirty_markers("bib") == []
+    # and the failed rename is NOT searchable (it never landed)
+    assert store.search("bib", "650__a:doomed").count() == 0
