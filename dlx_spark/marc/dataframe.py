@@ -126,7 +126,10 @@ def auth_headings(auths: DataFrame) -> DataFrame:
     (+ language-variant rows per the translation-tag map).  Heading field
     = FIRST field with tag 1xx (dlx/marc/__init__.py:2048-2058).
 
-    The result is dimension-sized → always broadcast at join sites.
+    The result is dimension-sized and broadcast at join sites while
+    the auths table stays under
+    ``MarcStore.HEADINGS_BROADCAST_MAX_AUTHS`` (the per-site ``hint``
+    flag); past it the joins run unhinted and AQE picks the strategy.
     """
     heading = F.expr("filter(datafields, f -> f.tag like '1%')[0]")
     base = (

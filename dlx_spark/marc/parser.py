@@ -217,9 +217,14 @@ class SubfieldTextSearch:
                 head = F.broadcast(head)
             auth_ids = (head.join(matched_norms, "norm")
                         .select("auth_id").distinct())
+            if ctx.headings_hint:
+                # a broad term's matched-auth set is bounded by the
+                # dimension — force the semi-join broadcast only while
+                # the dimension itself is provably broadcast-sized
+                auth_ids = F.broadcast(auth_ids)
             linked = (ctx.subfield_tokens()
                       .filter(F.col("tag") == self.tag)
-                      .join(F.broadcast(auth_ids),
+                      .join(auth_ids,
                             F.col("xref") == F.col("auth_id"), "leftsemi")
                       .select("record_id").distinct())
             ids = ids.union(linked).distinct()

@@ -508,12 +508,26 @@ def query_main():
         # recorded with the executed-plan verdict so a pushdown
         # regression is visible in the JSON
         deep = max(100, n // 10)
-        t0 = time.time()
-        rows = store.search("bib", "650__a:heading", sort=["_id"],
-                            skip=deep, limit=20).collect()
-        pagination["skip_deep_page_sec"] = round(time.time() - t0, 2)
         pagination["skip_deep_offset"] = deep
-        last = int(rows[-1]["_id"])
+        t0 = time.time()
+        try:
+            rows = store.search("bib", "650__a:heading", sort=["_id"],
+                                skip=deep, limit=20).collect()
+            pagination["skip_deep_page_sec"] = round(time.time() - t0, 2)
+            last = int(rows[-1]["_id"])
+        except Exception as exc:
+            # the O(offset) cursor doesn't merely get slow at depth —
+            # at 1M records a skip=100k page EXCEEDS
+            # spark.driver.maxResultSize outright (TakeOrdered's reduce
+            # ships up to skip+limit full records per partition to the
+            # driver).  Recording the failure IS the measurement: deep
+            # offset paging cannot run at scale, keyset can.
+            pagination["skip_deep_page_sec"] = None
+            pagination["skip_deep_error"] = (
+                f"{type(exc).__name__}: {str(exc)[:200]}")
+            # synthetic ids are dense and every bib links a 650, so the
+            # deep-th matching id is ~deep — resume the cursor there
+            last = deep
         t0 = time.time()
         kpage = store.search("bib", "650__a:heading", limit=20,
                              after_id=last)
