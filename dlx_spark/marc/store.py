@@ -696,22 +696,37 @@ class MarcStore:
         in-flight grace expires (the owner is then presumed dead; an
         expired marker is swept only when the derivation covers every
         current segment, so a commit that landed after the rebuild's
-        read keeps its bridge for replay)."""
+        read keeps its bridge for replay).
+
+        A TORN marker (unparseable JSON — the object-store mid-copy
+        window) is settled by a covering rebuild: a tear means the
+        owner's atomic marker write RAISED, so the owner either never
+        reached its source CAS (write-marker tear — the marker brackets
+        nothing) or had already committed before the tear (committed-
+        stamp rewrite tear — the batch landed strictly before this
+        rebuild's derivation read and is covered by it).  The residual
+        exposure is a transient torn READ of a healthy in-flight write
+        (milliseconds) composed with that owner later crashing between
+        its CAS and its fold — accepted: keeping torn markers would
+        instead cost a WHOLESALE rebuild on every read until grace
+        expiry."""
         import json as _json
         cur = set(current_segments)
         derived = set(derived_from)
         for marker in self._markers_for(marker_name):
             base: set = set()
             payload = None
+            torn = False
             try:
                 payload = _json.loads(fsio.read_text(self.spark, marker))
                 b = payload.get("base_segments")
                 if isinstance(b, list):
                     base = set(b)
             except (ValueError, TypeError):
-                pass
+                torn = True
             gap = cur - base
-            if gap <= derived and (self._marker_payload_committed(payload)
+            if gap <= derived and (torn
+                                   or self._marker_payload_committed(payload)
                                    or self._marker_expired(marker)):
                 fsio.remove(self.spark, marker)
 
