@@ -1615,11 +1615,28 @@ class MarcStore:
                 return
         fsio.remove(self.spark, marker)
 
-    def compact(self, record_type: str) -> None:
+    def compact(self, record_type: str, minor: bool = False) -> None:
         """Fold each table's delta segments into one — the maintenance
         job any upsert-heavy layout needs (the Delta/Iceberg OPTIMIZE
         analog), also triggered inline by ``AUTO_COMPACT_AT``.  One
-        distributed rewrite per table; no rows touch the driver."""
+        distributed rewrite per table; no rows touch the driver.
+
+        ``minor=True`` folds only each merge-on-read table's DELTA
+        suffix (``compact_deltas`` — O(accumulated batches), the
+        store-sized base never rewritten): the maintenance to schedule
+        FREQUENTLY at 100 TB, where the default full fold is a rewrite
+        of the world reserved for occasional deep-cleans.  Results are
+        identical either way (tombstones survive a minor fold).  The
+        append-only history table is skipped in minor mode — its own
+        append auto-compaction bounds it."""
+        if minor:
+            self._live(record_type).compact_deltas(self.spark)
+            if self._tokens(record_type).exists(self.spark):
+                self._tokens(record_type).compact_deltas(self.spark)
+            if self._deleted_summary(record_type).exists(self.spark):
+                self._deleted_summary(record_type).compact_deltas(self.spark)
+            self._invalidate_query_contexts()
+            return
         self._live(record_type).compact(self.spark)
         if self._tokens(record_type).exists(self.spark):
             self._tokens(record_type).compact(self.spark)

@@ -75,6 +75,17 @@ class MergeOnReadTable:
     #: readers pay nothing.
     BROADCAST_MAX_DELTA_ROWS = 4_000_000
 
+    #: auto-compaction policy split (see ``compact_deltas``): while the
+    #: delta rows are at most this fraction of the base segment's rows
+    #: (AND under the broadcast gate, so reads keep the no-shuffle fast
+    #: path), the inline compaction triggered by ``upsert`` folds only
+    #: the DELTAS — O(deltas) maintenance I/O — and the store-sized
+    #: base is rewritten only once deltas actually accumulate past the
+    #: fraction.  At 100 TB this is the difference between rewriting
+    #: the store every ``auto_compact_at`` batches and rewriting it
+    #: every ~(fraction × store / batch) batches.
+    MINOR_COMPACT_MAX_DELTA_FRACTION = 0.10
+
     def __init__(self, backend: VersionedTableBackend, table: str,
                  key: str, partition_cols: list[str] | None = None,
                  auto_compact_at: int | None = 16,
@@ -95,8 +106,11 @@ class MergeOnReadTable:
         #: otherwise roll back e.g. a monotonic max-assigned-id hint a
         #: raced commit had advanced.
         self.extra_merge = extra_merge
-        #: compactions triggered inline by upsert (probe observable)
+        #: compactions triggered inline by upsert (probe observable);
+        #: ``auto_compactions_minor`` counts the subset that folded
+        #: only the delta suffix (see MINOR_COMPACT_MAX_DELTA_FRACTION)
         self.auto_compactions = 0
+        self.auto_compactions_minor = 0
         # (segments tuple) -> total delta rows, for the broadcast guard
         self._delta_rows_memo: tuple[tuple[str, ...], int] | None = None
 
@@ -206,7 +220,12 @@ class MergeOnReadTable:
         if self.auto_compact_at is not None \
                 and n_after >= self.auto_compact_at:
             self.auto_compactions += 1
-            self.compact(spark)
+            manifest = self.manifest(spark)
+            if self._should_minor_compact(spark, manifest):
+                self.auto_compactions_minor += 1
+                self.compact_deltas(spark)
+            else:
+                self.compact(spark)
 
     # ------------------------------------------------------------ read
 
@@ -299,6 +318,72 @@ class MergeOnReadTable:
         return out
 
     # ----------------------------------------------------- maintenance
+
+    def _should_minor_compact(self, spark: SparkSession,
+                              manifest: dict) -> bool:
+        """True when folding only the deltas keeps the read fast path:
+        the folded delta (upper-bounded by the footer-count of delta
+        rows — merging only shrinks) stays under the broadcast gate AND
+        under ``MINOR_COMPACT_MAX_DELTA_FRACTION`` of the base.  Above
+        either bound the table has outgrown delta-resolution and the
+        full fold is the right maintenance."""
+        if len(manifest["segments"]) <= 2:
+            return False
+        d = self._delta_rows(spark, manifest)
+        if d > self.BROADCAST_MAX_DELTA_ROWS:
+            return False
+        base = self.backend.segment_df(spark, manifest, 0).count()
+        return d <= max(1, int(base * self.MINOR_COMPACT_MAX_DELTA_FRACTION))
+
+    def compact_deltas(self, spark: SparkSession) -> int:
+        """MINOR compaction: fold the delta segments (everything past
+        base segment 0) into ONE merged delta, leaving the base
+        untouched — O(deltas) I/O, the scheduled-maintenance path for
+        store-sized tables where ``compact()``'s full fold is a rewrite
+        of the world.  Latest-mention precedence is applied AMONG the
+        deltas (per key, the highest delta's rows win); tombstones
+        SURVIVE the merge, since they still shadow base rows — so reads,
+        crash-replay over ``read_segments_since``, and a later full
+        ``compact()`` all see exactly the same resolved content, with
+        segment-list length back to 2.
+
+        Returns the number of delta segments folded (0 when there is
+        at most one delta, or when a raced full rewrite replaced the
+        segment list — the backend aborts suffix surgery on a replaced
+        list and the raced rewrite already did the maintenance)."""
+        try:
+            manifest = self.manifest(spark)
+        except FileNotFoundError:
+            return 0
+        token = list(manifest["segments"])
+        if len(token) <= 2:
+            return 0
+        merged = self._conform(self._merged_deltas(spark, manifest),
+                               self._schema(manifest))
+        ok = self.backend.replace_segment_suffix(merged, self.table,
+                                                 token, keep=1)
+        if ok:
+            self._delta_rows_memo = None
+        return len(token) - 1 if ok else 0
+
+    def _merged_deltas(self, spark: SparkSession,
+                       manifest: dict) -> DataFrame:
+        """The delta segments collapsed to each key's winning mention
+        (highest segment wins; that segment's rows — real AND tombstone
+        — are kept verbatim).  Internal ``_mor_deleted`` retained."""
+        segs = manifest["segments"]
+        deltas = None
+        for i in range(1, len(segs)):
+            part = (self.backend.segment_df(spark, manifest, i)
+                    .withColumn(_SEG, F.lit(i)))
+            deltas = part if deltas is None else deltas.unionByName(part)
+        latest = deltas.groupBy(self.key).agg(F.max(_SEG).alias(_LS))
+        if self._delta_rows(spark, manifest) \
+                <= self.BROADCAST_MAX_DELTA_ROWS:
+            latest = F.broadcast(latest)
+        return (deltas.join(latest, self.key)
+                .filter(F.col(_SEG) == F.col(_LS))
+                .drop(_SEG, _LS))
 
     def compact(self, spark: SparkSession) -> int:
         """Fold the resolved table into one segment (precedence applied

@@ -766,6 +766,67 @@ class VersionedTableBackend(ParquetTableBackend):
         self.replace(spark, table, staged, token=token, on_conflict="merge")
         return len(token)
 
+    def replace_segment_suffix(self, df: DataFrame, table: str,
+                               token: list[str], keep: int) -> bool:
+        """Fold ``token[keep:]`` into ONE fresh segment holding ``df``
+        — the MINOR-compaction primitive: the committed segment list
+        becomes ``token[:keep] + [new_seg] + gained``, where ``gained``
+        is whatever the head appended past ``token`` (carried in
+        order, so raced batches keep their precedence over the folded
+        content, exactly like ``replace(on_conflict="merge")``).  The
+        prefix — at 100 TB the store-sized base a merge-on-read table
+        never wants to rewrite — is referenced by id, NOT restaged:
+        this commit's I/O is O(folded suffix).
+
+        Aborts (returns False, nothing committed, the orphan segment
+        removed best-effort) when the head's list no longer STARTS
+        WITH ``token``: something REPLACED the list (a full
+        ``compact_segments``/``replace``/``restore_version``), and
+        suffix surgery derived from the superseded list could
+        resurrect rows the replacement folded away.  The caller simply
+        retries from a fresh snapshot — or skips, since the raced
+        replacement already did the maintenance.
+
+        ``token`` must be the segment list of the very manifest ``df``
+        was derived from (same rule as ``compact_segments``); layout
+        metadata (key / buckets / schema / partition_cols / extra) is
+        taken from the HEAD at commit time — this is a data-layout
+        operation that never changes table geometry or metadata."""
+        if not 0 <= keep < len(token):
+            raise ValueError(f"keep must be in [0, {len(token)}), "
+                             f"got {keep}")
+        spark = df.sparkSession
+        _, manifest = self._latest(spark, table)
+        seg = self._write_segment(spark, df, manifest.get("key"),
+                                  manifest.get("n_buckets"),
+                                  manifest.get("partition_cols"),
+                                  seg_prefix=table)
+
+        def payload(latest):
+            head = list(latest["segments"]) if latest else []
+            if head[:len(token)] != token:
+                raise ConcurrentWriteError(
+                    f"replace_segment_suffix({table}): the segment list "
+                    f"was replaced (not appended to) after the caller's "
+                    f"snapshot — re-derive the fold and retry")
+            doc = {k: latest[k] for k in
+                   ("segments", "key", "n_buckets", "schema")}
+            for opt in ("partition_cols", "extra"):
+                if opt in latest:
+                    doc[opt] = latest[opt]
+            doc["segments"] = token[:keep] + [seg] + head[len(token):]
+            return doc
+
+        try:
+            self._commit(spark, table, payload)
+            return True
+        except ConcurrentWriteError:
+            try:
+                fsio.rmtree(spark, self._data_dir(spark, seg))
+            except Exception:   # pragma: no cover - best-effort cleanup
+                pass            # vacuum reclaims unreferenced segments
+            return False
+
     def vacuum(self, spark: SparkSession, keep_last: int = 1,
                min_age_seconds: float = 3600.0) -> list[str]:
         """Reclaim space: retain only the last ``keep_last`` committed

@@ -276,6 +276,37 @@ def test_compact_folds_segments(spark, tmp_path):
     assert store.history_df("bib").count() == 24
 
 
+def test_compact_minor_folds_deltas_only(spark, tmp_path):
+    """``compact(minor=True)``: the live table's delta segments fold
+    into one merged delta while the base segment survives by id —
+    O(batches) maintenance, never a rewrite of the store — with search,
+    point reads, and deletions (tombstones survive the fold) intact."""
+    from dlx_spark.marc.record import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    store = MarcStore(spark, str(tmp_path / "wh_minor"))
+    for wave in range(3):
+        recs = [Bib({"245": [{"indicators": [" ", " "],
+                              "subfields": [{"code": "a",
+                                             "value": f"w{wave} r{i}"}]}]})
+                for i in range(8)]
+        store.commit(recs, auth_check=False)
+    store.delete("bib", 1, user="gc")
+    base_seg = store._live("bib").segments(spark)[0]
+    assert len(store._live("bib").segments(spark)) >= 4
+    n_before = store.bibs().count()
+    store.compact("bib", minor=True)
+    segs = store._live("bib").segments(spark)
+    assert len(segs) == 2 and segs[0] == base_seg
+    assert store.bibs().count() == n_before == 23
+    assert store.get("bib", 1) is None             # tombstone survived
+    assert store.get("bib", 2).get_value("245", "a") == "w0 r1"
+    # a later full fold still resolves to the same store
+    store.compact("bib")
+    assert len(store._live("bib").segments(spark)) == 1
+    assert store.bibs().count() == 23
+
+
 def test_commit_frame_distributed_auth_check(spark, tmp_path, auth_docs):
     """commit_frame's join-based auth validation: a frame with an xref
     that no auth satisfies must raise InvalidAuthXref; valid xrefs pass

@@ -261,3 +261,118 @@ def test_extra_merge_applies_on_appends(spark, be):
     t.overwrite(_rows(spark, [(1, "a")]), extra={"n_buckets": 4})
     t.upsert(rows=_rows(spark, [(2, "b")]), extra={"watermark": 7})
     assert t.meta(spark) == {"n_buckets": 4, "watermark": 7}
+
+
+# ---------------------------------------------------- minor compaction
+
+def _file_set(spark, be):
+    data_dir = fsio.join(be.root(spark), "data")
+    out = set()
+    for seg in fsio.listdir(spark, data_dir):
+        for leaf in fsio.glob(spark, fsio.join(data_dir, seg, "pt=*/*")):
+            out.add(leaf)
+    return out
+
+
+def test_compact_deltas_folds_suffix_base_untouched(spark, be):
+    """Minor compaction: deltas (upserts, tombstones, multi-row keys)
+    collapse to ONE merged segment, the base segment is referenced by
+    id — no base file rewritten — and the resolved content is
+    byte-identical.  Tombstones survive the fold (a later full compact
+    and reads both still see the deletion)."""
+    t = MergeOnReadTable(be, "mc1", key="k", partition_cols=["pt"],
+                         auto_compact_at=None)
+    t.overwrite(_rows(spark, [(i, f"v{i}") for i in range(64)]))
+    base_seg = t.segments(spark)[0]
+    base_files = _file_set(spark, be)
+    t.upsert(rows=_rows(spark, [(1, "V1"), (100, "new")]))
+    t.upsert(tombstone_keys=_rows(spark, [(2, None)]).select("k", "pt"))
+    # multi-row key replaces its row set across two delta generations
+    t.upsert(rows=_rows(spark, [(3, "x"), (3, "y")]),
+             tombstone_keys=_rows(spark, [(3, None)]).select("k", "pt"))
+    t.upsert(rows=_rows(spark, [(1, "V2")]))       # later delta wins
+    want = _read_sorted(t, spark)
+    assert (1, "V2") in want and (2, "v2") not in want
+
+    assert t.compact_deltas(spark) == 4
+    assert t.segments(spark) == [base_seg, t.segments(spark)[1]]
+    assert len(t.segments(spark)) == 2
+    assert base_files <= _file_set(spark, be)      # base never rewritten
+    assert _read_sorted(t, spark) == want
+    # the fold is idempotent maintenance: nothing left to fold
+    assert t.compact_deltas(spark) == 0
+    # and a later FULL fold still resolves identically
+    assert t.compact(spark) == 2
+    assert _read_sorted(t, spark) == want
+
+
+def test_compact_deltas_carries_raced_appends(spark, be):
+    """A batch that lands between the fold's snapshot and its commit is
+    carried AFTER the merged delta, so its precedence is preserved."""
+    t = MergeOnReadTable(be, "mc2", key="k", partition_cols=["pt"],
+                         auto_compact_at=None)
+    t.overwrite(_rows(spark, [(1, "a"), (2, "b")]))
+    t.upsert(rows=_rows(spark, [(1, "d1")]))
+    t.upsert(rows=_rows(spark, [(2, "d2")]))
+    stale = t.manifest(spark)
+    token = list(stale["segments"])
+    merged = t._conform(t._merged_deltas(spark, stale), t._schema(stale))
+    # the race: another writer updates key 1 past the fold's snapshot
+    t.upsert(rows=_rows(spark, [(1, "RACED")]))
+    assert t.backend.replace_segment_suffix(merged, "mc2", token, keep=1)
+    assert len(t.segments(spark)) == 3             # base, merged, raced
+    assert _read_sorted(t, spark) == [(1, "RACED"), (2, "d2")]
+
+
+def test_compact_deltas_aborts_on_replaced_list(spark, be):
+    """A raced FULL rewrite (compact/rebucket) replaces the segment
+    list; suffix surgery derived from the superseded list must abort
+    without committing."""
+    t = MergeOnReadTable(be, "mc3", key="k", partition_cols=["pt"],
+                         auto_compact_at=None)
+    t.overwrite(_rows(spark, [(1, "a"), (2, "b")]))
+    t.upsert(rows=_rows(spark, [(1, "A")]))
+    t.upsert(rows=_rows(spark, [(3, "c")]))
+    stale = t.manifest(spark)
+    token = list(stale["segments"])
+    merged = t._conform(t._merged_deltas(spark, stale), t._schema(stale))
+    assert t.compact(spark) == 3                   # the raced full fold
+    want = _read_sorted(t, spark)
+    assert not t.backend.replace_segment_suffix(merged, "mc3", token,
+                                                keep=1)
+    assert len(t.segments(spark)) == 1             # nothing committed
+    assert _read_sorted(t, spark) == want
+    # compact_deltas itself reports 0 via the same abort
+    assert t.compact_deltas(spark) == 0
+
+
+def test_auto_compact_prefers_minor_on_large_base(spark, be):
+    """The upsert-triggered compaction folds only the deltas while they
+    are a small fraction of the base — the base segment survives the
+    whole run unrewritten (O(batch) maintenance, not O(store))."""
+    t = MergeOnReadTable(be, "mc4", key="k", partition_cols=["pt"],
+                         auto_compact_at=3)
+    t.overwrite(_rows(spark, [(i, f"v{i}") for i in range(500)]))
+    base_seg = t.segments(spark)[0]
+    for i in range(6):
+        t.upsert(rows=_rows(spark, [(i, f"up{i}")]))
+    assert t.auto_compactions_minor >= 1
+    assert t.segments(spark)[0] == base_seg        # base never refolded
+    assert len(t.segments(spark)) <= 3
+    got = dict(_read_sorted(t, spark))
+    assert all(got[i] == f"up{i}" for i in range(6))
+    assert got[499] == "v499"
+
+
+def test_auto_compact_falls_back_to_full_when_deltas_large(spark, be):
+    """Deltas past MINOR_COMPACT_MAX_DELTA_FRACTION of the base make
+    the trigger do the full fold (delta-resolution has outgrown the
+    fast path)."""
+    t = MergeOnReadTable(be, "mc5", key="k", partition_cols=["pt"],
+                         auto_compact_at=3)
+    t.overwrite(_rows(spark, [(1, "a")]))
+    for i in range(4):
+        t.upsert(rows=_rows(spark, [(10 + i, f"n{i}")]))
+    assert t.auto_compactions >= 1
+    assert t.auto_compactions_minor == 0
+    assert len(t.segments(spark)) <= 2

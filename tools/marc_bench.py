@@ -226,8 +226,19 @@ def store_main():
         assert hinted == max(scan_live, scan_hist), (hinted, scan_live,
                                                      scan_hist)
 
-        # the amortized maintenance cost the O(batch) commits defer:
-        # fold the delta segments, then show the point read again
+        # the amortized maintenance cost the O(batch) commits defer.
+        # First the MINOR fold (compact_deltas: merge the accumulated
+        # batch deltas into one, base segment untouched) — O(batches)
+        # and must stay flat as the store grows; then the full fold,
+        # the occasional O(store) deep-clean
+        t0 = time.time()
+        store.compact("bib", minor=True)
+        timings["compact_bib_minor"] = round(time.time() - t0, 2)
+        assert len(store._live("bib").segments(spark)) == 2
+        t0 = time.time()
+        assert store.get("bib", n // 4) is not None
+        timings["point_read_get_after_minor_compact"] = round(
+            time.time() - t0, 2)
         t0 = time.time()
         store.compact("bib")
         timings["compact_bib"] = round(time.time() - t0, 2)
