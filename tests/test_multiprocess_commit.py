@@ -570,14 +570,22 @@ print("WORKER_IDS=" + ",".join(str(i) for i in sorted(ids)), flush=True)
 """
 
 
-def test_maintenance_races_concurrent_commits(spark, tmp_path):
+@pytest.mark.parametrize("minor", [False, True],
+                         ids=["full_compact", "minor_compact"])
+def test_maintenance_races_concurrent_commits(spark, tmp_path, minor):
     """Store-level maintenance (compact + retention-guarded vacuum)
     composed with a concurrent writer across two OS processes (r11,
     VERDICT task 7): the backend's snapshot-token merge must carry
     every raced append through each compaction, the vacuum horizon
     must never reclaim the writer's in-flight state, and every read
     surface (live, search index, deleted summary, history) must be
-    intact afterwards with no pending markers or CAS claims."""
+    intact afterwards with no pending markers or CAS claims.
+
+    Parametrized over the maintenance mode: the MINOR fold
+    (compact_deltas — suffix-only surgery, base untouched) must uphold
+    the same invariants under the same contention, including aborting
+    cleanly when a raced append invalidates nothing but a raced full
+    rewrite would."""
     from dlx_spark.fsio import ExternalCASScheme, FileExternalCAS
     from dlx_spark.marc.record import Bib
     from dlx_spark.marc.store import MarcStore
@@ -619,7 +627,7 @@ def test_maintenance_races_concurrent_commits(spark, tmp_path):
             # retention-guarded vacuum (the 1h horizon must leave the
             # writer's young segments and in-flight markers alone)
             for _ in range(3):
-                store.compact("bib")
+                store.compact("bib", minor=minor)
             store.vacuum()
             out, _ = proc.communicate(timeout=300)
             assert proc.returncode == 0, f"worker failed:\n{out[-3000:]}"
