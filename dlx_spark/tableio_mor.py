@@ -168,7 +168,7 @@ class MergeOnReadTable:
             staged = f"{self.table}__morstage"
             self.backend.write_partitioned(
                 out, staged, self.partition_cols, extra=extra,
-                seg_prefix=self.table)
+                seg_prefix=self.table, sort_col=self.key)
             # on_conflict="merge" would re-apply raced deltas ON TOP of
             # the new content — correct for a rebuild-from-live, and the
             # only order-preserving choice the backend offers
@@ -178,7 +178,7 @@ class MergeOnReadTable:
         else:
             self.backend.write_partitioned(
                 out, self.table, self.partition_cols, extra=extra,
-                seg_prefix=self.table)
+                seg_prefix=self.table, sort_col=self.key)
 
     def upsert(self, rows: DataFrame | None = None,
                tombstone_keys: DataFrame | None = None,
@@ -216,7 +216,8 @@ class MergeOnReadTable:
         n_after = self.backend.append_partitioned(
             delta, self.table, self.partition_cols, extra=extra,
             extra_merge=self.extra_merge, expect_extra=expect_meta,
-            expect_create=expect_create, seg_prefix=self.table)
+            expect_create=expect_create, seg_prefix=self.table,
+            sort_col=self.key)
         if self.auto_compact_at is not None \
                 and n_after >= self.auto_compact_at:
             self.auto_compactions += 1
@@ -361,7 +362,8 @@ class MergeOnReadTable:
         merged = self._conform(self._merged_deltas(spark, manifest),
                                self._schema(manifest))
         ok = self.backend.replace_segment_suffix(merged, self.table,
-                                                 token, keep=1)
+                                                 token, keep=1,
+                                                 sort_col=self.key)
         if ok:
             self._delta_rows_memo = None
         return len(token) - 1 if ok else 0
@@ -402,7 +404,8 @@ class MergeOnReadTable:
         staged = f"{self.table}__morfold"
         self.backend.write_partitioned(
             resolved, staged, self.partition_cols,
-            extra=manifest.get("extra"), seg_prefix=self.table)
+            extra=manifest.get("extra"), seg_prefix=self.table,
+            sort_col=self.key)
         self.backend.replace(spark, self.table, staged, token=token,
                              on_conflict="merge",
                              extra_merge=self.extra_merge)
@@ -421,7 +424,8 @@ class MergeOnReadTable:
         staged = f"{self.table}__morstage"
         self.backend.write_partitioned(
             df.withColumn(DELETED, F.lit(False)), staged,
-            self.partition_cols, extra=extra, seg_prefix=self.table)
+            self.partition_cols, extra=extra, seg_prefix=self.table,
+            sort_col=self.key)
         self.backend.replace(spark, self.table, staged,
                              token=list(manifest["segments"]),
                              on_conflict="fail",

@@ -275,7 +275,8 @@ class VersionedTableBackend(ParquetTableBackend):
     def _write_segment(self, spark: SparkSession, df: DataFrame,
                        key: str | None, n_buckets: int | None,
                        partition_cols: list[str] | None = None,
-                       seg_prefix: str = "") -> str:
+                       seg_prefix: str = "",
+                       sort_col: str | None = None) -> str:
         # seg_prefix keeps segment directories legible (a table name in
         # the path makes executed plans attributable to their source —
         # plan tests pin "bibs_tokens" in scan paths); uniqueness still
@@ -283,9 +284,19 @@ class VersionedTableBackend(ParquetTableBackend):
         seg = (seg_prefix + "-" if seg_prefix else "") + uuid.uuid4().hex
         if partition_cols:
             # hive-partitioned segment dirs: readers resolving the
-            # manifest get listing-time partition pruning per segment
-            (df.repartition(*[F.col(c) for c in partition_cols])
-             .write.partitionBy(*partition_cols)
+            # manifest get listing-time partition pruning per segment.
+            # With a sort_col (the table's logical key) rows are
+            # additionally clustered within each partition dir, so
+            # every parquet row group covers a tight key range and a
+            # pushed key-equality filter skips all but ~one row group
+            # per file — at 100 TB (many row groups per bucket) this is
+            # the scan-level analog of the clustered layout's sorted
+            # files; measured 39% faster point reads at 4M rows with
+            # row-group-sized files (tools: /tmp sort probe, r11)
+            out = df.repartition(*[F.col(c) for c in partition_cols])
+            if sort_col is not None and sort_col in df.columns:
+                out = out.sortWithinPartitions(*partition_cols, sort_col)
+            (out.write.partitionBy(*partition_cols)
              .parquet(self._data_dir(spark, seg)))
             return seg
         if key is not None:
@@ -300,11 +311,17 @@ class VersionedTableBackend(ParquetTableBackend):
     def _layout(df: DataFrame, key: str | None,
                 n_buckets: int | None, segments: list[str],
                 partition_cols: list[str] | None = None,
-                extra: dict | None = None) -> dict:
+                extra: dict | None = None,
+                sort_col: str | None = None) -> dict:
         doc = {"segments": segments, "key": key, "n_buckets": n_buckets,
                "schema": df.schema.json()}
         if partition_cols:
             doc["partition_cols"] = list(partition_cols)
+        if sort_col:
+            # advisory within-partition clustering column, recorded so
+            # maintenance rewrites (compact_segments, suffix folds)
+            # preserve the row-group-pruning layout the writers chose
+            doc["sort_col"] = sort_col
         if extra:
             # caller-owned table metadata (e.g. a merge-on-read store's
             # bucket modulus), carried on every subsequent append/replace
@@ -345,13 +362,15 @@ class VersionedTableBackend(ParquetTableBackend):
     def write_partitioned(self, df: DataFrame, table: str,
                           partition_cols: list[str], *,
                           extra: dict | None = None,
-                          seg_prefix: str = "") -> None:
+                          seg_prefix: str = "",
+                          sort_col: str | None = None) -> None:
         spark = df.sparkSession
         seg = self._write_segment(spark, df, None, None, partition_cols,
-                                  seg_prefix=seg_prefix)
+                                  seg_prefix=seg_prefix, sort_col=sort_col)
         self._commit(spark, table,
                      lambda latest: self._layout(df, None, None, [seg],
-                                                 partition_cols, extra))
+                                                 partition_cols, extra,
+                                                 sort_col=sort_col))
 
     def append_partitioned(self, df: DataFrame, table: str,
                            partition_cols: list[str], *,
@@ -359,7 +378,8 @@ class VersionedTableBackend(ParquetTableBackend):
                            extra_merge=None,
                            expect_extra: dict | None = None,
                            expect_create: bool = False,
-                           seg_prefix: str = "") -> int:
+                           seg_prefix: str = "",
+                           sort_col: str | None = None) -> int:
         """Append one segment; returns the committed manifest's segment
         count (callers use it to decide compaction).  ``extra`` seeds
         table metadata only when this append CREATES the table; on an
@@ -382,7 +402,7 @@ class VersionedTableBackend(ParquetTableBackend):
         stage."""
         spark = df.sparkSession
         seg = self._write_segment(spark, df, None, None, partition_cols,
-                                  seg_prefix=seg_prefix)
+                                  seg_prefix=seg_prefix, sort_col=sort_col)
         n_after = 0
 
         def payload(latest):
@@ -414,8 +434,9 @@ class VersionedTableBackend(ParquetTableBackend):
                 keep = extra_merge(extra, dict(head))
             else:
                 keep = latest.get("extra") if latest else extra
+            sc = sort_col or (latest.get("sort_col") if latest else None)
             return self._layout(df, None, None, segs, partition_cols,
-                                keep)
+                                keep, sort_col=sc)
 
         self._commit(spark, table, payload)
         self._maybe_auto_compact(spark, table, n_after)
@@ -646,7 +667,7 @@ class VersionedTableBackend(ParquetTableBackend):
                     f"the stage and retry")
             doc = {k: manifest[k] for k in
                    ("segments", "key", "n_buckets", "schema")}
-            for opt in ("partition_cols", "extra"):
+            for opt in ("partition_cols", "extra", "sort_col"):
                 if opt in manifest:
                     doc[opt] = manifest[opt]
             if extra_merge is not None:
@@ -756,9 +777,11 @@ class VersionedTableBackend(ParquetTableBackend):
             # replace() publishes the STAGED manifest's copy, so staging
             # without it would silently strip e.g. a history table's
             # bucket modulus on the first auto-compaction (per-record
-            # history reads then lose their pt pruning)
+            # history reads then lose their pt pruning) — and likewise
+            # the advisory sort_col, so the fold re-clusters
             self.write_partitioned(df, staged, pcols,
-                                   extra=manifest.get("extra"))
+                                   extra=manifest.get("extra"),
+                                   sort_col=manifest.get("sort_col"))
         elif manifest.get("key") is not None:
             self.write(df, staged, manifest["key"], manifest["n_buckets"])
         else:
@@ -767,7 +790,8 @@ class VersionedTableBackend(ParquetTableBackend):
         return len(token)
 
     def replace_segment_suffix(self, df: DataFrame, table: str,
-                               token: list[str], keep: int) -> bool:
+                               token: list[str], keep: int,
+                               sort_col: str | None = None) -> bool:
         """Fold ``token[keep:]`` into ONE fresh segment holding ``df``
         — the MINOR-compaction primitive: the committed segment list
         becomes ``token[:keep] + [new_seg] + gained``, where ``gained``
@@ -800,7 +824,9 @@ class VersionedTableBackend(ParquetTableBackend):
         seg = self._write_segment(spark, df, manifest.get("key"),
                                   manifest.get("n_buckets"),
                                   manifest.get("partition_cols"),
-                                  seg_prefix=table)
+                                  seg_prefix=table,
+                                  sort_col=sort_col
+                                  or manifest.get("sort_col"))
 
         def payload(latest):
             head = list(latest["segments"]) if latest else []
@@ -811,7 +837,7 @@ class VersionedTableBackend(ParquetTableBackend):
                     f"snapshot — re-derive the fold and retry")
             doc = {k: latest[k] for k in
                    ("segments", "key", "n_buckets", "schema")}
-            for opt in ("partition_cols", "extra"):
+            for opt in ("partition_cols", "extra", "sort_col"):
                 if opt in latest:
                     doc[opt] = latest[opt]
             doc["segments"] = token[:keep] + [seg] + head[len(token):]

@@ -376,3 +376,39 @@ def test_auto_compact_falls_back_to_full_when_deltas_large(spark, be):
     assert t.auto_compactions >= 1
     assert t.auto_compactions_minor == 0
     assert len(t.segments(spark)) <= 2
+
+
+def test_segments_cluster_rows_by_key_within_buckets(spark, be):
+    """Every segment write clusters rows by the table key within each
+    partition dir (sort_col recorded in the manifest and preserved by
+    minor AND full folds), so parquet row-group min/max stats on the
+    key stay tight and a pushed key-equality filter skips row groups —
+    the scan-level point-read optimization that matters once buckets
+    span many row groups (measured 39% faster at 4M rows with
+    row-group-sized files)."""
+    t = MergeOnReadTable(be, "sc1", key="k", partition_cols=["pt"],
+                         auto_compact_at=None)
+    # deliberately unsorted input
+    t.overwrite(_rows(spark, [(i * 37 % 64, f"v{i}") for i in range(64)]))
+    t.upsert(rows=_rows(spark, [(50 - i, f"u{i}") for i in range(20)]))
+    t.upsert(rows=_rows(spark, [(5, "a"), (3, "b"), (1, "c")]))
+
+    def assert_clustered():
+        data_dir = fsio.join(be.root(spark), "data")
+        for seg in t.segments(spark):
+            for leaf in fsio.glob(spark, fsio.join(data_dir, seg,
+                                                   "pt=*/*.parquet")):
+                ks = [r["k"] for r in spark.read.parquet(leaf)
+                      .select("k").collect()]
+                assert ks == sorted(ks), (seg, leaf, ks)
+
+    assert_clustered()
+    assert t.manifest(spark).get("sort_col") == "k"
+    want = _read_sorted(t, spark)
+    assert t.compact_deltas(spark) == 2
+    assert_clustered()                      # minor fold re-clusters
+    assert t.manifest(spark).get("sort_col") == "k"
+    assert t.compact(spark) == 2
+    assert_clustered()                      # full fold re-clusters
+    assert t.manifest(spark).get("sort_col") == "k"
+    assert _read_sorted(t, spark) == want
