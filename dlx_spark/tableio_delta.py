@@ -352,3 +352,10 @@ class DeltaMergeTable:
     def compact(self, spark: SparkSession) -> int:
         self.backend.optimize(spark, self.table)
         return 0
+
+    def compact_deltas(self, spark: SparkSession) -> int:
+        """Minor-compaction contract point (MergeOnReadTable's tiered
+        fold).  Delta's OPTIMIZE is already incremental — it bin-packs
+        small files without rewriting compacted ones — so the minor and
+        full folds are the same operation here."""
+        return self.compact(spark)

@@ -285,3 +285,21 @@ def test_mor_contract_compact_preserves_content(spark, mor):
     assert _kv_sorted(t, spark) == before
     assert before == [(0, "u0"), (1, "u1"), (2, "u2"),
                       (3, "v3"), (4, "v4")]
+
+
+def test_mor_contract_minor_compact_preserves_content(spark, mor):
+    """The tiered fold (compact_deltas) resolves identically to the
+    full fold — including a tombstoned key staying dead through it —
+    and composes with a later full compact."""
+    t = mor("mc_minor", "k", ["pt"])
+    t.overwrite(_kv(spark, [(i, f"v{i}") for i in range(5)]))
+    t.upsert(rows=_kv(spark, [(0, "u0")]), tombstone_keys=_kv(spark, [(0, "")]))
+    t.upsert(tombstone_keys=_kv(spark, [(3, "")]))
+    t.upsert(rows=_kv(spark, [(9, "new")]))
+    before = _kv_sorted(t, spark)
+    t.compact_deltas(spark)
+    assert _kv_sorted(t, spark) == before
+    assert before == [(0, "u0"), (1, "v1"), (2, "v2"), (4, "v4"),
+                      (9, "new")]
+    t.compact(spark)
+    assert _kv_sorted(t, spark) == before
