@@ -112,8 +112,11 @@ class VersionedTableBackend(ParquetTableBackend):
             raise ValueError("auto_compact_at must be >= 2 (a 1-segment "
                              "table is already compact)")
         self.auto_compact_at = auto_compact_at
-        #: auto-compactions run (observable for the scale probe)
+        #: auto-compactions run (observable for the scale probe);
+        #: ``_minor`` counts the subset that folded only the appended
+        #: suffix (see MINOR_COMPACT_MAX_SUFFIX_FRACTION)
         self.auto_compactions = 0
+        self.auto_compactions_minor = 0
 
     # ---------------------------------------------------------- paths
 
@@ -442,6 +445,16 @@ class VersionedTableBackend(ParquetTableBackend):
         self._maybe_auto_compact(spark, table, n_after)
         return n_after
 
+    #: auto-compaction policy split (mirror of MergeOnReadTable's —
+    #: see tableio_mor.MINOR_COMPACT_MAX_DELTA_FRACTION): while the
+    #: appended-suffix rows are at most this fraction of segment 0,
+    #: the inline fold is SUFFIX-ONLY (compact_segment_suffix —
+    #: O(appended batches), the base never read or rewritten).  For
+    #: an append-only table that keeps growing (the store's history
+    #: log), this makes steady maintenance O(recent batches) instead
+    #: of a full-log rewrite every ``auto_compact_at`` appends.
+    MINOR_COMPACT_MAX_SUFFIX_FRACTION = 0.10
+
     def _maybe_auto_compact(self, spark: SparkSession, table: str,
                             n_segments: int) -> None:
         """The OPTIMIZE auto-trigger: when an append's committed
@@ -468,7 +481,55 @@ class VersionedTableBackend(ParquetTableBackend):
         if self.auto_compact_at is None or n_segments < self.auto_compact_at:
             return
         self.auto_compactions += 1
-        self.compact_segments(spark, table)
+        if self._should_minor_compact(spark, table):
+            self.auto_compactions_minor += 1
+            self.compact_segment_suffix(spark, table)
+        else:
+            self.compact_segments(spark, table)
+
+    def _should_minor_compact(self, spark: SparkSession,
+                              table: str) -> bool:
+        """True when the appended suffix is small relative to segment 0
+        (footer-only zero-column counts — cheap) so a suffix fold keeps
+        maintenance O(suffix); tiny or rewrite-heavy tables stay on the
+        full fold, which also merges the base's small files."""
+        try:
+            _, manifest = self._latest(spark, table)
+        except FileNotFoundError:
+            return False
+        segs = manifest["segments"]
+        if len(segs) <= 2:
+            return False
+        base = self.segment_df(spark, manifest, 0).count()
+        suffix = sum(self.segment_df(spark, manifest, i).count()
+                     for i in range(1, len(segs)))
+        return suffix <= base * self.MINOR_COMPACT_MAX_SUFFIX_FRACTION
+
+    def compact_segment_suffix(self, spark: SparkSession, table: str,
+                               keep: int = 1) -> int:
+        """Fold ``segments[keep:]`` into ONE segment, leaving the
+        prefix untouched — the MINOR-compaction analog for plain and
+        partitioned append tables, whose reads union segments with no
+        precedence semantics (so the fold is a pure concatenation and
+        content-preserving by construction).  O(folded suffix) I/O;
+        bounds scan-root amplification exactly like the full
+        ``compact_segments`` while never rewriting the table-sized
+        base.  Returns the number of segments folded (0 when there is
+        nothing to fold or a raced full rewrite replaced the list —
+        the abort leaves the raced rewrite's result standing)."""
+        try:
+            _, manifest = self._latest(spark, table)
+        except FileNotFoundError:
+            return 0
+        token = list(manifest["segments"])
+        if len(token) - keep <= 1:
+            return 0
+        df = None
+        for i in range(keep, len(token)):
+            part = self.segment_df(spark, manifest, i)
+            df = part if df is None else df.unionByName(part)
+        ok = self.replace_segment_suffix(df, table, token, keep)
+        return len(token) - keep if ok else 0
 
     def update_extra(self, spark: SparkSession, table: str, fn) -> dict:
         """Metadata-only commit: publish a new version of ``table``

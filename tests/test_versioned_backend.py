@@ -790,3 +790,51 @@ def test_compact_segments_preserves_extra_metadata(spark, tmp_path):
     assert be.compact_segments(spark, "t") == 2
     assert (be.latest_manifest(spark, "t").get("extra") or {}) \
         == {"n_buckets": 4}
+
+
+def test_auto_compact_prefers_suffix_fold_on_large_base(spark, be):
+    """An append-heavy table whose base dwarfs its recent appends (the
+    history-log shape) must auto-maintain by folding ONLY the appended
+    suffix — segment 0 survives by id, never read or rewritten — while
+    keeping the same segment-count bound and content."""
+    ab = VersionedTableBackend(root=be._root, auto_compact_at=3)
+    ab.write_partitioned(
+        _df(spark, [(i, f"base {i}") for i in range(400)],
+            "id long, part string").withColumn(
+            "part", (F.col("id") % 2).cast("string")),
+        "t_sfx", ["part"], sort_col="id")
+    base_seg = ab.snapshot_token(spark, "t_sfx")[0]
+    for i in range(400, 408):
+        ab.append_partitioned(
+            _df(spark, [(i, "a")], "id long, part string"),
+            "t_sfx", ["part"], sort_col="id")
+        assert len(ab.snapshot_token(spark, "t_sfx")) <= 3
+    assert ab.auto_compactions_minor >= 2
+    assert ab.snapshot_token(spark, "t_sfx")[0] == base_seg
+    assert sorted(r["id"] for r in ab.read(spark, "t_sfx").collect()) \
+        == list(range(408))
+    # manifest still carries the advisory sort through suffix folds
+    manifest = ab._read_manifest(spark, "t_sfx",
+                                 ab.versions(spark, "t_sfx")[-1])
+    assert manifest.get("sort_col") == "id"
+    # the manual suffix fold squeezes the remainder to base + 1
+    folded = ab.compact_segment_suffix(spark, "t_sfx")
+    assert folded >= 0 and len(ab.snapshot_token(spark, "t_sfx")) <= 2
+    assert ab.snapshot_token(spark, "t_sfx")[0] == base_seg
+
+
+def test_compact_segment_suffix_aborts_on_replaced_list(spark, be):
+    """A raced full rewrite invalidates suffix surgery: the fold must
+    abort, leaving the rewrite's result standing."""
+    be.write_plain(_df(spark, [(1, "a")]), "t_sfx_race")
+    be.append(_df(spark, [(2, "b")]), "t_sfx_race", "id", 2)
+    be.append(_df(spark, [(3, "c")]), "t_sfx_race", "id", 2)
+    _, manifest = be._latest(spark, "t_sfx_race")
+    token = list(manifest["segments"])
+    df = be.segment_df(spark, manifest, 1).unionByName(
+        be.segment_df(spark, manifest, 2))
+    be.compact_segments(spark, "t_sfx_race")       # the raced rewrite
+    assert not be.replace_segment_suffix(df, "t_sfx_race", token, keep=1)
+    assert len(be.snapshot_token(spark, "t_sfx_race")) == 1
+    assert sorted(r["id"] for r in
+                  be.read(spark, "t_sfx_race").collect()) == [1, 2, 3]
