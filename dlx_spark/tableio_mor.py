@@ -19,11 +19,18 @@ precedence) using only that backend's primitives:
   broadcast) set of keys the delta segments mention.  Later segments
   are batch-sized by construction, so their latest-mention resolution
   shuffles only deltas.
-- **``compact()`` folds the resolved table into one fresh segment**
-  via the backend's snapshot-token ``replace(on_conflict="merge")``:
-  appends racing the fold are carried as still-unfolded deltas, with
-  precedence preserved.  ``auto_compact_at`` bounds how many delta
-  segments a read ever pays for.
+- **Compaction is tiered.**  ``compact_deltas()`` (MINOR) folds only
+  the delta suffix into one merged segment — latest-mention precedence
+  applied among the deltas, tombstones preserved, the store-sized base
+  referenced by id and never read — so steady maintenance is
+  O(accumulated batches); ``compact()`` (FULL) folds the resolved
+  table into one fresh segment via the backend's snapshot-token
+  ``replace(on_conflict="merge")``.  Appends racing either fold are
+  carried with precedence preserved (the minor fold aborts instead
+  when a raced FULL rewrite replaced the segment list).
+  ``auto_compact_at`` bounds how many delta segments a read ever pays
+  for, folding minor while deltas stay under
+  ``MINOR_COMPACT_MAX_DELTA_FRACTION`` of the base.
 - **Crash safety and multi-writer are inherited**, not re-implemented:
   the commit point is the backend's manifest CAS (atomic rename /
   external CAS service), readers are snapshot-isolated, ``vacuum``
