@@ -330,10 +330,16 @@ class MarcStore:
     def _tokens(self, record_type: str) -> MergeOnReadTable:
         name = self._tokens_name(record_type)
         if name not in self._mor:
+            # cluster by value_norm, not the key: the index's hot
+            # filters are exact-value predicates on value_norm (scalar
+            # — row-group min/max prunes) and array_contains on toks
+            # (no stats either way); record_id only feeds hash joins,
+            # which gain nothing from sortedness
             self._mor[name] = MergeOnReadTable(
                 self.backend, name, key="record_id",
                 partition_cols=["tag"],
-                auto_compact_at=self.AUTO_COMPACT_AT)
+                auto_compact_at=self.AUTO_COMPACT_AT,
+                sort_col="value_norm")
         return self._mor[name]
 
     def n_buckets(self, record_type: str = "bib") -> int:

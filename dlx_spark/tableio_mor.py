@@ -96,7 +96,7 @@ class MergeOnReadTable:
     def __init__(self, backend: VersionedTableBackend, table: str,
                  key: str, partition_cols: list[str] | None = None,
                  auto_compact_at: int | None = 16,
-                 extra_merge=None):
+                 extra_merge=None, sort_col: str | None = None):
         if auto_compact_at is not None and auto_compact_at < 2:
             raise ValueError("auto_compact_at must be >= 2")
         self.backend = backend
@@ -104,6 +104,14 @@ class MergeOnReadTable:
         self.key = key
         self.partition_cols = list(partition_cols or [])
         self.auto_compact_at = auto_compact_at
+        #: within-partition clustering column for every segment write
+        #: (advisory — parquet row-group min/max pruning).  Defaults to
+        #: the key (point-read shape); tables whose hot filter is a
+        #: DIFFERENT scalar pass it here (the token index clusters by
+        #: value_norm: exact-value predicates skip row groups, while
+        #: its key only ever feeds hash joins that gain nothing from
+        #: sortedness).
+        self.sort_col = sort_col or key
         #: ``extra_merge(new_or_staged_extra, head_extra) -> dict`` —
         #: when set, EVERY publish of this table (upsert append,
         #: compact/overwrite replace, rebucket) folds its metadata onto
@@ -175,7 +183,7 @@ class MergeOnReadTable:
             staged = f"{self.table}__morstage"
             self.backend.write_partitioned(
                 out, staged, self.partition_cols, extra=extra,
-                seg_prefix=self.table, sort_col=self.key)
+                seg_prefix=self.table, sort_col=self.sort_col)
             # on_conflict="merge" would re-apply raced deltas ON TOP of
             # the new content — correct for a rebuild-from-live, and the
             # only order-preserving choice the backend offers
@@ -185,7 +193,7 @@ class MergeOnReadTable:
         else:
             self.backend.write_partitioned(
                 out, self.table, self.partition_cols, extra=extra,
-                seg_prefix=self.table, sort_col=self.key)
+                seg_prefix=self.table, sort_col=self.sort_col)
 
     def upsert(self, rows: DataFrame | None = None,
                tombstone_keys: DataFrame | None = None,
@@ -224,7 +232,7 @@ class MergeOnReadTable:
             delta, self.table, self.partition_cols, extra=extra,
             extra_merge=self.extra_merge, expect_extra=expect_meta,
             expect_create=expect_create, seg_prefix=self.table,
-            sort_col=self.key)
+            sort_col=self.sort_col)
         if self.auto_compact_at is not None \
                 and n_after >= self.auto_compact_at:
             self.auto_compactions += 1
@@ -370,7 +378,7 @@ class MergeOnReadTable:
                                self._schema(manifest))
         ok = self.backend.replace_segment_suffix(merged, self.table,
                                                  token, keep=1,
-                                                 sort_col=self.key)
+                                                 sort_col=self.sort_col)
         if ok:
             self._delta_rows_memo = None
         return len(token) - 1 if ok else 0
@@ -412,7 +420,7 @@ class MergeOnReadTable:
         self.backend.write_partitioned(
             resolved, staged, self.partition_cols,
             extra=manifest.get("extra"), seg_prefix=self.table,
-            sort_col=self.key)
+            sort_col=self.sort_col)
         self.backend.replace(spark, self.table, staged, token=token,
                              on_conflict="merge",
                              extra_merge=self.extra_merge)
@@ -432,7 +440,7 @@ class MergeOnReadTable:
         self.backend.write_partitioned(
             df.withColumn(DELETED, F.lit(False)), staged,
             self.partition_cols, extra=extra, seg_prefix=self.table,
-            sort_col=self.key)
+            sort_col=self.sort_col)
         self.backend.replace(spark, self.table, staged,
                              token=list(manifest["segments"]),
                              on_conflict="fail",

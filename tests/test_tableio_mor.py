@@ -412,3 +412,30 @@ def test_segments_cluster_rows_by_key_within_buckets(spark, be):
     assert_clustered()                      # full fold re-clusters
     assert t.manifest(spark).get("sort_col") == "k"
     assert _read_sorted(t, spark) == want
+
+
+def test_custom_sort_col_clusters_by_that_column(spark, be):
+    """A table whose hot filter is not its key (the token index) may
+    cluster by a different scalar; the manifest records it and folds
+    preserve it."""
+    t = MergeOnReadTable(be, "sc2", key="k", partition_cols=["pt"],
+                         auto_compact_at=None, sort_col="v")
+    t.overwrite(_rows(spark, [(i, f"v{(i * 31) % 40:02d}")
+                              for i in range(40)]))
+    t.upsert(rows=_rows(spark, [(i, f"u{(9 - i) % 7}") for i in range(7)]))
+    assert t.manifest(spark).get("sort_col") == "v"
+    data_dir = fsio.join(be.root(spark), "data")
+    for seg in t.segments(spark):
+        for leaf in fsio.glob(spark, fsio.join(data_dir, seg,
+                                               "pt=*/*.parquet")):
+            vs = [r["v"] for r in spark.read.parquet(leaf)
+                  .select("v").collect()]
+            assert vs == sorted(vs), (seg, leaf, vs)
+    want = _read_sorted(t, spark)
+    t.upsert(rows=_rows(spark, [(1, "zz")]))
+    assert t.compact_deltas(spark) == 2
+    assert t.manifest(spark).get("sort_col") == "v"
+    assert t.compact(spark) == 2
+    assert t.manifest(spark).get("sort_col") == "v"
+    got = dict(_read_sorted(t, spark))
+    assert got[1] == "zz" and len(got) == len(dict(want))
