@@ -439,3 +439,22 @@ def test_custom_sort_col_clusters_by_that_column(spark, be):
     assert t.manifest(spark).get("sort_col") == "v"
     got = dict(_read_sorted(t, spark))
     assert got[1] == "zz" and len(got) == len(dict(want))
+
+
+def test_compact_deltas_above_broadcast_gate_unhinted(spark, be, monkeypatch):
+    """A merged delta past BROADCAST_MAX_DELTA_ROWS must still fold
+    correctly — the latest-mention resolution just runs unhinted (same
+    size gate as the read path, same rationale: never force-broadcast
+    a bulk-sized key set)."""
+    t = MergeOnReadTable(be, "mc6", key="k", partition_cols=["pt"],
+                         auto_compact_at=None)
+    t.overwrite(_rows(spark, [(i, f"v{i}") for i in range(8)]))
+    t.upsert(rows=_rows(spark, [(1, "A"), (9, "w")]))
+    t.upsert(rows=_rows(spark, [(1, "B")]),
+             tombstone_keys=_rows(spark, [(2, None)]).select("k", "pt"))
+    want = _read_sorted(t, spark)
+    monkeypatch.setattr(MergeOnReadTable, "BROADCAST_MAX_DELTA_ROWS", 1)
+    assert t.compact_deltas(spark) == 2
+    assert len(t.segments(spark)) == 2
+    assert _read_sorted(t, spark) == want
+    assert (1, "B") in want and all(k != 2 for k, _ in want)
