@@ -458,3 +458,22 @@ def test_compact_deltas_above_broadcast_gate_unhinted(spark, be, monkeypatch):
     assert len(t.segments(spark)) == 2
     assert _read_sorted(t, spark) == want
     assert (1, "B") in want and all(k != 2 for k, _ in want)
+
+
+def test_vacuum_reclaims_minor_folded_deltas(spark, be):
+    """The delta segments a minor fold superseded are unreferenced by
+    the retained manifest and must be reclaimed by vacuum; the base and
+    the merged delta survive."""
+    t = MergeOnReadTable(be, "mc7", key="k", partition_cols=["pt"],
+                         auto_compact_at=None)
+    t.overwrite(_rows(spark, [(i, f"v{i}") for i in range(16)]))
+    for i in range(3):
+        t.upsert(rows=_rows(spark, [(i, f"u{i}")]))
+    folded = t.segments(spark)[1:]
+    assert t.compact_deltas(spark) == 3
+    keep = set(t.segments(spark))
+    want = _read_sorted(t, spark)
+    reclaimed = set(be.vacuum(spark, keep_last=1, min_age_seconds=0))
+    assert set(folded) <= reclaimed
+    assert not keep & reclaimed
+    assert _read_sorted(t, spark) == want
