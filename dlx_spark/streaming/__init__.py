@@ -319,14 +319,30 @@ def embedding_dedup_ingest_stream(spark: SparkSession, input_path: str,
             .start())
 
 
+#: above this many dimension rows ``enrich_stream`` drops its forced
+#: broadcast and lets Spark's size-based planning decide — the same
+#: ceiling rationale as ``MergeOnReadTable.BROADCAST_MAX_DELTA_ROWS``
+#: and the store's heading-dimension gate: a forced broadcast of an
+#: unbounded caller-provided dimension is a driver OOM at scale, not a
+#: hint.
+ENRICH_BROADCAST_MAX_ROWS = 4_000_000
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id",
                   how: str = "left") -> DataFrame:
     """Stream-static enrichment join: attach dimension attributes to a
     stream.  The static side re-resolves per micro-batch (so a refreshed
-    dimension table is picked up) and broadcasts when small — the
-    standard shape for decorating an event stream with slowly-changing
-    reference data at any scale."""
-    return events.join(F.broadcast(dim), on, how)
+    dimension table is picked up).  The broadcast hint is size-gated
+    (one setup-time count, not per batch): under
+    ``ENRICH_BROADCAST_MAX_ROWS`` the dimension is pinned broadcast —
+    the standard shape for decorating an event stream with
+    slowly-changing reference data; above it the join runs unhinted
+    and Spark's size-based planning picks the strategy (a shuffled
+    stream-static join is the correct plan for a huge dimension, a
+    forced driver-side broadcast is not)."""
+    if dim.count() <= ENRICH_BROADCAST_MAX_ROWS:
+        dim = F.broadcast(dim)
+    return events.join(dim, on, how)
 
 
 def incremental_commit_stream(spark: SparkSession, input_path: str, store,

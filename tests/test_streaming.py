@@ -248,6 +248,31 @@ def test_enrich_stream_static_join(spark, tmp_path):
     assert got == {1: "gold", 2: None}
 
 
+def test_enrich_stream_broadcast_gate(spark, tmp_path, monkeypatch):
+    """The forced broadcast is size-gated: a dimension past
+    ENRICH_BROADCAST_MAX_ROWS joins unhinted (identical results) —
+    mirror of the merge-on-read delta and heading-dimension gates."""
+    dim = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "user_id long, tier string")
+    events_dir = tmp_path / "enrich_events_gate"
+    events_dir.mkdir()
+    rows = [{"event_id": i, "ts": "2024-01-01T00:05:00", "user_id": i,
+             "event_type": "view", "value": 1.0, "props": "{}"}
+            for i in range(4)]
+    (events_dir / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    monkeypatch.setattr(streaming, "ENRICH_BROADCAST_MAX_ROWS", 2)
+    ev = streaming.read_events_stream(spark, str(events_dir))
+    out = streaming.enrich_stream(ev, dim)
+    q = (out.writeStream.format("memory").queryName("enriched_gate")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_enrich_gate"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r.event_id: r.tier
+           for r in spark.sql("select * from enriched_gate").collect()}
+    assert got == {i: f"t{i}" for i in range(4)}
+
+
 def test_stream_replay_after_crash_between_commit_and_ledger(spark, tmp_path, monkeypatch):
     """The advisor's crash window: the data commit lands but the process
     dies before the ledger row is appended.  The replay must NOT
