@@ -112,9 +112,19 @@ def asciify(string: str) -> str:
 def scrub(string: str) -> str:
     """Collation-normalized form: punctuation → space, diacritics folded,
     lowercased, stripped (dlx/util.py:1106-1112).  Two values are equal
-    under the reference's strength-1 collation iff their scrubs match."""
-    joined = " ".join(split_words(string))
-    return asciify(joined.upper()).lower().strip()
+    under the reference's strength-1 collation iff their scrubs match.
+
+    Iterated to a fixed point: NFKD folding can EXPAND an enclosed
+    alphanumeric into punctuation ('🄀' → '0.') that the word-split
+    pass would then strip — a canonical form must be idempotent
+    (property-pinned, tests/test_property.py), so re-normalize until
+    stable (one extra pass in practice, none for ordinary text)."""
+    out = asciify(" ".join(split_words(string)).upper()).lower().strip()
+    while True:
+        again = asciify(" ".join(split_words(out)).upper()).lower().strip()
+        if again == out:
+            return out
+        out = again
 
 
 # ---------------------------------------------------------------------------
