@@ -686,55 +686,58 @@ class MarcStore:
     def _marker_payload_committed(payload: dict | None) -> bool:
         return bool(payload and payload.get("committed"))
 
-    def _clear_settled_markers(self, marker_name: str,
-                               current_segments: list[str],
-                               derived_from: list[str]) -> None:
-        """After a full rebuild, remove only markers PROVABLY covered
-        by it: the owner's commit demonstrably landed (``committed``
-        stamp — the marker rewrite that follows the source CAS) AND
-        everything added since the marker's snapshot is inside the
-        derivation snapshot (current − base ⊆ derived_from), so the
-        rebuild saw the owner's segments.  New segments alone are NOT
-        proof: they may all belong to OTHER writers while this marker's
-        own commit is still in flight — settling on gap-nonempty (the
-        pre-r11 rule) silently dropped such a batch if its owner then
-        crashed after its CAS.  An uncommitted marker is kept until the
-        in-flight grace expires (the owner is then presumed dead; an
-        expired marker is swept only when the derivation covers every
-        current segment, so a commit that landed after the rebuild's
-        read keeps its bridge for replay).
+    def _settleable_markers(self, marker_name: str) -> list[str]:
+        """The markers a derivation STARTING NOW will provably cover —
+        read this snapshot BEFORE constructing the rebuild's source
+        DataFrames, and remove exactly these paths (``_remove_markers``)
+        once the overwrite + tail fold land.  Settleable as of this
+        read:
 
-        A TORN marker (unparseable JSON — the object-store mid-copy
-        window) is settled by a covering rebuild: a tear means the
-        owner's atomic marker write RAISED, so the owner either never
-        reached its source CAS (write-marker tear — the marker brackets
-        nothing) or had already committed before the tear (committed-
-        stamp rewrite tear — the batch landed strictly before this
-        rebuild's derivation read and is covered by it).  The residual
-        exposure is a transient torn READ of a healthy in-flight write
-        (milliseconds) composed with that owner later crashing between
-        its CAS and its fold — accepted: keeping torn markers would
-        instead cost a WHOLESALE rebuild on every read until grace
-        expiry."""
+        - ``committed``-stamped: the owner's source CAS landed before
+          this read, hence before the derivation's manifest read — the
+          rebuild sees its batch.  A stamp that lands AFTER this
+          snapshot is deliberately ignored: the owner's segment may
+          postdate the derivation read, and removing its marker then
+          would lose the batch if the owner crashed before its own
+          refresh (the r11.2 hole: with a settle-time stamp check, a
+          commit landing between the tail fold's manifest read and the
+          marker scan was settled uncovered).
+        - TORN (unparseable JSON — the object-store mid-copy window):
+          the owner's atomic marker write RAISED, so it either never
+          reached its source CAS (the marker brackets nothing) or had
+          already committed before the tear (covered as above).  The
+          residual exposure is a transient torn READ of a healthy
+          in-flight write composed with that owner later crashing
+          between its CAS and its fold — accepted: keeping torn
+          markers would cost a wholesale rebuild on every read until
+          grace expiry.
+        - grace-EXPIRED: the owner is presumed dead; anything it landed
+          predates this read and the rebuild covers it.
+
+        An uncommitted, unexpired marker is kept even when segments
+        past its base are visible: those may all be OTHER writers'
+        commits while this marker's own batch is still a
+        segment-upload in flight (the r10 premature-settle hole)."""
         import json as _json
-        cur = set(current_segments)
-        derived = set(derived_from)
+        out: list[str] = []
         for marker in self._markers_for(marker_name):
-            base: set = set()
             payload = None
             torn = False
             try:
                 payload = _json.loads(fsio.read_text(self.spark, marker))
-                b = payload.get("base_segments")
-                if isinstance(b, list):
-                    base = set(b)
             except (ValueError, TypeError):
                 torn = True
-            gap = cur - base
-            if gap <= derived and (torn
-                                   or self._marker_payload_committed(payload)
-                                   or self._marker_expired(marker)):
+            if torn or self._marker_payload_committed(payload) \
+                    or self._marker_expired(marker):
+                out.append(marker)
+        return out
+
+    def _remove_markers(self, markers: list[str]) -> None:
+        for marker in markers:
+            try:
                 fsio.remove(self.spark, marker)
+            except OSError:    # pragma: no cover - fs-dependent
+                pass           # already settled by its owner / a replay
 
     def _dirty_markers(self, record_type: str) -> list[str]:
         return self._markers_for(self._tokens_name(record_type))
@@ -765,6 +768,12 @@ class MarcStore:
         live = self._live(record_type)
         if not live.exists(self.spark):
             return
+        # marker snapshot FIRST: only markers already settleable before
+        # the derivation's source reads are provably covered by it
+        # (see _settleable_markers — a stamp landing later may belong
+        # to a commit the derivation never saw)
+        settleable = self._settleable_markers(
+            self._tokens_name(record_type))
         derived_from = live.segments(self.spark)
         rows = mdf.subfield_token_rows(self.table(record_type), record_type,
                                        headings=self.headings(),
@@ -779,9 +788,7 @@ class MarcStore:
         # writer whose re-check DID see the index refreshes itself;
         # double-folding is idempotent (latest-segment precedence).
         self._fold_token_tail(record_type, derived_from)
-        post = live.segments(self.spark)
-        self._clear_settled_markers(self._tokens_name(record_type),
-                                    post, post)
+        self._remove_markers(settleable)
         self._invalidate_query_contexts()
 
     def _fold_token_tail(self, record_type: str,
@@ -1984,14 +1991,14 @@ class MarcStore:
         marker: the rebuild derives from current history, which covers
         any crashed batch."""
         hname = f"{record_type}_history"
-
-        def hist_segments() -> list[str]:
-            if not self.backend.exists(self.spark, hname):
-                return []
-            return list(self.backend.latest_manifest(
-                self.spark, hname)["segments"])
-
-        derived_from = hist_segments()
+        # marker snapshot FIRST (see _settleable_markers): a stamp
+        # landing after this read may belong to an append the
+        # derivation never saw — its marker must survive for replay
+        settleable = self._settleable_markers(
+            self._summary_name(record_type))
+        derived_from = ([] if not self.backend.exists(self.spark, hname)
+                        else list(self.backend.latest_manifest(
+                            self.spark, hname)["segments"]))
         latest = self._latest_action(self.history_df(record_type))
         self._deleted_summary(record_type).overwrite(
             self._currently_deleted(latest))
@@ -2002,11 +2009,7 @@ class MarcStore:
         # fold closes that window; a writer whose re-check came after
         # the overwrite folds itself, and double-folds are idempotent
         self._fold_history_tail(record_type, derived_from)
-        # settled-only clearing: an append that landed after the tail
-        # re-read keeps its marker for replay
-        post = hist_segments()
-        self._clear_settled_markers(self._summary_name(record_type),
-                                    post, post)
+        self._remove_markers(settleable)
 
     def _fold_history_tail(self, record_type: str,
                            base_segments: list[str]) -> None:

@@ -8,8 +8,10 @@ marker protocol shared by the token index and the deleted summary:
    segments may all be OTHER writers' commits while the marker's own
    batch is still a segment-upload in flight.  Settlement needs the
    owner's post-CAS ``committed`` stamp (or grace expiry).
-2. the same rule in ``_clear_settled_markers`` after full rebuilds
-   (covered by test_store.test_full_rebuild_keeps_markers_*).
+2. the same rule after full rebuilds, via the settlement SNAPSHOT
+   taken before the derivation read (``_settleable_markers`` — covered
+   by test_store.test_full_rebuild_keeps_markers_* and the
+   stamp-lands-mid-build test below).
 3. the build-vs-append TOCTOU — a writer whose existence re-check ran
    before a concurrent build's overwrite landed writes no fold of its
    own; the build's derivation read may predate the writer's append.
@@ -145,8 +147,10 @@ def test_summary_build_race_covers_append_via_tail_fold(store):
     used to vanish with no marker to replay.  The build's post-overwrite
     tail fold now covers it.  This replicates build_deleted_summary's
     body with a derivation read forced stale."""
-    # builder: derivation read (manifest + aggregate input pinned here)
+    # builder: settlement snapshot, then derivation read (manifest +
+    # aggregate input pinned here) — build_deleted_summary's opening
     hist_name = "bib_history"
+    settleable = store._settleable_markers("bib_deleted")
     derived_from = list(store.backend.latest_manifest(
         store.spark, hist_name)["segments"])
     stale_hist = store.history_df("bib")        # manifest pinned eagerly
@@ -157,13 +161,12 @@ def test_summary_build_race_covers_append_via_tail_fold(store):
     assert not store._markers_for("bib_deleted")
 
     # builder resumes: overwrite from the stale read, then the r11 tail
-    # fold + settled-only clearing — exactly build_deleted_summary's tail
+    # fold + snapshot-settled clearing — exactly build_deleted_summary's
+    # tail
     store._deleted_summary("bib").overwrite(
         store._currently_deleted(store._latest_action(stale_hist)))
     store._fold_history_tail("bib", derived_from)
-    post = list(store.backend.latest_manifest(
-        store.spark, hist_name)["segments"])
-    store._clear_settled_markers("bib_deleted", post, post)
+    store._remove_markers(settleable)
 
     assert [r.record_id for r in store.find_deleted("bib").collect()] == [2]
 
@@ -174,6 +177,7 @@ def test_token_build_race_covers_commit_via_tail_fold(store):
     index existence BEFORE the overwrite commits, so it skips its own
     refresh — the build's tail fold must cover the batch."""
     live = store._live("bib")
+    settleable = store._settleable_markers("bibs_tokens")
     derived_from = live.segments(store.spark)
     stale_rows = mdf.subfield_token_rows(store.table("bib"), "bib",
                                          headings=store.headings())
@@ -186,16 +190,53 @@ def test_token_build_race_covers_commit_via_tail_fold(store):
     assert not store._markers_for("bibs_tokens")
 
     # builder resumes with the stale derivation — build_search_index's
-    # body: overwrite, tail fold, settled-only clear
+    # body: overwrite, tail fold, snapshot-settled clear
     store._tokens("bib").overwrite(stale_rows)
     store._fold_token_tail("bib", derived_from)
-    post = live.segments(store.spark)
-    store._clear_settled_markers("bibs_tokens", post, post)
+    store._remove_markers(settleable)
     store._invalidate_query_contexts()
 
     assert [r["_id"] for r in
             store.search("bib", "245__a:freshly").collect()] == [1]
     assert store.search("bib", "245__a:this").count() == 0
+
+
+def test_stamp_landing_mid_build_does_not_settle_marker(store, monkeypatch):
+    """r11.2: writer B's commit + ``committed`` stamp land BETWEEN the
+    build's tail fold and its marker settlement.  A settle-time stamp
+    check would remove B's marker even though neither the build's
+    derivation nor its tail fold saw B's segment — B crashing before
+    its own refresh then leaves the index silently stale.  The
+    settlement snapshot (taken before the derivation read) must keep
+    B's marker, and the next replay must fold B's batch."""
+    store.build_search_index("bib")
+    live = store._live("bib")
+    m_b = store._write_dirty_marker(
+        "bib", {"base_segments": live.segments(store.spark)})
+
+    orig_fold = MarcStore._fold_token_tail
+    n = store.n_buckets("bib")
+
+    def fold_then_b_lands(self, record_type, base_segments):
+        orig_fold(self, record_type, base_segments)
+        # B's CAS lands as a tombstone of bib 1 AFTER the fold's
+        # manifest read; B stamps committed, then crashes before its
+        # own index refresh
+        live.upsert(tombstone_keys=store.spark.createDataFrame(
+            [(1, 1 % n)], "_id long, pt int"))
+        store._mark_marker_committed(m_b)
+        monkeypatch.setattr(MarcStore, "_fold_token_tail", orig_fold)
+
+    monkeypatch.setattr(MarcStore, "_fold_token_tail", fold_then_b_lands)
+    store.build_search_index("bib")
+    # B's marker must survive: its batch is NOT in the rebuilt index
+    assert _base(m_b) in _names(store._markers_for("bibs_tokens"))
+    store._invalidate_query_contexts()
+
+    # the next search replays B's marker (committed as of the scan):
+    # folds the tombstone, settles the marker, serves correct results
+    assert store.search("bib", "245__a:this").count() == 0
+    assert _base(m_b) not in _names(store._markers_for("bibs_tokens"))
 
 
 def test_heading_staleness_marker_settled_by_rebuild(store):

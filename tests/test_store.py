@@ -874,17 +874,20 @@ def test_auth_heading_change_marks_auth_token_index_too(store):
 
 
 def test_full_rebuild_keeps_markers_for_commits_it_did_not_see(store):
-    """_clear_settled_markers semantics (r11 owner-aware): (a) a marker
-    whose OWNER provably committed (post-CAS ``committed`` stamp) and
-    whose gap the rebuild saw is removed; (a') the same gap WITHOUT the
-    stamp is kept — the new segments may all be other writers' commits
-    while this marker's own batch is still in flight (the pre-r11
-    gap-nonempty rule settled here and lost the batch when its owner
-    crashed after its CAS); (b) a committed marker whose segment landed
-    AFTER the derivation read is kept (clearing it would drop that
-    crashed batch); (c) an uncommitted marker is swept once the
-    in-flight grace expires (owner presumed dead; the rebuild covered
-    everything current)."""
+    """Settlement-snapshot semantics (r11 owner-aware, r11.2 snapshot
+    ordering): (a) a marker whose OWNER provably committed (post-CAS
+    ``committed`` stamp) BEFORE the settlement snapshot is removed —
+    its batch landed before the derivation read, so the rebuild covers
+    it; (a') an uncommitted marker is kept even when other writers'
+    segments are visible past its base — those may all be foreign
+    commits while this marker's own batch is still in flight (the
+    pre-r11 gap-nonempty rule settled here and lost the batch when its
+    owner crashed after its CAS); (b) a stamp that lands AFTER the
+    snapshot is ignored — the owner's segment may postdate the
+    derivation read, and removing its marker would drop that crashed
+    batch (the r11.2 hole: a settle-time stamp check removed it); (c)
+    an uncommitted marker is swept once the in-flight grace expires
+    (owner presumed dead; the rebuild covered everything current)."""
     store.build_search_index("bib")
     live = store._live("bib")
     current = live.segments(store.spark)
@@ -903,29 +906,29 @@ def test_full_rebuild_keeps_markers_for_commits_it_did_not_see(store):
         "bibs_tokens", {"base_segments": current[:-1]}))
     inflight = _os.path.basename(store._write_marker_for(
         "bibs_tokens", {"base_segments": current}))
-    store._clear_settled_markers("bibs_tokens", current,
-                                 derived_from=current)
-    assert settled not in names()       # (a) committed + covered -> removed
-    assert uncommitted in names()       # (a') same gap, no proof -> kept
-    assert inflight in names()          # (c) may still commit
+    settleable = store._settleable_markers("bibs_tokens")
+    assert {_os.path.basename(m) for m in settleable} == {settled}
+    store._remove_markers(settleable)
+    assert settled not in names()       # (a) committed pre-snapshot
+    assert uncommitted in names()       # (a') no proof -> kept
+    assert inflight in names()          # may still commit
 
-    # (b) the committed writer's segment landed after the derivation read
+    # (b) the stamp lands AFTER the settlement snapshot: the owner's
+    # segment may postdate the derivation read — its marker survives
     late_path = store._write_marker_for(
         "bibs_tokens", {"base_segments": current})
-    store._mark_marker_committed(late_path)
+    snapshot = store._settleable_markers("bibs_tokens")
+    store._mark_marker_committed(late_path)       # stamp after snapshot
     late = _os.path.basename(late_path)
-    store._clear_settled_markers("bibs_tokens",
-                                 current + ["seg-after-derivation"],
-                                 derived_from=current)
+    assert late not in {_os.path.basename(m) for m in snapshot}
+    store._remove_markers(snapshot)
     assert late in names()
 
     # (c) grace expiry: uncommitted markers are swept once the horizon
-    # passes AND the derivation covers everything current; the (b)
-    # marker goes too once a rebuild's derivation includes its segment
+    # passes (the next rebuild's derivation covers everything a dead
+    # owner ever landed); the (b) marker goes with them
     store.MARKER_INFLIGHT_GRACE_SECONDS = -1.0
-    full_view = current + ["seg-after-derivation"]
-    store._clear_settled_markers("bibs_tokens", full_view,
-                                 derived_from=full_view)
+    store._remove_markers(store._settleable_markers("bibs_tokens"))
     assert store._markers_for("bibs_tokens") == []
 
 
