@@ -1706,6 +1706,66 @@ def token_count_bpe(spark, sf):
         F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"))
 
 
+@query("oov_rate", """
+    WITH tok AS (
+        SELECT doc_id, t.tok FROM documents,
+             unnest(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok != ''),
+    vocab AS (
+        SELECT tok FROM tok GROUP BY tok
+        ORDER BY count(*) DESC, tok LIMIT 16)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))
+                AS BIGINT) AS n_oov
+    FROM tok GROUP BY doc_id
+""")
+def oov_rate_q(spark, sf):
+    """out-of-vocabulary profile (textstats.oov_rate): per document, the
+    count of token occurrences outside the corpus's top-16 vocabulary —
+    the frequency-filter quality signal per-doc stats can't see (it
+    needs the corpus distribution).  Vocabulary tie-break is a total
+    order (count desc, token asc), so the boundary is deterministic in
+    both engines; counts, not a ratio, so there is no rounding
+    surface."""
+    docs = _t(spark, sf, "documents")
+    out = textstats.oov_rate(docs, vocab_size=16)
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "n_oov")
+
+
+#: SemDeDup prune threshold, tuned to the synthetic corpus like the
+#: other embedding entries (embedding_lsh_pairs / embedding_neardup)
+_SEMDEDUP_TAU = 0.35
+
+
+@query("semdedup_survivors", f"""
+    WITH sig AS (SELECT vec_id, embedding,
+                        CAST({_sig_sql(6)} AS BIGINT) AS cluster
+                 FROM embeddings)
+    SELECT s.vec_id, s.cluster FROM sig s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sig u
+        WHERE u.cluster = s.cluster AND u.vec_id < s.vec_id
+          AND list_cosine_similarity(u.embedding::DOUBLE[],
+                                     s.embedding::DOUBLE[])
+              >= {_SEMDEDUP_TAU})
+""")
+def semdedup_survivors(spark, sf):
+    """SemDeDup (similarity.semdedup, arXiv:2303.09540): cluster-scoped
+    semantic dedup — a vector is pruned iff a lower-id vector in the
+    SAME cluster sits at cosine ≥ τ (leader rule; all-pairs work is
+    bounded per cluster, the method's whole point at 100 TB).  The
+    oracle replays the hyperplane clustering from the baked plane
+    literals and the prune rule as NOT EXISTS, so the clustering AND
+    the prune are both hash-checked; the k-means-cluster variant (the
+    paper's quantizer) is pytest-locked equivalent at 1 cluster and
+    deterministic under the seeded trainer."""
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.semdedup(emb, threshold=_SEMDEDUP_TAU,
+                              method="hyperplane", n_clusters=64, dim=64)
+    return out.select("vec_id",
+                      F.col("cluster").cast("long").alias("cluster"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window consolidation
 # ---------------------------------------------------------------------------
@@ -1854,18 +1914,23 @@ def lang_quality(spark, sf):
 
 
 @query("doc_profile", f"""
-    SELECT r.doc_id, r.rep_ratio, e.char_entropy, u.norm_text, u.n_chars_nfc
+    SELECT r.doc_id, r.rep_ratio, e.char_entropy, u.norm_text, u.n_chars_nfc,
+           o.n_tokens AS n_tokens_ws, o.n_oov
     FROM ({ORACLE['repetition_ratio']}) r
     JOIN ({ORACLE['char_entropy']}) e ON r.doc_id = e.doc_id
     JOIN ({ORACLE['unicode_nfc']}) u ON r.doc_id = u.doc_id
+    JOIN ({ORACLE['oov_rate']}) o ON r.doc_id = o.doc_id
 """)
 def doc_profile(spark, sf):
     """per-document text profile: token repetition ratio, character
-    Shannon entropy, and NFC-normalized text, joined on doc_id
-    (repetition_ratio + char_entropy + unicode_nfc)."""
+    Shannon entropy, NFC-normalized text, and the out-of-vocabulary
+    counts against the corpus top-16 vocabulary, joined on doc_id
+    (repetition_ratio + char_entropy + unicode_nfc + oov_rate)."""
     return (repetition_ratio_q(spark, sf)
             .join(char_entropy_q(spark, sf), "doc_id")
-            .join(unicode_nfc(spark, sf), "doc_id"))
+            .join(unicode_nfc(spark, sf), "doc_id")
+            .join(oov_rate_q(spark, sf)
+                  .withColumnRenamed("n_tokens", "n_tokens_ws"), "doc_id"))
 
 
 @query("sample_splits", f"""
@@ -1961,13 +2026,19 @@ def minhash_neardup(spark, sf):
     UNION ALL
     SELECT id_a, id_b, cosine, 'lshpairs' AS mode
     FROM ({ORACLE['embedding_lsh_pairs']}) t3
+    UNION ALL
+    SELECT vec_id AS id_a, cluster AS id_b,
+           CAST(NULL AS DOUBLE) AS cosine, 'semdedup' AS mode
+    FROM ({ORACLE['semdedup_survivors']}) t4
 """)
 def cosine_sim(spark, sf):
     """embedding similarity surface in one labeled union: exact
     brute-force cosine top-k for query vec 0, label-blocked
-    embedding-cosine near-dup pairs, and banded-LSH-blocked near-dup
-    pairs — the bucket-blocked pair generation actually used at scale
-    (cosine_topk + embedding_neardup + embedding_lsh_pairs)."""
+    embedding-cosine near-dup pairs, banded-LSH-blocked near-dup
+    pairs — the bucket-blocked pair generation actually used at scale —
+    and the SemDeDup cluster-scoped prune survivors (id_a = vec_id,
+    id_b = cluster) (cosine_topk + embedding_neardup +
+    embedding_lsh_pairs + semdedup_survivors)."""
     topk = cosine_topk(spark, sf).select(
         F.lit(0).cast("long").alias("id_a"), F.col("vec_id").alias("id_b"),
         "cosine", F.lit("topk").alias("mode"))
@@ -1979,7 +2050,12 @@ def cosine_sim(spark, sf):
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "cosine", F.lit("lshpairs").alias("mode"))
-    return topk.unionAll(nd).unionAll(lsh)
+    sd = semdedup_survivors(spark, sf).select(
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("cluster").cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit("semdedup").alias("mode"))
+    return topk.unionAll(nd).unionAll(lsh).unionAll(sd)
 
 
 @query("approx_sketches", f"""

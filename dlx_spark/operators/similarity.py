@@ -508,3 +508,90 @@ def knn_join(probes: DataFrame, corpus: DataFrame, k: int = 5,
     joined = (p.join(c, "bucket")
               .filter(F.col("probe_id") != F.col("corpus_id")))
     return topk_per_probe(joined, k)
+
+
+def semdedup_prune(assigned: DataFrame, threshold: float = 0.7,
+                   id_col: str = "id", cluster_col: str = "cluster",
+                   vec_col: str = "vec",
+                   cluster_cap: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped to clusters.  A row is PRUNED iff a LOWER-id
+    row in the SAME cluster has cosine ≥ ``threshold`` with it — the
+    leader rule, a deterministic instance of the paper's
+    keep-one-per-duplicate-ball choice (the test is against all cluster
+    members, not just survivors, so the decision for each row is
+    independent and the output is order-free).  Returns the SURVIVORS
+    with their cluster ids.
+
+    ``assigned`` is (id, cluster, vec) from either clustering the
+    method is used with:
+
+    - ``ivf_assign`` (seeded k-means coarse quantizer) — the paper's
+      clustering; equivalence of the 1-cluster case to unclustered
+      leader dedup is pytest-pinned.
+    - ``lsh_buckets`` (seeded hyperplane signatures) — fully
+      oracle-checkable (planes bake into SQL as literals), the
+      driver-contract entry.
+
+    100 TB shape: ONE cluster-keyed equi-join (both sides shuffle on
+    the cluster id once); all-pairs work is bounded per cluster by the
+    quantizer's cluster sizes — the entire point of SemDeDup vs global
+    all-pairs.  A degenerate mega-cluster (boilerplate embeddings)
+    still blows up quadratically: ``cluster_cap`` bounds the LEADER
+    side per cluster via ``cap_bucket_members`` (deterministic hash
+    sample — prune decisions then miss leaders beyond the cap, a
+    bounded-recall trade exactly like ``knn_join``'s), or re-train
+    with more centroids."""
+    a = assigned.select(F.col(id_col).alias("_sd_lead"),
+                        F.col(cluster_col).alias(cluster_col),
+                        F.col(vec_col).alias("_sd_lvec"))
+    if cluster_cap is not None:
+        a = cap_bucket_members(a, [cluster_col], "_sd_lead", cluster_cap)
+    b = assigned.select(F.col(id_col).alias(id_col),
+                        F.col(cluster_col).alias(cluster_col),
+                        F.col(vec_col).alias("_sd_vvec"))
+    pruned = (a.join(b, cluster_col)
+              .filter(F.col("_sd_lead") < F.col(id_col))
+              .filter(pairwise_cosine_expr("_sd_lvec", "_sd_vvec")
+                      >= float(threshold))
+              .select(id_col).distinct())
+    return (assigned.join(pruned, id_col, "left_anti")
+            .select(id_col, cluster_col))
+
+
+def semdedup(df: DataFrame, threshold: float = 0.7,
+             method: str = "kmeans", n_clusters: int = 16,
+             seed: int = 42, iters: int = 5,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             dim: int | None = None,
+             centroids: "np.ndarray | None" = None,
+             cluster_cap: int | None = None) -> DataFrame:
+    """End-to-end SemDeDup over an embedding table: cluster, then prune
+    within clusters at cosine ≥ ``threshold`` (``semdedup_prune``).
+    Returns surviving (``id_col``, cluster) rows.
+
+    ``method="kmeans"`` trains a seeded coarse quantizer on a capped
+    driver sample (``ivf_centroids`` — pass ``centroids`` to reuse a
+    trained family, the 100 TB path where the index is trained once)
+    and assigns via one Arrow-batched map; ``method="hyperplane"``
+    clusters by the seeded sign-bit signature (``lsh_buckets``,
+    ``n_clusters`` rounded up to the next power of two) — pure JVM
+    exprs, no Python, and the family the DuckDB oracle replays."""
+    if method == "kmeans":
+        if centroids is None:
+            centroids = ivf_centroids(df, n_centroids=n_clusters,
+                                      iters=iters, seed=seed,
+                                      vec_col=vec_col)
+        assigned = ivf_assign(df, centroids, vec_col=vec_col,
+                              id_col=id_col)
+        assigned = assigned.withColumnRenamed("list_id", "cluster")
+    elif method == "hyperplane":
+        n_planes = max(1, int(np.ceil(np.log2(max(n_clusters, 2)))))
+        assigned = (lsh_buckets(df, n_planes=n_planes, seed=seed,
+                                vec_col=vec_col, id_col=id_col, dim=dim)
+                    .withColumnRenamed("bucket", "cluster"))
+    else:
+        raise ValueError(f"unknown semdedup method: {method!r}")
+    out = semdedup_prune(assigned, threshold=threshold,
+                         cluster_cap=cluster_cap)
+    return out.withColumnRenamed("id", id_col)

@@ -279,3 +279,49 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     {tok_hash})))
         """))).alias("fingerprint"),
     )
+
+
+def corpus_vocabulary(df: DataFrame, vocab_size: int = 1024,
+                      text_col: str = "text") -> DataFrame:
+    """The corpus's top-``vocab_size`` whitespace tokens by total
+    occurrence count — (tok, n) — ties broken by token (total order, so
+    the vocabulary is deterministic across runs and engines).  One
+    explode + partial-aggregated groupBy + TakeOrdered(V): the token
+    shuffle carries (tok, partial-count) pairs, never documents, and
+    the result is dimension-sized by construction (broadcast it)."""
+    tok = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    return (tok.filter(F.col("tok") != "")
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("tok"))
+            .limit(int(vocab_size)))
+
+
+def oov_rate(df: DataFrame, vocab_size: int = 1024,
+             text_col: str = "text", id_col: str = "doc_id",
+             vocabulary: DataFrame | None = None) -> DataFrame:
+    """Out-of-vocabulary profile per document: (id, n_tokens, n_oov)
+    where ``n_oov`` counts token OCCURRENCES outside the corpus's
+    top-``vocab_size`` vocabulary — the classic frequency-filter signal
+    (a high OOV share marks gibberish, boilerplate codes, or
+    wrong-language text that per-doc stats like entropy miss because
+    they never see the corpus distribution).  Counts, not a ratio, so
+    the result is exact (no cross-engine rounding surface); derive
+    ``n_oov / n_tokens`` downstream.
+
+    Pass ``vocabulary`` (from ``corpus_vocabulary``, persisted) to skip
+    the corpus pass — the 100 TB path trains the vocabulary once per
+    corpus snapshot.  Plan shape: the vocabulary is dimension-sized and
+    broadcast into a map-side left-semi mark; the only full-data
+    shuffle is the per-doc re-aggregation."""
+    vocab = (vocabulary if vocabulary is not None
+             else corpus_vocabulary(df, vocab_size, text_col))
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    marked = (tok.filter(F.col("tok") != "")
+              .join(F.broadcast(vocab.select("tok")
+                                .withColumn("_in_vocab", F.lit(1))),
+                    "tok", "left"))
+    return (marked.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("_in_vocab").isNull(), 1))
+                  .alias("n_oov")))

@@ -423,3 +423,89 @@ def test_knn_join_bucket_budget_bounds_candidates_keeps_recall(spark, clustered)
     sizes = [r["n"] for r in capped.groupBy("bucket")
              .agg(F.count(F.lit(1)).alias("n")).collect()]
     assert sizes and max(sizes) <= 25
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (similarity.semdedup / semdedup_prune)
+# --------------------------------------------------------------------------
+
+def _leader_survivors_numpy(rows, tau):
+    """Unclustered leader dedup in numpy: id survives iff no lower-id
+    vector sits at cosine >= tau — the 1-cluster reference."""
+    import numpy as np
+    ids = [r[0] for r in rows]
+    m = np.asarray([r[1] for r in rows], dtype=np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cos = mn @ mn.T
+    order = np.argsort(ids)
+    out = []
+    for pos_i, i in enumerate(order):
+        if not any(cos[order[j], i] >= tau for j in range(pos_i)):
+            out.append(ids[i])
+    return sorted(out)
+
+
+def test_semdedup_one_cluster_equals_unclustered_leader(clustered):
+    """With a single k-means cluster the prune degenerates to global
+    leader dedup — pinned against an independent numpy reference."""
+    rows = [(r["vec_id"], list(r["embedding"]))
+            for r in clustered.select("vec_id", "embedding").collect()]
+    want = _leader_survivors_numpy(rows, tau=0.95)
+    got = sorted(r["vec_id"] for r in similarity.semdedup(
+        clustered, threshold=0.95, method="kmeans", n_clusters=1).collect())
+    assert got == want and len(got) < len(rows)
+
+
+def test_semdedup_leader_rule_properties(clustered):
+    """Survivors and pruned partition the input; every pruned id has a
+    lower-id same-cluster neighbor at cosine >= tau, every survivor has
+    none — checked per cluster against numpy."""
+    import numpy as np
+    tau = 0.95
+    out = similarity.semdedup(clustered, threshold=tau, method="kmeans",
+                              n_clusters=4, seed=7)
+    surv = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    all_ids = [r["vec_id"] for r in clustered.select("vec_id").collect()]
+    assert set(surv) <= set(all_ids)
+
+    cents = similarity.ivf_centroids(clustered, n_centroids=4, seed=7)
+    assigned = {r["id"]: r["list_id"] for r in similarity.ivf_assign(
+        clustered, cents).select("id", "list_id").collect()}
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in clustered.collect()}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / max(na * nb, 1e-12))
+
+    for v in all_ids:
+        leaders = [u for u in all_ids
+                   if u < v and assigned[u] == assigned[v]
+                   and cos(rows[u], rows[v]) >= tau]
+        assert (v in surv) == (not leaders), v
+    for v, c in surv.items():
+        assert c == assigned[v]
+
+
+def test_semdedup_hyperplane_deterministic_and_cap_monotone(clustered):
+    """The oracle-checked hyperplane variant is run-to-run
+    deterministic, and capping the leader side can only ADD survivors
+    (fewer leaders => fewer prune opportunities, never different
+    ones)."""
+    a = sorted(r["vec_id"] for r in similarity.semdedup(
+        clustered, threshold=0.9, method="hyperplane",
+        n_clusters=8).collect())
+    b = sorted(r["vec_id"] for r in similarity.semdedup(
+        clustered, threshold=0.9, method="hyperplane",
+        n_clusters=8).collect())
+    assert a == b
+    capped = sorted(r["vec_id"] for r in similarity.semdedup(
+        clustered, threshold=0.9, method="hyperplane", n_clusters=8,
+        cluster_cap=1).collect())
+    assert set(a) <= set(capped)
+
+
+def test_semdedup_unknown_method_raises(clustered):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        similarity.semdedup(clustered, method="dbscan")

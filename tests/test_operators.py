@@ -762,3 +762,59 @@ def test_decontaminate_ngram_overlap_rule(spark):
         [(9, "Intro: WHAT is the Capital of the ancient KINGDOM of Lydia?")],
         "doc_id long, text string")
     assert sampling.decontaminate(shouty, bench, n=10).count() == 0
+
+
+# --------------------------------------------------------------------------
+# out-of-vocabulary profile (textstats.corpus_vocabulary / oov_rate)
+# --------------------------------------------------------------------------
+
+def test_oov_rate_hand_corpus(spark):
+    """Known corpus: vocabulary of size 2 is {'the' (4), 'cat' (3)}
+    (count-desc, token-asc tiebreak); everything else is OOV."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the cat"), (3, "the cat dog dog")],
+        "doc_id long, text string")
+    vocab = textstats.corpus_vocabulary(docs, vocab_size=2)
+    assert [(r["tok"], r["n"]) for r in vocab.collect()] \
+        == [("the", 4), ("cat", 3)]
+    got = {r["id"]: (r["n_tokens"], r["n_oov"])
+           for r in textstats.oov_rate(docs, vocab_size=2).collect()}
+    assert got == {1: (3, 1), 2: (3, 0), 3: (4, 2)}
+
+
+def test_oov_rate_vocab_tiebreak_total_order(spark):
+    """Boundary ties resolve by token ascending — the vocabulary (and
+    every OOV count) is deterministic even when counts tie at the
+    cutoff."""
+    docs = spark.createDataFrame(
+        [(1, "b a b a z")], "doc_id long, text string")
+    vocab = [r["tok"] for r in
+             textstats.corpus_vocabulary(docs, vocab_size=1).collect()]
+    assert vocab == ["a"]      # a and b both count 2; 'a' < 'b'
+    got = textstats.oov_rate(docs, vocab_size=1).collect()[0]
+    assert (got["n_tokens"], got["n_oov"]) == (5, 3)
+
+
+def test_oov_rate_persisted_vocabulary_path(spark):
+    """The 100 TB path: a persisted vocabulary reused across calls
+    yields the same profile as the inline corpus pass, and a vocabulary
+    trained on ANOTHER corpus is honored verbatim."""
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x x q")], "doc_id long, text string")
+    inline = {r["id"]: (r["n_tokens"], r["n_oov"])
+              for r in textstats.oov_rate(docs, vocab_size=1).collect()}
+    vocab = textstats.corpus_vocabulary(docs, vocab_size=1)
+    reused = {r["id"]: (r["n_tokens"], r["n_oov"])
+              for r in textstats.oov_rate(docs, vocabulary=vocab).collect()}
+    assert inline == reused
+    foreign = spark.createDataFrame([("q",)], "tok string")
+    got = {r["id"]: r["n_oov"] for r in
+           textstats.oov_rate(docs, vocabulary=foreign).collect()}
+    assert got == {1: 3, 2: 2}
+
+
+def test_oov_rate_empty_tokens_ignored(spark):
+    docs = spark.createDataFrame(
+        [(1, "  a  b ")], "doc_id long, text string")
+    got = textstats.oov_rate(docs, vocab_size=10).collect()[0]
+    assert got["n_tokens"] == 2 and got["n_oov"] == 0
