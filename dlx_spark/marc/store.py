@@ -117,6 +117,19 @@ class _LazyAuthIndex:
     def __getattr__(self, name):
         return getattr(self._build(), name)
 
+    def __deepcopy__(self, memo):
+        # records deep-copied for serialization (to_mrk/to_mrc/to_xml)
+        # carry this proxy as their auth_index: it is a lookup SERVICE
+        # over the store, not record state — copying it would walk
+        # ``_build`` into the store and drag the SparkSession through
+        # deepcopy (SPARK-5063), and the deepcopy PROBE for
+        # ``__deepcopy__`` alone would otherwise force the index build
+        # through ``__getattr__``
+        return self
+
+    def __copy__(self):
+        return self
+
 
 class OnDemandAuthIndex:
     """Join-backed fallback for the ``AuthIndex`` surface when the

@@ -73,6 +73,7 @@ def main() -> None:
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    from pyspark.sql import functions as F
     from dlx_spark.operators import chunking, dedup, redact, sampling, similarity, textstats
     n_near = dedup.minhash_near_duplicates(docs, threshold=0.5).count()
     qvec = [float(x) for x in emb.first()["embedding"]]
@@ -84,11 +85,16 @@ def main() -> None:
     n_redacted = redact.redact_pii(docs).filter("n_email + n_ssn + n_ip + n_phone > 0").count()
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
     n_survivors = dedup.dedup_near(docs, pairs).count()
+    n_semdedup = similarity.semdedup(emb, threshold=0.35,
+                                     n_clusters=8).count()
+    oov = (textstats.oov_rate(docs, vocab_size=16)
+           .agg(F.avg(F.col("n_oov") / F.col("n_tokens"))).first()[0])
     print(f"near-dup pairs: {n_near}; top-3 neighbors of vec 0: "
           f"{[(r.id, round(r.cosine, 3)) for r in nn]} (IVF agrees on top-1: "
           f"{ivf[0].id == nn[0].id}); avg quality: {quality:.3f}; "
           f"stable 10% sample: {n_sampled} docs; {n_chunks} chunks; "
-          f"{n_redacted} docs with PII hits; {n_survivors} dedup survivors")
+          f"{n_redacted} docs with PII hits; {n_survivors} dedup survivors; "
+          f"{n_semdedup} SemDeDup survivors; avg OOV share {oov:.3f}")
 
     # 6. storage-layout operators: a written LSH index probes with
     # partition pruning; bulk ingest commits a DataFrame end-to-end with

@@ -236,6 +236,33 @@ def test_commit_frame_bulk_ingest_distributed(spark, tmp_path):
     assert hist.filter(F.col("version") == 2).count() == 1000
 
 
+def test_get_record_serializes_without_copying_the_session(store):
+    """``store.get`` hands records the LAZY auth-index proxy; the
+    deep copy inside serialization (``to_mrk``/``to_mrc``) must treat
+    the proxy as a shared lookup service — walking it into the store
+    drags the SparkSession through deepcopy (SPARK-5063).  The over-cap
+    OnDemandAuthIndex path was covered; this pins the UNDER-cap path
+    (plain driver AuthIndex behind the proxy), where the deepcopy probe
+    previously fell through to a full structural copy."""
+    import copy
+
+    rec = store.get("bib", 1)
+    out = rec.to_mrk()
+    assert "=001  1" in out
+    clone = copy.deepcopy(rec)
+    assert clone.id == rec.id
+
+    def proxies(r):
+        return [s._auth_index for f in r.datafields
+                for s in getattr(f, "subfields", [])
+                if getattr(s, "_auth_index", None) is not None]
+
+    # the proxy is shared, not copied (lookup service, not record state)
+    assert proxies(rec), "fixture must carry a linked subfield"
+    for a, b in zip(proxies(rec), proxies(clone)):
+        assert a is b
+
+
 def test_get_prunes_to_one_bucket(store):
     """Point reads must filter on the pt partition column so the scan
     prunes to 1/N of the table's partition directories — through the
