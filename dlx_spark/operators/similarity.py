@@ -542,6 +542,12 @@ def semdedup_prune(assigned: DataFrame, threshold: float = 0.7,
     sample — prune decisions then miss leaders beyond the cap, a
     bounded-recall trade exactly like ``knn_join``'s), or re-train
     with more centroids."""
+    # three plan branches reference the assignment (leader side,
+    # candidate side, anti-join left); the lazy cache keeps the
+    # clustering — an Arrow-batched UDF for the k-means quantizer —
+    # from re-running per branch (same contract as
+    # cosine_near_duplicates' vector relation)
+    assigned = assigned.cache()
     a = assigned.select(F.col(id_col).alias("_sd_lead"),
                         F.col(cluster_col).alias(cluster_col),
                         F.col(vec_col).alias("_sd_lvec"))
