@@ -410,3 +410,27 @@ def probe_ivf_index(spark: SparkSession, name: str, centroids: np.ndarray,
                        .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("id"))
             .limit(k))
+
+
+def semdedup_index(spark: SparkSession, name: str,
+                   threshold: float = 0.7,
+                   cluster_cap: int | None = None) -> DataFrame:
+    """SemDeDup over a WRITTEN IVF index — the deployment shape at
+    100 TB: the quantizer is trained once, the assignment table is
+    persisted partitioned by ``list_id``, and the prune
+    (``similarity.semdedup_prune``: drop a vector iff a lower-id
+    vector in the same inverted list sits at cosine ≥ ``threshold``)
+    runs as ONE list-keyed equi-join over the index — the clustering
+    pass costs nothing at prune time (no re-assignment, no UDF), and
+    the join's both sides scan list-partitioned parquet, so the
+    shuffle is by an already-materialized partition key.  Returns the
+    surviving (vec_id, cluster) rows — identical to
+    ``similarity.semdedup`` with the same centroids by construction
+    (pytest-pinned)."""
+    _check_name(name)
+    _be().refresh(spark, name)
+    assigned = _be().read(spark, name).select(
+        "id", F.col("list_id").alias("cluster"), "vec")
+    out = similarity.semdedup_prune(assigned, threshold=threshold,
+                                    cluster_cap=cluster_cap)
+    return out.select(F.col("id").alias("vec_id"), "cluster")

@@ -282,3 +282,26 @@ def test_ann_index_ops_route_through_backend_seam(spark):
         tableio.set_backend(tableio.ParquetTableBackend())
         for t in ("t_seam_lsh", "t_seam_ivf", "t_seam_ivf__refresh"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_semdedup_index_equals_onthefly_and_prunes_at_probe(spark):
+    """SemDeDup over the persisted IVF index ≡ on-the-fly semdedup with
+    the same trained centroids (the clustering pass costs nothing at
+    prune time), and the index read is the partitioned layout (list_id
+    in the scan's partition schema)."""
+    vecs = _vectors(spark)
+    name = "t_semdedup_ivf"
+    cents = similarity.ivf_centroids(vecs, n_centroids=4, seed=7)
+    bucketing.write_ivf_index(vecs, name, cents)
+    try:
+        from_index = sorted(
+            (r["vec_id"], r["cluster"]) for r in
+            bucketing.semdedup_index(spark, name, threshold=0.95).collect())
+        on_the_fly = sorted(
+            (r["vec_id"], r["cluster"]) for r in
+            similarity.semdedup(vecs, threshold=0.95, method="kmeans",
+                                centroids=cents).collect())
+        assert from_index == on_the_fly
+        assert 0 < len(from_index) < vecs.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
