@@ -219,3 +219,25 @@ def test_commit_pipeline_store_side_joins_never_shuffle_store(
     b = sorted(r["record_id"] for r in
                st._prev_id_frame(src, prev_source, small=False).collect())
     assert a == b and len(a) == 3
+
+
+def test_oov_vocabulary_broadcast_and_pure_jvm(spark):
+    """The OOV mark must broadcast the dimension-sized vocabulary (the
+    documents never shuffle to meet it) and stay UDF-free."""
+    df = contract.BENCH["oov_rate"](spark, SF)
+    plan = plans.simple_plan(df)
+    assert plans.broadcast_join_count(df) >= 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_semdedup_hyperplane_pure_jvm_single_cluster_shuffle_pair(spark):
+    """The oracle-checked hyperplane SemDeDup is pure JVM (signatures
+    are codegen expressions, no UDF), and the intra-cluster pair join
+    is an EQUI join — no CartesianProduct / nested loop anywhere."""
+    df = contract.BENCH["semdedup_survivors"](spark, SF)
+    plan = plans.simple_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
