@@ -500,3 +500,82 @@ def test_cap_auto_bypass_plans_uncapped_at_small_scale(spark):
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     bench_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert bypass_cap(bench_docs, 1000, None) is None
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read storage: model-based op sequences
+# ---------------------------------------------------------------------------
+
+_MOR_KEYS = list(range(7))
+
+
+def _mor_ops():
+    """A random op sequence for MergeOnReadTable: keyed upserts (rows +
+    tombstones, possibly overlapping — row wins on overlap), minor
+    folds, and full compactions."""
+    upsert = st.tuples(
+        st.just("upsert"),
+        st.dictionaries(st.sampled_from(_MOR_KEYS),
+                        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                        max_size=4),
+        st.lists(st.sampled_from(_MOR_KEYS), unique=True, max_size=3))
+    return st.lists(st.one_of(upsert,
+                              st.just(("minor",)),
+                              st.just(("full",))),
+                    min_size=1, max_size=6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_mor_ops())
+def test_mor_random_op_sequences_match_dict_model(spark, ops):
+    """Model-based check of the storage centerpiece: any interleaving
+    of keyed upserts, tombstones, MINOR folds (compact_deltas) and FULL
+    compactions must read back exactly what a plain dict would hold —
+    same-batch row+tombstone overlap resolves to the row, later batches
+    shadow earlier ones, and neither compaction tier may change
+    content.  Catches precedence/fold bugs no single hand-written
+    interleaving pins."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark.tableio_mor import MergeOnReadTable
+    from dlx_spark.tableio_versioned import VersionedTableBackend
+
+    root = tempfile.mkdtemp(prefix="mor_prop_")
+    try:
+        be = VersionedTableBackend(root=root)
+        t = MergeOnReadTable(be, "t", key="k", partition_cols=["pt"],
+                             auto_compact_at=None)
+        model: dict[int, str] = {}
+        did_anything = False
+        for op in ops:
+            if op[0] == "upsert":
+                _, rows, stones = op
+                if not rows and not stones:
+                    continue
+                rdf = (spark.createDataFrame(
+                    sorted(rows.items()), "k long, v string")
+                    .withColumn("pt", F.pmod("k", F.lit(2)).cast("int"))
+                    if rows else None)
+                sdf = (spark.createDataFrame([(k, k % 2) for k in stones],
+                                             "k long, pt int")
+                       if stones else None)
+                t.upsert(rows=rdf, tombstone_keys=sdf)
+                did_anything = True
+                for k in stones:
+                    if k not in rows:
+                        model.pop(k, None)
+                model.update(rows)
+            elif not did_anything:
+                continue            # maintenance before any write: no-op
+            elif op[0] == "minor":
+                t.compact_deltas(spark)
+            else:
+                t.compact(spark)
+            got = sorted((r["k"], r["v"])
+                         for r in t.read(spark).collect())
+            assert got == sorted(model.items()), (op, ops)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
