@@ -579,3 +579,87 @@ def test_mor_random_op_sequences_match_dict_model(spark, ops):
             assert got == sorted(model.items()), (op, ops)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _store_ops():
+    """Random op sequences over the record API: create (fresh id), edit
+    (retitle an existing id), delete, restore."""
+    return st.lists(
+        st.one_of(
+            st.tuples(st.just("create"),
+                      st.text(alphabet="abcdefgh", min_size=1, max_size=6)),
+            st.tuples(st.just("edit"), st.integers(0, 5),
+                      st.text(alphabet="abcdefgh", min_size=1, max_size=6)),
+            st.tuples(st.just("delete"), st.integers(0, 5)),
+            st.tuples(st.just("restore"), st.integers(0, 5)),
+        ),
+        min_size=1, max_size=6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_store_ops())
+def test_store_random_op_sequences_match_dict_model(spark, ops):
+    """Model-based check of the record API over the merge-on-read
+    store: any interleaving of create / edit / delete / restore must
+    leave live titles, point reads, and the deleted-record set exactly
+    where a dict model says — across the commit pipeline, tombstones,
+    the history log, and the persisted deleted summary."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark.marc import Bib
+    from dlx_spark.marc.store import MarcStore
+
+    now = datetime(2026, 1, 5, 12, 0, 0)
+    root = tempfile.mkdtemp(prefix="store_prop_")
+    try:
+        store = MarcStore(spark, root)
+        live: dict[int, str] = {}       # id -> title
+        deleted: set[int] = set()
+        created: list[int] = []         # ids in creation order
+        for op in ops:
+            if op[0] == "create":
+                rec = Bib().set("245", "a", op[1], auth_control=False)
+                (new_id,) = store.commit([rec], user="p", now=now,
+                                         auth_check=False)
+                live[new_id] = op[1]
+                created.append(new_id)
+            elif op[0] == "edit":
+                if not live:
+                    continue
+                rid = sorted(live)[op[1] % len(live)]
+                rec = store.get("bib", rid)
+                rec.set("245", "a", op[2], auth_control=False)
+                store.commit([rec], user="p", now=now, auth_check=False)
+                live[rid] = op[2]
+            elif op[0] == "delete":
+                if not live:
+                    continue
+                rid = sorted(live)[op[1] % len(live)]
+                store.delete("bib", rid, user="p", now=now)
+                deleted.add(rid)
+                del live[rid]
+            else:                        # restore
+                if not deleted:
+                    continue
+                rid = sorted(deleted)[op[1] % len(deleted)]
+                store.restore("bib", rid, user="p", now=now)
+                deleted.discard(rid)
+                # restore revives the last committed body
+                rec = store.get("bib", rid)
+                live[rid] = rec.get_value("245", "a")
+
+            got = {r["_id"]: r["title"] for r in store.bibs().select(
+                "_id", F.expr("""filter(datafields,
+                    f -> f.tag = '245')[0].subfields[0].value""")
+                .alias("title")).collect()}
+            assert got == live, (op, ops)
+            assert {r.record_id for r in
+                    store.find_deleted("bib").collect()} == deleted, (op, ops)
+        for rid, title in live.items():
+            assert store.get("bib", rid).get_value("245", "a") == title
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
