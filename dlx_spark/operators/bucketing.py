@@ -434,3 +434,49 @@ def semdedup_index(spark: SparkSession, name: str,
     out = similarity.semdedup_prune(assigned, threshold=threshold,
                                     cluster_cap=cluster_cap)
     return out.select(F.col("id").alias("vec_id"), "cluster")
+
+
+def semdedup_append(spark: SparkSession, name: str, batch: DataFrame,
+                    centroids: np.ndarray, threshold: float = 0.7,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """ONLINE SemDeDup ingest over a written IVF index: assign the
+    batch with the EXISTING centroids (no retraining — exactly
+    ``append_ivf_index``'s drift trade), prune each new vector that
+    sits at cosine ≥ ``threshold`` to (a) any index member in its
+    inverted list or (b) a lower-id batch row in the same list, append
+    only the survivors, and return them as (``id_col``, cluster).
+
+    This is leader/online clustering semantics — every KEPT vector is
+    a leader and new arrivals within τ of a leader are dropped — which
+    differs from batch SemDeDup over the union corpus: the batch rule
+    tests against ALL points (pruned ones included), the online rule
+    only against what the index kept.  When an ingest's history had no
+    prunes the two coincide (pytest-pinned); per-batch cost is one
+    list-keyed equi-join against list-partitioned parquet + the
+    batch-internal prune — the corpus is never re-scanned unpartitioned
+    and never re-assigned."""
+    _check_name(name)
+    assigned = similarity.ivf_assign(batch, centroids, vec_col=vec_col,
+                                     id_col=id_col).withColumnRenamed(
+                                         "list_id", "cluster").cache()
+    _be().refresh(spark, name)
+    existing = _be().read(spark, name).select(
+        F.col("list_id").alias("cluster"), F.col("vec").alias("_sd_lvec"))
+    near_existing = (assigned.join(existing, "cluster")
+                     .filter(similarity.pairwise_cosine_expr(
+                         "_sd_lvec", "vec") >= float(threshold))
+                     .select("id").distinct())
+    batch_kept = similarity.semdedup_prune(assigned,
+                                           threshold=threshold)
+    survivors = (batch_kept.join(near_existing, "id", "left_anti")
+                 .join(assigned.select("id", "vec"), "id"))
+    # PIN the survivor set before the append: the index read above is
+    # resolved at ACTION time on the catalog backend, so a lazy
+    # survivors plan evaluated after the append would see the appended
+    # rows and prune every survivor against itself
+    survivors = survivors.localCheckpoint(eager=True)
+    _be().append_partitioned(
+        survivors.select("id", F.col("cluster").alias("list_id"), "vec"),
+        name, ["list_id"])
+    return survivors.select(F.col("id").alias(id_col), "cluster")

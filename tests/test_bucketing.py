@@ -305,3 +305,53 @@ def test_semdedup_index_equals_onthefly_and_prunes_at_probe(spark):
         assert 0 < len(from_index) < vecs.count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_semdedup_append_online_ingest(spark):
+    """Online SemDeDup: batch-2 vectors within τ of an INDEX member (or
+    of a lower-id batch-2 survivor) are dropped, survivors land in the
+    index; with a prune-free history the online result coincides with
+    batch SemDeDup over the union corpus (leader ≡ batch when nothing
+    was ever pruned before the new batch)."""
+    import math
+    name = "t_semdedup_append"
+
+    def vec(c, eps=0.0):
+        v = [0.0] * 8
+        v[c] = 1.0
+        v[(c + 1) % 8] = eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base_rows = [(i, vec(i)) for i in range(4)]          # 4 orthogonal
+    base = spark.createDataFrame(base_rows,
+                                 "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(base, n_centroids=4, seed=3)
+    bucketing.write_ivf_index(base, name, cents)
+    try:
+        # batch 2: near-dup of base vec 0, a twin pair, and a fresh dir
+        batch_rows = [(10, vec(0, 0.05)),                # ~ index member 0
+                      (11, vec(6, 0.04)), (12, vec(6, 0.05)),  # twin pair
+                      (13, vec(5))]                      # genuinely new
+        batch = spark.createDataFrame(batch_rows,
+                                      "vec_id long, embedding array<double>")
+        got = sorted(r["vec_id"] for r in bucketing.semdedup_append(
+            spark, name, batch, cents, threshold=0.9).collect())
+        # 10 pruned by index member, 12 pruned by lower-id twin 11
+        assert got == [11, 13]
+        # survivors are IN the index now: re-appending the same batch
+        # prunes everything (11,13 now index members; 10,12 near them)
+        again = bucketing.semdedup_append(spark, name, batch, cents,
+                                          threshold=0.9).count()
+        assert again == 0
+
+        # prune-free history ⇒ online == batch-over-union for the batch
+        union = base.unionByName(batch)
+        batch_mode = sorted(
+            r["vec_id"] for r in similarity.semdedup(
+                union, threshold=0.9, method="kmeans",
+                centroids=cents).collect()
+            if r["vec_id"] >= 10)
+        assert batch_mode == [11, 13]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
