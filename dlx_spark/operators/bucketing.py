@@ -439,13 +439,15 @@ def semdedup_index(spark: SparkSession, name: str,
 def semdedup_append(spark: SparkSession, name: str, batch: DataFrame,
                     centroids: np.ndarray, threshold: float = 0.7,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id",
+                    replay_safe: bool = False) -> DataFrame:
     """ONLINE SemDeDup ingest over a written IVF index: assign the
     batch with the EXISTING centroids (no retraining — exactly
     ``append_ivf_index``'s drift trade), prune each new vector that
     sits at cosine ≥ ``threshold`` to (a) any index member in its
     inverted list or (b) a lower-id batch row in the same list, append
-    only the survivors, and return them as (``id_col``, cluster).
+    only the survivors, and return them as (``id_col``, cluster,
+    ``vec_col``).
 
     This is leader/online clustering semantics — every KEPT vector is
     a leader and new arrivals within τ of a leader are dropped — which
@@ -455,18 +457,30 @@ def semdedup_append(spark: SparkSession, name: str, batch: DataFrame,
     prunes the two coincide (pytest-pinned); per-batch cost is one
     list-keyed equi-join against list-partitioned parquet + the
     batch-internal prune — the corpus is never re-scanned unpartitioned
-    and never re-assigned."""
+    and never re-assigned.
+
+    ``replay_safe=True`` is the at-least-once stream mode (the
+    ``dedup_batch`` contract the streaming sinks require): index rows
+    whose id is one of this batch's own are ignored (a crashed prior
+    attempt may have appended this very batch — pruning against its
+    own survivors would wrongly empty the replay), and the append
+    skips ids already indexed, so a replay returns the first attempt's
+    survivors and leaves the index unchanged.  Requires ids unique
+    across the stream's lifetime, like ``MinHashIndex.dedup_batch``."""
     _check_name(name)
     assigned = similarity.ivf_assign(batch, centroids, vec_col=vec_col,
                                      id_col=id_col).withColumnRenamed(
                                          "list_id", "cluster").cache()
     _be().refresh(spark, name)
-    existing = _be().read(spark, name).select(
-        F.col("list_id").alias("cluster"), F.col("vec").alias("_sd_lvec"))
-    near_existing = (assigned.join(existing, "cluster")
-                     .filter(similarity.pairwise_cosine_expr(
-                         "_sd_lvec", "vec") >= float(threshold))
-                     .select("id").distinct())
+    existing = _be().read(spark, name)
+    if replay_safe:
+        existing = existing.join(assigned.select("id"), "id", "left_anti")
+    near_existing = (assigned.join(
+        existing.select(F.col("list_id").alias("cluster"),
+                        F.col("vec").alias("_sd_lvec")), "cluster")
+        .filter(similarity.pairwise_cosine_expr(
+            "_sd_lvec", "vec") >= float(threshold))
+        .select("id").distinct())
     batch_kept = similarity.semdedup_prune(assigned,
                                            threshold=threshold)
     survivors = (batch_kept.join(near_existing, "id", "left_anti")
@@ -476,7 +490,12 @@ def semdedup_append(spark: SparkSession, name: str, batch: DataFrame,
     # survivors plan evaluated after the append would see the appended
     # rows and prune every survivor against itself
     survivors = survivors.localCheckpoint(eager=True)
-    _be().append_partitioned(
-        survivors.select("id", F.col("cluster").alias("list_id"), "vec"),
-        name, ["list_id"])
-    return survivors.select(F.col("id").alias(id_col), "cluster")
+    to_append = survivors.select("id", F.col("cluster").alias("list_id"),
+                                 "vec")
+    if replay_safe:
+        # idempotent append: a crashed attempt's rows stay, nothing doubles
+        to_append = to_append.join(_be().read(spark, name).select("id"),
+                                   "id", "left_anti")
+    _be().append_partitioned(to_append, name, ["list_id"])
+    return survivors.select(F.col("id").alias(id_col), "cluster",
+                            F.col("vec").alias(vec_col))

@@ -300,6 +300,46 @@ def neardedup_ingest_stream(spark: SparkSession, input_path: str,
             .start())
 
 
+def make_semdedup_batch_fn(index_name: str, centroids, out_path: str,
+                           threshold: float = 0.7,
+                           checkpoint: str | None = None):
+    """foreachBatch function for streaming ONLINE SemDeDup ingest: each
+    micro-batch of vectors is assigned to the written IVF index's
+    inverted lists with the FROZEN centroids and pruned against the
+    index's kept members (leader semantics —
+    ``bucketing.semdedup_append``), under the same exactly-once marker
+    protocol as the other dedup sinks.  Retrain drift away on a
+    maintenance cadence with ``bucketing.refresh_ivf_index`` while the
+    stream is stopped (re-quantization does not commute with
+    concurrent appends — the backend raises on that race)."""
+    from dlx_spark.operators import bucketing
+
+    def run_batch(session, batch_df, replay):
+        return bucketing.semdedup_append(session, index_name, batch_df,
+                                         centroids, threshold=threshold,
+                                         replay_safe=replay)
+
+    return make_exactly_once_dedup_sink(run_batch, out_path, checkpoint)
+
+
+def semdedup_ingest_stream(spark: SparkSession, input_path: str,
+                           index_name: str, centroids, out_path: str,
+                           checkpoint: str, threshold: float = 0.7,
+                           schema: str = "vec_id long, embedding array<double>"):
+    """Streaming embedding ingest with cross-batch SemDeDup (cluster-
+    scoped leader dedup over the written IVF index — create it from
+    the existing corpus with ``bucketing.write_ivf_index`` first).
+    The IVF form of ``embedding_dedup_ingest_stream``; returns the
+    StreamingQuery, caller stops it."""
+    vecs = spark.readStream.schema(schema).json(input_path)
+    fn = make_semdedup_batch_fn(index_name, centroids, out_path,
+                                threshold=threshold, checkpoint=checkpoint)
+    return (vecs.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def embedding_dedup_ingest_stream(spark: SparkSession, input_path: str,
                                   index_name: str, out_path: str,
                                   checkpoint: str, threshold: float = 0.9,

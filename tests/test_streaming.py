@@ -544,3 +544,55 @@ def test_incremental_commit_stream_mrk_and_xml_formats(spark, tmp_path):
     with pytest.raises(ValueError, match="fmt must be"):
         streaming.incremental_commit_stream(spark, str(mrk_inbox), store,
                                             fmt="mrc")
+
+
+def test_semdedup_ingest_stream_cross_batch_leaders(spark, tmp_path):
+    """Streaming online SemDeDup: batch-2 vectors within τ of a KEPT
+    batch-1/corpus vector are dropped (cross-batch leader state through
+    the written IVF index), survivors land in out_path under the
+    exactly-once marker protocol."""
+    import json as jsonlib
+    import math
+
+    from dlx_spark.operators import bucketing, similarity
+    from dlx_spark.streaming import semdedup_ingest_stream
+
+    def vec(c, eps=0.0):
+        v = [0.0] * 8
+        v[c] = 1.0
+        v[(c + 1) % 8] = eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    corpus = spark.createDataFrame([(i, vec(i)) for i in range(4)],
+                                   "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(corpus, n_centroids=4, seed=3)
+    name = "t_semdedup_stream"
+    bucketing.write_ivf_index(corpus, name, cents)
+    try:
+        indir = tmp_path / "in"
+        indir.mkdir()
+        out = str(tmp_path / "clean")
+        b1 = [{"vec_id": 10, "embedding": vec(0, 0.05)},   # ~ corpus 0
+              {"vec_id": 11, "embedding": vec(6)}]          # new leader
+        (indir / "b1.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in b1))
+        q = semdedup_ingest_stream(spark, str(indir), name, cents, out,
+                                   str(tmp_path / "ckpt"), threshold=0.9)
+        q.awaitTermination(120)
+        got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+        assert got == {11}
+
+        # batch 2: a twin of batch 1's survivor must be dropped —
+        # cross-batch leader state lives in the index
+        b2 = [{"vec_id": 20, "embedding": vec(6, 0.04)},
+              {"vec_id": 21, "embedding": vec(5)}]
+        (indir / "b2.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in b2))
+        q = semdedup_ingest_stream(spark, str(indir), name, cents, out,
+                                   str(tmp_path / "ckpt"), threshold=0.9)
+        q.awaitTermination(120)
+        got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+        assert got == {11, 21}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
