@@ -497,5 +497,10 @@ def semdedup_append(spark: SparkSession, name: str, batch: DataFrame,
         to_append = to_append.join(_be().read(spark, name).select("id"),
                                    "id", "left_anti")
     _be().append_partitioned(to_append, name, ["list_id"])
+    # the survivors checkpoint is the only thing the returned frame
+    # depends on: release the per-batch assignment cache so a
+    # long-lived streaming ingest does not accumulate one pinned
+    # relation per micro-batch
+    assigned.unpersist()
     return survivors.select(F.col("id").alias(id_col), "cluster",
                             F.col("vec").alias(vec_col))
