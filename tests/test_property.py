@@ -549,7 +549,6 @@ def test_mor_random_op_sequences_match_dict_model(spark, ops):
         t = MergeOnReadTable(be, "t", key="k", partition_cols=["pt"],
                              auto_compact_at=None)
         model: dict[int, str] = {}
-        did_anything = False
         for op in ops:
             if op[0] == "upsert":
                 _, rows, stones = op
@@ -563,17 +562,19 @@ def test_mor_random_op_sequences_match_dict_model(spark, ops):
                                              "k long, pt int")
                        if stones else None)
                 t.upsert(rows=rdf, tombstone_keys=sdf)
-                did_anything = True
                 for k in stones:
                     if k not in rows:
                         model.pop(k, None)
                 model.update(rows)
-            elif not did_anything:
-                continue            # maintenance before any write: no-op
             elif op[0] == "minor":
                 t.compact_deltas(spark)
             else:
                 t.compact(spark)
+            if not t.exists(spark):
+                # tombstone-only first write / maintenance before any
+                # write: documented no-ops — nothing to read back
+                assert model == {}, (op, ops)
+                continue
             got = sorted((r["k"], r["v"])
                          for r in t.read(spark).collect())
             assert got == sorted(model.items()), (op, ops)
