@@ -28,7 +28,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dlx_spark.operators import (
-    asof, chunking, dedup, multimodal, redact, sampling, similarity, textstats)
+    asof, chunking, dedup, multimodal, redact, sampling, similarity, spans,
+    textstats)
 from dlx_spark.operators.common import epoch_seconds
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1382,7 +1383,7 @@ def quantile_band_q(spark, sf):
     return sampling.quantile_band(docs, "n_chars", lo=0.1, hi=0.9, by="lang")
 
 
-@query("contamination", """
+@query("contamination_pairs", """
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
                   unnest(list_distinct([array_to_string(t[i:i+2], ' ')
@@ -1395,7 +1396,7 @@ def quantile_band_q(spark, sf):
     GROUP BY c.doc_id, b.doc_id
     HAVING count(*) >= 2
 """)
-def contamination(spark, sf):
+def contamination_pairs(spark, sf):
     """benchmark decontamination: corpus docs sharing ≥2 distinct word
     3-grams with a held-out 'benchmark' slice (doc_id % 97 == 0).
     Shingle both sides, equi-join on the shingle string (tiny benchmark
@@ -1407,6 +1408,136 @@ def contamination(spark, sf):
                                        normalize=False)
             .select("corpus_id", "bench_id",
                     F.col("n_shared").cast("long").alias("n_shared")))
+
+
+# shared oracle CTE for the sub-document dedup family: one definition of
+# "a document's token list", zero parity drift between the three queries
+_SPANS_BASE_CTE = """
+    base AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents WHERE length(trim(text)) > 0)"""
+
+
+@query("segment_dedup_stats", f"""
+    WITH {_SPANS_BASE_CTE},
+    segs AS (
+        SELECT doc_id, CAST(t.g AS BIGINT) AS seg_idx,
+               array_to_string(w[CAST(t.g*10+1 AS BIGINT):CAST(t.g*10+10 AS BIGINT)], ' ') AS seg_text
+        FROM base, unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS BIGINT) - 1)) AS t(g)),
+    ranked AS (
+        SELECT doc_id, seg_idx, seg_text,
+               row_number() OVER (PARTITION BY seg_text
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM segs),
+    kept AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               array_to_string(list(seg_text ORDER BY seg_idx), ' ') AS cleaned_text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id),
+    totals AS (SELECT doc_id, CAST(ceil(len(w)/10.0) AS BIGINT) AS n_segments
+               FROM base)
+    SELECT t.doc_id, t.n_segments,
+           coalesce(k.n_kept, 0) AS n_kept,
+           md5(coalesce(k.cleaned_text, '')) AS cleaned_digest,
+           CAST(CASE WHEN coalesce(k.cleaned_text, '') = '' THEN 0
+                ELSE len(string_split(k.cleaned_text, ' ')) END AS BIGINT) AS n_words_kept
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+""")
+def segment_dedup_stats(spark, sf):
+    """C4-style corpus-wide repeated-segment removal (spans.segment_dedup,
+    arXiv:1910.10683 §2.2): 10-word disjoint segments, first occurrence
+    in (doc, position) order survives, documents rebuilt from survivors.
+    The md5 of the rebuilt text pins the full reconstruction through the
+    driver's value hash."""
+    docs = _t(spark, sf, "documents")
+    out = spans.segment_dedup(docs, unit_words=10, normalize=False)
+    return out.select("doc_id", "n_segments", "n_kept",
+                      F.md5("cleaned_text").alias("cleaned_digest"),
+                      "n_words_kept")
+
+
+@query("dup_span_profile", f"""
+    WITH {_SPANS_BASE_CTE},
+    wins AS (
+        SELECT doc_id, CAST(t.g AS BIGINT) AS pos,
+               array_to_string(w[CAST(t.g+1 AS BIGINT):CAST(t.g+15 AS BIGINT)], ' ') AS wt
+        FROM base, unnest(generate_series(0, len(w) - 15)) AS t(g)
+        WHERE len(w) >= 15),
+    dup AS (SELECT wt FROM wins GROUP BY wt
+            HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM wins
+             WHERE wt IN (SELECT wt FROM dup)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15
+                    THEN 1 ELSE 0 END AS f
+        FROM hits),
+    sp AS (SELECT doc_id, pos,
+                  sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+           FROM flagged),
+    agg AS (SELECT doc_id, sid, max(pos) + 15 - min(pos) AS span_len
+            FROM sp GROUP BY doc_id, sid),
+    perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                      CAST(sum(span_len) AS BIGINT) AS dup_words
+               FROM agg GROUP BY doc_id),
+    totals AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM base)
+    SELECT t.doc_id, t.n_words,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_words, 0) AS dup_words,
+           round(coalesce(p.dup_words, 0) * 1.0 / t.n_words, 4) AS dup_fraction
+    FROM totals t LEFT JOIN perdoc p USING (doc_id)
+""")
+def dup_span_profile(spark, sf):
+    """Duplicated-substring profile (spans.duplicate_spans,
+    arXiv:2107.06499): stride-1 15-word windows occurring in ≥2 distinct
+    docs mark their positions; overlapping marks merge into maximal
+    spans; per-doc duplicated-word fraction is the filtering signal."""
+    docs = _t(spark, sf, "documents")
+    return spans.duplicate_spans(docs, k=15, min_docs=2, normalize=False)
+
+
+@query("span_cut_profile", f"""
+    WITH {_SPANS_BASE_CTE},
+    wins AS (
+        SELECT doc_id, CAST(t.g AS BIGINT) AS pos,
+               array_to_string(w[CAST(t.g+1 AS BIGINT):CAST(t.g+15 AS BIGINT)], ' ') AS wt
+        FROM base, unnest(generate_series(0, len(w) - 15)) AS t(g)
+        WHERE len(w) >= 15),
+    dup AS (SELECT wt FROM wins GROUP BY wt
+            HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (
+        SELECT w.doc_id, w.pos FROM wins w
+        WHERE w.wt IN (SELECT wt FROM dup)
+        QUALIFY row_number() OVER (PARTITION BY w.wt
+                                   ORDER BY w.doc_id, w.pos) > 1),
+    cutpos AS (SELECT DISTINCT doc_id, CAST(t.g AS BIGINT) AS cut
+               FROM marked, unnest(generate_series(pos, pos + 14)) AS t(g)),
+    cuts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words_cut
+             FROM cutpos GROUP BY doc_id),
+    keptpos AS (
+        SELECT b.doc_id, CAST(t.g AS BIGINT) AS i,
+               b.w[CAST(t.g+1 AS BIGINT)] AS tok
+        FROM base b, unnest(generate_series(0, len(b.w) - 1)) AS t(g)
+        WHERE NOT EXISTS (SELECT 1 FROM cutpos cp
+                          WHERE cp.doc_id = b.doc_id AND cp.cut = t.g)),
+    cleaned AS (SELECT doc_id,
+                       array_to_string(list(tok ORDER BY i), ' ') AS cleaned_text
+                FROM keptpos GROUP BY doc_id)
+    SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_words,
+           coalesce(c.n_words_cut, 0) AS n_words_cut,
+           md5(coalesce(cl.cleaned_text, '')) AS cleaned_digest
+    FROM base b LEFT JOIN cuts c USING (doc_id)
+    LEFT JOIN cleaned cl USING (doc_id)
+""")
+def span_cut_profile(spark, sf):
+    """Destructive span dedup (spans.cut_duplicate_spans, keep_first):
+    the first occurrence of each duplicated 15-word window keeps its
+    text, later occurrences are cut; documents reassemble from the
+    surviving positions (digest-pinned)."""
+    docs = _t(spark, sf, "documents")
+    out = spans.cut_duplicate_spans(docs, k=15, min_docs=2,
+                                    keep_first=True, normalize=False)
+    return out.select("doc_id", "n_words", "n_words_cut",
+                      F.md5("cleaned_text").alias("cleaned_digest"))
 
 
 # shared oracle CTE fragments: the ngram blocking/threshold logic and
@@ -2081,6 +2212,63 @@ def approx_sketches(spark, sf):
         F.col("p50_ok").alias("ok_a"), F.col("p95_ok").alias("ok_b"),
         F.lit("quantile").alias("sketch"))
     return hll.unionAll(qs)
+
+
+@query("contamination", f"""
+    SELECT CAST(corpus_id AS VARCHAR) || ':' || CAST(bench_id AS VARCHAR) AS k,
+           n_shared AS n_a, CAST(NULL AS BIGINT) AS n_b,
+           CAST(NULL AS BIGINT) AS n_c, CAST(NULL AS DOUBLE) AS frac,
+           'pair' AS mode
+    FROM ({ORACLE['contamination_pairs']}) t1
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR) || ':' || cleaned_digest AS k,
+           n_segments AS n_a, n_kept AS n_b, n_words_kept AS n_c,
+           CAST(NULL AS DOUBLE) AS frac, 'segment' AS mode
+    FROM ({ORACLE['segment_dedup_stats']}) t2
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR) AS k,
+           n_words AS n_a, n_dup_spans AS n_b, dup_words AS n_c,
+           dup_fraction AS frac, 'span' AS mode
+    FROM ({ORACLE['dup_span_profile']}) t3
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR) || ':' || cleaned_digest AS k,
+           n_words AS n_a, n_words_cut AS n_b, CAST(NULL AS BIGINT) AS n_c,
+           CAST(NULL AS DOUBLE) AS frac, 'cut' AS mode
+    FROM ({ORACLE['span_cut_profile']}) t4
+""")
+def contamination(spark, sf):
+    """cross-document duplicated-text surface in one labeled union:
+    benchmark decontamination pairs, C4-style repeated-segment removal
+    (k = doc:cleaned-digest, so the rebuilt text is hash-pinned),
+    the Lee-et-al duplicated-span profile, and the keep-first span cut
+    (contamination_pairs + segment_dedup_stats + dup_span_profile +
+    span_cut_profile)."""
+    bigint_null = F.lit(None).cast("long")
+    pair = contamination_pairs(spark, sf).select(
+        F.concat_ws(":", "corpus_id", "bench_id").alias("k"),
+        F.col("n_shared").alias("n_a"), bigint_null.alias("n_b"),
+        bigint_null.alias("n_c"),
+        F.lit(None).cast("double").alias("frac"),
+        F.lit("pair").alias("mode"))
+    seg = segment_dedup_stats(spark, sf).select(
+        F.concat_ws(":", "doc_id", "cleaned_digest").alias("k"),
+        F.col("n_segments").alias("n_a"), F.col("n_kept").alias("n_b"),
+        F.col("n_words_kept").alias("n_c"),
+        F.lit(None).cast("double").alias("frac"),
+        F.lit("segment").alias("mode"))
+    span = dup_span_profile(spark, sf).select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_words").alias("n_a"), F.col("n_dup_spans").alias("n_b"),
+        F.col("dup_words").alias("n_c"),
+        F.col("dup_fraction").alias("frac"),
+        F.lit("span").alias("mode"))
+    cut = span_cut_profile(spark, sf).select(
+        F.concat_ws(":", "doc_id", "cleaned_digest").alias("k"),
+        F.col("n_words").alias("n_a"), F.col("n_words_cut").alias("n_b"),
+        bigint_null.alias("n_c"),
+        F.lit(None).cast("double").alias("frac"),
+        F.lit("cut").alias("mode"))
+    return pair.unionAll(seg).unionAll(span).unionAll(cut)
 
 
 # ---------------------------------------------------------------------------

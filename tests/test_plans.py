@@ -231,6 +231,34 @@ def test_oov_vocabulary_broadcast_and_pure_jvm(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_segment_dedup_two_linear_exchanges_pure_jvm(spark):
+    """C4-style segment dedup must stay a two-exchange linear plan:
+    one digest-keyed window (first-occurrence choice) + one doc-keyed
+    rebuild; per-doc totals come off the scan and join broadcast.  No
+    Python worker anywhere — segment slicing is codegen exprs."""
+    df = contract.BENCH["segment_dedup_stats"](spark, SF)
+    plan = plans.simple_plan(df)
+    assert plans.shuffle_count(df) <= 2
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_bounded_exchanges_equi_join_only(spark):
+    """The span profile and the keep-first cut are equi-join pipelines:
+    digest-keyed dup aggregation (partial-agg friendly), digest join
+    back, doc-partitioned interval merge — never a cartesian/nested
+    loop, never a Python worker."""
+    for name in ("dup_span_profile", "span_cut_profile"):
+        df = contract.BENCH[name](spark, SF)
+        plan = plans.simple_plan(df)
+        assert plans.shuffle_count(df) <= 3, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_semdedup_hyperplane_pure_jvm_single_cluster_shuffle_pair(spark):
     """The oracle-checked hyperplane SemDeDup is pure JVM (signatures
     are codegen expressions, no UDF), and the intra-cluster pair join

@@ -1,0 +1,191 @@
+"""Unit tests for corpus-level segment/span dedup (operators/spans.py):
+C4-style repeated-segment removal and Lee-et-al duplicated-span
+profiling, pinned on hand-computed micro-corpora."""
+
+import pytest
+
+from dlx_spark.operators import spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup
+# ---------------------------------------------------------------------------
+
+def test_segment_dedup_first_occurrence_wins_across_docs(spark):
+    df = _docs(spark, [
+        (1, "a b c d e f"),        # segs: "a b c", "d e f"
+        (2, "a b c x y z"),        # "a b c" duplicates doc 1 seg 0
+        (3, "a b c"),              # fully deduplicated away
+    ])
+    out = {r["doc_id"]: r for r in
+           spans.segment_dedup(df, unit_words=3, normalize=False).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned_text"] == "a b c d e f"
+    assert out[2]["n_kept"] == 1 and out[2]["cleaned_text"] == "x y z"
+    assert out[3]["n_kept"] == 0 and out[3]["cleaned_text"] == ""
+    assert out[3]["n_words_kept"] == 0 and out[3]["n_segments"] == 1
+
+
+def test_segment_dedup_within_doc_repeat_keeps_first(spark):
+    df = _docs(spark, [(1, "a b c a b c a b")])
+    row = spans.segment_dedup(df, unit_words=3, normalize=False).collect()[0]
+    # segments: "a b c"(0), "a b c"(1) -> cut, "a b"(2, short tail)
+    assert row["n_segments"] == 3 and row["n_kept"] == 2
+    assert row["cleaned_text"] == "a b c a b"
+    assert row["n_words_kept"] == 5
+
+
+def test_segment_dedup_normalize_folds_case_and_punct(spark):
+    df = _docs(spark, [(1, "Alpha, Beta! Gamma"), (2, "alpha beta gamma")])
+    out = {r["doc_id"]: r for r in
+           spans.segment_dedup(df, unit_words=3).collect()}
+    # normalized segments collide; doc 1 (earlier id) keeps its copy
+    assert out[1]["n_kept"] == 1
+    assert out[2]["n_kept"] == 0
+
+
+def test_segment_dedup_skips_whitespace_only_docs(spark):
+    df = _docs(spark, [(1, "a b"), (2, "   "), (3, "")])
+    rows = spans.segment_dedup(df, unit_words=2, normalize=False).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_segment_dedup_rejects_bad_unit():
+    with pytest.raises(ValueError):
+        spans.segment_dedup(None, unit_words=0)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_overlapping_windows_merge(spark):
+    df = _docs(spark, [
+        (1, "p q r s t u"),
+        (2, "p q r s t x"),
+    ])
+    out = {r["doc_id"]: r for r in
+           spans.duplicate_spans(df, k=3, normalize=False).collect()}
+    # shared windows at pos 0,1,2 merge into one span of 5 words
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_words"] == 5
+        assert out[d]["dup_fraction"] == pytest.approx(round(5 / 6, 4))
+
+
+def test_duplicate_spans_adjacent_merge_and_gap_split(spark):
+    df = _docs(spark, [
+        (4, "m m m n n n"),        # shared windows at pos 0 and 3: adjacent
+        (5, "m m m q n n n"),      # shared windows at pos 0 and 4: gapped
+    ])
+    out = {r["doc_id"]: r for r in
+           spans.duplicate_spans(df, k=3, normalize=False).collect()}
+    assert out[4]["n_dup_spans"] == 1 and out[4]["dup_words"] == 6
+    assert out[4]["dup_fraction"] == 1.0
+    assert out[5]["n_dup_spans"] == 2 and out[5]["dup_words"] == 6
+    assert out[5]["dup_fraction"] == pytest.approx(round(6 / 7, 4))
+
+
+def test_duplicate_spans_short_docs_report_zero(spark):
+    df = _docs(spark, [(1, "p q"), (2, "p q r s"), (3, "p q r s")])
+    out = {r["doc_id"]: r for r in
+           spans.duplicate_spans(df, k=3, normalize=False).collect()}
+    assert out[1]["n_dup_spans"] == 0 and out[1]["dup_fraction"] == 0.0
+    assert out[2]["dup_words"] == 4 and out[3]["dup_words"] == 4
+
+
+def test_duplicate_spans_within_doc_repeat_not_counted(spark):
+    # "a b c" repeats inside doc 1 only: no second DOC contains it
+    df = _docs(spark, [(1, "a b c z a b c"), (2, "q r s t u")])
+    out = {r["doc_id"]: r for r in
+           spans.duplicate_spans(df, k=3, min_docs=2,
+                                 normalize=False).collect()}
+    assert out[1]["n_dup_spans"] == 0
+    assert out[2]["n_dup_spans"] == 0
+
+
+def test_duplicate_spans_rejects_min_docs_below_two():
+    with pytest.raises(ValueError):
+        spans.duplicate_spans(None, min_docs=1)
+
+
+# ---------------------------------------------------------------------------
+# cut_duplicate_spans
+# ---------------------------------------------------------------------------
+
+def test_cut_keep_first_preserves_earliest_copy(spark):
+    df = _docs(spark, [
+        (1, "p q r s t"),
+        (2, "z p q r y"),
+    ])
+    out = {r["doc_id"]: r for r in
+           spans.cut_duplicate_spans(df, k=3, normalize=False).collect()}
+    assert out[1]["n_words_cut"] == 0
+    assert out[1]["cleaned_text"] == "p q r s t"
+    assert out[2]["n_words_cut"] == 3
+    assert out[2]["cleaned_text"] == "z y"
+
+
+def test_cut_everywhere_when_keep_first_disabled(spark):
+    df = _docs(spark, [
+        (1, "p q r s t"),
+        (2, "z p q r y"),
+    ])
+    out = {r["doc_id"]: r for r in
+           spans.cut_duplicate_spans(df, k=3, keep_first=False,
+                                     normalize=False).collect()}
+    assert out[1]["cleaned_text"] == "s t" and out[1]["n_words_cut"] == 3
+    assert out[2]["cleaned_text"] == "z y"
+
+
+def test_cut_overlapping_cut_positions_counted_once(spark):
+    df = _docs(spark, [
+        (1, "p q r s t u"),
+        (2, "p q r s t x"),
+    ])
+    out = {r["doc_id"]: r for r in
+           spans.cut_duplicate_spans(df, k=3, normalize=False).collect()}
+    # doc 2 loses the merged 5-position span exactly once
+    assert out[1]["n_words_cut"] == 0
+    assert out[2]["n_words_cut"] == 5
+    assert out[2]["cleaned_text"] == "x"
+
+
+def test_cut_text_survives_somewhere_with_keep_first(spark):
+    """keep_first guarantees every duplicated window's content still
+    exists in at least one cleaned document."""
+    df = _docs(spark, [
+        (1, "h i j k l"),
+        (2, "h i j k l"),
+        (3, "h i j z z"),
+    ])
+    out = spans.cut_duplicate_spans(df, k=3, normalize=False).collect()
+    cleaned = {r["doc_id"]: r["cleaned_text"] for r in out}
+    assert cleaned[1] == "h i j k l"     # first copy intact
+    assert cleaned[2] == ""              # later full dup fully cut
+    assert cleaned[3] == "z z"
+
+
+# ---------------------------------------------------------------------------
+# consistency between the profile and the cut
+# ---------------------------------------------------------------------------
+
+def test_profile_and_cut_agree_on_marked_positions(spark):
+    """cut(keep_first=False) removes exactly the positions
+    duplicate_spans reports as duplicated (same windows, same merge)."""
+    df = _docs(spark, [
+        (1, "p q r s t u"),
+        (2, "p q r s t x"),
+        (3, "u v w x y z"),
+    ])
+    prof = {r["doc_id"]: r for r in
+            spans.duplicate_spans(df, k=3, normalize=False).collect()}
+    cut = {r["doc_id"]: r for r in
+           spans.cut_duplicate_spans(df, k=3, keep_first=False,
+                                     normalize=False).collect()}
+    for d in (1, 2, 3):
+        assert prof[d]["dup_words"] == cut[d]["n_words_cut"]
