@@ -143,6 +143,23 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def _dup_digests(wins: DataFrame, min_docs: int) -> DataFrame:
+    """Digests of window contents occurring in >= min_docs distinct
+    documents.  For the default min_docs=2 the distinct-doc test is just
+    min(doc_id) != max(doc_id) — two longs of partial-aggregation state
+    per digest per mapper instead of a distinct-set, which matters when
+    the stride-1 window stream is the size of the corpus."""
+    if min_docs == 2:
+        return (wins.groupBy("digest")
+                .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+                .filter(F.col("_lo") != F.col("_hi"))
+                .select("digest"))
+    return (wins.groupBy("digest")
+            .agg(F.count_distinct("doc_id").alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("digest"))
+
+
 def duplicate_spans(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 15,
                     min_docs: int = 2,
@@ -183,12 +200,8 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
             F.expr(f"slice(_toks, _start + 1, {k})"), " ")).alias("digest"),
     ).cache()
 
-    dup = (wins.groupBy("digest")
-           .agg(F.count_distinct("doc_id").alias("_nd"))
-           .filter(F.col("_nd") >= min_docs)
-           .select("digest"))
-
-    hits = wins.join(dup, "digest").select("doc_id", "pos")
+    hits = wins.join(_dup_digests(wins, min_docs), "digest") \
+               .select("doc_id", "pos")
 
     # Classic interval merge: fixed width k means the running maximum
     # of span ends is lag(pos) + k, so a new span starts exactly when
@@ -252,10 +265,17 @@ def cut_duplicate_spans(df: DataFrame, text_col: str = "text",
             F.expr(f"slice(_toks, _start + 1, {k})"), " ")).alias("digest"),
     ).cache()
 
-    grp = wins.groupBy("digest").agg(
-        F.count_distinct("doc_id").alias("_nd"),
-        F.min(F.struct("doc_id", "pos")).alias("_first"))
-    dup = grp.filter(F.col("_nd") >= min_docs).select("digest", "_first")
+    if min_docs == 2:
+        grp = wins.groupBy("digest").agg(
+            F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"))
+        dup = grp.filter(F.col("_lo") != F.col("_hi")) \
+                 .select("digest", "_first")
+    else:
+        grp = wins.groupBy("digest").agg(
+            F.count_distinct("doc_id").alias("_nd"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"))
+        dup = grp.filter(F.col("_nd") >= min_docs).select("digest", "_first")
 
     marked = wins.join(dup, "digest")
     if keep_first:

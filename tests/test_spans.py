@@ -108,6 +108,26 @@ def test_duplicate_spans_within_doc_repeat_not_counted(spark):
     assert out[2]["n_dup_spans"] == 0
 
 
+def test_duplicate_spans_min_docs_three_uses_distinct_count(spark):
+    """min_docs>2 exercises the count_distinct branch: a window shared
+    by only two docs no longer qualifies."""
+    df = _docs(spark, [
+        (1, "p q r s"), (2, "p q r t"), (3, "p q r u"),   # "p q r" in 3 docs
+        (4, "x y z w"), (5, "x y z v"),                   # "x y z" in 2 docs
+    ])
+    out = {r["doc_id"]: r for r in
+           spans.duplicate_spans(df, k=3, min_docs=3,
+                                 normalize=False).collect()}
+    assert out[1]["dup_words"] == 3 and out[3]["dup_words"] == 3
+    assert out[4]["dup_words"] == 0 and out[5]["dup_words"] == 0
+    cut = {r["doc_id"]: r for r in
+           spans.cut_duplicate_spans(df, k=3, min_docs=3,
+                                     normalize=False).collect()}
+    assert cut[1]["n_words_cut"] == 0          # first occurrence kept
+    assert cut[2]["n_words_cut"] == 3 and cut[3]["n_words_cut"] == 3
+    assert cut[4]["n_words_cut"] == 0
+
+
 def test_duplicate_spans_rejects_min_docs_below_two():
     with pytest.raises(ValueError):
         spans.duplicate_spans(None, min_docs=1)
