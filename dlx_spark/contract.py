@@ -28,8 +28,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dlx_spark.operators import (
-    asof, chunking, dedup, multimodal, redact, sampling, similarity, spans,
-    textstats)
+    asof, chunking, dedup, export, multimodal, redact, sampling, similarity,
+    spans, textstats)
 from dlx_spark.operators.common import epoch_seconds
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2064,21 +2064,61 @@ def doc_profile(spark, sf):
                   .withColumnRenamed("n_tokens", "n_tokens_ws"), "doc_id"))
 
 
+@query("export_shard_stats", """
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'exp'), 1, 15)
+                         AS UBIGINT) % 8 AS BIGINT) AS shard
+        FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 15)
+                             AS UBIGINT) AS BIGINT)) AS content_xor,
+           min(doc_id) AS min_key, max(doc_id) AS max_key
+    FROM s GROUP BY shard
+""")
+def export_shard_stats(spark, sf):
+    """deterministic sharded export (export.assign_shards /
+    shard_manifest): closed-form md5 shard assignment over the doc key
+    + per-shard row count, order-insensitive xor content digest, and
+    key range — the manifest any engine can re-derive to certify an
+    exported corpus."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    sharded = export.assign_shards(docs, n_shards=8, key_col="doc_id",
+                                   salt="exp")
+    return export.shard_manifest(sharded, ("doc_id", "lang")).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_rows", "content_xor", "min_key", "max_key")
+
+
 @query("sample_splits", f"""
     SELECT doc_id, lang, 'uniform' AS strategy
     FROM ({ORACLE['deterministic_sample']}) t1
     UNION ALL
     SELECT doc_id, lang, 'stratified' AS strategy
     FROM ({ORACLE['stratified_sample']}) t2
+    UNION ALL
+    SELECT shard AS doc_id,
+           CAST(n_rows AS VARCHAR) || ':' || CAST(content_xor AS VARCHAR)
+             || ':' || CAST(min_key AS VARCHAR) || ':' || CAST(max_key AS VARCHAR) AS lang,
+           'shards' AS strategy
+    FROM ({ORACLE['export_shard_stats']}) t3
 """)
 def sample_splits(spark, sf):
-    """hash-keyed reproducible sampling, uniform 10% and per-stratum
-    {en: 10%, de: 50%}, labeled in one union."""
+    """hash-keyed reproducible sampling (uniform 10% + per-stratum
+    {en: 10%, de: 50%}) and the deterministic-export shard manifest
+    (stats packed into the string column), labeled in one union
+    (deterministic_sample + stratified_sample + export_shard_stats)."""
+    shards = export_shard_stats(spark, sf).select(
+        F.col("shard").alias("doc_id"),
+        F.concat_ws(":", "n_rows", "content_xor",
+                    "min_key", "max_key").alias("lang"),
+        F.lit("shards").alias("strategy"))
     return (
         deterministic_sample_q(spark, sf)
         .select("doc_id", "lang", F.lit("uniform").alias("strategy"))
         .unionAll(stratified_sample_q(spark, sf)
                   .select("doc_id", "lang", F.lit("stratified").alias("strategy")))
+        .unionAll(shards)
     )
 
 

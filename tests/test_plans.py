@@ -231,6 +231,16 @@ def test_oov_vocabulary_broadcast_and_pure_jvm(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_export_manifest_single_shuffle_pure_jvm(spark):
+    """Shard assignment is a closed-form md5 expression (no shuffle);
+    the manifest is one partial-agg groupBy on the shard id."""
+    df = contract.BENCH["export_shard_stats"](spark, SF)
+    plan = plans.simple_plan(df)
+    assert plans.shuffle_count(df) == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_segment_dedup_two_linear_exchanges_pure_jvm(spark):
     """C4-style segment dedup must stay a two-exchange linear plan:
     one digest-keyed window (first-occurrence choice) + one doc-keyed
