@@ -1164,3 +1164,145 @@ class EmbeddingIndex:
             _be().drop(self.spark, f"{self.name}{suffix}")
         # a crashed rebucket's stages/intent must not outlive the index
         self._drop_rebucket_stages()
+
+
+class SegmentIndex:
+    """Incremental corpus-level SEGMENT dedup state (the C4-style
+    repeated-unit rule of ``spans.segment_dedup``, batched): the digest
+    of every segment ever KEPT, bucketed by digest.
+
+    Per-batch cost: segment the batch (map-only), one anti-join against
+    the bucketed digest table (index side satisfies the join's
+    distribution from its layout — only the batch shuffles), a
+    batch-internal first-occurrence pick, and a bucketed append of the
+    batch's kept digests.  The corpus text is never rescanned.
+
+    Sequential equivalence anchor (pytest): feeding doc-id-ordered
+    batches through ``dedup_batch`` produces exactly the full-corpus
+    ``spans.segment_dedup`` output, because the global first-occurrence
+    order (doc_id, seg_idx) is the batch arrival order."""
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark = spark
+        self.name = name
+        _recover_compaction(spark, f"{name}_segments")
+        self.params = _read_meta(spark, name)
+
+    def compact(self) -> None:
+        _compact_table(self.spark, f"{self.name}_segments", "digest",
+                       self.params["n_buckets"])
+
+    @classmethod
+    def create_empty(cls, spark: SparkSession, name: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     unit_words: int = 10, normalize: bool = True,
+                     n_buckets: int = 32) -> "SegmentIndex":
+        """An empty index: the stream-ingest shape, where every corpus
+        batch (including the first) flows through ``dedup_batch``."""
+        if unit_words < 1:
+            raise ValueError("unit_words must be >= 1")
+        empty = spark.createDataFrame(
+            [], "digest string, keep_id long")
+        _be().write(empty, f"{name}_segments", "digest", n_buckets)
+        _write_meta(spark, name, {
+            "text_col": text_col, "id_col": id_col,
+            "unit_words": unit_words, "normalize": normalize,
+            "n_buckets": n_buckets})
+        return cls(spark, name)
+
+    @classmethod
+    def create(cls, df: DataFrame, name: str, text_col: str = "text",
+               id_col: str = "doc_id", unit_words: int = 10,
+               normalize: bool = True, n_buckets: int = 32) -> "SegmentIndex":
+        """Index an existing corpus: every distinct segment digest with
+        the id of the document whose copy was kept."""
+        idx = cls.create_empty(df.sparkSession, name, text_col, id_col,
+                               unit_words, normalize, n_buckets)
+        from dlx_spark.operators import spans as _spans
+        segs = _spans.word_segments(df, text_col, id_col, unit_words,
+                                    normalize)
+        digests = (segs
+                   .select(F.md5("seg_text").alias("digest"),
+                           F.col("doc_id").cast("long").alias("keep_id"))
+                   .groupBy("digest").agg(F.min("keep_id").alias("keep_id")))
+        _be().append(digests, f"{name}_segments", "digest", n_buckets)
+        return idx
+
+    def _batch_segments(self, batch: DataFrame) -> DataFrame:
+        from dlx_spark.operators import spans as _spans
+        p = self.params
+        return _spans.word_segments(batch, p["text_col"], p["id_col"],
+                                    p["unit_words"], p["normalize"]) \
+                     .withColumn("digest", F.md5("seg_text"))
+
+    def _refresh(self) -> None:
+        _be().refresh(self.spark, f"{self.name}_segments")
+
+    def _kept_and_rebuilt(self, batch: DataFrame,
+                          replay_safe: bool) -> tuple[DataFrame, DataFrame]:
+        from dlx_spark.operators import spans as _spans
+        from pyspark.sql import Window
+        p = self.params
+        self._refresh()
+        idx = _be().read(self.spark, f"{self.name}_segments")
+        if replay_safe:
+            own = batch.select(F.col(p["id_col"]).cast("long")
+                               .alias("keep_id"))
+            idx = idx.join(own, "keep_id", "left_anti")
+        segs = self._batch_segments(batch)
+        fresh = segs.join(idx.select("digest"), "digest", "left_anti")
+        w = Window.partitionBy("digest").orderBy("doc_id", "seg_idx")
+        kept = (fresh.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("doc_id", "seg_idx", "seg_text", "digest"))
+        totals = _spans.segment_totals(batch, p["text_col"], p["id_col"],
+                                       p["unit_words"], p["normalize"])
+        return kept, _spans.rebuild_documents(
+            kept.select("doc_id", "seg_idx", "seg_text"), totals)
+
+    def filter_new(self, batch: DataFrame,
+                   replay_safe: bool = False) -> DataFrame:
+        """Rebuilt batch documents with every segment already in the
+        index (or duplicated earlier in the batch) removed — same
+        output schema as ``spans.segment_dedup``.  ``replay_safe``:
+        index rows kept FROM this batch's own doc ids are ignored, so
+        an at-least-once replay reproduces its first attempt."""
+        _, rebuilt = self._kept_and_rebuilt(batch, replay_safe)
+        return rebuilt
+
+    def append_kept(self, kept_segments: DataFrame,
+                    if_absent: bool = False) -> None:
+        """Record kept segments' digests.  ``if_absent=True`` makes the
+        append idempotent for at-least-once replays."""
+        p = self.params
+        digests = (kept_segments
+                   .select("digest",
+                           F.col("doc_id").cast("long").alias("keep_id"))
+                   .groupBy("digest").agg(F.min("keep_id").alias("keep_id")))
+        if if_absent:
+            self._refresh()
+            existing = _be().read(self.spark,
+                                  f"{self.name}_segments").select("digest")
+            digests = digests.join(existing, "digest", "left_anti") \
+                             .localCheckpoint(eager=True)
+        _be().append(digests, f"{self.name}_segments", "digest",
+                     p["n_buckets"])
+
+    def dedup_batch(self, batch: DataFrame,
+                    replay_safe: bool = False) -> DataFrame:
+        """filter_new + append of the batch's kept segment digests.
+        The kept set is pinned (localCheckpoint) BEFORE the append so
+        neither returned frame re-runs its anti-join against the
+        just-appended state; the digests are appended from the kept
+        SEGMENTS, never re-derived from the rebuilt text (re-splitting
+        a rebuilt document would shift window alignment whenever a
+        mid-document segment was cut)."""
+        kept, rebuilt = self._kept_and_rebuilt(batch, replay_safe)
+        kept = kept.localCheckpoint(eager=True)
+        rebuilt = rebuilt.localCheckpoint(eager=True)
+        self.append_kept(kept, if_absent=replay_safe)
+        return rebuilt
+
+    def drop(self) -> None:
+        _be().drop(self.spark, f"{self.name}_segments")
+        _be().drop(self.spark, f"{self.name}_meta")

@@ -75,6 +75,66 @@ def _doc_tokens(df: DataFrame, text_col: str, id_col: str,
             .filter(F.size("_toks") > 0))
 
 
+def word_segments(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", unit_words: int = 10,
+                  normalize: bool = True) -> DataFrame:
+    """(doc_id, seg_idx, seg_text): the disjoint ``unit_words``-token
+    segments of every document (final segment may be shorter).  Pure
+    JVM flat map — the shared unit for :func:`segment_dedup` and the
+    incremental ``SegmentIndex``, so batch and full-corpus paths can
+    never disagree on segmentation."""
+    if unit_words < 1:
+        raise ValueError("unit_words must be >= 1")
+    base = _doc_tokens(df, text_col, id_col, normalize)
+    return base.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"sequence(0, size(_toks) - 1, {unit_words})"
+        )).alias("seg_idx", "_start"),
+        "_toks",
+    ).select(
+        "doc_id", "seg_idx",
+        F.array_join(
+            F.expr(f"slice(_toks, _start + 1, {unit_words})"), " "
+        ).alias("seg_text"),
+    )
+
+
+def rebuild_documents(kept_segments: DataFrame,
+                      totals: DataFrame) -> DataFrame:
+    """Reassemble (doc_id, n_segments, n_kept, cleaned_text,
+    n_words_kept) from surviving segments + per-doc totals (every doc
+    in ``totals`` appears, fully-cut ones with empty text)."""
+    rebuilt = kept_segments.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda s: s["seg_text"]),
+            " ").alias("cleaned_text"),
+    )
+    out = totals.join(rebuilt, "doc_id", "left")
+    cleaned = F.coalesce(F.col("cleaned_text"), F.lit(""))
+    return out.select(
+        "doc_id", "n_segments",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        cleaned.alias("cleaned_text"),
+        F.when(cleaned == "", F.lit(0))
+         .otherwise(F.size(F.split(cleaned, " ")))
+         .cast("long").alias("n_words_kept"),
+    )
+
+
+def segment_totals(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", unit_words: int = 10,
+                   normalize: bool = True) -> DataFrame:
+    """(doc_id, n_segments) computed map-side off the scan."""
+    base = _doc_tokens(df, text_col, id_col, normalize)
+    return base.select(
+        "doc_id",
+        F.ceil(F.size("_toks") / F.lit(unit_words)).alias("n_segments"))
+
+
 def segment_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", unit_words: int = 10,
                   normalize: bool = True) -> DataFrame:
@@ -92,22 +152,7 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
     ``cleaned_text`` is the document rebuilt from its surviving
     segments in order ('' when nothing survived).
     """
-    if unit_words < 1:
-        raise ValueError("unit_words must be >= 1")
-    base = _doc_tokens(df, text_col, id_col, normalize)
-
-    segs = base.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"sequence(0, size(_toks) - 1, {unit_words})"
-        )).alias("seg_idx", "_start"),
-        "_toks",
-    ).select(
-        "doc_id", "seg_idx",
-        F.array_join(
-            F.expr(f"slice(_toks, _start + 1, {unit_words})"), " "
-        ).alias("seg_text"),
-    )
+    segs = word_segments(df, text_col, id_col, unit_words, normalize)
 
     # One exchange: digest-keyed first-occurrence choice.  Groups are
     # duplicate sets (usually size 1), so the per-key sort is trivial;
@@ -117,30 +162,9 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1))
 
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
-                lambda s: s["seg_text"]),
-            " ").alias("cleaned_text"),
-    )
-
     # Per-document totals come straight off the scan — no shuffle.
-    totals = base.select(
-        "doc_id",
-        F.ceil(F.size("_toks") / F.lit(unit_words)).alias("n_segments"))
-
-    out = totals.join(rebuilt, "doc_id", "left")
-    cleaned = F.coalesce(F.col("cleaned_text"), F.lit(""))
-    return out.select(
-        "doc_id", "n_segments",
-        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
-        cleaned.alias("cleaned_text"),
-        F.when(cleaned == "", F.lit(0))
-         .otherwise(F.size(F.split(cleaned, " ")))
-         .cast("long").alias("n_words_kept"),
-    )
+    totals = segment_totals(df, text_col, id_col, unit_words, normalize)
+    return rebuild_documents(kept, totals)
 
 
 def _dup_digests(wins: DataFrame, min_docs: int) -> DataFrame:

@@ -1167,3 +1167,91 @@ def test_rebucket_recovery_mid_swap_crash_states_on_both_backends(spark,
         rolled2.drop()
     finally:
         tableio.set_backend(tableio.ParquetTableBackend())
+
+
+# ---------------------------------------------------------------------------
+# SegmentIndex: incremental C4-style segment dedup
+# ---------------------------------------------------------------------------
+
+def _seg_rows(df):
+    return sorted(tuple(r) for r in df.select(
+        "doc_id", "n_segments", "n_kept", "cleaned_text",
+        "n_words_kept").collect())
+
+
+def test_segment_index_sequential_batches_equal_full(spark, split_corpus):
+    """Doc-id-ordered batches through dedup_batch reproduce the
+    full-corpus spans.segment_dedup exactly."""
+    from dlx_spark.operators.dedup_index import SegmentIndex
+    from dlx_spark.operators import spans
+    full_df, _, _ = split_corpus
+    idx = SegmentIndex.create_empty(spark, "t_seg_seq", unit_words=10,
+                                    normalize=False)
+    try:
+        parts = [full_df.filter(F.col("doc_id") < 100),
+                 full_df.filter((F.col("doc_id") >= 100)
+                                & (F.col("doc_id") < 220)),
+                 full_df.filter(F.col("doc_id") >= 220)]
+        got = []
+        for p in parts:
+            got.extend(_seg_rows(idx.dedup_batch(p)))
+        want = _seg_rows(spans.segment_dedup(full_df, unit_words=10,
+                                             normalize=False))
+        assert sorted(got) == want
+        # the planted exact clones (200..204 repeat 0..4) lost all segs
+        cleaned = {d: t for d, _, _, t, _ in got}
+        for clone in range(200, 205):
+            assert cleaned[clone] == ""
+    finally:
+        idx.drop()
+
+
+def test_segment_index_create_from_corpus_then_batch(spark, split_corpus):
+    from dlx_spark.operators.dedup_index import SegmentIndex
+    from dlx_spark.operators import spans
+    full_df, corpus, batch = split_corpus
+    idx = SegmentIndex.create(corpus, "t_seg_crt", unit_words=10,
+                              normalize=False)
+    try:
+        got = _seg_rows(idx.dedup_batch(batch))
+        full = spans.segment_dedup(full_df, unit_words=10, normalize=False)
+        want = _seg_rows(full.filter(F.col("doc_id") >= 200))
+        assert got == want
+    finally:
+        idx.drop()
+
+
+def test_segment_index_replay_safe_idempotent(spark, split_corpus):
+    from dlx_spark.operators.dedup_index import SegmentIndex
+    from dlx_spark import tableio
+    _, corpus, batch = split_corpus
+    idx = SegmentIndex.create(corpus, "t_seg_rpl", unit_words=10,
+                              normalize=False)
+    try:
+        first = _seg_rows(idx.dedup_batch(batch, replay_safe=True))
+        n_after_first = tableio.ParquetTableBackend().read(
+            spark, "t_seg_rpl_segments").count()
+        replay = _seg_rows(idx.dedup_batch(batch, replay_safe=True))
+        assert replay == first
+        n_after_replay = tableio.ParquetTableBackend().read(
+            spark, "t_seg_rpl_segments").count()
+        assert n_after_replay == n_after_first
+    finally:
+        idx.drop()
+
+
+def test_segment_index_compact_preserves_behavior(spark, split_corpus):
+    from dlx_spark.operators.dedup_index import SegmentIndex
+    _, corpus, batch = split_corpus
+    idx = SegmentIndex.create(corpus, "t_seg_cpt", unit_words=10,
+                              normalize=False)
+    try:
+        idx.dedup_batch(batch)
+        idx.compact()
+        # an exact clone of an indexed corpus doc is still fully cut
+        clone = spark.createDataFrame(
+            [(7_000_000, corpus.first()["text"])], "doc_id long, text string")
+        row = idx.filter_new(clone).collect()[0]
+        assert row["n_kept"] == 0 and row["cleaned_text"] == ""
+    finally:
+        idx.drop()
