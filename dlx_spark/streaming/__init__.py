@@ -340,6 +340,42 @@ def semdedup_ingest_stream(spark: SparkSession, input_path: str,
             .start())
 
 
+def make_segment_dedup_batch_fn(index_name: str, out_path: str,
+                                checkpoint: str | None = None):
+    """foreachBatch function for streaming SEGMENT dedup ingest (the
+    C4 repeated-unit rule, sub-document granularity): each micro-batch
+    is segmented, cut against every segment ever kept (persisted
+    ``SegmentIndex``), rebuilt, and the cleaned documents land under
+    the same exactly-once marker protocol as the other dedup sinks.
+    The emitted rows carry the rebuilt-document schema
+    (doc_id, n_segments, n_kept, cleaned_text, n_words_kept)."""
+    from dlx_spark.operators.dedup_index import SegmentIndex
+
+    def run_batch(session, batch_df, replay):
+        return SegmentIndex(session, index_name).dedup_batch(
+            batch_df, replay_safe=replay)
+
+    return make_exactly_once_dedup_sink(run_batch, out_path, checkpoint)
+
+
+def segment_dedup_ingest_stream(spark: SparkSession, input_path: str,
+                                index_name: str, out_path: str,
+                                checkpoint: str,
+                                schema: str = "doc_id long, text string"):
+    """Streaming corpus ingest with cross-batch repeated-segment
+    removal — the sub-document companion of ``neardedup_ingest_stream``
+    (create the index first: ``SegmentIndex.create`` on the existing
+    corpus, or ``SegmentIndex.create_empty`` for a fresh stream).
+    Returns the StreamingQuery; caller stops it."""
+    docs = spark.readStream.schema(schema).json(input_path)
+    fn = make_segment_dedup_batch_fn(index_name, out_path,
+                                     checkpoint=checkpoint)
+    return (docs.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def embedding_dedup_ingest_stream(spark: SparkSession, input_path: str,
                                   index_name: str, out_path: str,
                                   checkpoint: str, threshold: float = 0.9,

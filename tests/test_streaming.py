@@ -596,3 +596,66 @@ def test_semdedup_ingest_stream_cross_batch_leaders(spark, tmp_path):
         assert got == {11, 21}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_segment_dedup_ingest_stream_cross_batch_and_replay(spark, tmp_path):
+    """Streaming segment dedup: a batch-2 document repeating a segment
+    kept in batch 1 (or in the pre-indexed corpus) loses it; a
+    crash-replay of a batch reproduces its first attempt without
+    double-appending index state."""
+    import json as jsonlib
+
+    from dlx_spark.operators.dedup_index import SegmentIndex
+    from dlx_spark import tableio
+    from dlx_spark.streaming import (make_segment_dedup_batch_fn,
+                                     segment_dedup_ingest_stream)
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c x y z")], "doc_id long, text string")
+    name = "t_seg_stream"
+    SegmentIndex.create(corpus, name, unit_words=3, normalize=False)
+    try:
+        indir = tmp_path / "in"
+        indir.mkdir()
+        out = str(tmp_path / "clean")
+        b1 = [{"doc_id": 10, "text": "a b c p q r"},    # "a b c" indexed
+              {"doc_id": 11, "text": "p q r s t u"}]    # "p q r" dup of 10
+        (indir / "b1.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in b1))
+        q = segment_dedup_ingest_stream(spark, str(indir), name, out,
+                                        str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r["cleaned_text"]
+               for r in spark.read.parquet(out).collect()}
+        assert got[10] == "p q r"            # corpus segment cut
+        assert got[11] == "s t u"            # batch-internal dup cut
+
+        # batch 2 sees batch 1's kept segments through the index
+        b2 = [{"doc_id": 20, "text": "s t u m n o"}]
+        (indir / "b2.json").write_text(
+            "\n".join(jsonlib.dumps(r) for r in b2))
+        q = segment_dedup_ingest_stream(spark, str(indir), name, out,
+                                        str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r["cleaned_text"]
+               for r in spark.read.parquet(out).collect()}
+        assert got[20] == "m n o"
+
+        # crash-replay: calling the batch fn again with an already-
+        # committed batch id must reproduce the output and leave the
+        # index row count unchanged
+        n_before = tableio.ParquetTableBackend().read(
+            spark, f"{name}_segments").count()
+        fn = make_segment_dedup_batch_fn(name, out,
+                                         checkpoint=str(tmp_path / "ckpt"))
+        replay_df = spark.createDataFrame(
+            [(20, "s t u m n o")], "doc_id long, text string")
+        fn(replay_df, 1)                      # batch id 1 == b2, replay
+        got = {r["doc_id"]: r["cleaned_text"]
+               for r in spark.read.parquet(out).collect()}
+        assert got[20] == "m n o"
+        n_after = tableio.ParquetTableBackend().read(
+            spark, f"{name}_segments").count()
+        assert n_after == n_before
+    finally:
+        SegmentIndex(spark, name).drop()
