@@ -2139,18 +2139,25 @@ def mix_quantile(spark, sf):
 
 @query("dup_cluster_survivors", f"""
     WITH RECURSIVE {_NGRAM_PAIR_CTES}, {_WALK_CTES},
-    comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+    comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+    prio AS (SELECT d.doc_id,
+                    row_number() OVER (PARTITION BY c.component
+                                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+             FROM documents d JOIN comp c ON c.id = d.doc_id)
     SELECT d.doc_id, d.lang, CAST(c.component AS BIGINT) AS component,
-           (c.component IS NULL OR d.doc_id = c.component) AS is_survivor
+           (c.component IS NULL OR d.doc_id = c.component) AS is_survivor,
+           (p.rn IS NULL OR p.rn = 1) AS best_survivor
     FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN prio p ON p.doc_id = d.doc_id
 """)
 def dup_cluster_survivors(spark, sf):
-    """near-dedup end-to-end with BOTH artifacts cross-checked in one
+    """near-dedup end-to-end with THREE artifacts cross-checked in one
     frame: connected-component labels from iterative min-label
-    propagation, and the survivor flag computed independently by
-    dedup_near's anti-join — the oracle's recursive walk must agree with
-    each, and they must agree with each other (a survivor is exactly a
-    doc that is its component's minimum or is unclustered)."""
+    propagation, the min-id survivor flag computed independently by
+    dedup_near's anti-join, and the QUALITY survivor flag from
+    dedup_near_by_priority (keep the longest copy, ties to min id) —
+    the oracle's recursive walk + windowed arg-max must agree with
+    each, and min-id/quality rules must agree on unclustered docs."""
     docs = _t(spark, sf, "documents")
     pairs = ngram_jaccard(spark, sf).select("id_a", "id_b")
     comp = dedup.connected_components(pairs).select(
@@ -2158,11 +2165,15 @@ def dup_cluster_survivors(spark, sf):
         F.col("component").cast("long").alias("component"))
     surv = (dedup.dedup_near(docs, pairs).select("doc_id")
             .withColumn("is_survivor", F.lit(True)))
+    best = (dedup.dedup_near_by_priority(docs, pairs, "n_chars")
+            .select("doc_id").withColumn("best_survivor", F.lit(True)))
     return (docs.select("doc_id", "lang")
             .join(comp, "doc_id", "left")
             .join(surv, "doc_id", "left")
-            .na.fill({"is_survivor": False})
-            .select("doc_id", "lang", "component", "is_survivor"))
+            .join(best, "doc_id", "left")
+            .na.fill({"is_survivor": False, "best_survivor": False})
+            .select("doc_id", "lang", "component", "is_survivor",
+                    "best_survivor"))
 
 
 @query("minhash_neardup", f"""

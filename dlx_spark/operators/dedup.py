@@ -851,6 +851,35 @@ def dedup_near(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     return df.join(losers, F.col(id_col) == F.col("_loser"), "left_anti")
 
 
+def dedup_near_by_priority(df: DataFrame, pairs: DataFrame,
+                           priority_col: str, id_col: str = "doc_id",
+                           id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """``dedup_near`` with a QUALITY survivor rule: each cluster keeps
+    its highest-``priority_col`` document (ties -> minimum id; NULL
+    priority loses to any non-NULL) instead of its minimum id — the
+    curation-pipeline shape where near-dup resolution should keep the
+    best copy (longest, highest quality score, most recent crawl), not
+    the arbitrarily-first one.
+
+    Same scale posture as ``dedup_near``: the component walk and the
+    winner choice run over only the docs that appear in a pair, and
+    the corpus meets the loser set in one anti-join (no forced
+    broadcast — the duplicate set scales with corpus redundancy)."""
+    _require_col_name("priority_col", priority_col)
+    comp = connected_components(pairs, id_a, id_b)
+    prio = (df.select(F.col(id_col).alias("id"),
+                      F.coalesce(F.col(priority_col).cast("double"),
+                                 F.lit(float("-inf"))).alias("_p"))
+            .join(comp, "id"))
+    winners = prio.groupBy("component").agg(
+        F.max(F.struct(F.col("_p"), (-F.col("id")).alias("_negid")))
+         .alias("_best"))
+    losers = (prio.join(winners, "component")
+              .filter(F.col("id") != -F.col("_best._negid"))
+              .select(F.col("id").alias("_loser")))
+    return df.join(losers, F.col(id_col) == F.col("_loser"), "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (exact, blocked)
 # ---------------------------------------------------------------------------

@@ -209,3 +209,25 @@ def test_profile_and_cut_agree_on_marked_positions(spark):
                                      normalize=False).collect()}
     for d in (1, 2, 3):
         assert prof[d]["dup_words"] == cut[d]["n_words_cut"]
+
+
+# ---------------------------------------------------------------------------
+# quality-aware near-dedup survivor rule (dedup.dedup_near_by_priority)
+# ---------------------------------------------------------------------------
+
+def test_dedup_near_by_priority_keeps_best_copy(spark):
+    from dlx_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, "x", 5.0), (3, "x", 1.0),   # cluster {1,2,3}
+         (7, "y", 0.5), (8, "y", 0.5),                  # tie -> min id
+         (9, "z", None), (10, "z", 0.1),                # NULL loses
+         (42, "solo", 9.9)],                            # in no pair
+        "doc_id long, text string, quality double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 10)], "id_a long, id_b long")
+    got = sorted(r["doc_id"] for r in dedup.dedup_near_by_priority(
+        df, pairs, "quality").collect())
+    assert got == [2, 7, 10, 42]
+    # baseline rule would keep min ids instead
+    base = sorted(r["doc_id"] for r in dedup.dedup_near(df, pairs).collect())
+    assert base == [1, 7, 9, 42]
