@@ -33,11 +33,6 @@ HEADLINE = [
     "multimodal_decode",
     "chunk_documents",
     "redact_pii",
-    # r11 additions (sub-document corpus dedup) — NEW headline rows, so
-    # round-over-round totals compare r11+ against r10 only after
-    # subtracting these two; per-query medians stay comparable.
-    "segment_dedup_stats",
-    "dup_span_profile",
 ]
 
 

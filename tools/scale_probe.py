@@ -764,7 +764,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from dlx_spark import get_spark
-    from dlx_spark.operators import chunking, dedup, textstats
+    from dlx_spark.operators import chunking, dedup, export, spans, textstats
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -811,6 +811,28 @@ def main() -> None:
         t0 = time.time()
         textstats.quality_score(corpus).agg(F.avg("quality")).collect()
         timings["quality_score"] = round(time.time() - t0, 2)
+
+        # sub-document dedup (r11).  NOTE the replicated corpus is the
+        # WORST case for both: every document has mult-1 exact clones,
+        # so segment dedup cuts ~(1-1/mult) of all segments and the
+        # span profile marks ~every window duplicated — the timings
+        # below price full-duplication workloads, not the typical tail.
+        t0 = time.time()
+        (spans.segment_dedup(corpus, unit_words=10, normalize=False)
+         .agg(F.sum("n_kept"), F.bit_xor(F.xxhash64("cleaned_text")))
+         .collect())
+        timings["segment_dedup"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        (spans.duplicate_spans(corpus, k=15, normalize=False)
+         .agg(F.sum("dup_words"), F.avg("dup_fraction")).collect())
+        timings["duplicate_spans"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        (export.shard_manifest(export.assign_shards(corpus, 256),
+                               ("doc_id", "text"))
+         .agg(F.sum("n_rows"), F.bit_xor("content_xor")).collect())
+        timings["shard_manifest"] = round(time.time() - t0, 2)
 
         print(json.dumps({
             "metric": "scale_probe",
