@@ -231,3 +231,89 @@ def test_dedup_near_by_priority_keeps_best_copy(spark):
     # baseline rule would keep min ids instead
     base = sorted(r["doc_id"] for r in dedup.dedup_near(df, pairs).collect())
     assert base == [1, 7, 9, 42]
+
+
+# ---------------------------------------------------------------------------
+# randomized model equivalence: tiny alphabet forces heavy collisions
+# ---------------------------------------------------------------------------
+
+def _model_segment_dedup(rows, unit):
+    import math
+    seen, out = set(), {}
+    for doc_id, text in sorted(rows):
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            continue
+        n = math.ceil(len(toks) / unit)
+        kept = []
+        for i in range(n):
+            seg = " ".join(toks[i * unit:(i + 1) * unit])
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        cleaned = " ".join(kept)
+        out[doc_id] = (n, len(kept), cleaned,
+                       len(cleaned.split(" ")) if cleaned else 0)
+    return out
+
+
+def _model_dup_spans(rows, k):
+    wins: dict[str, set] = {}
+    toks_of = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            continue
+        toks_of[doc_id] = toks
+        for pos in range(len(toks) - k + 1):
+            wins.setdefault(" ".join(toks[pos:pos + k]), set()).add(doc_id)
+    dup = {wt for wt, docs in wins.items() if len(docs) >= 2}
+    out = {}
+    for doc_id, toks in toks_of.items():
+        hits = [p for p in range(len(toks) - k + 1)
+                if " ".join(toks[p:p + k]) in dup]
+        spans_, last_end = [], None
+        for p in hits:
+            if last_end is None or p > last_end:
+                spans_.append([p, p + k])
+            else:
+                spans_[-1][1] = max(spans_[-1][1], p + k)
+            last_end = spans_[-1][1]
+        dw = sum(e - s for s, e in spans_)
+        out[doc_id] = (len(toks), len(spans_), dw,
+                       round(dw / len(toks), 4))
+    return out
+
+
+def test_segment_dedup_matches_python_model_on_random_corpora(spark):
+    import random
+    for seed in range(6):
+        rng = random.Random(seed)
+        unit = rng.randint(1, 4)
+        rows = [(i, " ".join(rng.choice("ab c".split() + ["d"])
+                             for _ in range(rng.randint(0, 12))))
+                for i in range(rng.randint(2, 25))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_segments"], r["n_kept"],
+                             r["cleaned_text"], r["n_words_kept"])
+               for r in spans.segment_dedup(
+                   df, unit_words=unit, normalize=False).collect()}
+        want = _model_segment_dedup(rows, unit)
+        assert got == want, f"seed={seed} unit={unit}"
+
+
+def test_duplicate_spans_matches_python_model_on_random_corpora(spark):
+    import random
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        k = rng.randint(1, 3)
+        rows = [(i, " ".join(rng.choice(["a", "b", "c"])
+                             for _ in range(rng.randint(1, 12))))
+                for i in range(rng.randint(2, 20))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_words"], r["n_dup_spans"],
+                             r["dup_words"], r["dup_fraction"])
+               for r in spans.duplicate_spans(
+                   df, k=k, normalize=False).collect()}
+        want = _model_dup_spans(rows, k)
+        assert got == want, f"seed={seed} k={k}"
