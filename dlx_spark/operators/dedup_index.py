@@ -1306,3 +1306,144 @@ class SegmentIndex:
     def drop(self) -> None:
         _be().drop(self.spark, f"{self.name}_segments")
         _be().drop(self.spark, f"{self.name}_meta")
+
+
+class SpanIndex:
+    """Incremental duplicated-SPAN cutting (the keep-first rule of
+    ``spans.cut_duplicate_spans``, batched): the digest of every
+    stride-1 k-word window ever seen, with its first (doc, pos)
+    occurrence, bucketed by digest.
+
+    Per-batch semantics (min_docs=2, keep_first — the Lee-et-al
+    setting; other configurations have no incremental form because
+    they need global distinct-doc counts):
+
+    - a batch window whose digest is in the index is CUT (the first
+      occurrence kept its copy in an earlier batch);
+    - among fresh digests, a window content in >=2 distinct batch docs
+      keeps only its (doc, pos)-first occurrence;
+    - all fresh digests append with their first occurrence, so a
+      FUTURE batch occurrence is cut even when today's was unique.
+
+    Sequential equivalence (pytest): doc-id-ordered batches through
+    ``dedup_batch`` emit exactly what a full-corpus
+    ``cut_duplicate_spans(keep_first=True)`` would emit for those docs,
+    because a window's global first occurrence is its first arrival.
+    """
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark = spark
+        self.name = name
+        _recover_compaction(spark, f"{name}_windows")
+        self.params = _read_meta(spark, name)
+
+    def compact(self) -> None:
+        _compact_table(self.spark, f"{self.name}_windows", "digest",
+                       self.params["n_buckets"])
+
+    @classmethod
+    def create_empty(cls, spark: SparkSession, name: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 15, normalize: bool = True,
+                     n_buckets: int = 32) -> "SpanIndex":
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        empty = spark.createDataFrame(
+            [], "digest string, keep_id long, keep_pos long")
+        _be().write(empty, f"{name}_windows", "digest", n_buckets)
+        _write_meta(spark, name, {
+            "text_col": text_col, "id_col": id_col, "k": k,
+            "normalize": normalize, "n_buckets": n_buckets})
+        return cls(spark, name)
+
+    @classmethod
+    def create(cls, df: DataFrame, name: str, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 15,
+               normalize: bool = True, n_buckets: int = 32) -> "SpanIndex":
+        """Index an existing corpus's windows (first occurrences)."""
+        idx = cls.create_empty(df.sparkSession, name, text_col, id_col,
+                               k, normalize, n_buckets)
+        from dlx_spark.operators import spans as _spans
+        wins = _spans.word_windows(df, text_col, id_col, k, normalize)
+        firsts = (wins.groupBy("digest")
+                  .agg(F.min(F.struct("doc_id", "pos")).alias("_f"))
+                  .select("digest",
+                          F.col("_f.doc_id").cast("long").alias("keep_id"),
+                          F.col("_f.pos").cast("long").alias("keep_pos")))
+        _be().append(firsts, f"{name}_windows", "digest", n_buckets)
+        return idx
+
+    def _refresh(self) -> None:
+        _be().refresh(self.spark, f"{self.name}_windows")
+
+    def _cut_and_fresh(self, batch: DataFrame,
+                       replay_safe: bool) -> tuple[DataFrame, DataFrame,
+                                                   DataFrame]:
+        from dlx_spark.operators import spans as _spans
+        p = self.params
+        self._refresh()
+        idx = _be().read(self.spark, f"{self.name}_windows")
+        if replay_safe:
+            own = batch.select(F.col(p["id_col"]).cast("long")
+                               .alias("keep_id"))
+            idx = idx.join(own, "keep_id", "left_anti")
+        base = _spans._doc_tokens(batch, p["text_col"], p["id_col"],
+                                  p["normalize"])
+        wins = _spans._windows_of(base, p["k"]).cache()
+
+        hist_cut = wins.join(idx.select("digest"), "digest", "left_semi") \
+                       .select("doc_id", "pos")
+        fresh = wins.join(idx.select("digest"), "digest", "left_anti")
+        grp = fresh.groupBy("digest").agg(
+            F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"))
+        intra_dup = grp.filter(F.col("_lo") != F.col("_hi")) \
+                       .select("digest", "_first")
+        intra_cut = (fresh.join(intra_dup, "digest")
+                     .filter((F.col("doc_id") != F.col("_first.doc_id"))
+                             | (F.col("pos") != F.col("_first.pos")))
+                     .select("doc_id", "pos"))
+        firsts = grp.select(
+            "digest", F.col("_first.doc_id").cast("long").alias("keep_id"),
+            F.col("_first.pos").cast("long").alias("keep_pos"))
+        return base, hist_cut.unionByName(intra_cut), firsts
+
+    def filter_new(self, batch: DataFrame,
+                   replay_safe: bool = False) -> DataFrame:
+        """Batch docs with every historically- or batch-duplicated
+        window cut (keep-first) — same output schema as
+        ``spans.cut_duplicate_spans``.  Does not mutate the index."""
+        from dlx_spark.operators import spans as _spans
+        base, cuts, _ = self._cut_and_fresh(batch, replay_safe)
+        return _spans.apply_window_cuts(base, cuts, self.params["k"])
+
+    def append_firsts(self, firsts: DataFrame,
+                      if_absent: bool = False) -> None:
+        """Record a batch's fresh window digests (first occurrences).
+        ``if_absent=True`` makes replays idempotent."""
+        p = self.params
+        if if_absent:
+            self._refresh()
+            existing = _be().read(self.spark,
+                                  f"{self.name}_windows").select("digest")
+            firsts = firsts.join(existing, "digest", "left_anti") \
+                           .localCheckpoint(eager=True)
+        _be().append(firsts, f"{self.name}_windows", "digest",
+                     p["n_buckets"])
+
+    def dedup_batch(self, batch: DataFrame,
+                    replay_safe: bool = False) -> DataFrame:
+        """filter_new + append of the batch's fresh window digests,
+        both pinned before the append so neither re-runs against the
+        just-appended state."""
+        from dlx_spark.operators import spans as _spans
+        base, cuts, firsts = self._cut_and_fresh(batch, replay_safe)
+        firsts = firsts.localCheckpoint(eager=True)
+        cleaned = _spans.apply_window_cuts(base, cuts, self.params["k"]) \
+                        .localCheckpoint(eager=True)
+        self.append_firsts(firsts, if_absent=replay_safe)
+        return cleaned
+
+    def drop(self) -> None:
+        _be().drop(self.spark, f"{self.name}_windows")
+        _be().drop(self.spark, f"{self.name}_meta")

@@ -213,16 +213,7 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     # Stride-1 windows; cached because the duplicated-digest aggregate
     # and the position join both consume it (the ngram_jaccard
     # materialization convention — lazy, no job at plan time).
-    wins = base.filter(F.size("_toks") >= k).select(
-        "doc_id",
-        F.posexplode(F.expr(f"sequence(0, size(_toks) - {k})"))
-         .alias("pos", "_start"),
-        "_toks",
-    ).select(
-        "doc_id", F.col("pos").cast("long").alias("pos"),
-        F.md5(F.array_join(
-            F.expr(f"slice(_toks, _start + 1, {k})"), " ")).alias("digest"),
-    ).cache()
+    wins = _windows_of(base, k).cache()
 
     hits = wins.join(_dup_digests(wins, min_docs), "digest") \
                .select("doc_id", "pos")
@@ -278,16 +269,7 @@ def cut_duplicate_spans(df: DataFrame, text_col: str = "text",
     if k < 1:
         raise ValueError("k must be >= 1")
     base = _doc_tokens(df, text_col, id_col, normalize)
-    wins = base.filter(F.size("_toks") >= k).select(
-        "doc_id",
-        F.posexplode(F.expr(f"sequence(0, size(_toks) - {k})"))
-         .alias("pos", "_start"),
-        "_toks",
-    ).select(
-        "doc_id", F.col("pos").cast("long").alias("pos"),
-        F.md5(F.array_join(
-            F.expr(f"slice(_toks, _start + 1, {k})"), " ")).alias("digest"),
-    ).cache()
+    wins = _windows_of(base, k).cache()
 
     if min_docs == 2:
         grp = wins.groupBy("digest").agg(
@@ -306,7 +288,42 @@ def cut_duplicate_spans(df: DataFrame, text_col: str = "text",
         marked = marked.filter(
             (F.col("doc_id") != F.col("_first.doc_id"))
             | (F.col("pos") != F.col("_first.pos")))
-    # Expand each marked window to its k positions, dedupe overlaps.
+    return apply_window_cuts(base, marked.select("doc_id", "pos"), k)
+
+
+def _windows_of(base: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, digest): stride-1 k-token window digests over a
+    (doc_id, _toks) frame — the shared unit for the batch operators and
+    the incremental ``SpanIndex`` (one definition, no drift)."""
+    return base.filter(F.size("_toks") >= k).select(
+        "doc_id",
+        F.posexplode(F.expr(f"sequence(0, size(_toks) - {k})"))
+         .alias("pos", "_start"),
+        "_toks",
+    ).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.md5(F.array_join(
+            F.expr(f"slice(_toks, _start + 1, {k})"), " ")).alias("digest"),
+    )
+
+
+def word_windows(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 15,
+                 normalize: bool = True) -> DataFrame:
+    """Public form of the stride-1 window digests (see
+    :func:`_windows_of`), from raw documents."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return _windows_of(_doc_tokens(df, text_col, id_col, normalize), k)
+
+
+def apply_window_cuts(base: DataFrame, marked: DataFrame,
+                      k: int) -> DataFrame:
+    """Cut every token covered by a marked window start (doc_id, pos)
+    and rebuild the text: expand each mark to its k positions, dedupe
+    overlaps, drop those slots, close the gaps.  Returns
+    (doc_id, n_words, n_words_cut, cleaned_text) for every doc in
+    ``base`` — unmarked docs pass through uncut."""
     cut_pos = (marked
                .select("doc_id", F.explode(
                    F.sequence(F.col("pos"),

@@ -340,6 +340,39 @@ def semdedup_ingest_stream(spark: SparkSession, input_path: str,
             .start())
 
 
+def make_span_cut_batch_fn(index_name: str, out_path: str,
+                           checkpoint: str | None = None):
+    """foreachBatch function for streaming duplicated-span cutting
+    (keep-first, Lee-et-al): each micro-batch's windows are cut against
+    every window ever seen (persisted ``SpanIndex``) and the cleaned
+    documents land under the exactly-once marker protocol.  Emitted
+    rows carry (doc_id, n_words, n_words_cut, cleaned_text)."""
+    from dlx_spark.operators.dedup_index import SpanIndex
+
+    def run_batch(session, batch_df, replay):
+        return SpanIndex(session, index_name).dedup_batch(
+            batch_df, replay_safe=replay)
+
+    return make_exactly_once_dedup_sink(run_batch, out_path, checkpoint)
+
+
+def span_cut_ingest_stream(spark: SparkSession, input_path: str,
+                           index_name: str, out_path: str,
+                           checkpoint: str,
+                           schema: str = "doc_id long, text string"):
+    """Streaming corpus ingest with cross-batch duplicated-span cutting
+    — the window-granularity companion of ``segment_dedup_ingest_stream``
+    (create the index first with ``SpanIndex.create`` /
+    ``SpanIndex.create_empty``).  Returns the StreamingQuery."""
+    docs = spark.readStream.schema(schema).json(input_path)
+    fn = make_span_cut_batch_fn(index_name, out_path,
+                                checkpoint=checkpoint)
+    return (docs.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def make_segment_dedup_batch_fn(index_name: str, out_path: str,
                                 checkpoint: str | None = None):
     """foreachBatch function for streaming SEGMENT dedup ingest (the

@@ -1255,3 +1255,87 @@ def test_segment_index_compact_preserves_behavior(spark, split_corpus):
         assert row["n_kept"] == 0 and row["cleaned_text"] == ""
     finally:
         idx.drop()
+
+
+# ---------------------------------------------------------------------------
+# SpanIndex: incremental keep-first duplicated-span cutting
+# ---------------------------------------------------------------------------
+
+def _cut_rows(df):
+    return sorted(tuple(r) for r in df.select(
+        "doc_id", "n_words", "n_words_cut", "cleaned_text").collect())
+
+
+def test_span_index_sequential_batches_equal_full(spark, split_corpus):
+    from dlx_spark.operators.dedup_index import SpanIndex
+    from dlx_spark.operators import spans
+    full_df, _, _ = split_corpus
+    idx = SpanIndex.create_empty(spark, "t_spn_seq", k=10, normalize=False)
+    try:
+        parts = [full_df.filter(F.col("doc_id") < 100),
+                 full_df.filter((F.col("doc_id") >= 100)
+                                & (F.col("doc_id") < 220)),
+                 full_df.filter(F.col("doc_id") >= 220)]
+        got = []
+        for p in parts:
+            got.extend(_cut_rows(idx.dedup_batch(p)))
+        want = _cut_rows(spans.cut_duplicate_spans(
+            full_df, k=10, min_docs=2, keep_first=True, normalize=False))
+        assert sorted(got) == want
+        # the planted exact clones (200..204 repeat 0..4) were fully cut
+        cleaned = {d: t for d, _, _, t in got}
+        for clone in range(200, 205):
+            assert cleaned[clone] == ""
+    finally:
+        idx.drop()
+
+
+def test_span_index_create_from_corpus_then_batch(spark, split_corpus):
+    from dlx_spark.operators.dedup_index import SpanIndex
+    from dlx_spark.operators import spans
+    full_df, corpus, batch = split_corpus
+    idx = SpanIndex.create(corpus, "t_spn_crt", k=10, normalize=False)
+    try:
+        got = _cut_rows(idx.dedup_batch(batch))
+        full = spans.cut_duplicate_spans(full_df, k=10, min_docs=2,
+                                         keep_first=True, normalize=False)
+        want = _cut_rows(full.filter(F.col("doc_id") >= 200))
+        assert got == want
+    finally:
+        idx.drop()
+
+
+def test_span_index_future_occurrence_of_unique_window_is_cut(spark):
+    """A window unique in batch 1 must still cut a batch-2 twin —
+    fresh digests append even when nothing was cut."""
+    from dlx_spark.operators.dedup_index import SpanIndex
+    idx = SpanIndex.create_empty(spark, "t_spn_fut", k=3, normalize=False)
+    try:
+        b1 = spark.createDataFrame([(1, "a b c d")],
+                                   "doc_id long, text string")
+        out1 = _cut_rows(idx.dedup_batch(b1))
+        assert out1[0][3] == "a b c d"          # nothing duplicated yet
+        b2 = spark.createDataFrame([(2, "a b c z")],
+                                   "doc_id long, text string")
+        out2 = _cut_rows(idx.dedup_batch(b2))
+        assert out2[0][3] == "z"                # "a b c" cut vs batch 1
+    finally:
+        idx.drop()
+
+
+def test_span_index_replay_safe_idempotent(spark, split_corpus):
+    from dlx_spark.operators.dedup_index import SpanIndex
+    from dlx_spark import tableio
+    _, corpus, batch = split_corpus
+    idx = SpanIndex.create(corpus, "t_spn_rpl", k=10, normalize=False)
+    try:
+        first = _cut_rows(idx.dedup_batch(batch, replay_safe=True))
+        n1 = tableio.ParquetTableBackend().read(
+            spark, "t_spn_rpl_windows").count()
+        replay = _cut_rows(idx.dedup_batch(batch, replay_safe=True))
+        assert replay == first
+        n2 = tableio.ParquetTableBackend().read(
+            spark, "t_spn_rpl_windows").count()
+        assert n2 == n1
+    finally:
+        idx.drop()

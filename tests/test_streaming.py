@@ -659,3 +659,37 @@ def test_segment_dedup_ingest_stream_cross_batch_and_replay(spark, tmp_path):
         assert n_after == n_before
     finally:
         SegmentIndex(spark, name).drop()
+
+
+def test_span_cut_ingest_stream_cross_batch(spark, tmp_path):
+    """Streaming span cut: batch 2 loses windows first seen in batch 1
+    through the persisted SpanIndex."""
+    import json as jsonlib
+
+    from dlx_spark.operators.dedup_index import SpanIndex
+    from dlx_spark.streaming import span_cut_ingest_stream
+
+    name = "t_spn_stream"
+    SpanIndex.create_empty(spark, name, k=3, normalize=False)
+    try:
+        indir = tmp_path / "in"
+        indir.mkdir()
+        out = str(tmp_path / "clean")
+        (indir / "b1.json").write_text(jsonlib.dumps(
+            {"doc_id": 1, "text": "a b c d"}))
+        q = span_cut_ingest_stream(spark, str(indir), name, out,
+                                   str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r["cleaned_text"]
+               for r in spark.read.parquet(out).collect()}
+        assert got[1] == "a b c d"
+        (indir / "b2.json").write_text(jsonlib.dumps(
+            {"doc_id": 2, "text": "a b c z"}))
+        q = span_cut_ingest_stream(spark, str(indir), name, out,
+                                   str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r["cleaned_text"]
+               for r in spark.read.parquet(out).collect()}
+        assert got[2] == "z"
+    finally:
+        SpanIndex(spark, name).drop()
