@@ -96,6 +96,21 @@ def main() -> None:
           f"{n_redacted} docs with PII hits; {n_survivors} dedup survivors; "
           f"{n_semdedup} SemDeDup survivors; avg OOV share {oov:.3f}")
 
+    # 5b. sub-document dedup + deterministic export (r11): cut repeated
+    # segments corpus-wide, profile duplicated spans, ship reproducible
+    # shards with a content-certifying manifest
+    from dlx_spark.operators import export, spans
+    seg = spans.segment_dedup(docs, unit_words=10, normalize=False)
+    n_cut_segs = seg.agg(F.sum(F.col("n_segments") - F.col("n_kept"))).first()[0]
+    prof = spans.duplicate_spans(docs, k=15, normalize=False)
+    n_dup_docs = prof.filter("n_dup_spans > 0").count()
+    manifest = export.shard_manifest(export.assign_shards(docs, 8),
+                                     ("doc_id", "text"))
+    n_shards = manifest.count()
+    print(f"segment dedup cut {n_cut_segs} repeated segments; "
+          f"{n_dup_docs} docs carry duplicated 15-word spans; "
+          f"export manifest certifies {n_shards} shards")
+
     # 6. storage-layout operators: a written LSH index probes with
     # partition pruning; bulk ingest commits a DataFrame end-to-end with
     # no record rows on the driver
