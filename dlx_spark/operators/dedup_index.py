@@ -1378,7 +1378,7 @@ class SpanIndex:
 
     def _cut_and_fresh(self, batch: DataFrame,
                        replay_safe: bool) -> tuple[DataFrame, DataFrame,
-                                                   DataFrame]:
+                                                   DataFrame, DataFrame]:
         from dlx_spark.operators import spans as _spans
         p = self.params
         self._refresh()
@@ -1406,7 +1406,7 @@ class SpanIndex:
         firsts = grp.select(
             "digest", F.col("_first.doc_id").cast("long").alias("keep_id"),
             F.col("_first.pos").cast("long").alias("keep_pos"))
-        return base, hist_cut.unionByName(intra_cut), firsts
+        return base, hist_cut.unionByName(intra_cut), firsts, wins
 
     def filter_new(self, batch: DataFrame,
                    replay_safe: bool = False) -> DataFrame:
@@ -1414,7 +1414,9 @@ class SpanIndex:
         window cut (keep-first) — same output schema as
         ``spans.cut_duplicate_spans``.  Does not mutate the index."""
         from dlx_spark.operators import spans as _spans
-        base, cuts, _ = self._cut_and_fresh(batch, replay_safe)
+        base, cuts, _, _wins = self._cut_and_fresh(batch, replay_safe)
+        # the cache stays live here: the returned frame is lazy and
+        # both its cut branches re-read the windows when materialized
         return _spans.apply_window_cuts(base, cuts, self.params["k"])
 
     def append_firsts(self, firsts: DataFrame,
@@ -1437,10 +1439,14 @@ class SpanIndex:
         both pinned before the append so neither re-runs against the
         just-appended state."""
         from dlx_spark.operators import spans as _spans
-        base, cuts, firsts = self._cut_and_fresh(batch, replay_safe)
+        base, cuts, firsts, wins = self._cut_and_fresh(batch, replay_safe)
         firsts = firsts.localCheckpoint(eager=True)
         cleaned = _spans.apply_window_cuts(base, cuts, self.params["k"]) \
                         .localCheckpoint(eager=True)
+        # both consumers are pinned — release the per-batch window cache
+        # so a long-running ingest stream does not accumulate one cached
+        # relation per micro-batch (the SemDeDup-append lesson)
+        wins.unpersist()
         self.append_firsts(firsts, if_absent=replay_safe)
         return cleaned
 
