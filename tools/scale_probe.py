@@ -11,6 +11,7 @@ Usage: python tools/scale_probe.py [multiplier]
        python tools/scale_probe.py --skew [n_clones]
        python tools/scale_probe.py --incremental [multiplier]
        python tools/scale_probe.py --embedding [multiplier]
+       python tools/scale_probe.py --spans [steps]
        python tools/scale_probe.py --backend [multiplier]
        python tools/scale_probe.py --autocompact [n_appends]
        python tools/scale_probe.py --contention [appends_per_thread]
@@ -444,6 +445,79 @@ def incremental_main() -> None:
     spark.stop()
 
 
+def spans_main() -> None:
+    """Per-increment trend for the sub-document indexes (SegmentIndex /
+    SpanIndex): the persisted index grows by one sf worth of documents
+    per step (appended, never rebuilt) and a FIXED batch is deduped
+    after each step.  The per-batch cost must track the BATCH (an
+    anti-join against the digest-bucketed index + map-only window
+    generation), not the corpus — the printed trend slope vs corpus
+    growth is the measured form of that claim, and the cost of the
+    alternative (full cut_duplicate_spans over corpus ∪ batch) is
+    re-measured at the final size for the gap."""
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark import get_spark
+    from dlx_spark.operators import spans
+    from dlx_spark.operators.dedup_index import SegmentIndex, SpanIndex
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("spans_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id", "text")
+    n_sf = docs.count()
+    batch = docs.withColumn("doc_id", F.col("doc_id") + 900_000_000)
+
+    seg = SegmentIndex.create_empty(spark, "probe_seg_idx",
+                                    unit_words=10, normalize=False)
+    spn = SpanIndex.create_empty(spark, "probe_spn_idx",
+                                 k=15, normalize=False)
+    trend = []
+    try:
+        union = None
+        for step in range(1, mult + 1):
+            inc = docs.withColumn("doc_id",
+                                  F.col("doc_id") + F.lit(step * 1_000_000))
+            union = inc if union is None else union.unionByName(inc)
+            seg.dedup_batch(inc)
+            spn.dedup_batch(inc)
+            t0 = time.time()
+            seg.filter_new(batch).agg(F.sum("n_kept")).collect()
+            t_seg = round(time.time() - t0, 2)
+            t0 = time.time()
+            spn.filter_new(batch).agg(F.sum("n_words_cut")).collect()
+            t_spn = round(time.time() - t0, 2)
+            trend.append({"corpus_docs": step * n_sf,
+                          "segment_filter_sec": t_seg,
+                          "span_filter_sec": t_spn})
+
+        t0 = time.time()
+        spans.cut_duplicate_spans(union.unionByName(batch), k=15,
+                                  normalize=False) \
+             .agg(F.sum("n_words_cut")).collect()
+        t_full = round(time.time() - t0, 2)
+    finally:
+        seg.drop()
+        spn.drop()
+
+    print(json.dumps({
+        "metric": "spans_incremental_probe",
+        "n_batch": n_sf,
+        "steps": mult,
+        "trend": trend,
+        "full_rerun_at_final_size_sec": t_full,
+        "span_filter_speedup_final": (round(
+            t_full / trend[-1]["span_filter_sec"], 1)
+            if trend[-1]["span_filter_sec"] else None),
+    }))
+    spark.stop()
+
+
 def embedding_main() -> None:
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
@@ -743,6 +817,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--embedding":
         embedding_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--spans":
+        spans_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--capfamilies":
         capfamilies_main()
