@@ -2032,16 +2032,55 @@ def token_stats(spark, sf):
         F.regexp_count("text", F.lit(_BPE_PAT)).cast("long").alias("n_bpe_tokens"))
 
 
+@query("classifier_scores", """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents WHERE length(trim(text)) > 0),
+    b AS (SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(t || 'clf'), 1, 15)
+                           AS UBIGINT) % 4096 AS BIGINT) AS bucket
+          FROM tok),
+    w AS (SELECT doc_id,
+                 ((CAST(CAST('0x' || substr(md5(CAST(bucket AS VARCHAR) || 'w'), 1, 15)
+                             AS UBIGINT) % 2001 AS BIGINT) - 1000) / 1024.0) AS wt
+          FROM b)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(wt), 4) + 0.0 AS clf_linear,
+           round(1.0 / (1.0 + exp(-avg(wt))), 4) + 0.0 AS clf_score
+    FROM w GROUP BY doc_id
+""")
+def classifier_scores(spark, sf):
+    """fastText-style hashed linear classifier scoring
+    (textstats.hashed_classifier_score): 4096 hashed-feature buckets,
+    seeded engine-portable weights, per-doc mean weight + sigmoid —
+    the quality-filter inference stage with the model as a broadcast
+    (bucket, weight) dimension."""
+    docs = _t(spark, sf, "documents")
+    weights = textstats.seeded_classifier_weights(spark, 4096)
+    out = textstats.hashed_classifier_score(docs, weights, 4096,
+                                            normalize=False)
+    # + 0.0 folds IEEE negative zero (round(-1e-5, 4) -> -0.0) into the
+    # positive zero the oracle's identical normalization produces
+    return out.select("doc_id", "n_tokens",
+                      (F.round("clf_linear", 4) + 0.0).alias("clf_linear"),
+                      (F.round("clf_score", 4) + 0.0).alias("clf_score"))
+
+
 @query("lang_quality", f"""
     SELECT l.doc_id, l.en_hits, l.fr_hits, q.n_tokens, q.alpha_ratio,
-           q.stop_ratio, q.mean_word_len
+           q.stop_ratio, q.mean_word_len, c.clf_linear, c.clf_score
     FROM ({ORACLE['lang_scores']}) l JOIN ({ORACLE['quality_score']}) q
       ON l.doc_id = q.doc_id
+    JOIN ({ORACLE['classifier_scores']}) c ON l.doc_id = c.doc_id
 """)
 def lang_quality(spark, sf):
-    """language-ID marker scores and quality features in one per-doc
-    frame (lang_scores + quality_score, joined on doc_id)."""
-    return lang_scores(spark, sf).join(quality_score(spark, sf), "doc_id")
+    """language-ID marker scores, quality features, and the hashed
+    linear classifier's quality score in one per-doc frame
+    (lang_scores + quality_score + classifier_scores, joined on
+    doc_id)."""
+    return (lang_scores(spark, sf)
+            .join(quality_score(spark, sf), "doc_id")
+            .join(classifier_scores(spark, sf)
+                  .select("doc_id", "clf_linear", "clf_score"), "doc_id"))
 
 
 @query("doc_profile", f"""

@@ -325,3 +325,90 @@ def oov_rate(df: DataFrame, vocab_size: int = 1024,
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.count(F.when(F.col("_in_vocab").isNull(), 1))
                   .alias("n_oov")))
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier scoring (fastText-style quality filter)
+# ---------------------------------------------------------------------------
+
+#: above this many weight rows the forced broadcast is dropped and
+#: Spark's size-based planning decides — the engine-wide gate rationale
+#: (tableio_mor.BROADCAST_MAX_DELTA_ROWS, the store's heading gate): a
+#: classifier dimension is normally 10^5-10^6 buckets and belongs in a
+#: broadcast, but an unbounded caller-provided table must not be forced
+#: into driver memory.
+CLASSIFIER_BROADCAST_MAX_ROWS = 8_000_000
+
+
+def hashed_token_bucket(col: Column, n_buckets: int,
+                        salt: str = "clf") -> Column:
+    """The hashed-features bucket of a token: md5-based 60-bit hash mod
+    ``n_buckets`` — closed-form and engine-portable (the fastText /
+    sklearn HashingVectorizer trick, with the engine's seeded md5
+    family so a DuckDB oracle reproduces it exactly)."""
+    from dlx_spark.operators.export import _hash60
+    return F.pmod(_hash60(col, salt), F.lit(n_buckets)).cast("long")
+
+
+def seeded_classifier_weights(spark, n_buckets: int,
+                              seed: str = "w") -> DataFrame:
+    """Deterministic demo/test weights over every bucket:
+    weight(b) = ((hash60(b || seed) mod 2001) - 1000) / 1024 ∈ (-1, 1).
+    Engine-portable, so oracle SQL can inline the same closed form.
+    The divisor is 1024, NOT a round 1000: k/1024 is an exact binary
+    fraction, so every partial sum in the classifier's mean is exact
+    and the result is independent of accumulation order — a /1000
+    variant measurably flips 4-dp roundings between Spark's and
+    DuckDB's summation orders.  Production use passes a real trained
+    weights table instead."""
+    from dlx_spark.operators.export import _hash60
+    return spark.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket"),
+        (((_hash60(F.col("id"), seed) % 2001) - 1000) / 1024.0)
+        .alias("weight"))
+
+
+def hashed_classifier_score(df: DataFrame, weights: DataFrame,
+                            n_buckets: int, text_col: str = "text",
+                            id_col: str = "doc_id", bias: float = 0.0,
+                            salt: str = "clf",
+                            normalize: bool = True) -> DataFrame:
+    """fastText-style linear classifier INFERENCE — the quality-filter
+    scoring stage of CCNet/LLaMA-era data pipelines, with the trained
+    model shipped as a (bucket, weight) table:
+
+        linear(doc) = bias + mean over tokens of weight[bucket(token)]
+        score(doc)  = sigmoid(linear)
+
+    Unseen buckets contribute weight 0 (left join).  Pure JVM: hashing
+    is a codegen expression, the weights dimension joins broadcast
+    (size-gated at ``CLASSIFIER_BROADCAST_MAX_ROWS``), and the per-doc
+    mean is one partial-agg groupBy — no Python worker, one shuffle.
+
+    Returns (doc_id, n_tokens, clf_linear, clf_score); documents with
+    no token emit nothing (no tokens to score)."""
+    toks = (tokens_col(F.col(text_col)) if normalize
+            else F.split(F.col(text_col), " "))
+    exploded = (df
+                .filter(F.length(F.trim(F.col(text_col))) > 0)
+                .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+                .filter(F.size("_toks") > 0)
+                .select("doc_id", F.explode("_toks").alias("_tok"))
+                .withColumn("bucket",
+                            hashed_token_bucket(F.col("_tok"), n_buckets,
+                                                salt)))
+    w = weights.select(F.col("bucket").cast("long").alias("bucket"),
+                       F.col("weight").cast("double").alias("weight"))
+    if w.limit(CLASSIFIER_BROADCAST_MAX_ROWS + 1).count() \
+            <= CLASSIFIER_BROADCAST_MAX_ROWS:
+        w = F.broadcast(w)
+    scored = exploded.join(w, "bucket", "left")
+    linear = (F.sum(F.coalesce(F.col("weight"), F.lit(0.0)))
+              / F.count(F.lit(1)) + F.lit(bias))
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        linear.alias("clf_linear"))
+    return out.select(
+        "doc_id", "n_tokens", "clf_linear",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_linear"))))
+        .alias("clf_score"))

@@ -231,6 +231,18 @@ def test_oov_vocabulary_broadcast_and_pure_jvm(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_classifier_score_broadcast_weights_single_shuffle(spark):
+    """Classifier inference: hashing is codegen, the weights dimension
+    joins broadcast (documents never shuffle to meet it), the per-doc
+    mean is the only exchange.  No Python worker."""
+    df = contract.BENCH["classifier_scores"](spark, SF)
+    plan = plans.simple_plan(df)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.shuffle_count(df) <= 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_export_manifest_single_shuffle_pure_jvm(spark):
     """Shard assignment is a closed-form md5 expression (no shuffle);
     the manifest is one partial-agg groupBy on the shard id."""

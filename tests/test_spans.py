@@ -317,3 +317,60 @@ def test_duplicate_spans_matches_python_model_on_random_corpora(spark):
                    df, k=k, normalize=False).collect()}
         want = _model_dup_spans(rows, k)
         assert got == want, f"seed={seed} k={k}"
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier scoring (textstats.hashed_classifier_score)
+# ---------------------------------------------------------------------------
+
+def _py_hash60(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_classifier_score_matches_python_model(spark):
+    from dlx_spark.operators import textstats
+    rows = [(1, "a b c"), (2, "a a"), (3, "zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_b = 64
+    weights = textstats.seeded_classifier_weights(spark, n_b)
+    got = {r["doc_id"]: r for r in textstats.hashed_classifier_score(
+        df, weights, n_b, bias=0.25, normalize=False).collect()}
+
+    def w_of(tok):
+        b = _py_hash60(tok + "clf") % n_b
+        return ((_py_hash60(str(b) + "w") % 2001) - 1000) / 1024.0
+
+    import math
+    for doc_id, text in rows:
+        toks = text.split()
+        lin = sum(w_of(t) for t in toks) / len(toks) + 0.25
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["clf_linear"] == pytest.approx(lin)
+        assert got[doc_id]["clf_score"] == pytest.approx(
+            1 / (1 + math.exp(-lin)))
+
+
+def test_classifier_unseen_buckets_score_zero(spark):
+    from dlx_spark.operators import textstats
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    empty_weights = spark.createDataFrame([], "bucket long, weight double")
+    row = textstats.hashed_classifier_score(
+        df, empty_weights, 16, normalize=False).collect()[0]
+    assert row["clf_linear"] == 0.0 and row["clf_score"] == 0.5
+
+
+def test_classifier_broadcast_gate_preserves_results(spark, monkeypatch):
+    """Above the gate the forced broadcast hint is dropped but results
+    are identical (the engine-wide size-gate contract)."""
+    from dlx_spark.operators import textstats
+    df = spark.createDataFrame(
+        [(i, f"t{i} t{i+1} common") for i in range(30)],
+        "doc_id long, text string")
+    weights = textstats.seeded_classifier_weights(spark, 128)
+    hinted = sorted(map(tuple, textstats.hashed_classifier_score(
+        df, weights, 128, normalize=False).collect()))
+    monkeypatch.setattr(textstats, "CLASSIFIER_BROADCAST_MAX_ROWS", 0)
+    unhinted = sorted(map(tuple, textstats.hashed_classifier_score(
+        df, weights, 128, normalize=False).collect()))
+    assert hinted == unhinted
