@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from dlx_spark.operators import (
     asof, chunking, dedup, export, multimodal, redact, sampling, similarity,
     spans, textstats)
-from dlx_spark.operators.common import epoch_seconds
+from dlx_spark.operators.common import epoch_seconds, spread_for_compute
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -615,7 +615,13 @@ def ngram_jaccard(spark, sf):
     materialization convention as the minhash/simhash pipelines."""
     docs = _t(spark, sf, "documents")
     toks = F.array_distinct(F.split("text", " "))
-    prepared = docs.select(
+    # spread the narrow single-split scan BEFORE the tokenize+cache so
+    # (a) the one-off cache materialization parallelizes and (b) the
+    # cached relation itself is as wide as the cores — the broadcast
+    # join's PROBE side then runs one task per partition instead of
+    # re-serializing the whole Jaccard verify through a single task
+    # (guide §2.5 input-parallelism fix; a no-op on any wide scan)
+    prepared = spread_for_compute(docs).select(
         F.col("doc_id"), toks.alias("toks"), F.col("lang"),
         F.floor(F.log2(F.size(F.split("text", " ")) + 1)).cast("int").alias("blk_len"),
         F.element_at(F.split("text", " "), 1).alias("blk_tok"),
@@ -794,10 +800,14 @@ def simhash(spark, sf):
 """)
 def cosine_topk(spark, sf):
     """brute-force cosine top-k: exact ANN baseline, JVM-side dot
-    products, TakeOrdered top-k (no global sort)."""
+    products, TakeOrdered top-k (no global sort).  The query vector is
+    attached in-plan (broadcast cross join of the one matching row)
+    instead of collected to the driver first — one Spark query instead
+    of a fetch job plus the top-k job; the cosine arithmetic is
+    unchanged."""
     emb = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    out = similarity.cosine_topk(emb, qvec, k=10)
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    out = similarity.cosine_topk_from_row(emb, qrow, k=10)
     return out.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
@@ -969,8 +979,10 @@ def tfidf_topk_q(spark, sf):
 """)
 def quality_score(spark, sf):
     """document quality features: length, alpha ratio, stopword ratio,
-    mean word length — all exact column arithmetic."""
-    docs = _t(spark, sf, "documents")
+    mean word length — all exact column arithmetic.  The scan is spread
+    first: the regex/array arithmetic is the cost here, and a
+    single-split file would otherwise run it all in one task."""
+    docs = spread_for_compute(_t(spark, sf, "documents"))
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     n_chars = F.length("text")

@@ -72,6 +72,11 @@ def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
     frames are already ``spark.sql.shuffle.partitions`` wide — neither
     pays the extra shuffle.
     """
+    # streaming frames have no RDD to inspect and re-partition per
+    # micro-batch anyway — pass them through untouched (the stateless
+    # operators compose with readStream sources)
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
     nparts = _narrow_scan_partitions(df)

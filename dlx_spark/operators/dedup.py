@@ -134,12 +134,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                              normalize=normalize).withColumn(
         "xs", F.expr("transform(CASE WHEN sh IS NULL OR size(sh) = 0 THEN array(0) ELSE sh END,"
                      f" x -> pmod(coalesce(x & 4294967295, 0), {_MERSENNE}L))"))
-    mins = [
-        F.expr(f"array_min(transform(xs, x -> pmod({ai}L * x + {bi}L, {_MERSENNE}L)))").alias(f"h{i}")
-        for i, (ai, bi) in enumerate(zip(a, b))
-    ]
-    return shingled.select("id", *mins).select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    # the whole signature as ONE zip_with over the (a, b) literal arrays
+    # instead of num_hashes separate column expressions: the per-row
+    # arithmetic is identical (each position i is still
+    # min over xs of (a_i·x + b_i) mod p), but the expression tree the
+    # driver builds, parses, and analyzes PER QUERY CONSTRUCTION shrinks
+    # from 64 projection columns to one — and the shingle/xs input
+    # appears exactly once, so no projection collapse can ever duplicate
+    # the md5 pass
+    a_lit = "array(" + ",".join(f"{ai}L" for ai in a) + ")"
+    b_lit = "array(" + ",".join(f"{bi}L" for bi in b) + ")"
+    sig = F.expr(f"""
+        zip_with({a_lit}, {b_lit},
+                 (a, b) -> array_min(transform(xs, x -> pmod(a * x + b, {_MERSENNE}L))))
+    """).alias("sig")
+    return shingled.select("id", sig)
 
 
 def band_buckets(signatures: DataFrame, bands: int = 16) -> DataFrame:
@@ -293,22 +302,28 @@ def lsh_verified_pairs(signatures: DataFrame, bands: int = 16,
                           F.col("r.sig").alias("sig_b"),
                           F.col("l.band").alias("band")))
     else:
-        banded = band_buckets(signatures, bands)
-        cands = (banded.alias("l")
-                 .join(banded.alias("r"),
+        # the PROBE side carries its signature through the band join
+        # for free (no broadcast, no shuffle — the rows just keep the
+        # column), so only id_b needs a join back to the signature
+        # relation: one broadcast build per run instead of two
+        probe = signatures.select(
+            "id", "sig",
+            F.posexplode(_band_hash_expr("sig", bands)).alias("band",
+                                                              "bucket"))
+        slim = band_buckets(signatures, bands)
+        cands = (probe.alias("l")
+                 .join(slim.alias("r"),
                        on=[F.col("l.band") == F.col("r.band"),
                            F.col("l.bucket") == F.col("r.bucket"),
                            F.col("l.id") < F.col("r.id")])
                  .select(F.col("l.id").alias("id_a"),
                          F.col("r.id").alias("id_b"),
+                         F.col("l.sig").alias("sig_a"),
                          F.col("l.band").alias("band")))
-        joined = (cands
-                  .join(signatures.select(F.col("id").alias("id_a"),
-                                          F.col("sig").alias("sig_a")),
-                        "id_a")
-                  .join(signatures.select(F.col("id").alias("id_b"),
-                                          F.col("sig").alias("sig_b")),
-                        "id_b"))
+        joined = cands.join(
+            signatures.select(F.col("id").alias("id_b"),
+                              F.col("sig").alias("sig_b")),
+            "id_b")
     first_band = F.expr(f"""
         element_at(filter(sequence(0, {bands - 1}),
                           b -> {_SLICE_HASH.format(sig='sig_a', bands=bands)}
@@ -616,23 +631,40 @@ def simhash_pairs_from_fingerprints(fps: DataFrame,
     bucket_cap = bypass_cap(fps, bucket_cap, auto_bypass_bytes)
     banded = simhash_band_keys(fps)
 
-    def pairs_over(rel) -> DataFrame:
+    def pairs_over(rel, all_bands_present: bool = False) -> DataFrame:
         l, r = rel.alias("l"), rel.alias("r")
-        return (
+        joined = (
             l.join(r, on=[F.col("l.band") == F.col("r.band"),
                           F.col("l.key") == F.col("r.key"),
                           F.col("l.id") < F.col("r.id")])
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                     F.col("l.simhash").alias("fp_a"),
-                    F.col("r.simhash").alias("fp_b"))
-            .distinct()
-            .withColumn("hamming",
-                        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+                    F.col("r.simhash").alias("fp_b"),
+                    F.col("l.band").alias("band")))
+        if all_bands_present:
+            # cross-band duplicate elimination WITHOUT a distinct
+            # exchange: both fingerprints are on the row, so each pair's
+            # set of colliding bands is recomputable in-expression —
+            # keep the pair only in its FIRST shared band.  Valid only
+            # when every band row of both members is in ``rel`` (the
+            # uncapped path); the capped path's ``small`` relation may
+            # be missing a mega-bucket band, where this filter would
+            # drop the pair entirely — it keeps the distinct.
+            first_shared = F.expr(f"""
+                element_at(filter(sequence(0, {SIMHASH_BANDS - 1}),
+                    b -> (shiftright(fp_a, 16 * b) & 65535)
+                       = (shiftright(fp_b, 16 * b) & 65535)), 1)""")
+            deduped = joined.filter(F.col("band") == first_shared)
+        else:
+            deduped = joined.drop("band").distinct()
+        return (deduped
+                .withColumn("hamming",
+                            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
 
     if bucket_cap is None:
-        return pairs_over(banded)
+        return pairs_over(banded, all_bands_present=True)
 
     from pyspark.sql import Window
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dlx_spark.operators.common import spread_for_compute
+
 # (name, pattern, replacement) — applied strictly in this order
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
@@ -40,4 +42,6 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     for name, pat, rep in PII_PATTERNS:
         counts.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
         text = F.regexp_replace(text, pat, rep)
-    return df.select(*cols, text.alias("clean_text"), *counts)
+    # the 8 regex passes are the whole cost: spread a narrow scan first
+    # so they parallelize (no-op on any already-wide input)
+    return spread_for_compute(df).select(*cols, text.alias("clean_text"), *counts)

@@ -49,6 +49,38 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
     )
 
 
+def cosine_topk_from_row(df: DataFrame, query_row: DataFrame, k: int = 10,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         query_vec_col: str = "_qv") -> DataFrame:
+    """``cosine_topk`` with the query vector attached IN-PLAN: a
+    broadcast cross join of the one-row ``query_row`` frame
+    (``query_vec_col`` holds the vector) instead of a driver-side
+    ``collect`` of the vector followed by a literal-array plan.
+
+    Same arithmetic as ``_cosine_expr`` (sequential zip_with dot /
+    norms with the 1e-12 floor), so the cosine values are identical;
+    the difference is purely operational — one Spark query instead of
+    a fetch job plus the top-k job, which matters for latency-bound
+    point lookups and keeps the query a single self-contained plan."""
+    q = F.broadcast(query_row.select(F.col(query_vec_col).alias("_qv")))
+    dot = (f"aggregate(zip_with({vec_col}, _qv, (x, y) -> CAST(x AS DOUBLE)"
+           " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    vnorm = (f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
+             " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    qnorm = ("sqrt(aggregate(_qv, CAST(0.0 AS DOUBLE),"
+             " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    cos = F.expr(f"{dot} / (greatest({vnorm}, 1e-12)"
+                 f" * greatest({qnorm}, 1e-12))")
+    return (
+        spread_for_compute(df)
+        .crossJoin(q)
+        .select(F.col(id_col).alias("id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal(size=(n_planes, dim))
