@@ -23,6 +23,7 @@ needed columns (Catalyst prunes to the parquet reader).
 
 from __future__ import annotations
 
+import weakref
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -47,10 +48,28 @@ _PUNCT_DUCK = ("[\\x{0020}-\\x{002f}\\x{003a}-\\x{0040}\\x{005b}-\\x{0060}"
                "\\x{20a0}-\\x{20cf}]+")
 
 
+#: per-(session, dir, table) memo of the LAZY reader frame.  This holds
+#: only the unexecuted scan plan — no ``.cache()``, no rows: every
+#: action over the returned frame still reads the parquet file.  What
+#: it removes is the ~110 ms of file listing + footer/schema resolution
+#: that EVERY ``spark.read.parquet`` call pays through py4j, which a
+#: query referencing several tables would otherwise re-pay on each
+#: construction (the 4-table multiway_join spent more time re-resolving
+#: readers than executing).  Keyed by ``id(session)`` with a weakref
+#: guard so a recycled id from a garbage-collected session can never
+#: serve a stale frame.
+_READERS: dict[tuple[int, str, str], tuple] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _READERS.get(key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
     # the driver supplies its own SparkSession: pin UTC so timestamp
     # values agree with the UTC-naive DuckDB oracle regardless of the
-    # host timezone
+    # host timezone (session-sticky, so setting it at reader build
+    # covers every later use)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which the vectorized
@@ -60,8 +79,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _READERS[key] = (weakref.ref(spark), df)
+    return df
 
 
 def query(name: str, oracle: str | None = None):
