@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from dlx_spark.operators import (
     asof, chunking, dedup, export, multimodal, redact, sampling, similarity,
     spans, textstats)
-from dlx_spark.operators.common import epoch_seconds, spread_for_compute
+from dlx_spark.operators.common import (cached_expr, epoch_seconds,
+                                        spread_for_compute)
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -78,7 +79,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(cached_expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _READERS[key] = (weakref.ref(spark), df)
@@ -569,7 +570,7 @@ def range_join_q(spark, sf):
     ev = _t(spark, sf, "events")
     ranges = (ev.filter(F.col("event_type") == "error")
               .select(F.date_trunc("hour", "ts").alias("lo")).distinct()
-              .withColumn("hi", F.col("lo") + F.expr("INTERVAL 1 HOUR")))
+              .withColumn("hi", F.col("lo") + cached_expr("INTERVAL 1 HOUR")))
     points = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
     out = asof.range_join(points, ranges, point_col="ts", bucket_seconds=3600)
     return out.select("event_id", F.col("lo").alias("err_hour"))
@@ -853,7 +854,7 @@ def embedding_neardup(spark, sf):
                    F.col("label").alias("lbl"))
     dot = "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
     nrm = lambda c: f"sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    cos = F.expr(f"{dot} / (greatest({nrm('va')}, 1e-12) * greatest({nrm('vb')}, 1e-12))")
+    cos = cached_expr(f"{dot} / (greatest({nrm('va')}, 1e-12) * greatest({nrm('vb')}, 1e-12))")
     return (
         l.join(r, on=[l["lbl"] == r["lbl"], F.col("id_a") < F.col("id_b")])
         .withColumn("cosine", cos)
@@ -1715,7 +1716,7 @@ def _verify_pairs_exact(docs: DataFrame, cands: DataFrame) -> DataFrame:
     cand_ids = (cands.select(F.col("id_a").alias("doc_id"))
                 .unionByName(cands.select(F.col("id_b").alias("doc_id")))
                 .distinct())
-    sh = F.array_distinct(F.expr(
+    sh = F.array_distinct(cached_expr(
         "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
         " i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))"))
     shingled = (docs.join(cand_ids, "doc_id", "left_semi")

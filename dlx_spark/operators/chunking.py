@@ -8,6 +8,7 @@ shuffle and no Python in the hot path; it holds at 100 TB.
 
 from __future__ import annotations
 
+from dlx_spark.operators.common import cached_expr
 from pyspark.sql import DataFrame, functions as F
 
 from dlx_spark.operators.textstats import tokens_col
@@ -38,11 +39,11 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128, overlap: int = 16,
         F.size(F.filter(F.col("_toks"), lambda t: t != "")) > 0
     ).select(
         "id", "_toks",
-        F.posexplode(F.expr(
+        F.posexplode(cached_expr(
             f"sequence(0, greatest(size(_toks) - {overlap} - 1, 0), {step})"
         )).alias("chunk_id", "_start"),
     )
-    chunk = F.expr(f"slice(_toks, _start + 1, {chunk_tokens})")
+    chunk = cached_expr(f"slice(_toks, _start + 1, {chunk_tokens})")
     return with_starts.select(
         "id", "chunk_id",
         F.array_join(chunk, " ").alias("chunk_text"),

@@ -7,6 +7,35 @@ import re
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+#: parsed-expression memo: SQL text -> Column.  ``F.expr`` pays one py4j
+#: round trip plus a JVM parse per call — ~90 ms for the big literal-array
+#: expressions (minhash's 64-permutation zip_with) — and the hot operators
+#: re-parse identical strings on every query construction.  A Column is an
+#: immutable UNRESOLVED expression tree (analysis copies it into each
+#: plan), so reuse across frames and sessions in one JVM is safe; the
+#: strings cached here are plain function-call expressions whose parse is
+#: configuration-independent.  This caches no data and no results — only
+#: the parsed form of constant expression text.
+_EXPR_CACHE: dict[str, Column] = {}
+
+
+#: growth bound for ``_EXPR_CACHE``: some call sites embed caller values
+#: in the text (e.g. a cosine query-vector literal), so a long-lived
+#: process doing many distinct point lookups would otherwise grow the
+#: memo without bound.  Past the cap, parse without caching.
+_EXPR_CACHE_MAX = 4096
+
+
+def cached_expr(text: str) -> Column:
+    """``F.expr(text)`` parsed once per process (see ``_EXPR_CACHE``)."""
+    col = _EXPR_CACHE.get(text)
+    if col is None:
+        col = F.expr(text)
+        if len(_EXPR_CACHE) < _EXPR_CACHE_MAX:
+            _EXPR_CACHE[text] = col
+    return col
+
+
 def epoch_seconds(col: Column | str) -> Column:
     """Seconds-since-epoch as BIGINT for any temporal column.
 
@@ -31,6 +60,43 @@ def epoch_seconds(col: Column | str) -> Column:
     return (F.when(F.typeof(c) == "timestamp_ntz", wall)
             .otherwise(c.cast("timestamp").cast("long")))
 
+def sql_over(df: DataFrame, sql_text: str) -> DataFrame:
+    """Build a multi-stage pipeline over ``df`` as ONE ``spark.sql`` call:
+    ``{src}`` in ``sql_text`` is bound to a uniquely-named temp view of
+    ``df``, and the view is dropped as soon as the returned frame's plan
+    is resolved (the frame keeps the analyzed plan; the name is gone).
+
+    Construction-only optimization, identical logical plan: a chain of
+    DataFrame ops eagerly re-analyzes the growing plan prefix on every
+    intermediate Dataset (~15-25 ms per step through py4j on a deep
+    pipeline), while one SQL text is parsed and analyzed in a single
+    JVM pass.  Execution is byte-identical — the nested subqueries
+    produce the same staged Projects the op chain did.
+
+    The view name is DETERMINISTIC per (thread, input plan): the name
+    survives in the resolved plan's ``View`` node, and a random name
+    would make two constructions of the same pipeline canonically
+    unequal — silently defeating ``.cache()`` reuse of the returned
+    frame across constructions.  Per-thread naming also makes the
+    create→sql→drop sequence race-free without locking.
+
+    CAVEAT: do NOT route a frame that is itself ``.cache()``d through
+    ``sql_over`` — the ``View`` wrapper blocks CacheManager's fragment
+    substitution for the INPUT (measured: a cached signature relation
+    referenced through a view recomputes instead of hitting its cache).
+    Use it only where the input is an uncached scan/projection.
+    """
+    import threading
+
+    name = (f"_sqlover_{threading.get_ident():x}_"
+            f"{df.semanticHash() & 0xFFFFFFFF:08x}")
+    df.createOrReplaceTempView(name)
+    try:
+        return df.sparkSession.sql(sql_text.replace("{src}", name))
+    finally:
+        df.sparkSession.catalog.dropTempView(name)
+
+
 # logical-plan nodes that imply an exchange somewhere upstream; frames
 # containing them are already as wide as spark.sql.shuffle.partitions,
 # and (under AQE) converting them to an RDD would eagerly execute their
@@ -38,6 +104,26 @@ def epoch_seconds(col: Column | str) -> Column:
 _WIDE_NODE = re.compile(
     r"(?m)^[\s:+-]*(?:Join|Aggregate|Window|Sort|Distinct|Deduplicate|"
     r"Repartition|RepartitionByExpression|Except|Intersect|GlobalLimit)\b")
+
+
+#: spread-decision memo: analyzed-plan text -> scan partition count.
+#: ``df.rdd.getNumPartitions()`` forces physical planning plus an RDD
+#: conversion chain (tens of ms of py4j traffic) on every call; the hot
+#: operators re-ask it for the SAME scan-rooted frame each query
+#: construction (the memoized readers make the plan text stable — a
+#: FRESH ``spark.read`` of the same path mints new expression ids and
+#: therefore misses, which is why the memo is size-capped below).  The
+#: count is a pure function of the file layout named in the plan, and a
+#: stale hit after an overwrite of the same path could only mis-decide
+#: whether to spread — a performance choice, never a correctness one.
+_NPARTS_CACHE: dict[str, int] = {}
+
+
+#: growth bound for ``_NPARTS_CACHE``: un-memoized reads miss forever
+#: (fresh expression ids per read), so a long-lived process re-reading
+#: paths directly would otherwise grow the memo without bound.  Past the
+#: cap, compute without caching.
+_NPARTS_CACHE_MAX = 4096
 
 
 def _narrow_scan_partitions(df: DataFrame) -> int | None:
@@ -56,7 +142,12 @@ def _narrow_scan_partitions(df: DataFrame) -> int | None:
         return None
     if _WIDE_NODE.search(plan):
         return None
-    return df.rdd.getNumPartitions()
+    nparts = _NPARTS_CACHE.get(plan)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if len(_NPARTS_CACHE) < _NPARTS_CACHE_MAX:
+            _NPARTS_CACHE[plan] = nparts
+    return nparts
 
 
 def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:

@@ -23,8 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
-from dlx_spark.operators.common import (bypass_cap, estimated_bytes,
-                                        spread_for_compute)
+from dlx_spark.operators.common import (bypass_cap, cached_expr, estimated_bytes,
+                                        spread_for_compute, sql_over)
 
 # a large 32-bit prime for the minhash permutation family
 _MERSENNE = (1 << 31) - 1
@@ -82,6 +82,30 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _toks_sql(text_sql: str, normalize: bool) -> str:
+    """SQL text for the canonical token array over a text expression —
+    the exact SQL form of ``split(normalized_text(col), ' ')`` (the
+    punctuation class is embedded with doubled backslashes so the SQL
+    string literal hands the Java regex engine the same ``\\uXXXX``
+    escapes the Column form does)."""
+    if not normalize:
+        return f"split({text_sql}, ' ')"
+    punct = PUNCT_CLASS_JAVA.replace("\\", "\\\\")
+    return (f"split(trim(regexp_replace(lower({text_sql}), '{punct}+', ' ')),"
+            " ' ')")
+
+
+def _shingle_sql(n: int) -> str:
+    """SQL text for the shingle-hash array over a bound ``toks`` column.
+    Shingle hash = first 32 bits of md5 (via conv), not Spark's murmur
+    hash(): md5 exists identically in every engine, which makes the
+    downstream minhash signatures oracle-checkable cross-engine."""
+    return (f"array_distinct(transform("
+            f"sequence(0, greatest(size(toks) - {n}, 0)), "
+            f"i -> cast(conv(substring(md5(array_join(slice(toks, i + 1, {n}), ' ')), "
+            f"1, 8), 16, 10) as bigint)))")
+
+
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                   normalize: bool = True) -> DataFrame:
     """(id, sh: array<int>) — word n-gram shingles as 32-bit hashes.
@@ -89,21 +113,11 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     on plain spaces (engine-parity mode for oracle checks)."""
     _require_col_name("text_col", text_col)
     _require_col_name("id_col", id_col)
-    toks = (normalized_text(F.col(text_col)) if normalize else F.col(text_col))
-    # shingle hash = first 32 bits of md5 (via conv), not Spark's murmur
-    # hash(): md5 exists identically in every engine, which makes the
-    # downstream minhash signatures oracle-checkable cross-engine
-    return (
-        df.select(F.col(id_col).alias("id"),
-                  F.split(toks, " ").alias("toks"))
-        .withColumn("sh", F.expr(f"""
-            array_distinct(transform(
-                sequence(0, greatest(size(toks) - {n}, 0)),
-                i -> cast(conv(substring(md5(array_join(slice(toks, i + 1, {n}), ' ')),
-                               1, 8), 16, 10) as bigint)))
-        """))
-        .select("id", "sh")
-    )
+    return sql_over(df, f"""
+        SELECT id, {_shingle_sql(n)} AS sh
+        FROM (SELECT `{id_col}` AS id,
+                     {_toks_sql(f'`{text_col}`', normalize)} AS toks
+              FROM {{src}})""")
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -123,32 +137,36 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     a = rng.randint(1, _MERSENNE, size=num_hashes).tolist()
     b = rng.randint(0, _MERSENNE, size=num_hashes).tolist()
 
-    # word_shingles today always yields ≥1 element (NULL text hashes as
-    # one NULL shingle), but guard NULL/empty anyway: array_min over an
-    # empty array would silently produce an all-NULL signature if the
-    # shingling ever changed
-    # reduce x mod p ONCE here, not inside each of the 64 min-exprs:
-    # a < 2^31 times an unreduced x < 2^32 sits right at the signed-64
-    # edge (ANSI overflow); a * (x mod p) stays <= 2^62 in every engine
-    shingled = word_shingles(spread_for_compute(df), text_col, id_col, shingle_n,
-                             normalize=normalize).withColumn(
-        "xs", F.expr("transform(CASE WHEN sh IS NULL OR size(sh) = 0 THEN array(0) ELSE sh END,"
-                     f" x -> pmod(coalesce(x & 4294967295, 0), {_MERSENNE}L))"))
     # the whole signature as ONE zip_with over the (a, b) literal arrays
     # instead of num_hashes separate column expressions: the per-row
     # arithmetic is identical (each position i is still
-    # min over xs of (a_i·x + b_i) mod p), but the expression tree the
-    # driver builds, parses, and analyzes PER QUERY CONSTRUCTION shrinks
-    # from 64 projection columns to one — and the shingle/xs input
-    # appears exactly once, so no projection collapse can ever duplicate
-    # the md5 pass
+    # min over xs of (a_i·x + b_i) mod p), but the expression tree
+    # shrinks from 64 projection columns to one — and the shingle/xs
+    # input appears exactly once, so no projection collapse can ever
+    # duplicate the md5 pass
     a_lit = "array(" + ",".join(f"{ai}L" for ai in a) + ")"
     b_lit = "array(" + ",".join(f"{bi}L" for bi in b) + ")"
-    sig = F.expr(f"""
-        zip_with({a_lit}, {b_lit},
-                 (a, b) -> array_min(transform(xs, x -> pmod(a * x + b, {_MERSENNE}L))))
-    """).alias("sig")
-    return shingled.select("id", sig)
+    # the staged subqueries below are the SQL form of the previous
+    # word_shingles → xs → sig op chain, analyzed in one pass
+    # (sql_over); each stage still materializes its column once per row
+    # exactly as the op chain did.  Notes carried over:
+    # - word_shingles always yields ≥1 element (NULL text hashes as one
+    #   NULL shingle), but guard NULL/empty anyway: array_min over an
+    #   empty array would silently produce an all-NULL signature if the
+    #   shingling ever changed
+    # - reduce x mod p ONCE in xs, not inside each of the 64 min-exprs:
+    #   a < 2^31 times an unreduced x < 2^32 sits right at the signed-64
+    #   edge (ANSI overflow); a * (x mod p) stays <= 2^62 in every engine
+    return sql_over(spread_for_compute(df), f"""
+        SELECT id, zip_with({a_lit}, {b_lit},
+                 (a, b) -> array_min(transform(xs, x -> pmod(a * x + b, {_MERSENNE}L)))) AS sig
+        FROM (SELECT id,
+                     transform(CASE WHEN sh IS NULL OR size(sh) = 0 THEN array(0L) ELSE sh END,
+                               x -> pmod(coalesce(x & 4294967295, 0), {_MERSENNE}L)) AS xs
+              FROM (SELECT id, {_shingle_sql(shingle_n)} AS sh
+                    FROM (SELECT `{id_col}` AS id,
+                                 {_toks_sql(f'`{text_col}`', normalize)} AS toks
+                          FROM {{src}})))""")
 
 
 def band_buckets(signatures: DataFrame, bands: int = 16) -> DataFrame:
@@ -214,7 +232,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     grouped = (banded.groupBy("band", "bucket")
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") > 1))
-    pairs = F.expr(f"""
+    pairs = cached_expr(f"""
         CASE WHEN size(ids) <= {int(bucket_cap)} THEN
           flatten(transform(ids, (x, i) ->
             transform(slice(ids, i + 2, size(ids) - i - 1),
@@ -286,6 +304,11 @@ def lsh_verified_pairs(signatures: DataFrame, bands: int = 16,
         except Exception:
             carry_signatures = True
 
+    # NOTE: this stays an op chain, NOT sql_over — ``signatures`` is
+    # normally a cached relation, and routing a cached frame through a
+    # temp view blocks CacheManager substitution (the signature pipeline
+    # would silently recompute per reference; measured on the plan:
+    # 3 exchanges and no InMemoryTableScan)
     if carry_signatures:
         banded = signatures.select(
             "id", "sig",
@@ -324,13 +347,13 @@ def lsh_verified_pairs(signatures: DataFrame, bands: int = 16,
             signatures.select(F.col("id").alias("id_b"),
                               F.col("sig").alias("sig_b")),
             "id_b")
-    first_band = F.expr(f"""
+    first_band = cached_expr(f"""
         element_at(filter(sequence(0, {bands - 1}),
                           b -> {_SLICE_HASH.format(sig='sig_a', bands=bands)}
                              = {_SLICE_HASH.format(sig='sig_b', bands=bands)}),
                    1)""")
     out = (joined.filter(F.col("band") == first_band)
-           .withColumn("n_match", F.expr(
+           .withColumn("n_match", cached_expr(
                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
                "v -> v))").cast("long"))
            .select("id_a", "id_b", "n_match"))
@@ -347,7 +370,7 @@ _SLICE_HASH = ("hash(slice({sig}, b * (size({sig}) div {bands}) + 1, "
 
 
 def _band_hash_expr(sig_col: str, bands: int):
-    return F.expr(f"""
+    return cached_expr(f"""
         transform(sequence(0, {bands - 1}),
                   b -> {_SLICE_HASH.format(sig=sig_col, bands=bands)})""")
 
@@ -424,7 +447,7 @@ def minhash_pairs_from_signatures(sigs: DataFrame, bands: int = 16,
     if bucket_cap is None:
         cands = lsh_candidate_pairs(sigs, bands)
         return (cands.join(a, "id_a").join(b, "id_b")
-                .withColumn("est_jaccard", F.expr(_EST_JACCARD))
+                .withColumn("est_jaccard", cached_expr(_EST_JACCARD))
                 .filter(F.col("est_jaccard") >= threshold)
                 .select("id_a", "id_b", "est_jaccard"))
 
@@ -443,14 +466,14 @@ def minhash_pairs_from_signatures(sigs: DataFrame, bands: int = 16,
     grouped = (small.groupBy("band", "bucket")
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") > 1))
-    pairs = F.expr("""
+    pairs = cached_expr("""
         flatten(transform(ids, (x, i) ->
           transform(slice(ids, i + 2, size(ids) - i - 1),
                     y -> named_struct('id_a', x, 'id_b', y))))""")
     small_pairs = (grouped.select(F.explode(pairs).alias("p"))
                    .select("p.id_a", "p.id_b").distinct()
                    .join(a, "id_a").join(b, "id_b")
-                   .withColumn("est_jaccard", F.expr(_EST_JACCARD))
+                   .withColumn("est_jaccard", cached_expr(_EST_JACCARD))
                    .filter(F.col("est_jaccard") >= threshold)
                    .select("id_a", "id_b", "est_jaccard"))
 
@@ -468,7 +491,7 @@ def minhash_pairs_from_signatures(sigs: DataFrame, bands: int = 16,
         .select(F.least("_pid", "id").alias("id_a"),
                 F.greatest("_pid", "id").alias("id_b"),
                 F.col("_psig").alias("sig_a"), F.col("sig").alias("sig_b"))
-        .withColumn("est_jaccard", F.expr(_EST_JACCARD))
+        .withColumn("est_jaccard", cached_expr(_EST_JACCARD))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard"))
 
@@ -522,7 +545,7 @@ def simhash64_expr(text_col: str) -> F.Column:
     _require_col_name("text_col", text_col)
     mask = 0x0001000100010001
     toks = f"filter(split(lower({text_col}), ' '), t -> t != '')"
-    return F.coalesce(F.expr(f"""
+    return F.coalesce(cached_expr(f"""
         aggregate(
           transform({toks},
                     t -> shiftleft(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), 32)
@@ -629,8 +652,14 @@ def simhash_pairs_from_fingerprints(fps: DataFrame,
     chain — the same approximation class as the minhash chain)."""
     check_simhash_hamming(max_hamming)
     bucket_cap = bypass_cap(fps, bucket_cap, auto_bypass_bytes)
+
     banded = simhash_band_keys(fps)
 
+    # NOTE: op chain, not sql_over — ``fps`` is normally a cached
+    # relation feeding both self-join sides, and a temp-view wrapper
+    # would defeat CacheManager substitution so the fingerprint
+    # aggregate would silently run once per side (see the matching
+    # caveat on lsh_verified_pairs / common.sql_over)
     def pairs_over(rel, all_bands_present: bool = False) -> DataFrame:
         l, r = rel.alias("l"), rel.alias("r")
         joined = (
@@ -650,7 +679,7 @@ def simhash_pairs_from_fingerprints(fps: DataFrame,
             # uncapped path); the capped path's ``small`` relation may
             # be missing a mega-bucket band, where this filter would
             # drop the pair entirely — it keeps the distinct.
-            first_shared = F.expr(f"""
+            first_shared = cached_expr(f"""
                 element_at(filter(sequence(0, {SIMHASH_BANDS - 1}),
                     b -> (shiftright(fp_a, 16 * b) & 65535)
                        = (shiftright(fp_b, 16 * b) & 65535)), 1)""")
@@ -715,7 +744,7 @@ def word_shingle_strings(df: DataFrame, text_col: str, id_col: str, n: int,
     toks = (normalized_text(F.col(text_col)) if normalize else F.col(text_col))
     return (
         df.select(F.col(id_col).alias("id"), F.split(toks, " ").alias("t"))
-        .select("id", F.explode(F.expr(f"""
+        .select("id", F.explode(cached_expr(f"""
             array_distinct(transform(
                 sequence(0, greatest(size(t) - {n}, 0)),
                 i -> array_join(slice(t, i + 1, {n}), ' ')))
@@ -999,7 +1028,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select(F.least("p.pid", "id").alias("id_a"),
                 F.greatest("p.pid", "id").alias("id_b"),
                 F.col("p.ptoks").alias("l_toks"), F.col("toks").alias("r_toks"))
-        .withColumn("jaccard", F.expr(_JACCARD_LR))
+        .withColumn("jaccard", cached_expr(_JACCARD_LR))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"))
     return pairs.unionByName(chain)

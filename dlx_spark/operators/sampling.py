@@ -16,6 +16,7 @@ pseudo-random ``fraction`` of keys.  Everything is JVM-side expressions
 
 from __future__ import annotations
 
+from dlx_spark.operators.common import cached_expr
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -158,7 +159,7 @@ def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str,
     return (df.select(F.col(id_col).alias("id"),
                       F.filter(F.split(toks, " "),
                                lambda t: t != "").alias("toks"))
-            .select("id", F.explode(F.expr(f"""
+            .select("id", F.explode(cached_expr(f"""
                 CASE WHEN size(toks) = 0 THEN array()
                 ELSE array_distinct(transform(
                     sequence(0, greatest(size(toks) - {n}, 0)),

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from dlx_spark.operators.common import spread_for_compute
+from dlx_spark.operators.common import cached_expr, spread_for_compute
 
 
 def _cosine_expr(vec_col: str, query: list[float]):
@@ -34,7 +34,7 @@ def _cosine_expr(vec_col: str, query: list[float]):
     qlit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in q.tolist()) + ")"
     dot = f"aggregate(zip_with({vec_col}, {qlit}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     vnorm = f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    return F.expr(f"{dot} / (greatest({vnorm}, 1e-12) * {qnorm if qnorm > 0 else 1e-12})")
+    return cached_expr(f"{dot} / (greatest({vnorm}, 1e-12) * {qnorm if qnorm > 0 else 1e-12})")
 
 
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
@@ -70,7 +70,7 @@ def cosine_topk_from_row(df: DataFrame, query_row: DataFrame, k: int = 10,
              " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     qnorm = ("sqrt(aggregate(_qv, CAST(0.0 AS DOUBLE),"
              " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    cos = F.expr(f"{dot} / (greatest({vnorm}, 1e-12)"
+    cos = cached_expr(f"{dot} / (greatest({vnorm}, 1e-12)"
                  f" * greatest({qnorm}, 1e-12))")
     return (
         spread_for_compute(df)
@@ -116,7 +116,7 @@ def _order_sig_expr(vec_col: str, oplanes: np.ndarray):
     DOUBLE expression."""
     plane = oplanes[0]
     plit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in plane.tolist()) + ")"
-    return F.expr(
+    return cached_expr(
         f"aggregate(zip_with({vec_col}, {plit}, (x, y) -> CAST(x AS DOUBLE) * y),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
@@ -151,7 +151,7 @@ def _signature_expr(vec_col: str, planes: np.ndarray):
         plit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in plane.tolist()) + ")"
         dot = f"aggregate(zip_with({vec_col}, {plit}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i}L ELSE 0L END)")
-    return F.expr(" + ".join(bits))
+    return cached_expr(" + ".join(bits))
 
 
 def lsh_buckets(df: DataFrame, n_planes: int = 16, seed: int = 42,
@@ -292,7 +292,7 @@ def pairwise_cosine_expr(pvec: str = "pvec", cvec: str = "cvec") -> F.Column:
            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
     norm = lambda v: (f"sqrt(aggregate({v}, CAST(0.0 AS DOUBLE),"
                       " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    return F.expr(f"{dot} / (greatest({norm(pvec)}, 1e-12)"
+    return cached_expr(f"{dot} / (greatest({norm(pvec)}, 1e-12)"
                   f" * greatest({norm(cvec)}, 1e-12))")
 
 
@@ -371,7 +371,7 @@ def cosine_pairs_from_keys(bb: DataFrame, vecs: DataFrame, threshold: float,
     grouped = (small.groupBy("band", "bucket")
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") > 1))
-    expand = F.expr("""
+    expand = cached_expr("""
         flatten(transform(ids, (x, i) ->
           transform(slice(ids, i + 2, size(ids) - i - 1),
                     y -> named_struct('id_a', x, 'id_b', y))))""")

@@ -10,6 +10,7 @@ expressed declaratively so Catalyst still sees ordinary aggregates.
 
 from __future__ import annotations
 
+from dlx_spark.operators.common import cached_expr
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -77,7 +78,7 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     salt = F.pmod(F.hash(F.spark_partition_id(), F.monotonically_increasing_id()),
                   F.lit(n_salts))
     f = fact.withColumn("_salt", salt)
-    d = (dim.withColumn("_salts", F.expr(f"sequence(0, {n_salts - 1})"))
+    d = (dim.withColumn("_salts", cached_expr(f"sequence(0, {n_salts - 1})"))
          .withColumn("_salt", F.explode("_salts")).drop("_salts"))
     out = f.join(d, on=[key, "_salt"], how=how)
     return out.drop("_salt")

@@ -48,6 +48,7 @@ Neither operator collects to the driver.
 
 from __future__ import annotations
 
+from dlx_spark.operators.common import cached_expr
 from pyspark.sql import DataFrame, Window, functions as F
 
 from dlx_spark.operators.dedup import _require_col_name
@@ -88,14 +89,14 @@ def word_segments(df: DataFrame, text_col: str = "text",
     base = _doc_tokens(df, text_col, id_col, normalize)
     return base.select(
         "doc_id",
-        F.posexplode(F.expr(
+        F.posexplode(cached_expr(
             f"sequence(0, size(_toks) - 1, {unit_words})"
         )).alias("seg_idx", "_start"),
         "_toks",
     ).select(
         "doc_id", "seg_idx",
         F.array_join(
-            F.expr(f"slice(_toks, _start + 1, {unit_words})"), " "
+            cached_expr(f"slice(_toks, _start + 1, {unit_words})"), " "
         ).alias("seg_text"),
     )
 
@@ -297,13 +298,13 @@ def _windows_of(base: DataFrame, k: int) -> DataFrame:
     the incremental ``SpanIndex`` (one definition, no drift)."""
     return base.filter(F.size("_toks") >= k).select(
         "doc_id",
-        F.posexplode(F.expr(f"sequence(0, size(_toks) - {k})"))
+        F.posexplode(cached_expr(f"sequence(0, size(_toks) - {k})"))
          .alias("pos", "_start"),
         "_toks",
     ).select(
         "doc_id", F.col("pos").cast("long").alias("pos"),
         F.md5(F.array_join(
-            F.expr(f"slice(_toks, _start + 1, {k})"), " ")).alias("digest"),
+            cached_expr(f"slice(_toks, _start + 1, {k})"), " ")).alias("digest"),
     )
 
 

@@ -6,6 +6,7 @@ friendly, no Python in the hot path) so they hold at 100 TB.
 from __future__ import annotations
 
 import pandas as pd
+from dlx_spark.operators.common import cached_expr
 from pyspark.sql import Column, DataFrame, functions as F
 
 from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
@@ -33,7 +34,7 @@ def bpe_ish_tokens(col_name: str) -> Column:
     """A BPE-ish token proxy: alphabetic runs, single digits, and single
     symbols — the way byte-pair encoders fragment text.  One regexp
     extraction, JVM-side.  Takes a column NAME (embedded in SQL)."""
-    return F.expr(
+    return cached_expr(
         rf"regexp_extract_all(lower({col_name}), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)"
     )
 
@@ -269,7 +270,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     tok_hash = "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_sort(F.array_distinct(F.expr(f"""
+        F.array_sort(F.array_distinct(cached_expr(f"""
             transform(
                 sequence(0, greatest(size(filter(split(trim(regexp_replace(lower({text_col}),
                     '{_PUNCT_SQL}', ' ')), ' '), t -> t != '')) - {window}, 0)),
