@@ -408,7 +408,17 @@ def group_counts(spark, sf):
 """)
 def latest_by_key(spark, sf):
     """latest_by_identifier_language: top-1 per key window
-    (dlx/file/__init__.py:295-304)."""
+    (dlx/file/__init__.py:295-304).
+
+    r11 note (measured, then kept as-is): a ``max_by(struct, struct)``
+    aggregate formulation was built and A/B-measured against this
+    window — row-identical, but Spark plans struct-buffered max_by as
+    SortAggregate (struct agg buffers are not hash-aggregable), so BOTH
+    forms sort map-side and the medians tied (0.288 vs 0.280 s).  The
+    window form already gets a partial ``WindowGroupLimit`` below the
+    exchange (Spark 3.5+ rank-limit pushdown), so the shuffle carries
+    ≤1 row per key per map partition — the aggregate shape bought
+    nothing and was dropped."""
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         _t(spark, sf, "events")
@@ -547,12 +557,34 @@ def asof_join_q(spark, sf):
     """backward as-of join (custom operator Spark lacks): each click
     matched to the user's latest view at-or-before it.  Union + one
     window pass — O(n log n) per key, single shuffle, no
-    point-vs-candidate blowup (operators/asof.py)."""
+    point-vs-candidate blowup (same algorithm as the generic
+    operators/asof.py::asof_join, which this query's semantics are
+    test-pinned against).
+
+    r11: both sides come from the SAME events table, so the query fuses
+    them into ONE scan with a derived side flag instead of the generic
+    operator's two-scan union (guide §8 — use what the optimizer cannot
+    see: Catalyst does not merge union branches over one file).  Plan
+    diff: 2×Scan parquet → 1×Scan parquet — at 100 TB that halves the
+    I/O of the whole query.  Semantics preserved exactly: views drop
+    NULL ts / NULL user_id rows (SQL join semantics — they can never
+    match), clicks keep theirs (left join keeps unmatched), and at
+    equal ts the view sorts before the click so the match is inclusive
+    — each branch identical to the generic operator's union arms."""
     ev = _t(spark, sf, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
-    out = asof.asof_join(clicks, views, on="ts", by=["user_id"])
-    return out.select("event_id", "user_id", F.col("ts_matched").alias("last_view_ts"))
+    is_click = F.col("event_type") == "click"
+    u = (ev.filter(is_click | (
+            (F.col("event_type") == "view")
+            & F.col("ts").isNotNull() & F.col("user_id").isNotNull()))
+         .select("user_id", "ts", is_click.cast("int").alias("_side"),
+                 "event_id"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (u.withColumn(
+                "_m", F.last(F.when(F.col("_side") == 0, F.col("ts")),
+                             ignorenulls=True).over(w))
+            .filter(F.col("_side") == 1)
+            .select("event_id", "user_id", F.col("_m").alias("last_view_ts")))
 
 
 @query("range_join", """

@@ -53,7 +53,20 @@ def epoch_seconds(col: Column | str) -> Column:
     gaps, as-of tolerance, range-join bucketing) goes through this one
     expression so neither case can regress in a single call site.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        # plain column name: the whole dispatch parses as ONE memoized
+        # SQL expression (r11 — the Column form below builds ~8 py4j
+        # calls per use and the temporal operators re-build it on every
+        # query construction).  Exact SQL form of the Column expression:
+        # same typeof dispatch, same NTZ wall-clock diff, same
+        # session-tz cast on the other branch.
+        return cached_expr(
+            f"CASE WHEN typeof(`{col}`) = 'timestamp_ntz' THEN "
+            f"timestampdiff(SECOND, "
+            f"CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), "
+            f"CAST(`{col}` AS TIMESTAMP_NTZ)) "
+            f"ELSE CAST(CAST(`{col}` AS TIMESTAMP) AS BIGINT) END")
+    c = col
     wall = F.timestamp_diff(
         "SECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
         c.cast("timestamp_ntz"))
@@ -197,11 +210,37 @@ def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
 CAP_AUTO_BYPASS_BYTES = 2 << 20
 
 
+#: size-estimate memo: analyzed-plan text -> Catalyst sizeInBytes.
+#: ``optimizedPlan().stats()`` runs the full optimizer through py4j
+#: (~10-40 ms), and every construction of a capped operator re-asks it
+#: for the same frame.  The estimate is a pure function of the plan and
+#: the file sizes it names; a stale hit (file overwritten in place, or
+#: a cached relation whose stats sharpen after materialization) can
+#: only flip a cap/bypass decision — both sides are equivalent by
+#: contract (performance, never correctness), and a frozen decision is
+#: strictly more plan-stable across reconstructions.  Size-capped like
+#: the other construction memos.
+_SIZE_CACHE: dict[str, int] = {}
+_SIZE_CACHE_MAX = 4096
+
+
 def estimated_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for ``df`` (bytes) — file sizes at the
     scan, heuristic propagation above it.  Driver-side metadata only:
-    never fires a job."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    never fires a job.  Memoized per analyzed-plan text (see
+    ``_SIZE_CACHE``)."""
+    try:
+        key = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        key = None
+    if key is not None:
+        hit = _SIZE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if key is not None and len(_SIZE_CACHE) < _SIZE_CACHE_MAX:
+        _SIZE_CACHE[key] = size
+    return size
 
 
 def bypass_cap(df: DataFrame, cap, auto_bypass_bytes: int | None):
