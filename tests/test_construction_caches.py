@@ -176,3 +176,58 @@ def test_nparts_cache_never_caches_wide_plans(spark):
     wide = spark.range(10).repartition(4)
     assert _narrow_scan_partitions(wide) is None
     assert len(common._NPARTS_CACHE) == 0
+
+
+# ---------------------------------------------------------------------------
+# batch 4: epoch_seconds string fast path + _SIZE_CACHE
+# ---------------------------------------------------------------------------
+
+def test_epoch_seconds_string_and_column_paths_agree(spark):
+    """The string-name fast path (one memoized SQL expression) must be
+    value-identical to the Column path (py4j-built tree) on BOTH branches
+    of the typeof dispatch: TIMESTAMP_NTZ wall-clock and TIMESTAMP
+    instant — including NULLs."""
+    from dlx_spark.operators.common import epoch_seconds
+
+    df = spark.sql("""
+        SELECT TIMESTAMP_NTZ'2026-03-08 03:30:00' AS n,
+               TIMESTAMP'2026-03-08 03:30:00' AS t,
+               CAST(NULL AS TIMESTAMP_NTZ) AS nn,
+               CAST(NULL AS TIMESTAMP) AS tn
+    """)
+    row = df.select(
+        epoch_seconds("n").alias("n_str"), epoch_seconds(F.col("n")).alias("n_col"),
+        epoch_seconds("t").alias("t_str"), epoch_seconds(F.col("t")).alias("t_col"),
+        epoch_seconds("nn").alias("nn_str"), epoch_seconds(F.col("nn")).alias("nn_col"),
+        epoch_seconds("tn").alias("tn_str"), epoch_seconds(F.col("tn")).alias("tn_col"),
+    ).collect()[0]
+    assert row.n_str == row.n_col
+    assert row.t_str == row.t_col
+    assert row.nn_str is None and row.nn_col is None
+    assert row.tn_str is None and row.tn_col is None
+
+
+def test_size_cache_memoizes_and_caps(spark, tmp_path):
+    """estimated_bytes must return the same value on a memo hit as the
+    fresh Catalyst computation, and stop storing past the cap."""
+    from dlx_spark.operators.common import estimated_bytes
+
+    p = str(tmp_path / "sz.parquet")
+    spark.range(100).write.parquet(p)
+    df = spark.read.parquet(p)
+    common._SIZE_CACHE.clear()
+    fresh = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    first = estimated_bytes(df)          # miss: computes + stores
+    assert first == fresh
+    assert len(common._SIZE_CACHE) == 1
+    hit = estimated_bytes(df)            # hit: served from the memo
+    assert hit == first
+
+    old_max, common._SIZE_CACHE_MAX = common._SIZE_CACHE_MAX, 1
+    try:
+        other = spark.range(50).select((F.col("id") * 2).alias("v"))
+        got = estimated_bytes(other)     # cache full: computes, no store
+        assert got > 0
+        assert len(common._SIZE_CACHE) == 1
+    finally:
+        common._SIZE_CACHE_MAX = old_max
