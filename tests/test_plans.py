@@ -47,6 +47,10 @@ def test_asof_join_single_shuffle_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     # union + one window pass: the only exchange is the key partitioning
     assert plans.shuffle_count(df) <= 1
+    # r11: both sides derive from the SAME events table in ONE scan (a
+    # side flag replaces the two-branch union) — at 100 TB a regression
+    # back to two scans doubles the query's I/O
+    assert plans._count_operator(df, "Scan parquet") == 1
 
 
 def test_range_join_is_equi_join(spark):
