@@ -125,10 +125,13 @@ def range_join(points: DataFrame, ranges: DataFrame, point_col: str = "ts",
     """
     by = list(by)
     p = points.withColumn("_bucket", (epoch_seconds(point_col) / bucket_seconds).cast("long"))
-    r = ranges.withColumn("_buckets", F.sequence(
+    # single-hop bucket explode (r11): the former
+    # withColumn/withColumn/drop chain paid three eager re-analyses per
+    # construction for one generated column — identical logical result
+    r = ranges.select("*", F.explode(F.sequence(
         (epoch_seconds(lo_col) / bucket_seconds).cast("long"),
         (epoch_seconds(hi_col) / bucket_seconds).cast("long"),
-    )).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+    )).alias("_bucket"))
 
     # the interval test is part of the JOIN CONDITION (not a post-join
     # filter) so outer joins keep their null-extended rows

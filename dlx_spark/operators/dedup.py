@@ -352,14 +352,19 @@ def lsh_verified_pairs(signatures: DataFrame, bands: int = 16,
                           b -> {_SLICE_HASH.format(sig='sig_a', bands=bands)}
                              = {_SLICE_HASH.format(sig='sig_b', bands=bands)}),
                    1)""")
-    out = (joined.filter(F.col("band") == first_band)
-           .withColumn("n_match", cached_expr(
-               "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
-               "v -> v))").cast("long"))
-           .select("id_a", "id_b", "n_match"))
+    # tail fused to filter+select (r11): every intermediate Dataset hop
+    # re-analyzes the whole plan prefix through py4j; the n_match
+    # expression appearing in both the filter and the projection is
+    # collapsed by whole-stage codegen's subexpression elimination, so
+    # the executed work is identical to the withColumn form
+    n_match = cached_expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+        "v -> v))").cast("long")
+    keep = F.col("band") == first_band
     if min_match is not None:
-        out = out.filter(F.col("n_match") >= int(min_match))
-    return out
+        keep = keep & (n_match >= int(min_match))
+    return joined.filter(keep).select("id_a", "id_b",
+                                      n_match.alias("n_match"))
 
 
 #: one band-slice hash: parameterized by the signature column and band
@@ -444,12 +449,14 @@ def minhash_pairs_from_signatures(sigs: DataFrame, bands: int = 16,
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
 
+    # est_jaccard tails fused to filter+select (r11): fewer Dataset hops
+    # per construction; codegen CSE keeps the expression single-eval
+    est = cached_expr(_EST_JACCARD)
     if bucket_cap is None:
         cands = lsh_candidate_pairs(sigs, bands)
         return (cands.join(a, "id_a").join(b, "id_b")
-                .withColumn("est_jaccard", cached_expr(_EST_JACCARD))
-                .filter(F.col("est_jaccard") >= threshold)
-                .select("id_a", "id_b", "est_jaccard"))
+                .filter(est >= threshold)
+                .select("id_a", "id_b", est.alias("est_jaccard")))
 
     banded = band_buckets(sigs, bands)
     # mega-buckets are rare by construction (they need m docs agreeing on
@@ -473,9 +480,8 @@ def minhash_pairs_from_signatures(sigs: DataFrame, bands: int = 16,
     small_pairs = (grouped.select(F.explode(pairs).alias("p"))
                    .select("p.id_a", "p.id_b").distinct()
                    .join(a, "id_a").join(b, "id_b")
-                   .withColumn("est_jaccard", cached_expr(_EST_JACCARD))
-                   .filter(F.col("est_jaccard") >= threshold)
-                   .select("id_a", "id_b", "est_jaccard"))
+                   .filter(est >= threshold)
+                   .select("id_a", "id_b", est.alias("est_jaccard")))
 
     # mega-buckets: consecutive pairs in (sig, id) order via lag() — no
     # collect_list (a 10M-member bucket would put 64 longs × 10M in one
@@ -491,7 +497,7 @@ def minhash_pairs_from_signatures(sigs: DataFrame, bands: int = 16,
         .select(F.least("_pid", "id").alias("id_a"),
                 F.greatest("_pid", "id").alias("id_b"),
                 F.col("_psig").alias("sig_a"), F.col("sig").alias("sig_b"))
-        .withColumn("est_jaccard", cached_expr(_EST_JACCARD))
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard"))
 
@@ -670,6 +676,11 @@ def simhash_pairs_from_fingerprints(fps: DataFrame,
                     F.col("l.simhash").alias("fp_a"),
                     F.col("r.simhash").alias("fp_b"),
                     F.col("l.band").alias("band")))
+        # tail fused to filter+select (r11, same rationale as
+        # lsh_verified_pairs): fewer Dataset hops = fewer eager
+        # re-analyses per construction; codegen subexpression
+        # elimination keeps the hamming expression single-evaluation
+        hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
         if all_bands_present:
             # cross-band duplicate elimination WITHOUT a distinct
             # exchange: both fingerprints are on the row, so each pair's
@@ -683,14 +694,13 @@ def simhash_pairs_from_fingerprints(fps: DataFrame,
                 element_at(filter(sequence(0, {SIMHASH_BANDS - 1}),
                     b -> (shiftright(fp_a, 16 * b) & 65535)
                        = (shiftright(fp_b, 16 * b) & 65535)), 1)""")
-            deduped = joined.filter(F.col("band") == first_shared)
-        else:
-            deduped = joined.drop("band").distinct()
-        return (deduped
-                .withColumn("hamming",
-                            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-                .filter(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming"))
+            return (joined
+                    .filter((F.col("band") == first_shared)
+                            & (hamming <= max_hamming))
+                    .select("id_a", "id_b", hamming.alias("hamming")))
+        deduped = joined.drop("band").distinct()
+        return (deduped.filter(hamming <= max_hamming)
+                .select("id_a", "id_b", hamming.alias("hamming")))
 
     if bucket_cap is None:
         return pairs_over(banded, all_bands_present=True)

@@ -28,6 +28,34 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+#: composed-projection memo: (text_col, id_col) -> tuple of output
+#: Columns.  Building the 4-stage cascade costs ~12 py4j Column calls
+#: (regexp_count/regexp_replace per category) per construction; the
+#: Columns are immutable unresolved expression trees over fixed
+#: module-level patterns, so reuse across frames is safe — exactly the
+#: ``common.cached_expr`` justification.  Size-capped: callers pass
+#: arbitrary column names.
+_PROJ_CACHE: dict[tuple[str, str], tuple] = {}
+_PROJ_CACHE_MAX = 256
+
+
+def _redact_projection(text_col: str, id_col: str) -> tuple:
+    key = (text_col, id_col)
+    cols = _PROJ_CACHE.get(key)
+    if cols is None:
+        text = F.col(text_col)
+        counts = []
+        for name, pat, rep in PII_PATTERNS:
+            counts.append(F.regexp_count(text, F.lit(pat))
+                          .cast("long").alias(f"n_{name}"))
+            text = F.regexp_replace(text, pat, rep)
+        cols = (F.col(id_col).alias("id"), text.alias("clean_text"),
+                *counts)
+        if len(_PROJ_CACHE) < _PROJ_CACHE_MAX:
+            _PROJ_CACHE[key] = cols
+    return cols
+
+
 def redact_pii(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """(id, clean_text, n_email, n_ssn, n_ip, n_phone).
@@ -36,12 +64,7 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     that stage (after earlier categories were already replaced), and
     ``clean_text`` is the fully redacted text.
     """
-    cols = [F.col(id_col).alias("id")]
-    text = F.col(text_col)
-    counts = []
-    for name, pat, rep in PII_PATTERNS:
-        counts.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
-        text = F.regexp_replace(text, pat, rep)
     # the 8 regex passes are the whole cost: spread a narrow scan first
     # so they parallelize (no-op on any already-wide input)
-    return spread_for_compute(df).select(*cols, text.alias("clean_text"), *counts)
+    return spread_for_compute(df).select(*_redact_projection(text_col,
+                                                             id_col))

@@ -231,3 +231,78 @@ def test_size_cache_memoizes_and_caps(spark, tmp_path):
         assert len(common._SIZE_CACHE) == 1
     finally:
         common._SIZE_CACHE_MAX = old_max
+
+
+# ---------------------------------------------------------------------------
+# batch 5: redact projection memo + op-chain tail fusion
+# ---------------------------------------------------------------------------
+
+def test_redact_projection_memo_hits_and_caps(spark):
+    """redact_pii's composed Column cascade is memoized per
+    (text_col, id_col); a hit must serve the SAME tuple and a capped
+    memo must still build (uncached) projections."""
+    from dlx_spark.operators import redact
+
+    redact._PROJ_CACHE.clear()
+    p1 = redact._redact_projection("text", "doc_id")
+    p2 = redact._redact_projection("text", "doc_id")
+    assert p1 is p2, "identical (text_col, id_col) must hit the memo"
+    assert len(redact._PROJ_CACHE) == 1
+    old_max, redact._PROJ_CACHE_MAX = redact._PROJ_CACHE_MAX, 1
+    try:
+        p3 = redact._redact_projection("body", "id")  # full: no store
+        assert len(p3) == len(p1)
+        assert len(redact._PROJ_CACHE) == 1
+    finally:
+        redact._PROJ_CACHE_MAX = old_max
+    # the memoized Columns bind per-frame: two different frames through
+    # the same cached projection give independent, correct results
+    df1 = spark.createDataFrame(
+        [(1, "mail me a@b.co now")], "doc_id long, text string")
+    df2 = spark.createDataFrame(
+        [(2, "ssn 123-45-6789 ip 10.0.0.1")], "doc_id long, text string")
+    r1 = redact.redact_pii(df1).collect()[0]
+    r2 = redact.redact_pii(df2).collect()[0]
+    assert r1.n_email == 1 and r1.clean_text == "mail me <EMAIL> now"
+    assert r2.n_ssn == 1 and r2.n_ip == 1
+
+
+def test_fused_tails_keep_results_and_drop_no_rows(spark):
+    """The r11 filter+select tail fusion in lsh_verified_pairs and the
+    simhash pair path must emit exactly the rows (and values) the
+    un-fused withColumn chains did — pinned against a hand-built
+    reference on a corpus with known near-dup structure."""
+    from dlx_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " +
+          ("iota" if i % 2 else "kappa")) for i in range(6)] +
+        [(10, "totally different text with no overlap at all here")],
+        "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs).cache()
+    try:
+        got = dedup.lsh_verified_pairs(sigs, bands=16, min_match=32)
+        rows = {(r.id_a, r.id_b): r.n_match for r in got.collect()}
+        # reference semantics: pairs sharing >= 32 of 64 signature slots
+        sig_map = {r.id: r.sig for r in sigs.collect()}
+        import itertools
+        ref = {}
+        for a, b in itertools.combinations(sorted(sig_map), 2):
+            n = sum(x == y for x, y in zip(sig_map[a], sig_map[b]))
+            collides = any(sig_map[a][k * 4:(k + 1) * 4] ==
+                           sig_map[b][k * 4:(k + 1) * 4] for k in range(16))
+            if collides and n >= 32:
+                ref[(a, b)] = n
+        assert rows == ref
+    finally:
+        sigs.unpersist()
+    # simhash uncapped path: fused first-band+hamming filter
+    pairs = dedup.simhash_near_duplicates(
+        docs, max_hamming=3, auto_bypass_bytes=None).collect()
+    fps = {r.id: r.simhash
+           for r in dedup.simhash_fingerprints(docs).collect()}
+    import itertools
+    ref_pairs = {(a, b): bin(fps[a] ^ fps[b]).count("1")
+                 for a, b in itertools.combinations(sorted(fps), 2)
+                 if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert {(r.id_a, r.id_b): r.hamming for r in pairs} == ref_pairs
