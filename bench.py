@@ -64,9 +64,29 @@ def _wait_for_idle(max_wait_sec: float, load_ceiling: float) -> dict:
     }
 
 
+def _cpu_probe_ms() -> float:
+    """Fixed-work single-core spin, reported in ms.
+
+    Loadavg cannot see host-level CPU throttling (observed on this
+    sandbox: back-to-back runs on byte-identical code inflated 2-4x
+    uniformly while loadavg at invoke was <1).  A constant amount of
+    pure-Python work is an objective speed probe: its wall time on the
+    SAME interpreter is comparable across runs, so a probe 2x above the
+    host's usual figure marks the run as throttled without any Spark
+    involvement.  Telemetry only — never gates or alters the run.
+    """
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(1_000_000):
+        x += i * i
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    probe_start = _cpu_probe_ms()
 
     idle = _wait_for_idle(
         max_wait_sec=float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT",
@@ -156,6 +176,11 @@ def main() -> None:
         "spread": spread,
         "loadavg": [load1, load5, load15],
         "n_cpus": os.cpu_count(),
+        # fixed-work single-core spin at invoke and at end (ms): detects
+        # host CPU throttling that loadavg cannot see — compare across
+        # runs on the same interpreter; 2x the host's usual figure means
+        # the run was throttled and its seconds are not comparable
+        "cpu_probe_ms": [probe_start, _cpu_probe_ms()],
         **idle,
     }
     if errors:
