@@ -74,6 +74,12 @@ def _cpu_probe_ms() -> float:
     SAME interpreter is comparable across runs, so a probe 2x above the
     host's usual figure marks the run as throttled without any Spark
     involvement.  Telemetry only — never gates or alters the run.
+
+    Reading caveat: mid-run and end samples execute while the local-mode
+    JVM is alive, so JVM background threads/GC can inflate a single
+    sample independent of host throttling — read each sample together
+    with its loadavg bracket (spread[q]["load1"]) before blaming the
+    host.
     """
     t0 = time.perf_counter()
     x = 0
@@ -93,6 +99,12 @@ def main() -> None:
                                           "120")),
         load_ceiling=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_CEILING",
                                           "2.0")))
+
+    # second probe sample AFTER the idle wait (r11 advice): the invoke
+    # probe can predate up to 120 s of gate waiting plus JVM startup, so
+    # a throttle window opening in between was invisible to the
+    # [invoke, end] bracket.  Telemetry only, never gates the run.
+    probe_post_idle = _cpu_probe_ms()
 
     from dlx_spark.session import get_spark
     from dlx_spark import contract
@@ -144,7 +156,15 @@ def main() -> None:
                             "max": round(timed[2], 3),
                             "warmup": round(samples[0], 3),
                             "load1": [load_before,
-                                      round(os.getloadavg()[0], 2)]}
+                                      round(os.getloadavg()[0], 2)],
+                            # per-query throttle probe (r11 advice): the
+                            # [invoke, end] bracket misses a throttle
+                            # window that opens and closes mid-run; one
+                            # fixed-work sample after each query makes
+                            # inflated entries self-identifying.  Runs
+                            # BETWEEN queries — never inside a timed
+                            # sample.
+                            "probe_ms": _cpu_probe_ms()}
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -180,7 +200,11 @@ def main() -> None:
         # host CPU throttling that loadavg cannot see — compare across
         # runs on the same interpreter; 2x the host's usual figure means
         # the run was throttled and its seconds are not comparable
-        "cpu_probe_ms": [probe_start, _cpu_probe_ms()],
+        # [at invoke, after the idle wait, at end]: the middle sample
+        # sits right before Spark startup, so the pair (middle, end)
+        # brackets the timed region much tighter than (invoke, end);
+        # per-query samples live in spread[q]["probe_ms"]
+        "cpu_probe_ms": [probe_start, probe_post_idle, _cpu_probe_ms()],
         **idle,
     }
     if errors:

@@ -26,8 +26,42 @@ _EXPR_CACHE: dict[str, Column] = {}
 _EXPR_CACHE_MAX = 4096
 
 
+#: the py4j gateway the cached Columns belong to.  A cached Column holds
+#: a ``_jc`` reference INTO the gateway JVM, so if the gateway is torn
+#: down and relaunched inside one Python process every cached Column is
+#: a stale JVM handle (r11 verdict).  Normal lifecycle is one gateway
+#: per process, so the guard is a single identity compare per lookup.
+#: Every memo holding py4j-backed objects registers itself in
+#: ``_PY4J_CACHES`` so one guard clears ALL of them together — a shared
+#: token with per-caller clearing would let whichever memo checks first
+#: reset the token and leave the others stale.
+_CACHE_GATEWAY = None
+_PY4J_CACHES: list[dict] = [_EXPR_CACHE]
+
+
+def register_py4j_cache(cache: dict) -> dict:
+    """Register a memo of py4j-backed objects (Columns) for clearing on
+    a gateway restart; returns ``cache`` for inline use."""
+    _PY4J_CACHES.append(cache)
+    return cache
+
+
+def check_gateway() -> None:
+    """Clear every registered py4j-backed memo if the active gateway
+    changed since the last call.  Call before serving any such memo;
+    memos of plain Python values (ints, strings) don't need it."""
+    global _CACHE_GATEWAY
+    from pyspark import SparkContext
+    gw = SparkContext._gateway
+    if gw is not _CACHE_GATEWAY:
+        for c in _PY4J_CACHES:
+            c.clear()
+        _CACHE_GATEWAY = gw
+
+
 def cached_expr(text: str) -> Column:
-    """``F.expr(text)`` parsed once per process (see ``_EXPR_CACHE``)."""
+    """``F.expr(text)`` parsed once per gateway (see ``_EXPR_CACHE``)."""
+    check_gateway()
     col = _EXPR_CACHE.get(text)
     if col is None:
         col = F.expr(text)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dlx_spark.operators import common
 from dlx_spark.operators.common import spread_for_compute
 
 # (name, pattern, replacement) — applied strictly in this order
@@ -35,11 +36,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 #: module-level patterns, so reuse across frames is safe — exactly the
 #: ``common.cached_expr`` justification.  Size-capped: callers pass
 #: arbitrary column names.
-_PROJ_CACHE: dict[tuple[str, str], tuple] = {}
+_PROJ_CACHE: dict[tuple[str, str], tuple] = common.register_py4j_cache({})
 _PROJ_CACHE_MAX = 256
 
 
 def _redact_projection(text_col: str, id_col: str) -> tuple:
+    # the cached Columns hold py4j handles: clear on a gateway restart
+    # (same guard as common's expression memo)
+    common.check_gateway()
     key = (text_col, id_col)
     cols = _PROJ_CACHE.get(key)
     if cols is None:

@@ -306,3 +306,67 @@ def test_fused_tails_keep_results_and_drop_no_rows(spark):
                  for a, b in itertools.combinations(sorted(fps), 2)
                  if bin(fps[a] ^ fps[b]).count("1") <= 3}
     assert {(r.id_a, r.id_b): r.hamming for r in pairs} == ref_pairs
+
+
+# ---------------------------------------------------------------------------
+# round 12: gateway-identity guard + reader-memo bounding
+# ---------------------------------------------------------------------------
+
+def test_gateway_change_clears_py4j_backed_memos(spark):
+    """Cached Columns hold py4j handles into the gateway JVM; a torn-down
+    and relaunched gateway would leave every cached Column stale (r11
+    verdict).  check_gateway must clear the Column memos when the active
+    gateway object changes — simulated by resetting the module token."""
+    from dlx_spark.operators import redact
+
+    c1 = cached_expr("41 + 1")
+    redact._redact_projection("text", "doc_id")
+    assert len(common._EXPR_CACHE) >= 1
+    assert len(redact._PROJ_CACHE) >= 1
+    # simulate a relaunched gateway: the remembered token no longer
+    # matches the live SparkContext._gateway object
+    common._CACHE_GATEWAY = object()
+    c2 = cached_expr("41 + 1")
+    assert c2 is not c1, "a gateway change must invalidate cached Columns"
+    # the redact memo is cleared through the same guard on its next use
+    redact._redact_projection("other_col", "other_id")
+    assert ("text", "doc_id") not in redact._PROJ_CACHE
+    # steady state: the token now matches, so hits resume
+    assert cached_expr("41 + 1") is c2
+
+
+def test_readers_memo_sweeps_dead_sessions_at_cap(spark, tmp_path):
+    """_READERS entries for garbage-collected sessions must be evicted
+    when the memo reaches its cap, so a process cycling sessions cannot
+    grow it without bound (live entries are never evicted)."""
+    import weakref
+
+    from dlx_spark import contract
+
+    saved = dict(contract._READERS)
+    contract._READERS.clear()
+    old_max = contract._READERS_MAX
+    try:
+        class _DeadRef:
+            def __call__(self):
+                return None
+        # two dead entries + a full memo (cap 3): the next insert sweeps
+        contract._READERS[(1, "d", "t1")] = (_DeadRef(), "stale1")
+        contract._READERS[(2, "d", "t2")] = (_DeadRef(), "stale2")
+        contract._READERS[(id(spark), "d", "live")] = (weakref.ref(spark),
+                                                       "live-frame")
+        contract._READERS_MAX = 3
+        p = str(tmp_path / "r.parquet")
+        spark.range(3).write.parquet(p)
+        df = contract._t(spark, str(tmp_path), "r")
+        assert df.count() == 3
+        assert (1, "d", "t1") not in contract._READERS, "dead entry swept"
+        assert (2, "d", "t2") not in contract._READERS, "dead entry swept"
+        assert contract._READERS[(id(spark), "d", "live")][1] == "live-frame"
+        assert (id(spark), str(tmp_path), "r") in contract._READERS
+        # memo hit: the same frame object comes back
+        assert contract._t(spark, str(tmp_path), "r") is df
+    finally:
+        contract._READERS_MAX = old_max
+        contract._READERS.clear()
+        contract._READERS.update(saved)
