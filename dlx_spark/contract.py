@@ -1756,7 +1756,15 @@ def _verify_pairs_exact(docs: DataFrame, cands: DataFrame) -> DataFrame:
     pairs: the second stage of the candidates→verify near-dup pipeline.
     Only docs that appear in a candidate pair are shingled (semi-join
     pruning) — at corpus scale the candidate set is tiny, so the verify
-    stage never rescans the full table."""
+    stage never rescans the full table.
+
+    ``cands`` feeds THREE plan branches (the verify join's base plus
+    both sides of the id union) and ``shingled`` feeds two (the a/b
+    join sides) — materialize both so the candidate pipeline and the
+    docs semi-join run once instead of 3×/2× (r12; the un-cached form
+    re-ran the whole LSH band join per reference — 13 parquet scans for
+    minhash_neardup's plan)."""
+    cands = cands.cache()
     cand_ids = (cands.select(F.col("id_a").alias("doc_id"))
                 .unionByName(cands.select(F.col("id_b").alias("doc_id")))
                 .distinct())
@@ -1764,7 +1772,7 @@ def _verify_pairs_exact(docs: DataFrame, cands: DataFrame) -> DataFrame:
         "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
         " i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))"))
     shingled = (docs.join(cand_ids, "doc_id", "left_semi")
-                .select(F.col("doc_id"), sh.alias("sh")))
+                .select(F.col("doc_id"), sh.alias("sh")).cache())
     a = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -1784,8 +1792,15 @@ def minhash_lsh_verified(spark, sf):
     and fails the hash, which the rows-only `minhash_lsh` check never
     caught."""
     docs = _t(spark, sf, "documents")
-    sigs = dedup.minhash_signatures(docs, normalize=False)
-    cands = dedup.lsh_candidate_pairs(sigs, bands=16)
+    # r12: the signature relation feeds both sides of the band self-join
+    # — cache it (same justification as minhash_lsh's), and generate the
+    # candidate set through lsh_verified_pairs' first-colliding-band
+    # dedup instead of lsh_candidate_pairs + distinct: the emitted pair
+    # set is identical (every band-colliding pair exactly once), but the
+    # cross-band ``distinct`` exchange is gone.  min_match is None, so
+    # no candidate is filtered — verification below stays the only gate.
+    sigs = dedup.minhash_signatures(docs, normalize=False).cache()
+    cands = dedup.lsh_verified_pairs(sigs, bands=16).select("id_a", "id_b")
     return _verify_pairs_exact(docs, cands)
 
 
@@ -1852,8 +1867,16 @@ def approx_quantile_value(spark, sf):
               .agg(F.percentile_approx("value", [0.5, 0.95], 10000).alias("q"),
                    F.count(F.lit(1)).alias("n")))
     w = Window.partitionBy("event_type").orderBy("value")
-    ranked = ev.select("event_type", "value", F.row_number().over(w).alias("rk"))
-    bounds = (ranked.join(approx.select("event_type", "n"), "event_type")
+    # r12: the group count the rank bounds need is computable in the
+    # SAME window partition (count over the unordered frame) — the
+    # former join back to ``approx`` for ``n`` duplicated the whole
+    # aggregate subtree (a third scan of events) and added a join
+    # exchange; the window count shares the ranking exchange, and the
+    # following groupBy reuses that partitioning too
+    ranked = ev.select("event_type", "value", F.row_number().over(w).alias("rk"),
+                       F.count(F.lit(1)).over(
+                           Window.partitionBy("event_type")).alias("n"))
+    bounds = (ranked
               .groupBy("event_type")
               .agg(*[F.min(F.when((F.col("rk") >= F.floor(q * F.col("n") - 0.01 * F.col("n")))
                                   & (F.col("rk") <= F.ceil(q * F.col("n") + 0.01 * F.col("n"))),
@@ -2277,12 +2300,21 @@ def dup_cluster_survivors(spark, sf):
     each, and min-id/quality rules must agree on unclustered docs."""
     docs = _t(spark, sf, "documents")
     pairs = ngram_jaccard(spark, sf).select("id_a", "id_b")
-    comp = dedup.connected_components(pairs).select(
+    # r12: run the iterative component-propagation loop ONCE and feed
+    # the same labels to all three consumers — the min-id anti-join and
+    # the quality anti-join previously each re-ran the whole loop
+    # (3 multi-job iterations per construction).  The labels relation is
+    # checkpointed by connected_components, so the three references
+    # share one materialization; each consumer's own logic (anti-join,
+    # winner choice) is unchanged.
+    labels = dedup.connected_components(pairs)
+    comp = labels.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"))
-    surv = (dedup.dedup_near(docs, pairs).select("doc_id")
+    surv = (dedup.dedup_near(docs, pairs, components=labels).select("doc_id")
             .withColumn("is_survivor", F.lit(True)))
-    best = (dedup.dedup_near_by_priority(docs, pairs, "n_chars")
+    best = (dedup.dedup_near_by_priority(docs, pairs, "n_chars",
+                                         components=labels)
             .select("doc_id").withColumn("best_survivor", F.lit(True)))
     return (docs.select("doc_id", "lang")
             .join(comp, "doc_id", "left")

@@ -89,6 +89,14 @@ def funnel_counts(events: DataFrame, steps: list[str],
     partial-agg groupBy per step, each shuffle carrying one timestamp
     per surviving user.  Funnels are 3-5 steps deep, so the pass count
     is a small constant; each pass's survivor set only shrinks.
+
+    Each step's survivor relation feeds TWO consumers — its own count
+    row and the next step's join — so it is materialized (r12): the
+    un-cached form re-ran step i's whole upstream cascade once per
+    later consumer, compounding to 6 scans of ``events`` and 8
+    exchanges for a 3-step funnel (now 3 scans — one per step — and
+    one groupBy exchange per step).  The cached relation is one
+    (user, ts) row per surviving user, shrinking per step.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -100,6 +108,8 @@ def funnel_counts(events: DataFrame, steps: list[str],
         if reached is not None:
             ev = ev.join(reached, "_u").filter(F.col("_ts") > F.col("_t")).drop("_t")
         reached = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        if not events.isStreaming:
+            reached = reached.cache()
         rows.append(reached.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
                     .select(F.lit(i + 1).alias("step"),
                             F.lit(step).alias("step_name"), "n_users"))

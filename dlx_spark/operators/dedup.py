@@ -902,29 +902,40 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     return labels.select("id", F.col("comp").alias("component"))
 
 
-def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   components: DataFrame | None = None) -> DataFrame:
     """(id, component, is_survivor): cluster assignment for every doc
     that appears in a near-dup pair; the minimum id of each component
-    survives, the rest are the rows to drop."""
-    comp = connected_components(pairs, id_a, id_b)
+    survives, the rest are the rows to drop.
+
+    ``components``: an optional PRECOMPUTED ``connected_components(pairs)``
+    result — pure reuse for callers that consume the same labels several
+    ways (the propagation loop fires one Spark job per round, so a
+    caller invoking three cluster consumers over one pair set would
+    otherwise run the whole iteration three times)."""
+    comp = (components if components is not None
+            else connected_components(pairs, id_a, id_b))
     return comp.withColumn("is_survivor", F.col("id") == F.col("component"))
 
 
 def dedup_near(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+               id_a: str = "id_a", id_b: str = "id_b",
+               components: DataFrame | None = None) -> DataFrame:
     """The end-to-end near-dedup: given the corpus and its near-dup
     pairs (from minhash/simhash/jaccard), drop every non-survivor —
     each cluster keeps only its minimum id.  Docs in no pair pass
     through untouched.  One anti-join against the (tiny) loser set,
-    which broadcasts at scale; the corpus itself never shuffles."""
-    losers = (dedup_clusters(pairs, id_a, id_b)
+    which broadcasts at scale; the corpus itself never shuffles.
+    ``components``: optional precomputed labels (see dedup_clusters)."""
+    losers = (dedup_clusters(pairs, id_a, id_b, components=components)
               .filter(~F.col("is_survivor")).select(F.col("id").alias("_loser")))
     return df.join(losers, F.col(id_col) == F.col("_loser"), "left_anti")
 
 
 def dedup_near_by_priority(df: DataFrame, pairs: DataFrame,
                            priority_col: str, id_col: str = "doc_id",
-                           id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+                           id_a: str = "id_a", id_b: str = "id_b",
+                           components: DataFrame | None = None) -> DataFrame:
     """``dedup_near`` with a QUALITY survivor rule: each cluster keeps
     its highest-``priority_col`` document (ties -> minimum id; NULL
     priority loses to any non-NULL) instead of its minimum id — the
@@ -935,9 +946,11 @@ def dedup_near_by_priority(df: DataFrame, pairs: DataFrame,
     Same scale posture as ``dedup_near``: the component walk and the
     winner choice run over only the docs that appear in a pair, and
     the corpus meets the loser set in one anti-join (no forced
-    broadcast — the duplicate set scales with corpus redundancy)."""
+    broadcast — the duplicate set scales with corpus redundancy).
+    ``components``: optional precomputed labels (see dedup_clusters)."""
     _require_col_name("priority_col", priority_col)
-    comp = connected_components(pairs, id_a, id_b)
+    comp = (components if components is not None
+            else connected_components(pairs, id_a, id_b))
     prio = (df.select(F.col(id_col).alias("id"),
                       F.coalesce(F.col(priority_col).cast("double"),
                                  F.lit(float("-inf"))).alias("_p"))
