@@ -16,6 +16,20 @@ Usage: python tools/scale_probe.py [multiplier]
        python tools/scale_probe.py --autocompact [n_appends]
        python tools/scale_probe.py --contention [appends_per_thread]
        python tools/scale_probe.py --casgrowth [n_cycles]
+       python tools/scale_probe.py --headline [multiplier] [cpus_hi,cpus_lo]
+
+``--headline`` (r12) is the per-query SCALING evidence the sf0.1 bench
+cannot produce: at sf0.1 every table is one parquet row group, so scan
+parallelism is physically 1 task and an 8-vs-32-core ratio measures
+fixed overhead, not the operators.  This mode replicates EVERY input
+table ``multiplier``× into a temp dir (join keys shifted per replica so
+join fan-out stays 1; the written copies have many row groups, so scans
+genuinely parallelize), then times the 19 headline query shapes — plus
+the CAPPED dedup formulations (``auto_bypass_bytes=0``), the plans a
+100 TB corpus would actually run — once per core count, in separate
+Spark sessions over the same files.  Reports per-query seconds at each
+core count and the hi/lo ratio, with the fixed-work cpu probe bracketing
+every query so throttle windows are self-identifying.
 
 ``--embedding`` is the per-increment trend for the EmbeddingIndex (the
 4th index modality): the persisted index grows by one sf worth of
@@ -808,6 +822,133 @@ def contention_main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _probe_ms() -> float:
+    """Fixed-work single-core spin (ms) — same throttle telemetry as
+    bench.py's cpu probe; comparable across runs on one interpreter."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(1_000_000):
+        x += i * i
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
+#: per-table key columns shifted per replica so every join stays within
+#: its own replica (fan-out 1).  nation/region are tiny dimensions —
+#: copied unreplicated, and the nation/region keys referencing them are
+#: deliberately NOT shifted.
+_HEADLINE_TABLES = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_HEADLINE_DIMS = ["nation", "region"]
+
+
+def _replicate_headline_tables(spark, sf_dir: str, mult: int,
+                               workdir: str) -> None:
+    from pyspark.sql import functions as F
+    shift = 10_000_000
+    for name, keys in _HEADLINE_TABLES.items():
+        src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        big = None
+        for i in range(mult):
+            d = src
+            for k in keys:
+                d = d.withColumn(k, (F.col(k) + F.lit(i * shift))
+                                 .cast(dict(src.dtypes)[k]))
+            big = d if big is None else big.unionByName(d)
+        # many output files -> many row groups -> real scan parallelism
+        (big.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+         .write.mode("overwrite")
+         .parquet(os.path.join(workdir, f"{name}.parquet")))
+    for name in _HEADLINE_DIMS:
+        (spark.read.parquet(f"{sf_dir}/{name}.parquet")
+         .write.mode("overwrite")
+         .parquet(os.path.join(workdir, f"{name}.parquet")))
+
+
+def headline_main() -> None:
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    cpu_list = [int(c) for c in (sys.argv[3] if len(sys.argv) > 3
+                                 else "32,8").split(",")]
+
+    from pyspark.sql import functions as F
+
+    from dlx_spark import get_spark
+    from dlx_spark.operators import dedup
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    workdir = tempfile.mkdtemp(prefix="dlx_spark_headline_")
+    out = {"metric": "headline_scale_probe", "multiplier": mult,
+           "cpus": cpu_list, "runs": {}}
+    try:
+        gen = get_spark("headline_probe_gen",
+                        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        gen.sparkContext.setLogLevel("ERROR")
+        t0 = time.time()
+        _replicate_headline_tables(gen, sf_dir, mult, workdir)
+        out["generate_sec"] = round(time.time() - t0, 1)
+        gen.stop()
+
+        # the capped dedup formulations (auto_bypass_bytes=0) — the
+        # plans a 100 TB corpus runs; the headline entries exercise the
+        # uncapped oracle-parity forms
+        def capped_minhash(spark, wd):
+            docs = spark.read.parquet(os.path.join(wd, "documents.parquet"))
+            return dedup.minhash_near_duplicates(docs, auto_bypass_bytes=0)
+
+        def capped_simhash(spark, wd):
+            docs = spark.read.parquet(os.path.join(wd, "documents.parquet"))
+            return dedup.simhash_near_duplicates(docs, auto_bypass_bytes=0)
+
+        def capped_ngram(spark, wd):
+            docs = spark.read.parquet(os.path.join(wd, "documents.parquet"))
+            return dedup.ngram_jaccard_pairs(docs, auto_bypass_bytes=0)
+
+        extras = {"minhash_capped": capped_minhash,
+                  "simhash_capped": capped_simhash,
+                  "ngram_jaccard_capped": capped_ngram}
+
+        for cpus in cpu_list:
+            from bench import HEADLINE
+            from dlx_spark import contract
+            spark = get_spark(f"headline_probe_{cpus}", cpus=cpus)
+            spark.sparkContext.setLogLevel("ERROR")
+            run = {"queries": {}, "probe_ms": {}, "errors": {}}
+            for name in HEADLINE + list(extras):
+                fn = extras.get(name) or (
+                    lambda s, wd, q=name: contract.BENCH[q](s, wd))
+                try:
+                    samples = []
+                    for _ in range(3):           # 1 warmup + 2 timed
+                        t0 = time.time()
+                        df = fn(spark, workdir)
+                        df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()
+                        samples.append(time.time() - t0)
+                    run["queries"][name] = round(min(samples[1:]), 2)
+                    run["probe_ms"][name] = _probe_ms()
+                except Exception as exc:  # noqa: BLE001 — isolate
+                    run["errors"][name] = f"{type(exc).__name__}: {exc}"[:200]
+            run["total"] = round(sum(run["queries"].values()), 2)
+            if not run["errors"]:
+                del run["errors"]
+            out["runs"][str(cpus)] = run
+            spark.stop()
+
+        if len(cpu_list) == 2:
+            hi, lo = (out["runs"][str(c)]["queries"] for c in cpu_list)
+            out["lo_over_hi_ratio"] = {
+                q: round(lo[q] / hi[q], 2) for q in hi if q in lo and hi[q]}
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
@@ -835,6 +976,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--autocompact":
         autocompact_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--headline":
+        headline_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
