@@ -56,6 +56,17 @@ def get_spark(app_name: str = "dlx_spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batches by BYTES, not only rows (guide §4.2): the
+        # default 10k-records-per-batch cap is fine for text rows but a
+        # media batch of multi-MB binary payloads would build a
+        # GiB-scale ArrowRecordBatch in executor memory before the
+        # Python worker sees it (the multimodal operators move whole
+        # payloads through mapInPandas).  64 MiB caps that; both limits
+        # apply — a batch closes when either is hit — so narrow-row
+        # paths keep their 10k-row batches (pinned by
+        # tests/test_arrow_batch_bound.py)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # nested-schema pruning so JMARC struct scans read only the
         # touched sub-columns (parquet column pruning for array<struct>)
