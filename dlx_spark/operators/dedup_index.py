@@ -54,7 +54,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dlx_spark import tableio
-from dlx_spark.operators import dedup
+from dlx_spark.operators import common, dedup
 
 
 def _be() -> "tableio.ParquetTableBackend":
@@ -436,7 +436,7 @@ class MinHashIndex:
                                F.col("sig").alias("sig_a")), "corpus_id")
             .join(bsigs.select(F.col("id").alias("batch_id"),
                                F.col("sig").alias("sig_b")), "batch_id")
-            .withColumn("est_jaccard", F.expr(dedup._EST_JACCARD))
+            .withColumn("est_jaccard", common.cached_expr(dedup._EST_JACCARD))
             .filter(F.col("est_jaccard") >= threshold)
             .select("corpus_id", "batch_id", "est_jaccard")
         )
@@ -457,7 +457,7 @@ class MinHashIndex:
             .select("corpus_id", "batch_id",
                     F.col("pay_a").alias("sig_a"),
                     F.col("pay_b").alias("sig_b"))
-            .withColumn("est_jaccard", F.expr(dedup._EST_JACCARD))
+            .withColumn("est_jaccard", common.cached_expr(dedup._EST_JACCARD))
             .filter(F.col("est_jaccard") >= threshold)
             .select("corpus_id", "batch_id", "est_jaccard"))
         # a pair can surface on both paths (small bucket in one band,
