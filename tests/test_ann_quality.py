@@ -55,6 +55,7 @@ def _exact_ids(clustered, k=10):
             similarity.cosine_topk(clustered, _query_vec(), k=k).collect()]
 
 
+@pytest.mark.slow
 def test_lsh_topk_recall_on_clusters(clustered):
     exact = set(_exact_ids(clustered))
     got = {r["id"] for r in similarity.lsh_topk(
@@ -63,6 +64,7 @@ def test_lsh_topk_recall_on_clusters(clustered):
     assert recall >= 0.9, f"lsh_topk recall {recall} on clustered data"
 
 
+@pytest.mark.slow
 def test_ivf_topk_pruned_recall_on_clusters(clustered):
     exact = set(_exact_ids(clustered))
     got = {r["id"] for r in similarity.ivf_topk(
@@ -71,6 +73,7 @@ def test_ivf_topk_pruned_recall_on_clusters(clustered):
     assert recall >= 0.9, f"ivf_topk (nprobe=2) recall {recall} on clustered data"
 
 
+@pytest.mark.slow
 def test_knn_join_recall_on_clusters(spark, clustered):
     from pyspark.sql import Window, functions as F
 
@@ -108,6 +111,7 @@ def test_winnowing_density_guarantee(spark):
     assert len(rows[1]) <= n_windows // 2
 
 
+@pytest.mark.slow
 def test_ivf_drift_and_refresh_cycle(spark, tmp_path):
     """IVF index maintenance: vectors APPENDED with stale centroids
     (fast ingest) quantize a drifted distribution badly; a
@@ -165,6 +169,7 @@ def test_ivf_drift_and_refresh_cycle(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_cosine_near_duplicates_recall_on_clusters(clustered):
     """The LSH-blocked embedding pair operator vs exact all-pairs brute
     force: precision is exact by construction (every emitted pair is
@@ -219,6 +224,7 @@ def _dense_plus_diffuse(spark, dense_n=80, diffuse_n=40, dim=12, seed=11):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+@pytest.mark.slow
 def test_capped_cosine_pairs_preserve_components(spark):
     """The mega-bucket chain cap: capped pairs are a verified SUBSET of
     the uncapped run, linear in bucket size, and connect exactly the
@@ -284,6 +290,7 @@ def _diffuse_twins(spark, n_pairs=200, dim=24, seed=13, target_cos=0.9):
             truth)
 
 
+@pytest.mark.slow
 def test_banded_beats_multiprobe_at_equal_candidate_budget(spark):
     """Banded amplification (b bands × r planes, OR-of-ANDs) is the
     scale-correct recall lever: on the diffuse-twin fixture it reaches
@@ -313,6 +320,7 @@ def test_banded_beats_multiprobe_at_equal_candidate_budget(spark):
     assert band_recall >= 0.7
 
 
+@pytest.mark.slow
 def test_embedding_probe_bucket_cap_preserves_drop_decision(spark):
     """A batch of near-duplicates of a dense (mega-bucket) corpus
     region: with a small bucket_cap the probe output is LINEAR, yet
@@ -360,6 +368,7 @@ def test_embedding_probe_bucket_cap_preserves_drop_decision(spark):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_embedding_index_bands_equivalence(spark):
     """A bands>1 index probe equals the cross-partition subset of the
     full-corpus banded cosine_near_duplicates run — the same

@@ -91,6 +91,7 @@ def test_lsh_index_prunes_partitions_and_matches_exact(spark, tmp_path):
     assert len(set(got) & set(exact)) >= 4   # clustered data: near-exact
 
 
+@pytest.mark.slow
 def test_knn_join_lsh_index_matches_onthefly_and_prunes(spark, tmp_path):
     """Batch probe against the written index must equal the on-the-fly
     knn_join at hamming 0 (same planes), and its scan must be pruned by
@@ -142,6 +143,7 @@ def test_ivf_index_prunes_partitions_and_matches_exact(spark, tmp_path):
     assert len(set(got) & set(exact)) >= 4
 
 
+@pytest.mark.slow
 def test_banded_lsh_index_layout_and_recall(spark, tmp_path):
     """Banded persisted LSH index (LSH-forest layout): each vector is
     stored once per band, probes OR one pruned (band, bucket) partition
@@ -213,6 +215,7 @@ def test_banded_lsh_index_layout_and_recall(spark, tmp_path):
     assert len(per_probe) >= 18       # nearly every probe found candidates
 
 
+@pytest.mark.slow
 def test_ann_index_ops_route_through_backend_seam(spark):
     """Round-6 port: every LSH/IVF index operation must go through the
     tableio backend (no direct path I/O, no bespoke swap protocol), so
@@ -307,6 +310,7 @@ def test_semdedup_index_equals_onthefly_and_prunes_at_probe(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+@pytest.mark.slow
 def test_semdedup_append_online_ingest(spark):
     """Online SemDeDup: batch-2 vectors within τ of an INDEX member (or
     of a lower-id batch-2 survivor) are dropped, survivors land in the

@@ -98,6 +98,7 @@ def test_crash_between_copy_and_delete_leaves_complete_marker(
     assert not fsio.exists(spark, p + ".tmp")
 
 
+@pytest.mark.slow
 def test_torn_marker_from_midcopy_crash_reads_as_safe(spark, tmp_path):
     """The harsh window: a crash mid-copy tears the destination.  The
     store's open-time recovery — a REAL marker consumer — must treat a
@@ -274,6 +275,7 @@ def test_torn_manifest_stays_loud_on_atomic_scheme(spark, be):
         be.read(spark, "t_loud")
 
 
+@pytest.mark.slow
 def test_index_end_to_end_on_cas_scheme(spark, be):
     """An unmodified MinHashIndex through BOTH seams at once: the
     versioned backend over the simulated object-store scheme — create,
@@ -372,6 +374,7 @@ def test_vacuum_retention_keeps_young_tmp_manifests(spark, be):
     assert not fsio.exists(spark, tmp)
 
 
+@pytest.mark.slow
 def test_streaming_ingest_composes_all_three_seams(spark, be, tmp_path):
     """The full stack on the simulated object store: exactly-once
     near-dedup streaming ingest (marker protocol via the commit
@@ -451,6 +454,7 @@ def test_newest_mtime_sees_fresh_files_under_stale_directories(
                - fsio.mtime(spark, str(f))) < 1
 
 
+@pytest.mark.slow
 def test_versioned_protocol_randomized_crash_fuzz(spark, be):
     """Protocol fuzz on the simulated object store: a random sequence
     of appends — each crashing at a random point of its manifest
@@ -540,6 +544,7 @@ def test_external_cas_acquire_is_exclusive_and_idempotent(ecas):
     assert ecas.acquire("k1", {"tmp": "/c"}) is None          # reusable
 
 
+@pytest.mark.slow
 def test_external_cas_commit_crash_states_all_recoverable(spark, be, ecas):
     """Crash injection at every protocol point AFTER the acquire: the
     acquire IS the commit point, so the commit must be readable at
@@ -615,6 +620,7 @@ def test_external_cas_dead_claim_released_and_reacquired(
     assert json.loads(fsio.read_text(spark, dest)) == {"who": "second"}
 
 
+@pytest.mark.slow
 def test_versioned_lifecycle_and_thread_race_on_external_cas(
         spark, tmp_path, ecas):
     """The backend's full lifecycle plus a real thread race through
@@ -645,6 +651,7 @@ def test_versioned_lifecycle_and_thread_race_on_external_cas(
     assert be.versions(spark, "t_race") == list(range(1, 14))
 
 
+@pytest.mark.slow
 def test_streaming_ingest_auto_compaction_bounds_segments(
         spark, tmp_path):
     """The round-7 verdict's standing scale hazard, closed end-to-end:
@@ -733,6 +740,7 @@ def test_external_cas_claims_released_on_vacuum_and_drop(
     assert be.versions(spark, "t_claims") == [1]
 
 
+@pytest.mark.slow
 def test_external_cas_protocol_randomized_crash_fuzz(spark, tmp_path, ecas):
     """The randomized protocol fuzz, re-run under ExternalCASScheme.
     The commit point is the external acquire, so the invariants shift:

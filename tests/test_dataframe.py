@@ -4,6 +4,8 @@ from pyspark.sql import functions as F
 
 from dlx_spark.marc import dataframe as mdf
 
+import pytest
+
 
 def test_explode_subfields(spark, bibs_df):
     ex = mdf.explode_subfields(bibs_df)
@@ -25,6 +27,7 @@ def test_auth_headings(spark, auths_df):
     assert rows[(2, "110", "a", None)] == ("Another header", "another header")
 
 
+@pytest.mark.slow
 def test_resolve_values(spark, bibs_df, auths_df):
     dim = mdf.auth_headings(auths_df)
     resolved = mdf.resolve_values(bibs_df, dim)
@@ -52,6 +55,7 @@ def test_derive_text_words(spark, bibs_df, auths_df):
     assert len(r1["words"]) == len(set(r1["words"]))
 
 
+@pytest.mark.slow
 def test_derive_logical_fields(spark, bibs_df, auths_df):
     dim = mdf.auth_headings(auths_df)
     out = mdf.derive_logical_fields(bibs_df, "bib", headings=dim)

@@ -67,6 +67,7 @@ def split_corpus(spark):
     return df, corpus, batch
 
 
+@pytest.mark.slow
 def test_minhash_probe_equals_full_cross_pairs(spark, split_corpus):
     full_df, corpus, batch = split_corpus
     idx = MinHashIndex.create(corpus, "t_mh_idx")
@@ -83,6 +84,7 @@ def test_minhash_probe_equals_full_cross_pairs(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_minhash_dedup_batch_matches_full_survivor_rule(spark, split_corpus):
     full_df, corpus, batch = split_corpus
     idx = MinHashIndex.create(corpus, "t_mh_idx2")
@@ -131,6 +133,7 @@ def test_minhash_probe_plan_never_touches_corpus_text(spark, split_corpus, tmp_p
         idx.drop()
 
 
+@pytest.mark.slow
 def test_digest_index_matches_full_exact_dedup(spark, split_corpus):
     full_df, corpus, batch = split_corpus
     idx = DigestIndex.create(corpus, "t_dg_idx")
@@ -176,6 +179,7 @@ def test_digest_antijoin_shuffles_batch_only(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_streaming_neardedup_ingest(spark, split_corpus, tmp_path):
     """End-to-end availableNow stream: batches flow through foreachBatch
     into the index; cross-batch dups are dropped; a replayed batch
@@ -287,6 +291,7 @@ def test_streaming_neardedup_ingest(spark, split_corpus, tmp_path):
         MinHashIndex(spark, "t_mh_stream").drop()
 
 
+@pytest.mark.slow
 def test_streaming_neardedup_crash_window(spark, split_corpus, tmp_path):
     """Crash between the index append and the output write: the replay
     must still produce the full clean output (not an empty one), because
@@ -324,6 +329,7 @@ def test_streaming_neardedup_crash_window(spark, split_corpus, tmp_path):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_compact_folds_appended_files(spark, split_corpus):
     """Repeated appends accrete files; compact() folds each table to one
     file per bucket with identical probe results, and a crash between
@@ -360,6 +366,7 @@ def test_compact_folds_appended_files(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_append_crash_between_band_and_sig_writes(spark, split_corpus):
     """append writes bands first and keys the replay guard on sigs: a
     crash between the two writes must NOT lose the batch's band keys —
@@ -399,6 +406,7 @@ def test_append_crash_between_band_and_sig_writes(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_capped_output_is_fully_verified(spark):
     """The capped mode must emit ONLY pairs passing the verify rule —
     no unverified connectivity edges (the old min-id star let a single
@@ -462,6 +470,7 @@ def test_capped_mega_bucket_does_not_link_dissimilar_colliders(spark):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+@pytest.mark.slow
 def test_simhash_index_probe_equals_full_cross_pairs(spark, split_corpus):
     full_df, corpus, batch = split_corpus
     idx = SimHashIndex.create(corpus, "t_sh_idx", n_buckets=4)
@@ -501,6 +510,7 @@ def test_simhash_index_probe_equals_full_cross_pairs(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_meta_roundtrip_and_reopen(spark, split_corpus):
     _, corpus, batch = split_corpus
     MinHashIndex.create(corpus, "t_mh_idx4", num_hashes=32, bands=8,
@@ -519,6 +529,7 @@ def test_meta_roundtrip_and_reopen(spark, split_corpus):
         reopened.drop()
 
 
+@pytest.mark.slow
 def test_neardedup_sink_under_file_scheme_out_path(spark, split_corpus, tmp_path):
     """The near-dedup sink's attempt/committed marker protocol must hold
     with a ``file://``-scheme output path (markers via the Hadoop
@@ -633,6 +644,7 @@ def test_reader_during_compaction(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_digest_index_replay_safe(spark, split_corpus):
     """At-least-once replay of an exact-dedup increment: a crashed
     attempt's appended digests (keyed by the batch's own ids) must not
@@ -659,6 +671,7 @@ def test_digest_index_replay_safe(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_streaming_two_stage_exact_then_near_dedup(spark, split_corpus, tmp_path):
     """The composed sink: exact dedup vs all history first, then
     near-dedup — and a crash-window replay of the composed batch still
@@ -726,6 +739,7 @@ def emb_split(spark):
     return df, df.filter("vec_id < 100"), df.filter("vec_id >= 100")
 
 
+@pytest.mark.slow
 def test_embedding_probe_equals_full_cross_pairs(spark, emb_split):
     """EmbeddingIndex.probe == the cross-partition subset of the
     full-corpus cosine_near_duplicates run with the same hyperplane
@@ -748,6 +762,7 @@ def test_embedding_probe_equals_full_cross_pairs(spark, emb_split):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_embedding_dedup_batch_and_replay(spark, emb_split):
     """dedup_batch drops batch vectors matching the corpus, dedups the
     remainder intra-batch (min-id survivor), appends survivors — and a
@@ -801,6 +816,7 @@ def test_embedding_dedup_batch_and_replay(spark, emb_split):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_embedding_multiprobe_widens_recall(spark, emb_split):
     """multiprobe_hamming > 0 can only ADD pairs (bit-flip neighborhoods
     are supersets), and every added pair still passes the exact-cosine
@@ -821,6 +837,7 @@ def test_embedding_multiprobe_widens_recall(spark, emb_split):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_embedding_ingest_stream_end_to_end(spark, emb_split, tmp_path):
     """availableNow embedding stream through the shared exactly-once
     sink: cross-batch vector dups dropped, committed batch redelivery
@@ -876,6 +893,7 @@ def test_embedding_ingest_stream_end_to_end(spark, emb_split, tmp_path):
         EmbeddingIndex(spark, "t_emb_stream").drop()
 
 
+@pytest.mark.slow
 def test_embedding_rebucket_regrows_plane_count(spark, emb_split):
     """EmbeddingIndex.rebucket: re-deriving the key table under a new
     hyperplane geometry must leave probe results equal to a FRESH index
@@ -935,6 +953,7 @@ def test_embedding_rebucket_regrows_plane_count(spark, emb_split):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_minhash_probe_mega_bucket_cap_stays_linear(spark):
     """Adversarial corpus for the probe path: an index built over an
     UN-deduped corpus (40 near-identical docs) concentrates whole band
@@ -970,6 +989,7 @@ def test_minhash_probe_mega_bucket_cap_stays_linear(spark):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_simhash_probe_mega_bucket_cap_stays_linear(spark):
     """Same adversarial shape for the SimHash index: 40 identical
     fingerprints co-bucket every band; the capped probe bounds the
@@ -1000,6 +1020,7 @@ def test_simhash_probe_mega_bucket_cap_stays_linear(spark):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_rebucket_intent_discards_stage_when_append_raced_the_crash(spark):
     """Round-6 verdict item: the parquet-backend residual window.  An
     append lands AFTER rebucket's conflict check armed the commit point
@@ -1076,6 +1097,7 @@ def test_rebucket_intent_discards_stage_when_append_raced_the_crash(spark):
         spark.sql("DROP TABLE IF EXISTS t_rbi2_rebucket_intent")
 
 
+@pytest.mark.slow
 def test_rebucket_recovery_mid_swap_crash_states_on_both_backends(spark,
                                                                   tmp_path):
     """Review regressions (reproduced, then fixed): the conflict-checked
@@ -1179,6 +1201,7 @@ def _seg_rows(df):
         "n_words_kept").collect())
 
 
+@pytest.mark.slow
 def test_segment_index_sequential_batches_equal_full(spark, split_corpus):
     """Doc-id-ordered batches through dedup_batch reproduce the
     full-corpus spans.segment_dedup exactly."""
@@ -1206,6 +1229,7 @@ def test_segment_index_sequential_batches_equal_full(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_segment_index_create_from_corpus_then_batch(spark, split_corpus):
     from dlx_spark.operators.dedup_index import SegmentIndex
     from dlx_spark.operators import spans
@@ -1221,6 +1245,7 @@ def test_segment_index_create_from_corpus_then_batch(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_segment_index_replay_safe_idempotent(spark, split_corpus):
     from dlx_spark.operators.dedup_index import SegmentIndex
     from dlx_spark import tableio
@@ -1240,6 +1265,7 @@ def test_segment_index_replay_safe_idempotent(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_segment_index_compact_preserves_behavior(spark, split_corpus):
     from dlx_spark.operators.dedup_index import SegmentIndex
     _, corpus, batch = split_corpus
@@ -1266,6 +1292,7 @@ def _cut_rows(df):
         "doc_id", "n_words", "n_words_cut", "cleaned_text").collect())
 
 
+@pytest.mark.slow
 def test_span_index_sequential_batches_equal_full(spark, split_corpus):
     from dlx_spark.operators.dedup_index import SpanIndex
     from dlx_spark.operators import spans
@@ -1290,6 +1317,7 @@ def test_span_index_sequential_batches_equal_full(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_span_index_create_from_corpus_then_batch(spark, split_corpus):
     from dlx_spark.operators.dedup_index import SpanIndex
     from dlx_spark.operators import spans
@@ -1305,6 +1333,7 @@ def test_span_index_create_from_corpus_then_batch(spark, split_corpus):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_span_index_future_occurrence_of_unique_window_is_cut(spark):
     """A window unique in batch 1 must still cut a batch-2 twin —
     fresh digests append even when nothing was cut."""
@@ -1323,6 +1352,7 @@ def test_span_index_future_occurrence_of_unique_window_is_cut(spark):
         idx.drop()
 
 
+@pytest.mark.slow
 def test_span_index_replay_safe_idempotent(spark, split_corpus):
     from dlx_spark.operators.dedup_index import SpanIndex
     from dlx_spark import tableio

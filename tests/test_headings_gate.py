@@ -39,6 +39,7 @@ def _rows(df):
         "record_id", "tag", "code", "value").collect()))
 
 
+@pytest.mark.slow
 def test_hint_present_and_absent_identical_results(store):
     assert store.headings_hint() is True
     hinted = mdf.subfield_token_rows(store.bibs(), "bib",
@@ -62,6 +63,7 @@ def test_hint_present_and_absent_identical_results(store):
     assert a == b
 
 
+@pytest.mark.slow
 def test_gate_flips_on_ceiling_and_search_stays_correct(store):
     # baseline (hinted) search answers
     want_text = sorted(r["_id"] for r in

@@ -49,6 +49,7 @@ def test_allocator_respects_floor_from_explicit_ids(store):
     assert store._allocate_ids("bib", 1) == 1002
 
 
+@pytest.mark.slow
 def test_allocator_never_reuses_after_delete(store):
     store.delete("bib", 2, user="d", now=T1)
     rec = Bib().set("245", "a", "fresh", auth_control=False)
@@ -56,6 +57,7 @@ def test_allocator_never_reuses_after_delete(store):
     assert ids == [3]     # id 2 is deleted, never reassigned
 
 
+@pytest.mark.slow
 def test_commit_frame_null_ids_route_through_allocator(store, spark):
     from pyspark.sql import functions as F
 

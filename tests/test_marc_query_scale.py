@@ -118,6 +118,7 @@ def test_search_empty_store_returns_empty(spark, tmp_path):
     assert st.search("bib", "id:1").count() == 0
 
 
+@pytest.mark.slow
 def test_search_context_reused_and_invalidated_on_mutation(store):
     """The tokenized view is built once per record type and reused
     across searches (the reference's persistent-index analog) — and any
@@ -136,6 +137,7 @@ def test_search_context_reused_and_invalidated_on_mutation(store):
     assert store.search("bib", "245__a:this").count() == 0
 
 
+@pytest.mark.slow
 def test_persisted_index_identical_results_and_no_udf_in_plan(store):
     """build_search_index materializes the tokenized view (the
     reference's persistent _index_{tag} analog): search results are
@@ -154,6 +156,7 @@ def test_persisted_index_identical_results_and_no_udf_in_plan(store):
     assert "bibs_tokens" in plan          # the persisted index IS the source
 
 
+@pytest.mark.slow
 def test_persisted_index_refreshes_incrementally(store):
     """Commits and deletes re-derive only the touched buckets; the
     index never serves stale tokens."""
@@ -168,6 +171,7 @@ def test_persisted_index_refreshes_incrementally(store):
     assert store.search("bib", "245__a:zebra").count() == 0  # delete removes
 
 
+@pytest.mark.slow
 def test_persisted_index_heading_change_propagates(store):
     """An auth heading edit refreshes the attached records' token rows
     through the same propagation batch (index maintenance piggybacks on
@@ -179,6 +183,7 @@ def test_persisted_index_heading_change_propagates(store):
     assert store.search("bib", "650__a:quixotic").count() == 2
 
 
+@pytest.mark.slow
 def test_persisted_index_crash_recovery_reconverges(spark, store):
     """A failure between the live commit and the index refresh leaves
     the write-ahead dirty marker AND the commit durable ('committed,
@@ -212,6 +217,7 @@ def test_persisted_index_crash_recovery_reconverges(spark, store):
             reopened.search("bib", "245__a:crashed").collect()] == [2]
 
 
+@pytest.mark.slow
 def test_nonpropagating_auth_writes_mark_bib_index_dirty(spark, store):
     """An auth write that changes a heading WITHOUT propagation
     (commit_frame for auths; commit(update_attached=False)) must not
@@ -245,6 +251,7 @@ def test_nonpropagating_auth_writes_mark_bib_index_dirty(spark, store):
     assert store.search("bib", "650__a:bulk").count() == 0
 
 
+@pytest.mark.slow
 def test_unchanged_auth_bulk_write_skips_bib_rebuild(spark, store):
     """The cross-type dirty marker is written only when a heading
     actually changed — re-ingesting identical auths must not force a
@@ -256,6 +263,7 @@ def test_unchanged_auth_bulk_write_skips_bib_rebuild(spark, store):
     assert not store._has_dirty_marker("bib")
 
 
+@pytest.mark.slow
 def test_search_auth_record_type_with_and_without_index(store):
     """search() serves auths the same way it serves bibs — including
     the persisted-index path (the machinery is record-type-generic)."""
@@ -304,6 +312,7 @@ def test_fielded_text_semijoin_broadcasts_at_runtime(store):
     assert "SortMergeJoin" not in executed, executed
 
 
+@pytest.mark.slow
 def test_bare_text_stays_on_words_column_even_when_indexed(store):
     """A bare free-text term deliberately stays a ``words``-column
     predicate even over an INDEXED store: the predicate reads exactly
@@ -331,6 +340,7 @@ def test_bare_text_stays_on_words_column_even_when_indexed(store):
             store.search("bib", '"this is"').collect()] == [1]
 
 
+@pytest.mark.slow
 def test_xref_search_uses_persisted_index_when_present(store):
     """xref containment over an indexed store becomes an index lookup
     (semi-join on the token table's xref column) with identical results

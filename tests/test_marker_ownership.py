@@ -74,6 +74,7 @@ def _history_delete_rows(store, rid: int, version: int):
                                      F.lit(mod)).cast("int")), mod)
 
 
+@pytest.mark.slow
 def test_foreign_summary_marker_survives_concurrent_writers_replay(store):
     """r10 ADVICE (high): writer B's marker, written before B's history
     append lands, must survive writer A's inline replay even though A's
@@ -106,6 +107,7 @@ def test_foreign_summary_marker_survives_concurrent_writers_replay(store):
     assert _base(m_b) not in _names(store._markers_for("bib_deleted"))
 
 
+@pytest.mark.slow
 def test_foreign_token_marker_survives_concurrent_commit(store):
     """Same hole in the token index: a search-triggered replay racing
     writer B's in-flight commit must not settle B's marker on the
@@ -171,6 +173,7 @@ def test_summary_build_race_covers_append_via_tail_fold(store):
     assert [r.record_id for r in store.find_deleted("bib").collect()] == [2]
 
 
+@pytest.mark.slow
 def test_token_build_race_covers_commit_via_tail_fold(store):
     """Token-index variant of the build TOCTOU: a commit that lands
     between the build's derivation read and its overwrite re-checks
@@ -201,6 +204,7 @@ def test_token_build_race_covers_commit_via_tail_fold(store):
     assert store.search("bib", "245__a:this").count() == 0
 
 
+@pytest.mark.slow
 def test_stamp_landing_mid_build_does_not_settle_marker(store, monkeypatch):
     """r11.2: writer B's commit + ``committed`` stamp land BETWEEN the
     build's tail fold and its marker settlement.  A settle-time stamp
@@ -239,6 +243,7 @@ def test_stamp_landing_mid_build_does_not_settle_marker(store, monkeypatch):
     assert _base(m_b) not in _names(store._markers_for("bibs_tokens"))
 
 
+@pytest.mark.slow
 def test_heading_staleness_marker_settled_by_rebuild(store):
     """A ``full`` heading-staleness marker is stamped committed once
     its auth commit lands, so the search-triggered rebuild both serves
@@ -268,6 +273,7 @@ def test_grace_period_constructor_override(spark, tmp_path):
     assert MarcStore.MARKER_INFLIGHT_GRACE_SECONDS == 3600.0
 
 
+@pytest.mark.slow
 def test_heading_marker_is_targeted_not_full(store, monkeypatch):
     """r11 (VERDICT task 3): a non-propagating heading change writes a
     TARGETED marker (the changed auth ids) and replay refreshes only
@@ -300,6 +306,7 @@ def test_heading_marker_is_targeted_not_full(store, monkeypatch):
     assert store._dirty_markers("bib") == []
 
 
+@pytest.mark.slow
 def test_heading_marker_over_cap_degrades_to_full(store):
     """Past HEADING_MARKER_MAX_XREFS the changed-id list would bloat
     the marker and the targeted refresh approaches a rebuild anyway —
@@ -322,6 +329,7 @@ def test_heading_marker_over_cap_degrades_to_full(store):
     assert store._dirty_markers("bib") == []
 
 
+@pytest.mark.slow
 def test_failed_auth_upsert_settles_heading_flags(store, monkeypatch):
     """A heading-staleness flag whose auth upsert RAISED must not haunt
     every subsequent search until grace expiry: the commit path stamps

@@ -62,6 +62,7 @@ print("WORKER_DONE races_lost=%%d" %% be.races_lost, flush=True)
 """ % TABLE
 
 
+@pytest.mark.slow
 def test_two_driver_processes_no_lost_update(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -139,6 +140,7 @@ print("WORKER_DONE races_lost=%%d" %% be.races_lost, flush=True)
 """ % TABLE
 
 
+@pytest.mark.slow
 def test_two_driver_processes_external_cas_no_lost_update(spark, tmp_path):
     """The multi-driver guarantee for stores with NO atomic rename:
     both drivers publish through ExternalCASScheme — every store-side
@@ -236,6 +238,7 @@ raise SystemExit("unreachable: commit should have exited the process")
 """
 
 
+@pytest.mark.slow
 def test_token_index_reconverges_after_crashed_writer_under_contention(
         spark, tmp_path):
     """The token-index marker protocol composed with the multi-driver
@@ -355,6 +358,7 @@ raise SystemExit("unreachable: commit should have exited the process")
 """
 
 
+@pytest.mark.slow
 def test_deleted_summary_reconverges_after_crashed_writer_under_contention(
         spark, tmp_path):
     """The deleted-summary marker protocol composed with the
@@ -461,6 +465,7 @@ print("WORKER_IDS=" + ",".join(str(i) for i in sorted(ids)), flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_driver_processes_disjoint_ids(spark, tmp_path):
     """CAS-serialized id allocation across OS processes (r11, ADVICE
     low): two drivers commit all-NEW records to one store concurrently.
@@ -572,6 +577,7 @@ print("WORKER_IDS=" + ",".join(str(i) for i in sorted(ids)), flush=True)
 
 @pytest.mark.parametrize("minor", [False, True],
                          ids=["full_compact", "minor_compact"])
+@pytest.mark.slow
 def test_maintenance_races_concurrent_commits(spark, tmp_path, minor):
     """Store-level maintenance (compact + retention-guarded vacuum)
     composed with a concurrent writer across two OS processes (r11,

@@ -296,6 +296,7 @@ def test_redact_pii_idempotent(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_null_text_never_crashes_operators(spark):
     """Every text operator must map NULL text to NULL/empty, not crash
     (probed with a (id, NULL) row per the library's UDF contract)."""
@@ -682,6 +683,7 @@ def test_epoch_seconds_ntz_is_timezone_stable(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+@pytest.mark.slow
 def test_lsh_verified_pairs_both_formulations_match_reference_pipeline(spark):
     """lsh_verified_pairs (round 8, the one-shuffle candidates+verify)
     must equal the three-stage reference pipeline (lsh_candidate_pairs
@@ -725,6 +727,7 @@ def test_lsh_verified_pairs_both_formulations_match_reference_pipeline(spark):
     sigs.unpersist()
 
 
+@pytest.mark.slow
 def test_decontaminate_ngram_overlap_rule(spark):
     """Benchmark decontamination (sampling.decontaminate): a corpus doc
     containing ANY benchmark word n-gram is removed; near-miss overlap

@@ -20,6 +20,7 @@ def test_partial_lookup(spark, auths_df):
     assert mdf.partial_lookup(dim, "zzz").count() == 0
 
 
+@pytest.mark.slow
 def test_from_aggregation(spark, bibs_df, auth_index):
     from dlx_spark.marc import BibSet
     # DataFrame form: arbitrary-pipeline escape hatch
@@ -92,6 +93,7 @@ def test_auth_headings_language_rows(spark):
     assert rows["es"] == "Derechos humanos"
 
 
+@pytest.mark.slow
 def test_revert(spark, tmp_path, auth_docs, bib_docs):
     from dlx_spark.marc.store import MarcStore
     st = MarcStore(spark, str(tmp_path / "wh"))
@@ -111,6 +113,7 @@ def test_revert(spark, tmp_path, auth_docs, bib_docs):
         st.revert("bib", 1, version=99)
 
 
+@pytest.mark.slow
 def test_find_deleted_by_date(spark, tmp_path, bib_docs):
     from dlx_spark.marc.store import MarcStore
     st = MarcStore(spark, str(tmp_path / "wh2"))
@@ -127,6 +130,7 @@ def test_find_deleted_by_date(spark, tmp_path, bib_docs):
     assert [r.record_id for r in st.find_deleted("bib", date_to=T2).collect()] == [1]
 
 
+@pytest.mark.slow
 def test_bib_files(spark, tmp_path):
     from dlx_spark.files import FileStore, Identifier
     from dlx_spark.marc import BibSet
@@ -191,6 +195,7 @@ def test_import_from_url(spark, tmp_path):
         srv.shutdown()
 
 
+@pytest.mark.slow
 def test_update_auth_use_counts(spark, tmp_path, auth_docs, bib_docs):
     from dlx_spark.marc.store import MarcStore
     st = MarcStore(spark, str(tmp_path / "wh3"))
@@ -203,6 +208,7 @@ def test_update_auth_use_counts(spark, tmp_path, auth_docs, bib_docs):
 
 # --- deprecated matcher shims + auth facade (reference parity round 2) ---
 
+@pytest.mark.slow
 def test_deprecated_matcher_shims(spark, bibs_df, auth_index):
     import warnings
     from dlx_spark.marc import Bib
@@ -232,6 +238,7 @@ def test_subfield_is_linked():
     assert Subfield.is_linked() is False
 
 
+@pytest.mark.slow
 def test_auth_facade_in_use_and_list_attached(spark, tmp_path, auth_docs, bib_docs):
     from dlx_spark.marc import Auth, Bib
     from dlx_spark.marc.store import MarcStore
@@ -257,6 +264,7 @@ def test_auth_facade_in_use_and_list_attached(spark, tmp_path, auth_docs, bib_do
     assert (("Header", 1) in pairs) or any(x == 1 for _, x in pairs)
 
 
+@pytest.mark.slow
 def test_deleted_by_date_generator(spark, tmp_path, auth_docs, bib_docs):
     from datetime import datetime
     from dlx_spark.marc import Auth, Bib
@@ -273,6 +281,7 @@ def test_deleted_by_date_generator(spark, tmp_path, auth_docs, bib_docs):
     assert list(store.deleted_by_date("bib", datetime(2026, 1, 6))) == []
 
 
+@pytest.mark.slow
 def test_bib_files_facade(spark, tmp_path, auth_docs, bib_docs):
     from dlx_spark.files import FileStore, Identifier
     from dlx_spark.marc import Bib
@@ -291,6 +300,7 @@ def test_bib_files_facade(spark, tmp_path, auth_docs, bib_docs):
     assert bib.file(fs, "ES") is None
 
 
+@pytest.mark.slow
 def test_auth_deleted_subfield_sequence(spark, tmp_path):
     """Reference regression sequence (tests/test_marc.py:1148-1159): an
     auth loses a heading subfield, recommits, and an attached bib then
@@ -318,6 +328,7 @@ def test_auth_deleted_subfield_sequence(spark, tmp_path):
     assert q is not None
 
 
+@pytest.mark.slow
 def test_non_controlled_linked_subfield(spark, tmp_path):
     """Reference tests/test_marc.py:1161-1180: a Linked subfield on a
     NON-auth-controlled code resolves to no value and fails validation.

@@ -72,6 +72,7 @@ def test_tokenize_query():
     assert tokenize_query("245__a:/rx AND rx/") == ["245__a:/rx AND rx/"]
 
 
+@pytest.mark.slow
 def test_fielded_text(ctx):
     assert run(ctx, "245__a:This") == [1]
     assert run(ctx, "245__a:this") == [1]          # stemmed/case-insensitive
@@ -101,6 +102,7 @@ def test_fielded_exists(ctx):
     assert run(ctx, "245__a:*") == [1, 2]
 
 
+@pytest.mark.slow
 def test_tag_only(ctx):
     assert run(ctx, "245:title") == [1, 2]
     assert run(ctx, "245:'This'") == [1]
@@ -218,6 +220,7 @@ def test_empty_value_error(ctx):
         parse_query_string("245:")
 
 
+@pytest.mark.slow
 def test_parser_fuzz_grammar_combinations(ctx):
     """Randomized grammar fuzz: 80 seeded samples of term shapes glued
     with AND/OR/AND NOT must either parse+execute or raise

@@ -180,6 +180,7 @@ def test_lsh_verified_pairs_slim_regime_single_exchange(spark):
         sigs.unpersist()
 
 
+@pytest.mark.slow
 def test_commit_pipeline_store_side_joins_never_shuffle_store(
         spark, tmp_path):
     """The commit pipeline's three store-side joins (audit stamps,

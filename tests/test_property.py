@@ -10,6 +10,8 @@ from hypothesis import given, settings, strategies as st
 from dlx_spark.functions.tokenizer import scrub, split_words, stem, tokenize
 from dlx_spark.marc import Bib
 
+import pytest
+
 # values that survive the delimiter-based text formats: no $ (subfield
 # delimiter), no newlines, non-empty, no leading/trailing whitespace
 VALUE = st.text(
@@ -227,6 +229,7 @@ def test_blocked_jaccard_recall_measured(spark):
     assert recovered >= 0.9
 
 
+@pytest.mark.slow
 def test_capped_star_cluster_equivalence_randomized(spark):
     """On a randomized corpus with planted near-dup clusters, the
     bucket_cap star expansion must produce the SAME dedup clusters as
@@ -273,6 +276,7 @@ def test_capped_star_cluster_equivalence_randomized(spark):
     assert capped == full and len(full) >= 8
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain_scales_logarithmically(spark):
     """The O(log diameter) convergence claim at real size: a 100k-node
     chain (diameter 100k — the shape capped mega-bucket chains produce)
@@ -297,6 +301,7 @@ def test_connected_components_long_chain_scales_logarithmically(spark):
     assert bad == 0 and total == n + 1
 
 
+@pytest.mark.slow
 def test_capped_cosine_chain_cluster_equivalence_randomized(spark):
     """Embedding port of the capped-star suite: on a randomized corpus
     with planted cosine near-dup clusters of varied sizes, the
@@ -353,6 +358,7 @@ def test_capped_cosine_chain_cluster_equivalence_randomized(spark):
     assert cappedb == fullb
 
 
+@pytest.mark.slow
 def test_capped_simhash_chain_cluster_equivalence_randomized(spark):
     """SimHash port of the capped-chain suite: planted near-identical
     clusters (the mega-bucket generator for hamming LSH — identical
@@ -404,6 +410,7 @@ def test_capped_simhash_chain_cluster_equivalence_randomized(spark):
     assert clusters(capped_pairs) == clusters(full_pairs)
 
 
+@pytest.mark.slow
 def test_capped_jaccard_chain_cluster_equivalence_randomized(spark):
     """n-gram Jaccard port of the capped-chain suite: an identical-doc
     mega-BLOCK (same lang/length/first-token, the quadratic case for
@@ -525,6 +532,7 @@ def _mor_ops():
                     min_size=1, max_size=6)
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(_mor_ops())
 def test_mor_random_op_sequences_match_dict_model(spark, ops):
@@ -597,6 +605,7 @@ def _store_ops():
         min_size=1, max_size=6)
 
 
+@pytest.mark.slow
 @settings(max_examples=6, deadline=None)
 @given(_store_ops())
 def test_store_random_op_sequences_match_dict_model(spark, ops):

@@ -11,6 +11,7 @@ def ids(df, pred):
     return sorted(r._id for r in df.filter(pred).select("_id").collect())
 
 
+@pytest.mark.slow
 def test_condition_literal(spark, bibs_df, auth_index):
     pred = q.Condition("245", {"a": "This"}).compile(auth_index)
     assert ids(bibs_df, pred) == [1]
@@ -70,6 +71,7 @@ def test_tag_only(spark, bibs_df, auth_index):
     assert ids(bibs_df, pred) == []
 
 
+@pytest.mark.slow
 def test_text(spark, bibs_df, auths_df, auth_index):
     dim = mdf.auth_headings(auths_df)
     derived = mdf.derive_text_words(bibs_df, dim)

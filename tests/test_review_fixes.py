@@ -14,6 +14,7 @@ from dlx_spark.marc import Bib, BibSet
 from dlx_spark.marc import query as q
 
 
+@pytest.mark.slow
 def test_or_with_not_text_member(spark, bibs_df, auths_df, auth_index):
     from dlx_spark.marc import dataframe as mdf
     from dlx_spark.marc.parser import QueryContext, execute_query, parse_query_string
@@ -87,6 +88,7 @@ def test_fielded_text_compile_raises_clearly(auth_index):
         query.compile(auth_index)
 
 
+@pytest.mark.slow
 def test_xref_expansion_gated_by_code(spark, auth_index):
     """Fielded text on an UNcontrolled code of a controlled tag must not
     pull in records linked by xref (reference query.py:208-212)."""
@@ -126,6 +128,7 @@ def test_condition_regex_on_controlled_code(spark, bibs_df, auth_index):
     assert bibs_df.filter(pred3).count() == 0
 
 
+@pytest.mark.slow
 def test_file_import_batch(spark, tmp_path):
     from dlx_spark.files import FileExists, FileStore, Identifier
     fs = FileStore(spark, str(tmp_path / "fb"))
@@ -148,6 +151,7 @@ def test_file_import_batch(spark, tmp_path):
     assert fs.df().count() == 20  # nothing written
 
 
+@pytest.mark.slow
 def test_store_auth_index_memoized(spark, tmp_path, auth_docs):
     from dlx_spark.marc import Auth
     from dlx_spark.marc.store import MarcStore
@@ -198,6 +202,7 @@ def test_wildcard_case_insensitive(spark, bibs_df, auth_index):
     assert ids == [1]  # 'This' matches lowercase wildcard (reference 'i' flag)
 
 
+@pytest.mark.slow
 def test_commit_failure_keeps_index_coherent(spark, tmp_path, auth_docs):
     from dlx_spark.marc import Auth
     from dlx_spark.marc.record import Datafield, Linked
@@ -214,6 +219,7 @@ def test_commit_failure_keeps_index_coherent(spark, tmp_path, auth_docs):
     assert st.auth_index().lookup(1, "a") == "Header"
 
 
+@pytest.mark.slow
 def test_controlfield_only_record_keeps_empty_datafields(spark):
     from dlx_spark.marc import dataframe as mdf
     docs = [{"_id": 11, "008": ["controlfield only"]}]

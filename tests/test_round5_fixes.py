@@ -143,6 +143,7 @@ def test_refresh_ivf_swap_leaves_no_residue(spark):
     assert len(_idx_ids(spark, "t_r6_ivf5")) == 60
 
 
+@pytest.mark.slow
 def test_refresh_ivf_fails_clean_on_concurrent_append(spark, tmp_path):
     """On the transactional backend, an append_ivf_index racing the
     refresh (its rows assigned under the OLD centroids) must fail the
@@ -190,6 +191,7 @@ def test_refresh_ivf_fails_clean_on_concurrent_append(spark, tmp_path):
 # Legacy ledger-key acceptance across the qualified-spelling upgrade
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_commit_stream_accepts_legacy_ledger_key(spark, tmp_path):
     """Ledger rows persisted before the fsio.qualified key change were
     keyed on os.path.abspath(checkpoint); a stream resuming across the
@@ -223,6 +225,7 @@ def test_commit_stream_accepts_legacy_ledger_key(spark, tmp_path):
 # Torn-marker recovery (fsio docstring claims, now tested)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_store_recover_tolerates_torn_dirty_marker(spark, tmp_path):
     """A truncated / garbage token-index dirty marker (the s3a
     torn-write window: rename is copy+delete, so a reader can see a
@@ -275,6 +278,7 @@ def test_dedup_index_meta_garbage_raises_clearly(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}_meta")
 
 
+@pytest.mark.slow
 def test_streaming_sink_tolerates_torn_attempt_marker(spark, tmp_path):
     """Sink attempt/committed markers are presence-only (touch files) —
     their CONTENT is never parsed, so a torn write can at worst leave a

@@ -68,6 +68,7 @@ def test_salted_join_rejects_outer(spark):
         salted_join(fact, dim, "k", how="full")
 
 
+@pytest.mark.slow
 def test_lsh_bucket_cap_star_equivalence(spark):
     """Mega-bucket handling in LSH candidate generation: capped buckets
     emit a min-id star instead of the full m^2/2 expansion.  The star

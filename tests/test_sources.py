@@ -11,6 +11,7 @@ def tmp_root(tmp_path_factory):
     return tmp_path_factory.mktemp("io")
 
 
+@pytest.mark.slow
 def test_mrk_file_roundtrip(spark, bibs, bibs_df, tmp_root):
     path = str(tmp_root / "bibs_mrk")
     sources.write_mrk(bibs_df, path)

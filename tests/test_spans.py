@@ -215,6 +215,7 @@ def test_profile_and_cut_agree_on_marked_positions(spark):
 # quality-aware near-dedup survivor rule (dedup.dedup_near_by_priority)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_dedup_near_by_priority_keeps_best_copy(spark):
     from dlx_spark.operators import dedup
     df = spark.createDataFrame(
@@ -285,6 +286,7 @@ def _model_dup_spans(rows, k):
     return out
 
 
+@pytest.mark.slow
 def test_segment_dedup_matches_python_model_on_random_corpora(spark):
     import random
     for seed in range(6):
@@ -302,6 +304,7 @@ def test_segment_dedup_matches_python_model_on_random_corpora(spark):
         assert got == want, f"seed={seed} unit={unit}"
 
 
+@pytest.mark.slow
 def test_duplicate_spans_matches_python_model_on_random_corpora(spark):
     import random
     for seed in range(6):

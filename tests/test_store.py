@@ -38,6 +38,7 @@ def test_commit_and_read_back(store):
     assert list(row["main_title"]) == ["This"]
 
 
+@pytest.mark.slow
 def test_id_assignment(store):
     rec = Bib().set("245", "a", "New record", auth_control=False)
     ids = store.commit([rec], user="u2", now=T1)
@@ -46,6 +47,7 @@ def test_id_assignment(store):
     assert store.commit([rec2], now=T1) == [4]
 
 
+@pytest.mark.slow
 def test_audit_preserved_on_update(store):
     bib1 = store.get("bib", 1)
     bib1.set("245", "a", "Changed title", auth_control=False)
@@ -80,6 +82,7 @@ def test_auth_validation(store):
         store.commit([bad], now=T1)
 
 
+@pytest.mark.slow
 def test_delete_restore(store):
     store.delete("bib", 2, user="deleter", now=T1)
     assert store.bibs().count() == 1
@@ -98,6 +101,7 @@ def test_auth_in_use_guard(store):
         store.delete("auth", 1, now=T1)  # referenced by both bibs
 
 
+@pytest.mark.slow
 def test_new_id_not_reused_after_delete(store):
     store.delete("bib", 2, user="u", now=T1)
     rec = Bib().set("245", "a", "Fresh", auth_control=False)
@@ -105,6 +109,7 @@ def test_new_id_not_reused_after_delete(store):
     assert store.commit([rec], now=T2) == [3]
 
 
+@pytest.mark.slow
 def test_merge(store):
     # make auth 3 with same-ish heading, attach to bib 1 via 651
     a3 = Auth({"_id": 3, "151": [{"indicators": [" ", " "],
@@ -125,6 +130,7 @@ def test_merge(store):
     assert store.get("auth", 3) is not None
 
 
+@pytest.mark.slow
 def test_heading_change_propagation(store):
     # change auth 1's heading; bibs 1+2 reference it via 650
     a1 = store.get("auth", 1)
@@ -144,6 +150,7 @@ def test_heading_change_propagation(store):
     assert row["updated"] == T1
 
 
+@pytest.mark.slow
 def test_auth_cycle_propagation_terminates(store):
     """Auth→auth heading propagation with a CYCLE (A 550→B, B 550→A):
     one heading edit recommits the attached auth exactly once and
@@ -184,6 +191,7 @@ def test_auth_cycle_propagation_terminates(store):
     assert len(store.history(("bib"), bib_id)) == 1
 
 
+@pytest.mark.slow
 def test_commit_frame_bulk_ingest_distributed(spark, tmp_path):
     """Bulk-ingest scale check (VERDICT r01 #7): a 10k-record frame
     commits end-to-end through commit_frame — id assignment, audit
@@ -278,6 +286,7 @@ def test_get_prunes_to_one_bucket(store):
     assert "PartitionFilters" in plan and "pt" in plan.split("PartitionFilters")[1][:80]
 
 
+@pytest.mark.slow
 def test_compact_folds_segments(spark, tmp_path):
     from dlx_spark.marc.record import Bib
     from dlx_spark.marc.store import MarcStore
@@ -303,6 +312,7 @@ def test_compact_folds_segments(spark, tmp_path):
     assert store.history_df("bib").count() == 24
 
 
+@pytest.mark.slow
 def test_compact_minor_folds_deltas_only(spark, tmp_path):
     """``compact(minor=True)``: the live table's delta segments fold
     into one merged delta while the base segment survives by id —
@@ -334,6 +344,7 @@ def test_compact_minor_folds_deltas_only(spark, tmp_path):
     assert store.bibs().count() == 23
 
 
+@pytest.mark.slow
 def test_commit_frame_distributed_auth_check(spark, tmp_path, auth_docs):
     """commit_frame's join-based auth validation: a frame with an xref
     that no auth satisfies must raise InvalidAuthXref; valid xrefs pass
@@ -360,6 +371,7 @@ def test_commit_frame_distributed_auth_check(spark, tmp_path, auth_docs):
     assert sub["value"] == "Header" and sub["xref"] == 1
 
 
+@pytest.mark.slow
 def test_commit_frame_small_batch_is_o_batch(spark, tmp_path):
     """A small commit_frame batch must land as ONE appended delta
     segment, leaving every existing live-table data file untouched —
@@ -453,6 +465,7 @@ def test_auth_index_degrades_gracefully_above_cap(store, monkeypatch):
     assert not isinstance(idx, OnDemandAuthIndex)
 
 
+@pytest.mark.slow
 def test_commit_frame_accepts_intra_frame_auth_xrefs(spark, tmp_path):
     """An auth import whose records see-also-reference other auths in
     the SAME frame (5xx xrefs, the standard authority-file shape) must
@@ -495,6 +508,7 @@ def _seed_plain(spark, tmp_path, name, n=8):
     return st
 
 
+@pytest.mark.slow
 def test_crash_before_live_commit_leaves_store_untouched(
         spark, tmp_path, monkeypatch):
     """The commit point is ONE manifest publish: a crash anywhere before
@@ -526,6 +540,7 @@ def test_crash_before_live_commit_leaves_store_untouched(
     assert st2.get("bib", 1).get_value("245", "a") == "Changed title"
 
 
+@pytest.mark.slow
 def test_crash_mid_rebucket_recovers_on_open(spark, tmp_path, monkeypatch):
     """A rebucket that crashes after staging but before the atomic swap
     is finished (or dropped) by recover_replace on the next open — the
@@ -553,6 +568,7 @@ def test_crash_mid_rebucket_recovers_on_open(spark, tmp_path, monkeypatch):
     assert raw.count() == 1
 
 
+@pytest.mark.slow
 def test_remove_live_tombstones_ids(spark, tmp_path):
     """Multi-id removal lands as tombstones in one delta segment; the
     resolved table never shows the ids again (including after a
@@ -566,6 +582,7 @@ def test_remove_live_tombstones_ids(spark, tmp_path):
     assert ids == sorted(set(range(1, 33)) - {1, 17, 2})
 
 
+@pytest.mark.slow
 def test_warehouse_under_file_scheme_uri(spark, tmp_path, monkeypatch):
     """The whole store lifecycle — seed, upsert, index-marker recovery —
     must work when ``root`` is a ``file://``-scheme Hadoop URI rather
@@ -608,6 +625,7 @@ def test_warehouse_under_file_scheme_uri(spark, tmp_path, monkeypatch):
     assert st3.bibs().count() == 8
 
 
+@pytest.mark.slow
 def test_deleted_summary_serves_find_deleted(store):
     """With build_deleted_summary, find_deleted reads the O(deleted set)
     summary table (plan-pinned: no history scan) and every transition —
@@ -639,6 +657,7 @@ def test_deleted_summary_serves_find_deleted(store):
     assert not store._markers_for("bib_deleted")   # all settled inline
 
 
+@pytest.mark.slow
 def test_deleted_summary_crash_replay_and_reopen(spark, tmp_path, store,
                                                  monkeypatch):
     """A refresh failure after the durable history append leaves the
@@ -670,6 +689,7 @@ def test_deleted_summary_crash_replay_and_reopen(spark, tmp_path, store,
     assert reopened.find_deleted("bib").count() == 0
 
 
+@pytest.mark.slow
 def test_deleted_summary_rebuilds_when_batch_unidentifiable(store):
     """A marker whose snapshot segments vanished (history compaction
     folded them) cannot identify its batch: replay rebuilds the summary
@@ -698,6 +718,7 @@ def test_deleted_summary_rebuilds_when_batch_unidentifiable(store):
     assert not store._markers_for("bib_deleted")
 
 
+@pytest.mark.slow
 def test_store_vacuum_reclaims_superseded_segments(store):
     """Commit → compact leaves superseded delta segments and manifest
     versions on disk; store.vacuum reclaims them while every read
@@ -720,6 +741,7 @@ def test_store_vacuum_reclaims_superseded_segments(store):
             store.search("bib", "245__a:rewrite").collect()] == [1]
 
 
+@pytest.mark.slow
 def test_max_id_served_from_manifest_hint(store, tmp_path):
     """Id assignment reads the live manifest's monotonic max_id hint
     (O(1) metadata) instead of scanning live ∪ history; the hint never
@@ -766,6 +788,7 @@ def test_max_id_served_from_manifest_hint(store, tmp_path):
     assert store.commit([nxt], now=T2) == [4]
 
 
+@pytest.mark.slow
 def test_all_new_append_skips_store_reads_and_stamps_correctly(store):
     """A NULL-id frame is a pure insert: the fast path must stamp
     created=now/user, write history version 1, advance the hint — and
@@ -798,6 +821,7 @@ def test_all_new_append_skips_store_reads_and_stamps_correctly(store):
     assert versions == [1, 2]
 
 
+@pytest.mark.slow
 def test_commit_racing_rebucket_rebuckets_and_retries(store, spark):
     """A commit whose rows were bucketed under a modulus superseded by
     a concurrent rebucket (second driver) must NOT publish: the
@@ -831,6 +855,7 @@ def test_commit_racing_rebucket_rebuckets_and_retries(store, spark):
     assert MarcStore(spark, a.root).get("bib", rid) is None
 
 
+@pytest.mark.slow
 def test_lost_creation_race_rederives_geometry(spark, tmp_path,
                                                monkeypatch):
     """A writer that observed the live table ABSENT must not publish
@@ -871,6 +896,7 @@ def test_lost_creation_race_rederives_geometry(spark, tmp_path,
     assert reader.get("bib", 24).get_value("245", "a") == "Loser retried"
 
 
+@pytest.mark.slow
 def test_auth_heading_change_marks_auth_token_index_too(store):
     """Auth→auth 5xx see-also links denormalize the linked heading into
     the AUTH token index as well: a heading change without propagation
@@ -959,6 +985,7 @@ def test_full_rebuild_keeps_markers_for_commits_it_did_not_see(store):
     assert store._markers_for("bibs_tokens") == []
 
 
+@pytest.mark.slow
 def test_keyset_pagination_after_id(store):
     """r11 (VERDICT task 6): ``after_id`` keyset cursor — pages are
     disjoint, ordered, union-complete, equivalent to skip paging, and

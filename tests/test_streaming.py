@@ -96,6 +96,7 @@ def test_sessionize_stream(spark, events_dir, tmp_path):
     assert first.n_events == 2
 
 
+@pytest.mark.slow
 def test_incremental_commit_stream(spark, tmp_path):
     from dlx_spark.marc.store import MarcStore
 
@@ -166,6 +167,7 @@ def test_stateless_operators_compose_with_streams(spark, tmp_path):
     assert scored.isStreaming
 
 
+@pytest.mark.slow
 def test_incremental_commit_stream_large_batch_distributed(spark, tmp_path):
     """Batch-size robustness for the streaming ingest sink: a 2k-record
     micro-batch (mixed new/id-less rows) commits through the distributed
@@ -199,6 +201,7 @@ def test_incremental_commit_stream_large_batch_distributed(spark, tmp_path):
     assert store.history_df("bib").count() == n
 
 
+@pytest.mark.slow
 def test_incremental_commit_stream_batch_ledger_idempotent(spark, tmp_path):
     """Replay semantics of the ingest sink, exercised on the foreachBatch
     function directly: a crash-replay (same stream instance, same
@@ -273,6 +276,7 @@ def test_enrich_stream_broadcast_gate(spark, tmp_path, monkeypatch):
     assert got == {i: f"t{i}" for i in range(4)}
 
 
+@pytest.mark.slow
 def test_stream_replay_after_crash_between_commit_and_ledger(spark, tmp_path, monkeypatch):
     """The advisor's crash window: the data commit lands but the process
     dies before the ledger row is appended.  The replay must NOT
@@ -308,6 +312,7 @@ def test_stream_replay_after_crash_between_commit_and_ledger(spark, tmp_path, mo
     assert sorted(r["_id"] for r in store.bibs().select("_id").collect()) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_stream_replay_after_crash_mid_commit(spark, tmp_path, monkeypatch):
     """Crash BETWEEN the history append and the live upsert inside
     commit_frame: the replay undoes the half-committed history and
@@ -347,6 +352,7 @@ def test_stream_replay_after_crash_mid_commit(spark, tmp_path, monkeypatch):
     assert sorted(r["_id"] for r in store.bibs().select("_id").collect()) == [1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_stream_recreated_checkpoint_is_new_stream(spark, tmp_path):
     """A checkpoint deleted and recreated at the SAME path restarts batch
     ids at 0 — the run id Spark writes into {checkpoint}/metadata keys
@@ -376,6 +382,7 @@ def test_stream_recreated_checkpoint_is_new_stream(spark, tmp_path):
     assert store.bibs().count() == 2
 
 
+@pytest.mark.slow
 def test_stream_ledger_compaction_bounded(spark, tmp_path, monkeypatch):
     """Long-lived stream: the per-batch ledger files are folded together
     every LEDGER_COMPACT_EVERY batches, so the file count stays bounded
@@ -405,6 +412,7 @@ def test_stream_ledger_compaction_bounded(spark, tmp_path, monkeypatch):
     assert store.bibs().count() == 1
 
 
+@pytest.mark.slow
 def test_commit_stream_under_file_scheme_root(spark, tmp_path):
     """The streaming commit sink's ledger/intent-marker/stage protocol
     must hold when the store root (and hence the ledger directory and
@@ -440,6 +448,7 @@ def test_commit_stream_under_file_scheme_root(spark, tmp_path):
     assert len(store.history("bib", 1)) == 1
 
 
+@pytest.mark.slow
 def test_stream_replay_of_pre_upgrade_crashed_attempt(spark, tmp_path,
                                                       monkeypatch):
     """A batch that crashed mid-commit BEFORE the qualified-spelling
@@ -504,6 +513,7 @@ def test_stream_replay_of_pre_upgrade_crashed_attempt(spark, tmp_path,
     assert not fsio.exists(spark, fsio.join(log, f"_batch_{old_key}_0"))
 
 
+@pytest.mark.slow
 def test_incremental_commit_stream_mrk_and_xml_formats(spark, tmp_path):
     """The commit stream ingests .mrk and MARCXML files with the SAME
     chunk parsers as the batch readers (sources/marc_io.py), so a dump
@@ -546,6 +556,7 @@ def test_incremental_commit_stream_mrk_and_xml_formats(spark, tmp_path):
                                             fmt="mrc")
 
 
+@pytest.mark.slow
 def test_semdedup_ingest_stream_cross_batch_leaders(spark, tmp_path):
     """Streaming online SemDeDup: batch-2 vectors within τ of a KEPT
     batch-1/corpus vector are dropped (cross-batch leader state through
@@ -598,6 +609,7 @@ def test_semdedup_ingest_stream_cross_batch_leaders(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+@pytest.mark.slow
 def test_segment_dedup_ingest_stream_cross_batch_and_replay(spark, tmp_path):
     """Streaming segment dedup: a batch-2 document repeating a segment
     kept in batch 1 (or in the pre-indexed corpus) loses it; a
@@ -661,6 +673,7 @@ def test_segment_dedup_ingest_stream_cross_batch_and_replay(spark, tmp_path):
         SegmentIndex(spark, name).drop()
 
 
+@pytest.mark.slow
 def test_span_cut_ingest_stream_cross_batch(spark, tmp_path):
     """Streaming span cut: batch 2 loses windows first seen in batch 1
     through the persisted SpanIndex."""

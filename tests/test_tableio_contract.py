@@ -136,6 +136,7 @@ def test_contract_replace_publishes_stage_and_consumes_it(spark, be):
         == [2, 3]
 
 
+@pytest.mark.slow
 def test_contract_replace_fail_detects_raced_commit(spark, be):
     be.write(_df(spark, [(1, "base")]), "c_t5", "id", 2)
     token = be.snapshot_token(spark, "c_t5")
@@ -152,6 +153,7 @@ def test_contract_replace_fail_detects_raced_commit(spark, be):
     be.drop(spark, "c_t5__stage")
 
 
+@pytest.mark.slow
 def test_contract_replace_rejects_bad_on_conflict(spark, be):
     be.write(_df(spark, [(1, "x")]), "c_t6", "id", 2)
     be.write(_df(spark, [(1, "x")]), "c_t6__stage", "id", 2)
@@ -164,6 +166,7 @@ def test_contract_snapshot_token_none_for_missing_table(spark, be):
     assert be.snapshot_token(spark, "c_never_created") is None
 
 
+@pytest.mark.slow
 def test_contract_replace_merge_carries_raced_append(spark, be):
     """Merge-on-conflict: appends that land between the token capture
     and the swap survive the rewrite (the compaction contract).  The
@@ -242,6 +245,7 @@ def _kv_sorted(t, spark):
                   t.read(spark).select("k", "v").collect())
 
 
+@pytest.mark.slow
 def test_mor_contract_upsert_tombstone_roundtrip(spark, mor):
     t = mor("mc_rt", "k", ["pt"])
     t.overwrite(_kv(spark, [(i, f"v{i}") for i in range(6)]))
@@ -255,6 +259,7 @@ def test_mor_contract_upsert_tombstone_roundtrip(spark, mor):
         (0, "v0"), (1, "V1"), (3, "v3"), (4, "v4"), (5, "v5"), (6, "v6")]
 
 
+@pytest.mark.slow
 def test_mor_contract_tombstone_only_batch(spark, mor):
     t = mor("mc_del", "k", ["pt"])
     t.overwrite(_kv(spark, [(i, f"v{i}") for i in range(4)]))
@@ -274,6 +279,7 @@ def test_mor_contract_upsert_creates_missing_table(spark, mor):
     assert _kv_sorted(t, spark) == [(1, "a"), (2, "b")]
 
 
+@pytest.mark.slow
 def test_mor_contract_compact_preserves_content(spark, mor):
     t = mor("mc_compact", "k", ["pt"])
     t.overwrite(_kv(spark, [(i, f"v{i}") for i in range(5)]))
@@ -287,6 +293,7 @@ def test_mor_contract_compact_preserves_content(spark, mor):
                       (3, "v3"), (4, "v4")]
 
 
+@pytest.mark.slow
 def test_mor_contract_minor_compact_preserves_content(spark, mor):
     """The tiered fold (compact_deltas) resolves identically to the
     full fold — including a tombstoned key staying dead through it —

@@ -25,6 +25,7 @@ def _read_sorted(t, spark):
     return sorted((r["k"], r["v"]) for r in t.read(spark).collect())
 
 
+@pytest.mark.slow
 def test_upsert_overrides_and_tombstones_delete(spark, be):
     t = MergeOnReadTable(be, "t1", key="k", partition_cols=["pt"])
     t.overwrite(_rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
@@ -58,6 +59,7 @@ def test_first_write_may_be_an_upsert(spark, be):
     assert not t2.exists(spark)
 
 
+@pytest.mark.slow
 def test_multi_row_per_key_replaces_row_set(spark, be):
     """Index-table shape: several rows per key; a batch tombstones every
     touched key and writes the fresh row set (possibly empty)."""
@@ -74,6 +76,7 @@ def test_multi_row_per_key_replaces_row_set(spark, be):
     assert _read_sorted(t, spark) == [(1, "z"), (2, "p2"), (2, "q2")]
 
 
+@pytest.mark.slow
 def test_upsert_is_o_batch_and_compact_folds(spark, be):
     """A small upsert must append ONE segment and leave every existing
     data file untouched (the write-amplification contract); compact
@@ -106,6 +109,7 @@ def test_upsert_is_o_batch_and_compact_folds(spark, be):
     assert _read_sorted(t, spark) == want
 
 
+@pytest.mark.slow
 def test_auto_compact_bounds_segments(spark, be):
     t = MergeOnReadTable(be, "t4", key="k", partition_cols=["pt"],
                          auto_compact_at=3)
@@ -138,6 +142,7 @@ def test_resolution_plan_base_not_shuffled_and_keys_broadcast(spark, be):
     assert [r["v"] for r in df.collect() if r["k"] == 1] == ["V"]
 
 
+@pytest.mark.slow
 def test_meta_survives_appends_and_compact(spark, be):
     t = MergeOnReadTable(be, "t6", key="k", partition_cols=["pt"])
     t.overwrite(_rows(spark, [(1, "a")]), extra={"n_buckets": 4})
@@ -147,6 +152,7 @@ def test_meta_survives_appends_and_compact(spark, be):
     assert t.meta(spark) == {"n_buckets": 4}
 
 
+@pytest.mark.slow
 def test_repartition_table_changes_geometry_atomically(spark, be):
     t = MergeOnReadTable(be, "t7", key="k", partition_cols=["pt"])
     t.overwrite(_rows(spark, [(i, f"v{i}") for i in range(16)], n_buckets=4),
@@ -161,6 +167,7 @@ def test_repartition_table_changes_geometry_atomically(spark, be):
     assert got == {i: i % 8 for i in range(16)}
 
 
+@pytest.mark.slow
 def test_read_segments_since_identifies_crashed_batch(spark, be):
     """The recovery primitive: a snapshot of segments() taken before a
     batch brackets exactly that batch's rows (tombstones included)."""
@@ -175,6 +182,7 @@ def test_read_segments_since_identifies_crashed_batch(spark, be):
     assert got == [(2, None, True), (3, "c", False)]
 
 
+@pytest.mark.slow
 def test_snapshot_reader_survives_compaction(spark, be):
     """Snapshot isolation is inherited: a DataFrame resolved before a
     compact still collects after it (segments are immutable until
@@ -189,6 +197,7 @@ def test_snapshot_reader_survives_compaction(spark, be):
         (1, "a"), (2, "b")]
 
 
+@pytest.mark.slow
 def test_huge_delta_disables_forced_broadcast(spark, be):
     """The forced broadcast of the delta key set assumes batch-sized
     deltas; a bulk-ingest delta above BROADCAST_MAX_DELTA_ROWS must
@@ -217,6 +226,7 @@ def test_huge_delta_disables_forced_broadcast(spark, be):
     assert (3, "X") in _read_sorted(t, spark)
 
 
+@pytest.mark.slow
 def test_extra_merge_survives_stale_compaction(spark, be):
     """A compaction staged from an old manifest snapshot must not roll
     back metadata a raced commit advanced: with extra_merge, the
@@ -274,6 +284,7 @@ def _file_set(spark, be):
     return out
 
 
+@pytest.mark.slow
 def test_compact_deltas_folds_suffix_base_untouched(spark, be):
     """Minor compaction: deltas (upserts, tombstones, multi-row keys)
     collapse to ONE merged segment, the base segment is referenced by
@@ -306,6 +317,7 @@ def test_compact_deltas_folds_suffix_base_untouched(spark, be):
     assert _read_sorted(t, spark) == want
 
 
+@pytest.mark.slow
 def test_compact_deltas_carries_raced_appends(spark, be):
     """A batch that lands between the fold's snapshot and its commit is
     carried AFTER the merged delta, so its precedence is preserved."""
@@ -324,6 +336,7 @@ def test_compact_deltas_carries_raced_appends(spark, be):
     assert _read_sorted(t, spark) == [(1, "RACED"), (2, "d2")]
 
 
+@pytest.mark.slow
 def test_compact_deltas_aborts_on_replaced_list(spark, be):
     """A raced FULL rewrite (compact/rebucket) replaces the segment
     list; suffix surgery derived from the superseded list must abort
@@ -346,6 +359,7 @@ def test_compact_deltas_aborts_on_replaced_list(spark, be):
     assert t.compact_deltas(spark) == 0
 
 
+@pytest.mark.slow
 def test_auto_compact_prefers_minor_on_large_base(spark, be):
     """The upsert-triggered compaction folds only the deltas while they
     are a small fraction of the base — the base segment survives the
@@ -364,6 +378,7 @@ def test_auto_compact_prefers_minor_on_large_base(spark, be):
     assert got[499] == "v499"
 
 
+@pytest.mark.slow
 def test_auto_compact_falls_back_to_full_when_deltas_large(spark, be):
     """Deltas past MINOR_COMPACT_MAX_DELTA_FRACTION of the base make
     the trigger do the full fold (delta-resolution has outgrown the
@@ -378,6 +393,7 @@ def test_auto_compact_falls_back_to_full_when_deltas_large(spark, be):
     assert len(t.segments(spark)) <= 2
 
 
+@pytest.mark.slow
 def test_segments_cluster_rows_by_key_within_buckets(spark, be):
     """Every segment write clusters rows by the table key within each
     partition dir (sort_col recorded in the manifest and preserved by
@@ -414,6 +430,7 @@ def test_segments_cluster_rows_by_key_within_buckets(spark, be):
     assert _read_sorted(t, spark) == want
 
 
+@pytest.mark.slow
 def test_custom_sort_col_clusters_by_that_column(spark, be):
     """A table whose hot filter is not its key (the token index) may
     cluster by a different scalar; the manifest records it and folds
@@ -441,6 +458,7 @@ def test_custom_sort_col_clusters_by_that_column(spark, be):
     assert got[1] == "zz" and len(got) == len(dict(want))
 
 
+@pytest.mark.slow
 def test_compact_deltas_above_broadcast_gate_unhinted(spark, be, monkeypatch):
     """A merged delta past BROADCAST_MAX_DELTA_ROWS must still fold
     correctly — the latest-mention resolution just runs unhinted (same
@@ -460,6 +478,7 @@ def test_compact_deltas_above_broadcast_gate_unhinted(spark, be, monkeypatch):
     assert (1, "B") in want and all(k != 2 for k, _ in want)
 
 
+@pytest.mark.slow
 def test_vacuum_reclaims_minor_folded_deltas(spark, be):
     """The delta segments a minor fold superseded are unreferenced by
     the retained manifest and must be reclaimed by vacuum; the base and

@@ -219,6 +219,7 @@ def test_compaction_keeps_append_racing_the_stage_build(spark, be):
     assert rb._raced
 
 
+@pytest.mark.slow
 def test_rebucket_conflict_fails_clean_on_concurrent_append(spark, be):
     """Appends do NOT commute with rebucket (their keys are under the
     old geometry): a racing append must fail the rebucket, leave the
@@ -333,6 +334,7 @@ def test_drop_and_exists(spark, be):
         be.read(spark, "t10")
 
 
+@pytest.mark.slow
 def test_minhash_index_end_to_end_on_versioned_backend(spark, be, tmp_path):
     """An unmodified MinHashIndex running entirely through the
     versioned backend — create, dedup_batch, append-on-survive, reopen,
@@ -370,6 +372,7 @@ def test_minhash_index_end_to_end_on_versioned_backend(spark, be, tmp_path):
     assert versioned == plain == ([11], [])
 
 
+@pytest.mark.slow
 def test_embedding_index_rebucket_rollforward_on_versioned_backend(spark, be):
     """The most protocol-heavy index path — EmbeddingIndex rebucket's
     staged-keys + staged-meta commit point — through the versioned
@@ -432,6 +435,7 @@ def test_embedding_index_rebucket_rollforward_on_versioned_backend(spark, be):
         idx_p.drop()
 
 
+@pytest.mark.slow
 def test_streaming_ingest_appends_through_versioned_backend(
         spark, be, tmp_path):
     """The exactly-once streaming ingest (foreachBatch ->
@@ -520,6 +524,7 @@ def test_digest_index_recovery_path_on_versioned_backend(spark, be):
         tableio.set_backend(tableio.ParquetTableBackend())
 
 
+@pytest.mark.slow
 def test_compact_segments_folds_append_history(spark, be):
     """The OPTIMIZE analog: appends accumulate one segment (and, for
     partitioned tables, one scan root) per commit; compact_segments
@@ -624,6 +629,7 @@ def test_vacuum_age_gates_superseded_manifests_and_compactseg_stages(
     assert sorted(r["id"] for r in be.read(spark, "t_cs").collect()) == [1, 2]
 
 
+@pytest.mark.slow
 def test_auto_compact_bounds_segment_count_on_append_heavy_ingest(
         spark, be):
     """The OPTIMIZE auto-trigger: with ``auto_compact_at=N``, an
@@ -659,6 +665,7 @@ def test_auto_compact_bounds_segment_count_on_append_heavy_ingest(
     assert len(be.snapshot_token(spark, "t_ac")) > 1
 
 
+@pytest.mark.slow
 def test_auto_compact_crash_between_stage_and_swap_loses_no_data(
         spark, be):
     """A crash inside the auto-triggered compaction — after the stage
@@ -702,6 +709,7 @@ def test_auto_compact_crash_between_stage_and_swap_loses_no_data(
         == [0, 1, 2, 3]
 
 
+@pytest.mark.slow
 def test_multisegment_ann_probes_never_full_scan(spark, be):
     """Executed-plan pins for the ANN layouts on a ≥3-segment versioned
     index (the round-7 verdict's ask — PLANS.md's prose claims, now
@@ -792,6 +800,7 @@ def test_compact_segments_preserves_extra_metadata(spark, tmp_path):
         == {"n_buckets": 4}
 
 
+@pytest.mark.slow
 def test_auto_compact_prefers_suffix_fold_on_large_base(spark, be):
     """An append-heavy table whose base dwarfs its recent appends (the
     history-log shape) must auto-maintain by folding ONLY the appended
