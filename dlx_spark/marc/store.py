@@ -1300,7 +1300,20 @@ class MarcStore:
         name = "bibs" if record_type == "bib" else "auths"
         src = self._stage(df, f"_stage_ingest_{name}")
         try:
-            if src.limit(1).count() == 0:
+            # ONE single-column aggregate over the staged batch answers
+            # every shape probe the pipeline needs (r12): row count,
+            # non-null-id count, and the frame's max id.  The previous
+            # form fired five separate jobs for the same facts (three
+            # limit(1) probes, a max() agg, and _broadcastable_batch's
+            # count) — per COMMIT, which the streaming sink pays per
+            # micro-batch; at bulk scale the fused agg reads one column
+            # of the staged parquet instead of five passes.
+            shape = src.agg(F.count(F.lit(1)).alias("n"),
+                            F.count("_id").alias("n_ids"),
+                            F.max("_id").alias("mx")).first()
+            n_rows, n_with_id = int(shape["n"]), int(shape["n_ids"])
+            frame_max = int(shape["mx"] or 0)
+            if n_rows == 0:
                 return 0
             # a frame of only NULL ids is a pure insert: every id is
             # assigned fresh above max_id, so nothing can pre-exist —
@@ -1309,9 +1322,7 @@ class MarcStore:
             # outright (the dominant 100 TB ingest shape: appending new
             # documents to a big store would otherwise pay three
             # resolved passes over it per batch)
-            all_new = (prev_ids is None
-                       and src.filter(F.col("_id").isNotNull())
-                              .limit(1).count() == 0)
+            all_new = prev_ids is None and n_with_id == 0
             # distributed auth validation: every xref must exist in auths —
             # or, for an auth frame, in the frame itself: authority files
             # commonly carry intra-file see-also (5xx) xrefs between
@@ -1334,11 +1345,10 @@ class MarcStore:
 
             # id assignment for NULL-_id rows: max_id + dense sequence via
             # per-partition offsets — the only driver data is one count per
-            # partition, never record rows
-            if src.filter(F.col("_id").isNull()).limit(1).count() > 0:
-                # seq base = max over store AND the frame's explicit ids,
-                # so same-frame upserts can't collide with assignments
-                frame_max = src.agg(F.max("_id")).first()[0] or 0
+            # partition, never record rows.  (seq base = max over store
+            # AND the frame's explicit ids — frame_max from the shape
+            # probe — so same-frame upserts can't collide)
+            if n_with_id < n_rows:
                 tmp = self._stage(
                     src.withColumn("_pid", F.spark_partition_id())
                        .withColumn("_mid", F.monotonically_increasing_id()),
@@ -1364,6 +1374,8 @@ class MarcStore:
                                                 + F.row_number().over(wn)).cast("long")))
                 src = (tmp.filter(F.col("_id").isNotNull())
                        .unionByName(assigned).drop("_pid", "_mid"))
+                # assigned ids are the dense range (base_id, base_id+acc]
+                frame_max = max(frame_max, base_id + acc)
 
             # audit stamps: created preserved from the live row when
             # present.  For broadcast-sized batches the live table is
@@ -1383,7 +1395,7 @@ class MarcStore:
                            .withColumn("created_user", F.lit(user))
                            .select(*[f.name for f in schemas.MARC.fields]))
             else:
-                small = self._broadcastable_batch(src)
+                small = n_rows <= self.SMALL_BATCH_MAX_ROWS
                 live = self.table(record_type).select(
                     "_id", F.col("created").alias("_pc"),
                     F.col("created_user").alias("_pcu"))
@@ -1452,7 +1464,7 @@ class MarcStore:
                                 self._write_dirty_marker(
                                     rt2, dict(payload)))
             try:
-                self._upsert(record_type, staged)
+                self._upsert(record_type, staged, batch_max=frame_max)
             except BaseException:
                 # the upsert MAY still have landed (post-publish
                 # auto-compaction raise): stamp committed — correct if
@@ -1544,7 +1556,8 @@ class MarcStore:
             "pt", F.pmod(F.col(key),
                          F.lit(self.n_buckets(record_type))).cast("int"))
 
-    def _upsert(self, record_type: str, new_df: DataFrame) -> None:
+    def _upsert(self, record_type: str, new_df: DataFrame,
+                batch_max: int | None = None) -> None:
         """Commit the batch as ONE appended merge-on-read delta segment
         — O(batch) I/O at any store size (the Delta/Iceberg
         MERGE-on-read shape; the backend's manifest CAS is the commit
@@ -1578,7 +1591,11 @@ class MarcStore:
         # the batch max alone could understate an existing higher id
         # (explicit-id commit_frame below the store's max) and a low
         # hint would reuse ids.
-        batch_max = int(new_df.agg(F.max("_id")).first()[0] or 0)
+        # commit_frame already knows the batch's exact max id (its shape
+        # probe plus the dense assigned range); recomputing it here was
+        # one more full pass over the batch's _id column per commit
+        if batch_max is None:
+            batch_max = int(new_df.agg(F.max("_id")).first()[0] or 0)
         for attempt in (0, 1):
             # existence, modulus, and metadata are ALL re-derived per
             # attempt: a lost creation race or raced rebucket changes
