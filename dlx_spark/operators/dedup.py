@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from dlx_spark.functions.tokenizer import PUNCT_CLASS_JAVA
-from dlx_spark.operators.common import (bypass_cap, cached_expr, estimated_bytes,
+from dlx_spark.operators.common import (bypass_cap, cached_expr,
                                         spread_for_compute, sql_over)
 
 # a large 32-bit prime for the minhash permutation family
@@ -274,16 +274,26 @@ def lsh_verified_pairs(signatures: DataFrame, bands: int = 16,
       both sides); measured faster than the distinct-based pipeline
       on the bench headline (1.12 s vs 1.15 s at sf0.1, and the
       distinct exchange is gone from the plan).
-    - ``True`` (cluster scale): the band explode carries the full
-      signature alongside the bucket key, so the self-join already
-      holds both signatures — no join back at all, which matters once
-      the signature relation outgrows a broadcast and each join-back
-      would become its own shuffle.  The trade is shuffle WIDTH
-      (``bands`` signature copies per doc ≈ 8 KB at 16×64 longs).
-    - ``None`` (default): auto — carry when Catalyst's size estimate
-      of ``signatures`` exceeds the session's autoBroadcast
-      threshold (driver-side metadata, no job fired; unknown-stat
-      inputs read as huge and carry, the safe direction at scale).
+    - ``True``: the band explode carries the full signature alongside
+      the bucket key, so the self-join already holds both signatures —
+      no join back at all.  The trade is shuffle/explode WIDTH:
+      ``bands`` signature copies per doc (≈ 8 KB at 16×64 longs).
+    - ``None`` (default): the slim form.  r11's auto rule flipped to
+      carry when Catalyst's estimate of ``signatures`` outgrew the
+      autoBroadcast threshold ("the safe direction at scale") — r12
+      MEASURED that assumption and it lost: at 20× corpus scale
+      (exactly where the estimate crosses the threshold) the carry leg
+      ran 92–99 s vs 37.5 s for the slim form, interleaved
+      3×, identical output pairs, healthy cpu probes (A/B recorded in
+      plans/r12/bench_evidence.md).  Arithmetic agrees: carrying
+      duplicates every signature ``bands``× through the explode
+      (~8 KB/doc), while the join-back moves each signature once more
+      (~0.5 KB/doc) plus the candidate ids — and when the signature
+      relation outgrows a broadcast, the join-back degrades to an
+      ordinary shuffle join, not a cliff.  So the default is the slim
+      form at every size; ``True`` stays for callers whose candidate
+      sets are so dense that one join-back per pair costs more than
+      bands-wide duplication (none measured).
 
     Same mega-bucket caveat as the uncapped ``lsh_candidate_pairs``;
     use that function's ``bucket_cap`` star for connectivity-only
@@ -293,16 +303,7 @@ def lsh_verified_pairs(signatures: DataFrame, bands: int = 16,
     ``min_match`` filters on the matching-position count (e.g. 32 of
     64 ≈ Jaccard 0.5)."""
     if carry_signatures is None:
-        try:
-            threshold = int(signatures.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold"))
-        except Exception:
-            threshold = 10 << 20
-        try:
-            carry_signatures = (threshold <= 0 or
-                                estimated_bytes(signatures) > threshold)
-        except Exception:
-            carry_signatures = True
+        carry_signatures = False
 
     # NOTE: this stays an op chain, NOT sql_over — ``signatures`` is
     # normally a cached relation, and routing a cached frame through a
